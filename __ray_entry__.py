@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in yaschva_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` — flagship validation over /root/testdata/sf0.001 plus the
+synthesized F0 interleaved-doc table (BASELINE.json input_hint shape).
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 / FIXTURES.md F15; the driver cross-checks each against
+DuckDB at sf=0.01.
 """
 
 from __future__ import annotations
@@ -20,25 +17,153 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: validate the documents table at sf0.001, return violation
+    rows (doc_id, path, error) — ≥0 rows, stable schema."""
+    from yaschva_ray.pipelines import ops
+
+    return ops.q_violations_documents("/root/testdata/sf0.001")
+
+
+def _f0_smoke(sf_dir: str) -> Any:
+    """F0 interleaved-doc validation (input_hint table shape, synthesized
+    deterministically; rows-only check — the F0 table is engine-generated)."""
+    import numpy as np
+
+    from yaschva_ray.pipelines.datagen import make_docs_batch
+    from yaschva_ray.pipelines.flagship import FLAGSHIP_SCHEMA
+    from yaschva_ray.vectorized import TableValidator, ViolationExploder
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    table = make_docs_batch(np.arange(n), seed=42)
+    tv = TableValidator(FLAGSHIP_SCHEMA)
+    masked = tv(table)
+    import pyarrow.compute as pc
+
+    failing = masked.filter(pc.invert(masked["valid"]))
+    ex = ViolationExploder(FLAGSHIP_SCHEMA, id_columns=("doc_id",))
+    return ex(failing).sort_by([("doc_id", "ascending"), ("path", "ascending"),
+                                ("error", "ascending")])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from yaschva_ray.pipelines import ops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "check_lineitem": ops.q_check_lineitem,
+        "violations_lineitem": ops.q_violations_lineitem,
+        "violations_documents": ops.q_violations_documents,
+        "check_events_props": ops.q_check_events_props,
+        "uniqueness_events_user": ops.q_uniqueness_events_user,
+        "customers_without_orders": ops.q_customers_without_orders,
+        "dangling_lineitem_parts": ops.q_dangling_lineitem_parts,
+        "null_counts_documents": ops.q_null_counts_documents,
+        "distinct_lang": ops.q_distinct_lang,
+        "pricing_summary": ops.q_pricing_summary,
+        "token_count_documents": ops.q_token_count_documents,
+        "top_violated_paths": ops.q_top_violated_paths,
+        "f0_flagship_violations": _f0_smoke,
+    }
+
+
+_LINEITEM_VIOLATION_SQL = """
+WITH v AS (
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS path,
+           CASE WHEN l_quantity < 1 THEN 'Value is smaller than the required minimum'
+                ELSE 'Value is bigger than the required maximum' END AS error
+    FROM lineitem WHERE l_quantity < 1 OR l_quantity > 25
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           CASE WHEN l_discount < 0 THEN 'Value is smaller than the required minimum'
+                ELSE 'Value is bigger than the required maximum' END
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 0.05
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_returnflag',
+           'Value needs to be one of the following: [A, N] '
+    FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "check_lineitem": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE NOT (l_quantity >= 1 AND l_quantity <= 25
+                       AND l_discount >= 0 AND l_discount <= 0.05
+                       AND l_returnflag IN ('A', 'N'))
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "violations_lineitem": _LINEITEM_VIOLATION_SQL + """
+            SELECT * FROM v ORDER BY l_orderkey, l_linenumber, path
+        """,
+        "violations_documents": """
+            SELECT doc_id, 'n_chars' AS path,
+                   'Value is bigger than the required maximum' AS error
+            FROM documents WHERE n_chars > 300
+            UNION ALL
+            SELECT doc_id, 'n_chars', 'Value is smaller than the required minimum'
+            FROM documents WHERE n_chars < 1
+            UNION ALL
+            SELECT doc_id, 'lang',
+                   'Value needs to be one of the following: [de, en, es, fr, zh] '
+            FROM documents WHERE lang NOT IN ('de', 'en', 'es', 'fr', 'zh')
+            UNION ALL
+            SELECT doc_id, 'source', 'String did not match required regex'
+            FROM documents WHERE NOT regexp_matches(source, '^src[0-9]+$')
+            UNION ALL
+            SELECT doc_id, 'text', 'String is shorter than the required minimum length'
+            FROM documents WHERE length(text) < 1
+            ORDER BY doc_id, path
+        """,
+        "check_events_props": r"""
+            SELECT event_id FROM events
+            WHERE TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) > 50
+               OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) < 0
+               OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) IS NULL
+            ORDER BY event_id
+        """,
+        "uniqueness_events_user": """
+            SELECT user_id, count(*) AS n_docs FROM events
+            GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "dangling_lineitem_parts": """
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+            ORDER BY l_partkey
+        """,
+        "null_counts_documents": """
+            SELECT col_name, n_nulls, n_rows FROM (
+                SELECT 'text' AS col_name, count(*) - count(text) AS n_nulls, count(*) AS n_rows FROM documents
+                UNION ALL
+                SELECT 'lang', count(*) - count(lang), count(*) FROM documents
+                UNION ALL
+                SELECT 'source', count(*) - count(source), count(*) FROM documents
+            ) ORDER BY col_name
+        """,
+        "distinct_lang": """
+            SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "token_count_documents": r"""
+            SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "top_violated_paths": _LINEITEM_VIOLATION_SQL + """
+            SELECT path, CAST(count(*) AS BIGINT) AS n FROM v
+            GROUP BY path ORDER BY n DESC, path
+        """,
+        # f0_flagship_violations: engine-generated input — rows-only check
+    }

@@ -1,0 +1,207 @@
+"""Differential tests: vectorized fail-mask vs the row oracle on Arrow
+tables (the oracle itself is differential-tested against the real reference).
+"""
+
+import json
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from yaschva_ray import validate
+from yaschva_ray.generate import generate
+from yaschva_ray.typegen import schema_to_arrow
+from yaschva_ray.values import UNDEFINED
+from yaschva_ray.vectorized import TableValidator, ViolationExploder, decode_row
+
+F0_SCHEMA = {
+    "$types": {"$span": {
+        "kind": {"$enum": ["text", "image", "audio", "video"]},
+        "text": ["?", {"$string": {"minLength": 1, "maxLength": 65536}}],
+        "media_ref": ["?", {"$string": {"regex": "^media://[a-z0-9/._-]+$"}}],
+        "offset": {"$number": {"min": 0, "max": 9007199254740991}},
+    }},
+    "doc_id": {"$string": {"minLength": 1, "regex": "^doc-[0-9a-f]{12}$"}},
+    "spans": {"$array": "$span", "minLength": 1, "maxLength": 4096},
+}
+
+
+def clean(o):
+    if isinstance(o, dict):
+        return {k: clean(x) for k, x in o.items() if x is not UNDEFINED}
+    if isinstance(o, list):
+        return [None if x is UNDEFINED else clean(x) for x in o]
+    return o
+
+
+def spans_table(rows):
+    t = pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int64()),
+    ])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "spans": pa.array([r["spans"] for r in rows], pa.list_(t)),
+    })
+
+
+def good_doc(i):
+    return {
+        "doc_id": f"doc-{i:012x}",
+        "spans": [
+            {"kind": "text", "text": f"hello world {i}", "media_ref": None, "offset": 0},
+            {"kind": "image", "text": None, "media_ref": f"media://img/{i}.png", "offset": 14},
+        ],
+    }
+
+
+def test_flagship_mask_and_violations():
+    rows = [good_doc(i) for i in range(50)]
+    # targeted mutations, one constraint each
+    rows[3]["spans"][0]["kind"] = "gif"                       # bad enum
+    rows[7]["spans"][1]["media_ref"] = "http://nope"          # regex fail
+    rows[11]["spans"][0]["offset"] = -4                       # below min
+    rows[19]["doc_id"] = "DOC-19"                             # doc_id regex fail
+    rows[23]["spans"] = []                                    # array minLength
+    rows[29]["spans"][0]["text"] = ""                         # string minLength
+    bad = {3, 7, 11, 19, 23, 29}
+
+    tv = TableValidator(F0_SCHEMA)
+    out = tv(spans_table(rows))
+    valid = out["valid"].to_pylist()
+    assert {i for i, v in enumerate(valid) if not v} == bad
+
+    ex = ViolationExploder(F0_SCHEMA, id_columns=("doc_id",))
+    failing = out.filter(pa.array([not bool(v) for v in valid]))
+    vio = ex(failing)
+    got = {(r["doc_id"], r["path"], r["error"]) for r in vio.to_pylist()}
+    assert ("doc-000000000003", "spans[0].kind",
+            "Value needs to be one of the following: [text, image, audio, video] ") in got
+    assert ("doc-000000000007", "spans[1].media_ref",
+            "Did not match any from the listed types") in got
+    assert ("doc-000000000017", "spans", "Array length needs to be between 1 - 4096") in got
+    assert ("DOC-19", "doc_id", "String did not match required regex") in got
+
+
+def test_mask_matches_oracle_on_random_tables():
+    rng = random.Random(123)
+    schemas = [
+        {"a": "string", "b": "integer", "c": "boolean"},
+        {"a": ["?", "string"], "b": {"$number": {"min": 0, "max": 10}}},
+        {"e": {"$enum": ["x", "y", "z"]}},
+        {"s": {"$string": {"minLength": 2, "maxLength": 8}}},
+        {"r": {"$string": {"regex": "^ab+c$"}}},
+        {"arr": {"$array": "integer", "minLength": 1, "maxLength": 4}},
+        {"arr": {"$array": ["?", "string"]}},
+        {"o": {"x": "number", "y": ["?", "boolean"]}},
+        {"m": {"$map": "integer", "minLength": 1}},
+        {"m": {"$map": "string", "regex": "^k"}},
+        {"u": ["integer", "string"]},  # json-ish: built as string column below
+        {"nested": {"$array": {"v": {"$enum": ["p", "q"]}, "w": ["?", "integer"]}}},
+    ]
+    for schema in schemas:
+        arrow_schema = schema_to_arrow(schema)
+        rows = []
+        for i in range(60):
+            doc = clean(generate(schema, {"maxStringLength": 6, "arrayMax": 3, "mapMax": 3},
+                                 rng=rng))
+            rows.append(doc)
+        # mutations: random type-compatible corruption
+        table = _encode(rows, arrow_schema, rng)
+        tv = TableValidator(schema)
+        mask = tv.fail_mask(table)
+        # oracle comparison on the decoded rows
+        for i, row in enumerate(table.to_pylist()):
+            decoded = decode_row(row, tv.fields, tv.custom)
+            expected = validate(schema, decoded)["result"] == "fail"
+            assert mask[i] == expected, (
+                schema, row, decoded, mask[i], expected)
+
+
+def _encode(rows, arrow_schema, rng):
+    cols = {}
+    for field in arrow_schema:
+        vals = [r.get(field.name) for r in rows]
+        if field.metadata and field.metadata.get(b"encoding") == b"json":
+            vals = [json.dumps(v) if v is not None else None for v in vals]
+            cols[field.name] = pa.array(vals, pa.string())
+        else:
+            # corrupt ~20% of values within the same Arrow type
+            for i in range(len(vals)):
+                if rng.random() < 0.2:
+                    vals[i] = _corrupt(vals[i], field.type, rng)
+            cols[field.name] = pa.array(vals, field.type)
+    return pa.table(cols)
+
+
+def _corrupt(v, typ, rng):
+    if pa.types.is_string(typ):
+        return rng.choice(["", "zz", "abbbc", "ab", "nope nope nope nope", None])
+    if pa.types.is_integer(typ):
+        return rng.choice([-999, 0, 99999, None])
+    if pa.types.is_floating(typ):
+        return rng.choice([-1.5, 11.0, float("nan"), float("inf"), None])
+    if pa.types.is_boolean(typ):
+        return rng.choice([True, False, None])
+    if pa.types.is_list(typ):
+        return rng.choice([[], None, v])
+    if pa.types.is_map(typ):
+        return rng.choice([[], None, v])
+    if pa.types.is_struct(typ):
+        return None
+    return v
+
+
+def test_json_fallback_column():
+    # union of incompatible types → string column validated via oracle fallback?
+    # (vectorized treats a string column against ['integer','string'] union:
+    # the string branch passes on the Arrow level — intended typed-column
+    # semantics; true JSON columns go through ViolationExploder/decode.)
+    schema = {"u": ["integer", "string"]}
+    table = pa.table({"u": pa.array(["hi", "42", None])})
+    tv = TableValidator(schema)
+    mask = tv.fail_mask(table)
+    assert list(mask) == [False, False, True]  # null → undefined → both branches fail
+
+
+def test_missing_column_is_undefined():
+    schema = {"a": "string", "b": ["?", "string"]}
+    table = pa.table({"a": pa.array(["x", "y"])})
+    tv = TableValidator(schema)
+    assert list(tv.fail_mask(table)) == [False, False]
+    table2 = pa.table({"b": pa.array(["x", None])})
+    assert list(TableValidator(schema).fail_mask(table2)) == [True, True]  # a missing
+
+
+def test_unknown_column_fails_and_reports():
+    schema = {"a": "string"}
+    table = pa.table({"a": pa.array(["x"]), "zz": pa.array([1])})
+    tv = TableValidator(schema)
+    assert list(tv.fail_mask(table)) == [True]
+    ex = ViolationExploder(schema)
+    vio = ex(table).to_pylist()
+    assert any(v["error"] == "Key does not exist on validator" and v["path"] == "zz" for v in vio)
+
+
+def test_recursive_type_falls_back_to_oracle():
+    schema = {
+        "$types": {"$tree": {"v": "string", "kids": {"$array": "$tree"}}},
+        "root": "$tree",
+    }
+    # encode as struct one level wouldn't work — use JSON column semantics via
+    # python objects in an Arrow table is not possible; recursion exercised at
+    # fail_mask level through the oracle fallback on a plain string column.
+    table = pa.table({"root": pa.array([json.dumps({"v": "a", "kids": []})])})
+    tv = TableValidator(schema)
+    mask = tv.fail_mask(table)
+    # a JSON string is NOT the tree object — fails (string ≠ object)
+    assert list(mask) == [True]
+
+
+def test_utf16_length_vectorized():
+    schema = {"s": {"$string": {"maxLength": 2}}}
+    table = pa.table({"s": pa.array(["ab", "abc", "\U0001F600\U0001F600", "\U0001F600", "é"])})
+    mask = TableValidator(schema).fail_mask(table)
+    # emoji counts as 2 UTF-16 units: "😀😀" = 4 > 2 fails; "😀" = 2 passes
+    assert list(mask) == [False, True, True, False, False]

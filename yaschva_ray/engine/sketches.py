@@ -1,0 +1,299 @@
+"""Streaming per-column sketches (engine additions per the north rule):
+
+* count / null count / min / max / sum,
+* distinct via HyperLogLog (dense, p=14, ~16 KiB registers),
+* quantiles via a merging t-digest,
+* distribution drift vs a baseline sketch (PSI over quantile histogram +
+  approximate KS from the quantile curves).
+
+Usage pattern (SURVEY.md §7.1 step 6): a ``ColumnSketcher`` actor pool via
+``map_batches(..., concurrency=(2, 8))`` emits ONE serialized partial-state
+row per input batch; partials are tiny and are merged on the driver (or in a
+tree) with ``merge_partials`` — a partial/final aggregation with no wide
+shuffle.  Hashing is vectorized through polars (xxhash) — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+try:  # vectorized hashing; fall back to numpy-only mixing for ints
+    import polars as pl
+except ImportError:  # pragma: no cover
+    pl = None
+
+HLL_P = 14
+HLL_M = 1 << HLL_P
+
+
+def _hash64(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow array's values (nulls dropped)."""
+    arr = arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if pl is not None:
+        s = pl.from_arrow(arr)
+        if not isinstance(s, pl.Series):  # pragma: no cover
+            s = s.to_series()
+        return s.hash(seed=0).to_numpy().astype(np.uint64)
+    v = np.asarray(arr.cast(pa.float64()).to_numpy(zero_copy_only=False)).view(np.uint64)
+    z = v * np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(29)
+    return z
+
+
+class HyperLogLog:
+    """Dense HLL distinct-count sketch."""
+
+    def __init__(self, registers: np.ndarray | None = None):
+        self.registers = registers if registers is not None else np.zeros(HLL_M, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(HLL_P)) | np.uint64(1 << (HLL_P - 1))
+        # rank = leading zeros of remaining bits + 1, vectorized via float trick
+        # use bit_length: 64 - floor(log2(rest)) ; rest guaranteed nonzero
+        fl = np.frexp(rest.astype(np.float64))[1]  # exponent e: 2^(e-1) <= x < 2^e
+        rank = (64 - fl + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> None:
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def estimate(self) -> float:
+        m = float(HLL_M)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting for small cardinalities
+        return float(est)
+
+
+class TDigest:
+    """Merging t-digest (Dunning) — quantile sketch with bounded size."""
+
+    def __init__(self, compression: float = 200.0):
+        self.compression = compression
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+        self._buf_n = 0
+
+    def add(self, values: np.ndarray) -> None:
+        values = values[np.isfinite(values)]
+        if len(values) == 0:
+            return
+        self._buf.append(values.astype(np.float64))
+        self._buf_n += len(values)
+        if self._buf_n > 32768:
+            self._compress()
+
+    def _compress(self) -> None:
+        if not self._buf and len(self.means):
+            means, weights = self.means, self.weights
+        else:
+            new = np.concatenate(self._buf) if self._buf else np.empty(0)
+            means = np.concatenate([self.means, new])
+            weights = np.concatenate([self.weights, np.ones(len(new))])
+        self._buf, self._buf_n = [], 0
+        if len(means) == 0:
+            return
+        order = np.argsort(means, kind="mergesort")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        # greedy merge respecting the k1 scale-function size bound
+        out_m: list[float] = []
+        out_w: list[float] = []
+        q0 = 0.0
+        cur_m, cur_w = means[0], weights[0]
+        for m, w in zip(means[1:], weights[1:]):
+            q = q0 + (cur_w + w) / total
+            limit = total * self._q_bound(q0)
+            if cur_w + w <= limit:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q0 += cur_w / total
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def _q_bound(self, q: float) -> float:
+        # k1 scale function cluster-size bound: 4 q(1-q) / compression-ish
+        return max(4.0 * q * (1.0 - q) / self.compression, 1e-9)
+
+    def merge(self, other: "TDigest") -> None:
+        self._compress()
+        other._compress()
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2
+        total = self.weights.sum()
+        return float(np.interp(q * total, cum, self.means))
+
+    def cdf(self, x: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2
+        total = self.weights.sum()
+        return float(np.interp(x, self.means, cum / total))
+
+
+class ColumnSketch:
+    """Full per-column sketch state."""
+
+    def __init__(self, numeric: bool):
+        self.numeric = numeric
+        self.count = 0
+        self.nulls = 0
+        self.hll = HyperLogLog()
+        self.digest = TDigest() if numeric else None
+        self.min: Any = None
+        self.max: Any = None
+        self.sum = 0.0
+
+    def update(self, arr: pa.Array) -> None:
+        self.count += len(arr)
+        self.nulls += arr.null_count
+        self.hll.add_hashes(_hash64(arr))
+        if self.numeric:
+            vals = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            finite = vals[np.isfinite(vals)]
+            if len(finite):
+                self.digest.add(finite)
+                self.sum += float(finite.sum())
+                mn, mx = float(finite.min()), float(finite.max())
+                self.min = mn if self.min is None else min(self.min, mn)
+                self.max = mx if self.max is None else max(self.max, mx)
+        else:
+            valid = arr.drop_null()
+            if len(valid):
+                mn = pc.min(valid).as_py()
+                mx = pc.max(valid).as_py()
+                self.min = mn if self.min is None else min(self.min, mn)
+                self.max = mx if self.max is None else max(self.max, mx)
+
+    def merge(self, other: "ColumnSketch") -> None:
+        self.count += other.count
+        self.nulls += other.nulls
+        self.hll.merge(other.hll)
+        if self.numeric and other.digest is not None:
+            self.digest.merge(other.digest)
+            self.sum += other.sum
+        for attr, fn in (("min", min), ("max", max)):
+            a, b = getattr(self, attr), getattr(other, attr)
+            setattr(self, attr, b if a is None else (a if b is None else fn(a, b)))
+
+    def summary(self) -> dict:
+        out = {
+            "count": self.count,
+            "nulls": self.nulls,
+            "null_rate": self.nulls / self.count if self.count else 0.0,
+            "distinct_est": round(self.hll.estimate()),
+            "min": self.min,
+            "max": self.max,
+        }
+        if self.numeric and self.count > self.nulls:
+            out["sum"] = self.sum
+            out["mean"] = self.sum / (self.count - self.nulls)
+            out["quantiles"] = {q: self.digest.quantile(q) for q in (0.01, 0.25, 0.5, 0.75, 0.99)}
+        return out
+
+
+class ColumnSketcher:
+    """Actor-pool ``map_batches`` stage: one serialized partial per batch.
+
+    Stateful setup (column plan) happens once per actor in ``__init__``;
+    per-batch work is fully vectorized.  Output schema:
+    ``(column: string, state: binary)`` — a few KiB per row.
+    """
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
+    def _cols(self, batch: pa.Table) -> Iterable[tuple[str, pa.Array]]:
+        names = self.columns or [
+            f.name for f in batch.schema
+            if pa.types.is_primitive(f.type) or pa.types.is_string(f.type)
+        ]
+        for name in names:
+            if name in batch.column_names:
+                col = batch[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                yield name, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names: list[str] = []
+        states: list[bytes] = []
+        for name, arr in self._cols(batch):
+            numeric = pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type)
+            sk = ColumnSketch(numeric)
+            sk.update(arr)
+            if sk.digest is not None:
+                sk.digest._compress()
+            names.append(name)
+            states.append(pickle.dumps(sk))
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "state": pa.array(states, pa.binary())})
+
+
+def merge_partials(rows: list[dict]) -> dict[str, ColumnSketch]:
+    """Merge serialized partial sketches (small; driver-side or tree).
+
+    Partials are sorted before merging: t-digest merge is order-dependent,
+    and resume requires byte-identical outputs regardless of block arrival
+    order."""
+    rows = sorted(rows, key=lambda r: (r["column"], r["state"]))
+    merged: dict[str, ColumnSketch] = {}
+    for row in rows:
+        sk: ColumnSketch = pickle.loads(row["state"])
+        if row["column"] in merged:
+            merged[row["column"]].merge(sk)
+        else:
+            merged[row["column"]] = sk
+    return merged
+
+
+# --- drift ------------------------------------------------------------------
+
+
+def psi(baseline: TDigest, current: TDigest, bins: int = 10) -> float:
+    """Population Stability Index: current mass in baseline quantile bins."""
+    inner_edges = [baseline.quantile(i / bins) for i in range(1, bins)]
+    cuts = [0.0] + [current.cdf(e) for e in inner_edges] + [1.0]
+    out = 0.0
+    b = 1.0 / bins
+    for i in range(bins):
+        c = min(max(cuts[i + 1] - cuts[i], 1e-6), 1.0)
+        out += (c - b) * np.log(c / b)
+    return float(out)
+
+
+def ks_statistic(a: TDigest, b: TDigest, points: int = 64) -> float:
+    """Approximate Kolmogorov–Smirnov distance from two digests."""
+    qs = np.linspace(0.01, 0.99, points)
+    xs = np.unique(np.concatenate([[a.quantile(q) for q in qs], [b.quantile(q) for q in qs]]))
+    xs = xs[np.isfinite(xs)]
+    if len(xs) == 0:
+        return 0.0
+    return float(max(abs(a.cdf(x) - b.cdf(x)) for x in xs))

@@ -1,0 +1,234 @@
+"""Operator-family queries over the driver testdata tables (FIXTURES.md F15).
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a small result
+(pyarrow Table or pandas DataFrame); ``__ray_entry__.queries()`` maps names
+to them and ``oracle_sql()`` carries the DuckDB-equivalent SQL the driver
+cross-checks against.  Column names match the SQL exactly.
+
+Scale notes: every groupby is preceded by an in-batch partial aggregate;
+small sides are broadcast (value sets), never shuffled; reads prune columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..engine.checks import uniqueness_violations
+from ..pipelines.flagship import validate_dataset
+from ..vectorized import TableValidator, ViolationExploder
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _sorted_table(ds_or_table, sort_cols: list[str]) -> pa.Table:
+    import ray
+
+    if isinstance(ds_or_table, pa.Table):
+        t = ds_or_table
+    else:
+        tables = ray.get(ds_or_table.to_arrow_refs())
+        tables = [t for t in tables if t.num_columns]  # drop schema-less empty blocks
+        t = pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
+    if t.num_rows:
+        t = t.combine_chunks().sort_by([(c, "ascending") for c in sort_cols])
+    return t
+
+
+# --- schema-validation checks (the reference's operator family) -------------
+
+LINEITEM_CHECK_SCHEMA = {
+    "l_orderkey": "any",
+    "l_linenumber": "any",
+    "l_quantity": {"$number": {"min": 1, "max": 25}},
+    "l_discount": {"$number": {"min": 0, "max": 0.05}},
+    "l_returnflag": {"$enum": ["A", "N"]},
+}
+
+LINEITEM_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"]
+
+
+def q_check_lineitem(sf_dir: str) -> pa.Table:
+    """Rows violating the lineitem constraint schema → (l_orderkey, l_linenumber)."""
+    ds = _read(sf_dir, "lineitem", LINEITEM_COLS)
+    validated = validate_dataset(ds, LINEITEM_CHECK_SCHEMA)
+    bad = validated.map_batches(
+        lambda t: t.filter(pc.invert(t["valid"])).select(["l_orderkey", "l_linenumber"]),
+        batch_format="pyarrow",
+    )
+    return _sorted_table(bad, ["l_orderkey", "l_linenumber"])
+
+
+def q_violations_lineitem(sf_dir: str) -> pa.Table:
+    """Exploded violation rows with exact reference error strings."""
+    ds = _read(sf_dir, "lineitem", LINEITEM_COLS)
+    validated = validate_dataset(ds, LINEITEM_CHECK_SCHEMA)
+    exploder = ViolationExploder(LINEITEM_CHECK_SCHEMA,
+                                 id_columns=("l_orderkey", "l_linenumber"))
+    vio = validated.map_batches(
+        lambda t: t.filter(pc.invert(t["valid"])), batch_format="pyarrow"
+    ).map_batches(exploder, batch_format="pyarrow")
+    out = _sorted_table(vio, ["l_orderkey", "l_linenumber", "path"])
+    return out.select(["l_orderkey", "l_linenumber", "path", "error"]) if out.num_rows else pa.table(
+        {"l_orderkey": pa.array([], pa.int64()), "l_linenumber": pa.array([], pa.int32()),
+         "path": pa.array([], pa.string()), "error": pa.array([], pa.string())})
+
+
+DOCS_CHECK_SCHEMA = {
+    "doc_id": "any",
+    "text": {"$string": {"minLength": 1}},
+    "lang": {"$enum": ["de", "en", "es", "fr", "zh"]},
+    "source": {"$string": {"regex": "^src[0-9]+$"}},
+    "n_chars": {"$number": {"min": 1, "max": 300}},
+}
+
+
+def q_violations_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    validated = validate_dataset(ds, DOCS_CHECK_SCHEMA)
+    exploder = ViolationExploder(DOCS_CHECK_SCHEMA, id_columns=("doc_id",))
+    vio = validated.map_batches(
+        lambda t: t.filter(pc.invert(t["valid"])), batch_format="pyarrow"
+    ).map_batches(exploder, batch_format="pyarrow")
+    out = _sorted_table(vio, ["doc_id", "path"])
+    if not out.num_rows:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "path": pa.array([], pa.string()),
+                         "error": pa.array([], pa.string())})
+    return out.select(["doc_id", "path", "error"])
+
+
+def q_check_events_props(sf_dir: str) -> pa.Table:
+    """Dynamic JSON payload check: props.k must be in [0, 50] → violating
+    event_ids.  Vectorized regex extraction (no JSON parse per row)."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def check(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ext, "k").cast(pa.int64())
+        bad = pc.or_kleene(pc.is_null(k), pc.or_(pc.less(pc.fill_null(k, 0), 0),
+                                                 pc.greater(pc.fill_null(k, 0), 50)))
+        return pa.table({"event_id": t["event_id"].filter(bad)})
+
+    return _sorted_table(ds.map_batches(check, batch_format="pyarrow"), ["event_id"])
+
+
+# --- uniqueness / referential ----------------------------------------------
+
+
+def q_uniqueness_events_user(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["user_id"])
+    dup = uniqueness_violations(ds, "user_id")
+    return _sorted_table(dup, ["user_id"])
+
+
+def q_customers_without_orders(sf_dir: str) -> pa.Table:
+    """Anti-join via broadcast distinct key set (no shuffle join)."""
+    orders_keys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    key_set = pa.array(sorted(orders_keys), pa.int64())
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    missing = cust.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=key_set))),
+        batch_format="pyarrow",
+    )
+    return _sorted_table(missing, ["c_custkey"])
+
+
+def q_dangling_lineitem_parts(sf_dir: str) -> pa.Table:
+    """Referential: distinct lineitem.l_partkey values not present in part
+    (broadcast key set; expected empty on clean TPC-H data)."""
+    part_keys = set(_read(sf_dir, "part", ["p_partkey"]).unique("p_partkey"))
+    key_set = pa.array(sorted(part_keys), pa.int64())
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    dangling = li.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["l_partkey"], value_set=key_set))),
+        batch_format="pyarrow",
+    )
+    keys = sorted(dangling.unique("l_partkey") or [])
+    return pa.table({"l_partkey": pa.array(keys, pa.int64())})
+
+
+# --- aggregates / stats -----------------------------------------------------
+
+
+def q_null_counts_documents(sf_dir: str) -> pa.Table:
+    cols = ["text", "lang", "source"]
+    ds = _read(sf_dir, "documents", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": pa.array(cols, pa.string()),
+            "n_nulls": pa.array([t[c].null_count for c in cols], pa.int64()),
+            "n_rows": pa.array([t.num_rows] * len(cols), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("col_name")
+           .aggregate(Sum("n_nulls", alias_name="n_nulls"),
+                      Sum("n_rows", alias_name="n_rows")))
+    return _sorted_table(out, ["col_name"])
+
+
+def q_distinct_lang(sf_dir: str) -> pa.Table:
+    n = len(_read(sf_dir, "documents", ["lang"]).unique("lang"))
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-flavored grouped aggregate with exact integer-cent sums
+    (floating sums are order-dependent; cents are hash-stable).
+    Pre-aggregated per batch before the groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        tt = pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "qty_cents": qty_c, "price_cents": price_c,
+            "n_rows": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_cents", "sum"), ("price_cents", "sum"), ("n_rows", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"], "l_linestatus": g["l_linestatus"],
+            "qty_cents": g["qty_cents_sum"], "price_cents": g["price_cents_sum"],
+            "n_rows": g["n_rows_sum"],
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty_cents", alias_name="sum_qty_cents"),
+                      Sum("price_cents", alias_name="sum_price_cents"),
+                      Sum("n_rows", alias_name="n_rows")))
+    return _sorted_table(out, ["l_returnflag", "l_linestatus"])
+
+
+def q_token_count_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], r"\S+").cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    return _sorted_table(ds.map_batches(count, batch_format="pyarrow"), ["doc_id"])
+
+
+def q_top_violated_paths(sf_dir: str) -> pa.Table:
+    """Reporting top-k: most-violated constraint paths over lineitem."""
+    vio = q_violations_lineitem(sf_dir)
+    if not vio.num_rows:
+        return pa.table({"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    g = vio.group_by("path").aggregate([("path", "count")])
+    counts = pa.table({"path": g["path"], "n": g["path_count"].cast(pa.int64())})
+    return counts.sort_by([("n", "descending"), ("path", "ascending")])

@@ -1,0 +1,549 @@
+"""Vectorized Arrow-compute validator.
+
+Compiles a yaschva schema (reference semantics: /root/reference/src/
+validate.ts) into per-column Arrow predicate evaluators producing a per-row
+``valid`` mask over a ``pyarrow.Table`` batch — the fast path of the engine.
+Exact violation payloads (mirror trees, error strings) are produced only for
+failing rows by the row oracle (``oracle.py``), which is differential-tested
+against the real reference.  This mirrors the reference's own proposed
+fail-fast optimization (README.md:185-195): vectorized happy path, full
+error construction only on failure.
+
+Design rules (SURVEY.md §1.3):
+* Arrow null in a field whose schema mentions ``'null'`` (and not ``'?'``)
+  decodes as JS ``null``; otherwise as JS ``undefined`` (missing member).
+* A column absent from the table is ``undefined`` for every row.
+* Nodes the vectorizer cannot express (recursive custom types, JSON-encoded
+  dynamic columns) fall back to the row oracle for that column only.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import schema as S
+from .jsregex import compile_js, is_re2_safe
+from .oracle import validate_internal
+from .values import MAX_SAFE_INTEGER, UNDEFINED, utf16_length
+
+
+class VectorizedUnsupported(Exception):
+    """Node requires the row-oracle fallback."""
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _np(arr: pa.Array | pa.ChunkedArray, fill=False) -> np.ndarray:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null(fill)
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _null_mask(arr: pa.Array) -> np.ndarray:
+    return _np(pc.is_null(arr))
+
+
+def resolve_ref(node: Any, custom: dict, seen: frozenset = frozenset()) -> Any:
+    """Inline custom-type names / `$type` wrappers; recursion is unsupported
+    on the vectorized path (handled by the oracle fallback)."""
+    while True:
+        if isinstance(node, str) and custom.get(node):
+            if node in seen:
+                raise VectorizedUnsupported(f"recursive custom type {node}")
+            seen = seen | {node}
+            node = custom[node]
+        elif S.is_meta(node):
+            node = node["$type"]
+        else:
+            return node
+
+
+def _mentions(node: Any, name: str, custom: dict) -> bool:
+    if isinstance(node, str):
+        if custom.get(node):
+            return False  # custom types: decided at their own level
+        return node == name
+    if isinstance(node, list):
+        return any(x == name for x in node)
+    return False
+
+
+def null_decodes_as_undefined(node: Any, custom: dict) -> bool:
+    """Arrow-null decode rule for this schema position (FIXTURES.md)."""
+    return not (_mentions(node, "null", custom) and not _mentions(node, "?", custom))
+
+
+def _utf16_lengths(arr: pa.Array) -> np.ndarray:
+    """Vectorized JS String.length.  Code-point count equals UTF-16 units
+    unless the string has non-BMP characters (4-byte UTF-8); those rows get
+    an exact per-row computation."""
+    cp = _np(pc.utf8_length(arr), fill=0).astype(np.int64)
+    nbytes = _np(pc.binary_length(arr), fill=0).astype(np.int64)
+    out = cp
+    suspicious = nbytes - cp >= 3  # at least one char could be non-BMP
+    if suspicious.any():
+        out = cp.copy()
+        idx = np.nonzero(suspicious)[0]
+        py = arr.take(pa.array(idx)).to_pylist()
+        for k, s in zip(idx, py):
+            out[k] = utf16_length(s) if s is not None else 0
+    return out
+
+
+def _regex_fail_mask(arr: pa.Array, pattern: str) -> np.ndarray:
+    """True where the (non-null) string does NOT contain a match."""
+    if is_re2_safe(pattern):
+        try:
+            ok = pc.match_substring_regex(arr, pattern)
+            return ~_np(ok, fill=False)
+        except pa.ArrowInvalid:
+            pass  # RE2 rejected the pattern — fall through to Python
+    rx = compile_js(pattern)
+    vals = arr.to_pylist()
+    return np.array([not (v is not None and rx.search(v) is not None) for v in vals], dtype=bool)
+
+
+def _segmented_any(child_fail: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """For list-typed parents: does any element in [offsets[i], offsets[i+1])
+    fail?"""
+    if len(child_fail) == 0:
+        return np.zeros(len(offsets) - 1, dtype=bool)
+    cs = np.concatenate([[0], np.cumsum(child_fail.astype(np.int64))])
+    return (cs[offsets[1:]] - cs[offsets[:-1]]) > 0
+
+
+def _list_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """(lengths, flat values, offsets-normalized) for a List/LargeList array,
+    treating null lists as length 0 and excluding their elements."""
+    lengths = _np(pc.list_value_length(arr), fill=0).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    values = arr.flatten()  # pyarrow flatten skips null slots' values
+    return lengths, values, offsets
+
+
+# ---------------------------------------------------------------------------
+# node evaluation (returns per-row FAIL mask)
+# ---------------------------------------------------------------------------
+
+
+def eval_node(
+    node: Any,
+    arr: pa.Array | None,
+    undef: np.ndarray,
+    jsnull: np.ndarray,
+    n: int,
+    custom: dict,
+    seen: frozenset = frozenset(),
+) -> np.ndarray:
+    """Evaluate `node` against column data.
+
+    ``arr`` is the Arrow values (may be None when the column is entirely
+    absent); ``undef``/``jsnull`` mark rows whose value is JS undefined /
+    null.  Rows flagged undef or jsnull must not also be interpreted through
+    ``arr``.  Returns a boolean FAIL mask of length ``n``.
+    """
+    defined = ~(undef | jsnull)
+
+    # resolve custom names / $type wrappers (raises VectorizedUnsupported on recursion)
+    if isinstance(node, str) and custom.get(node):
+        return eval_node(resolve_ref(node, custom, seen), arr, undef, jsnull, n, custom, seen)
+    if S.is_meta(node):
+        return eval_node(node["$type"], arr, undef, jsnull, n, custom, seen)
+
+    if isinstance(node, str):
+        return _eval_simple(node, arr, undef, jsnull, defined, n)
+
+    if isinstance(node, list):
+        if not node:
+            raise S.SchemaError("Array of types can not be empty")
+        fail = np.ones(n, dtype=bool)
+        for branch in node:
+            fail &= eval_node(branch, arr, undef, jsnull, n, custom, seen)
+            if not fail.any():
+                break
+        return fail
+
+    if S.is_enum(node):
+        fail = ~defined
+        if arr is not None and pa.types.is_string(arr.type) or (arr is not None and pa.types.is_large_string(arr.type)):
+            in_set = _np(pc.is_in(arr, value_set=pa.array(node["$enum"], type=arr.type)), fill=False)
+            fail = fail | (defined & ~in_set)
+        else:
+            fail = np.ones(n, dtype=bool)  # non-string column: every defined row fails too
+            fail |= ~defined  # undef/null also fail for enum
+        return fail
+
+    if S.is_string(node):
+        return _eval_string_obj(node, arr, defined, n)
+
+    if S.is_number(node):
+        return _eval_number(node["$number"].get("min"), node["$number"].get("max"),
+                            arr, defined, n)
+
+    if S.is_array(node):
+        return _eval_array(node, arr, defined, n, custom, seen)
+
+    if S.is_obj(node):
+        return _eval_struct(node, arr, defined, n, custom, seen)
+
+    if S.is_map(node):
+        return _eval_map(node, arr, defined, n, custom, seen)
+
+    if S.is_and(node):
+        combined = S.combine_validation_objects(node, custom, lambda x: x)
+        if combined.get("result") == "error":
+            return np.ones(n, dtype=bool)  # every row: SCHEMA error fail (validate.ts:248)
+        return eval_node(combined["pass"], arr, undef, jsnull, n, custom, seen)
+
+    raise S.unknown_validator_error(node)
+
+
+def _eval_simple(t: str, arr, undef, jsnull, defined, n) -> np.ndarray:
+    if t == "any":
+        return np.zeros(n, dtype=bool)
+    if t == "?":
+        return ~undef
+    if t == "null":
+        return ~jsnull
+    if t == "boolean":
+        if arr is not None and pa.types.is_boolean(arr.type):
+            return ~defined
+        return np.ones(n, dtype=bool) | ~defined
+    if t == "string":
+        if arr is not None and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            return ~defined
+        return np.ones(n, dtype=bool)
+    if t == "number":
+        return _eval_number(None, None, arr, defined, n)
+    if t == "integer":
+        if arr is None:
+            return np.ones(n, dtype=bool)
+        if pa.types.is_integer(arr.type):
+            v = _np(arr, fill=0).astype(np.float64)
+            ok = np.abs(v) <= MAX_SAFE_INTEGER
+            return ~defined | (defined & ~ok)
+        if pa.types.is_floating(arr.type):
+            v = _np(arr, fill=0.0).astype(np.float64)
+            ok = np.isfinite(v) & (np.floor(v) == v) & (np.abs(v) <= MAX_SAFE_INTEGER)
+            return ~defined | (defined & ~ok)
+        return np.ones(n, dtype=bool)
+    raise S.unknown_validator_error(t)
+
+
+def _eval_number(mn, mx, arr, defined, n) -> np.ndarray:
+    if arr is None or not (pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type)):
+        return np.ones(n, dtype=bool)
+    v = _np(arr, fill=0).astype(np.float64)
+    ok = np.isfinite(v)
+    if mn is not None:
+        ok &= v >= mn
+    if mx is not None:
+        ok &= v <= mx
+    return ~defined | (defined & ~ok)
+
+
+def _eval_string_obj(node, arr, defined, n) -> np.ndarray:
+    if arr is None or not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        return np.ones(n, dtype=bool)
+    spec = node["$string"]
+    fail = ~defined
+    need_len = bool(spec.get("minLength")) or bool(spec.get("maxLength"))
+    if need_len:
+        l16 = _utf16_lengths(arr)
+        if spec.get("minLength"):
+            fail = fail | (defined & (l16 < spec["minLength"]))
+        if spec.get("maxLength"):
+            fail = fail | (defined & (l16 > spec["maxLength"]))
+    if spec.get("regex"):
+        fail = fail | (defined & _regex_fail_mask(arr, spec["regex"]))
+    return fail
+
+
+def _child_env(values: pa.Array, node: Any, custom: dict):
+    """undef/jsnull masks for nested values by the Arrow-null decode rule."""
+    m = _null_mask(values)
+    if null_decodes_as_undefined(node, custom):
+        return m, np.zeros(len(values), dtype=bool)
+    return np.zeros(len(values), dtype=bool), m
+
+
+def _eval_array(node, arr, defined, n, custom, seen) -> np.ndarray:
+    if arr is None or not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+        return np.ones(n, dtype=bool)
+    lengths, values, offsets = _list_parts(arr)
+    mx = node.get("maxLength") or MAX_SAFE_INTEGER
+    mn = node.get("minLength") or 0
+    len_fail = (lengths < mn) | (lengths > mx)
+    u, jn = _child_env(values, node["$array"], custom)
+    child_fail = eval_node(node["$array"], values, u, jn, len(values), custom, seen)
+    elem_fail = _segmented_any(child_fail, offsets)
+    return ~defined | (defined & (len_fail | elem_fail))
+
+
+def _eval_struct(node, arr, defined, n, custom, seen) -> np.ndarray:
+    if arr is None or not pa.types.is_struct(arr.type):
+        return np.ones(n, dtype=bool)
+    fail = ~defined
+    schema_keys = {}
+    for k, v in node.items():
+        schema_keys[k[1:] if k.startswith("\\$") else k] = v
+    # closedness: data fields not in schema fail every row with a defined value
+    for field in arr.type:
+        if field.name not in schema_keys:
+            return ~defined | defined  # every defined row fails too => all fail
+    member_fail = np.zeros(n, dtype=bool)
+    for name, sub in schema_keys.items():
+        idx = arr.type.get_field_index(name)
+        if idx < 0:
+            child = None
+            u = np.ones(n, dtype=bool)
+            jn = np.zeros(n, dtype=bool)
+        else:
+            child = pc.struct_field(arr, idx)
+            u, jn = _child_env(child, sub, custom)
+        member_fail |= eval_node(sub, child, u, jn, n, custom, seen)
+    return fail | (defined & member_fail)
+
+
+def _eval_map(node, arr, defined, n, custom, seen) -> np.ndarray:
+    if arr is None or not pa.types.is_map(arr.type):
+        return np.ones(n, dtype=bool)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # list_value_length has no map kernel; use offsets (null slots are
+    # zero-width in practice — keys/items exclude null slots)
+    raw = np.diff(arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    lengths = np.where(_null_mask(arr), 0, raw)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    mx = node.get("maxLength") or MAX_SAFE_INTEGER
+    mn = node.get("minLength") or 0
+    count_fail = (lengths < mn) | (lengths > mx)
+    keys = arr.keys
+    items = arr.items
+    # keys/items of a MapArray include only non-null slots (like list flatten)
+    per_entry_fail = np.zeros(len(items), dtype=bool)
+    if node.get("regex"):
+        per_entry_fail |= _regex_fail_mask(keys, node["regex"])
+    u, jn = _child_env(items, node["$map"], custom)
+    per_entry_fail |= eval_node(node["$map"], items, u, jn, len(items), custom, seen)
+    entry_fail = _segmented_any(per_entry_fail, offsets)
+    return ~defined | (defined & (count_fail | entry_fail))
+
+
+# ---------------------------------------------------------------------------
+# table-level validator
+# ---------------------------------------------------------------------------
+
+
+class TableValidator:
+    """Compiled validator for a root object schema over a ``pyarrow.Table``.
+
+    Usable directly as a ``map_batches`` callable (stateless semantics; the
+    compiled schema is captured in the closure and shipped once per task).
+    Appends a boolean ``valid`` column.  Columns whose schema node cannot be
+    vectorized fall back to the row oracle automatically.
+    """
+
+    def __init__(self, schema: Any, *, id_columns: tuple[str, ...] = ()):
+        parsed = S.load_json(schema) if isinstance(schema, (str, dict)) else schema
+        self.custom: dict = parsed.get("$types", {}) if isinstance(parsed, dict) else {}
+        body = {k: v for k, v in parsed.items() if k != "$types"}
+        if S.is_and(body):
+            combined = S.combine_validation_objects(body, self.custom, lambda x: x)
+            if combined.get("result") == "error":
+                raise S.SchemaError("$and must only contain objects")
+            body = combined["pass"]
+        if S.is_meta(body):
+            try:
+                body = resolve_ref(body, self.custom)
+            except VectorizedUnsupported:
+                raise S.SchemaError("recursive root type not supported for tables")
+        if not S.is_obj(body):
+            raise S.SchemaError("TableValidator requires a root object schema")
+        self.fields: dict[str, Any] = {
+            (k[1:] if k.startswith("\\$") else k): v for k, v in body.items()
+        }
+        self.id_columns = tuple(id_columns)
+
+    def fail_mask(self, batch: pa.Table) -> np.ndarray:
+        n = batch.num_rows
+        fail = np.zeros(n, dtype=bool)
+        present = set(batch.column_names)
+        # closed-struct rule at table level: unknown columns fail every row
+        for name in present:
+            if name not in self.fields and name not in self.id_columns:
+                fail |= True
+        for name, node in self.fields.items():
+            if name in present:
+                col = batch[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                u, jn = _child_env(col, node, self.custom)
+                try:
+                    fail |= eval_node(node, col, u, jn, n, self.custom)
+                except VectorizedUnsupported:
+                    fail |= self._oracle_column(node, col, u, jn)
+            else:
+                u = np.ones(n, dtype=bool)
+                jn = np.zeros(n, dtype=bool)
+                try:
+                    fail |= eval_node(node, None, u, jn, n, self.custom)
+                except VectorizedUnsupported:
+                    fail |= self._oracle_column(node, None, u, jn)
+        return fail
+
+    def _oracle_column(self, node, col, undef, jsnull) -> np.ndarray:
+        n = len(undef)
+        out = np.zeros(n, dtype=bool)
+        vals = col.to_pylist() if col is not None else [None] * n
+        for i in range(n):
+            v = UNDEFINED if undef[i] else (None if jsnull[i] else _decode_value(vals[i], node, self.custom))
+            res = validate_internal(node, v, self.custom)
+            out[i] = res["result"] == "fail"
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = self.fail_mask(batch)
+        return batch.append_column("valid", pa.array(~mask))
+
+
+# ---------------------------------------------------------------------------
+# row decoding (Arrow python values -> JS value domain) + violation explosion
+# ---------------------------------------------------------------------------
+
+
+def _decode_value(v: Any, node: Any, custom: dict) -> Any:
+    """Convert a ``to_pylist`` value into the JS value domain for the oracle:
+    Arrow nulls become undefined/null per the decode rule, recursively."""
+    try:
+        resolved = resolve_ref(node, custom)
+    except VectorizedUnsupported:
+        resolved = None  # recursive: decide nulls locally per union member
+    if v is None:
+        return UNDEFINED if null_decodes_as_undefined(node, custom) else None
+    if isinstance(v, dict):
+        out = {}
+        sub_schema = None
+        target = resolved if resolved is not None else node
+        if S.is_obj(target):
+            sub_schema = {(k[1:] if k.startswith("\\$") else k): s for k, s in target.items()}
+        map_node = target.get("$map") if isinstance(target, dict) else None
+        for k, x in v.items():
+            child_node = sub_schema.get(k) if sub_schema else map_node
+            if x is None and child_node is not None and null_decodes_as_undefined(child_node, custom):
+                continue  # absent member (undefined) — omit the key
+            out[k] = _decode_value(x, child_node, custom) if child_node is not None else x
+        return out
+    if isinstance(v, list):
+        target = resolved if resolved is not None else node
+        # map columns decode as list of (key, value) tuples (possibly empty)
+        if isinstance(target, dict) and target.get("$map") is not None:
+            if not v or isinstance(v[0], tuple):
+                return _decode_value(dict(v), target, custom)
+        elem = target.get("$array") if isinstance(target, dict) else None
+        if elem is None:
+            return [_decode_value(x, "any", custom) for x in v]
+        return [_decode_value(x, elem, custom) for x in v]
+    if isinstance(v, tuple):  # single map entry — shouldn't reach here
+        return v
+    if isinstance(v, float) and v.is_integer():
+        return v
+    return v
+
+
+def decode_row(row: dict, fields: dict, custom: dict, exclude: tuple = ()) -> dict:
+    out = {}
+    for name, v in row.items():
+        if name in exclude:
+            continue
+        node = fields.get(name)
+        if node is None:
+            out[name] = v  # unknown column → oracle emits Key-does-not-exist
+            continue
+        if v is None and null_decodes_as_undefined(node, custom):
+            continue
+        out[name] = _decode_value(v, node, custom)
+    return out
+
+
+def _repr_value(v: Any) -> str:
+    if v is UNDEFINED:
+        return "undefined"
+    try:
+        return json.dumps(v, default=str)
+    except (TypeError, ValueError):
+        return str(v)
+
+
+def explode_violations(output: Any, path: str, rows: list) -> None:
+    """Flatten a mirror output tree into (path, error, value_repr) rows."""
+    if output is None:
+        return
+    if isinstance(output, dict):
+        if "error" in output and "value" in output and not (set(output) - {"error", "value", "output"}):
+            rows.append((path, output["error"], _repr_value(output["value"])))
+            for sub in output.get("output") or []:
+                explode_violations(sub, path, rows)
+            return
+        for k, sub in output.items():
+            explode_violations(sub, f"{path}.{k}" if path else str(k), rows)
+        return
+    if isinstance(output, list):
+        for i, sub in enumerate(output):
+            explode_violations(sub, f"{path}[{i}]", rows)
+
+
+class ViolationExploder:
+    """map_batches stage: decode (usually pre-filtered failing) rows, run the
+    oracle, emit flat violation rows ``(id..., path, error, value_repr)``."""
+
+    def __init__(self, schema: Any, *, id_columns: tuple[str, ...] = ()):
+        tv = TableValidator(schema, id_columns=id_columns)
+        self.fields = tv.fields
+        self.custom = tv.custom
+        self.id_columns = tuple(id_columns)
+        self._root = dict(self.fields)
+        self._exclude = ("valid",) + tuple(c for c in id_columns if c not in self.fields)
+
+    def violations_for_row(self, row: dict) -> list[tuple[str, str, str]]:
+        decoded = decode_row(row, self.fields, self.custom, exclude=self._exclude)
+        schema_node = dict(self._root)
+        if self.custom:
+            schema_node["$types"] = self.custom
+        res = validate_internal(
+            {k: v for k, v in schema_node.items() if k != "$types"}, decoded, self.custom
+        )
+        out: list = []
+        if res["result"] == "fail":
+            explode_violations(res["output"], "", out)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = {c: [] for c in self.id_columns}
+        paths: list[str] = []
+        errors: list[str] = []
+        values: list[str] = []
+        for row in batch.to_pylist():
+            for path, error, value_repr in self.violations_for_row(
+                {k: v for k, v in row.items() if k not in ("valid",)}
+            ):
+                for c in self.id_columns:
+                    ids[c].append(row.get(c))
+                paths.append(path)
+                errors.append(error)
+                values.append(value_repr)
+        cols = {**{c: pa.array(v) for c, v in ids.items()},
+                "path": pa.array(paths, type=pa.string()),
+                "error": pa.array(errors, type=pa.string()),
+                "value_repr": pa.array(values, type=pa.string())}
+        return pa.table(cols)
