@@ -45,10 +45,35 @@ def _f0_smoke(sf_dir: str) -> Any:
                                 ("error", "ascending")])
 
 
+def _media_features_smoke(sf_dir: str) -> Any:
+    """Multimodal plumbing: synth media table → actor-pool decode stub →
+    fixed-width features (rows-only check; decode is stubbed by design)."""
+    import ray.data
+
+    from yaschva_ray.pipelines.multimodal import extract_media_features, synth_media_table
+
+    n = 512
+    ds = ray.data.from_arrow(synth_media_table(n))
+    feats = extract_media_features(ds)
+    out = feats.to_pandas()
+    return out.sort_values("media_ref").reset_index(drop=True)[["media_ref", "kind"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    from yaschva_ray.pipelines import ops
+    from yaschva_ray.pipelines import ops, textops
 
     return {
+        # dedup / similarity / text analysis (training-data ops)
+        "dedup_exact_documents": textops.q_dedup_exact_documents,
+        "minhash_candidates_documents": textops.q_minhash_candidates_documents,
+        "minhash_verified_pairs": textops.q_minhash_verified_pairs,
+        "simhash_documents": textops.q_simhash_documents,
+        "ann_bruteforce": textops.q_ann_bruteforce,
+        "ann_lsh": textops.q_ann_lsh,
+        "langid_documents": textops.q_langid_documents,
+        "quality_documents": textops.q_quality_documents,
+        "fingerprint_documents": textops.q_fingerprint_documents,
+        "media_features": _media_features_smoke,
         "check_lineitem": ops.q_check_lineitem,
         "violations_lineitem": ops.q_violations_lineitem,
         "violations_documents": ops.q_violations_documents,
@@ -86,6 +111,33 @@ WITH v AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_exact_documents": """
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn > 1 ORDER BY doc_id
+        """,
+        "quality_documents": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   round(CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS digit_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_bruteforce": """
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 5
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+            ) <= 10
+            ORDER BY query_id, vec_id
+        """,
+        # minhash/simhash/ann_lsh/langid/fingerprint/media_features:
+        # model-like or approximate ops — rows-only checks (accuracy is
+        # asserted in tests against exact counterparts instead)
         "check_lineitem": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE NOT (l_quantity >= 1 AND l_quantity <= 25

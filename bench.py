@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: one Ray session (``num_cpus`` from ``$RAY_GRAFT_CPUS``, default 32),
+runs the headline flagship F0 validation pipeline plus the operator query
+suite over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "flagship_docs_per_sec": ...}
+
+``--scaling``: runs the identical flagship job at two parallelism levels in
+FRESH processes (the sandbox stand-in for N vs 4N cluster nodes — see
+BASELINE.md protocol), reports both throughputs + scaling efficiency, and
+records the result in BENCH/BASELINE.md.
+
+``--single CPUS``: internal mode used by --scaling (one fresh-process run).
+
+This script OWNS its Ray session (init+shutdown) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import platform
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("YR_BENCH_DOCS", str(4_000_000)))
+# --scaling needs a compute-bound run so fixed execution latency (~4-6 s,
+# identical at both parallelism levels) stays under ~10%% of wall time
+SCALING_DOCS = int(os.environ.get("YR_SCALING_DOCS", str(24_000_000)))
+def data_dir(n_docs: int) -> str:
+    return f"/tmp/yaschva_bench/f0_{n_docs}"
+
+
+def init_ray(n_cpus: int):
+    import ray
+
+    ray.init(address="local", num_cpus=n_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    return ray
+
+
+def prepare_f0(n_docs: int) -> list[str]:
+    from yaschva_ray.pipelines.datagen import write_f0_dataset
+
+    return write_f0_dataset(n_docs, data_dir(n_docs), seed=42, rows_per_file=500_000)
+
+
+def bench_flagship(n_docs: int, out_dir: str) -> dict:
+    from yaschva_ray.pipelines.flagship import run_flagship
+
+    files = prepare_f0(n_docs)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    report = run_flagship(files, out_dir,
+                          catalog_path=os.path.join(data_dir(n_docs), "media_catalog.parquet"),
+                          shards=8, batch_size=16384)
+    wall = time.time() - t0
+    return {"wall_s": round(wall, 3), "docs_per_sec": round(n_docs / wall),
+            "n_docs": n_docs, **report}
+
+
+def bench_queries(sf_dir: str) -> dict:
+    from yaschva_ray.pipelines import ops
+
+    names = [
+        "check_lineitem", "violations_lineitem", "violations_documents",
+        "check_events_props", "uniqueness_events_user", "customers_without_orders",
+        "null_counts_documents", "pricing_summary", "token_count_documents",
+        "top_violated_paths",
+    ]
+    out = {}
+    for name in names:
+        fn = getattr(ops, f"q_{name}", None)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(sf_dir)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_default() -> None:
+    init_ray(NUM_CPUS)
+    import ray
+
+    try:
+        t_all = time.time()
+        flag = bench_flagship(BENCH_DOCS, "/tmp/yaschva_bench/out_default")
+        queries = bench_queries(SF_DIR)
+        queries["flagship_validate"] = flag["wall_s"]
+        total = round(time.time() - t_all, 3)
+        sf = SF_DIR.rstrip("/").split("sf")[-1]
+        print(json.dumps({
+            "metric": "flagship F0 validation + operator suite wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "num_cpus": NUM_CPUS,
+            "flagship_docs_per_sec": flag["docs_per_sec"],
+            "flagship_n_docs": flag["n_docs"],
+        }))
+    finally:
+        ray.shutdown()
+
+
+def main_single(n_cpus: int, n_docs: int) -> None:
+    init_ray(n_cpus)
+    import ray
+
+    try:
+        flag = bench_flagship(n_docs, f"/tmp/yaschva_bench/out_{n_cpus}")
+        print(json.dumps({"num_cpus": n_cpus, **flag}))
+    finally:
+        ray.shutdown()
+
+
+def main_scaling(lo: int, hi: int) -> None:
+    # Pre-generate the dataset once (its own session) so neither timed run
+    # pays generation cost.
+    init_ray(hi)
+    import ray
+
+    prepare_f0(SCALING_DOCS)
+    ray.shutdown()
+
+    results = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(n),
+             "--docs", str(SCALING_DOCS)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.strip().split("\n") if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+        print(f"num_cpus={n}: {results[n]['docs_per_sec']:,} docs/s "
+              f"({results[n]['wall_s']}s)", file=sys.stderr)
+
+    ratio = hi / lo
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / ratio
+    summary = {
+        "metric": f"scaling efficiency {lo}->{hi} cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "docs_per_sec": {str(n): results[n]["docs_per_sec"] for n in (lo, hi)},
+        "wall_s": {str(n): results[n]["wall_s"] for n in (lo, hi)},
+        "n_docs": SCALING_DOCS,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    _record_scaling(lo, hi, results, eff)
+
+
+def _record_scaling(lo: int, hi: int, results: dict, eff: float) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lines = [
+        f"## Scaling run {stamp}",
+        "",
+        f"Machine: {platform.platform()}, {os.cpu_count()} CPUs",
+        f"Input: deterministic F0 table, {SCALING_DOCS:,} docs (seed 42), "
+        f"flagship pipeline (validate + violations + uniqueness + referential + sketches)",
+        "",
+        "| num_cpus | wall_s | docs/s |",
+        "| --- | --- | --- |",
+        f"| {lo} | {results[lo]['wall_s']} | {results[lo]['docs_per_sec']:,} |",
+        f"| {hi} | {results[hi]['wall_s']} | {results[hi]['docs_per_sec']:,} |",
+        "",
+        f"**Scaling efficiency ({lo}→{hi} cpus): {eff:.3f}** (target ≥ 0.8)",
+        "",
+    ]
+    with open(path, "a") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--single", type=int, default=None)
+    p.add_argument("--docs", type=int, default=BENCH_DOCS)
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--lo", type=int, default=8)
+    p.add_argument("--hi", type=int, default=32)
+    args = p.parse_args()
+    if args.single is not None:
+        main_single(args.single, args.docs)
+    elif args.scaling:
+        main_scaling(args.lo, args.hi)
+    else:
+        main_default()

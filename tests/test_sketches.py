@@ -1,0 +1,121 @@
+"""Unit tests for the sketch primitives (no Ray needed)."""
+
+import numpy as np
+import pyarrow as pa
+
+from yaschva_ray.engine.sketches import (
+    ColumnSketch,
+    HyperLogLog,
+    LogHistogram,
+    TDigest,
+    _hash64,
+    ks_statistic,
+    psi,
+)
+
+
+def test_hll_accuracy():
+    rng = np.random.RandomState(0)
+    for true_n in (100, 10_000, 1_000_000):
+        h = HyperLogLog()
+        # full-width 64-bit hashes (two 32-bit halves)
+        hi = rng.randint(0, 2**32, true_n).astype(np.uint64) << np.uint64(32)
+        lo = rng.randint(0, 2**32, true_n).astype(np.uint64)
+        h.add_hashes(hi | lo)
+        est = h.estimate()
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_merge_equals_union():
+    rng = np.random.RandomState(1)
+    a_vals = rng.randint(0, 2**63, 50_000).astype(np.uint64)
+    b_vals = rng.randint(0, 2**63, 50_000).astype(np.uint64)
+    a, b, u = HyperLogLog(), HyperLogLog(), HyperLogLog()
+    a.add_hashes(a_vals)
+    b.add_hashes(b_vals)
+    u.add_hashes(np.concatenate([a_vals, b_vals]))
+    a.merge(b)
+    assert np.array_equal(a.registers, u.registers)
+
+
+def test_tdigest_quantiles():
+    rng = np.random.RandomState(2)
+    vals = rng.randn(200_000)
+    d = TDigest()
+    for chunk in np.array_split(vals, 20):
+        d.add(chunk)
+    for q, expected in ((0.5, 0.0), (0.25, -0.674), (0.75, 0.674), (0.99, 2.326)):
+        assert abs(d.quantile(q) - expected) < 0.03, (q, d.quantile(q))
+
+
+def test_tdigest_merge():
+    rng = np.random.RandomState(3)
+    a, b = TDigest(), TDigest()
+    a.add(rng.randn(50_000))
+    b.add(rng.randn(50_000) + 0.0)
+    a.merge(b)
+    assert abs(a.quantile(0.5)) < 0.03
+
+
+def test_log_histogram_quantiles_and_determinism():
+    rng = np.random.RandomState(4)
+    vals = np.abs(rng.randn(100_000)) * 100 + 1
+    # partition-independence: different batchings give IDENTICAL state
+    h1, h2 = LogHistogram(), LogHistogram()
+    h1.add(vals)
+    for chunk in np.array_split(vals, 13):
+        h2.add(chunk)
+    assert np.array_equal(h1.counts, h2.counts)
+    assert h1.quantile(0.5) == h2.quantile(0.5)
+    # ~5% relative quantile accuracy
+    for q in (0.1, 0.5, 0.9):
+        exact = np.quantile(vals, q)
+        assert abs(h1.quantile(q) - exact) / exact < 0.06, (q, h1.quantile(q), exact)
+
+
+def test_log_histogram_negative_and_merge_commutes():
+    rng = np.random.RandomState(5)
+    a_vals = rng.randn(10_000) * 50
+    b_vals = rng.randn(10_000) * 50 + 10
+    ab, ba = LogHistogram(), LogHistogram()
+    x, y = LogHistogram(), LogHistogram()
+    x.add(a_vals)
+    y.add(b_vals)
+    ab.add(a_vals)
+    ab_other = LogHistogram()
+    ab_other.add(b_vals)
+    ab.merge(ab_other)
+    ba.add(b_vals)
+    ba_other = LogHistogram()
+    ba_other.add(a_vals)
+    ba.merge(ba_other)
+    assert np.array_equal(ab.counts, ba.counts)
+
+
+def test_drift_psi_ks():
+    rng = np.random.RandomState(6)
+    base, same, shifted = LogHistogram(), LogHistogram(), LogHistogram()
+    base.add(np.abs(rng.randn(50_000)) + 1)
+    same.add(np.abs(rng.randn(50_000)) + 1)
+    shifted.add(np.abs(rng.randn(50_000)) * 2 + 3)
+    assert psi(base, same) < 0.02
+    assert psi(base, shifted) > 0.25
+    assert ks_statistic(base, same) < 0.02
+    assert ks_statistic(base, shifted) > 0.3
+
+
+def test_column_sketch_summary():
+    sk = ColumnSketch(numeric=True)
+    sk.update(pa.array([1.0, 2.0, None, 4.0, 4.0]))
+    s = sk.summary()
+    assert s["count"] == 5 and s["nulls"] == 1
+    assert s["min"] == 1.0 and s["max"] == 4.0
+    assert s["sum"] == 11.0
+    assert 2 <= s["distinct_est"] <= 4
+
+
+def test_hash64_stability():
+    a = _hash64(pa.array(["x", "y", "x"]))
+    b = _hash64(pa.array(["x", "y", "x"]))
+    assert np.array_equal(a, b)
+    assert a[0] == a[2] and a[0] != a[1]

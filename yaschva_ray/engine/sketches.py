@@ -96,50 +96,37 @@ class TDigest:
         if self._buf_n > 32768:
             self._compress()
 
-    def _compress(self) -> None:
-        if not self._buf and len(self.means):
-            means, weights = self.means, self.weights
-        else:
-            new = np.concatenate(self._buf) if self._buf else np.empty(0)
-            means = np.concatenate([self.means, new])
-            weights = np.concatenate([self.weights, np.ones(len(new))])
+    def _compress(self, force: bool = False) -> None:
+        if not force and not self._buf and len(self.means):
+            return  # already compact
+        new = np.concatenate(self._buf) if self._buf else np.empty(0)
+        means = np.concatenate([self.means, new])
+        weights = np.concatenate([self.weights, np.ones(len(new))])
         self._buf, self._buf_n = [], 0
         if len(means) == 0:
             return
         order = np.argsort(means, kind="mergesort")
         means, weights = means[order], weights[order]
         total = weights.sum()
-        # greedy merge respecting the k1 scale-function size bound
-        out_m: list[float] = []
-        out_w: list[float] = []
-        q0 = 0.0
-        cur_m, cur_w = means[0], weights[0]
-        for m, w in zip(means[1:], weights[1:]):
-            q = q0 + (cur_w + w) / total
-            limit = total * self._q_bound(q0)
-            if cur_w + w <= limit:
-                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
-                cur_w += w
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                q0 += cur_w / total
-                cur_m, cur_w = m, w
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.array(out_m)
-        self.weights = np.array(out_w)
-
-    def _q_bound(self, q: float) -> float:
-        # k1 scale function cluster-size bound: 4 q(1-q) / compression-ish
-        return max(4.0 * q * (1.0 - q) / self.compression, 1e-9)
+        # vectorized k1-scale clustering: k1(q) = (δ/2π)·asin(2q−1); points
+        # whose k1 midpoints floor to the same integer merge into one centroid
+        q_mid = (np.cumsum(weights) - weights / 2.0) / total
+        k1 = (self.compression / (2.0 * np.pi)) * np.arcsin(
+            np.clip(2.0 * q_mid - 1.0, -1.0, 1.0))
+        ids = np.floor(k1).astype(np.int64)
+        boundaries = np.nonzero(np.diff(ids))[0] + 1
+        starts = np.concatenate([[0], boundaries])
+        w_c = np.add.reduceat(weights, starts)
+        m_c = np.add.reduceat(weights * means, starts) / w_c
+        self.means = m_c
+        self.weights = w_c
 
     def merge(self, other: "TDigest") -> None:
         self._compress()
         other._compress()
         self.means = np.concatenate([self.means, other.means])
         self.weights = np.concatenate([self.weights, other.weights])
-        self._compress()
+        self._compress(force=True)
 
     def quantile(self, q: float) -> float:
         self._compress()
@@ -158,6 +145,76 @@ class TDigest:
         return float(np.interp(x, self.means, cum / total))
 
 
+class LogHistogram:
+    """Fixed-log-bin quantile sketch.
+
+    Unlike a t-digest, bin counts are ADDITIVE and order-independent, so a
+    merged sketch is bit-identical no matter how the data was batched or
+    which partition processed it — required for byte-identical
+    checkpoint-resume outputs.  48 bins/decade ⇒ ≤ ~5% relative quantile
+    error; exact min/max clamp the tails.  Same interface as TDigest.
+    """
+
+    _PER_DECADE = 48
+    _LO_EXP, _HI_EXP = -6, 15
+    _POS_EDGES = np.logspace(_LO_EXP, _HI_EXP, (_HI_EXP - _LO_EXP) * _PER_DECADE + 1)
+    # edges: (-inf, -pos_edges reversed, 0-, 0+, pos_edges, +inf)
+    EDGES = np.concatenate([-_POS_EDGES[::-1], [0.0], _POS_EDGES])
+
+    def __init__(self):
+        self.counts = np.zeros(len(self.EDGES) + 1, dtype=np.int64)
+        self.vmin = np.inf
+        self.vmax = -np.inf
+
+    def add(self, values: np.ndarray) -> None:
+        values = values[np.isfinite(values)]
+        if len(values) == 0:
+            return
+        self.vmin = min(self.vmin, float(values.min()))
+        self.vmax = max(self.vmax, float(values.max()))
+        idx = np.searchsorted(self.EDGES, values, side="left")
+        self.counts += np.bincount(idx, minlength=len(self.counts)).astype(np.int64)
+
+    def merge(self, other: "LogHistogram") -> None:
+        self.counts += other.counts
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+
+    def _compress(self, force: bool = False) -> None:  # interface parity
+        pass
+
+    def _bin_bounds(self, i: int) -> tuple[float, float]:
+        lo = self.EDGES[i - 1] if i > 0 else self.vmin
+        hi = self.EDGES[i] if i < len(self.EDGES) else self.vmax
+        return float(lo), float(hi)
+
+    def quantile(self, q: float) -> float:
+        total = self.counts.sum()
+        if total == 0:
+            return float("nan")
+        target = q * total
+        cum = np.cumsum(self.counts)
+        i = int(np.searchsorted(cum, target, side="left"))
+        prev = cum[i - 1] if i > 0 else 0
+        frac = (target - prev) / max(self.counts[i], 1)
+        lo, hi = self._bin_bounds(i)
+        lo = max(lo, self.vmin)
+        hi = min(hi, self.vmax)
+        return float(np.clip(lo + frac * (hi - lo), self.vmin, self.vmax))
+
+    def cdf(self, x: float) -> float:
+        total = self.counts.sum()
+        if total == 0:
+            return float("nan")
+        i = int(np.searchsorted(self.EDGES, x, side="left"))
+        cum = np.cumsum(self.counts)
+        prev = cum[i - 1] if i > 0 else 0
+        lo, hi = self._bin_bounds(i)
+        lo, hi = max(lo, self.vmin), min(hi, self.vmax)
+        frac = 0.0 if hi <= lo else np.clip((x - lo) / (hi - lo), 0.0, 1.0)
+        return float((prev + frac * self.counts[i]) / total)
+
+
 class ColumnSketch:
     """Full per-column sketch state."""
 
@@ -166,7 +223,7 @@ class ColumnSketch:
         self.count = 0
         self.nulls = 0
         self.hll = HyperLogLog()
-        self.digest = TDigest() if numeric else None
+        self.digest = LogHistogram() if numeric else None
         self.min: Any = None
         self.max: Any = None
         self.sum = 0.0

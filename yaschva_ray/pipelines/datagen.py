@@ -149,11 +149,29 @@ def write_f0_dataset(n_rows: int, out_dir: str, seed: int = 42,
     files = [os.path.join(out_dir, f"part-{i:05d}.parquet") for i in range(n_files)]
     if os.path.exists(done_marker):
         return files
-    for i, path in enumerate(files):
-        lo = i * rows_per_file
-        hi = min(n_rows, lo + rows_per_file)
-        table = make_docs_batch(np.arange(lo, hi), seed=seed)
-        pq.write_table(table, path)
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray and n_files > 1:
+        import ray
+
+        @ray.remote
+        def _gen(lo: int, hi: int, path: str, seed: int) -> None:
+            pq.write_table(make_docs_batch(np.arange(lo, hi), seed=seed), path)
+
+        ray.get([
+            _gen.remote(i * rows_per_file, min(n_rows, (i + 1) * rows_per_file), p, seed)
+            for i, p in enumerate(files)
+        ])
+    else:
+        for i, path in enumerate(files):
+            lo = i * rows_per_file
+            hi = min(n_rows, lo + rows_per_file)
+            table = make_docs_batch(np.arange(lo, hi), seed=seed)
+            pq.write_table(table, path)
     cat_path = os.path.join(out_dir, "media_catalog.parquet")
     pq.write_table(media_catalog(), cat_path)
     with open(done_marker, "w") as f:

@@ -43,6 +43,27 @@ def _only_invalid(t: pa.Table) -> pa.Table:
     return t.filter(pc.invert(t["valid"]))
 
 
+# Per-worker-process stage cache: lets the fused stage run as STATELESS
+# TASKS (no actor-pool spin-up per shard — that cost ~2s/shard) while still
+# compiling the schema / fetching the broadcast catalog once per worker.
+_FUSED_CACHE: dict = {}
+
+
+def _fused_task(batch: pa.Table, key: str, schema, catalog_ref) -> pa.Table:
+    stage = _FUSED_CACHE.get(key)
+    if stage is None:
+        stage = FusedValidateStage(schema, catalog_ref)
+        _FUSED_CACHE[key] = stage
+    return stage(batch)
+
+
+def _write_single(table: pa.Table, path: str, stem: str) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, f"{stem}-0000.parquet"))
+
+
 def write_sorted_single(ds, path: str, sort_cols: list[str], stem: str = "data") -> int:
     """Deterministic small-output sink: gather result blocks, sort totally,
     write ONE file with a fixed name and canonical chunking — so a resumed
@@ -55,7 +76,7 @@ def write_sorted_single(ds, path: str, sort_cols: list[str], stem: str = "data")
     import pyarrow.parquet as pq
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs())]
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
     if not tables:
         return 0
     combined = pa.concat_tables(tables).combine_chunks()
@@ -97,6 +118,131 @@ def validate_dataset(ds, schema=FLAGSHIP_SCHEMA, *, batch_size: int = 8192):
                           zero_copy_batch=True)
 
 
+def _ipc_bytes(table: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_table(data: bytes) -> pa.Table:
+    with pa.ipc.open_stream(pa.BufferReader(data)) as r:
+        return r.read_all()
+
+
+class FusedValidateStage:
+    """ONE pass over the input computing everything per-batch (actor pool):
+
+    * vectorized validity mask (TableValidator),
+    * exact violation rows for failing rows only (row oracle),
+    * per-column sketch partial over span features,
+    * dangling media_refs vs the broadcast catalog.
+
+    Emits one compact row per input batch — the input is scanned exactly
+    once per shard, which is the property that matters at 100 TB (the naive
+    four-pipeline version re-reads the shard 4×).  Stateful setup (schema
+    compile, catalog fetch) happens once per actor in ``__init__``.
+    """
+
+    def __init__(self, schema, catalog_ref=None):
+        import pickle
+
+        import ray
+
+        self.pickle = pickle
+        self.tv = TableValidator(schema)
+        self.ex = ViolationExploder(schema, id_columns=("doc_id",))
+        self.feats = SpanFeatures()
+        self.catalog = ray.get(catalog_ref) if catalog_ref is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "path" in batch.column_names:
+            paths = batch["path"]
+            if isinstance(paths, pa.ChunkedArray):
+                paths = paths.combine_chunks()
+            data = batch.drop_columns(["path"])
+            uniq = pc.unique(paths).to_pylist()
+            if len(uniq) == 1:
+                return self._one(data, uniq[0])
+            outs = [self._one(data.filter(pc.equal(paths, p)), p) for p in sorted(uniq)]
+            return pa.concat_tables(outs)
+        return self._one(batch, "")
+
+    def _one(self, batch: pa.Table, path: str) -> pa.Table:
+        from ..engine.sketches import ColumnSketch
+
+        mask = self.tv.fail_mask(batch)
+        failing = batch.filter(pa.array(mask))
+        vio = self.ex(failing)
+
+        feats = self.feats(batch)
+        sketches = {}
+        for col in ("n_spans", "n_text_spans", "text_chars"):
+            sk = ColumnSketch(numeric=True)
+            arr = feats[col]
+            sk.update(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+            if sk.digest is not None:
+                sk.digest._compress()
+            sketches[col] = sk
+
+        if self.catalog is not None:
+            refs = SpanRefExtractor()(batch)
+            dangling = refs.filter(
+                pc.invert(pc.is_in(refs["media_ref"], value_set=self.catalog)))
+        else:
+            dangling = pa.table({"doc_id": pa.array([], pa.string()),
+                                 "media_ref": pa.array([], pa.string())})
+
+        return pa.table({
+            "path": pa.array([path], pa.string()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "n_fail": pa.array([int(mask.sum())], pa.int64()),
+            "violations": pa.array([_ipc_bytes(vio)], pa.binary()),
+            "dangling": pa.array([_ipc_bytes(dangling)], pa.binary()),
+            "sketches": pa.array([self.pickle.dumps(sketches)], pa.binary()),
+        })
+
+
+def _assemble_shard(part_dir: str, rows: list[dict], has_catalog: bool) -> dict:
+    """Build a shard's outputs from its fused per-batch rows (deterministic:
+    all tables totally sorted, sketch partials merged in sorted order)."""
+    import pickle
+    import shutil
+
+    if os.path.exists(part_dir):
+        shutil.rmtree(part_dir)
+    os.makedirs(part_dir, exist_ok=True)
+
+    n_docs = sum(r["n"] for r in rows)
+    n_fail = sum(r["n_fail"] for r in rows)
+
+    vio = pa.concat_tables([_ipc_table(r["violations"]) for r in rows]).combine_chunks()
+    if vio.num_rows:
+        vio = vio.sort_by([(c, "ascending") for c in
+                           ("doc_id", "path", "error", "value_repr")])
+    _write_single(vio, os.path.join(part_dir, "violations"), "violations")
+
+    dangling_rows = 0
+    if has_catalog:
+        dang = pa.concat_tables([_ipc_table(r["dangling"]) for r in rows]).combine_chunks()
+        if dang.num_rows:
+            dang = dang.sort_by([("doc_id", "ascending"), ("media_ref", "ascending")])
+        dangling_rows = dang.num_rows
+        _write_single(dang, os.path.join(part_dir, "dangling_refs"), "dangling")
+
+    merged: dict = {}
+    for blob in sorted(r["sketches"] for r in rows):
+        for col, sk in pickle.loads(blob).items():
+            if col in merged:
+                merged[col].merge(sk)
+            else:
+                merged[col] = sk
+    with open(os.path.join(part_dir, "sketches.json"), "w") as f:
+        json.dump({k: v.summary() for k, v in merged.items()}, f, sort_keys=True)
+
+    return {"n_docs": n_docs, "n_fail": n_fail, "n_dangling_refs": dangling_rows}
+
+
 def run_flagship(
     input_files: list[str],
     out_dir: str,
@@ -105,13 +251,25 @@ def run_flagship(
     schema=FLAGSHIP_SCHEMA,
     shards: int | None = None,
     batch_size: int = 8192,
-    sketch_concurrency=(2, 8),
+    wave_size: int | None = None,
 ) -> dict:
-    """Full checkpointed run.  Returns the aggregate report."""
+    """Full checkpointed run.  Returns the aggregate report.
+
+    Pending shards are processed in WAVES: one Ray Dataset execution per
+    wave covers every file in the wave (rows tagged with their source file
+    via ``include_paths``), then per-shard outputs + manifest lines are
+    written.  ``wave_size=None`` processes all pending shards in a single
+    streaming pass — one fixed execution latency for the whole run; a crash
+    loses at most one wave of work, and completed shards are never redone
+    (per-partition lineage in ``_manifest.jsonl``).
+    """
+    import time as _time
+
     import ray
     import ray.data
 
-    # broadcast the referential small side once per run (ray.put → actors)
+    # broadcast the referential small side once per run (ray.put, read once
+    # per worker process inside the fused stage)
     catalog_ref = None
     if catalog_path and os.path.exists(catalog_path):
         import pyarrow.parquet as pq
@@ -122,61 +280,47 @@ def run_flagship(
     n_shards = shards or max(1, min(len(input_files), 16))
     shard_lists = [list(input_files[i::n_shards]) for i in range(n_shards)]
     shard_lists = [s for s in shard_lists if s]
+    file_to_shard = {os.path.realpath(str(f)): i
+                     for i, fs in enumerate(shard_lists) for f in fs}
 
-    def run_shard(files: list[str], part_dir: str) -> dict:
-        ds = ray.data.read_parquet(files)
-        validated = validate_dataset(ds, schema, batch_size=batch_size)
+    from ..engine.checkpoint import append_manifest, digest_dir, load_manifest
 
-        # violations: only failing rows reach the (row-oracle) exploder
-        exploder = ViolationExploder(schema, id_columns=("doc_id",))
-        violations = (
-            validated.map_batches(_only_invalid, batch_format="pyarrow")
-            .map_batches(exploder, batch_format="pyarrow")
+    os.makedirs(out_dir, exist_ok=True)
+    done = load_manifest(out_dir)
+    pending = [i for i in range(len(shard_lists)) if i not in done]
+    records: list[dict] = [done[i] for i in sorted(done)]
+
+    wave = wave_size or max(1, len(pending))
+    skey = json.dumps(schema, sort_keys=True, default=str) + str(catalog_ref)
+    for w0 in range(0, len(pending), wave):
+        wave_ids = pending[w0:w0 + wave]
+        files = [f for i in wave_ids for f in shard_lists[i]]
+        t0 = _time.time()
+        ds = ray.data.read_parquet(files, include_paths=True)
+        fused = ds.map_batches(
+            _fused_task, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True, fn_args=(skey, schema, catalog_ref),
         )
-        write_sorted_single(violations, os.path.join(part_dir, "violations"),
-                            ["doc_id", "path", "error", "value_repr"], stem="violations")
+        rows = pa.concat_tables(
+            [t for t in ray.get(fused.to_arrow_refs()) if t.num_columns]
+        ).to_pylist()
+        wave_wall = _time.time() - t0
 
-        # verdict counts (small streaming aggregate)
-        stats = validated.map_batches(
-            lambda t: pa.table({
-                "n": pa.array([t.num_rows], pa.int64()),
-                "n_fail": pa.array([int(pc.sum(pc.invert(t["valid"])).as_py() or 0)], pa.int64()),
-            }),
-            batch_format="pyarrow",
-        ).to_pandas()
-        n_docs = int(stats["n"].sum())
-        n_fail = int(stats["n_fail"].sum())
-
-        # referential: explode span refs → broadcast anti-join
-        dangling_rows = 0
-        if catalog_ref is not None:
-            refs = ds.map_batches(SpanRefExtractor(), batch_format="pyarrow")
-            dangling = refs.map_batches(
-                ReferentialChecker, batch_format="pyarrow",
-                fn_constructor_args=(catalog_ref,), concurrency=2,
-            )
-            dangling_rows = write_sorted_single(
-                dangling, os.path.join(part_dir, "dangling_refs"),
-                ["doc_id", "media_ref"], stem="dangling")
-
-        # per-column sketches over span features (actor pool, partial rows)
-        features = ds.map_batches(SpanFeatures(), batch_format="pyarrow")
-        partial_rows = features.map_batches(
-            ColumnSketcher, batch_format="pyarrow",
-            fn_constructor_args=(["n_spans", "n_text_spans", "text_chars"],),
-            concurrency=sketch_concurrency,
-        ).take_all()
-        sketches = merge_partials(partial_rows)
-        with open(os.path.join(part_dir, "sketches.json"), "w") as f:
-            json.dump({k: v.summary() for k, v in sketches.items()}, f, sort_keys=True)
-
-        return {
-            "n_docs": n_docs,
-            "n_fail": n_fail,
-            "n_dangling_refs": dangling_rows,
-        }
-
-    records = run_partitioned(shard_lists, out_dir, run_shard)
+        by_shard: dict[int, list[dict]] = {i: [] for i in wave_ids}
+        for r in rows:
+            by_shard[file_to_shard[os.path.realpath(r["path"])]].append(r)
+        for i in wave_ids:
+            part_dir = os.path.join(out_dir, f"part-{i:05d}")
+            metrics = _assemble_shard(part_dir, by_shard[i], catalog_ref is not None)
+            record = {
+                "partition": i,
+                "input_files": [str(f) for f in shard_lists[i]],
+                "wall_s": round(wave_wall / len(wave_ids), 3),
+                "digest": digest_dir(part_dir),
+                **metrics,
+            }
+            append_manifest(out_dir, record)
+            records.append(record)
 
     # CROSS-partition uniqueness on doc_id — one global hash-shuffle groupby
     # over the pre-aggregated per-block key counts (north rule).  Resumable
@@ -191,9 +335,11 @@ def run_flagship(
             import shutil
 
             shutil.rmtree(uniq_dir)
-        all_docs = ray.data.read_parquet(input_files, columns=["doc_id"])
-        dup = uniqueness_violations(all_docs, "doc_id")
-        n_dup_keys = write_sorted_single(dup, uniq_dir, ["doc_id"], stem="dups")
+        from ..engine.checks import uniqueness_violations_files
+
+        dup_table = uniqueness_violations_files([str(f) for f in input_files], "doc_id")
+        n_dup_keys = dup_table.num_rows
+        _write_single(dup_table, uniq_dir, "dups")
         with open(uniq_done, "w") as f:
             json.dump({"n_dup_keys": n_dup_keys}, f)
 

@@ -1,0 +1,84 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+The decode libraries (PIL/ffmpeg/etc.) are NOT in this container, so the
+actual byte→pixels/samples decode is STUBBED: ``decoder="fake"`` (default)
+produces a deterministic hash-derived feature vector so the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is real
+and tested; ``decoder="real"`` raises ``NotImplementedError`` at actor
+construction, marking exactly where a real decoder plugs in.
+
+Design per the build brief: decode/feature-extract runs as an actor-pool
+``map_batches`` stage with small batches (large binary payloads), emitting
+fixed-width feature columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("kind", pa.string()),            # image | audio | video
+    ("payload", pa.binary()),          # opaque encoded bytes
+    ("width", pa.int32()),             # typed metadata (nullable)
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+FEATURE_DIM = 16
+
+
+def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    rng = np.random.RandomState(seed)
+    kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
+    payloads = [rng.randint(0, 256, payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_ref": pa.array([f"media://cat/{i:06d}.bin" for i in range(n)]),
+        "kind": pa.array(list(kinds)),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(rng.randint(16, 4096, n).astype(np.int32)),
+        "height": pa.array(rng.randint(16, 4096, n).astype(np.int32)),
+        "duration_ms": pa.array(rng.randint(0, 600000, n).astype(np.int32)),
+    })
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    ``__init__`` loads the decoder ONCE per actor (the expensive part for a
+    real model); ``__call__`` processes one (small) batch.  Use
+    ``map_batches(MediaFeatureExtractor, batch_size=64, concurrency=(2, 8),
+    num_cpus=1)`` — small batches because payloads are large.
+    """
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg which are not in "
+                "this container — plug a decoder in here")
+        self.decoder = decoder
+
+    def _fake_decode(self, payload: bytes) -> np.ndarray:
+        # deterministic pseudo-features from payload bytes
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        chunks = np.array_split(arr.astype(np.float64), FEATURE_DIM)
+        return np.array([c.mean() if len(c) else 0.0 for c in chunks])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = np.stack([self._fake_decode(p) for p in batch["payload"].to_pylist()])
+        return pa.table({
+            "media_ref": batch["media_ref"],
+            "kind": batch["kind"],
+            "feature": pa.array(list(feats), pa.list_(pa.float64(), FEATURE_DIM)),
+        })
+
+
+def extract_media_features(ds, *, batch_size: int = 64, concurrency=(2, 4)):
+    """The plumbing: small batches, actor pool, fixed-width output."""
+    return ds.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"decoder": "fake"},
+        concurrency=concurrency, num_cpus=1,
+    )

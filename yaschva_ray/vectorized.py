@@ -542,7 +542,11 @@ class ViolationExploder:
                 paths.append(path)
                 errors.append(error)
                 values.append(value_repr)
-        cols = {**{c: pa.array(v) for c, v in ids.items()},
+        def id_type(c: str):
+            idx = batch.schema.get_field_index(c)
+            return batch.schema.field(idx).type if idx >= 0 else pa.string()
+
+        cols = {**{c: pa.array(v, type=id_type(c)) for c, v in ids.items()},
                 "path": pa.array(paths, type=pa.string()),
                 "error": pa.array(errors, type=pa.string()),
                 "value_repr": pa.array(values, type=pa.string())}
