@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": textops.q_quality_documents,
         "fingerprint_documents": textops.q_fingerprint_documents,
         "media_features": _media_features_smoke,
+        "stats_lineitem": ops.q_stats_lineitem,
+        "drift_events_value": ops.q_drift_events_value,
+        "generate_roundtrip": ops.q_generate_fixture,
         "check_lineitem": ops.q_check_lineitem,
         "violations_lineitem": ops.q_violations_lineitem,
         "violations_documents": ops.q_violations_documents,
@@ -138,6 +141,29 @@ def oracle_sql() -> dict[str, str]:
         # minhash/simhash/ann_lsh/langid/fingerprint/media_features:
         # model-like or approximate ops — rows-only checks (accuracy is
         # asserted in tests against exact counterparts instead)
+        "stats_lineitem": """
+            SELECT col_name, n_rows, n_nulls, min_v, max_v, sum_cents FROM (
+                SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+                       round(min(l_quantity), 6) AS min_v, round(max(l_quantity), 6) AS max_v,
+                       CAST(round(SUM(l_quantity) * 100) AS BIGINT) AS sum_cents
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                       round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
+                       CAST(round(SUM(l_extendedprice) * 100) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_discount) AS BIGINT),
+                       round(min(l_discount), 6), round(max(l_discount), 6),
+                       CAST(round(SUM(l_discount) * 100) AS BIGINT)
+                FROM lineitem
+            ) ORDER BY col_name
+        """,
+        # drift_events_value / generate_roundtrip: approximate or
+        # model-like → rows-only checks
         "check_lineitem": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE NOT (l_quantity >= 1 AND l_quantity <= 25

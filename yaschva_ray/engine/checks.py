@@ -84,6 +84,9 @@ def uniqueness_violations_files(
     def map_file(paths: list[str]) -> list[pa.Table]:
         import pyarrow.parquet as pq
 
+        from .sketches import limit_worker_threads
+
+        limit_worker_threads()
         t = pa.concat_tables([pq.read_table(p, columns=[key]) for p in paths])
         counts = t.group_by(key).aggregate([(key, "count")])
         karr = counts[key]

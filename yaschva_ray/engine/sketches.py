@@ -22,10 +22,30 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import os as _os
+
+# Cap worker-side thread pools BEFORE polars/arrow spin theirs up: Ray's
+# num_cpus accounting assumes one core per task — un-capped internal pools
+# silently use every core, which both oversubscribes the node and falsifies
+# parallelism-level comparisons (the "2-cpu" bench run would secretly use
+# 32 cores for parquet decode / hashing).
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 try:  # vectorized hashing; fall back to numpy-only mixing for ints
     import polars as pl
 except ImportError:  # pragma: no cover
     pl = None
+
+
+def limit_worker_threads() -> None:
+    """Call once per worker process (stage __init__ / task cache miss)."""
+    import pyarrow as _pa
+
+    try:
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(2)
+    except Exception:  # pragma: no cover
+        pass
 
 HLL_P = 14
 HLL_M = 1 << HLL_P

@@ -149,6 +149,9 @@ class FusedValidateStage:
 
         import ray
 
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
         self.pickle = pickle
         self.tv = TableValidator(schema)
         self.ex = ViolationExploder(schema, id_columns=("doc_id",))

@@ -224,6 +224,119 @@ def q_token_count_documents(sf_dir: str) -> pa.Table:
     return _sorted_table(ds.map_batches(count, batch_format="pyarrow"), ["doc_id"])
 
 
+def q_stats_lineitem(sf_dir: str) -> pa.Table:
+    """Per-column streaming sketch stats (the ColumnSketcher stage) — the
+    exact components (count, nulls, min, max, integer-cent sum) are
+    oracle-checkable; HLL/quantiles are approximate and reported elsewhere."""
+    import pickle
+
+    from ..engine.sketches import ColumnSketcher, merge_partials
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", cols)
+    partials = ds.map_batches(
+        ColumnSketcher, batch_format="pyarrow",
+        fn_constructor_args=(cols,), concurrency=2,
+    ).take_all()
+    merged = merge_partials(partials)
+    names = sorted(merged)
+    return pa.table({
+        "col_name": pa.array(names, pa.string()),
+        "n_rows": pa.array([merged[c].count for c in names], pa.int64()),
+        "n_nulls": pa.array([merged[c].nulls for c in names], pa.int64()),
+        "min_v": pa.array([round(merged[c].min, 6) for c in names], pa.float64()),
+        "max_v": pa.array([round(merged[c].max, 6) for c in names], pa.float64()),
+        "sum_cents": pa.array([int(round(merged[c].sum * 100)) for c in names], pa.int64()),
+    })
+
+
+def q_drift_events_value(sf_dir: str) -> pa.Table:
+    """Distribution drift of events.value between event types: per-type
+    LogHistogram sketches (actor-pool partials + merge), PSI + KS vs the
+    'view' baseline.  Deterministic (histogram sketches are
+    partition-independent) but approximate → rows-only check."""
+    import ray
+
+    from ..engine.sketches import LogHistogram, ks_statistic, psi
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pickle as _p
+
+        types = []
+        states = []
+        for et in pc.unique(t["event_type"]).to_pylist():
+            h = LogHistogram()
+            vals = t.filter(pc.equal(t["event_type"], et))["value"]
+            h.add(vals.to_numpy(zero_copy_only=False).astype("float64"))
+            types.append(et)
+            states.append(_p.dumps(h))
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "state": pa.array(states, pa.binary())})
+
+    import pickle
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged: dict[str, "LogHistogram"] = {}
+    for r in sorted(rows, key=lambda x: (x["event_type"], x["state"])):
+        h = pickle.loads(r["state"])
+        if r["event_type"] in merged:
+            merged[r["event_type"]].merge(h)
+        else:
+            merged[r["event_type"]] = h
+    base = merged.get("view")
+    out_t, out_psi, out_ks = [], [], []
+    for et in sorted(merged):
+        if et == "view" or base is None:
+            continue
+        out_t.append(et)
+        out_psi.append(round(psi(base, merged[et]), 6))
+        out_ks.append(round(ks_statistic(base, merged[et]), 6))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "psi": pa.array(out_psi, pa.float64()),
+                     "ks": pa.array(out_ks, pa.float64())})
+
+
+def q_generate_fixture(sf_dir: str) -> pa.Table:
+    """Generator round-trip as a distributed op: seeded generate() per row
+    over ray.data.range, validated back by the vectorized engine — every
+    row must pass (the reference's property test, generate.spec.ts:173-183,
+    run distributed).  Returns per-block pass counts."""
+    import ray.data
+
+    from ..generate import generate
+    from ..oracle import validate
+    from ..schema import load_json
+
+    schema = {
+        "name": "string",
+        "age": {"$number": {"min": 0, "max": 120}},
+        "tags": {"$array": {"$enum": ["a", "b", "c"]}, "maxLength": 5},
+        "email": ["?", {"$string": {"regex": "^[a-z]+@[a-z]+\\.com$"}}],
+    }
+
+    def gen_and_check(batch) -> pa.Table:
+        import random
+
+        ids = batch["id"]
+        n_pass = 0
+        for i in ids:
+            doc = generate(schema, rng=random.Random(int(i)))
+            if validate(schema, doc)["result"] == "pass":
+                n_pass += 1
+        return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                         "n_pass": pa.array([n_pass], pa.int64())})
+
+    n_rows = 2000
+    out = ray.data.range(n_rows).map_batches(gen_and_check, batch_format="numpy")
+    t = _sorted_table(out, ["n"])
+    total = int(pc.sum(t["n"]).as_py())
+    passed = int(pc.sum(t["n_pass"]).as_py())
+    return pa.table({"n_docs": pa.array([total], pa.int64()),
+                     "n_pass": pa.array([passed], pa.int64())})
+
+
 def q_top_violated_paths(sf_dir: str) -> pa.Table:
     """Reporting top-k: most-violated constraint paths over lineitem."""
     vio = q_violations_lineitem(sf_dir)
