@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": textops.q_quality_documents,
         "fingerprint_documents": textops.q_fingerprint_documents,
         "media_features": _media_features_smoke,
+        "props_json_check": ops.q_props_json_check,
         "stats_lineitem": ops.q_stats_lineitem,
         "drift_events_value": ops.q_drift_events_value,
         "generate_roundtrip": ops.q_generate_fixture,
@@ -141,6 +142,13 @@ def oracle_sql() -> dict[str, str]:
         # minhash/simhash/ann_lsh/langid/fingerprint/media_features:
         # model-like or approximate ops — rows-only checks (accuracy is
         # asserted in tests against exact counterparts instead)
+        "props_json_check": r"""
+            SELECT event_id FROM events
+            WHERE TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) > 50
+               OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) < 0
+               OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) IS NULL
+            ORDER BY event_id
+        """,
         "stats_lineitem": """
             SELECT col_name, n_rows, n_nulls, min_v, max_v, sum_cents FROM (
                 SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -205,3 +205,46 @@ def test_utf16_length_vectorized():
     mask = TableValidator(schema).fail_mask(table)
     # emoji counts as 2 UTF-16 units: "😀😀" = 4 > 2 fails; "😀" = 2 passes
     assert list(mask) == [False, True, True, False, False]
+
+
+def test_json_column_validation():
+    # JSON-encoded column (opt-in) parsed and validated by the oracle path
+    schema = {"id": "any", "payload": {"a": "number", "b": ["?", "string"]}}
+    table = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5]),
+        "payload": pa.array([
+            '{"a": 1}', '{"a": 1, "b": "x"}', '{"a": "no"}',
+            'not json at all', '{"a": 2, "zz": 1}',
+        ]),
+    })
+    from yaschva_ray.vectorized import TableValidator
+
+    tv = TableValidator(schema, json_columns=("payload",))
+    mask = tv.fail_mask(table)
+    assert list(mask) == [False, False, True, True, True]
+
+
+def test_exploder_tree_mode_matches_oracle():
+    from yaschva_ray.vectorized import ViolationExploder
+
+    schema = {"id": "any", "v": {"$number": {"min": 0, "max": 5}},
+              "s": ["?", {"$string": {"minLength": 2}}]}
+    table = pa.table({"id": pa.array([1, 2]),
+                      "v": pa.array([3.0, 9.0]),
+                      "s": pa.array(["ok", "x"])})
+    ex = ViolationExploder(schema, id_columns=("id",), emit_tree=True)
+    out = ex(table).to_pylist()
+    assert out[0]["result"] == "pass"
+    assert out[1]["result"] == "fail"
+    tree = json.loads(out[1]["output_json"])
+    assert tree["v"] == {"error": "Value is bigger than the required maximum", "value": 9.0}
+    # union failure payload present for the short string
+    assert tree["s"]["error"] == "Did not match any from the listed types"
+
+
+def test_lance_gate():
+    from yaschva_ray.sources import have_lance, read_docs
+
+    if not have_lance():
+        with pytest.raises(ImportError, match="Lance"):
+            read_docs("/tmp/whatever.lance")

@@ -224,6 +224,28 @@ def q_token_count_documents(sf_dir: str) -> pa.Table:
     return _sorted_table(ds.map_batches(count, batch_format="pyarrow"), ["doc_id"])
 
 
+EVENTS_PROPS_SCHEMA = {
+    "event_id": "any",
+    "props": {"k": {"$number": {"min": 0, "max": 50}}},  # closed struct on parsed JSON
+}
+
+
+def q_props_json_check(sf_dir: str) -> pa.Table:
+    """Same constraint as ``q_check_events_props`` but through the engine's
+    JSON-encoded-column path: props parsed per row and validated against a
+    yaschva closed-struct schema by the oracle (the dynamic-payload route,
+    SURVEY.md §7.4).  Verdicts must equal the vectorized regex variant —
+    and the SQL oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    tv = TableValidator(EVENTS_PROPS_SCHEMA, json_columns=("props",))
+
+    def check(t: pa.Table) -> pa.Table:
+        mask = tv.fail_mask(t)
+        return pa.table({"event_id": t["event_id"].filter(pa.array(mask))})
+
+    return _sorted_table(ds.map_batches(check, batch_format="pyarrow"), ["event_id"])
+
+
 def q_stats_lineitem(sf_dir: str) -> pa.Table:
     """Per-column streaming sketch stats (the ColumnSketcher stage) — the
     exact components (count, nulls, min, max, integer-cent sum) are

@@ -1,0 +1,49 @@
+"""Dataset sources/sinks.
+
+The north rule targets Lance tables of interleaved documents; this container
+has no ``lance``/``pylance`` package, so the Lance path is gated behind an
+import-try with the same call signature — the pipeline code is
+format-agnostic and switches on file layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def have_lance() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def read_docs(paths: list[str] | str, *, columns: list[str] | None = None,
+              include_paths: bool = False, **kwargs):
+    """Read an interleaved-doc table as a ``ray.data.Dataset``.
+
+    * a ``.lance`` dataset directory → ``ray.data.read_lance`` (requires the
+      ``lance`` package; raises a clear error here if absent),
+    * otherwise parquet file(s) → ``ray.data.read_parquet``.
+    """
+    import ray.data
+
+    first = paths if isinstance(paths, str) else paths[0]
+    if str(first).rstrip("/").endswith(".lance"):
+        if not have_lance():
+            raise ImportError(
+                "Lance support requires the 'lance' package (not in this "
+                "container); use parquet or install pylance")
+        return ray.data.read_lance(first, columns=columns, **kwargs)
+    return ray.data.read_parquet(paths, columns=columns,
+                                 include_paths=include_paths, **kwargs)
+
+
+def write_docs(ds, path: str, *, format: str = "parquet", **kwargs) -> None:
+    if format == "lance":
+        if not have_lance():
+            raise ImportError("Lance support requires the 'lance' package")
+        return ds.write_lance(path, **kwargs)
+    return ds.write_parquet(path, **kwargs)

@@ -110,6 +110,18 @@ def js_num_str(v: Any) -> str:
     return str(v)
 
 
+def js_jsonable(o: Any) -> Any:
+    """JSON.stringify value semantics: undefined dict members are DROPPED,
+    undefined array elements become null."""
+    if o is UNDEFINED:
+        return None
+    if isinstance(o, dict):
+        return {k: js_jsonable(v) for k, v in o.items() if v is not UNDEFINED}
+    if isinstance(o, list):
+        return [None if v is UNDEFINED else js_jsonable(v) for v in o]
+    return o
+
+
 def js_json_dumps(obj: Any) -> str:
     """``JSON.stringify``-compatible compact dump (no spaces), used by the
     reference's schema-error messages (validate.ts:203, 256)."""

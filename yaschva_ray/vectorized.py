@@ -354,7 +354,8 @@ class TableValidator:
     vectorized fall back to the row oracle automatically.
     """
 
-    def __init__(self, schema: Any, *, id_columns: tuple[str, ...] = ()):
+    def __init__(self, schema: Any, *, id_columns: tuple[str, ...] = (),
+                 json_columns: tuple[str, ...] = ()):
         parsed = S.load_json(schema) if isinstance(schema, (str, dict)) else schema
         self.custom: dict = parsed.get("$types", {}) if isinstance(parsed, dict) else {}
         body = {k: v for k, v in parsed.items() if k != "$types"}
@@ -374,6 +375,10 @@ class TableValidator:
             (k[1:] if k.startswith("\\$") else k): v for k, v in body.items()
         }
         self.id_columns = tuple(id_columns)
+        # JSON-encoded string columns (FIXTURES.md encoding rules): values
+        # are parsed per row and validated through the oracle — the path for
+        # dynamic payloads / heterogeneous unions Arrow can't type
+        self.json_columns = tuple(json_columns)
 
     def fail_mask(self, batch: pa.Table) -> np.ndarray:
         n = batch.num_rows
@@ -389,6 +394,9 @@ class TableValidator:
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
                 u, jn = _child_env(col, node, self.custom)
+                if name in self.json_columns:
+                    fail |= self._oracle_column(node, col, u, jn, parse_json=True)
+                    continue
                 try:
                     fail |= eval_node(node, col, u, jn, n, self.custom)
                 except VectorizedUnsupported:
@@ -402,12 +410,19 @@ class TableValidator:
                     fail |= self._oracle_column(node, None, u, jn)
         return fail
 
-    def _oracle_column(self, node, col, undef, jsnull) -> np.ndarray:
+    def _oracle_column(self, node, col, undef, jsnull, parse_json: bool = False) -> np.ndarray:
         n = len(undef)
         out = np.zeros(n, dtype=bool)
         vals = col.to_pylist() if col is not None else [None] * n
         for i in range(n):
-            v = UNDEFINED if undef[i] else (None if jsnull[i] else _decode_value(vals[i], node, self.custom))
+            if undef[i]:
+                v = UNDEFINED
+            elif jsnull[i]:
+                v = None
+            elif parse_json:
+                v = _parse_json_value(vals[i])
+            else:
+                v = _decode_value(vals[i], node, self.custom)
             res = validate_internal(node, v, self.custom)
             out[i] = res["result"] == "fail"
         return out
@@ -420,6 +435,18 @@ class TableValidator:
 # ---------------------------------------------------------------------------
 # row decoding (Arrow python values -> JS value domain) + violation explosion
 # ---------------------------------------------------------------------------
+
+
+def _parse_json_value(v: Any) -> Any:
+    """Decode a JSON-encoded column value into the JS value domain; invalid
+    JSON stays a raw string (and fails structural checks downstream, which
+    is the correct verdict for a corrupt payload)."""
+    if not isinstance(v, str):
+        return v
+    try:
+        return json.loads(v)
+    except (ValueError, TypeError):
+        return v
 
 
 def _decode_value(v: Any, node: Any, custom: dict) -> Any:
@@ -461,7 +488,8 @@ def _decode_value(v: Any, node: Any, custom: dict) -> Any:
     return v
 
 
-def decode_row(row: dict, fields: dict, custom: dict, exclude: tuple = ()) -> dict:
+def decode_row(row: dict, fields: dict, custom: dict, exclude: tuple = (),
+               json_columns: tuple = ()) -> dict:
     out = {}
     for name, v in row.items():
         if name in exclude:
@@ -472,7 +500,10 @@ def decode_row(row: dict, fields: dict, custom: dict, exclude: tuple = ()) -> di
             continue
         if v is None and null_decodes_as_undefined(node, custom):
             continue
-        out[name] = _decode_value(v, node, custom)
+        if name in json_columns:
+            out[name] = _parse_json_value(v)
+        else:
+            out[name] = _decode_value(v, node, custom)
     return out
 
 
@@ -507,28 +538,34 @@ class ViolationExploder:
     """map_batches stage: decode (usually pre-filtered failing) rows, run the
     oracle, emit flat violation rows ``(id..., path, error, value_repr)``."""
 
-    def __init__(self, schema: Any, *, id_columns: tuple[str, ...] = ()):
-        tv = TableValidator(schema, id_columns=id_columns)
+    def __init__(self, schema: Any, *, id_columns: tuple[str, ...] = (),
+                 json_columns: tuple[str, ...] = (), emit_tree: bool = False):
+        tv = TableValidator(schema, id_columns=id_columns, json_columns=json_columns)
         self.fields = tv.fields
         self.custom = tv.custom
         self.id_columns = tuple(id_columns)
+        self.json_columns = tuple(json_columns)
+        self.emit_tree = emit_tree
         self._root = dict(self.fields)
         self._exclude = ("valid",) + tuple(c for c in id_columns if c not in self.fields)
 
+    def result_for_row(self, row: dict) -> dict:
+        """Full oracle result ({result, output}) — the reference's exact
+        mirror-shaped tree (validate.ts:14-17) for golden comparisons."""
+        decoded = decode_row(row, self.fields, self.custom, exclude=self._exclude,
+                             json_columns=self.json_columns)
+        return validate_internal(dict(self._root), decoded, self.custom)
+
     def violations_for_row(self, row: dict) -> list[tuple[str, str, str]]:
-        decoded = decode_row(row, self.fields, self.custom, exclude=self._exclude)
-        schema_node = dict(self._root)
-        if self.custom:
-            schema_node["$types"] = self.custom
-        res = validate_internal(
-            {k: v for k, v in schema_node.items() if k != "$types"}, decoded, self.custom
-        )
+        res = self.result_for_row(row)
         out: list = []
         if res["result"] == "fail":
             explode_violations(res["output"], "", out)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.emit_tree:
+            return self._tree_table(batch)
         ids = {c: [] for c in self.id_columns}
         paths: list[str] = []
         errors: list[str] = []
@@ -551,3 +588,26 @@ class ViolationExploder:
                 "error": pa.array(errors, type=pa.string()),
                 "value_repr": pa.array(values, type=pa.string())}
         return pa.table(cols)
+
+    def _tree_table(self, batch: pa.Table) -> pa.Table:
+        """One row per input doc: (ids..., result, output_json) — the exact
+        reference mirror tree, JSON.stringify-serialized."""
+        from .values import js_jsonable
+
+        def id_type(c: str):
+            idx = batch.schema.get_field_index(c)
+            return batch.schema.field(idx).type if idx >= 0 else pa.string()
+
+        ids = {c: [] for c in self.id_columns}
+        results: list[str] = []
+        outputs: list[str] = []
+        for row in batch.to_pylist():
+            res = self.result_for_row(row)
+            for c in self.id_columns:
+                ids[c].append(row.get(c))
+            results.append(res["result"])
+            outputs.append(json.dumps(js_jsonable(res["output"]), separators=(",", ":"),
+                                      default=str))
+        return pa.table({**{c: pa.array(v, type=id_type(c)) for c, v in ids.items()},
+                         "result": pa.array(results, pa.string()),
+                         "output_json": pa.array(outputs, pa.string())})
