@@ -129,3 +129,30 @@ def test_sketch_merge_accuracy(ray_session, f0_dataset):
     assert 4 <= s["distinct_est"] <= 8
     q = s["quantiles"]
     assert 1 <= q[0.25] <= q[0.5] <= q[0.75] <= 6
+
+
+def test_uniqueness_hot_key_skew(ray_session, tmp_path):
+    """A pathologically hot key (40% of all rows) must not break or slow the
+    uniqueness shuffle: the map side pre-combines per file, so the hot key
+    ships as ONE (key, count) row per file regardless of its row count."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.engine.checks import uniqueness_violations_files
+
+    files = []
+    for f in range(4):
+        n = 50_000
+        hot = ["doc-hot"] * 20_000
+        uniq = [f"doc-{f}-{i:08d}" for i in range(n - 20_000)]
+        pq.write_table(pa.table({"doc_id": pa.array(hot + uniq)}),
+                       str(tmp_path / f"part-{f}.parquet"))
+        files.append(str(tmp_path / f"part-{f}.parquet"))
+    t0 = time.time()
+    out = uniqueness_violations_files(files, "doc_id")
+    wall = time.time() - t0
+    rows = out.to_pylist()
+    assert rows == [{"doc_id": "doc-hot", "n_docs": 80_000}]
+    assert wall < 20  # pre-combine keeps the hot key cheap

@@ -243,7 +243,17 @@ def _assemble_shard(part_dir: str, rows: list[dict], has_catalog: bool) -> dict:
     with open(os.path.join(part_dir, "sketches.json"), "w") as f:
         json.dump({k: v.summary() for k, v in merged.items()}, f, sort_keys=True)
 
-    return {"n_docs": n_docs, "n_fail": n_fail, "n_dangling_refs": dangling_rows}
+    # per-shard violated-path counts, indexes normalized ("spans[3].kind" →
+    # "spans[].kind") so cardinality stays bounded for the top-k report
+    path_counts: dict[str, int] = {}
+    if vio.num_rows:
+        norm = pc.replace_substring_regex(vio["path"], r"\[\d+\]", replacement="[]")
+        g = pa.table({"path": norm}).group_by("path").aggregate([("path", "count")])
+        path_counts = dict(zip(g["path"].to_pylist(),
+                               (int(x) for x in g["path_count"].to_pylist())))
+
+    return {"n_docs": n_docs, "n_fail": n_fail, "n_dangling_refs": dangling_rows,
+            "path_counts": path_counts}
 
 
 def run_flagship(
@@ -346,12 +356,18 @@ def run_flagship(
         with open(uniq_done, "w") as f:
             json.dump({"n_dup_keys": n_dup_keys}, f)
 
+    top_paths: dict[str, int] = {}
+    for r in records:
+        for p, c in (r.get("path_counts") or {}).items():
+            top_paths[p] = top_paths.get(p, 0) + c
     report = {
         "n_docs": sum(r["n_docs"] for r in records),
         "n_fail": sum(r["n_fail"] for r in records),
         "n_dup_keys": n_dup_keys,
         "n_dangling_refs": sum(r.get("n_dangling_refs") or 0 for r in records),
         "partitions": len(records),
+        "top_violated_paths": dict(sorted(top_paths.items(),
+                                          key=lambda kv: (-kv[1], kv[0]))[:10]),
     }
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, sort_keys=True)
