@@ -35,7 +35,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("YR_BENCH_DOCS", str(4_000_000)))
 # --scaling needs a compute-bound run so fixed execution latency (~4-6 s,
 # identical at both parallelism levels) stays under ~10%% of wall time
-SCALING_DOCS = int(os.environ.get("YR_SCALING_DOCS", str(24_000_000)))
+SCALING_DOCS = int(os.environ.get("YR_SCALING_DOCS", str(36_000_000)))
 def data_dir(n_docs: int) -> str:
     return f"/tmp/yaschva_bench/f0_{n_docs}"
 

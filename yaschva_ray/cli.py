@@ -1,0 +1,96 @@
+"""Command-line entry point.
+
+    python -m yaschva_ray.cli validate --schema schema.json \
+        --input 'data/*.parquet' --out out/ [--catalog catalog.parquet]
+        [--id-column doc_id] [--shards 8] [--wave-size 4]
+
+    python -m yaschva_ray.cli check --schema schema.json --value value.json
+
+``validate`` runs the full checkpoint-resumable pipeline (violations,
+verdicts, sketches, uniqueness, referential) over a table; ``check``
+validates a single JSON value exactly like the reference's ``validate()``
+and prints the mirror-shaped result tree.
+
+This module OWNS its Ray session (the only places that do: here, bench.py,
+and the test fixture).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _cmd_check(args: argparse.Namespace) -> int:
+    from .oracle import validate
+    from .schema import load_json
+    from .values import js_jsonable
+
+    with open(args.schema) as f:
+        schema = load_json(f.read())
+    with open(args.value) as f:
+        value = json.load(f)
+    result = validate(schema, value)
+    print(json.dumps({"result": result["result"],
+                      "output": js_jsonable(result["output"])}, indent=2, default=str))
+    return 0 if result["result"] == "pass" else 1
+
+
+def _cmd_validate(args: argparse.Namespace) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from .pipelines.flagship import run_flagship
+        from .schema import load_json
+
+        with open(args.schema) as f:
+            schema = load_json(f.read())
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"error: no input files match {args.input!r}", file=sys.stderr)
+            return 2
+        report = run_flagship(
+            files, args.out, schema=schema, catalog_path=args.catalog,
+            shards=args.shards, batch_size=args.batch_size,
+            wave_size=args.wave_size,
+        )
+        print(json.dumps(report, indent=2, sort_keys=True))
+        return 0 if report["n_fail"] == 0 else 1
+    finally:
+        ray.shutdown()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="yaschva_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("check", help="validate one JSON value against a schema")
+    c.add_argument("--schema", required=True)
+    c.add_argument("--value", required=True)
+
+    v = sub.add_parser("validate", help="run the full table-validation pipeline")
+    v.add_argument("--schema", required=True)
+    v.add_argument("--input", required=True, help="parquet glob")
+    v.add_argument("--out", required=True)
+    v.add_argument("--catalog", default=None, help="media_ref catalog parquet")
+    v.add_argument("--shards", type=int, default=None)
+    v.add_argument("--wave-size", type=int, default=None)
+    v.add_argument("--batch-size", type=int, default=8192)
+    v.add_argument("--num-cpus", type=int, default=8)
+
+    args = p.parse_args(argv)
+    if args.cmd == "check":
+        return _cmd_check(args)
+    return _cmd_validate(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

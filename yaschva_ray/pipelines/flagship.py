@@ -1,15 +1,15 @@
 """Flagship pipeline (north rule lifecycle, SURVEY.md §3.1 engine form):
 
-``read_parquet(F0 docs) → map_batches(TableValidator)  [vectorized mask]
-  → verdict counts (streaming aggregate)
-  → failing rows → map_batches(ViolationExploder)      [exact payloads]
-  → groupby(doc_id) uniqueness                          [hash shuffle]
-  → span media_ref explode → broadcast anti-join        [no shuffle]
-  → per-column sketches (actor pool, partial merge)
-  → write violations/verdicts/metrics per partition + manifest``
+``read_parquet(F0 docs, include_paths) →
+  map_batches(FusedValidateStage)   [ONE pass: vectorized mask + exact
+                                     violation payloads + sketch partials +
+                                     referential anti-join per batch]
+  → per-shard assembly + lineage manifest   [wave-grouped]
+  → cross-partition uniqueness               [explicit 2-stage hash shuffle]
+  → report (verdict counts, top violated paths)``
 
-All stages stream; nothing materializes the full input.  Ray sessions are
-owned by the caller.
+All stages stream; the input is scanned exactly once per wave plus a
+key-column-only scan for uniqueness.  Ray sessions are owned by the caller.
 """
 
 from __future__ import annotations
@@ -21,9 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..engine.checks import ReferentialChecker, SpanRefExtractor, uniqueness_violations
-from ..engine.checkpoint import run_partitioned
-from ..engine.sketches import ColumnSketcher, merge_partials
+from ..engine.checks import SpanRefExtractor
 from ..vectorized import TableValidator, ViolationExploder
 
 FLAGSHIP_SCHEMA = {
@@ -37,10 +35,6 @@ FLAGSHIP_SCHEMA = {
     "doc_id": {"$string": {"minLength": 1, "regex": "^doc-[0-9a-f]{12}$"}},
     "spans": {"$array": "$span", "minLength": 1, "maxLength": 4096},
 }
-
-
-def _only_invalid(t: pa.Table) -> pa.Table:
-    return t.filter(pc.invert(t["valid"]))
 
 
 # Per-worker-process stage cache: lets the fused stage run as STATELESS
@@ -62,28 +56,6 @@ def _write_single(table: pa.Table, path: str, stem: str) -> None:
 
     os.makedirs(path, exist_ok=True)
     pq.write_table(table, os.path.join(path, f"{stem}-0000.parquet"))
-
-
-def write_sorted_single(ds, path: str, sort_cols: list[str], stem: str = "data") -> int:
-    """Deterministic small-output sink: gather result blocks, sort totally,
-    write ONE file with a fixed name and canonical chunking — so a resumed
-    partition is byte-identical (Ray's distributed writer embeds per-run
-    UUIDs in filenames and page boundaries follow block layout).
-
-    Used for violation/report outputs only — a small fraction of the input
-    per partition; the heavy input path never funnels through this.
-    Returns the row count."""
-    import pyarrow.parquet as pq
-    import ray
-
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
-    if not tables:
-        return 0
-    combined = pa.concat_tables(tables).combine_chunks()
-    combined = combined.sort_by([(c, "ascending") for c in sort_cols])
-    os.makedirs(path, exist_ok=True)
-    pq.write_table(combined, os.path.join(path, f"{stem}-0000.parquet"))
-    return combined.num_rows
 
 
 class SpanFeatures:
