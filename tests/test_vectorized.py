@@ -248,3 +248,21 @@ def test_lance_gate():
     if not have_lance():
         with pytest.raises(ImportError, match="Lance"):
             read_docs("/tmp/whatever.lance")
+
+
+def test_multi_dollar_key_dispatch_order():
+    # A node with several $-keys dispatches like the reference:
+    # $array wins over $enum (validate.ts:233 before :235)
+    schema = {"x": {"$array": "string", "$enum": ["a"]}}
+    table = pa.table({"x": pa.array([["a", "b"], None], pa.list_(pa.string()))})
+    mask = TableValidator(schema).fail_mask(table)
+    assert list(mask) == [False, True]  # validated as array, not enum
+    # oracle agrees
+    assert validate(schema, {"x": ["a", "b"]})["result"] == "pass"
+    assert validate(schema, {"x": "a"})["result"] == "fail"  # enum would pass "a"
+    # $number wins over $type (validate.ts:241 before :243)
+    schema2 = {"y": {"$number": {"min": 5}, "$type": "string"}}
+    table2 = pa.table({"y": pa.array([7.0, 1.0])})
+    assert list(TableValidator(schema2).fail_mask(table2)) == [False, True]
+    assert validate(schema2, {"y": 7})["result"] == "pass"
+    assert validate(schema2, {"y": "hello"})["result"] == "fail"

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from . import schema as S
 from .jsregex import compile_js, is_re2_safe
 from .oracle import validate_internal
-from .values import MAX_SAFE_INTEGER, UNDEFINED, utf16_length
+from .values import MAX_SAFE_INTEGER, UNDEFINED, js_truthy, utf16_length
 
 
 class VectorizedUnsupported(Exception):
@@ -154,13 +154,13 @@ def eval_node(
     """
     defined = ~(undef | jsnull)
 
-    # resolve custom names / $type wrappers (raises VectorizedUnsupported on recursion)
-    if isinstance(node, str) and custom.get(node):
-        return eval_node(resolve_ref(node, custom, seen), arr, undef, jsnull, n, custom, seen)
-    if S.is_meta(node):
-        return eval_node(node["$type"], arr, undef, jsnull, n, custom, seen)
-
+    # dispatch order mirrors the reference exactly (validate.ts:223-256):
+    # custom/simple → union → $array → $enum → obj → $map → $number →
+    # $type → $string → $and — it matters when a node carries several
+    # `$`-keys (first matching guard wins).
     if isinstance(node, str):
+        if js_truthy(custom.get(node, UNDEFINED)):
+            return eval_node(resolve_ref(node, custom, seen), arr, undef, jsnull, n, custom, seen)
         return _eval_simple(node, arr, undef, jsnull, defined, n)
 
     if isinstance(node, list):
@@ -173,31 +173,33 @@ def eval_node(
                 break
         return fail
 
+    if S.is_array(node):
+        return _eval_array(node, arr, defined, n, custom, seen)
+
     if S.is_enum(node):
         fail = ~defined
-        if arr is not None and pa.types.is_string(arr.type) or (arr is not None and pa.types.is_large_string(arr.type)):
+        if arr is not None and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
             in_set = _np(pc.is_in(arr, value_set=pa.array(node["$enum"], type=arr.type)), fill=False)
             fail = fail | (defined & ~in_set)
         else:
             fail = np.ones(n, dtype=bool)  # non-string column: every defined row fails too
-            fail |= ~defined  # undef/null also fail for enum
         return fail
-
-    if S.is_string(node):
-        return _eval_string_obj(node, arr, defined, n)
-
-    if S.is_number(node):
-        return _eval_number(node["$number"].get("min"), node["$number"].get("max"),
-                            arr, defined, n)
-
-    if S.is_array(node):
-        return _eval_array(node, arr, defined, n, custom, seen)
 
     if S.is_obj(node):
         return _eval_struct(node, arr, defined, n, custom, seen)
 
     if S.is_map(node):
         return _eval_map(node, arr, defined, n, custom, seen)
+
+    if S.is_number(node):
+        return _eval_number(node["$number"].get("min"), node["$number"].get("max"),
+                            arr, defined, n)
+
+    if S.is_meta(node):
+        return eval_node(node["$type"], arr, undef, jsnull, n, custom, seen)
+
+    if S.is_string(node):
+        return _eval_string_obj(node, arr, defined, n)
 
     if S.is_and(node):
         combined = S.combine_validation_objects(node, custom, lambda x: x)
