@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": textops.q_quality_documents,
         "fingerprint_documents": textops.q_fingerprint_documents,
         "media_features": _media_features_smoke,
+        "events_hourly_window": ops.q_events_hourly_window,
         "props_json_check": ops.q_props_json_check,
         "stats_lineitem": ops.q_stats_lineitem,
         "drift_events_value": ops.q_drift_events_value,
@@ -142,6 +143,13 @@ def oracle_sql() -> dict[str, str]:
         # minhash/simhash/ann_lsh/langid/fingerprint/media_features:
         # model-like or approximate ops — rows-only checks (accuracy is
         # asserted in tests against exact counterparts instead)
+        "events_hourly_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "props_json_check": r"""
             SELECT event_id FROM events
             WHERE TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) > 50

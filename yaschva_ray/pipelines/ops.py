@@ -359,6 +359,38 @@ def q_generate_fixture(sf_dir: str) -> pa.Table:
                      "n_pass": pa.array([passed], pa.int64())})
 
 
+def q_events_hourly_window(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate over event time: per (hour, event_type)
+    counts and integer-cent value sums.  In-batch partial aggregation before
+    the groupby shuffle (the windowed-aggregate operator family —
+    event-time tumbling windows are just truncation + grouped aggregate in
+    a batch engine)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        tt = pa.table({
+            "window_start": hour, "event_type": t["event_type"],
+            "value_cents": cents,
+            "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = tt.group_by(["window_start", "event_type"]).aggregate(
+            [("value_cents", "sum"), ("n_events", "sum")])
+        return pa.table({
+            "window_start": g["window_start"], "event_type": g["event_type"],
+            "value_cents": g["value_cents_sum"], "n_events": g["n_events_sum"],
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["window_start", "event_type"])
+           .aggregate(Sum("value_cents", alias_name="sum_value_cents"),
+                      Sum("n_events", alias_name="n_events")))
+    return _sorted_table(out, ["window_start", "event_type"])
+
+
 def q_top_violated_paths(sf_dir: str) -> pa.Table:
     """Reporting top-k: most-violated constraint paths over lineitem."""
     vio = q_violations_lineitem(sf_dir)
