@@ -43,10 +43,13 @@ FLAGSHIP_SCHEMA = {
 _FUSED_CACHE: dict = {}
 
 
-def _fused_task(batch: pa.Table, key: str, schema, catalog_ref) -> pa.Table:
+def _fused_task(batch: pa.Table, schema_json: str, catalog_ref) -> pa.Table:
+    # schema travels as a JSON string: hashable for Ray's schema dedup and
+    # parsed once per worker; cache key includes the catalog identity
+    key = (schema_json, str(catalog_ref))
     stage = _FUSED_CACHE.get(key)
     if stage is None:
-        stage = FusedValidateStage(schema, catalog_ref)
+        stage = FusedValidateStage(json.loads(schema_json), catalog_ref)
         _FUSED_CACHE[key] = stage
     return stage(batch)
 
@@ -276,7 +279,7 @@ def run_flagship(
     records: list[dict] = [done[i] for i in sorted(done)]
 
     wave = wave_size or max(1, len(pending))
-    skey = json.dumps(schema, sort_keys=True, default=str) + str(catalog_ref)
+    schema_json = json.dumps(schema, sort_keys=True)
     for w0 in range(0, len(pending), wave):
         wave_ids = pending[w0:w0 + wave]
         files = [f for i in wave_ids for f in shard_lists[i]]
@@ -284,7 +287,7 @@ def run_flagship(
         ds = ray.data.read_parquet(files, include_paths=True)
         fused = ds.map_batches(
             _fused_task, batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True, fn_args=(skey, schema, catalog_ref),
+            zero_copy_batch=True, fn_args=(schema_json, catalog_ref),
         )
         rows = pa.concat_tables(
             [t for t in ray.get(fused.to_arrow_refs()) if t.num_columns]
