@@ -121,3 +121,22 @@ def test_fingerprint_deterministic(ray_session):
     a = q_fingerprint_documents(SF_DIR)
     b = q_fingerprint_documents(SF_DIR)
     assert a.equals(b)
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    from yaschva_ray.pipelines.textops import q_ann_bruteforce, q_ann_ivf
+
+    bf = q_ann_bruteforce(SF_DIR).to_pylist()
+    ivf = q_ann_ivf(SF_DIR).to_pylist()
+    bf_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf_sets: dict = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets]
+    import numpy as np
+
+    assert np.mean(recalls) >= 0.5, recalls
+    # deterministic
+    assert q_ann_ivf(SF_DIR).equals(q_ann_ivf(SF_DIR))

@@ -343,6 +343,72 @@ def q_ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 12) 
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
+              n_probe: int = 4) -> pa.Table:
+    """IVF ANN (the other scale path): seeded k-means coarse quantizer
+    trained on a sample (driver-side, tiny), centroids broadcast; each batch
+    assigns vectors to lists and only vectors in the query's ``n_probe``
+    nearest lists are scored.  At scale the assignment doubles as the
+    partitioning key (groupby list-id → co-located exact rerank)."""
+    import ray
+
+    emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = _gather(emb_ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)), batch_format="pyarrow"))
+    qn = _embeddings_matrix(head)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    q_ids = head["vec_id"].to_pylist()
+
+    # train the coarse quantizer on a deterministic sample (first 512 rows)
+    sample = _gather(emb_ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 512)), batch_format="pyarrow"))
+    sm = _embeddings_matrix(sample)
+    sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(7)
+    centroids = sm[rng.choice(len(sm), size=min(n_lists, len(sm)), replace=False)]
+    for _ in range(8):  # Lloyd iterations, cosine metric on normalized vecs
+        assign = np.argmax(sm @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sm[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    bcast = ray.put((q_ids, qn, centroids, q_lists))
+
+    def probe(t: pa.Table) -> pa.Table:
+        q_ids_, qn_, cents, q_lists_ = ray.get(bcast)
+        m = _embeddings_matrix(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax(mn @ cents.T, axis=1)
+        vec_ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            cand = np.nonzero(np.isin(lists, q_lists_[qi]))[0]
+            if len(cand) == 0:
+                continue
+            scores = mn[cand] @ qn_[qi]
+            kk = min(k, len(cand))
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            out_q.extend([q_ids_[qi]] * kk)
+            out_v.extend(vec_ids[cand][top].tolist())
+            out_s.extend(scores[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partials = _gather(emb_ds.map_batches(probe, batch_format="pyarrow"))
+    import pandas as pd
+
+    if not partials.num_rows:
+        return partials
+    df = partials.to_pandas()
+    df = (df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+            .groupby("query_id", sort=True).head(k))
+    df = df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df[["query_id", "vec_id"]], preserve_index=False)
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
