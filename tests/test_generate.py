@@ -327,3 +327,21 @@ def test_seeded_determinism():
     # engine addition: same seed → identical output (fixtures depend on it)
     schema = load_json(EXAMPLE1)
     assert generate(schema, seed=42) == generate(schema, seed=42)
+
+
+def test_lookahead_groups_generate_nothing():
+    # negative lookahead must not emit the forbidden text (round-1 ADVICE):
+    # generated strings must satisfy the unanchored JS .test() round-trip
+    from yaschva_ray.jsregex import compile_js
+    from yaschva_ray.randregex import rand_from_regex
+
+    pat = r"^(?!foo)[a-z]{3}-\d+$"
+    rx = compile_js(pat)
+    for seed in range(50):
+        s = rand_from_regex(pat, random.Random(seed))
+        assert "foo" not in s[:3] or rx.search(s), s
+        assert rx.search(s) is not None, s
+    # positive lookahead: containment semantics — generating nothing keeps
+    # the rest of the pattern matchable
+    s2 = rand_from_regex(r"(?=x)x[0-9]", random.Random(1))
+    assert compile_js(r"x[0-9]").search(s2)

@@ -119,3 +119,20 @@ def test_hash64_stability():
     b = _hash64(pa.array(["x", "y", "x"]))
     assert np.array_equal(a, b)
     assert a[0] == a[2] and a[0] != a[1]
+
+
+def test_hash64_length_preserving_with_nulls():
+    # round-1 ADVICE (medium): callers align hashes positionally with
+    # full-length tables — null slots must hash, not shrink the output
+    import numpy as np
+    import pyarrow as pa
+
+    from yaschva_ray.engine.sketches import _hash64
+
+    arr = pa.array(["a", None, "b", None, "a"], pa.string())
+    h = _hash64(arr)
+    assert len(h) == len(arr)
+    assert h[0] == h[4]  # equal values hash equal
+    assert h[1] == h[3]  # nulls hash to a fixed deterministic value
+    ints = pa.array([1, None, 2], pa.int64())
+    assert len(_hash64(ints)) == 3

@@ -140,3 +140,41 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.5, recalls
     # deterministic
     assert q_ann_ivf(SF_DIR).equals(q_ann_ivf(SF_DIR))
+
+
+def test_null_text_rows_are_legal_input(ray_session, tmp_path):
+    # round-1 ADVICE (medium): null text must not crash dedup/fingerprint
+    # (hash output must align with full-length tables)
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import (
+        q_dedup_exact_documents,
+        q_fingerprint_documents,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["same text", None, "same text", None, "other"], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    dup = q_dedup_exact_documents(str(tmp_path))
+    # doc 3 duplicates doc 1; the two nulls group together -> doc 4 dups doc 2
+    assert dup["doc_id"].to_pylist() == [3, 4]
+    fp = q_fingerprint_documents(str(tmp_path))
+    assert fp.num_rows == 5
+    fps = dict(zip(fp["doc_id"].to_pylist(), fp["fingerprint"].to_pylist()))
+    assert fps[1] == fps[3] and fps[2] == fps[4] and fps[1] != fps[5]
+
+
+def test_uniqueness_with_null_keys(ray_session):
+    import ray.data
+
+    from yaschva_ray.engine.checks import uniqueness_violations
+
+    t = pa.table({"k": pa.array(["a", None, "a", None, "b"], pa.string())})
+    ds = ray.data.from_arrow(t)
+    out = ray.get(uniqueness_violations(ds, "k").to_arrow_refs())
+    rows = pa.concat_tables([x for x in out if x.num_columns]).to_pylist()
+    dup_keys = {r["k"]: r["n_docs"] for r in rows}
+    assert dup_keys.get("a") == 2
+    assert None in dup_keys and dup_keys[None] == 2

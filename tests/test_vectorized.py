@@ -266,3 +266,130 @@ def test_multi_dollar_key_dispatch_order():
     assert list(TableValidator(schema2).fail_mask(table2)) == [False, True]
     assert validate(schema2, {"y": 7})["result"] == "pass"
     assert validate(schema2, {"y": "hello"})["result"] == "fail"
+
+
+# --- round 2: unknown-key null rule, presence sidecars, map slicing --------
+
+
+def test_unknown_column_null_decodes_absent():
+    # an Arrow null in an unknown column decodes as undefined (absent member)
+    # under the decode rule, so only rows with an own (non-null) value fail
+    # (validate.ts:137-141)
+    schema = {"a": "string"}
+    table = pa.table({"a": pa.array(["x", "y", "z"]),
+                      "zz": pa.array([1, None, None], pa.int64())})
+    tv = TableValidator(schema)
+    assert list(tv.fail_mask(table)) == [True, False, False]
+    # the exploder (oracle path) agrees row by row
+    ex = ViolationExploder(schema)
+    for row, expect_fail in zip(table.to_pylist(), [True, False, False]):
+        res = ex.result_for_row(row)
+        assert (res["result"] == "fail") == expect_fail
+
+
+def test_unknown_struct_field_null_vs_value():
+    schema = {"s": {"a": "string"}}
+    t = pa.struct([("a", pa.string()), ("extra", pa.int64())])
+    table = pa.table({"s": pa.array(
+        [{"a": "x", "extra": 1}, {"a": "y", "extra": None}, None], t)})
+    mask = TableValidator(schema).fail_mask(table)
+    # row0: own 'extra' property -> fail; row1: extra is null -> absent -> pass;
+    # row2: struct itself null -> undefined -> fail ('s' is required)
+    assert list(mask) == [True, False, True]
+    ex = ViolationExploder(schema)
+    for row, expect_fail in zip(table.to_pylist(), [True, False, True]):
+        assert (ex.result_for_row(row)["result"] == "fail") == expect_fail
+
+
+def test_mask_matches_oracle_with_extra_columns_fuzz():
+    # fuzzed tables with extra null/non-null columns: mask verdicts must
+    # equal per-row oracle verdicts (VERDICT round-1 item 3)
+    rng = random.Random(1717)
+    schema = {"a": "string", "b": ["?", {"$number": {"min": 0}}]}
+    for _ in range(20):
+        n = rng.randint(1, 8)
+        extra = [rng.choice([None, rng.randint(0, 9)]) for _ in range(n)]
+        table = pa.table({
+            "a": pa.array([rng.choice(["ok", None]) for _ in range(n)], pa.string()),
+            "b": pa.array([rng.choice([None, 1.5, -2.0]) for _ in range(n)]),
+            "junk": pa.array(extra, pa.int64()),
+        })
+        tv = TableValidator(schema)
+        ex = ViolationExploder(schema)
+        mask = tv.fail_mask(table)
+        for i, row in enumerate(table.to_pylist()):
+            assert (ex.result_for_row(row)["result"] == "fail") == bool(mask[i]), (
+                row, bool(mask[i]))
+
+
+def test_presence_sidecar_top_level():
+    # FIXTURES.md: a boolean `<field>__present` sidecar lets one column carry
+    # both JS null and undefined (reference validate.ts:50-54)
+    table = pa.table({
+        "a": pa.array([None, None, "x"], pa.string()),
+        "a__present": pa.array([False, True, True]),
+    })
+    # ['?','null','string']: all three decode states pass
+    tv = TableValidator({"a": ["?", "null", "string"]})
+    assert list(tv.fail_mask(table)) == [False, False, False]
+    # ['null','string']: sidecar False -> undefined -> fail
+    tv2 = TableValidator({"a": ["null", "string"]})
+    assert list(tv2.fail_mask(table)) == [True, False, False]
+    # ['?','string']: sidecar True + Arrow null -> JS null -> fail
+    tv3 = TableValidator({"a": ["?", "string"]})
+    assert list(tv3.fail_mask(table)) == [False, True, False]
+    # exploder path decodes identically (sidecar consumed, not reported)
+    ex = ViolationExploder({"a": ["null", "string"]})
+    rows = table.to_pylist()
+    assert ex.result_for_row(rows[0])["result"] == "fail"
+    assert ex.result_for_row(rows[1])["result"] == "pass"
+    assert ex.result_for_row(rows[2])["result"] == "pass"
+    vio = ex(table).to_pylist()
+    assert all(v["path"] != "a__present" for v in vio)
+
+
+def test_presence_sidecar_struct_field():
+    t = pa.struct([("x", pa.string()), ("x__present", pa.bool_())])
+    table = pa.table({"s": pa.array(
+        [{"x": None, "x__present": False},
+         {"x": None, "x__present": True},
+         {"x": "v", "x__present": True}], t)})
+    schema = {"s": {"x": ["?", "null", "string"]}}
+    assert list(TableValidator(schema).fail_mask(table)) == [False, False, False]
+    schema2 = {"s": {"x": ["null", "string"]}}
+    assert list(TableValidator(schema2).fail_mask(table)) == [True, False, False]
+    ex = ViolationExploder(schema2)
+    verdicts = [ex.result_for_row(r)["result"] for r in table.to_pylist()]
+    assert verdicts == ["fail", "pass", "pass"]
+
+
+def test_map_eval_on_sliced_array():
+    # regression (round-1 ADVICE): eval_node on a sliced MapArray must use
+    # physical offsets — keys/items of a slice still cover the full child
+    from yaschva_ray.vectorized import _child_env, eval_node
+
+    node = {"$map": {"$number": {"min": 0}}}
+    arr = pa.array([{"a": -5}, {"b": 3}, {"c": -7}],
+                   pa.map_(pa.string(), pa.int64()))
+    sl = arr.slice(1, 2)
+    u, jn = _child_env(sl, node, {})
+    fail = eval_node(node, sl, u, jn, len(sl), {})
+    assert list(fail) == [False, True]
+
+
+def test_and_with_array_member():
+    # JS isObj accepts arrays; the reference spreads them as index keys
+    # (validationTypes.ts:39-40, validate.ts:43-47)
+    from yaschva_ray.schema import combine_validation_objects
+
+    out = combine_validation_objects(
+        {"$and": [{"a": "string"}, ["number", "boolean"]]}, {}, lambda x: x)
+    assert out.get("pass") == {"a": "string", "0": "number", "1": "boolean"}
+    # oracle validates against the merged object
+    assert validate({"$and": [{"a": "string"}, ["number"]]},
+                    {"a": "x", "0": 5})["result"] == "pass"
+    assert validate({"$and": [{"a": "string"}, ["number"]]},
+                    {"a": "x"})["result"] == "fail"  # '0' key required
+    # non-object, non-array member still errors
+    assert validate({"$and": [{"a": "string"}, "number"]},
+                    {"a": "x"})["result"] == "fail"

@@ -52,8 +52,14 @@ HLL_M = 1 << HLL_P
 
 
 def _hash64(arr: pa.Array) -> np.ndarray:
-    """Vectorized 64-bit hash of an Arrow array's values (nulls dropped)."""
-    arr = arr.drop_null()
+    """Vectorized 64-bit hash of an Arrow array's values.
+
+    LENGTH-PRESERVING: output has exactly ``len(arr)`` entries so callers may
+    align it positionally with full-length tables (bucketize / fingerprint /
+    uniqueness partials).  Null slots hash to a fixed deterministic value
+    (polars hashes nulls; the numpy fallback hashes the NaN bit pattern).
+    Callers that want nulls excluded (e.g. HLL distinct) drop them first.
+    """
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64)
     if pl is not None:
@@ -251,7 +257,7 @@ class ColumnSketch:
     def update(self, arr: pa.Array) -> None:
         self.count += len(arr)
         self.nulls += arr.null_count
-        self.hll.add_hashes(_hash64(arr))
+        self.hll.add_hashes(_hash64(arr.drop_null()))
         if self.numeric:
             vals = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
             finite = vals[np.isfinite(vals)]

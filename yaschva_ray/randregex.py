@@ -125,18 +125,27 @@ class _Parser:
     def parse_atom(self) -> _Node:
         ch = self.next()
         if ch == "(":
+            lookaround = False
             if self.peek() == "?":
                 self.next()
                 nxt = self.peek()
                 if nxt in (":", "=", "!"):
+                    lookaround = nxt in ("=", "!")
                     self.next()
                 elif nxt == "<":
                     self.next()
                     if self.peek() in ("=", "!"):
+                        lookaround = True
                         self.next()
             inner = self.parse_alternation()
             if self.peek() == ")":
                 self.next()
+            if lookaround:
+                # lookaround groups assert, they don't consume: generate
+                # nothing.  For negative lookahead, inlining the subpattern
+                # would emit exactly the forbidden text; for positive
+                # lookahead, an unanchored .test() is satisfied without it.
+                return _Lit("")
             return inner
         if ch == "[":
             return _OneOf(self._parse_class())

@@ -92,12 +92,18 @@ def combine_validation_objects(
         return tpe
 
     resolved = [resolve_meta(x) for x in and_type["$and"]]
-    if any(not is_obj(x) for x in resolved):
+    # JS isObj accepts arrays too (validationTypes.ts:39-40 — `instanceof
+    # Object` and index-string keys never start with '$'); the reference
+    # spreads an array member as {'0': ..., '1': ...} via {...prev, ...cur}
+    if any(not (is_obj(x) or isinstance(x, list)) for x in resolved):
         return {"result": "error", "error": on_error(resolved)}
 
     merged: dict = {}
     for member in resolved:
-        merged.update(member)
+        if isinstance(member, list):
+            merged.update({str(i): v for i, v in enumerate(member)})
+        else:
+            merged.update(member)
     return {"pass": merged}
 
 

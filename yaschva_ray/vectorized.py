@@ -279,6 +279,19 @@ def _child_env(values: pa.Array, node: Any, custom: dict):
     return np.zeros(len(values), dtype=bool), m
 
 
+def _sidecar_env(values: pa.Array | None, present: pa.Array, n: int):
+    """undef/jsnull masks when a ``<field>__present`` boolean sidecar carries
+    the undefined-vs-null distinction (FIXTURES.md encoding rules): sidecar
+    False ⇒ JS undefined; sidecar True + Arrow null ⇒ JS null."""
+    pres = _np(present, fill=False).astype(bool)
+    nulls = _null_mask(values) if values is not None else np.ones(n, dtype=bool)
+    return ~pres, pres & nulls
+
+
+def sidecar_name(field: str) -> str:
+    return f"{field}__present"
+
+
 def _eval_array(node, arr, defined, n, custom, seen) -> np.ndarray:
     if arr is None or not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
         return np.ones(n, dtype=bool)
@@ -299,11 +312,17 @@ def _eval_struct(node, arr, defined, n, custom, seen) -> np.ndarray:
     schema_keys = {}
     for k, v in node.items():
         schema_keys[k[1:] if k.startswith("\\$") else k] = v
-    # closedness: data fields not in schema fail every row with a defined value
-    for field in arr.type:
-        if field.name not in schema_keys:
-            return ~defined | defined  # every defined row fails too => all fail
     member_fail = np.zeros(n, dtype=bool)
+    sidecars: dict[str, pa.Array] = {}
+    for field in arr.type:
+        if field.name.endswith("__present") and field.name[:-9] in schema_keys:
+            sidecars[field.name[:-9]] = pc.struct_field(arr, field.name)
+            continue
+        if field.name not in schema_keys:
+            # closedness: an unknown key fails ONLY rows where it is an own
+            # property (validate.ts:137-141); an Arrow null in an unknown
+            # field decodes as absent (undefined) and passes
+            member_fail |= ~_null_mask(pc.struct_field(arr, field.name))
     for name, sub in schema_keys.items():
         idx = arr.type.get_field_index(name)
         if idx < 0:
@@ -312,7 +331,10 @@ def _eval_struct(node, arr, defined, n, custom, seen) -> np.ndarray:
             jn = np.zeros(n, dtype=bool)
         else:
             child = pc.struct_field(arr, idx)
-            u, jn = _child_env(child, sub, custom)
+            if name in sidecars:
+                u, jn = _sidecar_env(child, sidecars[name], n)
+            else:
+                u, jn = _child_env(child, sub, custom)
         member_fail |= eval_node(sub, child, u, jn, n, custom, seen)
     return fail | (defined & member_fail)
 
@@ -322,23 +344,29 @@ def _eval_map(node, arr, defined, n, custom, seen) -> np.ndarray:
         return np.ones(n, dtype=bool)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    # list_value_length has no map kernel; use offsets (null slots are
-    # zero-width in practice — keys/items exclude null slots)
-    raw = np.diff(arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
-    lengths = np.where(_null_mask(arr), 0, raw)
-    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    # list_value_length has no map kernel; use the PHYSICAL offsets.
+    # ``arr.offsets`` is a correctly-sliced view, but ``arr.keys``/``items``
+    # return the FULL child array — so slice children to
+    # [offsets[0], offsets[-1]) and rebase, which also stays correct for a
+    # sliced MapArray and for null slots with non-zero width (their entries
+    # are positioned by the raw offsets and masked out below).
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    start, end = int(off[0]), int(off[-1])
+    rel = off - start
+    raw = np.diff(off)
+    nulls = _null_mask(arr)
+    lengths = np.where(nulls, 0, raw)
     mx = node.get("maxLength") or MAX_SAFE_INTEGER
     mn = node.get("minLength") or 0
     count_fail = (lengths < mn) | (lengths > mx)
-    keys = arr.keys
-    items = arr.items
-    # keys/items of a MapArray include only non-null slots (like list flatten)
+    keys = arr.keys.slice(start, end - start)
+    items = arr.items.slice(start, end - start)
     per_entry_fail = np.zeros(len(items), dtype=bool)
     if node.get("regex"):
         per_entry_fail |= _regex_fail_mask(keys, node["regex"])
     u, jn = _child_env(items, node["$map"], custom)
     per_entry_fail |= eval_node(node["$map"], items, u, jn, len(items), custom, seen)
-    entry_fail = _segmented_any(per_entry_fail, offsets)
+    entry_fail = _segmented_any(per_entry_fail, rel) & ~nulls
     return ~defined | (defined & (count_fail | entry_fail))
 
 
@@ -386,16 +414,30 @@ class TableValidator:
         n = batch.num_rows
         fail = np.zeros(n, dtype=bool)
         present = set(batch.column_names)
-        # closed-struct rule at table level: unknown columns fail every row
+        side_names = {sidecar_name(f) for f in self.fields}
+        # closed-struct rule at table level: an unknown column fails only
+        # rows where its value is an own property (non-null); an Arrow null
+        # decodes as absent and passes (validate.ts:137-141)
         for name in present:
-            if name not in self.fields and name not in self.id_columns:
-                fail |= True
+            if name in self.fields or name in self.id_columns or name in side_names:
+                continue
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            fail |= ~_null_mask(col)
         for name, node in self.fields.items():
+            side = sidecar_name(name)
             if name in present:
                 col = batch[name]
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
-                u, jn = _child_env(col, node, self.custom)
+                if side in present:
+                    sc = batch[side]
+                    if isinstance(sc, pa.ChunkedArray):
+                        sc = sc.combine_chunks()
+                    u, jn = _sidecar_env(col, sc, n)
+                else:
+                    u, jn = _child_env(col, node, self.custom)
                 if name in self.json_columns:
                     fail |= self._oracle_column(node, col, u, jn, parse_json=True)
                     continue
@@ -404,8 +446,14 @@ class TableValidator:
                 except VectorizedUnsupported:
                     fail |= self._oracle_column(node, col, u, jn)
             else:
-                u = np.ones(n, dtype=bool)
-                jn = np.zeros(n, dtype=bool)
+                if side in present:  # sidecar without a value column: null-only field
+                    sc = batch[side]
+                    if isinstance(sc, pa.ChunkedArray):
+                        sc = sc.combine_chunks()
+                    u, jn = _sidecar_env(None, sc, n)
+                else:
+                    u = np.ones(n, dtype=bool)
+                    jn = np.zeros(n, dtype=bool)
                 try:
                     fail |= eval_node(node, None, u, jn, n, self.custom)
                 except VectorizedUnsupported:
@@ -431,6 +479,10 @@ class TableValidator:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mask = self.fail_mask(batch)
+        # drop parquet-inherited schema metadata (zero-copy): a pa.Schema
+        # with a metadata dict is UNHASHABLE, which defeats Ray Data's
+        # block-schema dedup and spams "Failed to hash the schemas" warnings
+        batch = batch.replace_schema_metadata(None)
         return batch.append_column("valid", pa.array(~mask))
 
 
@@ -468,10 +520,24 @@ def _decode_value(v: Any, node: Any, custom: dict) -> Any:
             sub_schema = {(k[1:] if k.startswith("\\$") else k): s for k, s in target.items()}
         map_node = target.get("$map") if isinstance(target, dict) else None
         for k, x in v.items():
+            if k.endswith("__present") and sub_schema and k[:-9] in sub_schema:
+                continue  # presence sidecar — consumed by its base field
             child_node = sub_schema.get(k) if sub_schema else map_node
-            if x is None and child_node is not None and null_decodes_as_undefined(child_node, custom):
+            pres_key = f"{k}__present"
+            if sub_schema and k in sub_schema and pres_key in v:
+                if not v[pres_key]:
+                    continue  # sidecar False ⇒ undefined (absent)
+                if x is None:
+                    out[k] = None  # sidecar True + null ⇒ JS null
+                    continue
+            elif x is None and child_node is not None and null_decodes_as_undefined(child_node, custom):
                 continue  # absent member (undefined) — omit the key
-            out[k] = _decode_value(x, child_node, custom) if child_node is not None else x
+            if child_node is None:
+                if x is None:
+                    continue  # null in an unknown field decodes as absent
+                out[k] = x
+            else:
+                out[k] = _decode_value(x, child_node, custom)
         return out
     if isinstance(v, list):
         target = resolved if resolved is not None else node
@@ -496,11 +562,22 @@ def decode_row(row: dict, fields: dict, custom: dict, exclude: tuple = (),
     for name, v in row.items():
         if name in exclude:
             continue
+        if name.endswith("__present") and name[:-9] in fields:
+            continue  # presence sidecar — consumed by its base field below
         node = fields.get(name)
         if node is None:
-            out[name] = v  # unknown column → oracle emits Key-does-not-exist
+            if v is None:
+                continue  # Arrow null in an unknown column decodes as absent
+            out[name] = v  # unknown own property → oracle emits Key-does-not-exist
             continue
-        if v is None and null_decodes_as_undefined(node, custom):
+        side = sidecar_name(name)
+        if side in row:
+            if not row[side]:
+                continue  # sidecar False ⇒ undefined (absent)
+            if v is None:
+                out[name] = None  # sidecar True + Arrow null ⇒ JS null
+                continue
+        elif v is None and null_decodes_as_undefined(node, custom):
             continue
         if name in json_columns:
             out[name] = _parse_json_value(v)
