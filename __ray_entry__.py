@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": ops.q_pricing_summary,
         "token_count_documents": ops.q_token_count_documents,
         "top_violated_paths": ops.q_top_violated_paths,
+        "type_emitter": ops.q_type_emitter,
         "f0_flagship_violations": _f0_smoke,
     }
 
@@ -259,6 +260,20 @@ def oracle_sql() -> dict[str, str]:
         "top_violated_paths": _LINEITEM_VIOLATION_SQL + """
             SELECT path, CAST(count(*) AS BIGINT) AS n FROM v
             GROUP BY path ORDER BY n DESC, path
+        """,
+        # type emitter: input-free parity surface — the oracle is the
+        # expected strings themselves (string-exact vs type.spec.ts goldens)
+        "type_emitter": """
+            SELECT * FROM (VALUES
+                ('all_optional', '{ prop1?: undefined | string; prop2?: undefined | number } | undefined', 'prop1:string:opt; prop2:double:opt'),
+                ('constraints_dropped', '{ s: string; n: number }', 's:string:req; n:double:req'),
+                ('enum', '"lorem" | "ipsum" | "santa" | "domine"', ''),
+                ('map_union', '{ [key: string] : number | string}', ''),
+                ('meta_named', '{ str: string; num: number }', ''),
+                ('object_arrays', '{ stringOrNumber: (string | number)[]; objArray: { hello: string; world: number }[] }', 'stringOrNumber:string:opt; objArray:list<item: struct<hello: string, world: double>>:req'),
+                ('object_simple', '{ string: string; number: number; any: any; optional?: undefined; boolean: boolean; integer: number }', 'string:string:req; number:double:req; any:string:opt; optional:null:opt; boolean:bool:req; integer:int64:req'),
+                ('union_flat', 'number | boolean | string | undefined', '')
+            ) AS t(name, ts_type, arrow_schema) ORDER BY name
         """,
         # f0_flagship_violations: engine-generated input — rows-only check
     }

@@ -38,6 +38,20 @@ def _cmd_check(args: argparse.Namespace) -> int:
     return 0 if result["result"] == "pass" else 1
 
 
+def _cmd_types(args: argparse.Namespace) -> int:
+    """Emit the TypeScript type (reference ``validationToType``, type.ts:33)
+    and optionally the Arrow table schema for a schema file."""
+    from .schema import load_json
+    from .typegen import schema_to_arrow, validation_to_type
+
+    with open(args.schema) as f:
+        schema = load_json(f.read())
+    print(validation_to_type(schema))
+    if args.arrow:
+        print(schema_to_arrow(schema))
+    return 0
+
+
 def _cmd_validate(args: argparse.Namespace) -> int:
     import ray
 
@@ -76,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--schema", required=True)
     c.add_argument("--value", required=True)
 
+    t = sub.add_parser("types", help="emit the TypeScript type for a schema")
+    t.add_argument("--schema", required=True)
+    t.add_argument("--arrow", action="store_true",
+                   help="also print the emitted Arrow table schema")
+
     v = sub.add_parser("validate", help="run the full table-validation pipeline")
     v.add_argument("--schema", required=True)
     v.add_argument("--input", required=True, help="parquet glob")
@@ -89,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.cmd == "check":
         return _cmd_check(args)
+    if args.cmd == "types":
+        return _cmd_types(args)
     return _cmd_validate(args)
 
 

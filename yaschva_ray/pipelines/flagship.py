@@ -346,7 +346,10 @@ def run_flagship(
         wave_ids = pending[w0:w0 + wave]
         files = [f for i in wave_ids for f in shard_lists[i]]
         t0 = _time.time()
-        ds = ray.data.read_parquet(files, include_paths=True)
+        from ..sources import clean_parquet_schema
+
+        ds = ray.data.read_parquet(files, include_paths=True,
+                                   schema=clean_parquet_schema(files[0]))
         fused = ds.map_batches(
             _fused_task, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True, fn_args=(schema_json, catalog_ref),

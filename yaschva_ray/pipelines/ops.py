@@ -23,7 +23,12 @@ from ..vectorized import TableValidator, ViolationExploder
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources import clean_parquet_schema
+
+    path = f"{sf_dir}/{table}.parquet"
+    # metadata-stripped schema keeps block schemas hashable (fast unify path)
+    return ray.data.read_parquet(path, columns=columns,
+                                 schema=clean_parquet_schema(path, columns))
 
 
 def _sorted_table(ds_or_table, sort_cols: list[str]) -> pa.Table:
@@ -128,29 +133,28 @@ def q_uniqueness_events_user(sf_dir: str) -> pa.Table:
 
 
 def q_customers_without_orders(sf_dir: str) -> pa.Table:
-    """Anti-join via broadcast distinct key set (no shuffle join)."""
-    orders_keys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    key_set = pa.array(sorted(orders_keys), pa.int64())
-    cust = _read(sf_dir, "customer", ["c_custkey"])
-    missing = cust.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=key_set))),
-        batch_format="pyarrow",
-    )
-    return _sorted_table(missing, ["c_custkey"])
+    """Anti-join: customers with no orders.  ``referential_missing_keys``
+    measures the distinct right-side key count and picks broadcast
+    (small side, shuffle-free is_in filter) or hash-partitioned co-group
+    (the distinct key set of a 100 TB orders table is not broadcastable)."""
+    from ..engine.checks import referential_missing_keys
+
+    return referential_missing_keys(
+        _read(sf_dir, "customer", ["c_custkey"]),
+        _read(sf_dir, "orders", ["o_custkey"]),
+        "c_custkey", "o_custkey")
 
 
 def q_dangling_lineitem_parts(sf_dir: str) -> pa.Table:
     """Referential: distinct lineitem.l_partkey values not present in part
-    (broadcast key set; expected empty on clean TPC-H data)."""
-    part_keys = set(_read(sf_dir, "part", ["p_partkey"]).unique("p_partkey"))
-    key_set = pa.array(sorted(part_keys), pa.int64())
-    li = _read(sf_dir, "lineitem", ["l_partkey"])
-    dangling = li.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["l_partkey"], value_set=key_set))),
-        batch_format="pyarrow",
-    )
-    keys = sorted(dangling.unique("l_partkey") or [])
-    return pa.table({"l_partkey": pa.array(keys, pa.int64())})
+    (size-switched broadcast/partitioned anti-join; expected empty on clean
+    TPC-H data)."""
+    from ..engine.checks import referential_missing_keys
+
+    return referential_missing_keys(
+        _read(sf_dir, "lineitem", ["l_partkey"]),
+        _read(sf_dir, "part", ["p_partkey"]),
+        "l_partkey", "p_partkey")
 
 
 # --- aggregates / stats -----------------------------------------------------
@@ -392,10 +396,88 @@ def q_events_hourly_window(sf_dir: str) -> pa.Table:
 
 
 def q_top_violated_paths(sf_dir: str) -> pa.Table:
-    """Reporting top-k: most-violated constraint paths over lineitem."""
-    vio = q_violations_lineitem(sf_dir)
-    if not vio.num_rows:
+    """Reporting top-k: most-violated constraint paths over lineitem.
+
+    Fully distributed: each batch validates, explodes its own failing rows,
+    and emits per-path PARTIAL counts — only (path, n) partials ever leave a
+    task (path cardinality is bounded by the schema, so the final combine is
+    a tiny driver-side merge, the same partial-aggregate shape the flagship
+    report uses)."""
+    ds = _read(sf_dir, "lineitem", LINEITEM_COLS)
+    tv = TableValidator(LINEITEM_CHECK_SCHEMA)
+    exploder = ViolationExploder(LINEITEM_CHECK_SCHEMA,
+                                 id_columns=("l_orderkey", "l_linenumber"))
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        failing = batch.filter(pa.array(tv.fail_mask(batch)))
+        if not failing.num_rows:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vio = exploder(failing)
+        g = vio.group_by("path").aggregate([([], "count_all")])
+        return pa.table({"path": g["path"], "n": g["count_all"].cast(pa.int64())})
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    import ray
+
+    blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+    if not blocks:
         return pa.table({"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-    g = vio.group_by("path").aggregate([("path", "count")])
-    counts = pa.table({"path": g["path"], "n": g["path_count"].cast(pa.int64())})
+    merged = pa.concat_tables(blocks).group_by("path").aggregate([("n", "sum")])
+    counts = pa.table({"path": merged["path"], "n": merged["n_sum"].cast(pa.int64())})
     return counts.sort_by([("n", "descending"), ("path", "ascending")])
+
+
+# --- type emitter (reference type.ts validationToType) ----------------------
+
+# Named schema cases mirroring the reference's type.spec.ts coverage; the
+# driver string-compares the emitted TS type and Arrow schema encodings
+# against the literal-VALUES oracle (exact parity surface, type.ts:33-92).
+TYPE_EMITTER_CASES: list[tuple[str, object]] = [
+    ("enum", {"$enum": ["lorem", "ipsum", "santa", "domine"]}),
+    ("map_union", {"$map": ["number", "string"]}),
+    ("object_simple", {"string": "string", "number": "number", "any": "any",
+                       "optional": "?", "boolean": "boolean",
+                       "integer": "integer"}),
+    ("object_arrays", {"stringOrNumber": {"$array": ["string", "number"]},
+                       "objArray": {"$array": {"hello": "string",
+                                               "world": "number"}}}),
+    ("all_optional", {"prop1": ["?", "string"], "prop2": ["?", "number"]}),
+    ("constraints_dropped", {"s": {"$string": {"minLength": 4, "maxLength": 16}},
+                             "n": {"$number": {"min": 3, "max": 9}}}),
+    ("meta_named", {"name": "object with name",
+                    "$type": {"str": "string", "num": "number"}}),
+    ("union_flat", ["integer", "boolean", "string", "?"]),
+]
+
+
+def _arrow_schema_repr(schema) -> str:
+    """One-line deterministic encoding of the emitted Arrow schema:
+    ``name:type:req|opt`` joined by '; ' ('' for non-object roots, which
+    have no table form)."""
+    from ..schema import is_obj
+    from ..typegen import schema_to_arrow
+
+    body = schema
+    if isinstance(schema, dict):
+        body = {k: v for k, v in schema.items() if k != "$types"}
+    if not is_obj(body):
+        return ""
+    s = schema_to_arrow(schema)
+    return "; ".join(f"{f.name}:{f.type}:{'opt' if f.nullable else 'req'}"
+                     for f in s)
+
+
+def q_type_emitter(sf_dir: str) -> pa.Table:
+    """Type-emitter parity: TS type string (validationToType, reference
+    type.ts:33-92) and Arrow schema encoding per named case.  Input-free
+    (``sf_dir`` ignored); the oracle is the literal expected strings."""
+    from ..typegen import validation_to_type
+
+    names = [n for n, _ in TYPE_EMITTER_CASES]
+    ts = [validation_to_type(s) for _, s in TYPE_EMITTER_CASES]
+    arrow = [_arrow_schema_repr(s) for _, s in TYPE_EMITTER_CASES]
+    return pa.table({"name": pa.array(names, pa.string()),
+                     "ts_type": pa.array(ts, pa.string()),
+                     "arrow_schema": pa.array(arrow, pa.string())}
+                    ).sort_by([("name", "ascending")])

@@ -23,7 +23,12 @@ TOKEN_RE = r"\S+"
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources import clean_parquet_schema
+
+    path = f"{sf_dir}/{table}.parquet"
+    # metadata-stripped schema keeps block schemas hashable (fast unify path)
+    return ray.data.read_parquet(path, columns=columns,
+                                 schema=clean_parquet_schema(path, columns))
 
 
 def _gather(ds) -> pa.Table:

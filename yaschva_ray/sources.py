@@ -20,6 +20,25 @@ def have_lance() -> bool:
         return False
 
 
+def clean_parquet_schema(path: str, columns: list[str] | None = None):
+    """File schema with key-value metadata stripped (and pruned to
+    ``columns`` when given).
+
+    Pandas-written parquet carries a ``b'pandas'`` metadata blob that makes
+    ``pa.Schema`` UNHASHABLE — every downstream block-schema unify then logs
+    Ray's "Failed to hash the schemas (for deduplication)" warning and takes
+    the slow path.  Passing this cleaned schema to ``read_parquet`` keeps
+    every block schema hashable from the first stage on.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    full = pq.read_schema(path).remove_metadata()
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])
+
+
 def read_docs(paths: list[str] | str, *, columns: list[str] | None = None,
               include_paths: bool = False, **kwargs):
     """Read an interleaved-doc table as a ``ray.data.Dataset``.
@@ -37,6 +56,8 @@ def read_docs(paths: list[str] | str, *, columns: list[str] | None = None,
                 "Lance support requires the 'lance' package (not in this "
                 "container); use parquet or install pylance")
         return ray.data.read_lance(first, columns=columns, **kwargs)
+    if "schema" not in kwargs and os.path.isfile(str(first)):
+        kwargs["schema"] = clean_parquet_schema(str(first), columns)
     return ray.data.read_parquet(paths, columns=columns,
                                  include_paths=include_paths, **kwargs)
 
