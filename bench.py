@@ -123,11 +123,28 @@ def main_default() -> None:
         ray.shutdown()
 
 
+def warmup(n_cpus: int) -> None:
+    """Untimed warmup: spin up the worker pool and load the UDF import set
+    in every worker (a production cluster's pools are warm; without this
+    the smaller-parallelism run is flattered — 8 workers cold-start faster
+    than 32 and the efficiency number measures start-up, not the job)."""
+    import ray
+
+    def load(b):
+        import yaschva_ray.pipelines.flagship  # noqa: F401 — worker imports
+
+        return b
+
+    ray.data.range(n_cpus * 20_000, override_num_blocks=n_cpus * 2) \
+        .map_batches(load).materialize()
+
+
 def main_single(n_cpus: int, n_docs: int) -> None:
     init_ray(n_cpus)
     import ray
 
     try:
+        warmup(n_cpus)
         flag = bench_flagship(n_docs, f"/tmp/yaschva_bench/out_{n_cpus}")
         print(json.dumps({"num_cpus": n_cpus, **flag}))
     finally:

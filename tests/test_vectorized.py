@@ -393,3 +393,43 @@ def test_and_with_array_member():
     # non-object, non-array member still errors
     assert validate({"$and": [{"a": "string"}, "number"]},
                     {"a": "x"})["result"] == "fail"
+
+
+def test_fast_exploder_matches_row_oracle_fuzz():
+    """The mask-driven fast explode path must emit exactly the same
+    (path, error, value_repr) rows as the whole-row oracle walk, across
+    random schemas/corruptions (incl. unknown columns, arrays, unions)."""
+    rng = random.Random(777)
+    schemas = [
+        {"a": "string", "b": "integer", "c": "boolean"},
+        {"a": ["?", "string"], "b": {"$number": {"min": 0, "max": 10}}},
+        {"e": {"$enum": ["x", "y", "z"]}},
+        {"s": {"$string": {"minLength": 2, "maxLength": 8}}},
+        {"r": {"$string": {"regex": "^ab+c$"}}},
+        {"arr": {"$array": "integer", "minLength": 1, "maxLength": 4}},
+        {"arr": {"$array": ["?", "string"]}},
+        {"o": {"x": "number", "y": ["?", "boolean"]}},
+        {"m": {"$map": "integer", "minLength": 1}},
+        {"nested": {"$array": {"v": {"$enum": ["p", "q"]}, "w": ["?", "integer"]}}},
+        {"$types": {"$sp": {"k": {"$enum": ["a", "b"]},
+                            "t": ["?", {"$string": {"minLength": 1}}]}},
+         "spans": {"$array": "$sp", "minLength": 1, "maxLength": 3}},
+    ]
+    for schema in schemas:
+        body = {k: v for k, v in schema.items() if k != "$types"}
+        arrow_schema = schema_to_arrow(schema)
+        rows = [clean(generate(schema, {"maxStringLength": 6, "arrayMax": 3,
+                                        "mapMax": 3}, rng=rng))
+                for _ in range(80)]
+        table = _encode(rows, arrow_schema, rng)
+        if rng.random() < 0.5:  # unknown extra column (closedness rows)
+            extra = [rng.choice([None, "zz", None]) for _ in range(80)]
+            table = table.append_column("extra_col", pa.array(extra, pa.string()))
+        ex_fast = ViolationExploder(schema)
+        assert ex_fast._fast_plans is not None
+        ex_slow = ViolationExploder(schema)
+        ex_slow._fast_plans = None
+        fast, slow = ex_fast(table), ex_slow(table)
+        key = lambda t: sorted(zip(*[t[c].to_pylist() for c in t.column_names]))
+        assert fast.column_names == slow.column_names
+        assert key(fast) == key(slow), (schema, key(fast)[:5], key(slow)[:5])

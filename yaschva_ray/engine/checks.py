@@ -60,6 +60,93 @@ def uniqueness_violations(ds: "ray.data.Dataset", key: str,
             .map_groups(per_bucket, batch_format="pyarrow"))
 
 
+def _bucket_partial_slices(t: pa.Table, key: str, num_buckets: int) -> list[pa.Table]:
+    """Partial-count a key table and split it into ``num_buckets`` hash
+    slices (the map half of the two-stage uniqueness exchange)."""
+    from .sketches import _hash64
+
+    counts = t.group_by(key).aggregate([([], "count_all")])
+    karr = counts[key]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    buckets = (_hash64(karr) % np.uint64(num_buckets)).astype(np.int64)
+    part = pa.table({key: karr,
+                     "partial_n": counts["count_all"].cast(pa.int64())})
+    order = np.argsort(buckets, kind="stable")
+    sorted_part = part.take(pa.array(order))
+    sorted_buckets = buckets[order]
+    bounds = np.searchsorted(sorted_buckets, np.arange(num_buckets + 1))
+    return [sorted_part.slice(bounds[b], bounds[b + 1] - bounds[b])
+            for b in range(num_buckets)]
+
+
+def _reduce_bucket_tables(parts, key: str) -> pa.Table:
+    """Group-sum one bucket's partials and keep keys with total count > 1."""
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    if t.num_rows == 0:
+        return pa.table({key: pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    g = t.group_by(key).aggregate([("partial_n", "sum")])
+    g = g.filter(pc.greater(g["partial_n_sum"], 1))
+    return pa.table({key: g[key], "n_docs": g["partial_n_sum"].cast(pa.int64())})
+
+
+def _uniq_map_key_blobs_task(block: pa.Table, key: str, num_buckets: int):
+    from .ipcio import ipc_table
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    tables = [t for t in (ipc_table(b) for b in block["keys"].to_pylist())
+              if t.num_columns]
+    if not tables:
+        empty = pa.table({key: pa.array([], pa.string()),
+                          "partial_n": pa.array([], pa.int64())})
+        return [empty] * num_buckets if num_buckets > 1 else empty
+    t = pa.concat_tables(tables)
+    out = _bucket_partial_slices(t, key, num_buckets)
+    return out if num_buckets > 1 else out[0]
+
+
+_UNIQ_MAP_REMOTE = None
+
+
+def uniqueness_map_key_blobs(block_refs, key: str, num_buckets: int = 16):
+    """Map half of the uniqueness exchange sourced from FUSED-STAGE rows
+    (column ``keys``: IPC-encoded per-batch key tables) — the input table
+    is NOT re-scanned; the flagship's single pass already extracted the key
+    column.  One task per fused block, ``num_returns`` bucket slices each.
+    Callable PER BLOCK as refs stream out of the fused stage (the remote
+    function is defined once at module scope, so per-call export cost is
+    zero); finish with :func:`uniqueness_reduce`."""
+    import ray
+
+    global _UNIQ_MAP_REMOTE
+    if _UNIQ_MAP_REMOTE is None:
+        _UNIQ_MAP_REMOTE = ray.remote(_uniq_map_key_blobs_task)
+    map_out = [_UNIQ_MAP_REMOTE.options(num_returns=num_buckets)
+               .remote(ref, key, num_buckets) for ref in block_refs]
+    if num_buckets == 1:
+        map_out = [[r] for r in map_out]
+    return map_out
+
+
+def uniqueness_reduce(map_out, key: str, num_buckets: int = 16) -> pa.Table:
+    """Reduce half: one task per bucket over all accumulated map slices."""
+    import ray
+
+    @ray.remote
+    def reduce_bucket(*parts: pa.Table) -> pa.Table:
+        return _reduce_bucket_tables(parts, key)
+
+    reduced = [reduce_bucket.remote(*[m[b] for m in map_out])
+               for b in range(num_buckets)]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({key: pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    return pa.concat_tables(tables).combine_chunks().sort_by([(key, "ascending")])
+
+
 def uniqueness_violations_files(
     files: list[str], key: str, num_buckets: int = 16, files_per_task: int = 4
 ) -> pa.Table:
@@ -80,8 +167,6 @@ def uniqueness_violations_files(
     """
     import ray
 
-    from .sketches import _hash64
-
     @ray.remote
     def map_file(paths: list[str]) -> list[pa.Table]:
         import pyarrow.parquet as pq
@@ -90,42 +175,15 @@ def uniqueness_violations_files(
 
         limit_worker_threads()
         t = pa.concat_tables([pq.read_table(p, columns=[key]) for p in paths])
-        counts = t.group_by(key).aggregate([([], "count_all")])
-        karr = counts[key]
-        if isinstance(karr, pa.ChunkedArray):
-            karr = karr.combine_chunks()
-        buckets = (_hash64(karr) % np.uint64(num_buckets)).astype(np.int64)
-        part = pa.table({key: karr,
-                         "partial_n": counts["count_all"].cast(pa.int64())})
-        order = np.argsort(buckets, kind="stable")
-        sorted_part = part.take(pa.array(order))
-        sorted_buckets = buckets[order]
-        bounds = np.searchsorted(sorted_buckets, np.arange(num_buckets + 1))
-        return [sorted_part.slice(bounds[b], bounds[b + 1] - bounds[b])
-                for b in range(num_buckets)]
-
-    @ray.remote
-    def reduce_bucket(*parts: pa.Table) -> pa.Table:
-        t = pa.concat_tables([p for p in parts if p.num_rows])
-        if t.num_rows == 0:
-            return pa.table({key: pa.array([], pa.string()),
-                             "n_docs": pa.array([], pa.int64())})
-        g = t.group_by(key).aggregate([("partial_n", "sum")])
-        g = g.filter(pc.greater(g["partial_n_sum"], 1))
-        return pa.table({key: g[key], "n_docs": g["partial_n_sum"].cast(pa.int64())})
+        out = _bucket_partial_slices(t, key, num_buckets)
+        return out if num_buckets > 1 else out[0]
 
     groups = [[str(f) for f in files[i:i + files_per_task]]
               for i in range(0, len(files), files_per_task)]
     map_out = [map_file.options(num_returns=num_buckets).remote(g) for g in groups]
     if num_buckets == 1:
         map_out = [[r] for r in map_out]
-    reduced = [reduce_bucket.remote(*[m[b] for m in map_out])
-               for b in range(num_buckets)]
-    tables = [t for t in ray.get(reduced) if t.num_rows]
-    if not tables:
-        return pa.table({key: pa.array([], pa.string()),
-                         "n_docs": pa.array([], pa.int64())})
-    return pa.concat_tables(tables).combine_chunks().sort_by([(key, "ascending")])
+    return uniqueness_reduce(map_out, key, num_buckets)
 
 
 def referential_missing_keys(

@@ -119,7 +119,7 @@ class FusedValidateStage:
     compile, catalog fetch) happens once per actor in ``__init__``.
     """
 
-    def __init__(self, schema, catalog_ref=None):
+    def __init__(self, schema, catalog_ref=None, unique_key: str = "doc_id"):
         import pickle
 
         import ray
@@ -128,6 +128,7 @@ class FusedValidateStage:
 
         limit_worker_threads()
         self.pickle = pickle
+        self.unique_key = unique_key
         self.tv = TableValidator(schema)
         self.ex = ViolationExploder(schema, id_columns=("doc_id",))
         self.feats = SpanFeatures()
@@ -178,14 +179,28 @@ class FusedValidateStage:
             "violations": pa.array([_ipc_bytes(vio)], pa.binary()),
             "dangling": pa.array([_ipc_bytes(dangling)], pa.binary()),
             "sketches": pa.array([self.pickle.dumps(sketches)], pa.binary()),
+            # per-batch key column for the cross-partition uniqueness
+            # exchange — sourced HERE so uniqueness needs no second scan
+            # of the input (the whole run reads each input byte once)
+            "keys": pa.array([_ipc_bytes(batch.select([self.unique_key]))]
+                             if self.unique_key in batch.column_names
+                             else [_ipc_bytes(pa.table({}))], pa.binary()),
         })
 
 
-def _assemble_distributed(fused, wave_ids: list[int], file_to_shard: dict,
-                          out_dir: str, has_catalog: bool) -> dict:
+def _assemble_distributed(block_ref_iter, wave_ids: list[int],
+                          file_to_shard: dict, out_dir: str,
+                          has_catalog: bool, on_block=None) -> dict:
     """Distributed shard assembly: explicit two-stage exchange with raw Ray
     tasks (the same proven pattern as ``uniqueness_violations_files`` — Ray
     Data's groupby all-to-all costs several seconds of fixed latency here).
+
+    ``block_ref_iter`` yields fused block refs AS THE FUSED STAGE PRODUCES
+    THEM (``iter_internal_ref_bundles``), so stage-1 split tasks (and the
+    caller's ``on_block`` hook, e.g. the uniqueness map half) overlap the
+    fused scan instead of forming a serial tail after it — this is what
+    moves 8→32-CPU scaling: the post-scan work rides inside the scan's
+    wall time.
 
     Stage 1 (one task per fused block, ``num_returns`` = wave width): split
     the block's rows by destination shard — only compact fused rows move,
@@ -203,6 +218,8 @@ def _assemble_distributed(fused, wave_ids: list[int], file_to_shard: dict,
     def split_block(block: pa.Table, wavepos_of: dict, n: int):
         import numpy as _np
 
+        # the keys blobs feed the uniqueness exchange, not shard assembly
+        block = block.drop_columns(["keys"])
         dest = _np.array([wavepos_of[os.path.realpath(p)]
                           for p in block["path"].to_pylist()], dtype=_np.int64)
         out = [block.filter(pa.array(dest == w)) for w in range(n)]
@@ -225,13 +242,12 @@ def _assemble_distributed(fused, wave_ids: list[int], file_to_shard: dict,
         return {"partition": shard, "digest": digest_dir(part_dir), **metrics}
 
     shard_of = {p: pos_of[s] for p, s in file_to_shard.items() if s in pos_of}
-    # to_arrow_refs executes the fused pipeline and hands back BLOCK REFS —
-    # payloads stay in the object store
-    block_refs = fused.to_arrow_refs()
-    split_out = [
-        split_block.options(num_returns=n_wave).remote(ref, shard_of, n_wave)
-        for ref in block_refs
-    ]
+    split_out = []
+    for ref in block_ref_iter:
+        if on_block is not None:
+            on_block(ref)
+        split_out.append(
+            split_block.options(num_returns=n_wave).remote(ref, shard_of, n_wave))
     if n_wave == 1:
         split_out = [[r] for r in split_out]
     metric_refs = [
@@ -342,6 +358,11 @@ def run_flagship(
     wave = wave_size or max(1, len(pending))
     schema_json = json.dumps(schema, sort_keys=True)
     has_catalog = catalog_ref is not None
+    full_run = not done  # fused blocks will cover EVERY shard
+    uniq_map_out: list = []  # accumulated uniqueness bucket partials
+    from ..engine.checks import uniqueness_map_key_blobs, uniqueness_reduce
+
+    uniq_done = os.path.exists(os.path.join(out_dir, "_uniqueness_done.json"))
     for w0 in range(0, len(pending), wave):
         wave_ids = pending[w0:w0 + wave]
         files = [f for i in wave_ids for f in shard_lists[i]]
@@ -354,8 +375,23 @@ def run_flagship(
             _fused_task, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True, fn_args=(schema_json, catalog_ref),
         )
-        by_shard = _assemble_distributed(fused, wave_ids, file_to_shard,
-                                         out_dir, has_catalog)
+        # stream block refs out of the fused execution — payloads stay in
+        # the object store; split + uniqueness-map tasks launch per block
+        # WHILE the scan is still running
+        def _stream_refs(ds_):
+            for bundle in ds_.iter_internal_ref_bundles():
+                for block_ref, _md in bundle.blocks:
+                    yield block_ref
+
+        on_block = None
+        if full_run and not uniq_done:
+            # uniqueness map half off the fused rows' key blobs — only the
+            # small bucket partials outlive this wave
+            on_block = lambda ref: uniq_map_out.extend(  # noqa: E731
+                uniqueness_map_key_blobs([ref], "doc_id"))
+        by_shard = _assemble_distributed(_stream_refs(fused), wave_ids,
+                                         file_to_shard, out_dir, has_catalog,
+                                         on_block=on_block)
         wave_wall = _time.time() - t0
 
         for i in wave_ids:
@@ -377,25 +413,31 @@ def run_flagship(
             append_manifest(out_dir, record)
             records.append(record)
 
-    # CROSS-partition uniqueness on doc_id — one global hash-shuffle groupby
-    # over the pre-aggregated per-block key counts (north rule).  Resumable
-    # via its own marker file.
+    # CROSS-partition uniqueness on doc_id — two-stage hash exchange over
+    # per-batch key partials (north rule).  On a full run the map half was
+    # already fed from the fused rows (single input scan); a RESUMED run
+    # whose earlier shards predate this session falls back to the
+    # key-column-only file scan.  Resumable via its own marker file.
     uniq_dir = os.path.join(out_dir, "uniqueness")
-    uniq_done = os.path.join(out_dir, "_uniqueness_done.json")
-    if os.path.exists(uniq_done):
-        with open(uniq_done) as f:
+    uniq_marker = os.path.join(out_dir, "_uniqueness_done.json")
+    if os.path.exists(uniq_marker):
+        with open(uniq_marker) as f:
             n_dup_keys = json.load(f)["n_dup_keys"]
     else:
         if os.path.isdir(uniq_dir):  # partial output from a crashed run
             import shutil
 
             shutil.rmtree(uniq_dir)
-        from ..engine.checks import uniqueness_violations_files
+        if full_run and uniq_map_out:
+            dup_table = uniqueness_reduce(uniq_map_out, "doc_id")
+        else:
+            from ..engine.checks import uniqueness_violations_files
 
-        dup_table = uniqueness_violations_files([str(f) for f in input_files], "doc_id")
+            dup_table = uniqueness_violations_files(
+                [str(f) for f in input_files], "doc_id")
         n_dup_keys = dup_table.num_rows
         _write_single(dup_table, uniq_dir, "dups")
-        with open(uniq_done, "w") as f:
+        with open(uniq_marker, "w") as f:
             json.dump({"n_dup_keys": n_dup_keys}, f)
 
     top_paths: dict[str, int] = {}

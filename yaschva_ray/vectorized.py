@@ -634,6 +634,42 @@ class ViolationExploder:
         if self.custom:
             root = {"$types": self.custom, **root}
         self._compiled = compile_validator(root)
+        self._fast_plans = None if (emit_tree or json_columns) \
+            else self._build_fast_plan()
+
+    def _build_fast_plan(self) -> dict:
+        """Per-field plans for the MASK-DRIVEN fast path: re-validate only
+        cells the vectorized mask flags (compiled closure per failing CELL,
+        per failing ELEMENT for eligible arrays) instead of decoding and
+        tree-walking every failing row whole.  Exactness: per-field explode
+        of the root object tree equals the concatenation of per-cell trees
+        prefixed with the field path (the root is an object node, so the
+        whole-row mirror tree is keyed by field; passing members contribute
+        no rows)."""
+        from .compiled import _compile
+
+        plans = {}
+        for name, node in self.fields.items():
+            fn = _compile(node, self.custom, {})
+            elem = None
+            if (isinstance(node, dict) and "$array" in node
+                    and not any(k.startswith("$") for k in node if k != "$array")):
+                e = node["$array"]
+                try:
+                    r = resolve_ref(e, self.custom)
+                except Exception:
+                    r = None
+                # per-element refinement needs element outputs that are
+                # never lists (the reference flattens one level,
+                # validate.ts:123, which would shift later indices):
+                # exclude array-typed and union elements
+                if r is not None and not isinstance(r, list) and not (
+                        isinstance(r, dict) and "$array" in r):
+                    elem = (e, _compile(e, self.custom, {}),
+                            node.get("minLength") or 0,
+                            node.get("maxLength") or MAX_SAFE_INTEGER)
+            plans[name] = (fn, elem)
+        return plans
 
     def _escaped_fields(self) -> dict:
         """Re-escape data keys starting with '$' back to schema form."""
@@ -657,19 +693,129 @@ class ViolationExploder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.emit_tree:
             return self._tree_table(batch)
+        if self._fast_plans is not None:
+            try:
+                return self._emit(batch, self._fast_rows(batch))
+            except VectorizedUnsupported:
+                pass  # a field's mask isn't vectorizable → row oracle
+        rows: list[tuple[int, str, str, str]] = []
+        for i, row in enumerate(batch.to_pylist()):
+            for path, error, value_repr in self.violations_for_row(
+                {k: v for k, v in row.items() if k not in ("valid",)}
+            ):
+                rows.append((i, path, error, value_repr))
+        return self._emit(batch, rows)
+
+    def _fast_rows(self, batch: pa.Table) -> list[tuple[int, str, str, str]]:
+        """Mask-driven violation rows: vectorized per-field fail masks pick
+        the failing cells; only those are decoded and re-validated through
+        the compiled tree (per element for eligible arrays).  Emits the
+        same (path, error, value_repr) rows as the whole-row oracle."""
+        from .oracle import E_UNKNOWN_KEY
+
+        n = batch.num_rows
+        present = set(batch.column_names)
+        side_names = {sidecar_name(f) for f in self.fields}
+        rows: list[tuple[int, str, str, str]] = []
+
+        def _col(cname):
+            c = batch[cname]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        # closedness: unknown own (non-null) members (validate.ts:137-141)
+        for cname in batch.column_names:
+            if (cname in self.fields or cname in self.id_columns
+                    or cname in side_names or cname == "valid"):
+                continue
+            col = _col(cname)
+            nn = ~_null_mask(col)
+            if nn.any():
+                idx = np.nonzero(nn)[0]
+                vals = col.take(pa.array(idx)).to_pylist()
+                rows.extend((int(i), cname, E_UNKNOWN_KEY, _repr_value(v))
+                            for i, v in zip(idx, vals))
+
+        for name, node in self.fields.items():
+            fn, elem_plan = self._fast_plans[name]
+            side = sidecar_name(name)
+            col = _col(name) if name in present else None
+            sc = _col(side) if side in present else None
+            if col is not None:
+                u, jn = (_sidecar_env(col, sc, n) if sc is not None
+                         else _child_env(col, node, self.custom))
+            elif sc is not None:
+                u, jn = _sidecar_env(None, sc, n)
+            else:
+                u, jn = np.ones(n, dtype=bool), np.zeros(n, dtype=bool)
+            mask = eval_node(node, col, u, jn, n, self.custom)
+            idx = np.nonzero(mask)[0]
+            if not len(idx):
+                continue
+
+            cell_idx = idx
+            if elem_plan is not None and col is not None and (
+                    pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+                e_node, e_fn, mn, mx = elem_plan
+                lengths, values, offsets = _list_parts(col)
+                # elem-mode rows: defined, non-null, bounds pass — their
+                # rows come from failing ELEMENTS only (bounds-failing /
+                # null cells fail-fast with a single cell-level row)
+                elem_mode = mask & ~u & ~jn & (lengths >= mn) & (lengths <= mx)
+                cell_idx = idx[~elem_mode[idx]]
+                if elem_mode.any():
+                    eu, ejn = _child_env(values, e_node, self.custom)
+                    efail = eval_node(e_node, values, eu, ejn, len(values),
+                                      self.custom)
+                    e_idx = np.nonzero(efail)[0]
+                    if len(e_idx):
+                        rowof = np.searchsorted(offsets, e_idx, side="right") - 1
+                        keep = elem_mode[rowof]
+                        e_idx, rowof = e_idx[keep], rowof[keep]
+                    if len(e_idx):
+                        evals = values.take(pa.array(e_idx)).to_pylist()
+                        for j, r, ev_raw in zip(e_idx, rowof, evals):
+                            ev = _decode_value(ev_raw, e_node, self.custom)
+                            tree = e_fn(ev)
+                            if tree["result"] == "fail":
+                                sub: list = []
+                                explode_violations(
+                                    tree["output"],
+                                    f"{name}[{int(j) - int(offsets[r])}]", sub)
+                                rows.extend((int(r), p, e, v)
+                                            for p, e, v in sub)
+            if len(cell_idx):
+                raw = (col.take(pa.array(cell_idx)).to_pylist()
+                       if col is not None else None)
+                sraw = (sc.take(pa.array(cell_idx)).to_pylist()
+                        if sc is not None else None)
+                for k, i in enumerate(cell_idx):
+                    minirow = {name: raw[k] if raw is not None else None}
+                    if sraw is not None:
+                        minirow[side] = sraw[k]
+                    decoded = decode_row(minirow, {name: node}, self.custom)
+                    tree = fn(decoded.get(name, UNDEFINED))
+                    if tree["result"] == "fail":
+                        sub = []
+                        explode_violations(tree["output"], name, sub)
+                        rows.extend((int(i), p, e, v) for p, e, v in sub)
+        rows.sort(key=lambda r: r[0])  # group by input row (stable)
+        return rows
+
+    def _emit(self, batch: pa.Table,
+              rows: list[tuple[int, str, str, str]]) -> pa.Table:
         ids = {c: [] for c in self.id_columns}
         paths: list[str] = []
         errors: list[str] = []
         values: list[str] = []
-        for row in batch.to_pylist():
-            for path, error, value_repr in self.violations_for_row(
-                {k: v for k, v in row.items() if k not in ("valid",)}
-            ):
-                for c in self.id_columns:
-                    ids[c].append(row.get(c))
-                paths.append(path)
-                errors.append(error)
-                values.append(value_repr)
+        id_vals = {c: batch[c].to_pylist() if c in batch.column_names else
+                   [None] * batch.num_rows for c in self.id_columns}
+        for i, path, error, value_repr in rows:
+            for c in self.id_columns:
+                ids[c].append(id_vals[c][i])
+            paths.append(path)
+            errors.append(error)
+            values.append(value_repr)
+
         def id_type(c: str):
             idx = batch.schema.get_field_index(c)
             return batch.schema.field(idx).type if idx >= 0 else pa.string()
