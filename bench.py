@@ -72,7 +72,7 @@ def bench_flagship(n_docs: int, out_dir: str) -> dict:
     t0 = time.time()
     report = run_flagship(files, out_dir,
                           catalog_path=os.path.join(data_dir(n_docs), "media_catalog.parquet"),
-                          shards=8, batch_size=16384)
+                          shards=16, batch_size=16384)
     wall = time.time() - t0
     return {"wall_s": round(wall, 3), "docs_per_sec": round(n_docs / wall),
             "n_docs": n_docs, **report}
