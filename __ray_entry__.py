@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
         "minhash_verified_pairs": textops.q_minhash_verified_pairs,
         "simhash_documents": textops.q_simhash_documents,
+        "embedding_neardup": textops.q_embedding_neardup,
         "ann_bruteforce": textops.q_ann_bruteforce,
         "ann_lsh": textops.q_ann_lsh,
         "ann_ivf": textops.q_ann_ivf,

@@ -199,3 +199,50 @@ def test_ann_ivf_partitioned_matches_in_memory(ray_session, tmp_path):
     import glob, os
     idx = glob.glob("/tmp/yaschva_ivf/*/list_id=*")
     assert len(idx) > 4  # index built with 16 lists (some may be empty)
+
+
+def test_embedding_neardup_planted(ray_session):
+    """Plant near-duplicate vectors (original + small noise); the LSH-bucket
+    co-group must find them with high recall and perfect precision."""
+    import ray.data
+
+    import pyarrow as pa
+    from yaschva_ray.pipelines.textops import (_embeddings_matrix, _gather,
+                                               _read, embedding_neardup_pairs)
+
+    base = _gather(_read(SF_DIR, "embeddings", ["vec_id", "embedding"])) \
+        .sort_by([("vec_id", "ascending")])
+    m = _embeddings_matrix(base)
+    rng = np.random.RandomState(5)
+    dup_src = rng.choice(len(m), size=40, replace=False)
+    noisy = m[dup_src] + rng.randn(40, m.shape[1]) * 0.02 * np.abs(m[dup_src]).mean()
+    ids = base["vec_id"].to_pylist()
+    dup_ids = [10_000 + i for i in range(40)]
+    allm = np.vstack([m, noisy])
+    all_ids = ids + dup_ids
+    table = pa.table({
+        "vec_id": pa.array(all_ids, pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in allm],
+                              pa.list_(pa.float32())),
+    })
+    got = embedding_neardup_pairs(ray.data.from_arrow(table), threshold=0.9)
+    gotset = set(zip(got["vec_a"].to_pylist(), got["vec_b"].to_pylist()))
+    # brute-force truth
+    mn = allm / np.maximum(np.linalg.norm(allm, axis=1, keepdims=True), 1e-12)
+    sims = mn @ mn.T
+    ia, ib = np.nonzero(np.triu(sims >= 0.9, k=1))
+    arr = np.asarray(all_ids)
+    truth = set(zip(np.minimum(arr[ia], arr[ib]).tolist(),
+                    np.maximum(arr[ia], arr[ib]).tolist()))
+    assert len(truth) >= 35  # the planted dups really are near-dups
+    assert gotset <= truth  # exact verify ⇒ perfect precision
+    recall = len(gotset & truth) / len(truth)
+    assert recall >= 0.8, recall
+
+
+def test_embedding_neardup_query_runs(ray_session):
+    from yaschva_ray.pipelines.textops import q_embedding_neardup
+
+    out = q_embedding_neardup(SF_DIR)
+    assert out.column_names == ["vec_a", "vec_b"]
+    assert out.num_rows == 0  # no natural near-dups at 0.9 in the testdata

@@ -456,6 +456,81 @@ def q_ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
     return pa.Table.from_pandas(df[["query_id", "vec_id"]], preserve_index=False)
 
 
+def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
+                            n_planes: int = 16, n_bands: int = 4) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup family):
+    random-hyperplane signatures → band buckets (groupby co-locates each
+    bucket's VECTORS, not just ids) → exact within-bucket cosine ≥
+    threshold → distinct pairs.
+
+    Scale shape: the all-pairs compare is bucket-local (no global
+    quadratic), vectors move through ONE hash shuffle keyed by
+    (band, band_hash) — same cost class as exact text dedup.  Recall < 1
+    by design (banding probability: ~0.95 at sim 0.9 with 4×4-bit bands),
+    asserted vs brute force on planted near-dups in tests — rows-only
+    driver check."""
+
+    def sign_bands(t: pa.Table) -> pa.Table:
+        # planes derived deterministically per worker (seeded) — no state
+        rng_ = np.random.RandomState(99)
+        m = _embeddings_matrix(t)
+        planes = rng_.randn(m.shape[1], n_planes)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        bits = (mn @ planes > 0).astype(np.uint64)
+        rows_per_band = n_planes // n_bands
+        bands = bits.reshape(len(mn), n_bands, rows_per_band)
+        weights = (1 << np.arange(rows_per_band, dtype=np.uint64))
+        bh = (bands * weights).sum(axis=2).astype(np.int64)  # (n, bands)
+        n = len(mn)
+        parent = np.repeat(np.arange(n), n_bands)
+        vec_ids = t["vec_id"]
+        if isinstance(vec_ids, pa.ChunkedArray):
+            vec_ids = vec_ids.combine_chunks()
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.ravel()),
+            "vec_id": vec_ids.take(pa.array(parent)),
+            "embedding": emb.take(pa.array(parent)),
+        })
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64())})
+        m = _embeddings_matrix(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ mn.T
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"vec_a": pa.array(lo.astype(np.int64)),
+                         "vec_b": pa.array(hi.astype(np.int64))})
+
+    sigs = emb_ds.map_batches(sign_bands, batch_format="pyarrow")
+    cands = sigs.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    t = _gather(cands)
+    if not t.num_rows:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64())})
+    return (t.select(["vec_a", "vec_b"]).group_by(["vec_a", "vec_b"])
+            .aggregate([]).sort_by([("vec_a", "ascending"),
+                                    ("vec_b", "ascending")]))
+
+
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.9) -> pa.Table:
+    """Near-duplicate embedding pairs over the embeddings table (rows-only:
+    the synthetic table has no natural near-dups at 0.9 — recall/precision
+    are asserted on PLANTED duplicates in tests)."""
+    return embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=threshold)
+
+
 def q_ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 12) -> pa.Table:
     """LSH-bucketed ANN (the scale path): random-hyperplane signatures
     co-locate similar vectors; exact rerank within matching buckets.
