@@ -112,3 +112,56 @@ def test_fuzz_against_real_reference(ref_harness):
             if not ok:
                 mismatches.append((impl_name, c, r, mine))
     assert not mismatches, mismatches[:3]
+
+
+TYPE_HARNESS = """
+import { validationToType } from './type.mjs'
+import * as readline from 'node:readline'
+const rl = readline.createInterface({ input: process.stdin })
+const out = []
+rl.on('line', (line) => {
+  if (!line.trim()) return
+  const schema = JSON.parse(line)
+  try { out.push(JSON.stringify({ ok: validationToType(schema) })) }
+  catch (e) { out.push(JSON.stringify({ threw: true })) }
+})
+rl.on('close', () => process.stdout.write(out.join('\\n') + '\\n'))
+"""
+
+
+@pytest.fixture(scope="module")
+def type_harness(tmp_path_factory):
+    from tools.strip_reference_ts import strip_to
+
+    d = tmp_path_factory.mktemp("reftype")
+    strip_to(str(d), names=("validationTypes", "validate", "type"))
+    (d / "type_harness.mjs").write_text(TYPE_HARNESS)
+    return str(d / "type_harness.mjs")
+
+
+def test_type_emitter_fuzz_against_real_reference(type_harness):
+    """validationToType parity: the emitted TS type STRING must equal the
+    real reference's, character for character, on random schemas."""
+    from yaschva_ray.typegen import TypeGenError, validation_to_type
+
+    rng = random.Random(31337)
+    cases = [rand_schema(rng) for _ in range(500)]
+    payload = "\n".join(json.dumps(c) for c in cases)
+    proc = subprocess.run([NODE, type_harness], input=payload,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[:500]
+    refs = [json.loads(l) for l in proc.stdout.strip().split("\n")]
+    assert len(refs) == len(cases)
+    mismatches = []
+    for c, r in zip(cases, refs):
+        try:
+            mine = {"ok": validation_to_type(c)}
+        except (TypeGenError, RecursionError):
+            mine = {"threw": True}
+        if "threw" in r:
+            ok = "threw" in mine
+        else:
+            ok = mine.get("ok") == r["ok"]
+        if not ok:
+            mismatches.append((c, r, mine))
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"

@@ -242,14 +242,13 @@ def _minhash_candidates_ds(sf_dir: str):
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
 
     def pairs(t: pa.Table) -> pa.Table:
-        # group already co-located by (band, band_hash)
-        ids = sorted(t["doc_id"].to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+        # group already co-located by (band, band_hash); vectorized pair
+        # emission (the quadratic is inherent to pair EMISSION — bound it
+        # upstream by band width, not here)
+        ids = np.sort(np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[ia].astype(np.int64)),
+                         "doc_b": pa.array(ids[ib].astype(np.int64))})
 
     cands = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
     return cands.groupby(["doc_a", "doc_b"]).map_groups(
