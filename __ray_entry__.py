@@ -59,6 +59,20 @@ def _media_features_smoke(sf_dir: str) -> Any:
     return out.sort_values("media_ref").reset_index(drop=True)[["media_ref", "kind"]]
 
 
+def _media_frames_smoke(sf_dir: str) -> Any:
+    """Row-exploding video frame sampling (rows-only: stubbed decode by
+    design; the geometry — one input video → n_frames output rows with
+    fixed-width features — is the real plumbing under test)."""
+    import ray.data
+
+    from yaschva_ray.pipelines.multimodal import sample_video_frames, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(256))
+    out = sample_video_frames(ds).to_pandas()
+    return (out.sort_values(["media_ref", "frame_idx"])
+               .reset_index(drop=True)[["media_ref", "frame_idx", "ts_ms"]])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from yaschva_ray.pipelines import ops, textops
 
@@ -77,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": textops.q_quality_documents,
         "fingerprint_documents": textops.q_fingerprint_documents,
         "media_features": _media_features_smoke,
+        "media_frames": _media_frames_smoke,
         "events_hourly_window": ops.q_events_hourly_window,
         "props_json_check": ops.q_props_json_check,
         "stats_lineitem": ops.q_stats_lineitem,

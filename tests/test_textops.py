@@ -246,3 +246,33 @@ def test_embedding_neardup_query_runs(ray_session):
     out = q_embedding_neardup(SF_DIR)
     assert out.column_names == ["vec_a", "vec_b"]
     assert out.num_rows == 0  # no natural near-dups at 0.9 in the testdata
+
+
+def test_media_resize_and_frame_sample_plumbing(ray_session):
+    """Resize (fixed H×W grid per image) and frame sampling (row-exploding:
+    one video → n_frames rows) — deterministic stub decode, real geometry."""
+    import ray.data
+
+    from yaschva_ray.pipelines.multimodal import (
+        FEATURE_DIM, RESIZE_H, RESIZE_W, resize_images, sample_video_frames,
+        synth_media_table)
+
+    table = synth_media_table(128, seed=7)
+    ds = ray.data.from_arrow(table)
+    n_img = table.to_pandas()["kind"].eq("image").sum()
+    n_vid = table.to_pandas()["kind"].eq("video").sum()
+
+    px = resize_images(ds).to_pandas()
+    assert len(px) == n_img
+    assert all(len(p) == RESIZE_H * RESIZE_W for p in px["pixels"])
+
+    fr = sample_video_frames(ray.data.from_arrow(table), n_frames=4).to_pandas()
+    assert len(fr) == n_vid * 4  # row explosion: every video → 4 frames
+    assert set(fr["frame_idx"]) == {0, 1, 2, 3}
+    assert all(len(f) == FEATURE_DIM for f in fr["feature"])
+    per_vid = fr.groupby("media_ref")["ts_ms"].apply(lambda s: s.is_monotonic_increasing)
+    assert per_vid.all()
+    # deterministic
+    fr2 = sample_video_frames(ray.data.from_arrow(table), n_frames=4).to_pandas()
+    assert fr.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True).equals(
+        fr2.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True))

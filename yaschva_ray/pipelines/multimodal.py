@@ -82,3 +82,103 @@ def extract_media_features(ds, *, batch_size: int = 64, concurrency=(2, 4)):
         fn_constructor_kwargs={"decoder": "fake"},
         concurrency=concurrency, num_cpus=1,
     )
+
+
+RESIZE_H, RESIZE_W = 8, 8
+
+
+class MediaResizer:
+    """Actor-pool resize stage (images): payload → fixed (H×W) pixel grid.
+
+    The interpolation itself is stubbed deterministically (byte grid mean-
+    pooled to H×W — a real PIL/cv2 resize plugs into ``_resize``); the
+    Ray-side geometry is real: fixed-size-list output column, small batches,
+    per-actor setup in ``__init__``.
+    """
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real image resize requires PIL/cv2 — plug in here")
+
+    def _resize(self, payload: bytes) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        side = max(int(len(arr) ** 0.5), 1)
+        grid = arr[: side * side].reshape(side, side)
+        ys = np.array_split(grid, RESIZE_H, axis=0)
+        return np.array([[x.mean() if x.size else 0.0
+                          for x in np.array_split(y, RESIZE_W, axis=1)]
+                         for y in ys]).ravel()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        imgs = batch.filter(pc.equal(batch["kind"], "image"))
+        if not imgs.num_rows:
+            return pa.table({"media_ref": pa.array([], pa.string()),
+                             "pixels": pa.array([], pa.list_(
+                                 pa.float64(), RESIZE_H * RESIZE_W))})
+        px = np.stack([self._resize(p) for p in imgs["payload"].to_pylist()])
+        return pa.table({
+            "media_ref": imgs["media_ref"],
+            "pixels": pa.array(list(px), pa.list_(pa.float64(),
+                                                  RESIZE_H * RESIZE_W)),
+        })
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (videos): one INPUT row explodes to
+    ``n_frames`` OUTPUT rows (media_ref, frame_idx, ts_ms, feature) — the
+    row-expanding geometry a real ffmpeg sampler has; frame decode is the
+    deterministic stub."""
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg — plug in here")
+        self.n_frames = n_frames
+        self._fx = MediaFeatureExtractor(decoder)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vids = batch.filter(pc.equal(batch["kind"], "video"))
+        refs, idxs, ts, feats = [], [], [], []
+        for ref, payload, dur in zip(vids["media_ref"].to_pylist(),
+                                     vids["payload"].to_pylist(),
+                                     vids["duration_ms"].to_pylist()):
+            dur = dur or 0
+            for f in range(self.n_frames):
+                # deterministic "frame" = payload slice per frame index
+                lo = (len(payload) * f) // self.n_frames
+                hi = (len(payload) * (f + 1)) // self.n_frames
+                refs.append(ref)
+                idxs.append(f)
+                ts.append((dur * f) // max(self.n_frames, 1))
+                feats.append(self._fx._fake_decode(payload[lo:hi] or b"\0"))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "ts_ms": pa.array(ts, pa.int64()),
+            "feature": pa.array([list(f) for f in feats],
+                                pa.list_(pa.float64(), FEATURE_DIM)),
+        })
+
+
+def sample_video_frames(ds, *, n_frames: int = 4, batch_size: int = 32,
+                        concurrency=(2, 4)):
+    """Row-exploding frame sampling: small batches (video payloads are the
+    largest), actor pool, fixed-width per-frame features."""
+    return ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"n_frames": n_frames, "decoder": "fake"},
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def resize_images(ds, *, batch_size: int = 64, concurrency=(2, 4)):
+    return ds.map_batches(
+        MediaResizer, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"decoder": "fake"},
+        concurrency=concurrency, num_cpus=1,
+    )
