@@ -586,6 +586,36 @@ def decode_row(row: dict, fields: dict, custom: dict, exclude: tuple = (),
     return out
 
 
+def _float_reprs(arr: pa.Array) -> list[str]:
+    """``json.dumps``-identical reprs for a float array: Python ``repr`` IS
+    json.dumps for finite floats (json calls float.__repr__); only the
+    non-finite spellings differ (NaN/Infinity)."""
+    out = []
+    for x in arr.to_pylist():
+        if x != x:
+            out.append("NaN")
+        elif x == float("inf"):
+            out.append("Infinity")
+        elif x == float("-inf"):
+            out.append("-Infinity")
+        else:
+            out.append(repr(x))
+    return out
+
+
+_JSON_SIMPLE_RE = r'^[ !#-\[\]-~]*$'  # printable ASCII minus `"` and `\`
+
+
+def _string_reprs(arr: pa.Array) -> list[str]:
+    """``json.dumps``-identical reprs for a string array: strings needing
+    no escapes (printable ASCII without quote/backslash) are quote-wrapped
+    vectorized; the rest fall back to json.dumps per value."""
+    simple = _np(pc.match_substring_regex(arr, _JSON_SIMPLE_RE), fill=False)
+    vals = arr.to_pylist()
+    return [f'"{s}"' if ok else json.dumps(s, default=str)
+            for s, ok in zip(vals, simple)]
+
+
 def _repr_value(v: Any) -> str:
     if v is UNDEFINED:
         return "undefined"
@@ -651,6 +681,7 @@ class ViolationExploder:
         plans = {}
         for name, node in self.fields.items():
             fn = _compile(node, self.custom, {})
+            leaf = self._leaf_plan(node)
             elem = None
             if (isinstance(node, dict) and "$array" in node
                     and not any(k.startswith("$") for k in node if k != "$array")):
@@ -668,8 +699,89 @@ class ViolationExploder:
                     elem = (e, _compile(e, self.custom, {}),
                             node.get("minLength") or 0,
                             node.get("maxLength") or MAX_SAFE_INTEGER)
-            plans[name] = (fn, elem)
+            plans[name] = (fn, elem, leaf)
         return plans
+
+    @staticmethod
+    def _leaf_plan(node):
+        """Fully-vectorized emission descriptor for flat LEAF constraints
+        ($number bounds / $enum / $string) — high-fail-rate tables (80 %+
+        failing rows exist) make even per-failing-cell Python the
+        bottleneck; leaves need no tree walk at all.  Category order
+        mirrors the oracle exactly (oracle.py:118-126, 133-139, 142-154)."""
+        from .oracle import enum_error
+
+        if not isinstance(node, dict):
+            return None
+        keys = {k for k in node if k not in ("name", "description")}
+        if keys == {"$number"} or keys == {"$number", "postfix"}:
+            spec = node["$number"]
+            if set(spec) <= {"min", "max", "step"} and not spec.get("step"):
+                return ("number", spec.get("min"), spec.get("max"))
+        if keys == {"$enum"}:
+            enums = node["$enum"]
+            if all(isinstance(x, str) for x in enums):
+                return ("enum", enum_error(enums))
+        if keys == {"$string"} or keys == {"$string", "select"}:
+            spec = node["$string"]
+            if set(spec) <= {"minLength", "maxLength", "regex"}:
+                return ("string", spec)
+        return None
+
+    def _leaf_rows(self, leaf, name, col, vec_idx, rows):
+        """Emit (row, path, error, value_repr) for DEFINED failing cells of
+        a leaf field — numpy category masks + constant error strings; the
+        only per-cell Python is the ``json.dumps`` value repr."""
+        from .oracle import (E_MAX, E_MIN, E_NOT_NUMBER, E_NOT_STRING,
+                             E_REGEX, E_STR_LONG, E_STR_SHORT)
+
+        kind = leaf[0]
+        taken = col.take(pa.array(vec_idx))
+        if kind == "number":
+            if not (pa.types.is_integer(col.type) or pa.types.is_floating(col.type)):
+                return False
+            _, mn, mx = leaf
+            v = _np(taken, fill=0).astype(np.float64)
+            conds, outs = [~np.isfinite(v)], [E_NOT_NUMBER]
+            if mn is not None:
+                conds.append(v < mn)
+                outs.append(E_MIN)
+            if mx is not None:
+                conds.append(v > mx)
+                outs.append(E_MAX)
+            errs = np.select(conds, outs, default="")
+            reprs = _float_reprs(taken) if pa.types.is_floating(col.type) \
+                else pc.cast(taken, pa.string()).to_pylist()
+            rows.extend(zip(vec_idx.tolist(), (name,) * len(vec_idx),
+                            errs.tolist(), reprs))
+            return True
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            return False
+        if kind == "enum":
+            err = leaf[1]
+            reprs = _string_reprs(taken)
+            rows.extend(zip(vec_idx.tolist(), (name,) * len(vec_idx),
+                            (err,) * len(vec_idx), reprs))
+            return True
+        # kind == "string"
+        spec = leaf[1]
+        n = len(vec_idx)
+        conds, outs = [np.zeros(n, dtype=bool)], [E_NOT_STRING]
+        if spec.get("minLength") or spec.get("maxLength"):
+            l16 = _utf16_lengths(taken)
+            if spec.get("minLength"):
+                conds.append(l16 < spec["minLength"])
+                outs.append(E_STR_SHORT)
+            if spec.get("maxLength"):
+                conds.append(l16 > spec["maxLength"])
+                outs.append(E_STR_LONG)
+        if spec.get("regex"):
+            conds.append(_regex_fail_mask(taken, spec["regex"]))
+            outs.append(E_REGEX)
+        errs = np.select(conds, outs, default="")
+        rows.extend(zip(vec_idx.tolist(), (name,) * n, errs.tolist(),
+                        _string_reprs(taken)))
+        return True
 
     def _escaped_fields(self) -> dict:
         """Re-escape data keys starting with '$' back to schema form."""
@@ -736,7 +848,7 @@ class ViolationExploder:
                             for i, v in zip(idx, vals))
 
         for name, node in self.fields.items():
-            fn, elem_plan = self._fast_plans[name]
+            fn, elem_plan, leaf = self._fast_plans[name]
             side = sidecar_name(name)
             col = _col(name) if name in present else None
             sc = _col(side) if side in present else None
@@ -753,6 +865,12 @@ class ViolationExploder:
                 continue
 
             cell_idx = idx
+            if leaf is not None and col is not None:
+                defined = ~u[idx] & ~jn[idx]
+                vec_idx = idx[defined]
+                if len(vec_idx) and self._leaf_rows(leaf, name, col,
+                                                    vec_idx, rows):
+                    cell_idx = idx[~defined]
             if elem_plan is not None and col is not None and (
                     pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
                 e_node, e_fn, mn, mx = elem_plan
@@ -803,27 +921,24 @@ class ViolationExploder:
 
     def _emit(self, batch: pa.Table,
               rows: list[tuple[int, str, str, str]]) -> pa.Table:
-        ids = {c: [] for c in self.id_columns}
-        paths: list[str] = []
-        errors: list[str] = []
-        values: list[str] = []
-        id_vals = {c: batch[c].to_pylist() if c in batch.column_names else
-                   [None] * batch.num_rows for c in self.id_columns}
-        for i, path, error, value_repr in rows:
-            for c in self.id_columns:
-                ids[c].append(id_vals[c][i])
-            paths.append(path)
-            errors.append(error)
-            values.append(value_repr)
-
         def id_type(c: str):
             idx = batch.schema.get_field_index(c)
             return batch.schema.field(idx).type if idx >= 0 else pa.string()
 
-        cols = {**{c: pa.array(v, type=id_type(c)) for c, v in ids.items()},
-                "path": pa.array(paths, type=pa.string()),
-                "error": pa.array(errors, type=pa.string()),
-                "value_repr": pa.array(values, type=pa.string())}
+        row_idx = pa.array(np.fromiter((r[0] for r in rows), dtype=np.int64,
+                                       count=len(rows)))
+        cols = {}
+        for c in self.id_columns:
+            if c in batch.column_names:
+                col = batch[c]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols[c] = col.take(row_idx)
+            else:
+                cols[c] = pa.nulls(len(rows), id_type(c))
+        cols["path"] = pa.array([r[1] for r in rows], pa.string())
+        cols["error"] = pa.array([r[2] for r in rows], pa.string())
+        cols["value_repr"] = pa.array([r[3] for r in rows], pa.string())
         return pa.table(cols)
 
     def _tree_table(self, batch: pa.Table) -> pa.Table:
