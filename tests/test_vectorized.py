@@ -414,6 +414,13 @@ def test_fast_exploder_matches_row_oracle_fuzz():
         {"$types": {"$sp": {"k": {"$enum": ["a", "b"]},
                             "t": ["?", {"$string": {"minLength": 1}}]}},
          "spans": {"$array": "$sp", "minLength": 1, "maxLength": 3}},
+        # union-leaf members + numeric bounds inside struct elements (the
+        # vectorized struct-member emission path)
+        {"$types": {"$el": {"kind": {"$enum": ["x", "y", "z"]},
+                            "ref": ["?", {"$string": {"regex": "^m:"}}],
+                            "off": {"$number": {"min": 0, "max": 100}},
+                            "note": ["?", "null", {"$string": {"maxLength": 4}}]}},
+         "items": {"$array": "$el", "maxLength": 4}},
     ]
     for schema in schemas:
         body = {k: v for k, v in schema.items() if k != "$types"}

@@ -696,9 +696,19 @@ class ViolationExploder:
                 # exclude array-typed and union elements
                 if r is not None and not isinstance(r, list) and not (
                         isinstance(r, dict) and "$array" in r):
+                    mplans = None
+                    if S.is_obj(r):
+                        # per-member plans: leaf/union-leaf members emit
+                        # vectorized; others re-validate per failing CELL
+                        mplans = {}
+                        for k, v in r.items():
+                            mk = k[1:] if k.startswith("\\$") else k
+                            mplans[mk] = (v, self._leaf_plan(v),
+                                          _compile(v, self.custom, {}))
                     elem = (e, _compile(e, self.custom, {}),
                             node.get("minLength") or 0,
-                            node.get("maxLength") or MAX_SAFE_INTEGER)
+                            node.get("maxLength") or MAX_SAFE_INTEGER,
+                            mplans)
             plans[name] = (fn, elem, leaf)
         return plans
 
@@ -711,6 +721,26 @@ class ViolationExploder:
         mirrors the oracle exactly (oracle.py:118-126, 133-139, 142-154)."""
         from .oracle import enum_error
 
+        if isinstance(node, list):
+            # ordered union of '?' / 'null' / AT MOST ONE leaf spec: a
+            # failing defined cell emits a fixed row sequence — E_ONEOF,
+            # then one row per branch in order (oracle.py:168-182)
+            branches = []
+            leafs = 0
+            for b in node:
+                if b == "?":
+                    branches.append(("?",))
+                elif b == "null":
+                    branches.append(("null",))
+                else:
+                    sub = ViolationExploder._leaf_plan(b)
+                    if sub is None or sub[0] == "union":
+                        return None
+                    branches.append(sub)
+                    leafs += 1
+            if leafs > 1 or not branches:
+                return None
+            return ("union", branches)
         if not isinstance(node, dict):
             return None
         keys = {k for k in node if k not in ("name", "description")}
@@ -728,18 +758,17 @@ class ViolationExploder:
                 return ("string", spec)
         return None
 
-    def _leaf_rows(self, leaf, name, col, vec_idx, rows):
-        """Emit (row, path, error, value_repr) for DEFINED failing cells of
-        a leaf field — numpy category masks + constant error strings; the
-        only per-cell Python is the ``json.dumps`` value repr."""
+    @staticmethod
+    def _leaf_error_vec(leaf, taken, col_type):
+        """One error string per DEFINED failing cell (numpy category
+        select), or None when the column type doesn't fit the plan."""
         from .oracle import (E_MAX, E_MIN, E_NOT_NUMBER, E_NOT_STRING,
                              E_REGEX, E_STR_LONG, E_STR_SHORT)
 
         kind = leaf[0]
-        taken = col.take(pa.array(vec_idx))
         if kind == "number":
-            if not (pa.types.is_integer(col.type) or pa.types.is_floating(col.type)):
-                return False
+            if not (pa.types.is_integer(col_type) or pa.types.is_floating(col_type)):
+                return None
             _, mn, mx = leaf
             v = _np(taken, fill=0).astype(np.float64)
             conds, outs = [~np.isfinite(v)], [E_NOT_NUMBER]
@@ -749,23 +778,14 @@ class ViolationExploder:
             if mx is not None:
                 conds.append(v > mx)
                 outs.append(E_MAX)
-            errs = np.select(conds, outs, default="")
-            reprs = _float_reprs(taken) if pa.types.is_floating(col.type) \
-                else pc.cast(taken, pa.string()).to_pylist()
-            rows.extend(zip(vec_idx.tolist(), (name,) * len(vec_idx),
-                            errs.tolist(), reprs))
-            return True
-        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
-            return False
+            return np.select(conds, outs, default="")
+        if not (pa.types.is_string(col_type) or pa.types.is_large_string(col_type)):
+            return None
         if kind == "enum":
-            err = leaf[1]
-            reprs = _string_reprs(taken)
-            rows.extend(zip(vec_idx.tolist(), (name,) * len(vec_idx),
-                            (err,) * len(vec_idx), reprs))
-            return True
+            return np.full(len(taken), leaf[1], dtype=object)
         # kind == "string"
         spec = leaf[1]
-        n = len(vec_idx)
+        n = len(taken)
         conds, outs = [np.zeros(n, dtype=bool)], [E_NOT_STRING]
         if spec.get("minLength") or spec.get("maxLength"):
             l16 = _utf16_lengths(taken)
@@ -778,9 +798,139 @@ class ViolationExploder:
         if spec.get("regex"):
             conds.append(_regex_fail_mask(taken, spec["regex"]))
             outs.append(E_REGEX)
-        errs = np.select(conds, outs, default="")
-        rows.extend(zip(vec_idx.tolist(), (name,) * n, errs.tolist(),
-                        _string_reprs(taken)))
+        return np.select(conds, outs, default="")
+
+    @staticmethod
+    def _reprs_for(taken, col_type):
+        if pa.types.is_floating(col_type):
+            return _float_reprs(taken)
+        if pa.types.is_integer(col_type):
+            return pc.cast(taken, pa.string()).to_pylist()
+        if pa.types.is_string(col_type) or pa.types.is_large_string(col_type):
+            return _string_reprs(taken)
+        return None
+
+    def _struct_member_rows(self, name, mplans, values, offsets, rowof_all,
+                            active, eu, ejn, rows) -> np.ndarray:
+        """Vectorized per-MEMBER violation emission for failing struct
+        elements of an array field: each member's fail mask picks its
+        failing cells; leaf/union-leaf members emit via numpy templates,
+        the rest re-validate per failing cell through the member's compiled
+        tree.  Returns the residual mask of active elements NOT fully
+        explained member-wise (null/undefined elements) — those fall back
+        to whole-element validation.  Emission equivalence: the element is
+        a plain object node, so its mirror tree is keyed by member and
+        passing members contribute no rows (same argument as the top-level
+        field split)."""
+        from .oracle import E_UNKNOWN_KEY
+
+        nvals = len(values)
+        edefined = ~eu & ~ejn
+        explained = np.zeros(nvals, dtype=bool)
+
+        def _path(e):
+            return f"{name}[{int(e) - int(offsets[rowof_all[e]])}]"
+
+        sidecars = {}
+        for f in values.type:
+            if f.name.endswith("__present") and f.name[:-9] in mplans:
+                sc = pc.struct_field(values, f.name)
+                sidecars[f.name[:-9]] = sc.combine_chunks() \
+                    if isinstance(sc, pa.ChunkedArray) else sc
+        # unknown fields: non-null cells fail their element (closedness)
+        for f in values.type:
+            if f.name in mplans or (f.name.endswith("__present")
+                                    and f.name[:-9] in mplans):
+                continue
+            ch = pc.struct_field(values, f.name)
+            if isinstance(ch, pa.ChunkedArray):
+                ch = ch.combine_chunks()
+            nn = ~_null_mask(ch) & edefined
+            explained |= nn
+            emit = np.nonzero(nn & active)[0]
+            if len(emit):
+                vals_u = ch.take(pa.array(emit)).to_pylist()
+                rows.extend((int(rowof_all[e]), f"{_path(e)}.{f.name}",
+                             E_UNKNOWN_KEY, _repr_value(v))
+                            for e, v in zip(emit, vals_u))
+        for mk, (m_node, m_leaf, m_fn) in mplans.items():
+            idx_f = values.type.get_field_index(mk)
+            ch = None
+            if idx_f >= 0:
+                ch = pc.struct_field(values, idx_f)
+                if isinstance(ch, pa.ChunkedArray):
+                    ch = ch.combine_chunks()
+            if mk in sidecars:
+                mu, mjn = _sidecar_env(ch, sidecars[mk], nvals)
+            elif ch is not None:
+                mu, mjn = _child_env(ch, m_node, self.custom)
+            else:
+                mu = np.ones(nvals, dtype=bool)
+                mjn = np.zeros(nvals, dtype=bool)
+            m_mask = eval_node(m_node, ch, mu, mjn, nvals, self.custom)
+            explained |= m_mask & edefined
+            emit = np.nonzero(m_mask & active & edefined)[0]
+            if not len(emit):
+                continue
+            mdef = ~mu & ~mjn
+            vecm = emit[mdef[emit]]
+            done_vec = False
+            if m_leaf is not None and ch is not None and len(vecm):
+                done_vec = self._leaf_rows(
+                    m_leaf, ch, vecm, rows, rowof_all[vecm].tolist(),
+                    [f"{_path(e)}.{mk}" for e in vecm])
+            cell_cells = emit[~mdef[emit]] if done_vec else emit
+            if len(cell_cells):
+                raws = (ch.take(pa.array(cell_cells)).to_pylist()
+                        if ch is not None else [None] * len(cell_cells))
+                for e, raw in zip(cell_cells, raws):
+                    if mu[e]:
+                        v = UNDEFINED
+                    elif mjn[e]:
+                        v = None
+                    else:
+                        v = _decode_value(raw, m_node, self.custom)
+                    tree = m_fn(v)
+                    if tree["result"] == "fail":
+                        sub: list = []
+                        explode_violations(tree["output"],
+                                           f"{_path(e)}.{mk}", sub)
+                        rows.extend((int(rowof_all[e]), p, er, vr)
+                                    for p, er, vr in sub)
+        return active & ~(explained & edefined)
+
+    def _leaf_rows(self, leaf, col, vec_idx, rows, row_ids, paths):
+        """Emit (row, path, error, value_repr) for DEFINED failing cells of
+        a leaf/union-leaf plan.  ``row_ids``/``paths`` give the output row
+        index and path per cell (a flat field uses its own index and a
+        constant path; a struct element uses the parent row and an
+        indexed path)."""
+        from .oracle import E_NOT_NULL, E_NOT_UNDEFINED, E_ONEOF
+
+        taken = col.take(pa.array(vec_idx))
+        reprs = self._reprs_for(taken, col.type)
+        if reprs is None:
+            return False
+        if leaf[0] == "union":
+            seqs = []  # one error column per emitted row position
+            for b in leaf[1]:
+                if b[0] == "?":
+                    seqs.append(np.full(len(taken), E_NOT_UNDEFINED, dtype=object))
+                elif b[0] == "null":
+                    seqs.append(np.full(len(taken), E_NOT_NULL, dtype=object))
+                else:
+                    ev = self._leaf_error_vec(b, taken, col.type)
+                    if ev is None:
+                        return False
+                    seqs.append(ev)
+            seqs.insert(0, np.full(len(taken), E_ONEOF, dtype=object))
+            for i, p, rep, *errs in zip(row_ids, paths, reprs, *seqs):
+                rows.extend((i, p, e, rep) for e in errs)
+            return True
+        errs = self._leaf_error_vec(leaf, taken, col.type)
+        if errs is None:
+            return False
+        rows.extend(zip(row_ids, paths, errs.tolist(), reprs))
         return True
 
     def _escaped_fields(self) -> dict:
@@ -868,12 +1018,13 @@ class ViolationExploder:
             if leaf is not None and col is not None:
                 defined = ~u[idx] & ~jn[idx]
                 vec_idx = idx[defined]
-                if len(vec_idx) and self._leaf_rows(leaf, name, col,
-                                                    vec_idx, rows):
+                if len(vec_idx) and self._leaf_rows(
+                        leaf, col, vec_idx, rows, vec_idx.tolist(),
+                        (name,) * len(vec_idx)):
                     cell_idx = idx[~defined]
             if elem_plan is not None and col is not None and (
                     pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
-                e_node, e_fn, mn, mx = elem_plan
+                e_node, e_fn, mn, mx, mplans = elem_plan
                 lengths, values, offsets = _list_parts(col)
                 # elem-mode rows: defined, non-null, bounds pass — their
                 # rows come from failing ELEMENTS only (bounds-failing /
@@ -881,15 +1032,21 @@ class ViolationExploder:
                 elem_mode = mask & ~u & ~jn & (lengths >= mn) & (lengths <= mx)
                 cell_idx = idx[~elem_mode[idx]]
                 if elem_mode.any():
+                    nvals = len(values)
                     eu, ejn = _child_env(values, e_node, self.custom)
-                    efail = eval_node(e_node, values, eu, ejn, len(values),
+                    efail = eval_node(e_node, values, eu, ejn, nvals,
                                       self.custom)
-                    e_idx = np.nonzero(efail)[0]
+                    rowof_all = np.repeat(np.arange(n), lengths)
+                    active = efail & elem_mode[rowof_all]
+                    resid = active
+                    if active.any() and mplans is not None and \
+                            pa.types.is_struct(values.type):
+                        resid = self._struct_member_rows(
+                            name, mplans, values, offsets, rowof_all,
+                            active, eu, ejn, rows)
+                    e_idx = np.nonzero(resid)[0]
                     if len(e_idx):
-                        rowof = np.searchsorted(offsets, e_idx, side="right") - 1
-                        keep = elem_mode[rowof]
-                        e_idx, rowof = e_idx[keep], rowof[keep]
-                    if len(e_idx):
+                        rowof = rowof_all[e_idx]
                         evals = values.take(pa.array(e_idx)).to_pylist()
                         for j, r, ev_raw in zip(e_idx, rowof, evals):
                             ev = _decode_value(ev_raw, e_node, self.custom)
