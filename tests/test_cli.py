@@ -37,3 +37,41 @@ def test_validate_missing_input(tmp_path):
                 "--out", str(tmp_path / "out"), "--num-cpus", "2")
     assert r.returncode == 2
     assert "no input files" in r.stderr
+
+
+def test_types_subcommand(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    s = tmp_path / "s.json"
+    s.write_text(_json.dumps({"a": "string", "b": ["?", "number"]}))
+    out = subprocess.run([sys.executable, "-m", "yaschva_ray.cli", "types",
+                          "--schema", str(s), "--arrow"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0
+    lines = out.stdout.strip().split("\n")
+    assert lines[0] == "{ a: string; b?: undefined | number }"
+    assert "a: string not null" in out.stdout
+
+
+def test_generate_subcommand_deterministic_and_valid(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    from yaschva_ray import validate
+
+    schema = {"a": "string", "n": {"$number": {"min": 0, "max": 9}},
+              "e": {"$enum": ["x", "y"]}}
+    s = tmp_path / "s.json"
+    s.write_text(_json.dumps(schema))
+    runs = [subprocess.run([sys.executable, "-m", "yaschva_ray.cli",
+                            "generate", "--schema", str(s), "--count", "3"],
+                           capture_output=True, text=True, cwd="/root/repo")
+            for _ in range(2)]
+    assert runs[0].returncode == 0
+    assert runs[0].stdout == runs[1].stdout  # seeded determinism
+    for line in runs[0].stdout.strip().split("\n"):
+        doc = _json.loads(line)
+        assert validate(schema, doc)["result"] == "pass"

@@ -52,6 +52,21 @@ def _cmd_types(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_generate(args: argparse.Namespace) -> int:
+    """Generate schema-conforming data (reference ``generate``,
+    generate.ts:61-76) — seeded, so reproducible."""
+    from .generate import generate
+    from .schema import load_json
+    from .values import js_jsonable
+
+    with open(args.schema) as f:
+        schema = load_json(f.read())
+    for i in range(args.count):
+        doc = generate(schema, seed=args.seed + i)
+        print(json.dumps(js_jsonable(doc), default=str, sort_keys=True))
+    return 0
+
+
 def _cmd_validate(args: argparse.Namespace) -> int:
     import ray
 
@@ -95,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--arrow", action="store_true",
                    help="also print the emitted Arrow table schema")
 
+    g = sub.add_parser("generate", help="generate schema-conforming data")
+    g.add_argument("--schema", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--count", type=int, default=1)
+
     v = sub.add_parser("validate", help="run the full table-validation pipeline")
     v.add_argument("--schema", required=True)
     v.add_argument("--input", required=True, help="parquet glob")
@@ -110,6 +130,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_check(args)
     if args.cmd == "types":
         return _cmd_types(args)
+    if args.cmd == "generate":
+        return _cmd_generate(args)
     return _cmd_validate(args)
 
 
