@@ -103,6 +103,7 @@ def main_default() -> None:
     import ray
 
     try:
+        warmup(NUM_CPUS)  # untimed: pool + imports (same protocol as --single)
         t_all = time.time()
         flag = bench_flagship(BENCH_DOCS, "/tmp/yaschva_bench/out_default")
         queries = bench_queries(SF_DIR)

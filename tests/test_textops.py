@@ -173,8 +173,7 @@ def test_uniqueness_with_null_keys(ray_session):
 
     t = pa.table({"k": pa.array(["a", None, "a", None, "b"], pa.string())})
     ds = ray.data.from_arrow(t)
-    out = ray.get(uniqueness_violations(ds, "k").to_arrow_refs())
-    rows = pa.concat_tables([x for x in out if x.num_columns]).to_pylist()
+    rows = uniqueness_violations(ds, "k").to_pylist()
     dup_keys = {r["k"]: r["n_docs"] for r in rows}
     assert dup_keys.get("a") == 2
     assert None in dup_keys and dup_keys[None] == 2

@@ -17,47 +17,45 @@ if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
 
+_UNIQ_BLOCK_REMOTE = None
+
+
 def uniqueness_violations(ds: "ray.data.Dataset", key: str,
-                          num_buckets: int = 64) -> "ray.data.Dataset":
-    """Keys appearing more than once → ``(key, n_docs)`` violation rows.
+                          num_buckets: int = 16) -> pa.Table:
+    """Keys appearing more than once → ``(key, n_docs)`` violation table.
 
-    Two-phase hash shuffle:
-    1. per-batch partial counts (one row per key per block — the combine
-       step, so the exchange moves distinct keys, not rows) + a
-       ``bucket = hash(key) % B`` column,
-    2. ``groupby(bucket).map_groups`` with a fully vectorized pyarrow
-       group-sum per bucket.
-
-    Bucketing the shuffle key (instead of grouping on the raw key) keeps the
-    number of shuffle partitions fixed at B regardless of key cardinality
-    and makes the per-group work a single vectorized kernel — ~3× faster
-    than a per-key Aggregate at 500k keys, and the gap grows with scale.
-    Skewed keys cost nothing here because a bucket's work is O(rows) and
-    duplicates are pre-combined per block.
+    Explicit two-stage hash exchange with RAW Ray tasks over block refs
+    streamed out of the dataset's execution (``iter_internal_ref_bundles``)
+    — Ray Data's ``groupby`` all-to-all pays seconds of fixed latency and
+    ANTI-scales on high-cardinality keys (measured: 8M keys, 24.6 s @ 8
+    cpus → 37.1 s @ 32).  Map: one task per block — partial-count (one row
+    per distinct key: the combine step) and slice into ``hash(key) % B``
+    buckets, launched WHILE upstream still runs.  Reduce: one vectorized
+    group-sum per bucket.  Fixed B shuffle partitions regardless of key
+    cardinality; hot keys cost nothing (pre-combined per block).
     """
+    import ray
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        from .sketches import _hash64
+    global _UNIQ_BLOCK_REMOTE
+    if _UNIQ_BLOCK_REMOTE is None:
+        def _map_block(block: pa.Table, key_: str, nb: int):
+            from .sketches import limit_worker_threads
 
-        # count_all, not (key, "count"): Arrow's value count skips nulls,
-        # which would silently drop the null-key group from the check
-        counts = batch.group_by(key).aggregate([([], "count_all")])
-        karr = counts[key]
-        if isinstance(karr, pa.ChunkedArray):
-            karr = karr.combine_chunks()
-        bucket = (_hash64(karr) % np.uint64(num_buckets)).astype(np.int64)
-        return pa.table({key: karr,
-                         "partial_n": counts["count_all"].cast(pa.int64()),
-                         "bucket": pa.array(bucket)})
+            limit_worker_threads()
+            out = _bucket_partial_slices(block.select([key_]), key_, nb)
+            return out if nb > 1 else out[0]
 
-    def per_bucket(t: pa.Table) -> pa.Table:
-        g = t.group_by(key).aggregate([("partial_n", "sum")])
-        g = g.filter(pc.greater(g["partial_n_sum"], 1))
-        return pa.table({key: g[key], "n_docs": g["partial_n_sum"].cast(pa.int64())})
+        _UNIQ_BLOCK_REMOTE = ray.remote(_map_block)
 
-    return (ds.map_batches(partial_counts, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(per_bucket, batch_format="pyarrow"))
+    map_out = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, _md in bundle.blocks:
+            map_out.append(_UNIQ_BLOCK_REMOTE
+                           .options(num_returns=num_buckets)
+                           .remote(block_ref, key, num_buckets))
+    if num_buckets == 1:
+        map_out = [[r] for r in map_out]
+    return uniqueness_reduce(map_out, key, num_buckets)
 
 
 def _bucket_partial_slices(t: pa.Table, key: str, num_buckets: int) -> list[pa.Table]:
@@ -82,10 +80,11 @@ def _bucket_partial_slices(t: pa.Table, key: str, num_buckets: int) -> list[pa.T
 
 def _reduce_bucket_tables(parts, key: str) -> pa.Table:
     """Group-sum one bucket's partials and keep keys with total count > 1."""
-    t = pa.concat_tables([p for p in parts if p.num_rows])
-    if t.num_rows == 0:
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
         return pa.table({key: pa.array([], pa.string()),
                          "n_docs": pa.array([], pa.int64())})
+    t = pa.concat_tables(nonempty)
     g = t.group_by(key).aggregate([("partial_n", "sum")])
     g = g.filter(pc.greater(g["partial_n_sum"], 1))
     return pa.table({key: g[key], "n_docs": g["partial_n_sum"].cast(pa.int64())})

@@ -171,12 +171,17 @@ def q_null_counts_documents(sf_dir: str) -> pa.Table:
             "n_rows": pa.array([t.num_rows] * len(cols), pa.int64()),
         })
 
-    from ray.data.aggregate import Sum
+    # bounded-cardinality partials (3 rows per block): driver-side combine
+    import ray
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("col_name")
-           .aggregate(Sum("n_nulls", alias_name="n_nulls"),
-                      Sum("n_rows", alias_name="n_rows")))
+    blocks = [b for b in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if b.num_rows]
+    g = (pa.concat_tables(blocks).group_by("col_name")
+         .aggregate([("n_nulls", "sum"), ("n_rows", "sum")]))
+    out = pa.table({"col_name": g["col_name"],
+                    "n_nulls": g["n_nulls_sum"].cast(pa.int64()),
+                    "n_rows": g["n_rows_sum"].cast(pa.int64())})
     return _sorted_table(out, ["col_name"])
 
 
@@ -188,9 +193,7 @@ def q_distinct_lang(sf_dir: str) -> pa.Table:
 def q_pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-flavored grouped aggregate with exact integer-cent sums
     (floating sums are order-dependent; cents are hash-stable).
-    Pre-aggregated per batch before the groupby shuffle."""
-    from ray.data.aggregate import Sum
-
+    Pre-aggregated per batch before the final combine."""
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
@@ -210,11 +213,24 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
             "n_rows": g["n_rows_sum"],
         })
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("qty_cents", alias_name="sum_qty_cents"),
-                      Sum("price_cents", alias_name="sum_price_cents"),
-                      Sum("n_rows", alias_name="n_rows")))
+    # final combine on the driver: the partials are ≤ #groups rows per
+    # block (group cardinality is bounded by flag×status), so a Ray Data
+    # groupby here would be an all-to-all exchange of a few KB — seconds of
+    # fixed latency for nothing
+    import ray
+
+    blocks = [b for b in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if b.num_rows]
+    g = (pa.concat_tables(blocks).group_by(["l_returnflag", "l_linestatus"])
+         .aggregate([("qty_cents", "sum"), ("price_cents", "sum"),
+                     ("n_rows", "sum")]))
+    out = pa.table({
+        "l_returnflag": g["l_returnflag"], "l_linestatus": g["l_linestatus"],
+        "sum_qty_cents": g["qty_cents_sum"].cast(pa.int64()),
+        "sum_price_cents": g["price_cents_sum"].cast(pa.int64()),
+        "n_rows": g["n_rows_sum"].cast(pa.int64()),
+    })
     return _sorted_table(out, ["l_returnflag", "l_linestatus"])
 
 
