@@ -28,9 +28,17 @@ def _read(sf_dir: str, table: str, columns=None):
     from ..sources import clean_parquet_schema
 
     path = f"{sf_dir}/{table}.parquet"
-    # metadata-stripped schema keeps block schemas hashable (fast unify path)
+    # metadata-stripped schema keeps block schemas hashable (fast unify path);
+    # a single-file table otherwise splits into too few blocks to use the
+    # whole CPU pool (Ray sizes blocks by bytes, not by available slots)
+    import ray
+
+    nb = None
+    if ray.is_initialized():
+        nb = max(int(ray.cluster_resources().get("CPU", 8)), 8)
     return ray.data.read_parquet(path, columns=columns,
-                                 schema=clean_parquet_schema(path, columns))
+                                 schema=clean_parquet_schema(path, columns),
+                                 override_num_blocks=nb)
 
 
 def _gather(ds) -> pa.Table:
