@@ -156,3 +156,23 @@ def test_uniqueness_hot_key_skew(ray_session, tmp_path):
     rows = out.to_pylist()
     assert rows == [{"doc_id": "doc-hot", "n_docs": 80_000}]
     assert wall < 20  # pre-combine keeps the hot key cheap
+
+
+def test_flagship_multi_wave_matches_single_wave(ray_session, f0_dataset, tmp_path):
+    """wave_size=1 (one Dataset execution per shard, uniqueness map partials
+    accumulated ACROSS waves) must produce the identical report and
+    per-partition digests as the single-wave run."""
+    from yaschva_ray.engine.checkpoint import load_manifest
+    from yaschva_ray.pipelines.flagship import run_flagship
+
+    d, files = f0_dataset
+    out1, out2 = tmp_path / "one", tmp_path / "waves"
+    r1 = run_flagship(files, str(out1), shards=3, batch_size=2048,
+                      catalog_path=str(d / "media_catalog.parquet"))
+    r2 = run_flagship(files, str(out2), shards=3, batch_size=2048,
+                      wave_size=1,
+                      catalog_path=str(d / "media_catalog.parquet"))
+    m1, m2 = load_manifest(str(out1)), load_manifest(str(out2))
+    assert r1 == r2
+    assert {k: v["digest"] for k, v in m1.items()} == \
+        {k: v["digest"] for k, v in m2.items()}
