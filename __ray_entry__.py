@@ -133,6 +133,31 @@ WITH v AS (
 """
 
 
+def _langid_sql() -> str:
+    """DuckDB mirror of the stopword-hit argmax heuristic (built from the
+    same _STOPWORDS table so the two stay in sync; first-max tie-break in
+    sorted language order, zero hits ⇒ unknown)."""
+    from yaschva_ray.pipelines.textops import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    hits = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in _STOPWORDS[lang])
+        + f"], t))) AS hits_{lang}" for lang in langs)
+    gl = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = ("CASE WHEN " + gl + " = 0 THEN 'unknown' "
+            + " ".join(f"WHEN hits_{lang} = {gl} THEN '{lang}'"
+                       for lang in langs) + " END")
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS toks
+            FROM documents
+        ), h AS (SELECT doc_id, {hits} FROM tok)
+        SELECT doc_id, {case} AS lang_pred FROM h ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact_documents": """
@@ -159,9 +184,10 @@ def oracle_sql() -> dict[str, str]:
             ) <= 10
             ORDER BY query_id, vec_id
         """,
-        # minhash/simhash/ann_lsh/langid/fingerprint/media_features:
+        # minhash/simhash/ann_lsh/fingerprint/media_features/neardup:
         # model-like or approximate ops — rows-only checks (accuracy is
         # asserted in tests against exact counterparts instead)
+        "langid_documents": _langid_sql(),
         "events_hourly_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
