@@ -92,7 +92,6 @@ def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
 
 _MINHASH_K = 64
 _LSH_BANDS = 16  # 16 bands × 4 rows
-_MERSENNE = np.uint64((1 << 61) - 1)
 # 8-bit popcount lookup table (vectorized hamming distance)
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
@@ -210,7 +209,7 @@ def minhash_signatures_batch(texts: list) -> np.ndarray:
 
 def minhash_signature(text: str) -> np.ndarray:
     """k=64 minhash over word 3-gram shingles (single-doc wrapper over the
-    batched kernel; universal hashing mod 2^61−1)."""
+    batched kernel; odd-multiplier permutation family mod 2^64)."""
     return minhash_signatures_batch([text])[0]
 
 
