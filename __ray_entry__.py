@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
         "minhash_verified_pairs": textops.q_minhash_verified_pairs,
         "simhash_documents": textops.q_simhash_documents,
+        "simhash_neardup": textops.q_simhash_neardup,
         "embedding_neardup": textops.q_embedding_neardup,
         "ann_bruteforce": textops.q_ann_bruteforce,
         "ann_lsh": textops.q_ann_lsh,

@@ -275,3 +275,32 @@ def test_media_resize_and_frame_sample_plumbing(ray_session):
     fr2 = sample_video_frames(ray.data.from_arrow(table), n_frames=4).to_pandas()
     assert fr.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True).equals(
         fr2.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True))
+
+
+def test_simhash_neardup_exact_vs_bruteforce(ray_session):
+    """The banded simhash pair search is pigeonhole-EXACT for
+    hamming ≤ n_bands−1: it must find precisely the brute-force all-pairs
+    hamming matches (near-identical texts planted)."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (simhash64_batch,
+                                               simhash_neardup_pairs)
+
+    base = [f"the quick brown fox jumps over dog number {i} " * 6
+            for i in range(60)]
+    # plant near-identical variants (1-token edits → tiny hamming distance)
+    variants = [t.replace("quick", "swift", 1) for t in base[:20]]
+    texts = base + variants
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = simhash_neardup_pairs(ray.data.from_arrow(t), max_hamming=3)
+    gotset = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    fps = simhash64_batch(texts)
+    truth = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            if bin(int(fps[i]) ^ int(fps[j])).count("1") <= 3:
+                truth.add((i, j))
+    assert gotset == truth
+    assert len(truth) >= 10  # the planted variants really collide

@@ -403,6 +403,68 @@ def q_simhash_documents(sf_dir: str) -> pa.Table:
     return out.sort_by([("doc_id", "ascending")])
 
 
+def simhash_neardup_pairs(ds, max_hamming: int = 3,
+                          n_bands: int = 4) -> pa.Table:
+    """SimHash near-duplicate pairs: 64-bit fingerprints → 4×16-bit band
+    buckets (pigeonhole: any pair within hamming ≤ 3 of 64 bits agrees
+    EXACTLY on at least one 16-bit band — recall 1.0 for the default
+    threshold, unlike probabilistic minhash banding) → within-bucket
+    vectorized hamming verify → distinct pairs.  One hash shuffle keyed by
+    (band, band_value); bucket-local pair emission only."""
+    bits_per_band = 64 // n_bands
+    bmask = np.uint64((1 << bits_per_band) - 1)
+
+    def sign_bands(t: pa.Table) -> pa.Table:
+        fps = simhash64_batch(t["text"].to_pylist())
+        n = len(fps)
+        parent = np.repeat(np.arange(n), n_bands)
+        bands = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        shifts = (bands.astype(np.uint64) * np.uint64(bits_per_band))
+        vals = ((fps[parent] >> shifts) & bmask).astype(np.int64)
+        doc_ids = t["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        return pa.table({"band": pa.array(bands),
+                         "band_val": pa.array(vals),
+                         "doc_id": doc_ids.take(pa.array(parent)),
+                         "fp": pa.array(fps[parent].astype(np.int64))})
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        fps = np.asarray(t["fp"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        ia, ib = np.triu_indices(len(fps), k=1)
+        xor = (fps[ia] ^ fps[ib])
+        ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+        keep = ham <= max_hamming
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"doc_a": pa.array(lo.astype(np.int64)),
+                         "doc_b": pa.array(hi.astype(np.int64))})
+
+    sigs = ds.map_batches(sign_bands, batch_format="pyarrow")
+    cands = sigs.groupby(["band", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    t = _gather(cands)
+    if not t.num_rows:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    return (t.select(["doc_a", "doc_b"]).group_by(["doc_a", "doc_b"])
+            .aggregate([]).sort_by([("doc_a", "ascending"),
+                                    ("doc_b", "ascending")]))
+
+
+def q_simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Near-dup doc pairs by simhash hamming distance (rows-only:
+    exactness vs a brute-force all-pairs hamming scan is asserted in
+    tests — the banding is pigeonhole-exact for hamming ≤ n_bands-1)."""
+    return simhash_neardup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        max_hamming=max_hamming)
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -639,10 +701,18 @@ def ivf_build(sf_dir: str, index_dir: str, n_lists: int = 16) -> np.ndarray:
         lists = np.argmax(mn @ cents.T, axis=1).astype(np.int64)
         return t.append_column("list_id", pa.array(lists))
 
-    os.makedirs(index_dir, exist_ok=True)
+    # build into a tmp dir + atomic rename: a crashed build must not leave
+    # partial partitions a rebuild would APPEND duplicate rows next to
+    import shutil
+
+    tmp_dir = index_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
     emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["list_id"])
-    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+        tmp_dir, partition_cols=["list_id"])
+    np.save(os.path.join(tmp_dir, "centroids.npy"), centroids)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
     return centroids
 
 
