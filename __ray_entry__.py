@@ -172,7 +172,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
                    round(CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-                         / greatest(length(text), 1), 6) AS digit_ratio
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(CAST(length(regexp_extract_all(text,
+                             '(?i)\b(?:the|and|of|to|a|in|is|it|that)\b')) AS DOUBLE)
+                         / greatest(length(regexp_extract_all(text, '\S+')), 1), 6)
+                       AS stopword_ratio
             FROM documents ORDER BY doc_id
         """,
         "ann_bruteforce": """
@@ -298,7 +304,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "token_count_documents": r"""
-            SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "top_violated_paths": _LINEITEM_VIOLATION_SQL + """

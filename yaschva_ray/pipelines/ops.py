@@ -243,11 +243,16 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
 
 
 def q_token_count_documents(sf_dir: str) -> pa.Table:
+    """Token counting: whitespace tokens plus a BPE-ish pre-tokenizer count
+    (words and punctuation marks as separate tokens — the unit a subword
+    tokenizer would split further)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def count(t: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(t["text"], r"\S+").cast(pa.int64())
-        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+        n_bpe = pc.count_substring_regex(t["text"], r"\w+|[^\w\s]").cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n,
+                         "n_bpe_tokens": n_bpe})
 
     return _sorted_table(ds.map_batches(count, batch_format="pyarrow"), ["doc_id"])
 

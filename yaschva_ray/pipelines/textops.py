@@ -914,9 +914,14 @@ def q_langid_documents(sf_dir: str) -> pa.Table:
     return out.sort_by([("doc_id", "ascending")])
 
 
+_QUALITY_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that"]
+_STOP_RE = r"(?i)\b(?:" + "|".join(_QUALITY_STOPWORDS) + r")\b"
+
+
 def q_quality_documents(sf_dir: str) -> pa.Table:
-    """Vectorized quality features: n_tokens, mean token length, digit
-    ratio — all via Arrow kernels, SQL-mirrorable."""
+    """Vectorized quality features (length / punct / stopword / digit
+    ratios per the training-data brief) — all via Arrow RE2 kernels,
+    SQL-mirrorable (DuckDB uses RE2 too, so the regexes agree exactly)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def feats(t: pa.Table) -> pa.Table:
@@ -924,11 +929,19 @@ def q_quality_documents(sf_dir: str) -> pa.Table:
         n_chars = pc.utf8_length(txt).cast(pa.int64())
         n_tokens = pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64())
         n_digits = pc.count_substring_regex(txt, r"[0-9]").cast(pa.int64())
-        denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
-        digit_ratio = pc.round(pc.divide(pc.cast(n_digits, pa.float64()),
-                                         pc.cast(denom, pa.float64())), ndigits=6)
+        n_punct = pc.count_substring_regex(txt, r"[^\w\s]").cast(pa.int64())
+        n_stop = pc.count_substring_regex(txt, _STOP_RE).cast(pa.int64())
+        denom_c = pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())),
+                          pa.float64())
+        denom_t = pc.cast(pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64())),
+                          pa.float64())
+        rnd = lambda x, d: pc.round(pc.divide(pc.cast(x, pa.float64()), d),  # noqa: E731
+                                    ndigits=6)
         return pa.table({"doc_id": t["doc_id"], "n_chars": n_chars,
-                         "n_tokens": n_tokens, "digit_ratio": digit_ratio})
+                         "n_tokens": n_tokens,
+                         "digit_ratio": rnd(n_digits, denom_c),
+                         "punct_ratio": rnd(n_punct, denom_c),
+                         "stopword_ratio": rnd(n_stop, denom_t)})
 
     return _gather(ds.map_batches(feats, batch_format="pyarrow")).sort_by(
         [("doc_id", "ascending")])
