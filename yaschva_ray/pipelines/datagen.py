@@ -150,7 +150,12 @@ def write_f0_dataset(n_rows: int, out_dir: str, seed: int = 42,
     # marker records the generation parameters — reuse only an exact match
     # (a stale marker from a different n_rows/seed/rows_per_file would hand
     # back missing files or wrong-scale data)
-    params = f"{n_rows},{seed},{rows_per_file}"
+    # 64k-row ROW GROUPS inside each file: parquet readers parallelize at
+    # row-group granularity, so a 500k-row single-group file caps read
+    # parallelism at one task per file (slow pipeline ramp on small runs;
+    # the same sizing rule applies to real 100 TB layouts)
+    row_group = 65536
+    params = f"{n_rows},{seed},{rows_per_file},rg{row_group}"
     if os.path.exists(done_marker):
         with open(done_marker) as f:
             if f.read().strip() == params:
@@ -170,7 +175,8 @@ def write_f0_dataset(n_rows: int, out_dir: str, seed: int = 42,
 
         @ray.remote
         def _gen(lo: int, hi: int, path: str, seed: int) -> None:
-            pq.write_table(make_docs_batch(np.arange(lo, hi), seed=seed), path)
+            pq.write_table(make_docs_batch(np.arange(lo, hi), seed=seed), path,
+                           row_group_size=65536)
 
         ray.get([
             _gen.remote(i * rows_per_file, min(n_rows, (i + 1) * rows_per_file), p, seed)
@@ -181,7 +187,7 @@ def write_f0_dataset(n_rows: int, out_dir: str, seed: int = 42,
             lo = i * rows_per_file
             hi = min(n_rows, lo + rows_per_file)
             table = make_docs_batch(np.arange(lo, hi), seed=seed)
-            pq.write_table(table, path)
+            pq.write_table(table, path, row_group_size=row_group)
     cat_path = os.path.join(out_dir, "media_catalog.parquet")
     pq.write_table(media_catalog(), cat_path)
     with open(done_marker, "w") as f:
