@@ -79,7 +79,7 @@ def bench_flagship(n_docs: int, out_dir: str) -> dict:
 
 
 def bench_queries(sf_dir: str) -> dict:
-    from yaschva_ray.pipelines import ops
+    from yaschva_ray.pipelines import ops, textops
 
     names = [
         "check_lineitem", "violations_lineitem", "violations_documents",
@@ -87,14 +87,22 @@ def bench_queries(sf_dir: str) -> dict:
         "null_counts_documents", "pricing_summary", "token_count_documents",
         "top_violated_paths",
     ]
+    # training-data operators (added round 2 — round-1 totals covered only
+    # the ops queries; the per-query keys keep rounds comparable)
+    text_names = [
+        "dedup_exact_documents", "minhash_candidates_documents",
+        "simhash_documents", "ann_bruteforce", "langid_documents",
+        "quality_documents",
+    ]
     out = {}
-    for name in names:
-        fn = getattr(ops, f"q_{name}", None)
-        if fn is None:
-            continue
-        t0 = time.time()
-        fn(sf_dir)
-        out[name] = round(time.time() - t0, 3)
+    for mod, group in ((ops, names), (textops, text_names)):
+        for name in group:
+            fn = getattr(mod, f"q_{name}", None)
+            if fn is None:
+                continue
+            t0 = time.time()
+            fn(sf_dir)
+            out[name] = round(time.time() - t0, 3)
     return out
 
 

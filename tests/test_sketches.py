@@ -136,3 +136,31 @@ def test_hash64_length_preserving_with_nulls():
     assert h[1] == h[3]  # nulls hash to a fixed deterministic value
     ints = pa.array([1, None, 2], pa.int64())
     assert len(_hash64(ints)) == 3
+
+
+def test_drift_pipeline_detects_planted_shift(ray_session, tmp_path):
+    """E2E drift: an events table where one type's value distribution is
+    shifted must surface high PSI/KS for exactly that type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_drift_events_value
+
+    rng = np.random.RandomState(11)
+    n = 20_000
+    rows_type, rows_val, rows_id = [], [], []
+    for et, (mul, off) in (("view", (1.0, 1.0)), ("click", (1.0, 1.0)),
+                           ("purchase", (4.0, 9.0))):  # planted shift
+        rows_type += [et] * n
+        rows_val += list(np.abs(rng.randn(n)) * mul + off)
+        rows_id += list(range(len(rows_id), len(rows_id) + n))
+    pq.write_table(pa.table({"event_id": pa.array(rows_id, pa.int64()),
+                             "event_type": pa.array(rows_type, pa.string()),
+                             "value": pa.array(rows_val, pa.float64())}),
+                   tmp_path / "events.parquet")
+    out = q_drift_events_value(str(tmp_path))
+    by_type = {r["event_type"]: r for r in out.to_pylist()}
+    assert by_type["purchase"]["psi"] > 0.25
+    assert by_type["click"]["psi"] < 0.05
+    # deterministic (partition-independent histogram partials)
+    assert out.equals(q_drift_events_value(str(tmp_path)))

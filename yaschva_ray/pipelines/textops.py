@@ -243,10 +243,16 @@ class MinHasher:
 
 def _minhash_candidates_ds(sf_dir: str):
     """Candidate near-dup pairs as a DATASET (never driver-materialized):
-    shingle→minhash→band→bucket-groupby, then a distributed pair dedup
-    (pairs found in multiple bands collapse via a groupby on the pair key)."""
+    shingle→minhash→band→bucket-groupby.  Pairs found in multiple bands may
+    appear more than once; consumers dedup where it matters (the verify
+    co-group's pair-key groupby collapses them for free, the candidates
+    query dedups its small gathered result) — a dedicated dedup groupby
+    here cost a full extra all-to-all for nothing.  Stateless task stage,
+    not an actor pool: MinHasher holds no per-actor state (the permutation
+    table is a module global per worker process) and pool spin-up cost
+    ~2 s per query."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
 
     def pairs(t: pa.Table) -> pa.Table:
         # group already co-located by (band, band_hash); vectorized pair
@@ -257,9 +263,8 @@ def _minhash_candidates_ds(sf_dir: str):
         return pa.table({"doc_a": pa.array(ids[ia].astype(np.int64)),
                          "doc_b": pa.array(ids[ib].astype(np.int64))})
 
-    cands = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
-    return cands.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow")
+    return sigs.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow")
 
 
 def q_minhash_candidates_documents(sf_dir: str) -> pa.Table:
@@ -268,8 +273,9 @@ def q_minhash_candidates_documents(sf_dir: str) -> pa.Table:
     t = _gather(_minhash_candidates_ds(sf_dir))
     if not t.num_rows:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    return t.select(["doc_a", "doc_b"]).sort_by(
-        [("doc_a", "ascending"), ("doc_b", "ascending")])
+    return (t.select(["doc_a", "doc_b"]).group_by(["doc_a", "doc_b"])
+            .aggregate([]).sort_by([("doc_a", "ascending"),
+                                    ("doc_b", "ascending")]))
 
 
 def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
@@ -910,7 +916,7 @@ class LangIdStage:
 
 def q_langid_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = _gather(ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2))
+    out = _gather(ds.map_batches(LangIdStage(), batch_format="pyarrow"))
     return out.sort_by([("doc_id", "ascending")])
 
 
