@@ -89,7 +89,7 @@ def _cmd_validate(args: argparse.Namespace) -> int:
         report = run_flagship(
             files, args.out, schema=schema, catalog_path=args.catalog,
             shards=args.shards, batch_size=args.batch_size,
-            wave_size=args.wave_size,
+            wave_size=args.wave_size, unique_key=args.id_column,
         )
         print(json.dumps(report, indent=2, sort_keys=True))
         return 0 if report["n_fail"] == 0 else 1
@@ -120,6 +120,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--input", required=True, help="parquet glob")
     v.add_argument("--out", required=True)
     v.add_argument("--catalog", default=None, help="media_ref catalog parquet")
+    v.add_argument("--id-column", default="doc_id",
+                   help="key column for the cross-partition uniqueness check")
     v.add_argument("--shards", type=int, default=None)
     v.add_argument("--wave-size", type=int, default=None)
     v.add_argument("--batch-size", type=int, default=8192)

@@ -43,13 +43,15 @@ FLAGSHIP_SCHEMA = {
 _FUSED_CACHE: dict = {}
 
 
-def _fused_task(batch: pa.Table, schema_json: str, catalog_ref) -> pa.Table:
+def _fused_task(batch: pa.Table, schema_json: str, catalog_ref,
+                unique_key: str = "doc_id") -> pa.Table:
     # schema travels as a JSON string: hashable for Ray's schema dedup and
     # parsed once per worker; cache key includes the catalog identity
-    key = (schema_json, str(catalog_ref))
+    key = (schema_json, str(catalog_ref), unique_key)
     stage = _FUSED_CACHE.get(key)
     if stage is None:
-        stage = FusedValidateStage(json.loads(schema_json), catalog_ref)
+        stage = FusedValidateStage(json.loads(schema_json), catalog_ref,
+                                   unique_key=unique_key)
         _FUSED_CACHE[key] = stage
     return stage(batch)
 
@@ -317,6 +319,7 @@ def run_flagship(
     shards: int | None = None,
     batch_size: int = 8192,
     wave_size: int | None = None,
+    unique_key: str = "doc_id",
 ) -> dict:
     """Full checkpointed run.  Returns the aggregate report.
 
@@ -373,7 +376,8 @@ def run_flagship(
                                    schema=clean_parquet_schema(files[0]))
         fused = ds.map_batches(
             _fused_task, batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True, fn_args=(schema_json, catalog_ref),
+            zero_copy_batch=True,
+            fn_args=(schema_json, catalog_ref, unique_key),
         )
         # stream block refs out of the fused execution — payloads stay in
         # the object store; split + uniqueness-map tasks launch per block
@@ -388,7 +392,7 @@ def run_flagship(
             # uniqueness map half off the fused rows' key blobs — only the
             # small bucket partials outlive this wave
             on_block = lambda ref: uniq_map_out.extend(  # noqa: E731
-                uniqueness_map_key_blobs([ref], "doc_id"))
+                uniqueness_map_key_blobs([ref], unique_key))
         by_shard = _assemble_distributed(_stream_refs(fused), wave_ids,
                                          file_to_shard, out_dir, has_catalog,
                                          on_block=on_block)
@@ -429,12 +433,12 @@ def run_flagship(
 
             shutil.rmtree(uniq_dir)
         if full_run and uniq_map_out:
-            dup_table = uniqueness_reduce(uniq_map_out, "doc_id")
+            dup_table = uniqueness_reduce(uniq_map_out, unique_key)
         else:
             from ..engine.checks import uniqueness_violations_files
 
             dup_table = uniqueness_violations_files(
-                [str(f) for f in input_files], "doc_id")
+                [str(f) for f in input_files], unique_key)
         n_dup_keys = dup_table.num_rows
         _write_single(dup_table, uniq_dir, "dups")
         with open(uniq_marker, "w") as f:
