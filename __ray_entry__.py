@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features_smoke,
         "media_frames": _media_frames_smoke,
         "events_hourly_window": ops.q_events_hourly_window,
+        "events_sliding_window": ops.q_events_sliding_window,
+        "events_asof_orders": ops.q_events_asof_orders,
         "props_json_check": ops.q_props_json_check,
         "stats_lineitem": ops.q_stats_lineitem,
         "drift_events_value": ops.q_drift_events_value,
@@ -195,6 +197,24 @@ def oracle_sql() -> dict[str, str]:
         # model-like or approximate ops — rows-only checks (accuracy is
         # asserted in tests against exact counterparts instead)
         "langid_documents": _langid_sql(),
+        "events_sliding_window": """
+            WITH e2 AS (
+              SELECT make_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)*1000000
+                                    - k*1800*1000000) AS window_start,
+                     event_type, value
+              FROM events CROSS JOIN (VALUES (0),(1)) AS s(k)
+            )
+            SELECT window_start, event_type,
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM e2 GROUP BY 1,2 ORDER BY 1,2
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, o.o_orderdate AS asof_date
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
+        """,
         "events_hourly_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,

@@ -510,3 +510,70 @@ def q_type_emitter(sf_dir: str) -> pa.Table:
                      "ts_type": pa.array(ts, pa.string()),
                      "arrow_schema": pa.array(arrow, pa.string())}
                     ).sort_by([("name", "ascending")])
+
+
+# --- as-of join (custom operator: latest order at or before each event) ----
+
+
+def q_events_asof_orders(sf_dir: str) -> pa.Table:
+    """As-of join: for each event, the date of the user's latest order at
+    or before the event time (hash-partitioned both sides, per-bucket
+    vectorized merge_asof — see engine.joins.asof_join).  Output keeps only
+    tie-independent columns (several orders can share a (custkey, date))."""
+    from ..engine.joins import asof_join
+
+    joined = asof_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate")
+    out = pa.table({"event_id": joined["event_id"],
+                    "asof_date": joined["o_orderdate"]})
+    return out.combine_chunks().sort_by([("event_id", "ascending")])
+
+
+# --- sliding-window aggregate (1 h windows, 30 min hop) ---------------------
+
+
+def q_events_sliding_window(sf_dir: str) -> pa.Table:
+    """Hopping/sliding event-time windows: 1-hour windows every 30 minutes
+    — each event lands in exactly two windows.  In-batch emission into both
+    windows + partial aggregation; the final combine is driver-side
+    (window cardinality is bounded: 2/hour × event-time span)."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    HOP_US = 1_800 * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        base = pc.multiply(pc.floor(pc.divide(us, HOP_US)), HOP_US).cast(pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        parts = []
+        for k in (0, 1):  # the two windows covering each event
+            w = pc.subtract(base, pa.scalar(k * HOP_US, pa.int64()))
+            parts.append(pa.table({
+                "window_start": w, "event_type": t["event_type"],
+                "value_cents": cents,
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }))
+        both = pa.concat_tables(parts)
+        g = both.group_by(["window_start", "event_type"]).aggregate(
+            [("value_cents", "sum"), ("n", "sum")])
+        return pa.table({"window_start": g["window_start"],
+                         "event_type": g["event_type"],
+                         "value_cents": g["value_cents_sum"],
+                         "n": g["n_sum"]})
+
+    blocks = [b for b in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if b.num_rows]
+    g = (pa.concat_tables(blocks).group_by(["window_start", "event_type"])
+         .aggregate([("value_cents", "sum"), ("n", "sum")]))
+    return pa.table({
+        "window_start": g["window_start"].cast(pa.timestamp("us")),
+        "event_type": g["event_type"],
+        "sum_value_cents": g["value_cents_sum"].cast(pa.int64()),
+        "n_events": g["n_sum"].cast(pa.int64()),
+    }).combine_chunks().sort_by([("window_start", "ascending"),
+                                 ("event_type", "ascending")])
