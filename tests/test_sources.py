@@ -52,3 +52,25 @@ def test_write_docs_lance_gated():
         pytest.skip("lance installed")
     with pytest.raises(ImportError, match="[Ll]ance"):
         sources.write_docs(None, "/tmp/out", format="lance")
+
+
+def test_jsonl_and_csv_dispatch(ray_session, tmp_path):
+    """read_docs routes .jsonl/.csv to the matching reader with column
+    projection (no pushdown in those formats — applied as a batch select)."""
+    import json
+
+    rows = [{"doc_id": i, "text": f"t{i}", "extra": i * 2} for i in range(10)]
+    jf = tmp_path / "docs.jsonl"
+    jf.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = sources.read_docs(str(jf), columns=["doc_id", "text"])
+    t = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(t.columns) == ["doc_id", "text"]
+    assert t["text"].tolist() == [f"t{i}" for i in range(10)]
+
+    cf = tmp_path / "docs.csv"
+    cf.write_text("doc_id,text,extra\n" +
+                  "\n".join(f"{i},t{i},{i*2}" for i in range(10)))
+    ds2 = sources.read_docs(str(cf), columns=["doc_id", "text"])
+    t2 = ds2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(t2.columns) == ["doc_id", "text"]
+    assert t2["doc_id"].tolist() == list(range(10))

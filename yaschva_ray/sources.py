@@ -45,17 +45,29 @@ def read_docs(paths: list[str] | str, *, columns: list[str] | None = None,
 
     * a ``.lance`` dataset directory → ``ray.data.read_lance`` (requires the
       ``lance`` package; raises a clear error here if absent),
+    * ``.jsonl``/``.json`` → ``ray.data.read_json`` (+ column projection
+      applied as a batch select — JSON has no pushdown),
+    * ``.csv`` → ``ray.data.read_csv`` (same),
     * otherwise parquet file(s) → ``ray.data.read_parquet``.
     """
     import ray.data
 
     first = paths if isinstance(paths, str) else paths[0]
-    if str(first).rstrip("/").endswith(".lance"):
+    s = str(first).rstrip("/")
+    if s.endswith(".lance"):
         if not have_lance():
             raise ImportError(
                 "Lance support requires the 'lance' package (not in this "
                 "container); use parquet or install pylance")
         return ray.data.read_lance(first, columns=columns, **kwargs)
+    if s.endswith((".jsonl", ".json")) or s.endswith(".csv"):
+        reader = ray.data.read_csv if s.endswith(".csv") else ray.data.read_json
+        ds = reader(paths, include_paths=include_paths, **kwargs)
+        if columns:
+            keep = list(columns) + (["path"] if include_paths else [])
+            ds = ds.map_batches(lambda t: t.select(keep),
+                                batch_format="pyarrow")
+        return ds
     if "schema" not in kwargs and os.path.isfile(str(first)):
         kwargs["schema"] = clean_parquet_schema(str(first), columns)
     return ray.data.read_parquet(paths, columns=columns,
