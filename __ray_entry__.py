@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": ops.q_events_hourly_window,
         "events_sliding_window": ops.q_events_sliding_window,
         "events_asof_orders": ops.q_events_asof_orders,
+        "events_price_range_join": ops.q_events_price_range_join,
         "props_json_check": ops.q_props_json_check,
         "stats_lineitem": ops.q_stats_lineitem,
         "drift_events_value": ops.q_drift_events_value,
@@ -208,6 +209,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM e2 GROUP BY 1,2 ORDER BY 1,2
+        """,
+        "events_price_range_join": """
+            SELECT e.event_id, p.p_partkey
+            FROM events e JOIN part p
+              ON p.p_retailprice/100.0 >= e.value - 0.05
+             AND p.p_retailprice/100.0 <= e.value + 0.05
+            ORDER BY e.event_id, p.p_partkey
         """,
         "events_asof_orders": """
             SELECT e.event_id, o.o_orderdate AS asof_date

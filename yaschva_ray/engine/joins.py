@@ -106,3 +106,121 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+_RANGE_MAP_L = None
+_RANGE_MAP_R = None
+_RANGE_REDUCE = None
+
+
+def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
+                 num_buckets: int, replicate: bool):
+    """Band-partition rows by ``floor(value/width) % B``.  The RIGHT side
+    replicates each row into every band its ±eps neighborhood touches
+    (≤3 with width ≥ 2·eps), so any matching pair co-occurs in the LEFT
+    row's band; the left side lands in exactly one band (no duplicate
+    pairs).  Banding is by VALUE, so heavy skew concentrates in one band —
+    pick ``width`` so a band's rows fit a task."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    v = np.asarray(t[val_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    if replicate:
+        idx_parts, band_parts = [], []
+        for d in (-eps, 0.0, eps):
+            b = np.floor((v + d) / width).astype(np.int64)
+            idx_parts.append(np.arange(len(v)))
+            band_parts.append(b)
+        idx = np.concatenate(idx_parts)
+        bands = np.concatenate(band_parts)
+        # drop duplicate (row, band) replicas
+        key = idx.astype(np.int64) * np.int64(1 << 20) + (bands % (1 << 20))
+        _, first = np.unique(key, return_index=True)
+        idx, bands = idx[first], bands[first]
+        src = t.take(pa.array(idx))
+    else:
+        bands = np.floor(v / width).astype(np.int64)
+        src = t
+    buckets = (bands % num_buckets + num_buckets) % num_buckets
+    order = np.argsort(buckets, kind="stable")
+    st = src.take(pa.array(order))
+    sb = buckets[order]
+    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
+    out = [st.slice(bounds[b], bounds[b + 1] - bounds[b])
+           for b in range(num_buckets)]
+    return out if num_buckets > 1 else out[0]
+
+
+def _range_bucket(n_left: int, left_val: str, right_val: str, eps: float,
+                  *parts: pa.Table) -> pa.Table:
+    """Vectorized interval match within one bucket: sort right by value,
+    searchsorted the ±eps window per left row, emit pairs."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    lparts = [p for p in parts[:n_left] if p.num_rows]
+    rparts = [p for p in parts[n_left:] if p.num_rows]
+    if not lparts or not rparts:
+        return pa.table({})
+    left = pa.concat_tables(lparts).combine_chunks()
+    right = pa.concat_tables(rparts).combine_chunks()
+    rv = np.asarray(right[right_val].to_numpy(zero_copy_only=False),
+                    dtype=np.float64)
+    order = np.argsort(rv, kind="stable")
+    right = right.take(pa.array(order))
+    rv = rv[order]
+    lv = np.asarray(left[left_val].to_numpy(zero_copy_only=False),
+                    dtype=np.float64)
+    lo = np.searchsorted(rv, lv - eps, side="left")
+    hi = np.searchsorted(rv, lv + eps, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table({})
+    lidx = np.repeat(np.arange(len(lv)), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    ridx = np.arange(total) - offs[lidx] + lo[lidx]
+    lt = left.take(pa.array(lidx))
+    rt = right.take(pa.array(ridx))
+    cols = {c: lt[c] for c in lt.column_names}
+    for c in rt.column_names:
+        cols[c if c not in cols else f"{c}_right"] = rt[c]
+    return pa.table(cols)
+
+
+def range_join(left_ds, right_ds, *, left_val: str, right_val: str,
+               eps: float, width: float | None = None,
+               num_buckets: int = 16) -> pa.Table:
+    """Band-partitioned interval join: pairs where
+    ``|left_val - right_val| <= eps``.  Both sides exchange once (raw
+    tasks); matches are bucket-local vectorized searchsorted windows."""
+    import ray
+
+    width = width or max(2.0 * eps, 1e-9)
+    global _RANGE_MAP_L, _RANGE_MAP_R, _RANGE_REDUCE
+    if _RANGE_MAP_L is None:
+        _RANGE_MAP_L = ray.remote(_band_slices)
+        _RANGE_REDUCE = ray.remote(_range_bucket)
+
+    def _mapped(ds, col, replicate):
+        out = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref, _md in bundle.blocks:
+                out.append(_RANGE_MAP_L.options(num_returns=num_buckets)
+                           .remote(block_ref, col, width, eps, num_buckets,
+                                   replicate))
+        if num_buckets == 1:
+            out = [[r] for r in out]
+        return out
+
+    lmap = _mapped(left_ds, left_val, False)
+    rmap = _mapped(right_ds, right_val, True)
+    joined = [
+        _RANGE_REDUCE.remote(len(lmap), left_val, right_val, eps,
+                             *[m[b] for m in lmap], *[m[b] for m in rmap])
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(joined) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()

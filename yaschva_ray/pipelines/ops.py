@@ -577,3 +577,25 @@ def q_events_sliding_window(sf_dir: str) -> pa.Table:
         "n_events": g["n_sum"].cast(pa.int64()),
     }).combine_chunks().sort_by([("window_start", "ascending"),
                                  ("event_type", "ascending")])
+
+
+def q_events_price_range_join(sf_dir: str, eps: float = 0.05) -> pa.Table:
+    """Range (interval) join: event values within ±eps of a part's scaled
+    retail price (p_retailprice/100).  Band-partitioned exchange with
+    boundary replication on the right side; bucket-local vectorized
+    searchsorted windows (engine.joins.range_join)."""
+    from ..engine.joins import range_join
+
+    right = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).map_batches(
+        lambda t: pa.table({
+            "p_partkey": t["p_partkey"],
+            "price_scaled": pc.divide(t["p_retailprice"], 100.0),
+        }), batch_format="pyarrow")
+    joined = range_join(
+        _read(sf_dir, "events", ["event_id", "value"]), right,
+        left_val="value", right_val="price_scaled", eps=eps)
+    if not joined.num_rows:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "p_partkey": pa.array([], pa.int64())})
+    return (joined.select(["event_id", "p_partkey"]).combine_chunks()
+            .sort_by([("event_id", "ascending"), ("p_partkey", "ascending")]))
