@@ -440,3 +440,21 @@ def test_fast_exploder_matches_row_oracle_fuzz():
         key = lambda t: sorted(zip(*[t[c].to_pylist() for c in t.column_names]))
         assert fast.column_names == slow.column_names
         assert key(fast) == key(slow), (schema, key(fast)[:5], key(slow)[:5])
+
+
+def test_fast_exploder_unicode_and_escape_reprs():
+    """Leaf fast path: UTF-16 lengths (surrogate pairs count 2), JSON
+    escapes, and non-ASCII \\uXXXX reprs must match the row oracle."""
+    schema = {"s": {"$string": {"minLength": 3, "maxLength": 5}},
+              "e": {"$enum": ["ok"]}}
+    t = pa.table({
+        "s": pa.array(["ab", "😀", "😀😀", "日本語です超過", 'a"b\\c', None,
+                       "x\ty"], pa.string()),
+        "e": pa.array(["émoji", "ok", "日本", " line", "ok", "nope", "ok"],
+                      pa.string()),
+    })
+    fast = ViolationExploder(schema)
+    slow = ViolationExploder(schema)
+    slow._fast_plans = None
+    key = lambda tbl: sorted(zip(*[tbl[c].to_pylist() for c in tbl.column_names]))
+    assert key(fast(t)) == key(slow(t))
