@@ -8,8 +8,10 @@
   → cross-partition uniqueness               [explicit 2-stage hash shuffle]
   → report (verdict counts, top violated paths)``
 
-All stages stream; the input is scanned exactly once per wave plus a
-key-column-only scan for uniqueness.  Ray sessions are owned by the caller.
+All stages stream; a full run reads each input byte EXACTLY ONCE — the
+fused pass also emits per-batch key blobs that feed the uniqueness
+exchange (resumed runs whose finished shards predate the session fall
+back to a key-column-only scan).  Ray sessions are owned by the caller.
 """
 
 from __future__ import annotations
