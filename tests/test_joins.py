@@ -73,3 +73,141 @@ def test_range_join_no_duplicate_pairs_at_band_boundaries(ray_session):
     truth = {(int(i), int(j)) for i in range(len(lv)) for j in range(len(rv))
              if abs(lv[i] - rv[j]) <= 0.1 + 1e-12}
     assert set(pairs) == truth
+
+
+def test_range_join_single_bucket_no_duplicates(ray_session):
+    """ADVICE repro: with num_buckets=1 a right row's replicas in
+    consecutive bands all alias to bucket 0 — dedup must key on (row,
+    bucket), not (row, band), or every match is emitted twice."""
+    import ray.data
+
+    lv = np.array([0.0, 0.15, 0.3], dtype=np.float64)
+    rv = np.array([0.05, 0.2, 0.25], dtype=np.float64)
+    left = pa.table({"lid": pa.array(np.arange(len(lv)), pa.int64()),
+                     "v": pa.array(lv)})
+    right = pa.table({"rid": pa.array(np.arange(len(rv)), pa.int64()),
+                      "w": pa.array(rv)})
+    out = range_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     left_val="v", right_val="w", eps=0.1, num_buckets=1)
+    pairs = list(zip(out["lid"].to_pylist(), out["rid"].to_pylist()))
+    assert len(pairs) == len(set(pairs))
+    truth = {(int(i), int(j)) for i in range(len(lv)) for j in range(len(rv))
+             if abs(lv[i] - rv[j]) <= 0.1 + 1e-12}
+    assert set(pairs) == truth
+
+
+def test_range_join_rejects_narrow_width(ray_session):
+    import ray.data
+
+    t = pa.table({"v": pa.array([0.0])})
+    with pytest.raises(ValueError, match="width"):
+        range_join(ray.data.from_arrow(t), ray.data.from_arrow(t),
+                   left_val="v", right_val="v", eps=0.1, width=0.05,
+                   num_buckets=2)
+
+
+def test_asof_join_empty_right_bucket_unifies_typed_schemas(ray_session):
+    """ADVICE repro: a bucket with left rows but NO right rows used to
+    fabricate pandas NaT (datetime64[ns]) that could not concat with other
+    buckets' date32 columns.  Keys are chosen so at least one of the 4
+    buckets holds only left rows; right_ts is date32 like o_orderdate."""
+    import datetime
+
+    import ray.data
+
+    lkeys = np.arange(40, dtype=np.int64)  # keys 0..39
+    left = pa.table({
+        "lid": pa.array(np.arange(40), pa.int64()),
+        "k": pa.array(lkeys),
+        "t": pa.array([datetime.datetime(2024, 1, 2)] * 40,
+                      pa.timestamp("us")),
+    })
+    right = pa.table({  # only key 0 has history → most buckets right-empty
+        "k2": pa.array([0], pa.int64()),
+        "t2": pa.array([datetime.date(2024, 1, 1)], pa.date32()),
+    })
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_key="k", right_key="k2", left_ts="t", right_ts="t2",
+                    num_buckets=4)
+    assert out.num_rows == 40
+    got = {r["lid"]: r["t2"] for r in out.to_pylist()}
+    assert got[0] == datetime.date(2024, 1, 1)
+    assert sum(v is None for v in got.values()) == 39
+
+
+def test_asof_join_hot_key_single_bucket(ray_session):
+    """Hot-key shape: EVERY left row shares one key (all land in one
+    bucket task) — completes and matches brute force."""
+    import ray.data
+
+    rng = np.random.RandomState(8)
+    n = 5000
+    lts = rng.randint(0, 100_000, n)
+    rts = np.sort(rng.randint(0, 100_000, 200))
+    left = pa.table({"lid": pa.array(np.arange(n), pa.int64()),
+                     "k": pa.array(np.zeros(n, np.int64)),
+                     "t": pa.array(lts, pa.int64())})
+    right = pa.table({"k2": pa.array(np.zeros(200, np.int64)),
+                      "t2": pa.array(rts, pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_key="k", right_key="k2", left_ts="t", right_ts="t2",
+                    num_buckets=8)
+    got = {r["lid"]: r["t2"] for r in out.to_pylist()}
+    for i in range(0, n, 97):
+        cand = rts[rts <= lts[i]]
+        want = int(cand.max()) if len(cand) else None
+        assert got[i] == want
+
+
+def test_join_bucket_sinks_write_parts(ray_session, tmp_path):
+    """out_dir switches both joins to per-bucket parquet sinks + manifest."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    left = pa.table({"lid": pa.array(np.arange(100), pa.int64()),
+                     "k": pa.array(np.arange(100) % 7, pa.int64()),
+                     "t": pa.array(np.arange(100), pa.int64())})
+    right = pa.table({"k2": pa.array(np.arange(7), pa.int64()),
+                      "t2": pa.array(np.zeros(7, np.int64))})
+    man = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_key="k", right_key="k2", left_ts="t", right_ts="t2",
+                    num_buckets=4, out_dir=str(tmp_path / "asof"))
+    assert set(man.column_names) == {"bucket", "n_rows", "path"}
+    total = 0
+    for p, n in zip(man["path"].to_pylist(), man["n_rows"].to_pylist()):
+        t = pq.read_table(p)
+        assert t.num_rows == n
+        total += n
+    assert total == 100  # every left row appears in exactly one part
+
+
+def test_auto_buckets_scales_with_bytes():
+    from yaschva_ray.engine.joins import (_MAX_BUCKETS, _MIN_BUCKETS,
+                                          _TARGET_BUCKET_BYTES, _auto_buckets)
+
+    class FakeDs:
+        def __init__(self, nbytes):
+            self._n = nbytes
+
+        def input_files(self):
+            return []
+
+        @property
+        def _logical_plan(self):
+            n = self._n
+
+            class Dag:
+                def infer_metadata(self):
+                    class M:
+                        size_bytes = n
+                    return M()
+
+            class LP:
+                dag = Dag()
+            return LP()
+
+    assert _auto_buckets(FakeDs(1), FakeDs(1)) == _MIN_BUCKETS
+    assert _auto_buckets(FakeDs(100 * _TARGET_BUCKET_BYTES),
+                         FakeDs(28 * _TARGET_BUCKET_BYTES)) == 128
+    assert _auto_buckets(FakeDs(10**6 * _TARGET_BUCKET_BYTES),
+                         FakeDs(0)) == _MAX_BUCKETS

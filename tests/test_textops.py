@@ -304,3 +304,20 @@ def test_simhash_neardup_exact_vs_bruteforce(ray_session):
                 truth.add((i, j))
     assert gotset == truth
     assert len(truth) >= 10  # the planted variants really collide
+
+
+def test_langid_batch_final_empty_doc_does_not_truncate_counts():
+    """ADVICE repro: clamped reduceat starts excluded the last non-empty
+    doc's FINAL token when the batch ended with empty/null docs — here
+    "der die the and of" is en(3) vs de(2) only if 'of' is counted; the
+    truncated kernel saw a 2-2 tie and answered 'de'."""
+    from yaschva_ray.pipelines.textops import LangIdStage
+
+    stage = LangIdStage()
+    alone = stage(pa.table({"doc_id": pa.array([1], pa.int64()),
+                            "text": pa.array(["der die the and of"])}))
+    trailing = stage(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["der die the and of", None, ""])}))
+    assert alone["lang_pred"].to_pylist() == ["en"]
+    assert trailing["lang_pred"].to_pylist() == ["en", "unknown", "unknown"]

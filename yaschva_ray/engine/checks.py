@@ -47,12 +47,13 @@ def uniqueness_violations(ds: "ray.data.Dataset", key: str,
 
         _UNIQ_BLOCK_REMOTE = ray.remote(_map_block)
 
+    from .blocks import iter_block_refs
+
     map_out = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref, _md in bundle.blocks:
-            map_out.append(_UNIQ_BLOCK_REMOTE
-                           .options(num_returns=num_buckets)
-                           .remote(block_ref, key, num_buckets))
+    for block_ref in iter_block_refs(ds):
+        map_out.append(_UNIQ_BLOCK_REMOTE
+                       .options(num_returns=num_buckets)
+                       .remote(block_ref, key, num_buckets))
     if num_buckets == 1:
         map_out = [[r] for r in map_out]
     return uniqueness_reduce(map_out, key, num_buckets)

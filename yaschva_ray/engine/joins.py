@@ -8,12 +8,72 @@ vectorized ``pandas.merge_asof`` over its co-located key groups.  The
 partitioning assumption: a key's rows fit one bucket task — keys are
 customers/users, so a single key's history is small; bucket COUNT handles
 total volume.
+
+Bucket sizing: when the caller doesn't pass ``num_buckets``, it is derived
+from the datasets' estimated in-memory bytes so a bucket's reduce input
+targets ``_TARGET_BUCKET_BYTES`` — a forgotten parameter no longer means a
+1/16-of-the-data task at scale.  When ``out_dir`` is passed, each bucket
+task writes its own parquet part (tmp + atomic rename) and only a small
+manifest is gathered — the 100 TB path; without it the joined table is
+gathered (callers project/sort small results).
 """
 
 from __future__ import annotations
 
+import math
+import os
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+_TARGET_BUCKET_BYTES = 64 << 20  # reduce-task input target
+_MIN_BUCKETS, _MAX_BUCKETS = 8, 512
+
+
+def _estimate_bytes(ds) -> int | None:
+    """Best-effort in-memory size WITHOUT executing the dataset: plan
+    metadata when Ray can infer it, else source-file bytes × 4 (parquet's
+    typical in-memory inflation)."""
+    try:
+        sz = ds._logical_plan.dag.infer_metadata().size_bytes
+        if sz is not None:
+            return int(sz)
+    except Exception:
+        pass
+    try:
+        files = ds.input_files()
+        if files:
+            return 4 * sum(os.path.getsize(f) for f in files
+                           if os.path.exists(f))
+    except Exception:
+        pass
+    return None
+
+
+def _auto_buckets(*dss) -> int:
+    sizes = [_estimate_bytes(d) for d in dss]
+    if any(s is None for s in sizes):
+        return 16
+    return int(min(_MAX_BUCKETS,
+                   max(_MIN_BUCKETS,
+                       math.ceil(sum(sizes) / _TARGET_BUCKET_BYTES))))
+
+
+def _sink_bucket(table: pa.Table, out_dir: str, bucket_id: int) -> pa.Table:
+    """Write one bucket's join output as its own parquet part (tmp + atomic
+    rename so a retried task never leaves a half-written file); return a
+    one-row manifest."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"bucket-{bucket_id:05d}.parquet")
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return pa.table({"bucket": pa.array([bucket_id], pa.int32()),
+                     "n_rows": pa.array([table.num_rows], pa.int64()),
+                     "path": pa.array([path], pa.string())})
 
 
 def _hash_slices(t: pa.Table, key: str, num_buckets: int) -> list[pa.Table]:
@@ -45,40 +105,96 @@ def _map_block(block: pa.Table, key: str, num_buckets: int):
 
 
 def _asof_bucket(n_left: int, left_key: str, right_key: str,
-                 left_ts: str, right_ts: str, *parts: pa.Table) -> pa.Table:
-    import pandas as pd
+                 left_ts: str, right_ts: str, bucket_id: int,
+                 out_dir: str | None, *parts: pa.Table) -> pa.Table:
+    import pandas as pd  # noqa: F401
 
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
     lparts = [p for p in parts[:n_left] if p.num_rows]
-    rparts = [p for p in parts[n_left:] if p.num_rows]
+    rall = parts[n_left:]
+    rparts = [p for p in rall if p.num_rows]
     if not lparts:
-        return pa.table({})
-    left = pa.concat_tables(lparts).to_pandas()
-    left = left.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
-    if not rparts:
-        merged = left
-        for c in (right_ts,):
-            merged[c] = pd.NaT
+        merged_t = pa.table({})
+    elif not rparts:
+        # no right rows in this bucket: left rows joined with typed nulls —
+        # fabricating pandas NaT here produced datetime64[ns] columns other
+        # buckets' timestamp[us]/date32 schemas could not unify with
+        left_t = pa.concat_tables(lparts).combine_chunks()
+        order = pc.sort_indices(left_t, sort_keys=[(left_ts, "ascending")])
+        left_t = left_t.take(order)
+        for f in (rall[0].schema if rall else []):
+            name = f.name if f.name not in left_t.column_names \
+                else f"{f.name}_right"
+            left_t = left_t.append_column(
+                pa.field(name, f.type), pa.nulls(left_t.num_rows, f.type))
+        merged_t = left_t
     else:
-        right = pa.concat_tables(rparts).to_pandas()
+        import pandas as pd
+
+        def _key_compat(tbl: pa.Table, col: str):
+            # date32/date64 hit pandas as object dtype, which merge_asof
+            # rejects — cast to timestamp[us] for the merge (lossless:
+            # dates are midnights) and remember the type to cast back
+            f = tbl.schema.field(col)
+            if pa.types.is_date(f.type):
+                i = tbl.schema.get_field_index(col)
+                return tbl.set_column(
+                    i, pa.field(col, pa.timestamp("us")),
+                    tbl[col].cast(pa.timestamp("us"))), f.type
+            return tbl, None
+
+        left_t, _ = _key_compat(pa.concat_tables(lparts), left_ts)
+        right_t, _ = _key_compat(pa.concat_tables(rparts), right_ts)
+        left = left_t.to_pandas()
+        left = left.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
+        right = right_t.to_pandas()
         # stable sort: among equal (key, ts) right rows merge_asof takes the
         # LAST — callers should select tie-independent output columns
         right = right.sort_values(right_ts, kind="mergesort").reset_index(drop=True)
         merged = pd.merge_asof(left, right, left_on=left_ts, right_on=right_ts,
                                left_by=left_key, right_by=right_key,
                                direction="backward")
-    return pa.Table.from_pandas(merged, preserve_index=False)
+        merged_t = pa.Table.from_pandas(merged, preserve_index=False)
+        # restore right-side columns' ORIGINAL arrow types: merge_asof
+        # leaves unmatched rows NaN/NaT (widening ints to double, dates to
+        # datetime64), and buckets with different match patterns would
+        # otherwise fail to unify at the final concat
+        for f in rall[0].schema:
+            col = f.name if f.name in merged_t.column_names else f"{f.name}_y"
+            if col not in merged_t.column_names:
+                continue
+            arr = merged_t[col]
+            if arr.type == f.type:
+                continue
+            if pa.types.is_floating(arr.type) and \
+                    not pa.types.is_floating(f.type):
+                arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, arr.type),
+                                 arr)
+            i = merged_t.schema.get_field_index(col)
+            merged_t = merged_t.set_column(i, pa.field(col, f.type),
+                                           arr.cast(f.type))
+    if out_dir is not None:
+        return _sink_bucket(merged_t, out_dir, bucket_id)
+    return merged_t
 
 
 def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
-              left_ts: str, right_ts: str, num_buckets: int = 16) -> pa.Table:
+              left_ts: str, right_ts: str, num_buckets: int | None = None,
+              out_dir: str | None = None) -> pa.Table:
     """Backward as-of join (latest right row at or before each left row's
-    timestamp, per key).  Returns the gathered joined table — callers
-    project/sort; at 100 TB swap the final gather for per-bucket sinks."""
+    timestamp, per key).  ``num_buckets=None`` derives B from the inputs'
+    estimated bytes (per-bucket target ``_TARGET_BUCKET_BYTES``).  With
+    ``out_dir`` each bucket writes its own parquet part and a small manifest
+    table (bucket, n_rows, path) is returned — the at-scale path; otherwise
+    the joined table is gathered."""
     import ray
 
+    from .blocks import iter_block_refs
+
+    if num_buckets is None:
+        num_buckets = _auto_buckets(left_ds, right_ds)
     global _MAP_REMOTE, _REDUCE_REMOTE
     if _MAP_REMOTE is None:
         _MAP_REMOTE = ray.remote(_map_block)
@@ -86,10 +202,9 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
     def _mapped(ds, key):
         out = []
-        for bundle in ds.iter_internal_ref_bundles():
-            for block_ref, _md in bundle.blocks:
-                out.append(_MAP_REMOTE.options(num_returns=num_buckets)
-                           .remote(block_ref, key, num_buckets))
+        for block_ref in iter_block_refs(ds):
+            out.append(_MAP_REMOTE.options(num_returns=num_buckets)
+                       .remote(block_ref, key, num_buckets))
         if num_buckets == 1:
             out = [[r] for r in out]
         return out
@@ -98,7 +213,7 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     rmap = _mapped(right_ds, right_key)
     joined = [
         _REDUCE_REMOTE.remote(len(lmap), left_key, right_key, left_ts,
-                              right_ts, *[m[b] for m in lmap],
+                              right_ts, b, out_dir, *[m[b] for m in lmap],
                               *[m[b] for m in rmap])
         for b in range(num_buckets)
     ]
@@ -109,7 +224,6 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
 
 _RANGE_MAP_L = None
-_RANGE_MAP_R = None
 _RANGE_REDUCE = None
 
 
@@ -119,8 +233,10 @@ def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
     replicates each row into every band its ±eps neighborhood touches
     (≤3 with width ≥ 2·eps), so any matching pair co-occurs in the LEFT
     row's band; the left side lands in exactly one band (no duplicate
-    pairs).  Banding is by VALUE, so heavy skew concentrates in one band —
-    pick ``width`` so a band's rows fit a task."""
+    pairs).  Replicas are deduped per (row, BUCKET) — with few buckets
+    distinct bands alias to one bucket and would emit each match twice.
+    Banding is by VALUE, so heavy skew concentrates in one band — pick
+    ``width`` so a band's rows fit a task."""
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
@@ -133,15 +249,16 @@ def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
             band_parts.append(b)
         idx = np.concatenate(idx_parts)
         bands = np.concatenate(band_parts)
-        # drop duplicate (row, band) replicas
-        key = idx.astype(np.int64) * np.int64(1 << 20) + (bands % (1 << 20))
+        bks = (bands % num_buckets + num_buckets) % num_buckets
+        # drop duplicate (row, bucket) replicas
+        key = idx.astype(np.int64) * np.int64(num_buckets) + bks
         _, first = np.unique(key, return_index=True)
-        idx, bands = idx[first], bands[first]
+        idx, buckets = idx[first], bks[first]
         src = t.take(pa.array(idx))
     else:
         bands = np.floor(v / width).astype(np.int64)
+        buckets = (bands % num_buckets + num_buckets) % num_buckets
         src = t
-    buckets = (bands % num_buckets + num_buckets) % num_buckets
     order = np.argsort(buckets, kind="stable")
     st = src.take(pa.array(order))
     sb = buckets[order]
@@ -152,6 +269,7 @@ def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
 
 
 def _range_bucket(n_left: int, left_val: str, right_val: str, eps: float,
+                  bucket_id: int, out_dir: str | None,
                   *parts: pa.Table) -> pa.Table:
     """Vectorized interval match within one bucket: sort right by value,
     searchsorted the ±eps window per left row, emit pairs."""
@@ -161,54 +279,72 @@ def _range_bucket(n_left: int, left_val: str, right_val: str, eps: float,
     lparts = [p for p in parts[:n_left] if p.num_rows]
     rparts = [p for p in parts[n_left:] if p.num_rows]
     if not lparts or not rparts:
-        return pa.table({})
-    left = pa.concat_tables(lparts).combine_chunks()
-    right = pa.concat_tables(rparts).combine_chunks()
-    rv = np.asarray(right[right_val].to_numpy(zero_copy_only=False),
-                    dtype=np.float64)
-    order = np.argsort(rv, kind="stable")
-    right = right.take(pa.array(order))
-    rv = rv[order]
-    lv = np.asarray(left[left_val].to_numpy(zero_copy_only=False),
-                    dtype=np.float64)
-    lo = np.searchsorted(rv, lv - eps, side="left")
-    hi = np.searchsorted(rv, lv + eps, side="right")
-    counts = hi - lo
-    total = int(counts.sum())
-    if total == 0:
-        return pa.table({})
-    lidx = np.repeat(np.arange(len(lv)), counts)
-    offs = np.concatenate([[0], np.cumsum(counts)])
-    ridx = np.arange(total) - offs[lidx] + lo[lidx]
-    lt = left.take(pa.array(lidx))
-    rt = right.take(pa.array(ridx))
-    cols = {c: lt[c] for c in lt.column_names}
-    for c in rt.column_names:
-        cols[c if c not in cols else f"{c}_right"] = rt[c]
-    return pa.table(cols)
+        out = pa.table({})
+    else:
+        left = pa.concat_tables(lparts).combine_chunks()
+        right = pa.concat_tables(rparts).combine_chunks()
+        rv = np.asarray(right[right_val].to_numpy(zero_copy_only=False),
+                        dtype=np.float64)
+        order = np.argsort(rv, kind="stable")
+        right = right.take(pa.array(order))
+        rv = rv[order]
+        lv = np.asarray(left[left_val].to_numpy(zero_copy_only=False),
+                        dtype=np.float64)
+        lo = np.searchsorted(rv, lv - eps, side="left")
+        hi = np.searchsorted(rv, lv + eps, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            out = pa.table({})
+        else:
+            lidx = np.repeat(np.arange(len(lv)), counts)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            ridx = np.arange(total) - offs[lidx] + lo[lidx]
+            lt = left.take(pa.array(lidx))
+            rt = right.take(pa.array(ridx))
+            cols = {c: lt[c] for c in lt.column_names}
+            for c in rt.column_names:
+                cols[c if c not in cols else f"{c}_right"] = rt[c]
+            out = pa.table(cols)
+    if out_dir is not None:
+        return _sink_bucket(out, out_dir, bucket_id)
+    return out
 
 
 def range_join(left_ds, right_ds, *, left_val: str, right_val: str,
                eps: float, width: float | None = None,
-               num_buckets: int = 16) -> pa.Table:
+               num_buckets: int | None = None,
+               out_dir: str | None = None) -> pa.Table:
     """Band-partitioned interval join: pairs where
     ``|left_val - right_val| <= eps``.  Both sides exchange once (raw
-    tasks); matches are bucket-local vectorized searchsorted windows."""
+    tasks); matches are bucket-local vectorized searchsorted windows.
+    ``width`` must be ≥ 2·eps (narrower bands silently miss pairs — raise
+    instead); ``num_buckets=None`` derives B from the inputs' bytes;
+    ``out_dir`` switches to per-bucket parquet sinks + manifest return."""
     import ray
 
-    width = width or max(2.0 * eps, 1e-9)
-    global _RANGE_MAP_L, _RANGE_MAP_R, _RANGE_REDUCE
+    from .blocks import iter_block_refs
+
+    if width is None:
+        width = max(2.0 * eps, 1e-9)
+    elif width < 2.0 * eps:
+        raise ValueError(
+            f"range_join width ({width}) must be >= 2*eps ({2.0 * eps}): "
+            "a right row only replicates into bands its ±eps neighborhood "
+            "touches, so narrower bands can miss matching pairs")
+    if num_buckets is None:
+        num_buckets = _auto_buckets(left_ds, right_ds)
+    global _RANGE_MAP_L, _RANGE_REDUCE
     if _RANGE_MAP_L is None:
         _RANGE_MAP_L = ray.remote(_band_slices)
         _RANGE_REDUCE = ray.remote(_range_bucket)
 
     def _mapped(ds, col, replicate):
         out = []
-        for bundle in ds.iter_internal_ref_bundles():
-            for block_ref, _md in bundle.blocks:
-                out.append(_RANGE_MAP_L.options(num_returns=num_buckets)
-                           .remote(block_ref, col, width, eps, num_buckets,
-                                   replicate))
+        for block_ref in iter_block_refs(ds):
+            out.append(_RANGE_MAP_L.options(num_returns=num_buckets)
+                       .remote(block_ref, col, width, eps, num_buckets,
+                               replicate))
         if num_buckets == 1:
             out = [[r] for r in out]
         return out
@@ -216,7 +352,7 @@ def range_join(left_ds, right_ds, *, left_val: str, right_val: str,
     lmap = _mapped(left_ds, left_val, False)
     rmap = _mapped(right_ds, right_val, True)
     joined = [
-        _RANGE_REDUCE.remote(len(lmap), left_val, right_val, eps,
+        _RANGE_REDUCE.remote(len(lmap), left_val, right_val, eps, b, out_dir,
                              *[m[b] for m in lmap], *[m[b] for m in rmap])
         for b in range(num_buckets)
     ]

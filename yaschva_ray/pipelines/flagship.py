@@ -383,11 +383,9 @@ def run_flagship(
         )
         # stream block refs out of the fused execution — payloads stay in
         # the object store; split + uniqueness-map tasks launch per block
-        # WHILE the scan is still running
-        def _stream_refs(ds_):
-            for bundle in ds_.iter_internal_ref_bundles():
-                for block_ref, _md in bundle.blocks:
-                    yield block_ref
+        # WHILE the scan is still running (engine.blocks seam: falls back
+        # to a blocking to_arrow_refs if the private Ray API shifts)
+        from ..engine.blocks import iter_block_refs as _stream_refs
 
         on_block = None
         if full_run and not uniq_done:

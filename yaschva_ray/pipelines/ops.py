@@ -527,6 +527,10 @@ def q_events_asof_orders(sf_dir: str) -> pa.Table:
         _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
         left_key="user_id", right_key="o_custkey",
         left_ts="ts", right_ts="o_orderdate")
+    if not joined.num_rows or "event_id" not in joined.column_names:
+        # an empty LEFT dataset joins to a column-less empty table
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "asof_date": pa.array([], pa.date32())})
     out = pa.table({"event_id": joined["event_id"],
                     "asof_date": joined["o_orderdate"]})
     return out.combine_chunks().sort_by([("event_id", "ascending")])

@@ -904,8 +904,13 @@ class LangIdStage:
         counts = np.zeros((n, len(self.langs)), dtype=np.int64)
         if len(flat):
             for li, lang in enumerate(self.langs):
-                hits = flat.is_in(self.sets[lang]).to_numpy().astype(np.int64)
-                seg = np.add.reduceat(hits, np.minimum(starts, len(hits) - 1))
+                # trailing dummy 0 lets a batch-final empty doc's start ==
+                # len(hits) without clamping (clamped starts excluded the
+                # last non-empty doc's final token from its count); empty
+                # docs' spurious hits[start] values are masked below
+                hits = np.append(
+                    flat.is_in(self.sets[lang]).to_numpy().astype(np.int64), 0)
+                seg = np.add.reduceat(hits, starts)
                 counts[:, li] = np.where(lens > 0, seg, 0)
         best = np.argmax(counts, axis=1)  # first max (= per-row tie-break)
         out = [self.langs[b] if counts[i, b] > 0 else "unknown"
