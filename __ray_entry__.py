@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": textops.q_langid_documents,
         "quality_documents": textops.q_quality_documents,
         "fingerprint_documents": textops.q_fingerprint_documents,
+        "fingerprint_md5": textops.q_fingerprint_md5,
         "media_features": _media_features_smoke,
         "media_frames": _media_frames_smoke,
         "events_hourly_window": ops.q_events_hourly_window,
@@ -194,9 +195,25 @@ def oracle_sql() -> dict[str, str]:
             ) <= 10
             ORDER BY query_id, vec_id
         """,
-        # minhash/simhash/ann_lsh/fingerprint/media_features/neardup:
+        # minhash/simhash/ann_lsh/xxhash-fingerprint/media_features:
         # model-like or approximate ops — rows-only checks (accuracy is
         # asserted in tests against exact counterparts instead)
+        "fingerprint_md5": """
+            SELECT doc_id, md5(text) AS fingerprint_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "embedding_neardup": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000000, embedding FROM embeddings
+                WHERE vec_id < 8
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+            ORDER BY vec_a, vec_b
+        """,
         "langid_documents": _langid_sql(),
         "events_sliding_window": """
             WITH e2 AS (

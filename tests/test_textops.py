@@ -244,7 +244,11 @@ def test_embedding_neardup_query_runs(ray_session):
 
     out = q_embedding_neardup(SF_DIR)
     assert out.column_names == ["vec_a", "vec_b"]
-    assert out.num_rows == 0  # no natural near-dups at 0.9 in the testdata
+    # exactly the planted exact-copy pairs (no natural near-dups at 0.9 in
+    # the testdata; planted copies are found with recall 1.0 — identical
+    # vectors share every band signature)
+    pairs = list(zip(out["vec_a"].to_pylist(), out["vec_b"].to_pylist()))
+    assert pairs == [(i, 10_000_000 + i) for i in range(8)]
 
 
 def test_media_resize_and_frame_sample_plumbing(ray_session):
@@ -321,3 +325,75 @@ def test_langid_batch_final_empty_doc_does_not_truncate_counts():
         "text": pa.array(["der die the and of", None, ""])}))
     assert alone["lang_pred"].to_pylist() == ["en"]
     assert trailing["lang_pred"].to_pylist() == ["en", "unknown", "unknown"]
+
+
+def test_minhash_hot_bucket_star_emission(ray_session):
+    """VERDICT scale hazard: 50k empty texts all share _EMPTY_SHINGLE, so
+    every band forms one degenerate bucket.  The cap must switch to star
+    emission (linear) instead of ~1.25e9 all-pairs, linking every doc to
+    the hub."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (_gather,
+                                               minhash_candidates_from_ds)
+
+    n = 50_000
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "text": pa.array([""] * n)})
+    out = _gather(minhash_candidates_from_ds(ray.data.from_arrow(t),
+                                             max_bucket_rows=1000))
+    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    assert pairs == {(0, i) for i in range(1, n)}
+
+
+def test_simhash_hot_bucket_star(ray_session):
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import simhash_neardup_pairs
+
+    n = 20_000
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "text": pa.array(["identical boilerplate text here"] * n)})
+    out = simhash_neardup_pairs(ray.data.from_arrow(t), max_bucket_rows=500)
+    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    assert pairs == {(0, i) for i in range(1, n)}
+
+
+def test_embedding_hot_bucket_star(ray_session):
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import embedding_neardup_pairs
+
+    n, dim = 10_000, 16
+    vecs = np.tile(np.arange(1, dim + 1, dtype=np.float64), (n, 1))
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float64()))})
+    out = embedding_neardup_pairs(ray.data.from_arrow(t),
+                                  max_bucket_rows=500)
+    pairs = set(zip(out["vec_a"].to_pylist(), out["vec_b"].to_pylist()))
+    assert pairs == {(0, i) for i in range(1, n)}
+
+
+def test_small_buckets_unaffected_by_cap(ray_session):
+    """Below the cap, pair emission is identical with and without it."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (_gather,
+                                               minhash_candidates_from_ds)
+
+    rng = np.random.RandomState(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(200)]
+    texts += [texts[0], texts[1]]  # exact dups → guaranteed candidates
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+
+    def pairset(cap):
+        out = _gather(minhash_candidates_from_ds(
+            ray.data.from_arrow(t), max_bucket_rows=cap))
+        return set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+
+    capped = pairset(1000)
+    uncapped = pairset(10**9)
+    assert capped == uncapped
+    assert (0, 200) in capped and (1, 201) in capped

@@ -194,8 +194,28 @@ def q_null_counts_documents(sf_dir: str) -> pa.Table:
 
 
 def q_distinct_lang(sf_dir: str) -> pa.Table:
-    n = len(_read(sf_dir, "documents", ["lang"]).unique("lang"))
-    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+    """Exact distinct count of a LOW-cardinality column via the house
+    partial pattern: per-block ``pc.unique`` + driver set-union.  Ray
+    Data's ``unique()`` is an all-to-all shuffle costing seconds of fixed
+    latency for a 5-value column (the repo's measured groupby finding,
+    engine/checks.py)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["lang"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"lang": pc.unique(col)})
+
+    vals: set = set()
+    for b in ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                     .to_arrow_refs()):
+        if b.num_columns:
+            vals.update(b["lang"].to_pylist())
+    vals.discard(None)  # SQL COUNT(DISTINCT …) excludes NULL
+    return pa.table({"n_distinct": pa.array([len(vals)], pa.int64())})
 
 
 def q_pricing_summary(sf_dir: str) -> pa.Table:

@@ -11,6 +11,7 @@ broadcast once via ``ray.put``.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -20,6 +21,19 @@ import pyarrow.compute as pc
 from ..engine.sketches import _hash64
 
 TOKEN_RE = r"\S+"
+
+_LOG = logging.getLogger("yaschva_ray.textops")
+
+# Within-bucket pair emission is the one quadratic in the LSH near-dup
+# families.  At web scale a degenerate bucket is GUARANTEED (every
+# empty/whitespace doc shares _EMPTY_SHINGLE; boilerplate text is the
+# normal case), and an uncapped 10M-row bucket attempts ~5e13 pairs.
+# Above this cap a bucket emits a hub-and-spoke STAR to its minimum id
+# instead of all-pairs: linear in bucket size, preserves duplicate-cluster
+# connectivity (degenerate buckets are near-identical members, so every
+# member genuinely matches the hub), and each emission is logged — no
+# silent caps.
+_MAX_BUCKET_ROWS = 2048
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -241,7 +255,7 @@ class MinHasher:
         })
 
 
-def _minhash_candidates_ds(sf_dir: str):
+def minhash_candidates_from_ds(ds, max_bucket_rows: int = _MAX_BUCKET_ROWS):
     """Candidate near-dup pairs as a DATASET (never driver-materialized):
     shingle→minhash→band→bucket-groupby.  Pairs found in multiple bands may
     appear more than once; consumers dedup where it matters (the verify
@@ -251,20 +265,34 @@ def _minhash_candidates_ds(sf_dir: str):
     not an actor pool: MinHasher holds no per-actor state (the permutation
     table is a module global per worker process) and pool spin-up cost
     ~2 s per query."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
 
     def pairs(t: pa.Table) -> pa.Table:
         # group already co-located by (band, band_hash); vectorized pair
-        # emission (the quadratic is inherent to pair EMISSION — bound it
-        # upstream by band width, not here)
+        # emission, capped: over max_bucket_rows the bucket is degenerate
+        # (empty/boilerplate shingles) and all-pairs would go quadratic —
+        # emit a star to the minimum doc_id instead (see _MAX_BUCKET_ROWS)
         ids = np.sort(np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)))
-        ia, ib = np.triu_indices(len(ids), k=1)
+        n = len(ids)
+        if n > max_bucket_rows:
+            _LOG.warning(
+                "minhash LSH bucket of %d rows exceeds cap %d: emitting "
+                "%d star pairs to hub doc %d instead of %d all-pairs",
+                n, max_bucket_rows, n - 1, int(ids[0]), n * (n - 1) // 2)
+            return pa.table({
+                "doc_a": pa.array(np.full(n - 1, ids[0], dtype=np.int64)),
+                "doc_b": pa.array(ids[1:].astype(np.int64))})
+        ia, ib = np.triu_indices(n, k=1)
         return pa.table({"doc_a": pa.array(ids[ia].astype(np.int64)),
                          "doc_b": pa.array(ids[ib].astype(np.int64))})
 
     return sigs.groupby(["band", "band_hash"]).map_groups(
         pairs, batch_format="pyarrow")
+
+
+def _minhash_candidates_ds(sf_dir: str):
+    return minhash_candidates_from_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_minhash_candidates_documents(sf_dir: str) -> pa.Table:
@@ -409,8 +437,8 @@ def q_simhash_documents(sf_dir: str) -> pa.Table:
     return out.sort_by([("doc_id", "ascending")])
 
 
-def simhash_neardup_pairs(ds, max_hamming: int = 3,
-                          n_bands: int = 4) -> pa.Table:
+def simhash_neardup_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
+                          max_bucket_rows: int = _MAX_BUCKET_ROWS) -> pa.Table:
     """SimHash near-duplicate pairs: 64-bit fingerprints → 4×16-bit band
     buckets (pigeonhole: any pair within hamming ≤ 3 of 64 bits agrees
     EXACTLY on at least one 16-bit band — recall 1.0 for the default
@@ -441,11 +469,26 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3,
                              "doc_b": pa.array([], pa.int64())})
         fps = np.asarray(t["fp"].to_numpy(zero_copy_only=False)).astype(np.uint64)
         ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
-        ia, ib = np.triu_indices(len(fps), k=1)
-        xor = (fps[ia] ^ fps[ib])
-        ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
-        keep = ham <= max_hamming
-        a, b = ids[ia[keep]], ids[ib[keep]]
+        n = len(fps)
+        if n > max_bucket_rows:
+            # degenerate bucket: compare everything to the min-id HUB only
+            # (linear) — members verified by the same hamming predicate
+            _LOG.warning(
+                "simhash bucket of %d rows exceeds cap %d: star-verifying "
+                "against hub doc instead of %d all-pairs",
+                n, max_bucket_rows, n * (n - 1) // 2)
+            hub = int(np.argmin(ids))
+            xor = fps ^ fps[hub]
+            ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+            keep = (ham <= max_hamming) & (np.arange(n) != hub)
+            a = np.full(int(keep.sum()), ids[hub])
+            b = ids[keep]
+        else:
+            ia, ib = np.triu_indices(n, k=1)
+            xor = (fps[ia] ^ fps[ib])
+            ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+            keep = ham <= max_hamming
+            a, b = ids[ia[keep]], ids[ib[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"doc_a": pa.array(lo.astype(np.int64)),
                          "doc_b": pa.array(hi.astype(np.int64))})
@@ -531,7 +574,8 @@ def q_ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
 
 
 def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
-                            n_planes: int = 16, n_bands: int = 4) -> pa.Table:
+                            n_planes: int = 16, n_bands: int = 4,
+                            max_bucket_rows: int = _MAX_BUCKET_ROWS) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (the fifth dedup family):
     random-hyperplane signatures → band buckets (groupby co-locates each
     bucket's VECTORS, not just ids) → exact within-bucket cosine ≥
@@ -576,10 +620,24 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
                              "vec_b": pa.array([], pa.int64())})
         m = _embeddings_matrix(t)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = mn @ mn.T
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        a, b = ids[ia], ids[ib]
+        n = len(mn)
+        if n > max_bucket_rows:
+            # degenerate bucket: exact cosine against the min-id HUB only
+            # (one matvec) instead of the n×n gram matrix
+            _LOG.warning(
+                "embedding LSH bucket of %d rows exceeds cap %d: "
+                "star-verifying against hub vec instead of %d all-pairs",
+                n, max_bucket_rows, n * (n - 1) // 2)
+            hub = int(np.argmin(ids))
+            sims = mn @ mn[hub]
+            keep = (sims >= threshold) & (np.arange(n) != hub)
+            a = np.full(int(keep.sum()), ids[hub])
+            b = ids[keep]
+        else:
+            sims = mn @ mn.T
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b = ids[ia], ids[ib]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"vec_a": pa.array(lo.astype(np.int64)),
                          "vec_b": pa.array(hi.astype(np.int64))})
@@ -596,13 +654,31 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
                                     ("vec_b", "ascending")]))
 
 
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.9) -> pa.Table:
-    """Near-duplicate embedding pairs over the embeddings table (rows-only:
-    the synthetic table has no natural near-dups at 0.9 — recall/precision
-    are asserted on PLANTED duplicates in tests)."""
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.9,
+                        n_plant: int = 8,
+                        plant_offset: int = 10_000_000) -> pa.Table:
+    """Near-duplicate embedding pairs, with EXACT copies of the first
+    ``n_plant`` vectors planted in-query (vec_id + offset) so the driver
+    check is non-empty AND oracle-checkable: identical vectors carry
+    identical hyperplane signatures, so banding recall on the planted
+    pairs is exactly 1.0 and the family's output equals brute-force SQL
+    over the augmented table (the synthetic data's max natural cosine is
+    ~0.51 at sf0.01, far below the threshold — only planted pairs
+    qualify, in both float dialects)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t["vec_id"], n_plant))
+        if not sel.num_rows:
+            return t
+        copy = pa.table({
+            "vec_id": pc.add(sel["vec_id"], pa.scalar(plant_offset, pa.int64())),
+            "embedding": sel["embedding"],
+        })
+        return pa.concat_tables([t.select(["vec_id", "embedding"]), copy])
+
     return embedding_neardup_pairs(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        threshold=threshold)
+        ds.map_batches(plant, batch_format="pyarrow"), threshold=threshold)
 
 
 def q_ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 12) -> pa.Table:
@@ -969,6 +1045,27 @@ def q_fingerprint_documents(sf_dir: str) -> pa.Table:
             txt = txt.combine_chunks()
         h = _hash64(txt).astype(np.int64)
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(h)})
+
+    return _gather(ds.map_batches(fp, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
+
+
+def q_fingerprint_md5(sf_dir: str) -> pa.Table:
+    """SQL-checkable content fingerprint: hex MD5 per doc, hash-exact vs
+    DuckDB's ``md5()``.  Exists for cross-engine conformance — the
+    PRODUCTION fingerprint path is the vectorized 64-bit xxhash above
+    (``q_fingerprint_documents``); MD5-per-row is a Python-loop kernel
+    kept out of hot pipelines by design."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        out = [None if s is None
+               else hashlib.md5(s.encode("utf-8")).hexdigest()
+               for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint_md5": pa.array(out, pa.string())})
 
     return _gather(ds.map_batches(fp, batch_format="pyarrow")).sort_by(
         [("doc_id", "ascending")])
