@@ -110,9 +110,52 @@ def test_media_feature_plumbing(ray_session):
     out = extract_media_features(ds, batch_size=32).to_pandas()
     assert len(out) == 128
     assert all(len(f) == FEATURE_DIM for f in out["feature"])
-    # real decoder is an explicit stub
-    with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(decoder="real")
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_media_real_decoder_gate_without_pil():
+    """Import-gated both ways: without PIL the real path fails loudly at
+    construction; with PIL it constructs (decode covered by the gated
+    test below)."""
+    from yaschva_ray.pipelines.multimodal import MediaFeatureExtractor, MediaResizer
+
+    if _has_pil():
+        assert MediaFeatureExtractor(decoder="real")._pil is not None
+        assert MediaResizer(decoder="real")._pil is not None
+    else:
+        with pytest.raises(NotImplementedError):
+            MediaFeatureExtractor(decoder="real")
+        with pytest.raises(NotImplementedError):
+            MediaResizer(decoder="real")
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not in this container")
+def test_media_real_decode_png():
+    """With PIL present, decoder='real' decodes actual image bytes."""
+    import io
+
+    from PIL import Image
+
+    from yaschva_ray.pipelines.multimodal import (RESIZE_H, RESIZE_W,
+                                                  MediaFeatureExtractor,
+                                                  MediaResizer)
+
+    buf = io.BytesIO()
+    Image.new("L", (32, 32), 128).save(buf, "PNG")
+    batch = pa.table({"media_ref": pa.array(["media://x/1.png"]),
+                      "kind": pa.array(["image"]),
+                      "payload": pa.array([buf.getvalue()], pa.binary())})
+    feat = MediaFeatureExtractor(decoder="real")(batch)
+    assert feat["feature"][0].as_py() == [128.0] * 16
+    px = MediaResizer(decoder="real")(batch)
+    assert px["pixels"][0].as_py() == [128.0] * (RESIZE_H * RESIZE_W)
 
 
 def test_fingerprint_deterministic(ray_session):

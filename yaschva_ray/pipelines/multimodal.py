@@ -1,11 +1,14 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-The decode libraries (PIL/ffmpeg/etc.) are NOT in this container, so the
-actual byte→pixels/samples decode is STUBBED: ``decoder="fake"`` (default)
-produces a deterministic hash-derived feature vector so the Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — is real
-and tested; ``decoder="real"`` raises ``NotImplementedError`` at actor
-construction, marking exactly where a real decoder plugs in.
+Decode is IMPORT-GATED: ``decoder="real"`` uses PIL for images when it is
+importable and raises ``NotImplementedError`` at actor construction when
+it is not (this container ships neither PIL nor ffmpeg) — the gate is
+honest both ways: with PIL present the real path decodes/resizes actual
+image bytes (gated test), without it the plug point fails loudly.  Audio/
+video frame decode needs ffmpeg and stays a declared stub either way.
+``decoder="fake"`` (default) produces a deterministic hash-derived feature
+vector so the Ray-side plumbing — schema, batch sizing, actor signature,
+output layout — is real and tested regardless of libraries.
 
 Design per the build brief: decode/feature-extract runs as an actor-pool
 ``map_batches`` stage with small batches (large binary payloads), emitting
@@ -16,6 +19,14 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = pa.schema([
     ("media_ref", pa.string()),
@@ -54,10 +65,14 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, decoder: str = "fake"):
+        self._pil = None
         if decoder == "real":
-            raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg which are not in "
-                "this container — plug a decoder in here")
+            self._pil = _try_import_pil()
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real media decoding requires PIL (images) — not "
+                    "importable in this container; the import-gated real "
+                    "path activates automatically where PIL exists")
         self.decoder = decoder
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
@@ -66,8 +81,26 @@ class MediaFeatureExtractor:
         chunks = np.array_split(arr.astype(np.float64), FEATURE_DIM)
         return np.array([c.mean() if len(c) else 0.0 for c in chunks])
 
+    def _real_decode_image(self, payload: bytes) -> np.ndarray:
+        """PIL path: decode → grayscale → 4×4 mean-pool = FEATURE_DIM."""
+        import io
+
+        img = self._pil.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+        return np.asarray(img, dtype=np.float64).ravel()
+
+    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if self._pil is not None and kind == "image":
+            try:
+                return self._real_decode_image(payload)
+            except Exception:
+                return np.zeros(FEATURE_DIM)  # undecodable bytes
+        # audio/video need ffmpeg (absent): deterministic stub either way
+        return self._fake_decode(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.stack([self._fake_decode(p) for p in batch["payload"].to_pylist()])
+        feats = np.stack([self._decode(p, k) for p, k in
+                          zip(batch["payload"].to_pylist(),
+                              batch["kind"].to_pylist())])
         return pa.table({
             "media_ref": batch["media_ref"],
             "kind": batch["kind"],
@@ -97,11 +130,23 @@ class MediaResizer:
     """
 
     def __init__(self, decoder: str = "fake"):
+        self._pil = None
         if decoder == "real":
-            raise NotImplementedError(
-                "real image resize requires PIL/cv2 — plug in here")
+            self._pil = _try_import_pil()
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not importable in "
+                    "this container; activates automatically where PIL "
+                    "exists")
 
     def _resize(self, payload: bytes) -> np.ndarray:
+        if self._pil is not None:
+            try:
+                img = self._pil.open(__import__("io").BytesIO(payload))
+                img = img.convert("L").resize((RESIZE_W, RESIZE_H))
+                return np.asarray(img, dtype=np.float64).ravel()
+            except Exception:
+                return np.zeros(RESIZE_H * RESIZE_W)
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
         side = max(int(len(arr) ** 0.5), 1)
         grid = arr[: side * side].reshape(side, side)
