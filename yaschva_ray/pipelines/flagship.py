@@ -374,8 +374,23 @@ def run_flagship(
         t0 = _time.time()
         from ..sources import clean_parquet_schema
 
+        # scan ramp: Ray launches ONE read task per file (dynamic block
+        # splitting raises block count, not task parallelism), so a wave
+        # with fewer files than CPUs under-drives the pool.  Split to row-
+        # group granularity in that case; when files >= CPUs Ray's default
+        # wins (measured at 24M+ docs — overrides only add overhead there).
+        nb = None
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) \
+            if ray.is_initialized() else 0
+        if ncpu and len(files) < ncpu:
+            import pyarrow.parquet as _pq
+
+            total_rg = sum(_pq.ParquetFile(f).metadata.num_row_groups
+                           for f in files)
+            nb = max(len(files), min(total_rg, 2 * ncpu))
         ds = ray.data.read_parquet(files, include_paths=True,
-                                   schema=clean_parquet_schema(files[0]))
+                                   schema=clean_parquet_schema(files[0]),
+                                   override_num_blocks=nb)
         fused = ds.map_batches(
             _fused_task, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True,
