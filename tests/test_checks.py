@@ -58,3 +58,35 @@ def test_string_keys_partitioned(ray_session):
     out = referential_missing_keys(left, right, "k", "rk", broadcast_limit=0,
                                    num_buckets=2)
     assert out["k"].to_pylist() == ["a", "c"]
+
+
+def test_uniqueness_streaming_combine_equals_flat_reduce(ray_session):
+    """Tree-combining chunks of map entries mid-stream must give the same
+    duplicate table as reducing the raw entries."""
+    import ray
+    import ray.data
+
+    from yaschva_ray.engine.blocks import iter_block_refs
+    from yaschva_ray.engine.checks import (_UNIQ_BLOCK_REMOTE,
+                                           uniqueness_combine,
+                                           uniqueness_reduce,
+                                           uniqueness_violations)
+
+    keys = [f"k{i % 300:04d}" for i in range(2000)]  # every key duplicated
+    t = pa.table({"doc_id": pa.array(keys)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    flat = uniqueness_violations(ds, "doc_id")
+
+    # rebuild the map side by hand, combine in chunks of 3, reduce
+    import yaschva_ray.engine.checks as checks
+
+    ds2 = ray.data.from_arrow(t).repartition(8)
+    map_out = []
+    for ref in iter_block_refs(ds2):
+        map_out.append(checks._UNIQ_BLOCK_REMOTE
+                       .options(num_returns=16).remote(ref, "doc_id", 16))
+    combined = [uniqueness_combine(map_out[i:i + 3], "doc_id")
+                for i in range(0, len(map_out), 3)]
+    tree = uniqueness_reduce(combined, "doc_id")
+    assert tree.equals(flat)
+    assert tree.num_rows == 300

@@ -130,6 +130,39 @@ def uniqueness_map_key_blobs(block_refs, key: str, num_buckets: int = 16):
     return map_out
 
 
+_UNIQ_COMBINE_REMOTE = None
+
+
+def _combine_bucket_task(key: str, *parts: pa.Table) -> pa.Table:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table({key: pa.array([], pa.string()),
+                         "partial_n": pa.array([], pa.int64())})
+    t = pa.concat_tables(nonempty)
+    g = t.group_by(key).aggregate([("partial_n", "sum")])
+    return pa.table({key: g[key],
+                     "partial_n": g["partial_n_sum"].cast(pa.int64())})
+
+
+def uniqueness_combine(map_out, key: str, num_buckets: int = 16):
+    """Collapse many map entries into ONE map-shaped entry (per-bucket
+    partial group-sums).  Fired periodically WHILE upstream still streams,
+    this (a) moves combine work inside the scan wall instead of the
+    post-scan reduce tail and (b) bounds the final reduce's fan-in — at
+    10^12 docs the reduce would otherwise concat millions of slices per
+    bucket in one task."""
+    import ray
+
+    global _UNIQ_COMBINE_REMOTE
+    if _UNIQ_COMBINE_REMOTE is None:
+        _UNIQ_COMBINE_REMOTE = ray.remote(_combine_bucket_task)
+    return [_UNIQ_COMBINE_REMOTE.remote(key, *[m[b] for m in map_out])
+            for b in range(num_buckets)]
+
+
 def uniqueness_reduce(map_out, key: str, num_buckets: int = 16) -> pa.Table:
     """Reduce half: one task per bucket over all accumulated map slices."""
     import ray

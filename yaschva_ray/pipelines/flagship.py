@@ -364,8 +364,11 @@ def run_flagship(
     schema_json = json.dumps(schema, sort_keys=True)
     has_catalog = catalog_ref is not None
     full_run = not done  # fused blocks will cover EVERY shard
-    uniq_map_out: list = []  # accumulated uniqueness bucket partials
-    from ..engine.checks import uniqueness_map_key_blobs, uniqueness_reduce
+    uniq_map_out: list = []  # tree-combined uniqueness bucket partials
+    uniq_pending: list = []  # raw per-block map entries awaiting combine
+    _COMBINE_EVERY = 64  # blocks per streaming combine round
+    from ..engine.checks import (uniqueness_combine, uniqueness_map_key_blobs,
+                                 uniqueness_reduce)
 
     uniq_done = os.path.exists(os.path.join(out_dir, "_uniqueness_done.json"))
     for w0 in range(0, len(pending), wave):
@@ -405,9 +408,17 @@ def run_flagship(
         on_block = None
         if full_run and not uniq_done:
             # uniqueness map half off the fused rows' key blobs — only the
-            # small bucket partials outlive this wave
-            on_block = lambda ref: uniq_map_out.extend(  # noqa: E731
-                uniqueness_map_key_blobs([ref], unique_key))
+            # small bucket partials outlive this wave.  Every
+            # _COMBINE_EVERY blocks the accumulated entries tree-combine
+            # into one, DURING the scan: the post-scan reduce tail sees a
+            # bounded fan-in instead of one slice per input block
+            def on_block(ref):
+                uniq_pending.extend(
+                    uniqueness_map_key_blobs([ref], unique_key))
+                if len(uniq_pending) >= _COMBINE_EVERY:
+                    uniq_map_out.append(
+                        uniqueness_combine(uniq_pending, unique_key))
+                    uniq_pending.clear()
         by_shard = _assemble_distributed(_stream_refs(fused), wave_ids,
                                          file_to_shard, out_dir, has_catalog,
                                          on_block=on_block)
@@ -447,8 +458,9 @@ def run_flagship(
             import shutil
 
             shutil.rmtree(uniq_dir)
-        if full_run and uniq_map_out:
-            dup_table = uniqueness_reduce(uniq_map_out, unique_key)
+        if full_run and (uniq_map_out or uniq_pending):
+            dup_table = uniqueness_reduce(uniq_map_out + uniq_pending,
+                                          unique_key)
         else:
             from ..engine.checks import uniqueness_violations_files
 
