@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lang": ops.q_distinct_lang,
         "pricing_summary": ops.q_pricing_summary,
         "token_count_documents": ops.q_token_count_documents,
+        "token_count_jsonl": ops.q_token_count_jsonl,
+        "check_lineitem_csv": ops.q_check_lineitem_csv,
         "top_violated_paths": ops.q_top_violated_paths,
         "type_emitter": ops.q_type_emitter,
         "f0_flagship_violations": _f0_smoke,
@@ -353,6 +355,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # the non-parquet I/O paths recompute against the same truth: the
+        # engine's own JSONL/CSV sink+source round-trip must not change a
+        # single value
+        "token_count_jsonl": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "check_lineitem_csv": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE NOT (l_quantity >= 1 AND l_quantity <= 25
+                       AND l_discount >= 0 AND l_discount <= 0.05
+                       AND l_returnflag IN ('A', 'N'))
+            ORDER BY l_orderkey, l_linenumber
         """,
         "top_violated_paths": _LINEITEM_VIOLATION_SQL + """
             SELECT path, CAST(count(*) AS BIGINT) AS n FROM v

@@ -74,3 +74,19 @@ def test_jsonl_and_csv_dispatch(ray_session, tmp_path):
     t2 = ds2.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(t2.columns) == ["doc_id", "text"]
     assert t2["doc_id"].tolist() == list(range(10))
+
+
+def test_jsonl_csv_source_queries_match_parquet(ray_session):
+    """The non-parquet source/sink round trips must reproduce the parquet
+    queries' outputs exactly (same oracle SQL backs both in the driver)."""
+    from yaschva_ray.pipelines.ops import (q_check_lineitem,
+                                           q_check_lineitem_csv,
+                                           q_token_count_documents,
+                                           q_token_count_jsonl)
+
+    sf = "/root/testdata/sf0.001"
+    assert q_token_count_jsonl(sf).equals(q_token_count_documents(sf))
+    csv = q_check_lineitem_csv(sf)
+    ref = q_check_lineitem(sf)
+    assert csv.equals(ref)
+    assert csv.num_rows > 0  # the fixture genuinely has violations

@@ -11,6 +11,8 @@ small sides are broadcast (value sets), never shuffled; reads prune columns.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -262,19 +264,80 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     return _sorted_table(out, ["l_returnflag", "l_linestatus"])
 
 
+def _count_tokens_batch(t: pa.Table) -> pa.Table:
+    n = pc.count_substring_regex(t["text"], r"\S+").cast(pa.int64())
+    n_bpe = pc.count_substring_regex(t["text"], r"\w+|[^\w\s]").cast(pa.int64())
+    return pa.table({"doc_id": t["doc_id"], "n_tokens": n,
+                     "n_bpe_tokens": n_bpe})
+
+
 def q_token_count_documents(sf_dir: str) -> pa.Table:
     """Token counting: whitespace tokens plus a BPE-ish pre-tokenizer count
     (words and punctuation marks as separate tokens — the unit a subword
     tokenizer would split further)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(ds.map_batches(_count_tokens_batch,
+                                        batch_format="pyarrow"), ["doc_id"])
 
-    def count(t: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(t["text"], r"\S+").cast(pa.int64())
-        n_bpe = pc.count_substring_regex(t["text"], r"\w+|[^\w\s]").cast(pa.int64())
-        return pa.table({"doc_id": t["doc_id"], "n_tokens": n,
-                         "n_bpe_tokens": n_bpe})
 
-    return _sorted_table(ds.map_batches(count, batch_format="pyarrow"), ["doc_id"])
+def _table_as(sf_dir: str, table: str, columns: list[str], fmt: str) -> list[str]:
+    """Materialize a testdata table in another format under /tmp (once per
+    sf_dir, tmp-dir + atomic rename) THROUGH the engine's own sink — the
+    conversion itself exercises ``write_docs``; callers then read it back
+    through ``read_docs`` extension dispatch."""
+    import glob
+    import hashlib
+    import shutil
+
+    from ..sources import write_docs
+
+    tag = hashlib.md5(f"{os.path.realpath(sf_dir)}:{table}:{fmt}"
+                      .encode()).hexdigest()[:10]
+    out = os.path.join("/tmp", "yaschva_sources", f"{table}_{fmt}_{tag}")
+    ext = {"jsonl": "json", "csv": "csv"}[fmt]
+    if not os.path.isdir(out):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_docs(_read(sf_dir, table, columns), tmp, format=fmt)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        os.rename(tmp, out)
+    return sorted(glob.glob(os.path.join(out, f"*.{ext}")))
+
+
+def q_token_count_jsonl(sf_dir: str) -> pa.Table:
+    """Same computation and ORACLE as ``q_token_count_documents`` but
+    end-to-end through the non-parquet I/O path: documents round-trip
+    parquet → JSONL (``write_docs``) → ``read_docs`` extension dispatch →
+    identical token counts (the JSONL source/sink executed for real, not
+    mocked — hash-exact vs the same SQL)."""
+    from ..sources import read_docs
+
+    files = _table_as(sf_dir, "documents", ["doc_id", "text"], "jsonl")
+    ds = read_docs(files, columns=["doc_id", "text"])
+    return _sorted_table(ds.map_batches(_count_tokens_batch,
+                                        batch_format="pyarrow"), ["doc_id"])
+
+
+def q_check_lineitem_csv(sf_dir: str) -> pa.Table:
+    """``q_check_lineitem`` through the CSV source path: lineitem
+    round-trips parquet → CSV → ``read_docs`` → the same constraint schema
+    (CSV re-infers integral doubles as int64 — the validator's $number
+    accepts both, so verdicts are identical; the used columns are
+    null-free, so no CSV null-encoding ambiguity).  Same oracle SQL."""
+    from ..sources import read_docs
+
+    files = _table_as(sf_dir, "lineitem", LINEITEM_COLS, "csv")
+    ds = read_docs(files, columns=LINEITEM_COLS)
+    validated = validate_dataset(ds, LINEITEM_CHECK_SCHEMA)
+    bad = validated.map_batches(
+        lambda t: t.filter(pc.invert(t["valid"])).select(["l_orderkey", "l_linenumber"]),
+        batch_format="pyarrow",
+    )
+    out = _sorted_table(bad, ["l_orderkey", "l_linenumber"])
+    if out.num_rows:  # CSV re-inference can int64-ify l_linenumber: align
+        out = pa.table({"l_orderkey": out["l_orderkey"].cast(pa.int64()),
+                        "l_linenumber": out["l_linenumber"].cast(pa.int32())})
+    return out
 
 
 EVENTS_PROPS_SCHEMA = {

@@ -79,4 +79,8 @@ def write_docs(ds, path: str, *, format: str = "parquet", **kwargs) -> None:
         if not have_lance():
             raise ImportError("Lance support requires the 'lance' package")
         return ds.write_lance(path, **kwargs)
+    if format in ("jsonl", "json"):
+        return ds.write_json(path, **kwargs)
+    if format == "csv":
+        return ds.write_csv(path, **kwargs)
     return ds.write_parquet(path, **kwargs)
