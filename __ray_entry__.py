@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": ops.q_events_hourly_window,
         "events_sliding_window": ops.q_events_sliding_window,
         "events_asof_orders": ops.q_events_asof_orders,
+        "events_sessions": ops.q_events_sessions,
+        "top_events_per_type": ops.q_top_events_per_type,
+        "events_value_quantiles": ops.q_events_value_quantiles,
         "events_price_range_join": ops.q_events_price_range_join,
         "props_json_check": ops.q_props_json_check,
         "stats_lineitem": ops.q_stats_lineitem,
@@ -241,6 +244,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id
+        """,
+        "events_sessions": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "top_events_per_type": """
+            SELECT event_type, event_id FROM events
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id) <= 3
+            ORDER BY event_type, event_id
+        """,
+        "events_value_quantiles": """
+            WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events),
+            r AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents) - 1 AS rk,
+                         count(*) OVER () AS n
+                  FROM c)
+            SELECT
+              max(CASE WHEN rk = CAST(floor(0.50*(n-1)) AS BIGINT) THEN cents END) AS p50_cents,
+              max(CASE WHEN rk = CAST(floor(0.90*(n-1)) AS BIGINT) THEN cents END) AS p90_cents,
+              max(CASE WHEN rk = CAST(floor(0.99*(n-1)) AS BIGINT) THEN cents END) AS p99_cents
+            FROM r
         """,
         "events_hourly_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

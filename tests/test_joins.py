@@ -211,3 +211,69 @@ def test_auto_buckets_scales_with_bytes():
                          FakeDs(28 * _TARGET_BUCKET_BYTES)) == 128
     assert _auto_buckets(FakeDs(10**6 * _TARGET_BUCKET_BYTES),
                          FakeDs(0)) == _MAX_BUCKETS
+
+
+def test_session_windows_vs_bruteforce(ray_session):
+    """engine.windows: distributed sessionization matches a per-key
+    brute-force walk, including exact-gap boundaries (strict >)."""
+    import datetime
+
+    import ray.data
+
+    from yaschva_ray.engine.windows import session_windows
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    keys = rng.randint(0, 50, n)
+    base = datetime.datetime(2024, 1, 1)
+    secs = np.sort(rng.randint(0, 200_000, n))
+    rows = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "t": pa.array([base + datetime.timedelta(seconds=int(s))
+                       for s in secs], pa.timestamp("us")),
+    })
+    gap_s = 600
+    out = session_windows(ray.data.from_arrow(rows), key="k", ts="t",
+                          gap_s=gap_s, num_buckets=4)
+    # brute force
+    import collections
+    per = collections.defaultdict(list)
+    for kk, ss in zip(keys, secs):
+        per[int(kk)].append(int(ss))
+    want = []
+    for kk in sorted(per):
+        ts_ = sorted(per[kk])
+        start = prev = ts_[0]
+        cnt = 1
+        for s in ts_[1:]:
+            if s - prev > gap_s:
+                want.append((kk, start, prev, cnt))
+                start, cnt = s, 0
+            prev = s
+            cnt += 1
+        want.append((kk, start, prev, cnt))
+    got = [(r["k"],
+            int((r["session_start"] - base).total_seconds()),
+            int((r["session_end"] - base).total_seconds()),
+            r["n_events"]) for r in out.to_pylist()]
+    assert got == want
+
+
+def test_session_windows_exact_gap_not_split(ray_session):
+    import datetime
+
+    import ray.data
+
+    from yaschva_ray.engine.windows import session_windows
+
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "t": pa.array([base,
+                       base + datetime.timedelta(seconds=600),   # == gap
+                       base + datetime.timedelta(seconds=1201)],  # > gap
+                      pa.timestamp("us")),
+    })
+    out = session_windows(ray.data.from_arrow(t), key="k", ts="t",
+                          gap_s=600, num_buckets=1)
+    assert out["n_events"].to_pylist() == [2, 1]

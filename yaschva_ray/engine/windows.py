@@ -1,0 +1,85 @@
+"""Session windows (gap-based sessionization) — the classic streaming
+window a batch engine has to build itself (the reference has no streaming
+semantics at all, SURVEY.md §2.5; tumbling/sliding windows live in
+pipelines.ops as truncation + grouped aggregate).
+
+Shape: ONE raw-task hash exchange on the session key (the same
+``num_returns`` bucket pattern as uniqueness/joins — Ray Data's groupby
+all-to-all costs seconds of fixed latency, engine/checks.py), then each
+bucket runs a fully vectorized session assignment: sort by (key, ts),
+``np.diff`` gaps, boundary cumsum, segment-reduced (start, end, count).
+Partitioning assumption: one KEY's events fit a bucket task (keys are
+users; a user's history is small — bucket COUNT handles total volume),
+identical to the as-of join's documented assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SESSION_MAP = None
+_SESSION_REDUCE = None
+
+
+def _session_bucket(key: str, ts: str, gap_us: int, *parts: pa.Table) -> pa.Table:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table({})
+    t = pa.concat_tables(nonempty).combine_chunks()
+    order = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                          (ts, "ascending")])
+    t = t.take(order)
+    u = np.asarray(t[key].to_numpy(zero_copy_only=False))
+    tsv = np.asarray(t[ts].cast(pa.int64()).to_numpy(zero_copy_only=False))
+    n = len(u)
+    new_s = np.ones(n, dtype=bool)
+    new_s[1:] = (u[1:] != u[:-1]) | (tsv[1:] - tsv[:-1] > gap_us)
+    starts = np.nonzero(new_s)[0]
+    ends = np.append(starts[1:], n)
+    return pa.table({
+        key: pa.array(u[starts]),
+        "session_start": pa.array(tsv[starts]).cast(pa.timestamp("us")),
+        "session_end": pa.array(tsv[ends - 1]).cast(pa.timestamp("us")),
+        "n_events": pa.array((ends - starts).astype(np.int64)),
+    })
+
+
+def session_windows(ds, *, key: str, ts: str, gap_s: float,
+                    num_buckets: int | None = None) -> pa.Table:
+    """Sessionize events: rows with the same ``key`` separated by more
+    than ``gap_s`` seconds start a new session.  Returns one row per
+    session ``(key, session_start, session_end, n_events)``, gathered
+    (session tables are small relative to events; at 100 TB write
+    per-bucket sinks like the joins do)."""
+    import ray
+
+    from .blocks import iter_block_refs
+    from .joins import _auto_buckets, _map_block
+
+    global _SESSION_MAP, _SESSION_REDUCE
+    if _SESSION_MAP is None:
+        _SESSION_MAP = ray.remote(_map_block)
+        _SESSION_REDUCE = ray.remote(_session_bucket)
+    if num_buckets is None:
+        num_buckets = _auto_buckets(ds)
+
+    gap_us = int(round(gap_s * 1_000_000))
+    map_out = []
+    for block_ref in iter_block_refs(ds):
+        map_out.append(_SESSION_MAP.options(num_returns=num_buckets)
+                       .remote(block_ref, key, num_buckets))
+    if num_buckets == 1:
+        map_out = [[r] for r in map_out]
+    reduced = [_SESSION_REDUCE.remote(key, ts, gap_us,
+                                      *[m[b] for m in map_out])
+               for b in range(num_buckets)]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return (pa.concat_tables(tables).combine_chunks()
+            .sort_by([(key, "ascending"), ("session_start", "ascending")]))

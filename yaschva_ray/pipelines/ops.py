@@ -666,6 +666,96 @@ def q_events_sliding_window(sf_dir: str) -> pa.Table:
                                  ("event_type", "ascending")])
 
 
+def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Session windows: per user, events separated by more than the gap
+    start a new session → (user_id, session_start, session_end, n_events).
+    One raw-task hash exchange on user_id + per-bucket vectorized gap
+    detection (engine.windows.session_windows); oracle = lag() gap flags +
+    running-sum session ids in SQL."""
+    from ..engine.windows import session_windows
+
+    out = session_windows(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        key="user_id", ts="ts", gap_s=gap_minutes * 60)
+    if not out.num_rows:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "session_start": pa.array([], pa.timestamp("us")),
+                         "session_end": pa.array([], pa.timestamp("us")),
+                         "n_events": pa.array([], pa.int64())})
+    return out
+
+
+def q_top_events_per_type(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k: the k highest-value events per event_type (ties by
+    event_id).  Per-batch vectorized partial top-k (sort + within-group
+    rank via boundary cumsum) → tiny driver concat → same kernel once
+    more — only k × n_types × n_blocks rows ever leave a task."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("event_type", "ascending"),
+                                              ("value", "descending"),
+                                              ("event_id", "ascending")])
+        s = t.take(order)
+        et = np.asarray(s["event_type"].to_numpy(zero_copy_only=False))
+        n = len(et)
+        if n == 0:
+            return s
+        newg = np.ones(n, dtype=bool)
+        newg[1:] = et[1:] != et[:-1]
+        gstart = np.maximum.accumulate(np.where(newg, np.arange(n), 0))
+        rank = np.arange(n) - gstart
+        return s.filter(pa.array(rank < k))
+
+    blocks = [b for b in ray.get(
+        ds.map_batches(topk, batch_format="pyarrow").to_arrow_refs())
+        if b.num_columns and b.num_rows]
+    if not blocks:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "event_id": pa.array([], pa.int64())})
+    final = topk(pa.concat_tables(blocks).combine_chunks())
+    return (final.select(["event_type", "event_id"])
+            .sort_by([("event_type", "ascending"), ("event_id", "ascending")]))
+
+
+def q_events_value_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles (p50/p90/p99) of the cent-quantized
+    event value via a counting exchange: per-block (cents, count) partials
+    — bounded by the value range, not the row count — group-summed and
+    cumulated on the driver.  Quantile semantics pinned explicitly (the
+    element at zero-based rank ``floor(q*(n-1))`` of the sorted multiset)
+    so the SQL oracle mirrors it with row_number, engine-independently."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = pa.table({"cents": cents}).group_by("cents").aggregate(
+            [([], "count_all")])
+        return pa.table({"cents": g["cents"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    blocks = [b for b in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if b.num_columns and b.num_rows]
+    g = (pa.concat_tables(blocks).group_by("cents").aggregate([("n", "sum")])
+         .sort_by([("cents", "ascending")]))
+    cents = np.asarray(g["cents"].to_numpy(zero_copy_only=False))
+    counts = np.asarray(g["n_sum"].to_numpy(zero_copy_only=False))
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = {}
+    for name, q in (("p50_cents", 0.5), ("p90_cents", 0.9),
+                    ("p99_cents", 0.99)):
+        idx = int(np.floor(q * (n - 1)))
+        out[name] = pa.array([int(cents[np.searchsorted(cum, idx + 1)])],
+                             pa.int64())
+    return pa.table(out)
+
+
 def q_events_price_range_join(sf_dir: str, eps: float = 0.05) -> pa.Table:
     """Range (interval) join: event values within ±eps of a part's scaled
     retail price (p_retailprice/100).  Band-partitioned exchange with
