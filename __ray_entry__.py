@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": ops.q_events_sliding_window,
         "events_asof_orders": ops.q_events_asof_orders,
         "events_sessions": ops.q_events_sessions,
+        "jaccard_pairs": ops.q_jaccard_pairs,
+        "approx_distinct_users": ops.q_approx_distinct_users,
         "top_events_per_type": ops.q_top_events_per_type,
         "events_value_quantiles": ops.q_events_value_quantiles,
         "events_price_range_join": ops.q_events_price_range_join,
@@ -263,6 +265,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start
+        """,
+        # approx_distinct_users: HLL sketch — approximate by design,
+        # rows-only; ±2% accuracy vs the exact count asserted in tests
+        "jaccard_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\S+') AS t
+                FROM documents WHERE doc_id < 40
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct(list_transform(
+                                   range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM toks
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+                   CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT)
+                       AS n_union
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
         """,
         "top_events_per_type": """
             SELECT event_type, event_id FROM events

@@ -75,3 +75,35 @@ def test_entry_smoke(ray_session):
     result = _to_df(e.entry())
     assert len(result) >= 0
     assert set(result.columns) == {"doc_id", "path", "error"}
+
+
+def test_jaccard_pairs_counts_match_kernel(ray_session):
+    """q_jaccard_pairs' (n_inter, n_union) must reproduce the
+    jaccard_ngrams kernel's ratio exactly for every pair."""
+    from yaschva_ray.pipelines.ops import q_jaccard_pairs
+    from yaschva_ray.pipelines.textops import jaccard_ngrams
+
+    sf = "/root/testdata/sf0.001"
+    out = q_jaccard_pairs(sf, k_docs=20)
+    import duckdb
+
+    con = duckdb.connect()
+    texts = dict(con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        "WHERE doc_id < 20").fetchall())
+    for r in out.to_pylist():
+        want = jaccard_ngrams(texts[r["doc_a"]] or "", texts[r["doc_b"]] or "")
+        assert r["n_inter"] / max(r["n_union"], 1) == want
+
+
+def test_approx_distinct_users_accuracy(ray_session):
+    from yaschva_ray.pipelines.ops import q_approx_distinct_users
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    got = q_approx_distinct_users(sf)["approx_distinct"][0].as_py()
+    exact = duckdb.connect().execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(got - exact) / exact <= 0.02

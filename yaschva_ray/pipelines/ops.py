@@ -756,6 +756,79 @@ def q_events_value_quantiles(sf_dir: str) -> pa.Table:
     return pa.table(out)
 
 
+def q_jaccard_pairs(sf_dir: str, k_docs: int = 40) -> pa.Table:
+    """Exact n-gram-Jaccard CONFORMANCE surface: all pairs among the first
+    ``k_docs`` documents scored by the same ``jaccard_ngrams`` kernel the
+    minhash verify stage uses, mirrored by a DuckDB shingle/intersection
+    query — the similarity definition itself is hash-checked cross-engine.
+    Input-free-small by design (like type_emitter): the SCALE path for
+    Jaccard verification is the distributed minhash-verify co-group; this
+    pins its kernel's semantics."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    head = _sorted_table(ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], k_docs)),
+        batch_format="pyarrow"), ["doc_id"])
+    ids = head["doc_id"].to_pylist()
+    texts = head["text"].to_pylist()
+
+    def shingles(s: str):
+        toks = s.split()
+        if len(toks) >= 3:
+            return set(zip(toks, toks[1:], toks[2:]))
+        return {tuple(toks)}
+
+    sets = [shingles(t or "") for t in texts]
+    out_a, out_b, out_i, out_u = [], [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+            out_i.append(len(sets[i] & sets[j]))
+            out_u.append(len(sets[i] | sets[j]))
+    # integer set sizes, not the ratio: a ratio like 1/128 rounds
+    # differently under Python's half-to-even and DuckDB's half-away —
+    # the exact rational (n_inter, n_union) is dialect-free; kernel
+    # equivalence to jaccard_ngrams is asserted in tests
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "n_inter": pa.array(out_i, pa.int64()),
+                     "n_union": pa.array(out_u, pa.int64())})
+
+
+def q_approx_distinct_users(sf_dir: str) -> pa.Table:
+    """Approximate distinct count (HyperLogLog p=14) of events.user_id:
+    per-block register partials (16 KB each, regardless of cardinality)
+    merged on the driver — the cardinality sketch the 100 TB stats path
+    uses where exact counting would shuffle every key.  Deterministic but
+    approximate → rows-only driver check; accuracy (±2% at this scale) is
+    asserted against the exact count in tests."""
+    import ray
+
+    from ..engine.sketches import HyperLogLog, _hash64
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["user_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = HyperLogLog()
+        h.add_hashes(_hash64(col))
+        return pa.table({"registers": pa.array([h.registers.tobytes()],
+                                               pa.binary())})
+
+    merged = HyperLogLog()
+    for b in ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                     .to_arrow_refs()):
+        if b.num_columns and b.num_rows:
+            for blob in b["registers"].to_pylist():
+                other = HyperLogLog(
+                    np.frombuffer(blob, dtype=merged.registers.dtype).copy())
+                merged.merge(other)
+    return pa.table({"approx_distinct": pa.array([int(round(merged.estimate()))],
+                                                 pa.int64())})
+
+
 def q_events_price_range_join(sf_dir: str, eps: float = 0.05) -> pa.Table:
     """Range (interval) join: event values within ±eps of a part's scaled
     retail price (p_retailprice/100).  Band-partitioned exchange with
