@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": ops.q_events_asof_orders,
         "events_sessions": ops.q_events_sessions,
         "jaccard_pairs": ops.q_jaccard_pairs,
+        "events_user_segments": ops.q_events_user_segments,
+        "partitioned_write_langs": ops.q_partitioned_write_langs,
         "approx_distinct_users": ops.q_approx_distinct_users,
         "top_events_per_type": ops.q_top_events_per_type,
         "events_value_quantiles": ops.q_events_value_quantiles,
@@ -268,6 +270,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # approx_distinct_users: HLL sketch — approximate by design,
         # rows-only; ±2% accuracy vs the exact count asserted in tests
+        "events_user_segments": """
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "partitioned_write_langs": """
+            SELECT coalesce(lang, 'unknown') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
         "jaccard_pairs": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -504,7 +504,12 @@ def q_events_hourly_window(sf_dir: str) -> pa.Table:
            .groupby(["window_start", "event_type"])
            .aggregate(Sum("value_cents", alias_name="sum_value_cents"),
                       Sum("n_events", alias_name="n_events")))
-    return _sorted_table(out, ["window_start", "event_type"])
+    t = _sorted_table(out, ["window_start", "event_type"])
+    if t.num_rows:  # Ray's aggregate widens timestamps to ns: re-pin µs
+        i = t.schema.get_field_index("window_start")
+        t = t.set_column(i, pa.field("window_start", pa.timestamp("us")),
+                         t["window_start"].cast(pa.timestamp("us")))
+    return t
 
 
 def q_top_violated_paths(sf_dir: str) -> pa.Table:
@@ -754,6 +759,88 @@ def q_events_value_quantiles(sf_dir: str) -> pa.Table:
         out[name] = pa.array([int(cents[np.searchsorted(cum, idx + 1)])],
                              pa.int64())
     return pa.table(out)
+
+
+def q_events_user_segments(sf_dir: str) -> pa.Table:
+    """Broadcast equi-join enrichment (the plain lookup-join family):
+    events joined to customer market segments on user_id = c_custkey.
+    The small side ships ONCE via ``ray.put`` (key array + segment
+    dictionary); each batch does a vectorized ``index_in`` lookup + take,
+    misses drop (inner join), and an in-batch partial aggregate keeps the
+    exchange at (segment, counts) size — no shuffle of the big side."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    blocks = [b for b in ray.get(cust.to_arrow_refs()) if b.num_columns]
+    small = pa.concat_tables(blocks).combine_chunks()
+    lookup_ref = ray.put((small["c_custkey"], small["c_mktsegment"]))
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, segs = ray.get(lookup_ref)
+        idx = pc.index_in(t["user_id"], value_set=keys)
+        hit = pc.is_valid(idx)
+        seg = segs.take(idx.filter(hit))
+        cents = pc.cast(pc.round(pc.multiply(t["value"].filter(hit), 100.0)),
+                        pa.int64())
+        tt = pa.table({"c_mktsegment": seg, "value_cents": cents,
+                       "n": pa.array(np.ones(len(seg), dtype=np.int64))})
+        g = tt.group_by("c_mktsegment").aggregate(
+            [("value_cents", "sum"), ("n", "sum")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "value_cents": g["value_cents_sum"],
+                         "n": g["n_sum"]})
+
+    blocks = [b for b in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if b.num_columns and b.num_rows]
+    if not blocks:
+        return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "sum_value_cents": pa.array([], pa.int64())})
+    g = (pa.concat_tables(blocks).group_by("c_mktsegment")
+         .aggregate([("value_cents", "sum"), ("n", "sum")]))
+    return pa.table({
+        "c_mktsegment": g["c_mktsegment"],
+        "n_events": g["n_sum"].cast(pa.int64()),
+        "sum_value_cents": g["value_cents_sum"].cast(pa.int64()),
+    }).sort_by([("c_mktsegment", "ascending")])
+
+
+def q_partitioned_write_langs(sf_dir: str) -> pa.Table:
+    """Partitioned parquet SINK (the brief's resumable-output layout — one
+    directory per key; a failed run skips finished partitions): documents
+    written hive-partitioned by lang (nulls → 'unknown') through the
+    engine sink, counts then read back from the WRITTEN partition
+    metadata only (no data pages).  Oracle = GROUP BY over the source —
+    the written layout must conserve every row."""
+    import glob as _glob
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join("/tmp", "yaschva_sources", f"bylang_{tag}")
+    if not os.path.isdir(out):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+        filled = ds.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "lang": pc.fill_null(t["lang"], "unknown")}),
+            batch_format="pyarrow")
+        filled.write_parquet(tmp, partition_cols=["lang"])
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        os.rename(tmp, out)
+    langs, counts = [], []
+    for d in sorted(_glob.glob(os.path.join(out, "lang=*"))):
+        langs.append(os.path.basename(d).split("=", 1)[1])
+        counts.append(sum(pq.ParquetFile(f).metadata.num_rows
+                          for f in _glob.glob(os.path.join(d, "*.parquet"))))
+    return pa.table({"lang": pa.array(langs, pa.string()),
+                     "n_docs": pa.array(counts, pa.int64())})
 
 
 def q_jaccard_pairs(sf_dir: str, k_docs: int = 40) -> pa.Table:
