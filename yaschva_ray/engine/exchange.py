@@ -1,0 +1,66 @@
+"""Generic raw-task hash exchange over a Dataset's streamed block refs.
+
+The house shuffle pattern (engine/checks.py measured it vs Ray Data's
+``groupby``: the all-to-all pays seconds of fixed latency and anti-scales
+at high key cardinality): one map task per upstream block — launched AS
+REFS STREAM out of the producing execution, so the exchange's map half
+overlaps the scan — slicing rows into ``hash(key) % B`` buckets via
+``num_returns``; one reduce task per bucket running a caller-supplied
+vectorized function over the bucket's concatenated rows.  All rows with
+equal ``key`` land in exactly one reduce task (the co-location contract
+groupby provides), with a FIXED number of shuffle partitions regardless
+of key cardinality.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+_MAP_REMOTE = None
+_REDUCE_REMOTE = None
+
+
+def _reduce_task(reduce_fn, empty_result, *parts: pa.Table) -> pa.Table:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return empty_result if empty_result is not None else pa.table({})
+    return reduce_fn(pa.concat_tables(nonempty).combine_chunks())
+
+
+def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int = 16,
+                   empty_result: pa.Table | None = None,
+                   gather: bool = True):
+    """Hash-partition ``ds`` on ``key`` and apply ``reduce_fn`` (an
+    arbitrary vectorized Table → Table function; rows sharing ``key`` are
+    guaranteed co-located) once per bucket.
+
+    ``gather=True`` returns the gathered non-empty reduce outputs (small
+    results); ``gather=False`` returns the reduce OBJECT REFS so callers
+    can keep streaming (``ray.data.from_arrow_refs``) — pass
+    ``empty_result`` (a typed zero-row table) so empty buckets carry the
+    output schema."""
+    import ray
+
+    from .blocks import iter_block_refs
+    from .joins import _map_block
+
+    global _MAP_REMOTE, _REDUCE_REMOTE
+    if _MAP_REMOTE is None:
+        _MAP_REMOTE = ray.remote(_map_block)
+        _REDUCE_REMOTE = ray.remote(_reduce_task)
+
+    map_out = []
+    for block_ref in iter_block_refs(ds):
+        map_out.append(_MAP_REMOTE.options(num_returns=num_buckets)
+                       .remote(block_ref, key, num_buckets))
+    if num_buckets == 1:
+        map_out = [[r] for r in map_out]
+    reduced = [_REDUCE_REMOTE.remote(reduce_fn, empty_result,
+                                     *[m[b] for m in map_out])
+               for b in range(num_buckets)]
+    if not gather:
+        return reduced
+    return [t for t in ray.get(reduced) if t.num_rows]

@@ -69,17 +69,14 @@ def _gather(ds) -> pa.Table:
 
 def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
     """doc_ids that are exact-text duplicates of an earlier (lower doc_id)
-    document.  Hash-bucketed shuffle + per-bucket vectorized group-min:
-    only ``(bucket, text, doc_id)`` rows move, each text group lands in
-    exactly one bucket task."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    document.  Raw-task hash exchange on the text column (the house
+    shuffle, engine/exchange.py — Ray Data's groupby paid seconds of
+    fixed all-to-all latency here) + per-bucket vectorized group-min:
+    only ``(text, doc_id)`` rows move, each text group lands in exactly
+    one reduce task."""
+    from ..engine.exchange import keyed_exchange
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        txt = t["text"]
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        b = (_hash64(txt) % np.uint64(num_buckets)).astype(np.int64)
-        return t.append_column("bucket", pa.array(b))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def per_bucket(t: pa.Table) -> pa.Table:
         # null texts form one duplicate group (SQL PARTITION BY semantics);
@@ -92,12 +89,11 @@ def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
         dup = joined.filter(pc.not_equal(joined["doc_id"], joined["doc_id_min"]))
         return pa.table({"doc_id": dup["doc_id"]})
 
-    out = (ds.map_batches(bucketize, batch_format="pyarrow")
-           .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow"))
-    t = _gather(out)
-    if not t.num_rows:
+    tables = keyed_exchange(ds, "text", per_bucket, num_buckets=num_buckets)
+    if not tables:
         return pa.table({"doc_id": pa.array([], pa.int64())})
-    return t.sort_by([("doc_id", "ascending")])
+    return (pa.concat_tables(tables).combine_chunks()
+            .sort_by([("doc_id", "ascending")]))
 
 
 # --------------------------------------------------------------------------
@@ -248,46 +244,77 @@ class MinHasher:
         if isinstance(doc_ids, pa.ChunkedArray):
             doc_ids = doc_ids.combine_chunks()
         parent = np.repeat(np.arange(n), _LSH_BANDS)
+        bands = np.tile(np.arange(_LSH_BANDS, dtype=np.int32), n)
+        bhr = bh.ravel()
+        # single exchange-key column mixing (band, band_hash) — the raw
+        # task exchange partitions on one column
+        bk = (bhr * _MIX2 + bands.astype(np.uint64)).astype(np.int64)
         return pa.table({
             "doc_id": doc_ids.take(pa.array(parent)),
-            "band": pa.array(np.tile(np.arange(_LSH_BANDS, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.ravel().astype(np.int64)),
+            "band": pa.array(bands),
+            "band_hash": pa.array(bhr.astype(np.int64)),
+            "bk": pa.array(bk),
         })
 
 
 def minhash_candidates_from_ds(ds, max_bucket_rows: int = _MAX_BUCKET_ROWS):
     """Candidate near-dup pairs as a DATASET (never driver-materialized):
-    shingle→minhash→band→bucket-groupby.  Pairs found in multiple bands may
-    appear more than once; consumers dedup where it matters (the verify
-    co-group's pair-key groupby collapses them for free, the candidates
-    query dedups its small gathered result) — a dedicated dedup groupby
-    here cost a full extra all-to-all for nothing.  Stateless task stage,
-    not an actor pool: MinHasher holds no per-actor state (the permutation
-    table is a module global per worker process) and pool spin-up cost
-    ~2 s per query."""
+    shingle→minhash→band→raw-task hash exchange on the (band, band_hash)
+    key (engine/exchange.py — the Ray Data groupby it replaced paid
+    seconds of fixed all-to-all latency), per-bucket segmented pair
+    emission.  Pairs found in multiple bands may appear more than once;
+    consumers dedup where it matters (the verify co-group's pair-key
+    groupby collapses them for free, the candidates query dedups its
+    small gathered result).  Stateless task stage, not an actor pool:
+    MinHasher holds no per-actor state (the permutation table is a module
+    global per worker process) and pool spin-up cost ~2 s per query."""
+    import ray.data
+
+    from ..engine.exchange import keyed_exchange
+
     sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
 
-    def pairs(t: pa.Table) -> pa.Table:
-        # group already co-located by (band, band_hash); vectorized pair
-        # emission, capped: over max_bucket_rows the bucket is degenerate
-        # (empty/boilerplate shingles) and all-pairs would go quadratic —
-        # emit a star to the minimum doc_id instead (see _MAX_BUCKET_ROWS)
-        ids = np.sort(np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)))
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        # a bucket holds MANY (band, band_hash) groups: sort + segment,
+        # emit all-pairs per group — capped: over max_bucket_rows a group
+        # is degenerate (empty/boilerplate shingles) and all-pairs would
+        # go quadratic, so emit a star to the minimum doc_id instead
+        order = pc.sort_indices(t, sort_keys=[("bk", "ascending"),
+                                              ("doc_id", "ascending")])
+        s = t.take(order)
+        bk = np.asarray(s["bk"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(s["doc_id"].to_numpy(zero_copy_only=False))
         n = len(ids)
-        if n > max_bucket_rows:
-            _LOG.warning(
-                "minhash LSH bucket of %d rows exceeds cap %d: emitting "
-                "%d star pairs to hub doc %d instead of %d all-pairs",
-                n, max_bucket_rows, n - 1, int(ids[0]), n * (n - 1) // 2)
-            return pa.table({
-                "doc_a": pa.array(np.full(n - 1, ids[0], dtype=np.int64)),
-                "doc_b": pa.array(ids[1:].astype(np.int64))})
-        ia, ib = np.triu_indices(n, k=1)
-        return pa.table({"doc_a": pa.array(ids[ia].astype(np.int64)),
-                         "doc_b": pa.array(ids[ib].astype(np.int64))})
+        newg = np.ones(n, dtype=bool)
+        newg[1:] = bk[1:] != bk[:-1]
+        starts = np.nonzero(newg)[0]
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b = [], []
+        for gi in np.nonzero(sizes >= 2)[0]:
+            grp = ids[starts[gi]: starts[gi] + sizes[gi]]
+            m = len(grp)
+            if m > max_bucket_rows:
+                _LOG.warning(
+                    "minhash LSH bucket of %d rows exceeds cap %d: "
+                    "emitting %d star pairs to hub doc %d instead of %d "
+                    "all-pairs", m, max_bucket_rows, m - 1, int(grp[0]),
+                    m * (m - 1) // 2)
+                out_a.append(np.full(m - 1, grp[0], dtype=np.int64))
+                out_b.append(grp[1:].astype(np.int64))
+            else:
+                ia, ib = np.triu_indices(m, k=1)
+                out_a.append(grp[ia].astype(np.int64))
+                out_b.append(grp[ib].astype(np.int64))
+        if not out_a:
+            return empty
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                         "doc_b": pa.array(np.concatenate(out_b))})
 
-    return sigs.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow")
+    refs = keyed_exchange(sigs, "bk", pairs_bucket, empty_result=empty,
+                          gather=False)
+    return ray.data.from_arrow_refs(refs)
 
 
 def _minhash_candidates_ds(sf_dir: str):
