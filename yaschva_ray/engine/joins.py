@@ -100,6 +100,11 @@ def _map_block(block: pa.Table, key: str, num_buckets: int):
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
+    if key not in block.column_names:
+        # Ray emits SCHEMA-LESS empty blocks for empty map outputs —
+        # route them as empty slices (reduce drops zero-row parts)
+        out = [pa.table({})] * num_buckets
+        return out if num_buckets > 1 else out[0]
     out = _hash_slices(block, key, num_buckets)
     return out if num_buckets > 1 else out[0]
 

@@ -343,16 +343,22 @@ def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
 
 def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     """Candidates verified by exact n-gram Jaccard ≥ threshold — fully
-    distributed co-group (no driver-side text lookup):
+    distributed co-group (no driver-side text lookup), both halves on the
+    raw-task exchange (engine/exchange.py):
 
     1. each candidate pair emits two side rows keyed by its member doc_id,
-    2. side rows union with the text corpus (keyed by doc_id) and a
-       ``groupby(join_key)`` co-locates each doc's text with the pair sides
-       that need it (one hash shuffle of the corpus — same cost class as
-       exact dedup; the only state any task holds is one group),
-    3. a second (tiny) groupby on the pair key brings both texts together
-       for the exact Jaccard verify.
+    2. side rows union with the text corpus (keyed by doc_id); exchange 1
+       co-locates each doc's text with the pair sides that need it (one
+       hash shuffle of the corpus — same cost class as exact dedup), and
+       the per-bucket attach is a vectorized sort + segment-take,
+    3. exchange 2 on a mixed pair-key column brings both texts of a pair
+       together; exactness comes from sorting on the real (doc_a, doc_b)
+       inside the bucket, the mixed key only routes.
     """
+    import ray.data
+
+    from ..engine.exchange import keyed_exchange
+
     cands = _minhash_candidates_ds(sf_dir)
 
     def emit_sides(t: pa.Table) -> pa.Table:
@@ -381,39 +387,87 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         tag_docs, batch_format="pyarrow")
 
-    def attach_text(t: pa.Table) -> pa.Table:
-        side = np.asarray(t["side"].to_numpy(zero_copy_only=False))
-        text_rows = np.nonzero(side == -1)[0]
-        txt = t["text"][int(text_rows[0])].as_py() if len(text_rows) else None
-        sel = t.filter(pc.not_equal(t["side"], -1))
-        return pa.table({
-            "doc_a": sel["doc_a"], "doc_b": sel["doc_b"], "side": sel["side"],
-            "text": pa.array([txt] * sel.num_rows, pa.string()),
-        })
+    attached_empty = pa.table({
+        "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+        "side": pa.array([], pa.int32()), "text": pa.array([], pa.string())})
 
-    def verify(t: pa.Table) -> pa.Table:
-        sides_ = t["side"].to_pylist()
-        texts_ = t["text"].to_pylist()
-        ta = next((x for s, x in zip(sides_, texts_) if s == 0), None)
-        tb = next((x for s, x in zip(sides_, texts_) if s == 1), None)
-        j = jaccard_ngrams(ta or "", tb or "")
-        if j < threshold:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        return pa.table({"doc_a": t["doc_a"].slice(0, 1),
-                         "doc_b": t["doc_b"].slice(0, 1),
-                         "jaccard": pa.array([round(j, 6)], pa.float64())})
+    def attach_bucket(t: pa.Table) -> pa.Table:
+        # side -1 (the doc row) sorts first within each join_key segment;
+        # every side row takes its segment head's text
+        order = pc.sort_indices(t, sort_keys=[("join_key", "ascending"),
+                                              ("side", "ascending")])
+        s = t.take(order)
+        jk = np.asarray(s["join_key"].to_numpy(zero_copy_only=False))
+        side = np.asarray(s["side"].to_numpy(zero_copy_only=False))
+        n = len(jk)
+        newg = np.ones(n, dtype=bool)
+        newg[1:] = jk[1:] != jk[:-1]
+        starts = np.nonzero(newg)[0]
+        seg = np.cumsum(newg) - 1
+        first = starts[seg]
+        has_text = side[first] == -1
+        texts = s["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        attached = texts.take(pa.array(np.where(has_text, first, 0)))
+        attached = pc.if_else(pa.array(has_text), attached,
+                              pa.scalar(None, pa.string()))
+        out = pa.table({"doc_a": s["doc_a"], "doc_b": s["doc_b"],
+                        "side": s["side"], "text": attached})
+        return out.filter(pc.not_equal(out["side"], -1))
 
-    out = (sides.union(docs)
-           .groupby("join_key").map_groups(attach_text, batch_format="pyarrow")
-           .groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow"))
-    t = _gather(out)
-    if not t.num_rows:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    refs = keyed_exchange(sides.union(docs), "join_key", attach_bucket,
+                          empty_result=attached_empty, gather=False)
+    attached_ds = ray.data.from_arrow_refs(refs)
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        pk = (a * _MIX1 ^ b * _MIX3).astype(np.int64)
+        return t.append_column("pk", pa.array(pk))
+
+    verified_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                               "doc_b": pa.array([], pa.int64()),
+                               "jaccard": pa.array([], pa.float64())})
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("doc_a", "ascending"),
+                                              ("doc_b", "ascending"),
+                                              ("side", "ascending")])
+        s = t.take(order)
+        a = np.asarray(s["doc_a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(s["doc_b"].to_numpy(zero_copy_only=False))
+        side = np.asarray(s["side"].to_numpy(zero_copy_only=False))
+        texts = s["text"].to_pylist()
+        n = len(a)
+        newg = np.ones(n, dtype=bool)
+        newg[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(newg)[0]
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b, out_j = [], [], []
+        for st, sz in zip(starts, sizes):
+            ta = tb = None
+            for i in range(st, st + sz):
+                if side[i] == 0 and ta is None:
+                    ta = texts[i]
+                elif side[i] == 1 and tb is None:
+                    tb = texts[i]
+            j = jaccard_ngrams(ta or "", tb or "")
+            if j >= threshold:
+                out_a.append(int(a[st]))
+                out_b.append(int(b[st]))
+                out_j.append(round(j, 6))
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    tables = keyed_exchange(
+        attached_ds.map_batches(add_pair_key, batch_format="pyarrow"),
+        "pk", verify_bucket, empty_result=verified_empty)
+    if not tables:
+        return verified_empty
+    return (pa.concat_tables(tables).combine_chunks()
+            .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]))
 
 
 # --------------------------------------------------------------------------
