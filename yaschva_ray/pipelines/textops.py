@@ -529,59 +529,77 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
     bits_per_band = 64 // n_bands
     bmask = np.uint64((1 << bits_per_band) - 1)
 
+    from ..engine.exchange import keyed_exchange
+
     def sign_bands(t: pa.Table) -> pa.Table:
         fps = simhash64_batch(t["text"].to_pylist())
         n = len(fps)
         parent = np.repeat(np.arange(n), n_bands)
         bands = np.tile(np.arange(n_bands, dtype=np.int32), n)
         shifts = (bands.astype(np.uint64) * np.uint64(bits_per_band))
-        vals = ((fps[parent] >> shifts) & bmask).astype(np.int64)
+        vals = ((fps[parent] >> shifts) & bmask).astype(np.uint64)
         doc_ids = t["doc_id"]
         if isinstance(doc_ids, pa.ChunkedArray):
             doc_ids = doc_ids.combine_chunks()
-        return pa.table({"band": pa.array(bands),
-                         "band_val": pa.array(vals),
+        bk = (vals * _MIX2 + bands.astype(np.uint64)).astype(np.int64)
+        return pa.table({"bk": pa.array(bk),
                          "doc_id": doc_ids.take(pa.array(parent)),
                          "fp": pa.array(fps[parent].astype(np.int64))})
 
-    def bucket_pairs(t: pa.Table) -> pa.Table:
-        if t.num_rows < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        fps = np.asarray(t["fp"].to_numpy(zero_copy_only=False)).astype(np.uint64)
-        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
-        n = len(fps)
-        if n > max_bucket_rows:
-            # degenerate bucket: compare everything to the min-id HUB only
-            # (linear) — members verified by the same hamming predicate
-            _LOG.warning(
-                "simhash bucket of %d rows exceeds cap %d: star-verifying "
-                "against hub doc instead of %d all-pairs",
-                n, max_bucket_rows, n * (n - 1) // 2)
-            hub = int(np.argmin(ids))
-            xor = fps ^ fps[hub]
-            ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
-            keep = (ham <= max_hamming) & (np.arange(n) != hub)
-            a = np.full(int(keep.sum()), ids[hub])
-            b = ids[keep]
-        else:
-            ia, ib = np.triu_indices(n, k=1)
-            xor = (fps[ia] ^ fps[ib])
-            ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
-            keep = ham <= max_hamming
-            a, b = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"doc_a": pa.array(lo.astype(np.int64)),
-                         "doc_b": pa.array(hi.astype(np.int64))})
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        # many (band, band_val) groups per bucket: sort + segment, pairs
+        # per group with the degenerate-bucket star cap
+        order = pc.sort_indices(t, sort_keys=[("bk", "ascending"),
+                                              ("doc_id", "ascending")])
+        s = t.take(order)
+        bk = np.asarray(s["bk"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(s["doc_id"].to_numpy(zero_copy_only=False))
+        fps = np.asarray(s["fp"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        n = len(ids)
+        newg = np.ones(n, dtype=bool)
+        newg[1:] = bk[1:] != bk[:-1]
+        starts = np.nonzero(newg)[0]
+        sizes = np.diff(np.append(starts, n))
+        acc_a, acc_b = [], []
+        for gi in np.nonzero(sizes >= 2)[0]:
+            sl = slice(starts[gi], starts[gi] + sizes[gi])
+            gids, gfps = ids[sl], fps[sl]
+            m = len(gids)
+            if m > max_bucket_rows:
+                # degenerate group: verify everything against the min-id
+                # HUB only (linear) — same hamming predicate
+                _LOG.warning(
+                    "simhash bucket of %d rows exceeds cap %d: "
+                    "star-verifying against hub doc instead of %d all-pairs",
+                    m, max_bucket_rows, m * (m - 1) // 2)
+                hub = 0  # rows are doc_id-sorted within the group
+                xor = gfps ^ gfps[hub]
+                ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+                keep = (ham <= max_hamming) & (np.arange(m) != hub)
+                a = np.full(int(keep.sum()), gids[hub])
+                b = gids[keep]
+            else:
+                ia, ib = np.triu_indices(m, k=1)
+                xor = (gfps[ia] ^ gfps[ib])
+                ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+                keep = ham <= max_hamming
+                a, b = gids[ia[keep]], gids[ib[keep]]
+            acc_a.append(np.minimum(a, b))
+            acc_b.append(np.maximum(a, b))
+        if not acc_a:
+            return empty
+        return pa.table({"doc_a": pa.array(np.concatenate(acc_a).astype(np.int64)),
+                         "doc_b": pa.array(np.concatenate(acc_b).astype(np.int64))})
 
     sigs = ds.map_batches(sign_bands, batch_format="pyarrow")
-    cands = sigs.groupby(["band", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    t = _gather(cands)
-    if not t.num_rows:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    return (t.select(["doc_a", "doc_b"]).group_by(["doc_a", "doc_b"])
+    tables = keyed_exchange(sigs, "bk", pairs_bucket, empty_result=empty)
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables).combine_chunks()
+    return (t.group_by(["doc_a", "doc_b"])
             .aggregate([]).sort_by([("doc_a", "ascending"),
                                     ("doc_b", "ascending")]))
 
@@ -669,6 +687,8 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
     asserted vs brute force on planted near-dups in tests — rows-only
     driver check."""
 
+    from ..engine.exchange import keyed_exchange
+
     def sign_bands(t: pa.Table) -> pa.Table:
         # planes derived deterministically per worker (seeded) — no state
         rng_ = np.random.RandomState(99)
@@ -677,11 +697,13 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         bits = (mn @ planes > 0).astype(np.uint64)
         rows_per_band = n_planes // n_bands
-        bands = bits.reshape(len(mn), n_bands, rows_per_band)
+        bands_m = bits.reshape(len(mn), n_bands, rows_per_band)
         weights = (1 << np.arange(rows_per_band, dtype=np.uint64))
-        bh = (bands * weights).sum(axis=2).astype(np.int64)  # (n, bands)
+        bh = (bands_m * weights).sum(axis=2).astype(np.uint64)  # (n, bands)
         n = len(mn)
         parent = np.repeat(np.arange(n), n_bands)
+        bands = np.tile(np.arange(n_bands, dtype=np.uint64), n)
+        bk = (bh.ravel() * _MIX2 + bands).astype(np.int64)
         vec_ids = t["vec_id"]
         if isinstance(vec_ids, pa.ChunkedArray):
             vec_ids = vec_ids.combine_chunks()
@@ -689,48 +711,61 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
         return pa.table({
-            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.ravel()),
+            "bk": pa.array(bk),
             "vec_id": vec_ids.take(pa.array(parent)),
             "embedding": emb.take(pa.array(parent)),
         })
 
-    def bucket_pairs(t: pa.Table) -> pa.Table:
-        if t.num_rows < 2:
-            return pa.table({"vec_a": pa.array([], pa.int64()),
-                             "vec_b": pa.array([], pa.int64())})
-        m = _embeddings_matrix(t)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
-        n = len(mn)
-        if n > max_bucket_rows:
-            # degenerate bucket: exact cosine against the min-id HUB only
-            # (one matvec) instead of the n×n gram matrix
-            _LOG.warning(
-                "embedding LSH bucket of %d rows exceeds cap %d: "
-                "star-verifying against hub vec instead of %d all-pairs",
-                n, max_bucket_rows, n * (n - 1) // 2)
-            hub = int(np.argmin(ids))
-            sims = mn @ mn[hub]
-            keep = (sims >= threshold) & (np.arange(n) != hub)
-            a = np.full(int(keep.sum()), ids[hub])
-            b = ids[keep]
-        else:
-            sims = mn @ mn.T
-            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-            a, b = ids[ia], ids[ib]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"vec_a": pa.array(lo.astype(np.int64)),
-                         "vec_b": pa.array(hi.astype(np.int64))})
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64())})
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("bk", "ascending"),
+                                              ("vec_id", "ascending")])
+        s = t.take(order)
+        bk = np.asarray(s["bk"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(s["vec_id"].to_numpy(zero_copy_only=False))
+        mall = _embeddings_matrix(s)
+        mall = mall / np.maximum(np.linalg.norm(mall, axis=1, keepdims=True),
+                                 1e-12)
+        n = len(ids)
+        newg = np.ones(n, dtype=bool)
+        newg[1:] = bk[1:] != bk[:-1]
+        starts = np.nonzero(newg)[0]
+        sizes = np.diff(np.append(starts, n))
+        acc_a, acc_b = [], []
+        for gi in np.nonzero(sizes >= 2)[0]:
+            sl = slice(starts[gi], starts[gi] + sizes[gi])
+            gids, gm = ids[sl], mall[sl]
+            m = len(gids)
+            if m > max_bucket_rows:
+                # degenerate group: exact cosine against the min-id HUB
+                # only (one matvec) instead of the m×m gram matrix
+                _LOG.warning(
+                    "embedding LSH bucket of %d rows exceeds cap %d: "
+                    "star-verifying against hub vec instead of %d all-pairs",
+                    m, max_bucket_rows, m * (m - 1) // 2)
+                sims = gm @ gm[0]
+                keep = (sims >= threshold) & (np.arange(m) != 0)
+                a = np.full(int(keep.sum()), gids[0])
+                b = gids[keep]
+            else:
+                sims = gm @ gm.T
+                ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+                a, b = gids[ia], gids[ib]
+            acc_a.append(np.minimum(a, b))
+            acc_b.append(np.maximum(a, b))
+        if not acc_a:
+            return empty
+        return pa.table({"vec_a": pa.array(np.concatenate(acc_a).astype(np.int64)),
+                         "vec_b": pa.array(np.concatenate(acc_b).astype(np.int64))})
 
     sigs = emb_ds.map_batches(sign_bands, batch_format="pyarrow")
-    cands = sigs.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    t = _gather(cands)
-    if not t.num_rows:
-        return pa.table({"vec_a": pa.array([], pa.int64()),
-                         "vec_b": pa.array([], pa.int64())})
-    return (t.select(["vec_a", "vec_b"]).group_by(["vec_a", "vec_b"])
+    tables = keyed_exchange(sigs, "bk", pairs_bucket, empty_result=empty)
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables).combine_chunks()
+    return (t.group_by(["vec_a", "vec_b"])
             .aggregate([]).sort_by([("vec_a", "ascending"),
                                     ("vec_b", "ascending")]))
 
