@@ -246,15 +246,12 @@ def referential_missing_keys(
     """
     import ray
 
-    from .sketches import _hash64
-
     def _distinct_bucket(t: pa.Table, key: str, side: int) -> pa.Table:
-        d = t.group_by(key).aggregate([])
+        d = t.group_by(key).aggregate([])  # per-block distinct (combine)
         k = d[key]
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
-        b = (_hash64(k) % np.uint64(num_buckets)).astype(np.int64)
-        return pa.table({"key": k, "bucket": pa.array(b),
+        return pa.table({"key": k,
                          "side": pa.array(np.full(len(k), side, np.int8))})
 
     partials = right_ds.map_batches(
@@ -282,6 +279,11 @@ def referential_missing_keys(
 
         out = left_ds.map_batches(anti, batch_format="pyarrow")
     else:
+        # the 100 TB path: both sides' distinct keys co-locate through the
+        # raw-task exchange (the Ray Data groupby it replaced is exactly
+        # where the all-to-all anti-scaling bites at scale)
+        from .exchange import keyed_exchange
+
         both = left_ds.map_batches(
             lambda t: _distinct_bucket(t, left_key, 0), batch_format="pyarrow"
         ).union(partials)
@@ -297,7 +299,13 @@ def referential_missing_keys(
                 pc.invert(pc.is_in(left_t["key"], value_set=right_keys)))
             return pa.table({left_key: miss["key"]})
 
-        out = both.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+        tables = keyed_exchange(both, "key", per_bucket,
+                                num_buckets=num_buckets)
+        if not tables:
+            return pa.table({left_key: pa.array([], key_type)})
+        t = pa.concat_tables(tables).combine_chunks()
+        return (t.group_by(left_key).aggregate([])
+                .sort_by([(left_key, "ascending")]))
 
     blocks = [x for x in ray.get(out.to_arrow_refs()) if x.num_columns]
     if not blocks:

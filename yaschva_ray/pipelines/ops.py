@@ -477,11 +477,11 @@ def q_generate_fixture(sf_dir: str) -> pa.Table:
 
 def q_events_hourly_window(sf_dir: str) -> pa.Table:
     """Tumbling-window aggregate over event time: per (hour, event_type)
-    counts and integer-cent value sums.  In-batch partial aggregation before
-    the groupby shuffle (the windowed-aggregate operator family —
-    event-time tumbling windows are just truncation + grouped aggregate in
-    a batch engine)."""
-    from ray.data.aggregate import Sum
+    counts and integer-cent value sums.  In-batch partial aggregation;
+    the final combine is driver-side like the sliding window's — window
+    cardinality is bounded (hours × event types), so a Ray Data groupby
+    here would be an all-to-all exchange of a few KB."""
+    import ray
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -500,16 +500,18 @@ def q_events_hourly_window(sf_dir: str) -> pa.Table:
             "value_cents": g["value_cents_sum"], "n_events": g["n_events_sum"],
         })
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["window_start", "event_type"])
-           .aggregate(Sum("value_cents", alias_name="sum_value_cents"),
-                      Sum("n_events", alias_name="n_events")))
-    t = _sorted_table(out, ["window_start", "event_type"])
-    if t.num_rows:  # Ray's aggregate widens timestamps to ns: re-pin µs
-        i = t.schema.get_field_index("window_start")
-        t = t.set_column(i, pa.field("window_start", pa.timestamp("us")),
-                         t["window_start"].cast(pa.timestamp("us")))
-    return t
+    blocks = [b for b in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if b.num_columns and b.num_rows]
+    g = (pa.concat_tables(blocks).group_by(["window_start", "event_type"])
+         .aggregate([("value_cents", "sum"), ("n_events", "sum")]))
+    out = pa.table({
+        "window_start": g["window_start"].cast(pa.timestamp("us")),
+        "event_type": g["event_type"],
+        "sum_value_cents": g["value_cents_sum"].cast(pa.int64()),
+        "n_events": g["n_events_sum"].cast(pa.int64()),
+    })
+    return _sorted_table(out, ["window_start", "event_type"])
 
 
 def q_top_violated_paths(sf_dir: str) -> pa.Table:
