@@ -277,3 +277,44 @@ def test_session_windows_exact_gap_not_split(ray_session):
     out = session_windows(ray.data.from_arrow(t), key="k", ts="t",
                           gap_s=600, num_buckets=1)
     assert out["n_events"].to_pylist() == [2, 1]
+
+
+def test_asof_join_rejects_shared_column_names(ray_session):
+    import ray.data
+
+    left = pa.table({"k": pa.array([1], pa.int64()),
+                     "t": pa.array([5], pa.int64()),
+                     "v": pa.array([1.0])})
+    right = pa.table({"k2": pa.array([1], pa.int64()),
+                      "t2": pa.array([3], pa.int64()),
+                      "v": pa.array([2.0])})  # 'v' collides
+    with pytest.raises(Exception, match="disjoint"):
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  left_key="k", right_key="k2", left_ts="t", right_ts="t2",
+                  num_buckets=1)
+
+
+def test_keyed_exchange_group_sum_property(ray_session):
+    """keyed_exchange with a per-bucket group-sum must equal a single
+    global group-sum, over random keys/values and several bucket counts."""
+    import ray.data
+
+    from yaschva_ray.engine.exchange import keyed_exchange
+
+    rng = np.random.RandomState(17)
+    n = 20_000
+    t = pa.table({"k": pa.array(rng.randint(0, 977, n).astype(np.int64)),
+                  "v": pa.array(rng.randint(0, 100, n).astype(np.int64))})
+    want = (t.group_by("k").aggregate([("v", "sum")])
+            .sort_by([("k", "ascending")]))
+
+    def reduce_fn(b):
+        g = b.group_by("k").aggregate([("v", "sum")])
+        return g
+
+    for nb in (1, 4, 32):
+        tables = keyed_exchange(ray.data.from_arrow(t).repartition(6), "k",
+                                reduce_fn, num_buckets=nb)
+        got = (pa.concat_tables(tables).combine_chunks()
+               .sort_by([("k", "ascending")]))
+        assert got.equals(want), nb

@@ -120,6 +120,14 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
     lparts = [p for p in parts[:n_left] if p.num_rows]
     rall = parts[n_left:]
     rparts = [p for p in rall if p.num_rows]
+    if lparts and rall:
+        shared = set(lparts[0].column_names) & set(rall[0].column_names)
+        if shared:
+            # pandas would suffix _x/_y, the empty-right path would not —
+            # two bucket schemas that cannot concat; demand disjoint names
+            raise ValueError(
+                f"asof_join requires disjoint column names on the two "
+                f"sides; shared: {sorted(shared)}")
     if not lparts:
         merged_t = pa.table({})
     elif not rparts:
@@ -130,10 +138,8 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
         order = pc.sort_indices(left_t, sort_keys=[(left_ts, "ascending")])
         left_t = left_t.take(order)
         for f in (rall[0].schema if rall else []):
-            name = f.name if f.name not in left_t.column_names \
-                else f"{f.name}_right"
             left_t = left_t.append_column(
-                pa.field(name, f.type), pa.nulls(left_t.num_rows, f.type))
+                pa.field(f.name, f.type), pa.nulls(left_t.num_rows, f.type))
         merged_t = left_t
     else:
         import pandas as pd
@@ -167,7 +173,7 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
         # datetime64), and buckets with different match patterns would
         # otherwise fail to unify at the final concat
         for f in rall[0].schema:
-            col = f.name if f.name in merged_t.column_names else f"{f.name}_y"
+            col = f.name
             if col not in merged_t.column_names:
                 continue
             arr = merged_t[col]
