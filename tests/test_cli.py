@@ -75,3 +75,21 @@ def test_generate_subcommand_deterministic_and_valid(tmp_path):
     for line in runs[0].stdout.strip().split("\n"):
         doc = _json.loads(line)
         assert validate(schema, doc)["result"] == "pass"
+
+
+def test_cli_dedup_exact(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "b", "a", "b"]),
+    }), src)
+    out = tmp_path / "dups.parquet"
+    r = run_cli("dedup", "--input", str(src), "--method", "exact",
+                "--out", str(out), "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    line = [l for l in r.stdout.strip().split("\n") if l.startswith("{")][-1]
+    assert json.loads(line)["n_rows"] == 2
+    assert pq.read_table(out)["doc_id"].to_pylist() == [3, 4]

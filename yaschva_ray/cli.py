@@ -97,6 +97,55 @@ def _cmd_validate(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_dedup(args: argparse.Namespace) -> int:
+    """Deduplicate a document table (columns ``doc_id``, ``text``):
+    ``exact`` emits duplicate doc_ids (keep = lowest id per text group),
+    ``minhash`` emits near-duplicate pairs verified by exact n-gram
+    Jaccard, ``simhash`` emits pairs within the hamming threshold."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow.parquet as pq
+
+        from .pipelines import textops
+        from .sources import read_docs
+
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"error: no input files match {args.input!r}", file=sys.stderr)
+            return 2
+        ds = read_docs(files, columns=["doc_id", "text"])
+        if args.method == "exact":
+            out = textops.dedup_exact_from_ds(ds)
+        elif args.method == "simhash":
+            out = textops.simhash_neardup_pairs(ds, max_hamming=args.max_hamming)
+        else:  # minhash
+            from ray.data import from_arrow_refs  # noqa: F401 — doc hint
+
+            cands = textops.minhash_candidates_from_ds(ds)
+            tables = [t for t in ray.get(cands.to_arrow_refs())
+                      if t.num_columns and t.num_rows]
+            import pyarrow as pa
+
+            out = (pa.concat_tables(tables).combine_chunks()
+                   .group_by(["doc_a", "doc_b"]).aggregate([])
+                   .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+                   if tables else
+                   pa.table({"doc_a": [], "doc_b": []}))
+        pq.write_table(out, args.out)
+        print(json.dumps({"method": args.method, "n_rows": out.num_rows,
+                          "out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="yaschva_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +163,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--schema", required=True)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--count", type=int, default=1)
+
+    d = sub.add_parser("dedup", help="deduplicate a (doc_id, text) table")
+    d.add_argument("--input", required=True, help="parquet/jsonl/csv glob")
+    d.add_argument("--method", choices=["exact", "minhash", "simhash"],
+                   default="exact")
+    d.add_argument("--out", required=True, help="output parquet file")
+    d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument("--num-cpus", type=int, default=8)
 
     v = sub.add_parser("validate", help="run the full table-validation pipeline")
     v.add_argument("--schema", required=True)
@@ -134,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_types(args)
     if args.cmd == "generate":
         return _cmd_generate(args)
+    if args.cmd == "dedup":
+        return _cmd_dedup(args)
     return _cmd_validate(args)
 
 

@@ -67,7 +67,7 @@ def _gather(ds) -> pa.Table:
 # --------------------------------------------------------------------------
 
 
-def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
+def dedup_exact_from_ds(ds, num_buckets: int = 16) -> pa.Table:
     """doc_ids that are exact-text duplicates of an earlier (lower doc_id)
     document.  Raw-task hash exchange on the text column (the house
     shuffle, engine/exchange.py — Ray Data's groupby paid seconds of
@@ -75,8 +75,6 @@ def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
     only ``(text, doc_id)`` rows move, each text group lands in exactly
     one reduce task."""
     from ..engine.exchange import keyed_exchange
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def per_bucket(t: pa.Table) -> pa.Table:
         # null texts form one duplicate group (SQL PARTITION BY semantics);
@@ -94,6 +92,11 @@ def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     return (pa.concat_tables(tables).combine_chunks()
             .sort_by([("doc_id", "ascending")]))
+
+
+def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
+    return dedup_exact_from_ds(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               num_buckets=num_buckets)
 
 
 # --------------------------------------------------------------------------
