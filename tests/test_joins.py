@@ -318,3 +318,27 @@ def test_keyed_exchange_group_sum_property(ray_session):
         got = (pa.concat_tables(tables).combine_chunks()
                .sort_by([("k", "ascending")]))
         assert got.equals(want), nb
+
+
+def test_session_windows_unit_aware(ray_session):
+    """A timestamp[ms] column must sessionize identically to the same
+    instants in timestamp[us] (the gap compares in the column's unit)."""
+    import datetime
+
+    import ray.data
+
+    from yaschva_ray.engine.windows import session_windows
+
+    base = datetime.datetime(2024, 1, 1)
+    times = [base, base + datetime.timedelta(seconds=500),
+             base + datetime.timedelta(seconds=1200)]
+
+    def run(unit):
+        t = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                      "t": pa.array(times, pa.timestamp(unit))})
+        out = session_windows(ray.data.from_arrow(t), key="k", ts="t",
+                              gap_s=600, num_buckets=1)
+        return out["n_events"].to_pylist()
+
+    assert run("us") == [2, 1]
+    assert run("ms") == [2, 1]

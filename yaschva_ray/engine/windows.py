@@ -23,7 +23,11 @@ _SESSION_MAP = None
 _SESSION_REDUCE = None
 
 
-def _session_bucket(key: str, ts: str, gap_us: int, *parts: pa.Table) -> pa.Table:
+_UNIT_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _session_bucket(key: str, ts: str, gap_s: float,
+                    *parts: pa.Table) -> pa.Table:
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
@@ -31,6 +35,12 @@ def _session_bucket(key: str, ts: str, gap_us: int, *parts: pa.Table) -> pa.Tabl
     if not nonempty:
         return pa.table({})
     t = pa.concat_tables(nonempty).combine_chunks()
+    ts_type = t.schema.field(ts).type
+    if not pa.types.is_timestamp(ts_type):
+        raise TypeError(f"session ts column {ts!r} must be a timestamp, "
+                        f"got {ts_type}")
+    # gap compared in the column's OWN unit — no lossy unit casts
+    gap_units = int(round(gap_s * _UNIT_PER_S[ts_type.unit]))
     order = pc.sort_indices(t, sort_keys=[(key, "ascending"),
                                           (ts, "ascending")])
     t = t.take(order)
@@ -38,13 +48,13 @@ def _session_bucket(key: str, ts: str, gap_us: int, *parts: pa.Table) -> pa.Tabl
     tsv = np.asarray(t[ts].cast(pa.int64()).to_numpy(zero_copy_only=False))
     n = len(u)
     new_s = np.ones(n, dtype=bool)
-    new_s[1:] = (u[1:] != u[:-1]) | (tsv[1:] - tsv[:-1] > gap_us)
+    new_s[1:] = (u[1:] != u[:-1]) | (tsv[1:] - tsv[:-1] > gap_units)
     starts = np.nonzero(new_s)[0]
     ends = np.append(starts[1:], n)
     return pa.table({
         key: pa.array(u[starts]),
-        "session_start": pa.array(tsv[starts]).cast(pa.timestamp("us")),
-        "session_end": pa.array(tsv[ends - 1]).cast(pa.timestamp("us")),
+        "session_start": pa.array(tsv[starts]).cast(ts_type),
+        "session_end": pa.array(tsv[ends - 1]).cast(ts_type),
         "n_events": pa.array((ends - starts).astype(np.int64)),
     })
 
@@ -68,14 +78,13 @@ def session_windows(ds, *, key: str, ts: str, gap_s: float,
     if num_buckets is None:
         num_buckets = _auto_buckets(ds)
 
-    gap_us = int(round(gap_s * 1_000_000))
     map_out = []
     for block_ref in iter_block_refs(ds):
         map_out.append(_SESSION_MAP.options(num_returns=num_buckets)
                        .remote(block_ref, key, num_buckets))
     if num_buckets == 1:
         map_out = [[r] for r in map_out]
-    reduced = [_SESSION_REDUCE.remote(key, ts, gap_us,
+    reduced = [_SESSION_REDUCE.remote(key, ts, gap_s,
                                       *[m[b] for m in map_out])
                for b in range(num_buckets)]
     tables = [t for t in ray.get(reduced) if t.num_rows]
