@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": textops.q_quality_documents,
         "fingerprint_documents": textops.q_fingerprint_documents,
         "fingerprint_md5": textops.q_fingerprint_md5,
+        "winnow_fingerprints": textops.q_winnow_fingerprints,
         "media_features": _media_features_smoke,
         "media_frames": _media_frames_smoke,
         "events_hourly_window": ops.q_events_hourly_window,

@@ -440,3 +440,67 @@ def test_small_buckets_unaffected_by_cap(ray_session):
     uncapped = pairset(10**9)
     assert capped == uncapped
     assert (0, 200) in capped and (1, 201) in capped
+
+
+def _ref_winnow_one(text, k=4, w=4):
+    """Brute-force winnowing reference over the SAME shingle hashes."""
+    from yaschva_ray.pipelines.textops import (_batch_shingle_hashes,
+                                               _token_hash_segments)
+
+    th, offsets, lens = _token_hash_segments([text], seed=13)
+    sh, _ = _batch_shingle_hashes(th, offsets, lens, n=k)
+    m = len(sh)
+    sel = set()
+    if m < w:
+        sel.add(m - 1 - int(np.argmin(sh[::-1])))
+    else:
+        for i in range(m - w + 1):
+            win = sh[i:i + w]
+            mn = win.min()
+            j = max(idx for idx in range(w) if win[idx] == mn)
+            sel.add(i + j)
+    return np.unique(sh[sorted(sel)])
+
+
+def test_winnow_batch_matches_bruteforce_reference():
+    from yaschva_ray.pipelines.textops import winnow_fingerprints_batch
+
+    rng = np.random.RandomState(21)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = [" ".join(rng.choice(words, rng.randint(0, 30))) for _ in range(50)]
+    texts += ["", "one", "one two", "one two three", None]
+    vals, off = winnow_fingerprints_batch(["" if t is None else t
+                                           for t in texts])
+    for i, t in enumerate(texts):
+        got = np.sort(vals[off[i]:off[i + 1]])
+        want = _ref_winnow_one("" if t is None else t)
+        assert np.array_equal(got, want), (i, t)
+
+
+def test_winnow_shared_substring_guarantee():
+    """Any shared token run of length >= k + window - 1 (= 7) must yield
+    at least one shared fingerprint (the winnowing guarantee)."""
+    from yaschva_ray.pipelines.textops import winnow_fingerprints_batch
+
+    rng = np.random.RandomState(22)
+    vocab = [f"w{i}" for i in range(500)]
+    shared = " ".join(rng.choice(vocab, 12))  # 12 >= 7
+    a = " ".join(rng.choice(vocab, 40)) + " " + shared
+    b = shared + " " + " ".join(rng.choice(vocab, 40))
+    c = " ".join(rng.choice(vocab, 40))  # unrelated
+    vals, off = winnow_fingerprints_batch([a, b, c])
+    fa = set(vals[off[0]:off[1]])
+    fb = set(vals[off[1]:off[2]])
+    fc = set(vals[off[2]:off[3]])
+    assert fa & fb
+    assert not (fa & fc) and not (fb & fc)
+
+
+def test_winnow_query_deterministic(ray_session):
+    from yaschva_ray.pipelines.textops import q_winnow_fingerprints
+
+    a = q_winnow_fingerprints(SF_DIR)
+    b = q_winnow_fingerprints(SF_DIR)
+    assert a.equals(b)
+    assert a.num_rows == 500
+    assert all(n >= 1 for n in a["n_fingerprints"].to_pylist())

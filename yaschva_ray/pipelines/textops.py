@@ -160,9 +160,11 @@ def _batch_shingle_hashes(th: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
     # are computed but never selected below)
     total = len(th)
     if total >= n:
-        w = th[: total - n + 1] * _MIX1
-        w ^= th[1: total - n + 2] * _MIX2
-        w ^= th[2:] * _MIX3
+        L = total - n + 1
+        mults = (_MIX1, _MIX2, _MIX3)
+        w = np.zeros(L, dtype=np.uint64)
+        for j in range(n):  # xor of per-offset mixed terms (n is tiny)
+            w ^= th[j:j + L] * mults[j % 3]
         w = _finalize64(w)
     else:
         w = np.empty(0, dtype=np.uint64)
@@ -179,8 +181,9 @@ def _batch_shingle_hashes(th: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
             sh[s_off[i]] = _EMPTY_SHINGLE
         else:
             acc = np.uint64(0)
-            for j, m in zip(range(o, o + ln), (_MIX1, _MIX2, _MIX3)):
-                acc ^= th[j] * m
+            with np.errstate(over="ignore"):  # uint64 wraparound intended
+                for j, m in zip(range(o, o + ln), (_MIX1, _MIX2, _MIX3)):
+                    acc ^= th[j] * m
             sh[s_off[i]] = _finalize64(np.array([acc]))[0]
     return sh, s_off
 
@@ -1164,6 +1167,85 @@ def q_fingerprint_documents(sf_dir: str) -> pa.Table:
             txt = txt.combine_chunks()
         h = _hash64(txt).astype(np.int64)
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(h)})
+
+    return _gather(ds.map_batches(fp, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
+
+
+def winnow_fingerprints_batch(texts: list, k: int = 4,
+                              window: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken's MOSS, public algorithm): token k-gram
+    rolling hashes → sliding windows of ``window`` consecutive hashes →
+    select each window's RIGHTMOST minimum → the doc's fingerprint set is
+    the distinct selected hashes.  Guarantees any shared token run of
+    length ≥ k + window - 1 contributes at least one shared fingerprint.
+
+    Whole-batch vectorized: one polars tokenize/hash pass, the same
+    windowed k-gram mix the minhash kernel uses, one
+    ``sliding_window_view`` argmin over the flat hash array (windows
+    crossing doc boundaries are computed but never selected).  Returns
+    ``(flat sorted-distinct fingerprints, per-doc offsets)``.
+    """
+    th, offsets, lens = _token_hash_segments(texts, seed=13)
+    sh, s_off = _batch_shingle_hashes(th, offsets, lens, n=k)
+    n_docs = len(lens)
+    m = np.diff(s_off)  # k-gram count per doc (≥1)
+    total = len(sh)
+    # global window argmins (rightmost min ⇒ argmin over the reversed view)
+    if total >= window:
+        sw = np.lib.stride_tricks.sliding_window_view(sh, window)
+        amin = window - 1 - np.argmin(sw[:, ::-1], axis=1)
+        sel_pos_global = np.arange(total - window + 1) + amin
+    else:
+        sel_pos_global = np.empty(0, dtype=np.int64)
+    # per-doc window segments (≥1 per doc; short docs take their min)
+    win_counts = np.maximum(m - window + 1, 1)
+    w_off = np.concatenate([[0], np.cumsum(win_counts)])
+    seg = np.repeat(np.arange(n_docs), win_counts)
+    within = np.arange(int(w_off[-1])) - w_off[seg]
+    src_window = s_off[seg] + within
+    long_doc = m >= window
+    sel = np.empty(int(w_off[-1]), dtype=np.int64)
+    lmask = long_doc[seg]
+    if lmask.any():
+        sel[lmask] = sel_pos_global[src_window[lmask]]
+    for i in np.nonzero(~long_doc)[0]:  # short docs only (rare)
+        s0, s1 = int(s_off[i]), int(s_off[i + 1])
+        # rightmost min of the doc's shingles
+        sel[w_off[i]] = s1 - 1 - int(np.argmin(sh[s0:s1][::-1]))
+    vals = sh[sel]
+    # distinct per doc: sort (doc, val), drop adjacent repeats
+    order = np.lexsort((vals, seg))
+    sseg, svals = seg[order], vals[order]
+    keep = np.ones(len(svals), dtype=bool)
+    keep[1:] = (sseg[1:] != sseg[:-1]) | (svals[1:] != svals[:-1])
+    dseg, dvals = sseg[keep], svals[keep]
+    counts = np.bincount(dseg, minlength=n_docs)
+    out_off = np.concatenate([[0], np.cumsum(counts)])
+    return dvals, out_off
+
+
+def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Rolling-hash (winnowing) fingerprints per document: fingerprint
+    count plus an order-independent XOR digest of the selected hashes.
+    Deterministic → rows-only driver check; the kernel is verified against
+    a brute-force per-doc winnowing reference and the shared-substring
+    guarantee in tests."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        vals, off = winnow_fingerprints_batch(t["text"].to_pylist())
+        n = t.num_rows
+        digests = np.zeros(n, dtype=np.uint64)
+        nz = np.diff(off) > 0
+        red = np.bitwise_xor.reduceat(vals, off[:-1][nz]) if nz.any() else []
+        digests[nz] = red
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_fingerprints": pa.array(np.diff(off).astype(np.int64)),
+            "fp_digest": pa.array(digests.astype(np.int64)),
+        })
 
     return _gather(ds.map_batches(fp, batch_format="pyarrow")).sort_by(
         [("doc_id", "ascending")])
