@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": textops.q_fingerprint_documents,
         "fingerprint_md5": textops.q_fingerprint_md5,
         "winnow_fingerprints": textops.q_winnow_fingerprints,
+        "f0_span_dedup": textops.q_f0_span_dedup,
         "media_features": _media_features_smoke,
         "media_frames": _media_frames_smoke,
         "events_hourly_window": ops.q_events_hourly_window,

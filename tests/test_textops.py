@@ -504,3 +504,16 @@ def test_winnow_query_deterministic(ray_session):
     assert a.equals(b)
     assert a.num_rows == 500
     assert all(n >= 1 for n in a["n_fingerprints"].to_pylist())
+
+
+def test_f0_span_dedup_deterministic_count(ray_session):
+    """Dedup over the interleaved F0 table's exploded text spans: exact,
+    deterministic duplicate count (seed 42), sorted unique span keys."""
+    from yaschva_ray.pipelines.textops import q_f0_span_dedup
+
+    out = q_f0_span_dedup("/root/testdata/sf0.001")
+    assert out.column_names == ["span_key"]
+    assert out.num_rows == 123  # 8044 text spans, 7921 distinct at n=5000
+    keys = out["span_key"].to_pylist()
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    assert q_f0_span_dedup("/root/testdata/sf0.001").equals(out)

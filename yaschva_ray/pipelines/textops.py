@@ -1226,6 +1226,52 @@ def winnow_fingerprints_batch(texts: list, k: int = 4,
     return dvals, out_off
 
 
+def q_f0_span_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup over the INTERLEAVED north-rule table's text spans:
+    synthesize the F0 docs deterministically (input_hint shape —
+    ``doc_id, spans: list<struct<kind,text,media_ref,offset>>``), explode
+    text spans to (span_key, text) rows in one vectorized pass, and run
+    the exchange-based exact dedup — the dedup family operating on the
+    interleaved table end-to-end.  Engine-generated input → rows-only
+    driver check; the duplicate count is deterministic (seed 42) and
+    asserted exactly in tests."""
+    import ray.data
+
+    from .datagen import make_docs_batch
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    table = make_docs_batch(np.arange(n), seed=42)
+    k = 8
+    ds = ray.data.from_arrow([table.slice(i * len(table) // k,
+                                          (i + 1) * len(table) // k
+                                          - i * len(table) // k)
+                              for i in range(k)])
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = pc.list_value_length(spans).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = spans.flatten()
+        kinds = pc.struct_field(flat, "kind")
+        texts = pc.struct_field(flat, "text")
+        parents = np.repeat(np.arange(len(t)), lengths)
+        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+        within = np.arange(int(lengths.sum())) - np.repeat(starts, lengths)
+        doc_ids = t["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        span_key = pc.binary_join_element_wise(
+            doc_ids.take(pa.array(parents)),
+            pc.cast(pa.array(within), pa.string()), "#")
+        out = pa.table({"doc_id": span_key, "text": texts})
+        return out.filter(pc.equal(kinds, "text"))
+
+    dup = dedup_exact_from_ds(ds.map_batches(explode, batch_format="pyarrow"))
+    return pa.table({"span_key": dup["doc_id"]})
+
+
 def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
     """Rolling-hash (winnowing) fingerprints per document: fingerprint
     count plus an order-independent XOR digest of the selected hashes.
