@@ -83,7 +83,7 @@ def _js_tree(o):
 def test_fuzz_against_real_reference(ref_harness):
     rng = random.Random(424242)
     cases = []
-    for _ in range(800):
+    for _ in range(2000):
         s = rand_schema(rng)
         v = rand_value(rng)
         undef = v is UNDEFINED
@@ -145,7 +145,7 @@ def test_type_emitter_fuzz_against_real_reference(type_harness):
     from yaschva_ray.typegen import TypeGenError, validation_to_type
 
     rng = random.Random(31337)
-    cases = [rand_schema(rng) for _ in range(500)]
+    cases = [rand_schema(rng) for _ in range(1200)]
     payload = "\n".join(json.dumps(c) for c in cases)
     proc = subprocess.run([NODE, type_harness], input=payload,
                           capture_output=True, text=True, timeout=120)
