@@ -86,13 +86,17 @@ def bench_queries(sf_dir: str) -> dict:
         "check_events_props", "uniqueness_events_user", "customers_without_orders",
         "null_counts_documents", "pricing_summary", "token_count_documents",
         "top_violated_paths",
+        # round-3 additions (compare PER-QUERY keys across rounds — totals
+        # grow with the suite)
+        "events_sessions", "top_events_per_type", "events_value_quantiles",
+        "events_user_segments",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)
     text_names = [
         "dedup_exact_documents", "minhash_candidates_documents",
-        "simhash_documents", "ann_bruteforce", "langid_documents",
-        "quality_documents",
+        "minhash_verified_pairs", "simhash_documents", "ann_bruteforce",
+        "langid_documents", "quality_documents", "winnow_fingerprints",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):

@@ -342,3 +342,25 @@ def test_session_windows_unit_aware(ray_session):
 
     assert run("us") == [2, 1]
     assert run("ms") == [2, 1]
+
+
+def test_session_windows_bucket_sinks(ray_session, tmp_path):
+    import datetime
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.engine.windows import session_windows
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = pa.table({
+        "k": pa.array(np.arange(200) % 9, pa.int64()),
+        "t": pa.array([base + datetime.timedelta(seconds=int(s))
+                       for s in range(200)], pa.timestamp("us")),
+    })
+    man = session_windows(ray.data.from_arrow(rows), key="k", ts="t",
+                          gap_s=600, num_buckets=4,
+                          out_dir=str(tmp_path / "sess"))
+    assert set(man.column_names) == {"bucket", "n_rows", "path"}
+    total = sum(pq.read_table(p).num_rows for p in man["path"].to_pylist())
+    assert total == 9  # one session per key (all gaps tiny)

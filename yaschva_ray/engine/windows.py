@@ -26,8 +26,9 @@ _SESSION_REDUCE = None
 _UNIT_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 
 
-def _session_bucket(key: str, ts: str, gap_s: float,
-                    *parts: pa.Table) -> pa.Table:
+def _session_bucket(key: str, ts: str, gap_s: float, bucket_id: int,
+                    out_dir: str | None, *parts: pa.Table) -> pa.Table:
+    from .joins import _sink_bucket
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
@@ -51,21 +52,25 @@ def _session_bucket(key: str, ts: str, gap_s: float,
     new_s[1:] = (u[1:] != u[:-1]) | (tsv[1:] - tsv[:-1] > gap_units)
     starts = np.nonzero(new_s)[0]
     ends = np.append(starts[1:], n)
-    return pa.table({
+    out = pa.table({
         key: pa.array(u[starts]),
         "session_start": pa.array(tsv[starts]).cast(ts_type),
         "session_end": pa.array(tsv[ends - 1]).cast(ts_type),
         "n_events": pa.array((ends - starts).astype(np.int64)),
     })
+    if out_dir is not None:
+        return _sink_bucket(out, out_dir, bucket_id)
+    return out
 
 
 def session_windows(ds, *, key: str, ts: str, gap_s: float,
-                    num_buckets: int | None = None) -> pa.Table:
+                    num_buckets: int | None = None,
+                    out_dir: str | None = None) -> pa.Table:
     """Sessionize events: rows with the same ``key`` separated by more
     than ``gap_s`` seconds start a new session.  Returns one row per
-    session ``(key, session_start, session_end, n_events)``, gathered
-    (session tables are small relative to events; at 100 TB write
-    per-bucket sinks like the joins do)."""
+    session ``(key, session_start, session_end, n_events)``, gathered;
+    with ``out_dir`` each bucket writes its own parquet part and a small
+    (bucket, n_rows, path) manifest is returned — the 100 TB path."""
     import ray
 
     from .blocks import iter_block_refs
@@ -84,11 +89,14 @@ def session_windows(ds, *, key: str, ts: str, gap_s: float,
                        .remote(block_ref, key, num_buckets))
     if num_buckets == 1:
         map_out = [[r] for r in map_out]
-    reduced = [_SESSION_REDUCE.remote(key, ts, gap_s,
+    reduced = [_SESSION_REDUCE.remote(key, ts, gap_s, b, out_dir,
                                       *[m[b] for m in map_out])
                for b in range(num_buckets)]
     tables = [t for t in ray.get(reduced) if t.num_rows]
     if not tables:
         return pa.table({})
-    return (pa.concat_tables(tables).combine_chunks()
-            .sort_by([(key, "ascending"), ("session_start", "ascending")]))
+    merged = pa.concat_tables(tables).combine_chunks()
+    if out_dir is not None:
+        return merged.sort_by([("bucket", "ascending")])
+    return merged.sort_by([(key, "ascending"),
+                           ("session_start", "ascending")])
