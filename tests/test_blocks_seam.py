@@ -38,3 +38,21 @@ def test_fallback_refs_carry_same_rows(ray_session):
     assert sum(t.num_rows for t in slow) == 1000
     assert sorted(x for t in fast for x in t["id"].to_pylist()) == \
         sorted(x for t in slow for x in t["id"].to_pylist())
+
+
+def test_estimate_bytes_engages_on_parquet_reads(ray_session):
+    """Auto bucket sizing must actually see a size for parquet-backed
+    datasets (plan metadata or source-file fallback) — otherwise every
+    auto-sized exchange silently lands on the default."""
+    import ray.data
+
+    from yaschva_ray.engine.joins import _auto_buckets, _estimate_bytes
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    est = _estimate_bytes(ds)
+    assert est is not None and est > 0
+    assert _auto_buckets(ds) >= 8
+    # and through a map (lineage keeps input files reachable)
+    mapped = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    est2 = _estimate_bytes(mapped)
+    assert est2 is not None and est2 > 0

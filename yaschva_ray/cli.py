@@ -126,8 +126,6 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
         elif args.method == "simhash":
             out = textops.simhash_neardup_pairs(ds, max_hamming=args.max_hamming)
         else:  # minhash
-            from ray.data import from_arrow_refs  # noqa: F401 — doc hint
-
             cands = textops.minhash_candidates_from_ds(ds)
             tables = [t for t in ray.get(cands.to_arrow_refs())
                       if t.num_columns and t.num_rows]

@@ -30,12 +30,14 @@ def _reduce_task(reduce_fn, empty_result, *parts: pa.Table) -> pa.Table:
     return reduce_fn(pa.concat_tables(nonempty).combine_chunks())
 
 
-def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int = 16,
+def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int | None = None,
                    empty_result: pa.Table | None = None,
                    gather: bool = True):
     """Hash-partition ``ds`` on ``key`` and apply ``reduce_fn`` (an
     arbitrary vectorized Table → Table function; rows sharing ``key`` are
-    guaranteed co-located) once per bucket.
+    guaranteed co-located) once per bucket.  ``num_buckets=None`` derives
+    the bucket count from the dataset's estimated bytes (64 MiB reduce
+    target, same rule as the joins).
 
     ``gather=True`` returns the gathered non-empty reduce outputs (small
     results); ``gather=False`` returns the reduce OBJECT REFS so callers
@@ -45,7 +47,10 @@ def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int = 16,
     import ray
 
     from .blocks import iter_block_refs
-    from .joins import _map_block
+    from .joins import _auto_buckets, _map_block
+
+    if num_buckets is None:
+        num_buckets = _auto_buckets(ds)
 
     global _MAP_REMOTE, _REDUCE_REMOTE
     if _MAP_REMOTE is None:

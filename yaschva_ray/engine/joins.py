@@ -32,13 +32,21 @@ _MIN_BUCKETS, _MAX_BUCKETS = 8, 512
 
 
 def _estimate_bytes(ds) -> int | None:
-    """Best-effort in-memory size WITHOUT executing the dataset: plan
-    metadata when Ray can infer it, else source-file bytes × 4 (parquet's
+    """Best-effort in-memory size WITHOUT executing the dataset: walk the
+    logical plan toward the leaf read until some operator can infer a
+    size (map stages report None but their source read estimates — a fine
+    proxy for exchange sizing), else source-file bytes × 4 (parquet's
     typical in-memory inflation)."""
     try:
-        sz = ds._logical_plan.dag.infer_metadata().size_bytes
-        if sz is not None:
-            return int(sz)
+        dag = ds._logical_plan.dag
+        for _ in range(64):  # bounded walk to the leaf
+            sz = dag.infer_metadata().size_bytes
+            if sz is not None:
+                return int(sz)
+            deps = getattr(dag, "input_dependencies", None)
+            if not deps:
+                break
+            dag = deps[0]
     except Exception:
         pass
     try:
