@@ -419,6 +419,14 @@ def run_flagship(
                     uniq_map_out.append(
                         uniqueness_combine(uniq_pending, unique_key))
                     uniq_pending.clear()
+                    # second level: collapse combined entries geometrically
+                    # so the driver's ref list stays O(1) at any scale
+                    # (1e12 docs would otherwise accumulate ~1M entries)
+                    # and the post-scan reduce is near-trivial
+                    if len(uniq_map_out) >= 8:
+                        merged = uniqueness_combine(uniq_map_out, unique_key)
+                        uniq_map_out.clear()
+                        uniq_map_out.append(merged)
         by_shard = _assemble_distributed(_stream_refs(fused), wave_ids,
                                          file_to_shard, out_dir, has_catalog,
                                          on_block=on_block)
