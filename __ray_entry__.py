@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": ops.q_events_asof_orders,
         "events_sessions": ops.q_events_sessions,
         "jaccard_pairs": ops.q_jaccard_pairs,
+        "sample_quality": ops.q_sample_quality,
         "events_user_segments": ops.q_events_user_segments,
         "partitioned_write_langs": ops.q_partitioned_write_langs,
         "approx_distinct_users": ops.q_approx_distinct_users,
@@ -272,6 +273,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # approx_distinct_users: HLL sketch — approximate by design,
         # rows-only; ±2% accuracy vs the exact count asserted in tests
+        "sample_quality": r"""
+            SELECT doc_id,
+                   coalesce(CAST(length(text) AS BIGINT), 0) AS n_chars,
+                   coalesce(CAST(length(regexp_extract_all(text, '\S+'))
+                                 AS BIGINT), 0) AS n_tokens
+            FROM documents WHERE doc_id % 20 = 7 ORDER BY doc_id
+        """,
         "events_user_segments": """
             SELECT c.c_mktsegment,
                    CAST(count(*) AS BIGINT) AS n_events,

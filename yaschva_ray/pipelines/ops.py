@@ -748,6 +748,10 @@ def q_events_value_quantiles(sf_dir: str) -> pa.Table:
     blocks = [b for b in ray.get(
         ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
         if b.num_columns and b.num_rows]
+    if not blocks:  # empty input: one row of nulls, like the SQL
+        return pa.table({"p50_cents": pa.array([None], pa.int64()),
+                         "p90_cents": pa.array([None], pa.int64()),
+                         "p99_cents": pa.array([None], pa.int64())})
     g = (pa.concat_tables(blocks).group_by("cents").aggregate([("n", "sum")])
          .sort_by([("cents", "ascending")]))
     cents = np.asarray(g["cents"].to_numpy(zero_copy_only=False))
@@ -774,6 +778,9 @@ def q_events_user_segments(sf_dir: str) -> pa.Table:
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     blocks = [b for b in ray.get(cust.to_arrow_refs()) if b.num_columns]
+    if not blocks:
+        blocks = [pa.table({"c_custkey": pa.array([], pa.int64()),
+                            "c_mktsegment": pa.array([], pa.string())})]
     small = pa.concat_tables(blocks).combine_chunks()
     lookup_ref = ray.put((small["c_custkey"], small["c_mktsegment"]))
 
@@ -843,6 +850,29 @@ def q_partitioned_write_langs(sf_dir: str) -> pa.Table:
                           for f in _glob.glob(os.path.join(d, "*.parquet"))))
     return pa.table({"lang": pa.array(langs, pa.string()),
                      "n_docs": pa.array(counts, pa.int64())})
+
+
+def q_sample_quality(sf_dir: str) -> pa.Table:
+    """Deterministic sampling for drift baselines (SURVEY §2.5): a fixed
+    5% systematic sample (doc_id % 20 == 7 — reproducible across runs and
+    engines, unlike random_sample) with quality features computed only on
+    the sampled rows.  The sample predicate pushes into the scan, so at
+    100 TB the baseline costs 5% of a read."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        sel = t.filter(pa.array(ids % 20 == 7))  # pc has no modulo kernel
+        n_chars = pc.coalesce(pc.utf8_length(sel["text"]).cast(pa.int64()),
+                              pa.scalar(0, pa.int64()))
+        n_tokens = pc.coalesce(
+            pc.count_substring_regex(sel["text"], r"\S+").cast(pa.int64()),
+            pa.scalar(0, pa.int64()))
+        return pa.table({"doc_id": sel["doc_id"],
+                         "n_chars": n_chars, "n_tokens": n_tokens})
+
+    return _sorted_table(ds.map_batches(feats, batch_format="pyarrow"),
+                         ["doc_id"])
 
 
 def q_jaccard_pairs(sf_dir: str, k_docs: int = 40) -> pa.Table:
