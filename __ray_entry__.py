@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": ops.q_approx_distinct_users,
         "top_events_per_type": ops.q_top_events_per_type,
         "events_value_quantiles": ops.q_events_value_quantiles,
+        "approx_quantiles_events": ops.q_approx_quantiles_events,
         "events_price_range_join": ops.q_events_price_range_join,
         "props_json_check": ops.q_props_json_check,
         "stats_lineitem": ops.q_stats_lineitem,

@@ -107,3 +107,21 @@ def test_approx_distinct_users_accuracy(ray_session):
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
     ).fetchone()[0]
     assert abs(got - exact) / exact <= 0.02
+
+
+def test_approx_quantiles_track_exact(ray_session):
+    from yaschva_ray.pipelines.ops import (q_approx_quantiles_events,
+                                           q_events_value_quantiles)
+
+    sf = "/root/testdata/sf0.01"
+    approx = q_approx_quantiles_events(sf)
+    exact = q_events_value_quantiles(sf)
+    pairs = [("p50_approx", "p50_cents"), ("p90_approx", "p90_cents"),
+             ("p99_approx", "p99_cents")]
+    for acol, ecol in pairs:
+        a = approx[acol][0].as_py()
+        e = exact[ecol][0].as_py() / 100.0
+        assert abs(a - e) <= max(0.1 * abs(e), 0.05), (acol, a, e)
+    # partition-independence: the merged sketch must not depend on the
+    # block split (same result twice)
+    assert q_approx_quantiles_events(sf).equals(approx)

@@ -948,6 +948,41 @@ def q_approx_distinct_users(sf_dir: str) -> pa.Table:
                                                  pa.int64())})
 
 
+def q_approx_quantiles_events(sf_dir: str) -> pa.Table:
+    """APPROXIMATE streaming quantiles of events.value via LogHistogram
+    sketches (partition-independent merge ⇒ byte-identical under any
+    block split — the resume-stable property the flagship sketches rely
+    on).  One small pickled state per block, driver merge.  Rows-only
+    driver check; accuracy vs the exact counting-exchange quantiles
+    (q_events_value_quantiles) is asserted in tests."""
+    import pickle
+
+    import ray
+
+    from ..engine.sketches import LogHistogram
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = LogHistogram()
+        h.add(t["value"].to_numpy(zero_copy_only=False).astype("float64"))
+        return pa.table({"state": pa.array([pickle.dumps(h)], pa.binary())})
+
+    merged = LogHistogram()
+    states = []
+    for b in ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                     .to_arrow_refs()):
+        if b.num_columns and b.num_rows:
+            states.extend(b["state"].to_pylist())
+    for s in sorted(states):  # deterministic merge order
+        merged.merge(pickle.loads(s))
+    return pa.table({
+        "p50_approx": pa.array([round(merged.quantile(0.5), 6)], pa.float64()),
+        "p90_approx": pa.array([round(merged.quantile(0.9), 6)], pa.float64()),
+        "p99_approx": pa.array([round(merged.quantile(0.99), 6)], pa.float64()),
+    })
+
+
 def q_events_price_range_join(sf_dir: str, eps: float = 0.05) -> pa.Table:
     """Range (interval) join: event values within ±eps of a part's scaled
     retail price (p_retailprice/100).  Band-partitioned exchange with
