@@ -517,3 +517,27 @@ def test_f0_span_dedup_deterministic_count(ray_session):
     keys = out["span_key"].to_pylist()
     assert keys == sorted(keys) and len(set(keys)) == len(keys)
     assert q_f0_span_dedup("/root/testdata/sf0.001").equals(out)
+
+
+def test_dedup_two_phase_equals_single_phase(ray_session):
+    """The hash-first two-phase plan (8-byte exchange + candidate-only
+    text verify) must produce exactly the single-phase result, including
+    null-text groups."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import dedup_exact_from_ds
+
+    rng = np.random.RandomState(31)
+    words = ["a", "b", "c", "d", "e"]
+    texts = [" ".join(rng.choice(words, 8)) for _ in range(500)]
+    texts += texts[:25] + [None, None, ""]  # planted dups + null group
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def mk():
+        return ray.data.from_arrow(t).repartition(6)
+
+    one = dedup_exact_from_ds(mk(), two_phase=False)
+    two = dedup_exact_from_ds(mk(), two_phase=True)
+    assert one.equals(two)
+    assert one.num_rows >= 26  # 25 planted + 1 null dup (+ random clashes)

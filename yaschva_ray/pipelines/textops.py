@@ -67,27 +67,89 @@ def _gather(ds) -> pa.Table:
 # --------------------------------------------------------------------------
 
 
-def dedup_exact_from_ds(ds, num_buckets: int = 16) -> pa.Table:
+def _dedup_bucket(t: pa.Table) -> pa.Table:
+    """Exact group-min over co-located text groups (null texts form one
+    duplicate group, SQL PARTITION BY semantics; joins drop null keys, so
+    group on (filled text, is-null flag))."""
+    isn = pc.is_null(t["text"])
+    tt = pa.table({"text": pc.fill_null(t["text"], ""), "isn": isn,
+                   "doc_id": t["doc_id"]})
+    keep = tt.group_by(["text", "isn"]).aggregate([("doc_id", "min")])
+    joined = tt.join(keep, keys=["text", "isn"])
+    dup = joined.filter(pc.not_equal(joined["doc_id"], joined["doc_id_min"]))
+    return pa.table({"doc_id": dup["doc_id"]})
+
+
+# above this estimated input size, shuffling full text bytes costs more
+# than a second scan: switch to the hash-first two-phase plan
+_DEDUP_TWO_PHASE_BYTES = 4 << 30
+
+
+def dedup_exact_from_ds(ds, num_buckets: int | None = None,
+                        two_phase: bool | None = None) -> pa.Table:
     """doc_ids that are exact-text duplicates of an earlier (lower doc_id)
-    document.  Raw-task hash exchange on the text column (the house
-    shuffle, engine/exchange.py — Ray Data's groupby paid seconds of
-    fixed all-to-all latency here) + per-bucket vectorized group-min:
-    only ``(text, doc_id)`` rows move, each text group lands in exactly
-    one reduce task."""
+    document — always text-verified exact; the PLAN switches on input
+    size:
+
+    * small (default below ``_DEDUP_TWO_PHASE_BYTES``): one raw-task hash
+      exchange on the text column (engine/exchange.py) + per-bucket
+      vectorized group-min — one scan, text bytes move once.
+    * large (``two_phase``): phase 1 exchanges only ``(hash64(text),
+      doc_id)`` — 8 bytes/row instead of the text — and keeps hash groups
+      with count > 1 (duplicate CANDIDATES, tiny by construction); phase
+      2 re-scans, filters to candidate hashes via a broadcast ``is_in``,
+      and runs the exact text-verified group-min over just those rows.
+      At 100 TB the full-text shuffle is the bottleneck; two scans plus
+      an 8-byte exchange is far cheaper, and a hash collision can only
+      ADD a candidate row to phase 2 (exactness is unaffected — phase 2
+      compares real text)."""
+    import ray
+
     from ..engine.exchange import keyed_exchange
+    from ..engine.joins import _estimate_bytes
 
-    def per_bucket(t: pa.Table) -> pa.Table:
-        # null texts form one duplicate group (SQL PARTITION BY semantics);
-        # joins drop null keys, so group on (filled text, is-null flag)
-        isn = pc.is_null(t["text"])
-        tt = pa.table({"text": pc.fill_null(t["text"], ""), "isn": isn,
-                       "doc_id": t["doc_id"]})
-        keep = tt.group_by(["text", "isn"]).aggregate([("doc_id", "min")])
-        joined = tt.join(keep, keys=["text", "isn"])
-        dup = joined.filter(pc.not_equal(joined["doc_id"], joined["doc_id_min"]))
-        return pa.table({"doc_id": dup["doc_id"]})
+    if two_phase is None:
+        est = _estimate_bytes(ds)
+        two_phase = est is not None and est > _DEDUP_TWO_PHASE_BYTES
 
-    tables = keyed_exchange(ds, "text", per_bucket, num_buckets=num_buckets)
+    if not two_phase:
+        tables = keyed_exchange(ds, "text", _dedup_bucket,
+                                num_buckets=num_buckets)
+        if not tables:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return (pa.concat_tables(tables).combine_chunks()
+                .sort_by([("doc_id", "ascending")]))
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pa.table({"h": pa.array(_hash64(txt).astype(np.int64)),
+                         "doc_id": t["doc_id"]})
+
+    def dup_hashes(t: pa.Table) -> pa.Table:
+        g = t.group_by("h").aggregate([([], "count_all")])
+        return pa.table({"h": g.filter(pc.greater(g["count_all"], 1))["h"]})
+
+    cand_tables = keyed_exchange(ds.map_batches(hash_rows,
+                                                batch_format="pyarrow"),
+                                 "h", dup_hashes, num_buckets=num_buckets)
+    if not cand_tables:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    cand = pc.unique(pa.concat_tables(cand_tables)["h"].combine_chunks())
+    cand_ref = ray.put(cand)
+
+    def filter_candidates(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        h = pa.array(_hash64(txt).astype(np.int64))
+        return t.filter(pc.is_in(h, value_set=cset))
+
+    tables = keyed_exchange(
+        ds.map_batches(filter_candidates, batch_format="pyarrow"),
+        "text", _dedup_bucket, num_buckets=num_buckets)
     if not tables:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     return (pa.concat_tables(tables).combine_chunks()
