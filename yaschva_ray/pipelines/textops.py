@@ -137,6 +137,16 @@ def dedup_exact_from_ds(ds, num_buckets: int | None = None,
     if not cand_tables:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     cand = pc.unique(pa.concat_tables(cand_tables)["h"].combine_chunks())
+    if len(cand) > 5_000_000:
+        # duplicate-HEAVY corpus: the candidate set is no longer a small
+        # broadcast — fall back to the full-text exchange (correctness
+        # identical; phase 1's cost is sunk). Logged per no-silent-caps.
+        _LOG.warning(
+            "two-phase dedup found %d candidate hashes (too many to "
+            "broadcast): falling back to the single-phase text exchange",
+            len(cand))
+        return dedup_exact_from_ds(ds, num_buckets=num_buckets,
+                                   two_phase=False)
     cand_ref = ray.put(cand)
 
     def filter_candidates(t: pa.Table) -> pa.Table:
