@@ -93,3 +93,28 @@ def test_cli_dedup_exact(tmp_path):
     line = [l for l in r.stdout.strip().split("\n") if l.startswith("{")][-1]
     assert json.loads(line)["n_rows"] == 2
     assert pq.read_table(out)["doc_id"].to_pylist() == [3, 4]
+
+
+def test_cli_validate_e2e(tmp_path):
+    """Full `validate` pipeline through the CLI: F0 files in, report out,
+    per-partition outputs + manifest on disk, nonzero exit on failures."""
+    import glob as _glob
+
+    from yaschva_ray.pipelines.datagen import write_f0_dataset
+    from yaschva_ray.pipelines.flagship import FLAGSHIP_SCHEMA
+
+    files = write_f0_dataset(4000, str(tmp_path / "f0"), seed=7,
+                             rows_per_file=2000)
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps(FLAGSHIP_SCHEMA))
+    out = tmp_path / "out"
+    r = run_cli("validate", "--schema", str(schema),
+                "--input", str(tmp_path / "f0" / "*.parquet"),
+                "--out", str(out), "--num-cpus", "2", "--shards", "2")
+    assert r.returncode == 1, r.stderr  # corrupted docs exist by design
+    report = json.loads(r.stdout[r.stdout.index("{"):])
+    assert report["n_docs"] == 4000 and report["n_fail"] > 0
+    assert (out / "_manifest.jsonl").exists()
+    parts = _glob.glob(str(out / "part-*"))
+    assert len(parts) == 2
+    assert (out / "report.json").exists()
