@@ -109,8 +109,9 @@ def test_cli_validate_e2e(tmp_path):
     schema.write_text(json.dumps(FLAGSHIP_SCHEMA))
     out = tmp_path / "out"
     r = run_cli("validate", "--schema", str(schema),
-                "--input", str(tmp_path / "f0" / "*.parquet"),
-                "--out", str(out), "--num-cpus", "2", "--shards", "2")
+                "--input", str(tmp_path / "f0" / "part-*.parquet"),
+                "--out", str(out), "--num-cpus", "2", "--shards", "2",
+                "--catalog", str(tmp_path / "f0" / "media_catalog.parquet"))
     assert r.returncode == 1, r.stderr  # corrupted docs exist by design
     report = json.loads(r.stdout[r.stdout.index("{"):])
     assert report["n_docs"] == 4000 and report["n_fail"] > 0
