@@ -586,21 +586,33 @@ def decode_row(row: dict, fields: dict, custom: dict, exclude: tuple = (),
     return out
 
 
+def _float_repr_one(x) -> str:
+    if x is None:
+        return "None"
+    if x != x:
+        return "NaN"
+    if x == float("inf"):
+        return "Infinity"
+    if x == float("-inf"):
+        return "-Infinity"
+    return repr(x)
+
+
 def _float_reprs(arr: pa.Array) -> list[str]:
     """``json.dumps``-identical reprs for a float array: Python ``repr`` IS
     json.dumps for finite floats (json calls float.__repr__); only the
-    non-finite spellings differ (NaN/Infinity)."""
-    out = []
-    for x in arr.to_pylist():
-        if x != x:
-            out.append("NaN")
-        elif x == float("inf"):
-            out.append("Infinity")
-        elif x == float("-inf"):
-            out.append("-Infinity")
-        else:
-            out.append(repr(x))
-    return out
+    non-finite spellings differ (NaN/Infinity).  Dictionary-encodes first
+    — violating values are low-cardinality in practice, so the Python
+    repr runs once per DISTINCT value (~10× on real violation columns)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    dreprs = np.array([_float_repr_one(v)
+                       for v in enc.dictionary.to_pylist()] + ["None"],
+                      dtype=object)
+    idx = enc.indices.fill_null(len(dreprs) - 1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return dreprs[idx].tolist()
 
 
 _JSON_SIMPLE_RE = r'^[ !#-\[\]-~]*$'  # printable ASCII minus `"` and `\`
@@ -609,11 +621,19 @@ _JSON_SIMPLE_RE = r'^[ !#-\[\]-~]*$'  # printable ASCII minus `"` and `\`
 def _string_reprs(arr: pa.Array) -> list[str]:
     """``json.dumps``-identical reprs for a string array: strings needing
     no escapes (printable ASCII without quote/backslash) are quote-wrapped
-    vectorized; the rest fall back to json.dumps per value."""
-    simple = _np(pc.match_substring_regex(arr, _JSON_SIMPLE_RE), fill=False)
-    vals = arr.to_pylist()
-    return [f'"{s}"' if ok else json.dumps(s, default=str)
-            for s, ok in zip(vals, simple)]
+    vectorized; the rest fall back to json.dumps per value.  Dictionary-
+    encoded like ``_float_reprs`` (one repr per distinct value)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    d = enc.dictionary
+    simple = _np(pc.match_substring_regex(d, _JSON_SIMPLE_RE), fill=False)
+    dreprs = np.array([f'"{s}"' if ok else json.dumps(s, default=str)
+                       for s, ok in zip(d.to_pylist(), simple)] + ["null"],
+                      dtype=object)
+    idx = enc.indices.fill_null(len(dreprs) - 1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return dreprs[idx].tolist()
 
 
 def _repr_value(v: Any) -> str:
