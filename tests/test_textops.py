@@ -541,3 +541,24 @@ def test_dedup_two_phase_equals_single_phase(ray_session):
     two = dedup_exact_from_ds(mk(), two_phase=True)
     assert one.equals(two)
     assert one.num_rows >= 26  # 25 planted + 1 null dup (+ random clashes)
+
+
+def test_dedup_two_phase_dup_heavy_fallback(ray_session):
+    """When the candidate hash set is too large to broadcast, the plan
+    falls back to the single-phase text exchange with identical output."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import dedup_exact_from_ds
+
+    texts = [f"text {i % 50}" for i in range(300)]  # every text duplicated
+    t = pa.table({"doc_id": pa.array(np.arange(300), pa.int64()),
+                  "text": pa.array(texts)})
+
+    def mk():
+        return ray.data.from_arrow(t).repartition(4)
+
+    fallback = dedup_exact_from_ds(mk(), two_phase=True,
+                                   max_broadcast_candidates=5)
+    plain = dedup_exact_from_ds(mk(), two_phase=False)
+    assert fallback.equals(plain)
+    assert plain.num_rows == 250

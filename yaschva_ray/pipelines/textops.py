@@ -86,7 +86,8 @@ _DEDUP_TWO_PHASE_BYTES = 4 << 30
 
 
 def dedup_exact_from_ds(ds, num_buckets: int | None = None,
-                        two_phase: bool | None = None) -> pa.Table:
+                        two_phase: bool | None = None,
+                        max_broadcast_candidates: int = 5_000_000) -> pa.Table:
     """doc_ids that are exact-text duplicates of an earlier (lower doc_id)
     document — always text-verified exact; the PLAN switches on input
     size:
@@ -137,7 +138,7 @@ def dedup_exact_from_ds(ds, num_buckets: int | None = None,
     if not cand_tables:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     cand = pc.unique(pa.concat_tables(cand_tables)["h"].combine_chunks())
-    if len(cand) > 5_000_000:
+    if len(cand) > max_broadcast_candidates:
         # duplicate-HEAVY corpus: the candidate set is no longer a small
         # broadcast — fall back to the full-text exchange (correctness
         # identical; phase 1's cost is sunk). Logged per no-silent-caps.
