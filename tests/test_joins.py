@@ -364,3 +364,26 @@ def test_session_windows_bucket_sinks(ray_session, tmp_path):
     assert set(man.column_names) == {"bucket", "n_rows", "path"}
     total = sum(pq.read_table(p).num_rows for p in man["path"].to_pylist())
     assert total == 9  # one session per key (all gaps tiny)
+
+
+def test_keyed_exchange_concat_rounds_equivalent(ray_session):
+    """Forcing tiny concat rounds (concat_every=2) must not change any
+    result — the rounds are pure data movement."""
+    import ray.data
+
+    from yaschva_ray.engine.exchange import keyed_exchange
+
+    rng = np.random.RandomState(19)
+    t = pa.table({"k": pa.array(rng.randint(0, 100, 5000).astype(np.int64)),
+                  "v": pa.array(rng.randint(0, 10, 5000).astype(np.int64))})
+
+    def reduce_fn(b):
+        return b.group_by("k").aggregate([("v", "sum")])
+
+    def run(ce):
+        tables = keyed_exchange(ray.data.from_arrow(t).repartition(10), "k",
+                                reduce_fn, num_buckets=4, concat_every=ce)
+        return (pa.concat_tables(tables).combine_chunks()
+                .sort_by([("k", "ascending")]))
+
+    assert run(2).equals(run(10**9))

@@ -18,6 +18,7 @@ import pyarrow as pa
 
 _MAP_REMOTE = None
 _REDUCE_REMOTE = None
+_CONCAT_REMOTE = None
 
 
 def _reduce_task(reduce_fn, empty_result, *parts: pa.Table) -> pa.Table:
@@ -30,14 +31,34 @@ def _reduce_task(reduce_fn, empty_result, *parts: pa.Table) -> pa.Table:
     return reduce_fn(pa.concat_tables(nonempty).combine_chunks())
 
 
+def _concat_task(*parts: pa.Table) -> pa.Table:
+    """Pure data-movement combine: merge a bucket's slices into one
+    (valid for ANY reduce_fn — no semantic reduction happens here)."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table({})
+    return pa.concat_tables(nonempty).combine_chunks()
+
+
 def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int | None = None,
                    empty_result: pa.Table | None = None,
-                   gather: bool = True):
+                   gather: bool = True, concat_every: int = 64):
     """Hash-partition ``ds`` on ``key`` and apply ``reduce_fn`` (an
     arbitrary vectorized Table → Table function; rows sharing ``key`` are
     guaranteed co-located) once per bucket.  ``num_buckets=None`` derives
     the bucket count from the dataset's estimated bytes (64 MiB reduce
     target, same rule as the joins).
+
+    Fan-in is BOUNDED at any scale: every ``concat_every`` map tasks the
+    accumulated bucket slices merge through a pure-concat round (no
+    semantic reduction — valid for any ``reduce_fn``), and merged entries
+    themselves collapse geometrically, so the driver's ref list and each
+    reduce task's argument count stay O(concat_every) even with millions
+    of upstream blocks.  The concat rounds launch WHILE upstream still
+    streams.
 
     ``gather=True`` returns the gathered non-empty reduce outputs (small
     results); ``gather=False`` returns the reduce OBJECT REFS so callers
@@ -52,17 +73,27 @@ def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int | None = None,
     if num_buckets is None:
         num_buckets = _auto_buckets(ds)
 
-    global _MAP_REMOTE, _REDUCE_REMOTE
+    global _MAP_REMOTE, _REDUCE_REMOTE, _CONCAT_REMOTE
     if _MAP_REMOTE is None:
         _MAP_REMOTE = ray.remote(_map_block)
         _REDUCE_REMOTE = ray.remote(_reduce_task)
+        _CONCAT_REMOTE = ray.remote(_concat_task)
 
-    map_out = []
+    def _merge(entries):
+        return [_CONCAT_REMOTE.remote(*[m[b] for m in entries])
+                for b in range(num_buckets)]
+
+    merged, pending = [], []
     for block_ref in iter_block_refs(ds):
-        map_out.append(_MAP_REMOTE.options(num_returns=num_buckets)
-                       .remote(block_ref, key, num_buckets))
-    if num_buckets == 1:
-        map_out = [[r] for r in map_out]
+        out = _MAP_REMOTE.options(num_returns=num_buckets) \
+            .remote(block_ref, key, num_buckets)
+        pending.append([out] if num_buckets == 1 else out)
+        if len(pending) >= concat_every:
+            merged.append(_merge(pending))
+            pending.clear()
+            if len(merged) >= concat_every:
+                merged[:] = [_merge(merged)]
+    map_out = merged + pending
     reduced = [_REDUCE_REMOTE.remote(reduce_fn, empty_result,
                                      *[m[b] for m in map_out])
                for b in range(num_buckets)]
