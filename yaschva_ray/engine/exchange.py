@@ -43,6 +43,37 @@ def _concat_task(*parts: pa.Table) -> pa.Table:
     return pa.concat_tables(nonempty).combine_chunks()
 
 
+def bounded_map_entries(ds, launch, num_buckets: int,
+                        concat_every: int = 64) -> list:
+    """Launch ``launch(block_ref) -> num_returns slices`` for every block
+    streamed out of ``ds``, folding accumulated entries through pure-
+    concat rounds so the returned entry list (and any reduce fan-in built
+    from it) stays O(concat_every) regardless of block count.  Shared by
+    keyed_exchange, the joins, and session windows."""
+    import ray
+
+    from .blocks import iter_block_refs
+
+    global _CONCAT_REMOTE
+    if _CONCAT_REMOTE is None:
+        _CONCAT_REMOTE = ray.remote(_concat_task)
+
+    def _merge(entries):
+        return [_CONCAT_REMOTE.remote(*[m[b] for m in entries])
+                for b in range(num_buckets)]
+
+    merged, pending = [], []
+    for block_ref in iter_block_refs(ds):
+        out = launch(block_ref)
+        pending.append([out] if num_buckets == 1 else out)
+        if len(pending) >= concat_every:
+            merged.append(_merge(pending))
+            pending.clear()
+            if len(merged) >= concat_every:
+                merged[:] = [_merge(merged)]
+    return merged + pending
+
+
 def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int | None = None,
                    empty_result: pa.Table | None = None,
                    gather: bool = True, concat_every: int = 64):
@@ -67,33 +98,21 @@ def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int | None = None,
     output schema."""
     import ray
 
-    from .blocks import iter_block_refs
     from .joins import _auto_buckets, _map_block
 
     if num_buckets is None:
         num_buckets = _auto_buckets(ds)
 
-    global _MAP_REMOTE, _REDUCE_REMOTE, _CONCAT_REMOTE
+    global _MAP_REMOTE, _REDUCE_REMOTE
     if _MAP_REMOTE is None:
         _MAP_REMOTE = ray.remote(_map_block)
         _REDUCE_REMOTE = ray.remote(_reduce_task)
-        _CONCAT_REMOTE = ray.remote(_concat_task)
 
-    def _merge(entries):
-        return [_CONCAT_REMOTE.remote(*[m[b] for m in entries])
-                for b in range(num_buckets)]
-
-    merged, pending = [], []
-    for block_ref in iter_block_refs(ds):
-        out = _MAP_REMOTE.options(num_returns=num_buckets) \
-            .remote(block_ref, key, num_buckets)
-        pending.append([out] if num_buckets == 1 else out)
-        if len(pending) >= concat_every:
-            merged.append(_merge(pending))
-            pending.clear()
-            if len(merged) >= concat_every:
-                merged[:] = [_merge(merged)]
-    map_out = merged + pending
+    map_out = bounded_map_entries(
+        ds,
+        lambda ref: _MAP_REMOTE.options(num_returns=num_buckets)
+        .remote(ref, key, num_buckets),
+        num_buckets, concat_every)
     reduced = [_REDUCE_REMOTE.remote(reduce_fn, empty_result,
                                      *[m[b] for m in map_out])
                for b in range(num_buckets)]

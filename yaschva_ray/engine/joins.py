@@ -210,7 +210,7 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     the joined table is gathered."""
     import ray
 
-    from .blocks import iter_block_refs
+    from .exchange import bounded_map_entries
 
     if num_buckets is None:
         num_buckets = _auto_buckets(left_ds, right_ds)
@@ -220,13 +220,11 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
         _REDUCE_REMOTE = ray.remote(_asof_bucket)
 
     def _mapped(ds, key):
-        out = []
-        for block_ref in iter_block_refs(ds):
-            out.append(_MAP_REMOTE.options(num_returns=num_buckets)
-                       .remote(block_ref, key, num_buckets))
-        if num_buckets == 1:
-            out = [[r] for r in out]
-        return out
+        return bounded_map_entries(
+            ds,
+            lambda ref: _MAP_REMOTE.options(num_returns=num_buckets)
+            .remote(ref, key, num_buckets),
+            num_buckets)
 
     lmap = _mapped(left_ds, left_key)
     rmap = _mapped(right_ds, right_key)
@@ -342,7 +340,7 @@ def range_join(left_ds, right_ds, *, left_val: str, right_val: str,
     ``out_dir`` switches to per-bucket parquet sinks + manifest return."""
     import ray
 
-    from .blocks import iter_block_refs
+    from .exchange import bounded_map_entries
 
     if width is None:
         width = max(2.0 * eps, 1e-9)
@@ -359,14 +357,11 @@ def range_join(left_ds, right_ds, *, left_val: str, right_val: str,
         _RANGE_REDUCE = ray.remote(_range_bucket)
 
     def _mapped(ds, col, replicate):
-        out = []
-        for block_ref in iter_block_refs(ds):
-            out.append(_RANGE_MAP_L.options(num_returns=num_buckets)
-                       .remote(block_ref, col, width, eps, num_buckets,
-                               replicate))
-        if num_buckets == 1:
-            out = [[r] for r in out]
-        return out
+        return bounded_map_entries(
+            ds,
+            lambda ref: _RANGE_MAP_L.options(num_returns=num_buckets)
+            .remote(ref, col, width, eps, num_buckets, replicate),
+            num_buckets)
 
     lmap = _mapped(left_ds, left_val, False)
     rmap = _mapped(right_ds, right_val, True)

@@ -73,7 +73,7 @@ def session_windows(ds, *, key: str, ts: str, gap_s: float,
     (bucket, n_rows, path) manifest is returned — the 100 TB path."""
     import ray
 
-    from .blocks import iter_block_refs
+    from .exchange import bounded_map_entries
     from .joins import _auto_buckets, _map_block
 
     global _SESSION_MAP, _SESSION_REDUCE
@@ -83,12 +83,11 @@ def session_windows(ds, *, key: str, ts: str, gap_s: float,
     if num_buckets is None:
         num_buckets = _auto_buckets(ds)
 
-    map_out = []
-    for block_ref in iter_block_refs(ds):
-        map_out.append(_SESSION_MAP.options(num_returns=num_buckets)
-                       .remote(block_ref, key, num_buckets))
-    if num_buckets == 1:
-        map_out = [[r] for r in map_out]
+    map_out = bounded_map_entries(
+        ds,
+        lambda ref: _SESSION_MAP.options(num_returns=num_buckets)
+        .remote(ref, key, num_buckets),
+        num_buckets)
     reduced = [_SESSION_REDUCE.remote(key, ts, gap_s, b, out_dir,
                                       *[m[b] for m in map_out])
                for b in range(num_buckets)]
