@@ -49,14 +49,19 @@ def uniqueness_violations(ds: "ray.data.Dataset", key: str,
 
     from .blocks import iter_block_refs
 
-    map_out = []
+    merged, pending = [], []
     for block_ref in iter_block_refs(ds):
-        map_out.append(_UNIQ_BLOCK_REMOTE
-                       .options(num_returns=num_buckets)
-                       .remote(block_ref, key, num_buckets))
-    if num_buckets == 1:
-        map_out = [[r] for r in map_out]
-    return uniqueness_reduce(map_out, key, num_buckets)
+        out = _UNIQ_BLOCK_REMOTE.options(num_returns=num_buckets) \
+            .remote(block_ref, key, num_buckets)
+        pending.append([out] if num_buckets == 1 else out)
+        # bound fan-in with the SEMANTIC combine (group-sum) — same
+        # streaming tree the flagship uses; entries collapse geometrically
+        if len(pending) >= 64:
+            merged.append(uniqueness_combine(pending, key, num_buckets))
+            pending.clear()
+            if len(merged) >= 64:
+                merged[:] = [uniqueness_combine(merged, key, num_buckets)]
+    return uniqueness_reduce(merged + pending, key, num_buckets)
 
 
 def _bucket_partial_slices(t: pa.Table, key: str, num_buckets: int) -> list[pa.Table]:
