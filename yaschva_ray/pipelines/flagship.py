@@ -43,6 +43,7 @@ FLAGSHIP_SCHEMA = {
 # TASKS (no actor-pool spin-up per shard — that cost ~2s/shard) while still
 # compiling the schema / fetching the broadcast catalog once per worker.
 _FUSED_CACHE: dict = {}
+_ASM_CONCAT_REMOTE = None
 
 
 def _fused_task(batch: pa.Table, schema_json: str, catalog_ref,
@@ -245,15 +246,32 @@ def _assemble_distributed(block_ref_iter, wave_ids: list[int],
 
         return {"partition": shard, "digest": digest_dir(part_dir), **metrics}
 
+    from ..engine.exchange import _concat_task
+
+    global _ASM_CONCAT_REMOTE
+    if _ASM_CONCAT_REMOTE is None:
+        _ASM_CONCAT_REMOTE = ray.remote(_concat_task)
+
+    def _merge(entries):
+        return [_ASM_CONCAT_REMOTE.remote(*[m[w] for m in entries])
+                for w in range(n_wave)]
+
     shard_of = {p: pos_of[s] for p, s in file_to_shard.items() if s in pos_of}
-    split_out = []
+    merged, pending = [], []
     for ref in block_ref_iter:
         if on_block is not None:
             on_block(ref)
-        split_out.append(
-            split_block.options(num_returns=n_wave).remote(ref, shard_of, n_wave))
-    if n_wave == 1:
-        split_out = [[r] for r in split_out]
+        out = split_block.options(num_returns=n_wave).remote(ref, shard_of,
+                                                             n_wave)
+        pending.append([out] if n_wave == 1 else out)
+        # bound assemble fan-in: fold split slices through pure-concat
+        # rounds while the scan streams (one arg per BLOCK otherwise)
+        if len(pending) >= 64:
+            merged.append(_merge(pending))
+            pending.clear()
+            if len(merged) >= 64:
+                merged[:] = [_merge(merged)]
+    split_out = merged + pending
     metric_refs = [
         assemble.remote(wave_ids[w], out_dir, has_catalog,
                         *[s[w] for s in split_out])
