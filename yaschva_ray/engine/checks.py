@@ -96,12 +96,13 @@ def _reduce_bucket_tables(parts, key: str) -> pa.Table:
     return pa.table({key: g[key], "n_docs": g["partial_n_sum"].cast(pa.int64())})
 
 
-def _uniq_map_key_blobs_task(block: pa.Table, key: str, num_buckets: int):
+def _uniq_map_key_blobs_task(key: str, num_buckets: int, *blocks: pa.Table):
     from .ipcio import ipc_table
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
-    tables = [t for t in (ipc_table(b) for b in block["keys"].to_pylist())
+    tables = [t for b in blocks
+              for t in (ipc_table(x) for x in b["keys"].to_pylist())
               if t.num_columns]
     if not tables:
         empty = pa.table({key: pa.array([], pa.string()),
@@ -119,20 +120,18 @@ def uniqueness_map_key_blobs(block_refs, key: str, num_buckets: int = 16):
     """Map half of the uniqueness exchange sourced from FUSED-STAGE rows
     (column ``keys``: IPC-encoded per-batch key tables) — the input table
     is NOT re-scanned; the flagship's single pass already extracted the key
-    column.  One task per fused block, ``num_returns`` bucket slices each.
-    Callable PER BLOCK as refs stream out of the fused stage (the remote
-    function is defined once at module scope, so per-call export cost is
-    zero); finish with :func:`uniqueness_reduce`."""
+    column.  ONE task per call covering every given block ref (callers
+    chunk refs as they stream — per-block task submission was itself a
+    driver bottleneck at 96M+ docs); finish with
+    :func:`uniqueness_reduce`."""
     import ray
 
     global _UNIQ_MAP_REMOTE
     if _UNIQ_MAP_REMOTE is None:
         _UNIQ_MAP_REMOTE = ray.remote(_uniq_map_key_blobs_task)
-    map_out = [_UNIQ_MAP_REMOTE.options(num_returns=num_buckets)
-               .remote(ref, key, num_buckets) for ref in block_refs]
-    if num_buckets == 1:
-        map_out = [[r] for r in map_out]
-    return map_out
+    entry = _UNIQ_MAP_REMOTE.options(num_returns=num_buckets) \
+        .remote(key, num_buckets, *block_refs)
+    return [[entry] if num_buckets == 1 else entry]
 
 
 _UNIQ_COMBINE_REMOTE = None

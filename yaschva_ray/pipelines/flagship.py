@@ -44,6 +44,7 @@ FLAGSHIP_SCHEMA = {
 # compiling the schema / fetching the broadcast catalog once per worker.
 _FUSED_CACHE: dict = {}
 _ASM_CONCAT_REMOTE = None
+_BLOCKS_PER_TASK = 8  # fused blocks per split/uniq-map task
 
 
 def _fused_task(batch: pa.Table, schema_json: str, catalog_ref,
@@ -220,11 +221,11 @@ def _assemble_distributed(block_ref_iter, wave_ids: list[int],
     n_wave = len(wave_ids)
 
     @ray.remote
-    def split_block(block: pa.Table, wavepos_of: dict, n: int):
+    def split_block(wavepos_of: dict, n: int, *blocks: pa.Table):
         import numpy as _np
 
         # the keys blobs feed the uniqueness exchange, not shard assembly
-        block = block.drop_columns(["keys"])
+        block = pa.concat_tables(b.drop_columns(["keys"]) for b in blocks)
         dest = _np.array([wavepos_of[os.path.realpath(p)]
                           for p in block["path"].to_pylist()], dtype=_np.int64)
         out = [block.filter(pa.array(dest == w)) for w in range(n)]
@@ -258,19 +259,33 @@ def _assemble_distributed(block_ref_iter, wave_ids: list[int],
 
     shard_of = {p: pos_of[s] for p, s in file_to_shard.items() if s in pos_of}
     merged, pending = [], []
-    for ref in block_ref_iter:
+    chunk: list = []
+
+    def _flush_chunk():
+        # ONE split task (and one on_block call) per chunk of blocks:
+        # per-block task submission was a DRIVER bottleneck at 96M+ docs
+        # (~2 tasks/block × thousands of blocks of serial ray.remote)
+        if not chunk:
+            return
         if on_block is not None:
-            on_block(ref)
-        out = split_block.options(num_returns=n_wave).remote(ref, shard_of,
-                                                             n_wave)
+            on_block(list(chunk))
+        out = split_block.options(num_returns=n_wave).remote(
+            shard_of, n_wave, *chunk)
+        chunk.clear()
         pending.append([out] if n_wave == 1 else out)
         # bound assemble fan-in: fold split slices through pure-concat
-        # rounds while the scan streams (one arg per BLOCK otherwise)
+        # rounds while the scan streams
         if len(pending) >= 64:
             merged.append(_merge(pending))
             pending.clear()
             if len(merged) >= 64:
                 merged[:] = [_merge(merged)]
+
+    for ref in block_ref_iter:
+        chunk.append(ref)
+        if len(chunk) >= _BLOCKS_PER_TASK:
+            _flush_chunk()
+    _flush_chunk()
     split_out = merged + pending
     metric_refs = [
         assemble.remote(wave_ids[w], out_dir, has_catalog,
@@ -430,9 +445,9 @@ def run_flagship(
             # _COMBINE_EVERY blocks the accumulated entries tree-combine
             # into one, DURING the scan: the post-scan reduce tail sees a
             # bounded fan-in instead of one slice per input block
-            def on_block(ref):
+            def on_block(refs):  # one uniq-map task per CHUNK of blocks
                 uniq_pending.extend(
-                    uniqueness_map_key_blobs([ref], unique_key))
+                    uniqueness_map_key_blobs(refs, unique_key))
                 if len(uniq_pending) >= _COMBINE_EVERY:
                     uniq_map_out.append(
                         uniqueness_combine(uniq_pending, unique_key))
