@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_events_props": ops.q_check_events_props,
         "uniqueness_events_user": ops.q_uniqueness_events_user,
         "customers_without_orders": ops.q_customers_without_orders,
+        "active_customers": ops.q_active_customers,
         "dangling_lineitem_parts": ops.q_dangling_lineitem_parts,
         "null_counts_documents": ops.q_null_counts_documents,
         "distinct_lang": ops.q_distinct_lang,
@@ -414,6 +415,11 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "active_customers": """
+            SELECT DISTINCT c_custkey FROM customer
+            WHERE c_custkey IN (SELECT user_id FROM events)
             ORDER BY c_custkey
         """,
         "dangling_lineitem_parts": """

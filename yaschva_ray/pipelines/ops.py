@@ -155,6 +155,35 @@ def q_customers_without_orders(sf_dir: str) -> pa.Table:
         "c_custkey", "o_custkey")
 
 
+def q_active_customers(sf_dir: str) -> pa.Table:
+    """SEMI-join (the set-intersection complement of the anti-join
+    family): distinct customer keys that appear as event users.  Broadcast
+    the distinct event-user set once, per-block vectorized ``is_in``
+    filter + distinct partials — no shuffle of either side."""
+    import ray
+
+    users = _read(sf_dir, "events", ["user_id"])
+    blocks = [b for b in ray.get(
+        users.map_batches(lambda t: pa.table(
+            {"user_id": pc.unique(t["user_id"].combine_chunks()
+                                  if isinstance(t["user_id"], pa.ChunkedArray)
+                                  else t["user_id"])}),
+            batch_format="pyarrow").to_arrow_refs()) if b.num_columns]
+    uset = pc.unique(pa.concat_tables(blocks)["user_id"].combine_chunks()) \
+        if blocks else pa.array([], pa.int64())
+    ref = ray.put(uset)
+
+    def semi(t: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        hit = t.filter(pc.is_in(t["c_custkey"], value_set=vs))
+        d = hit.group_by("c_custkey").aggregate([])
+        return pa.table({"c_custkey": d["c_custkey"]})
+
+    out = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        semi, batch_format="pyarrow")
+    return _sorted_table(out, ["c_custkey"])
+
+
 def q_dangling_lineitem_parts(sf_dir: str) -> pa.Table:
     """Referential: distinct lineitem.l_partkey values not present in part
     (size-switched broadcast/partitioned anti-join; expected empty on clean
