@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": ops.q_events_sessions,
         "jaccard_pairs": ops.q_jaccard_pairs,
         "sample_quality": ops.q_sample_quality,
+        "custom_check_documents": ops.q_custom_check_documents,
         "events_user_segments": ops.q_events_user_segments,
         "partitioned_write_langs": ops.q_partitioned_write_langs,
         "approx_distinct_users": ops.q_approx_distinct_users,
@@ -275,6 +276,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # approx_distinct_users: HLL sketch — approximate by design,
         # rows-only; ±2% accuracy vs the exact count asserted in tests
+        "custom_check_documents": """
+            SELECT doc_id FROM documents
+            WHERE text IS NULL OR length(text) > 100
+            ORDER BY doc_id
+        """,
         "sample_quality": r"""
             SELECT doc_id,
                    coalesce(CAST(length(text) AS BIGINT), 0) AS n_chars,

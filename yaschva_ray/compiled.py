@@ -250,6 +250,17 @@ def _compile_simple(t: str) -> Fn:
         return lambda v: _ok() if isinstance(v, str) else _fail(O.E_NOT_STRING, v)
     if t == "boolean":
         return lambda v: _ok() if isinstance(v, bool) else _fail(O.E_NOT_BOOL, v)
+    from .checks_registry import lookup_check
+
+    chk = lookup_check(t)
+    if chk is not None:  # engine extension — see checks_registry.py
+        fn = chk[0]
+
+        def registered(v: Any) -> dict:
+            err = fn(v)
+            return _ok() if err is None else _fail(err, v)
+
+        return registered
     raise S.unknown_validator_error(t)
 
 

@@ -283,6 +283,11 @@ def _simple_validation(t: str, value: Any) -> str | None:
         return _validate_bool(value)
     if t == "null":
         return _validate_null(value)
+    from .checks_registry import lookup_check
+
+    chk = lookup_check(t)
+    if chk is not None:  # engine extension — see checks_registry.py
+        return chk[0](value)
     raise S.unknown_validator_error(t)
 
 

@@ -881,6 +881,46 @@ def q_partitioned_write_langs(sf_dir: str) -> pa.Table:
                      "n_docs": pa.array(counts, pa.int64())})
 
 
+_CUSTOM_CHECK_ERR = "Text is longer than 100 characters"
+
+
+def _text_le_100(v):
+    return None if isinstance(v, str) and len(v) <= 100 else _CUSTOM_CHECK_ERR
+
+
+def _text_le_100_vec(arr):
+    ok = pc.less_equal(pc.utf8_length(arr), 100)
+    return ~np.asarray(ok.fill_null(False).to_numpy(zero_copy_only=False))
+
+
+def q_custom_check_documents(sf_dir: str) -> pa.Table:
+    """USER-EXTENSION surface driven end-to-end (``register_check``,
+    SURVEY §2.5): a registered ``@text_le_100`` predicate — with a
+    user-supplied VECTORIZED kernel, so the table fast path serves the
+    custom check without per-row fallback — validates documents.text
+    through the standard TableValidator.  Registries are per-process
+    Python state, so the stage registers inside the worker (idempotent),
+    the same place a model/regex would be loaded.  Violating doc_ids,
+    hash-exact SQL oracle (nulls fail the leaf like every yaschva leaf
+    check)."""
+    from ..vectorized import TableValidator
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    schema = {"doc_id": "any", "text": "@text_le_100"}
+
+    def check(t: pa.Table) -> pa.Table:
+        from ..checks_registry import register_check
+
+        register_check("@text_le_100", _text_le_100,
+                       vectorized=_text_le_100_vec)
+        tv = TableValidator(schema)
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(tv.fail_mask(t)))})
+
+    return _sorted_table(ds.map_batches(check, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
 def q_sample_quality(sf_dir: str) -> pa.Table:
     """Deterministic sampling for drift baselines (SURVEY §2.5): a fixed
     5% systematic sample (doc_id % 20 == 7 — reproducible across runs and

@@ -239,7 +239,24 @@ def _eval_simple(t: str, arr, undef, jsnull, defined, n) -> np.ndarray:
             ok = np.isfinite(v) & (np.floor(v) == v) & (np.abs(v) <= MAX_SAFE_INTEGER)
             return ~defined | (defined & ~ok)
         return np.ones(n, dtype=bool)
+    from .checks_registry import lookup_check
+
+    chk = lookup_check(t)
+    if chk is not None:  # engine extension — see checks_registry.py
+        if chk[1] is not None and arr is not None:
+            return _registered_mask(chk, arr, defined, n)
+        raise VectorizedUnsupported(f"registered check {t!r} has no "
+                                    "vectorized kernel")
     raise S.unknown_validator_error(t)
+
+
+def _registered_mask(chk, arr, defined, n) -> np.ndarray:
+    """Fail mask for a registered check with a vectorized kernel: the
+    kernel judges DEFINED values; undefined/null cells fail (a registered
+    predicate is a leaf like $string — pair with ['?' , '@check'] unions
+    for optionality)."""
+    vec = np.asarray(chk[1](arr), dtype=bool)
+    return ~defined | (defined & vec)
 
 
 def _eval_number(mn, mx, arr, defined, n) -> np.ndarray:
