@@ -130,7 +130,10 @@ def main_default() -> None:
         total = round(sum(queries.values()), 3)
         sf = SF_DIR.rstrip("/").split("sf")[-1]
         print(json.dumps({
-            "metric": "flagship F0 validation + operator suite wall time",
+            # "value" is the SUM of per-query best-of-2 seconds (not a
+            # single run's wall clock — that is wall_elapsed_s below); the
+            # metric name says so to keep cross-round comparisons honest
+            "metric": "flagship F0 + operator suite, sum of best-of-2 per-query sec",
             "value": total,
             "unit": "sec",
             "queries": queries,

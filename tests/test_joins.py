@@ -135,6 +135,50 @@ def test_asof_join_empty_right_bucket_unifies_typed_schemas(ray_session):
     assert sum(v is None for v in got.values()) == 39
 
 
+def test_asof_bucket_schemaless_first_right_part():
+    """ADVICE repro: rall[0] can be a SCHEMA-LESS pa.table({}) (Ray's empty
+    map blocks / all-empty concat rounds) — the right schema must come from
+    the first part that carries one, or the typed-null append and the
+    merge-path type restoration silently iterate an empty schema."""
+    import datetime
+
+    from yaschva_ray.engine.joins import _asof_bucket
+
+    left = pa.table({
+        "lid": pa.array([1, 2], pa.int64()),
+        "k": pa.array([0, 0], pa.int64()),
+        "t": pa.array([datetime.datetime(2024, 1, 2)] * 2, pa.timestamp("us")),
+    })
+    right = pa.table({
+        "k2": pa.array([0], pa.int64()),
+        "t2": pa.array([datetime.date(2024, 1, 1)], pa.date32()),
+        "rv": pa.array([7], pa.int32()),
+    })
+    # schema-less first part + real rows later: restoration must still see
+    # the right schema (date32 back from datetime64, int32 back from float)
+    out = _asof_bucket(1, "k", "k2", "t", "t2", 0, None,
+                       left, pa.table({}), right)
+    assert out.schema.field("t2").type == pa.date32()
+    assert out.schema.field("rv").type == pa.int32()
+    assert out["rv"].to_pylist() == [7, 7]
+    # schema-less first part + a typed ZERO-ROW part: left rows join typed
+    # nulls with the real right schema, not a column-less table
+    out2 = _asof_bucket(1, "k", "k2", "t", "t2", 0, None,
+                        left, pa.table({}), right.slice(0, 0))
+    assert out2.num_rows == 2
+    assert out2.schema.field("t2").type == pa.date32()
+    assert out2.schema.field("rv").type == pa.int32()
+    assert out2["rv"].to_pylist() == [None, None]
+    # shared-name guard must also fire off the typed (non-first) part
+    bad_right = pa.table({"k2": pa.array([0], pa.int64()),
+                          "t2": pa.array([datetime.date(2024, 1, 1)],
+                                         pa.date32()),
+                          "lid": pa.array([9], pa.int64())})
+    with pytest.raises(ValueError, match="disjoint"):
+        _asof_bucket(1, "k", "k2", "t", "t2", 0, None,
+                     left, pa.table({}), bad_right)
+
+
 def test_asof_join_hot_key_single_bucket(ray_session):
     """Hot-key shape: EVERY left row shares one key (all land in one
     bucket task) — completes and matches brute force."""

@@ -80,6 +80,31 @@ def test_minhash_lsh_finds_planted_near_dups(ray_session, tmp_path):
         assert p in vpairs
 
 
+def test_jaccard_hash_sets_matches_tuple_set_jaccard():
+    """The vectorized verify kernel (shingle-hash sets + sorted-array
+    merge) must compute the SAME Jaccard as the per-pair tuple-set
+    reference `jaccard_ngrams` — including short docs (< n tokens),
+    empty docs, and repeated shingles (set semantics)."""
+    from yaschva_ray.pipelines.textops import (_shingle_hash_sets,
+                                               jaccard_hash_sets)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron").split()
+    rng = np.random.RandomState(13)
+    texts = ["", "one", "one two", "one two three",
+             "a b c a b c a b c",  # repeated shingles → set semantics
+             "  leading   and   trailing spaces  "]
+    for _ in range(40):
+        k = rng.randint(0, 30)
+        texts.append(" ".join(base[rng.randint(len(base))] for _ in range(k)))
+    sets = _shingle_hash_sets(texts)
+    for i in range(len(texts)):
+        for j in range(i, len(texts), 3):
+            want = jaccard_ngrams(texts[i], texts[j])
+            got = jaccard_hash_sets(sets[i], sets[j])
+            assert abs(got - want) < 1e-12, (i, j, texts[i], texts[j])
+
+
 def test_ann_lsh_recall_vs_bruteforce(ray_session):
     from yaschva_ray.pipelines.textops import q_ann_bruteforce, q_ann_lsh
 

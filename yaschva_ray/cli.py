@@ -135,7 +135,11 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
                    .group_by(["doc_a", "doc_b"]).aggregate([])
                    .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
                    if tables else
-                   pa.table({"doc_a": [], "doc_b": []}))
+                   # explicit types: bare [] infers null-typed columns and
+                   # the empty output's parquet schema would differ from the
+                   # non-empty case (int64), breaking cross-run concat
+                   pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())}))
         pq.write_table(out, args.out)
         print(json.dumps({"method": args.method, "n_rows": out.num_rows,
                           "out": args.out}))

@@ -128,8 +128,13 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
     lparts = [p for p in parts[:n_left] if p.num_rows]
     rall = parts[n_left:]
     rparts = [p for p in rall if p.num_rows]
-    if lparts and rall:
-        shared = set(lparts[0].column_names) & set(rall[0].column_names)
+    # a part can be a SCHEMA-LESS pa.table({}): Ray routes empty map blocks
+    # through _map_block's key-missing path, and a concat round whose slices
+    # are all empty returns pa.table({}).  Take the right schema from the
+    # first part that actually carries one — rall[0] may not.
+    right_schema = next((p.schema for p in rall if p.num_columns), None)
+    if lparts and right_schema is not None:
+        shared = set(lparts[0].column_names) & set(right_schema.names)
         if shared:
             # pandas would suffix _x/_y, the empty-right path would not —
             # two bucket schemas that cannot concat; demand disjoint names
@@ -145,7 +150,7 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
         left_t = pa.concat_tables(lparts).combine_chunks()
         order = pc.sort_indices(left_t, sort_keys=[(left_ts, "ascending")])
         left_t = left_t.take(order)
-        for f in (rall[0].schema if rall else []):
+        for f in (right_schema or []):
             left_t = left_t.append_column(
                 pa.field(f.name, f.type), pa.nulls(left_t.num_rows, f.type))
         merged_t = left_t
@@ -180,7 +185,7 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
         # leaves unmatched rows NaN/NaT (widening ints to double, dates to
         # datetime64), and buckets with different match patterns would
         # otherwise fail to unify at the final concat
-        for f in rall[0].schema:
+        for f in right_schema:
             col = f.name
             if col not in merged_t.column_names:
                 continue

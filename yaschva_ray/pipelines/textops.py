@@ -208,10 +208,35 @@ def _token_hash_segments(texts: list, seed: int) -> tuple[np.ndarray, np.ndarray
     s = pl.Series("t", ["" if t is None else t for t in texts], dtype=pl.String)
     toks = s.str.extract_all(r"\S+")
     lens = toks.list.len().to_numpy().astype(np.int64)
-    flat = toks.explode().drop_nulls()  # empty lists explode to one null row
+    # empty_as_null pinned: polars 2.0 flips the default; either way the
+    # null row an empty list explodes to is dropped, but pinning keeps the
+    # kernel warning-free and behavior-stable across the upgrade
+    flat = toks.explode(empty_as_null=True).drop_nulls()
     th = flat.hash(seed=seed).to_numpy().astype(np.uint64)
     offsets = np.concatenate([[0], np.cumsum(lens)])
     return th, offsets, lens
+
+
+_ODD_STEP = np.uint64(0xD1342543DE82EF95)  # odd ⇒ products stay odd/bijective
+
+
+def _offset_mults(n: int) -> list[np.uint64]:
+    """Distinct odd multiplier per k-gram offset.  Cycling just three
+    multipliers made offsets j and j+3 share one — with XOR mixing, equal
+    tokens at distance 3 cancelled exactly (any 4-gram 'X B C X' hashed
+    independently of X), inflating spurious shared winnowing fingerprints.
+    Offsets 0-2 keep the original constants so every n=3 consumer
+    (minhash/jaccard/simhash) is bit-identical; each later triple is scaled
+    by a fresh odd power so no two offsets within a k-gram share a
+    multiplier."""
+    base = (_MIX1, _MIX2, _MIX3)
+    out, scale = [], np.uint64(1)
+    with np.errstate(over="ignore"):  # uint64 wraparound intended
+        for j in range(n):
+            if j and j % 3 == 0:
+                scale = scale * _ODD_STEP
+            out.append(base[j % 3] * scale)
+    return out
 
 
 def _batch_shingle_hashes(th: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
@@ -232,12 +257,12 @@ def _batch_shingle_hashes(th: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
     # window mix over the flat token array (windows crossing doc boundaries
     # are computed but never selected below)
     total = len(th)
+    mults = _offset_mults(n)
     if total >= n:
         L = total - n + 1
-        mults = (_MIX1, _MIX2, _MIX3)
         w = np.zeros(L, dtype=np.uint64)
         for j in range(n):  # xor of per-offset mixed terms (n is tiny)
-            w ^= th[j:j + L] * mults[j % 3]
+            w ^= th[j:j + L] * mults[j]
         w = _finalize64(w)
     else:
         w = np.empty(0, dtype=np.uint64)
@@ -255,8 +280,11 @@ def _batch_shingle_hashes(th: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
         else:
             acc = np.uint64(0)
             with np.errstate(over="ignore"):  # uint64 wraparound intended
-                for j, m in zip(range(o, o + ln), (_MIX1, _MIX2, _MIX3)):
-                    acc ^= th[j] * m
+                # same per-offset multipliers as the windowed path (ln < n,
+                # so mults always covers the doc — the old 3-tuple zip
+                # silently dropped tokens past offset 2 when n >= 5)
+                for jj in range(ln):
+                    acc ^= th[o + jj] * mults[jj]
             sh[s_off[i]] = _finalize64(np.array([acc]))[0]
     return sh, s_off
 
@@ -375,6 +403,10 @@ def minhash_candidates_from_ds(ds, max_bucket_rows: int = _MAX_BUCKET_ROWS):
             grp = ids[starts[gi]: starts[gi] + sizes[gi]]
             m = len(grp)
             if m > max_bucket_rows:
+                # unlike the simhash/embedding caps (which verify star
+                # pairs against the hub with the family predicate), these
+                # star pairs are emitted UNVERIFIED — candidates are
+                # unverified by definition; the verify stage filters them
                 _LOG.warning(
                     "minhash LSH bucket of %d rows exceeds cap %d: "
                     "emitting %d star pairs to hub doc %d instead of %d "
@@ -410,6 +442,26 @@ def q_minhash_candidates_documents(sf_dir: str) -> pa.Table:
     return (t.select(["doc_a", "doc_b"]).group_by(["doc_a", "doc_b"])
             .aggregate([]).sort_by([("doc_a", "ascending"),
                                     ("doc_b", "ascending")]))
+
+
+def _shingle_hash_sets(texts: list) -> list[np.ndarray]:
+    """Sorted DISTINCT shingle-hash array per text, computed for the whole
+    list in one pass through the batched kernels (`_token_hash_segments` +
+    `_batch_shingle_hashes`) — each text tokenized exactly once.  Equal
+    shingle tuples hash equal, so Jaccard over these arrays matches
+    `jaccard_ngrams`'s tuple-set Jaccard (modulo 64-bit collisions;
+    asserted equal on random corpora in tests)."""
+    th, offsets, lens = _token_hash_segments(
+        ["" if t is None else t for t in texts], seed=7)
+    sh, s_off = _batch_shingle_hashes(th, offsets, lens)
+    return [np.unique(sh[s_off[i]:s_off[i + 1]]) for i in range(len(texts))]
+
+
+def jaccard_hash_sets(ua: np.ndarray, ub: np.ndarray) -> float:
+    """Jaccard of two sorted-unique hash arrays (vectorized merge)."""
+    inter = np.intersect1d(ua, ub, assume_unique=True).size
+    union = ua.size + ub.size - inter
+    return inter / max(union, 1)
 
 
 def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
@@ -510,6 +562,10 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
                                "jaccard": pa.array([], pa.float64())})
 
     def verify_bucket(t: pa.Table) -> pa.Table:
+        # shingle-hash each DISTINCT text in the bucket ONCE through the
+        # batched kernels, then per-pair Jaccard is a vectorized merge of
+        # two sorted hash arrays — no per-pair re-tokenization (a doc in
+        # many pairs used to pay a Python tokenize/set loop per pair)
         order = pc.sort_indices(t, sort_keys=[("doc_a", "ascending"),
                                               ("doc_b", "ascending"),
                                               ("side", "ascending")])
@@ -517,22 +573,29 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         a = np.asarray(s["doc_a"].to_numpy(zero_copy_only=False))
         b = np.asarray(s["doc_b"].to_numpy(zero_copy_only=False))
         side = np.asarray(s["side"].to_numpy(zero_copy_only=False))
-        texts = s["text"].to_pylist()
+        txt = s["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        enc = pc.dictionary_encode(pc.fill_null(txt, ""))
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False))
+        sets = _shingle_hash_sets(enc.dictionary.to_pylist())
+        empty_set = np.array([_EMPTY_SHINGLE], dtype=np.uint64)
         n = len(a)
         newg = np.ones(n, dtype=bool)
         newg[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         starts = np.nonzero(newg)[0]
-        sizes = np.diff(np.append(starts, n))
+        last = np.append(starts[1:], n) - 1
+        # sorted by side within each pair segment: a side-0 row, if any,
+        # is first; a side-1 row, if any, is last
+        ca = np.where(side[starts] == 0, codes[starts], -1)
+        cb = np.where(side[last] == 1, codes[last], -1)
         out_a, out_b, out_j = [], [], []
-        for st, sz in zip(starts, sizes):
-            ta = tb = None
-            for i in range(st, st + sz):
-                if side[i] == 0 and ta is None:
-                    ta = texts[i]
-                elif side[i] == 1 and tb is None:
-                    tb = texts[i]
-            j = jaccard_ngrams(ta or "", tb or "")
+        for gi in range(len(starts)):
+            ua = sets[ca[gi]] if ca[gi] >= 0 else empty_set
+            ub = sets[cb[gi]] if cb[gi] >= 0 else empty_set
+            j = jaccard_hash_sets(ua, ub)
             if j >= threshold:
+                st = starts[gi]
                 out_a.append(int(a[st]))
                 out_b.append(int(b[st]))
                 out_j.append(round(j, 6))
@@ -1169,7 +1232,9 @@ class LangIdStage:
                       dtype=pl.String)
         toks = s.str.to_lowercase().str.extract_all(r"\S+")
         lens = toks.list.len().to_numpy().astype(np.int64)
-        flat = toks.explode().drop_nulls()
+        # empty_as_null pinned against the polars 2.0 default flip (the
+        # null row is dropped either way; see _token_hash_segments)
+        flat = toks.explode(empty_as_null=True).drop_nulls()
         n = len(texts)
         starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
         counts = np.zeros((n, len(self.langs)), dtype=np.int64)
