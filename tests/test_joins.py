@@ -96,6 +96,59 @@ def test_range_join_single_bucket_no_duplicates(ray_session):
     assert set(pairs) == truth
 
 
+def test_range_join_hot_band_subsplit_matches_bruteforce(ray_session, caplog):
+    """VERDICT item: a spiky value distribution (one dominant value) used
+    to land a whole band in ONE reduce task.  Plant 120k left rows at a
+    single value; the counting pass must sub-split the hot band (logged),
+    and the pair output must equal brute force exactly."""
+    import logging
+
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    n_l = 120_000
+    lv = np.full(n_l, 7.0)
+    lv[:200] = rng.uniform(0, 20, 200)  # some non-hot rows too
+    rv = np.concatenate([np.full(40, 7.02), rng.uniform(0, 20, 60)])
+    left = pa.table({"lid": pa.array(np.arange(n_l), pa.int64()),
+                     "lv": pa.array(lv)})
+    right = pa.table({"rid": pa.array(np.arange(len(rv)), pa.int64()),
+                      "rv": pa.array(rv)})
+    with caplog.at_level(logging.WARNING, logger="yaschva_ray.joins"):
+        out = range_join(ray.data.from_arrow(left),
+                         ray.data.from_arrow(right),
+                         left_val="lv", right_val="rv", eps=0.05,
+                         num_buckets=8, max_band_rows=10_000)
+    assert any("sub-split" in r.message for r in caplog.records)
+    got = {(r["lid"], r["rid"]) for r in out.to_pylist()}
+    li, ri = np.nonzero(np.abs(lv[:, None] - rv[None, :]) <= 0.05)
+    want = set(zip(li.tolist(), ri.tolist()))
+    assert got == want
+    assert len(out) == len(got)  # no duplicate pairs across sub-splits
+
+
+def test_range_join_subsplit_equals_unsplit_on_random_data(ray_session):
+    """Forcing sub-splits everywhere (tiny max_band_rows) must not change
+    the pair set on ordinary data — the grid partition is invisible."""
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    lv = rng.uniform(0, 5, 3000)
+    rv = rng.uniform(0, 5, 2000)
+    left = pa.table({"lid": pa.array(np.arange(len(lv)), pa.int64()),
+                     "lv": pa.array(lv)})
+    right = pa.table({"rid": pa.array(np.arange(len(rv)), pa.int64()),
+                      "rv": pa.array(rv)})
+    kw = dict(left_val="lv", right_val="rv", eps=0.01, num_buckets=4)
+    base = range_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                      **kw)
+    split = range_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                       max_band_rows=25, **kw)
+    to_set = lambda t: {(r["lid"], r["rid"]) for r in t.to_pylist()}
+    assert to_set(base) == to_set(split)
+    assert len(base) == len(split)
+
+
 def test_range_join_rejects_narrow_width(ray_session):
     import ray.data
 
@@ -201,6 +254,28 @@ def test_asof_join_hot_key_single_bucket(ray_session):
         cand = rts[rts <= lts[i]]
         want = int(cand.max()) if len(cand) else None
         assert got[i] == want
+
+
+def test_warn_hot_key_logs_over_threshold(monkeypatch, caplog):
+    """The one-key-per-bucket-task assumption is now observable: a bucket
+    whose largest key group crosses the threshold logs it (VERDICT item —
+    a hot key at scale used to OOM with no warning)."""
+    import logging
+
+    from yaschva_ray.engine import joins
+
+    monkeypatch.setattr(joins, "_HOT_KEY_WARN_ROWS", 100)
+    t = pa.table({"k": pa.array([7] * 150 + [1, 2, 3], pa.int64())})
+    with caplog.at_level(logging.WARNING, logger="yaschva_ray.joins"):
+        joins._warn_hot_key(t, "k", "asof_join(left)", 3)
+    msgs = [r.message for r in caplog.records]
+    assert any("150 rows" in m and "asof_join(left)" in m for m in msgs)
+    # under threshold: silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="yaschva_ray.joins"):
+        joins._warn_hot_key(
+            pa.table({"k": pa.array([1, 1, 2], pa.int64())}), "k", "x", 0)
+    assert not caplog.records
 
 
 def test_join_bucket_sinks_write_parts(ray_session, tmp_path):

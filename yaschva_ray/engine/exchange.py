@@ -43,16 +43,14 @@ def _concat_task(*parts: pa.Table) -> pa.Table:
     return pa.concat_tables(nonempty).combine_chunks()
 
 
-def bounded_map_entries(ds, launch, num_buckets: int,
-                        concat_every: int = 64) -> list:
-    """Launch ``launch(block_ref) -> num_returns slices`` for every block
-    streamed out of ``ds``, folding accumulated entries through pure-
-    concat rounds so the returned entry list (and any reduce fan-in built
-    from it) stays O(concat_every) regardless of block count.  Shared by
-    keyed_exchange, the joins, and session windows."""
+def bounded_map_refs(block_refs, launch, num_buckets: int,
+                     concat_every: int = 64) -> list:
+    """Launch ``launch(block_ref) -> num_returns slices`` for every ref in
+    ``block_refs`` (any iterable — a streaming generator or a snapshotted
+    list), folding accumulated entries through pure-concat rounds so the
+    returned entry list (and any reduce fan-in built from it) stays
+    O(concat_every) regardless of block count."""
     import ray
-
-    from .blocks import iter_block_refs
 
     global _CONCAT_REMOTE
     if _CONCAT_REMOTE is None:
@@ -63,7 +61,7 @@ def bounded_map_entries(ds, launch, num_buckets: int,
                 for b in range(num_buckets)]
 
     merged, pending = [], []
-    for block_ref in iter_block_refs(ds):
+    for block_ref in block_refs:
         out = launch(block_ref)
         pending.append([out] if num_buckets == 1 else out)
         if len(pending) >= concat_every:
@@ -72,6 +70,17 @@ def bounded_map_entries(ds, launch, num_buckets: int,
             if len(merged) >= concat_every:
                 merged[:] = [_merge(merged)]
     return merged + pending
+
+
+def bounded_map_entries(ds, launch, num_buckets: int,
+                        concat_every: int = 64) -> list:
+    """`bounded_map_refs` over a Dataset's STREAMED block refs (map tasks
+    launch while the scan still runs).  Shared by keyed_exchange, the
+    joins, and session windows."""
+    from .blocks import iter_block_refs
+
+    return bounded_map_refs(iter_block_refs(ds), launch, num_buckets,
+                            concat_every)
 
 
 def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int | None = None,

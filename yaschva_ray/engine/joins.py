@@ -20,6 +20,7 @@ gathered (callers project/sort small results).
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 
@@ -29,6 +30,33 @@ import pyarrow.compute as pc
 
 _TARGET_BUCKET_BYTES = 64 << 20  # reduce-task input target
 _MIN_BUCKETS, _MAX_BUCKETS = 8, 512
+
+# The as-of join and session windows assume ONE key's rows fit one bucket
+# task (keys are users/customers; bucket COUNT handles volume).  Nothing
+# used to detect a violation — a hot key at scale OOMed the bucket with no
+# warning.  Each bucket now logs its max single-key row count when it
+# crosses this threshold (house no-silent-caps rule; observability only,
+# semantics unchanged).
+_HOT_KEY_WARN_ROWS = 1_000_000
+
+
+def _warn_hot_key(t: pa.Table, key: str, op: str, bucket_id: int) -> None:
+    """Log the bucket's largest key group if it looks hot (vectorized
+    value_counts; O(bucket rows), negligible next to the join itself)."""
+    try:
+        vc = pc.value_counts(t[key])
+        counts = vc.field("counts")
+        top = int(pc.max(counts).as_py() or 0)
+        if top > _HOT_KEY_WARN_ROWS:
+            top_key = vc.field("values")[
+                int(pc.index(counts, pc.max(counts)).as_py())].as_py()
+            _LOG.warning(
+                "%s bucket %d: key %r has %d rows in one bucket task "
+                "(threshold %d) — the one-key-per-bucket-task assumption "
+                "is under pressure; consider more buckets or pre-splitting "
+                "this key", op, bucket_id, top_key, top, _HOT_KEY_WARN_ROWS)
+    except Exception:  # observability must never fail the join
+        pass
 
 
 def _estimate_bytes(ds) -> int | None:
@@ -171,6 +199,8 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
 
         left_t, _ = _key_compat(pa.concat_tables(lparts), left_ts)
         right_t, _ = _key_compat(pa.concat_tables(rparts), right_ts)
+        _warn_hot_key(left_t, left_key, "asof_join(left)", bucket_id)
+        _warn_hot_key(right_t, right_key, "asof_join(right)", bucket_id)
         left = left_t.to_pandas()
         left = left.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
         right = right_t.to_pandas()
@@ -247,40 +277,128 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
 _RANGE_MAP_L = None
 _RANGE_REDUCE = None
+_RANGE_COUNT = None
+
+_LOG = logging.getLogger("yaschva_ray.joins")
+
+# A band whose row count (either side) exceeds this is SUB-SPLIT into a
+# grid of virtual groups so no single reduce task owns the whole band —
+# value skew (one dominant price point) otherwise lands one band → one
+# task, the same hazard class as degenerate LSH buckets.
+_MAX_BAND_ROWS = 250_000
+# gid packs (i, j) of the sub-split grid into the low bits of the virtual
+# key; bands use the rest.  2^20 grid cells ≫ any sane split factor.
+_GID_BITS = 20
+_MAX_BAND_ABS = 1 << (62 - _GID_BITS)
 
 
-def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
-                 num_buckets: int, replicate: bool):
-    """Band-partition rows by ``floor(value/width) % B``.  The RIGHT side
-    replicates each row into every band its ±eps neighborhood touches
-    (≤3 with width ≥ 2·eps), so any matching pair co-occurs in the LEFT
-    row's band; the left side lands in exactly one band (no duplicate
-    pairs).  Replicas are deduped per (row, BUCKET) — with few buckets
-    distinct bands alias to one bucket and would emit each match twice.
-    Banding is by VALUE, so heavy skew concentrates in one band — pick
-    ``width`` so a band's rows fit a task."""
-    from .sketches import limit_worker_threads
-
-    limit_worker_threads()
-    v = np.asarray(t[val_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+def _row_bands(v: np.ndarray, width: float, eps: float, replicate: bool):
+    """(row_idx, band) pairs for each row: the right side replicates into
+    every band its ±eps neighborhood touches (≤3 with width ≥ 2·eps),
+    deduped per (row, band); the left side lands in exactly one band."""
     if replicate:
         idx_parts, band_parts = [], []
         for d in (-eps, 0.0, eps):
-            b = np.floor((v + d) / width).astype(np.int64)
+            band_parts.append(np.floor((v + d) / width).astype(np.int64))
             idx_parts.append(np.arange(len(v)))
-            band_parts.append(b)
         idx = np.concatenate(idx_parts)
         bands = np.concatenate(band_parts)
-        bks = (bands % num_buckets + num_buckets) % num_buckets
-        # drop duplicate (row, bucket) replicas
-        key = idx.astype(np.int64) * np.int64(num_buckets) + bks
-        _, first = np.unique(key, return_index=True)
-        idx, buckets = idx[first], bks[first]
-        src = t.take(pa.array(idx))
+        # dedupe (row, band): ±eps of the same row can share a band
+        order = np.lexsort((bands, idx))
+        idx, bands = idx[order], bands[order]
+        keep = np.ones(len(idx), dtype=bool)
+        keep[1:] = (idx[1:] != idx[:-1]) | (bands[1:] != bands[:-1])
+        return idx[keep], bands[keep]
+    bands = np.floor(v / width).astype(np.int64)
+    return np.arange(len(v)), bands
+
+
+def _band_counts(t: pa.Table, val_col: str, width: float, eps: float,
+                 replicate: bool) -> pa.Table:
+    """Counting pre-pass: per-band row counts for one block (band
+    cardinality is bounded by value-range/width — bands are coarse by
+    design, so these partials are small)."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    if val_col not in t.column_names or not t.num_rows:
+        return pa.table({"band": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    v = np.asarray(t[val_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    _idx, bands = _row_bands(v, width, eps, replicate)
+    ub, counts = np.unique(bands, return_counts=True)
+    return pa.table({"band": pa.array(ub), "n": pa.array(counts.astype(np.int64))})
+
+
+def _vkey_bucket(vkeys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Physical bucket of a virtual (band, gid) key — splitmix so distinct
+    bands spread uniformly (both sides MUST agree on this mapping)."""
+    z = vkeys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    return (z % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
+                 num_buckets: int, replicate: bool, hot_ref):
+    """Map half of the band exchange.  Every emitted row carries its
+    virtual key ``__vk = band·2^20 + gid`` where gid encodes a cell of a
+    per-band sub-split grid (S_left × S_right, from the counting pass):
+    a LEFT row takes one grid row ``i`` and replicates across the ``j``
+    columns; a RIGHT row takes one column ``j`` and replicates across the
+    ``i`` rows — so a matching pair co-occurs in exactly ONE virtual
+    group, each group holds ~band_rows/S of each side, and the reduce
+    matches within groups only (no cross-group duplicates).  Non-hot
+    bands have a 1×1 grid (gid 0) — the original single-group path."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    empty = [pa.table({})] * num_buckets
+    if val_col not in t.column_names or not t.num_rows:
+        return empty if num_buckets > 1 else empty[0]
+    # hot_ref travels as an ObjectRef argument, which Ray auto-resolves:
+    # the broadcast tuple arrives zero-copy from the object store
+    hot = hot_ref
+    v = np.asarray(t[val_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    idx, bands = _row_bands(v, width, eps, replicate)
+    if np.abs(bands).max(initial=0) >= _MAX_BAND_ABS:
+        raise ValueError(
+            f"range_join band index exceeds ±2^{62 - _GID_BITS} — width "
+            f"({width}) is too fine for this value range; pass a coarser "
+            "width")
+    n = len(idx)
+    if hot is None or not len(hot[0]):
+        sl = np.ones(n, dtype=np.int64)
+        sr = np.ones(n, dtype=np.int64)
     else:
-        bands = np.floor(v / width).astype(np.int64)
-        buckets = (bands % num_buckets + num_buckets) % num_buckets
-        src = t
+        hb, hsl, hsr = hot
+        pos = np.searchsorted(hb, bands)
+        pos_c = np.minimum(pos, len(hb) - 1)
+        is_hot = hb[pos_c] == bands
+        sl = np.where(is_hot, hsl[pos_c], 1)
+        sr = np.where(is_hot, hsr[pos_c], 1)
+    # own cell index: position within this block is as good as random for
+    # load-spreading (any partition of a side is CORRECT — the other side
+    # replicates across it; content hashing would re-concentrate the very
+    # duplicate values being split)
+    if replicate:
+        own = np.arange(n, dtype=np.int64) % np.maximum(sr, 1)   # column j
+        nrep = sl                                                # × grid rows
+    else:
+        own = np.arange(n, dtype=np.int64) % np.maximum(sl, 1)   # row i
+        nrep = sr                                                # × grid cols
+    total = int(nrep.sum())
+    rep_src = np.repeat(np.arange(n), nrep)
+    offs = np.concatenate([[0], np.cumsum(nrep)])
+    other = np.arange(total) - offs[rep_src]  # 0..nrep-1 per source row
+    if replicate:
+        gid = other * sr[rep_src] + own[rep_src]      # gid = i*S_R + j
+    else:
+        gid = own[rep_src] * sr[rep_src] + other
+    vk = bands[rep_src] * np.int64(1 << _GID_BITS) + gid
+    buckets = _vkey_bucket(vk, num_buckets)
+    src = t.take(pa.array(idx[rep_src])).append_column("__vk", pa.array(vk))
     order = np.argsort(buckets, kind="stable")
     st = src.take(pa.array(order))
     sb = buckets[order]
@@ -293,8 +411,9 @@ def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
 def _range_bucket(n_left: int, left_val: str, right_val: str, eps: float,
                   bucket_id: int, out_dir: str | None,
                   *parts: pa.Table) -> pa.Table:
-    """Vectorized interval match within one bucket: sort right by value,
-    searchsorted the ±eps window per left row, emit pairs."""
+    """Reduce half: match WITHIN each virtual (band, grid-cell) group —
+    sort right by (__vk, value), searchsorted the ±eps window per left
+    row against its own group's right segment."""
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
@@ -305,15 +424,35 @@ def _range_bucket(n_left: int, left_val: str, right_val: str, eps: float,
     else:
         left = pa.concat_tables(lparts).combine_chunks()
         right = pa.concat_tables(rparts).combine_chunks()
+        lvk = np.asarray(left["__vk"].to_numpy(zero_copy_only=False))
+        rvk = np.asarray(right["__vk"].to_numpy(zero_copy_only=False))
         rv = np.asarray(right[right_val].to_numpy(zero_copy_only=False),
                         dtype=np.float64)
-        order = np.argsort(rv, kind="stable")
-        right = right.take(pa.array(order))
-        rv = rv[order]
+        rorder = np.lexsort((rv, rvk))
+        right = right.take(pa.array(rorder))
+        rvk, rv = rvk[rorder], rv[rorder]
+        lorder = np.argsort(lvk, kind="stable")
+        left = left.take(pa.array(lorder))
+        lvk = lvk[lorder]
         lv = np.asarray(left[left_val].to_numpy(zero_copy_only=False),
                         dtype=np.float64)
-        lo = np.searchsorted(rv, lv - eps, side="left")
-        hi = np.searchsorted(rv, lv + eps, side="right")
+        # each left row's group = [gl, gh) in the right arrays
+        gl = np.searchsorted(rvk, lvk, side="left")
+        gh = np.searchsorted(rvk, lvk, side="right")
+        # window within the group (rv sorted within each vk segment)
+        lo = np.empty(len(lv), dtype=np.int64)
+        hi = np.empty(len(lv), dtype=np.int64)
+        # segment-wise searchsorted: iterate DISTINCT left vk segments
+        # (vectorized inner windows; segment count per bucket is small)
+        seg_new = np.ones(len(lvk), dtype=bool)
+        seg_new[1:] = lvk[1:] != lvk[:-1]
+        seg_starts = np.nonzero(seg_new)[0]
+        seg_ends = np.append(seg_starts[1:], len(lvk))
+        for s, e in zip(seg_starts, seg_ends):
+            a, b = gl[s], gh[s]
+            seg_rv = rv[a:b]
+            lo[s:e] = a + np.searchsorted(seg_rv, lv[s:e] - eps, side="left")
+            hi[s:e] = a + np.searchsorted(seg_rv, lv[s:e] + eps, side="right")
         counts = hi - lo
         total = int(counts.sum())
         if total == 0:
@@ -322,8 +461,8 @@ def _range_bucket(n_left: int, left_val: str, right_val: str, eps: float,
             lidx = np.repeat(np.arange(len(lv)), counts)
             offs = np.concatenate([[0], np.cumsum(counts)])
             ridx = np.arange(total) - offs[lidx] + lo[lidx]
-            lt = left.take(pa.array(lidx))
-            rt = right.take(pa.array(ridx))
+            lt = left.drop_columns(["__vk"]).take(pa.array(lidx))
+            rt = right.drop_columns(["__vk"]).take(pa.array(ridx))
             cols = {c: lt[c] for c in lt.column_names}
             for c in rt.column_names:
                 cols[c if c not in cols else f"{c}_right"] = rt[c]
@@ -336,16 +475,24 @@ def _range_bucket(n_left: int, left_val: str, right_val: str, eps: float,
 def range_join(left_ds, right_ds, *, left_val: str, right_val: str,
                eps: float, width: float | None = None,
                num_buckets: int | None = None,
-               out_dir: str | None = None) -> pa.Table:
+               out_dir: str | None = None,
+               max_band_rows: int = _MAX_BAND_ROWS) -> pa.Table:
     """Band-partitioned interval join: pairs where
     ``|left_val - right_val| <= eps``.  Both sides exchange once (raw
-    tasks); matches are bucket-local vectorized searchsorted windows.
-    ``width`` must be ≥ 2·eps (narrower bands silently miss pairs — raise
-    instead); ``num_buckets=None`` derives B from the inputs' bytes;
-    ``out_dir`` switches to per-bucket parquet sinks + manifest return."""
+    tasks) over SNAPSHOTTED block refs; a cheap counting pre-pass over
+    the same blocks (no re-scan — the blocks are already in the object
+    store) finds bands with more than ``max_band_rows`` rows on either
+    side and sub-splits them into an S_left × S_right grid of virtual
+    groups, so value skew (one dominant value) can no longer concentrate
+    a whole band in one reduce task — each task sees ~max_band_rows of
+    each side and ~1/(S_l·S_r) of the band's pair output.  Every
+    sub-split is logged (no silent caps).  ``width`` must be ≥ 2·eps
+    (narrower bands silently miss pairs — raise instead);
+    ``num_buckets=None`` derives B from the inputs' bytes; ``out_dir``
+    switches to per-bucket parquet sinks + manifest return."""
     import ray
 
-    from .exchange import bounded_map_entries
+    from .blocks import iter_block_refs
 
     if width is None:
         width = max(2.0 * eps, 1e-9)
@@ -356,20 +503,72 @@ def range_join(left_ds, right_ds, *, left_val: str, right_val: str,
             "touches, so narrower bands can miss matching pairs")
     if num_buckets is None:
         num_buckets = _auto_buckets(left_ds, right_ds)
-    global _RANGE_MAP_L, _RANGE_REDUCE
+    global _RANGE_MAP_L, _RANGE_REDUCE, _RANGE_COUNT
     if _RANGE_MAP_L is None:
         _RANGE_MAP_L = ray.remote(_band_slices)
         _RANGE_REDUCE = ray.remote(_range_bucket)
+        _RANGE_COUNT = ray.remote(_band_counts)
 
-    def _mapped(ds, col, replicate):
-        return bounded_map_entries(
-            ds,
-            lambda ref: _RANGE_MAP_L.options(num_returns=num_buckets)
-            .remote(ref, col, width, eps, num_buckets, replicate),
+    # snapshot refs once: the counting pass and the slicing pass read the
+    # SAME blocks (holding the refs pins them in the object store, which
+    # may spill — the price of a two-pass exchange without re-execution)
+    lrefs = list(iter_block_refs(left_ds))
+    rrefs = list(iter_block_refs(right_ds))
+    count_refs = (
+        [_RANGE_COUNT.remote(r, left_val, width, eps, False) for r in lrefs],
+        [_RANGE_COUNT.remote(r, right_val, width, eps, True) for r in rrefs])
+    sides = []
+    for refs in count_refs:
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        if tabs:
+            merged = (pa.concat_tables(tabs).group_by("band")
+                      .aggregate([("n", "sum")]))
+            hot = merged.filter(pc.greater(merged["n_sum"], max_band_rows))
+        else:
+            hot = pa.table({"band": pa.array([], pa.int64()),
+                            "n_sum": pa.array([], pa.int64())})
+        sides.append(hot)
+    lhot, rhot = sides
+    all_hot = np.union1d(
+        np.asarray(lhot["band"].to_numpy(zero_copy_only=False)),
+        np.asarray(rhot["band"].to_numpy(zero_copy_only=False)))
+    if len(all_hot):
+        def counts_for(hot_t, bands):
+            hb = np.asarray(hot_t["band"].to_numpy(zero_copy_only=False))
+            hn = np.asarray(hot_t["n_sum"].to_numpy(zero_copy_only=False))
+            if not len(hb):
+                return np.zeros(len(bands), dtype=np.int64)
+            srt = np.argsort(hb)
+            hb, hn = hb[srt], hn[srt]
+            pos_c = np.minimum(np.searchsorted(hb, bands), len(hb) - 1)
+            return np.where(hb[pos_c] == bands, hn[pos_c], 0)
+
+        s_l = np.maximum(counts_for(lhot, all_hot) // max_band_rows + 1, 1)
+        s_r = np.maximum(counts_for(rhot, all_hot) // max_band_rows + 1, 1)
+        if int((s_l * s_r).max()) >= (1 << _GID_BITS):
+            raise ValueError(
+                f"range_join sub-split grid exceeds 2^{_GID_BITS} cells for "
+                f"one band — max_band_rows ({max_band_rows}) is too small "
+                "for this skew")
+        _LOG.warning(
+            "range_join: %d hot band(s) over %d rows sub-split into grids "
+            "(max S_left=%d, S_right=%d)", len(all_hot), max_band_rows,
+            int(s_l.max()), int(s_r.max()))
+        hot_ref = ray.put((all_hot, s_l, s_r))
+    else:
+        hot_ref = None
+
+    from .exchange import bounded_map_refs
+
+    def _mapped(refs, col, replicate):
+        return bounded_map_refs(
+            refs,
+            lambda r: _RANGE_MAP_L.options(num_returns=num_buckets)
+            .remote(r, col, width, eps, num_buckets, replicate, hot_ref),
             num_buckets)
 
-    lmap = _mapped(left_ds, left_val, False)
-    rmap = _mapped(right_ds, right_val, True)
+    lmap = _mapped(lrefs, left_val, False)
+    rmap = _mapped(rrefs, right_val, True)
     joined = [
         _RANGE_REDUCE.remote(len(lmap), left_val, right_val, eps, b, out_dir,
                              *[m[b] for m in lmap], *[m[b] for m in rmap])

@@ -36,6 +36,9 @@ def _session_bucket(key: str, ts: str, gap_s: float, bucket_id: int,
     if not nonempty:
         return pa.table({})
     t = pa.concat_tables(nonempty).combine_chunks()
+    from .joins import _warn_hot_key
+
+    _warn_hot_key(t, key, "session_windows", bucket_id)
     ts_type = t.schema.field(ts).type
     if not pa.types.is_timestamp(ts_type):
         raise TypeError(f"session ts column {ts!r} must be a timestamp, "
