@@ -167,8 +167,13 @@ def uniqueness_combine(map_out, key: str, num_buckets: int = 16):
             for b in range(num_buckets)]
 
 
-def uniqueness_reduce(map_out, key: str, num_buckets: int = 16) -> pa.Table:
-    """Reduce half: one task per bucket over all accumulated map slices."""
+def uniqueness_reduce(map_out, key: str, num_buckets: int = 16,
+                      gather: bool = True):
+    """Reduce half: one task per bucket over all accumulated map slices.
+    ``gather=False`` returns the per-bucket OBJECT REFS so the caller can
+    overlap the reduce with other post-scan work (e.g. the flagship's
+    shard assembly) and gather later via
+    :func:`finalize_uniqueness_reduce`."""
     import ray
 
     @ray.remote
@@ -177,7 +182,16 @@ def uniqueness_reduce(map_out, key: str, num_buckets: int = 16) -> pa.Table:
 
     reduced = [reduce_bucket.remote(*[m[b] for m in map_out])
                for b in range(num_buckets)]
-    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not gather:
+        return reduced
+    return finalize_uniqueness_reduce(reduced, key)
+
+
+def finalize_uniqueness_reduce(reduced_refs, key: str) -> pa.Table:
+    """Gather + order the per-bucket reduce outputs (tiny: dup keys only)."""
+    import ray
+
+    tables = [t for t in ray.get(reduced_refs) if t.num_rows]
     if not tables:
         return pa.table({key: pa.array([], pa.string()),
                          "n_docs": pa.array([], pa.int64())})
