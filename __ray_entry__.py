@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": textops.q_ann_bruteforce,
         "langid_documents": textops.q_langid_documents,
         "quality_documents": textops.q_quality_documents,
+        "vocab_top_tokens": textops.q_vocab_top_tokens,
         "fingerprint_md5": textops.q_fingerprint_md5,
         "events_hourly_window": ops.q_events_hourly_window,
         "events_sliding_window": ops.q_events_sliding_window,
@@ -134,7 +135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
-        "ann_ivf": textops.q_ann_ivf,
         "fingerprint_documents": textops.q_fingerprint_documents,
         "winnow_fingerprints": textops.q_winnow_fingerprints,
         "f0_span_dedup": textops.q_f0_span_dedup,
@@ -142,7 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": ops.q_approx_distinct_users,
         "drift_events_value": ops.q_drift_events_value,
         "generate_roundtrip": ops.q_generate_fixture,
-        # --- tail (dropped first if the driver caps the sweep) ---
+        # --- tail (dropped first if the driver caps the sweep): each is a
+        # variant of a sibling that stays (ann_lsh+bruteforce cover ANN,
+        # media_features covers the plumbing, exact quantiles is checked) —
+        # and each keeps its own tests
+        "ann_ivf": textops.q_ann_ivf,
         "ann_ivf_partitioned": textops.q_ann_ivf_partitioned,
         "media_frames": _media_frames_smoke,
         "approx_quantiles_events": ops.q_approx_quantiles_events,
@@ -287,6 +291,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY vec_a, vec_b
         """,
         "langid_documents": _langid_sql(),
+        "vocab_top_tokens": r"""
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+'))
+                    AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY token
+            ORDER BY n DESC, token LIMIT 100
+        """,
         "events_sliding_window": """
             WITH e2 AS (
               SELECT make_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)*1000000

@@ -105,6 +105,32 @@ def test_jaccard_hash_sets_matches_tuple_set_jaccard():
             assert abs(got - want) < 1e-12, (i, j, texts[i], texts[j])
 
 
+def test_vocab_top_tokens_exact_vs_counter(ray_session):
+    """Distributed top-k vocabulary equals a brute-force Counter with the
+    (count DESC, token ASC) tie-break, across multiple buckets and with
+    boundary ties."""
+    import collections
+
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import vocab_top_tokens_from_ds
+
+    rng = np.random.RandomState(3)
+    words = [f"w{i:03d}" for i in range(60)]
+    texts = [" ".join(words[rng.randint(60)] for _ in range(30))
+             for _ in range(200)]
+    texts += [None, "", "solo"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    k = 25
+    got = vocab_top_tokens_from_ds(
+        ray.data.from_arrow(t).repartition(7), k=k, num_buckets=4).to_pylist()
+    counts = collections.Counter(
+        w for s in texts if s for w in s.split())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [(r["token"], r["n"]) for r in got] == want
+
+
 def test_ann_lsh_recall_vs_bruteforce(ray_session):
     from yaschva_ray.pipelines.textops import q_ann_bruteforce, q_ann_lsh
 

@@ -1338,6 +1338,59 @@ def q_langid_documents(sf_dir: str) -> pa.Table:
     return out.sort_by([("doc_id", "ascending")])
 
 
+def vocab_top_tokens_from_ds(ds, k: int = 100,
+                             num_buckets: int | None = None) -> pa.Table:
+    """Corpus vocabulary: EXACT top-k tokens by frequency (the
+    tokenizer-training / corpus-stats building block).  Per-block partial
+    counts (one polars tokenize + value_counts pass — one row per DISTINCT
+    token per block, the combiner) → raw-task hash exchange on the token →
+    per-bucket group-sum + LOCAL top-k → driver merge of ≤ B·k rows.
+
+    Exactness: a token lives in exactly one bucket, so its global count is
+    complete there; a token cut from its bucket's local top-k (ordered by
+    (n DESC, token ASC)) is beaten by k tokens that also beat it globally
+    — the global top-k is always contained in the union of local top-ks."""
+    import polars as pl
+
+    from ..engine.exchange import keyed_exchange
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        s = pl.Series("t", ["" if x is None else x
+                            for x in t["text"].to_pylist()], dtype=pl.String)
+        flat = (s.str.extract_all(TOKEN_RE)
+                .explode(empty_as_null=True).drop_nulls())
+        vc = flat.value_counts()
+        arrow = vc.to_arrow()
+        return pa.table({"token": arrow["t"].cast(pa.string()),
+                         "n": arrow["count"].cast(pa.int64())})
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("n", "sum")])
+        g = pa.table({"token": g["token"], "n": g["n_sum"].cast(pa.int64())})
+        order = pc.sort_indices(g, sort_keys=[("n", "descending"),
+                                              ("token", "ascending")])
+        return g.take(order.slice(0, min(k, len(order))))
+
+    parts = keyed_exchange(ds.map_batches(partial_counts,
+                                          batch_format="pyarrow"),
+                           "token", topk_bucket, num_buckets=num_buckets,
+                           empty_result=empty)
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).combine_chunks()
+    order = pc.sort_indices(merged, sort_keys=[("n", "descending"),
+                                               ("token", "ascending")])
+    return merged.take(order.slice(0, min(k, len(order))))
+
+
+def q_vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
+    return vocab_top_tokens_from_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=k)
+
+
 _QUALITY_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that"]
 _STOP_RE = r"(?i)\b(?:" + "|".join(_QUALITY_STOPWORDS) + r")\b"
 
