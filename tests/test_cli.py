@@ -95,6 +95,25 @@ def test_cli_dedup_exact(tmp_path):
     assert pq.read_table(out)["doc_id"].to_pylist() == [3, 4]
 
 
+def test_cli_vocab(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a", "b c", None]),
+    }), src)
+    out = tmp_path / "vocab.parquet"
+    r = run_cli("vocab", "--input", str(src), "--k", "2",
+                "--out", str(out), "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    t = pq.read_table(out)
+    # counts: a=2, b=2, c=1 → top-2 by (n DESC, token ASC) = a, b
+    assert t["token"].to_pylist() == ["a", "b"]
+    assert t["n"].to_pylist() == [2, 2]
+
+
 def test_cli_validate_e2e(tmp_path):
     """Full `validate` pipeline through the CLI: F0 files in, report out,
     per-partition outputs + manifest on disk, nonzero exit on failures."""

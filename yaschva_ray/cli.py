@@ -148,6 +148,38 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_vocab(args: argparse.Namespace) -> int:
+    """Exact top-k token vocabulary over a (doc_id, text) table (see
+    pipelines.textops.vocab_top_tokens_from_ds)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow.parquet as pq
+
+        from .pipelines.textops import vocab_top_tokens_from_ds
+        from .sources import read_docs
+
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"error: no input files match {args.input!r}", file=sys.stderr)
+            return 2
+        ds = read_docs(files, columns=["doc_id", "text"])
+        out = vocab_top_tokens_from_ds(ds, k=args.k)
+        pq.write_table(out, args.out)
+        print(json.dumps({"k": args.k, "n_rows": out.num_rows,
+                          "out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="yaschva_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -174,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--num-cpus", type=int, default=8)
 
+    vo = sub.add_parser("vocab", help="exact top-k token vocabulary")
+    vo.add_argument("--input", required=True, help="parquet/jsonl/csv glob")
+    vo.add_argument("--k", type=int, default=100)
+    vo.add_argument("--out", required=True, help="output parquet file")
+    vo.add_argument("--num-cpus", type=int, default=8)
+
     v = sub.add_parser("validate", help="run the full table-validation pipeline")
     v.add_argument("--schema", required=True)
     v.add_argument("--input", required=True, help="parquet glob")
@@ -195,6 +233,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_generate(args)
     if args.cmd == "dedup":
         return _cmd_dedup(args)
+    if args.cmd == "vocab":
+        return _cmd_vocab(args)
     return _cmd_validate(args)
 
 
