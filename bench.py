@@ -90,6 +90,8 @@ def bench_queries(sf_dir: str) -> dict:
         # grow with the suite)
         "events_sessions", "top_events_per_type", "events_value_quantiles",
         "events_user_segments",
+        # round-4 additions (per-query keys keep rounds comparable)
+        "events_price_range_join",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)
@@ -97,6 +99,7 @@ def bench_queries(sf_dir: str) -> dict:
         "dedup_exact_documents", "minhash_candidates_documents",
         "minhash_verified_pairs", "simhash_documents", "ann_bruteforce",
         "langid_documents", "quality_documents", "winnow_fingerprints",
+        "vocab_top_tokens",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):

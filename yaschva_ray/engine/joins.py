@@ -511,14 +511,17 @@ def range_join(left_ds, right_ds, *, left_val: str, right_val: str,
 
     # snapshot refs once: the counting pass and the slicing pass read the
     # SAME blocks (holding the refs pins them in the object store, which
-    # may spill — the price of a two-pass exchange without re-execution)
-    lrefs = list(iter_block_refs(left_ds))
-    rrefs = list(iter_block_refs(right_ds))
-    count_refs = (
-        [_RANGE_COUNT.remote(r, left_val, width, eps, False) for r in lrefs],
-        [_RANGE_COUNT.remote(r, right_val, width, eps, True) for r in rrefs])
+    # may spill — the price of a two-pass exchange without re-execution);
+    # count tasks launch AS REFS STREAM so the pass overlaps the scans
+    lrefs, rrefs, lcnt, rcnt = [], [], [], []
+    for r in iter_block_refs(left_ds):
+        lrefs.append(r)
+        lcnt.append(_RANGE_COUNT.remote(r, left_val, width, eps, False))
+    for r in iter_block_refs(right_ds):
+        rrefs.append(r)
+        rcnt.append(_RANGE_COUNT.remote(r, right_val, width, eps, True))
     sides = []
-    for refs in count_refs:
+    for refs in (lcnt, rcnt):
         tabs = [t for t in ray.get(refs) if t.num_rows]
         if tabs:
             merged = (pa.concat_tables(tabs).group_by("band")
