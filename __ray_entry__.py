@@ -131,13 +131,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_violated_paths": ops.q_top_violated_paths,
         "type_emitter": ops.q_type_emitter,
         "f0_flagship_violations": _f0_smoke,
+        "f0_span_dedup": textops.q_f0_span_dedup,
         # --- rows-only (approximate / model-like / engine-generated) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
         "winnow_fingerprints": textops.q_winnow_fingerprints,
-        "f0_span_dedup": textops.q_f0_span_dedup,
         "media_features": _media_features_smoke,
         "approx_distinct_users": ops.q_approx_distinct_users,
         "drift_events_value": ops.q_drift_events_value,
@@ -618,5 +618,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, path, error, value_repr FROM v
             ORDER BY doc_id, path, error
+        """,
+        # span-exploded exact dedup over the same written F0 table: one
+        # row per text span that exactly duplicates an earlier (lower
+        # span_key) span's text; NULL-text spans (bad_media_ref keeps
+        # kind='text') form one duplicate group, matching the engine's
+        # fill+isnull grouping
+        "f0_span_dedup": """
+            WITH f0 AS (
+                SELECT * FROM read_parquet('/tmp/yaschva_oracle/f0_docs.parquet')
+            ), sp AS (
+                SELECT doc_id || '#'
+                       || CAST(generate_subscripts(spans, 1) - 1 AS VARCHAR)
+                           AS span_key,
+                       unnest(spans) AS s
+                FROM f0
+            ), txt AS (
+                SELECT span_key, s.text AS text FROM sp WHERE s.kind = 'text'
+            )
+            SELECT span_key FROM (
+                SELECT span_key,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY span_key) AS rn
+                FROM txt
+            ) WHERE rn > 1 ORDER BY span_key
         """,
     }

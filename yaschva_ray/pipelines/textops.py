@@ -1500,15 +1500,22 @@ def q_f0_span_dedup(sf_dir: str) -> pa.Table:
     ``doc_id, spans: list<struct<kind,text,media_ref,offset>>``), explode
     text spans to (span_key, text) rows in one vectorized pass, and run
     the exchange-based exact dedup — the dedup family operating on the
-    interleaved table end-to-end.  Engine-generated input → rows-only
-    driver check; the duplicate count is deterministic (seed 42) and
-    asserted exactly in tests."""
+    interleaved table end-to-end.  The seeded input is WRITTEN to the
+    shared oracle path (same bytes as f0_flagship_violations writes —
+    identical generator args — so the two queries can share it in either
+    execution order) and the DuckDB oracle mirrors the explode + dedup
+    (unnest + row_number over PARTITION BY text; null texts — the
+    bad_media_ref class keeps kind='text' with text NULL — form one
+    duplicate group on both sides)."""
+    import pyarrow.parquet as pq
     import ray.data
 
     from .datagen import make_docs_batch
 
     n = 20_000 if "0.01" in sf_dir else 5_000
     table = make_docs_batch(np.arange(n), seed=42)
+    os.makedirs("/tmp/yaschva_oracle", exist_ok=True)
+    pq.write_table(table, "/tmp/yaschva_oracle/f0_docs.parquet")
     k = 8
     ds = ray.data.from_arrow([table.slice(i * len(table) // k,
                                           (i + 1) * len(table) // k
