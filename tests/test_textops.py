@@ -105,6 +105,27 @@ def test_jaccard_hash_sets_matches_tuple_set_jaccard():
             assert abs(got - want) < 1e-12, (i, j, texts[i], texts[j])
 
 
+def test_short_doc_shingle_uses_all_tokens():
+    """ADVICE-adjacent regression: the short-doc fallback (ln < n) used a
+    3-multiplier zip that silently DROPPED tokens past offset 2 when
+    n >= 5 — docs sharing a 3-token prefix hashed identically.  Every
+    token must now contribute: distinct short docs get distinct hashes,
+    and offsets at distance 3 no longer cancel (the 'X B C X' 4-gram)."""
+    from yaschva_ray.pipelines.textops import (_batch_shingle_hashes,
+                                               _token_hash_segments)
+
+    def sh(texts, n):
+        th, off, lens = _token_hash_segments(texts, seed=7)
+        s, s_off = _batch_shingle_hashes(th, off, lens, n=n)
+        return [s[s_off[i]:s_off[i + 1]] for i in range(len(texts))]
+
+    a, b = sh(["p q r ONE", "p q r TWO"], n=5)
+    assert a[0] != b[0]  # 4th token matters under n=5
+    # distance-3 cancellation: 'X b c X' must depend on X under n=4
+    x, y = sh(["aaa b c aaa", "zzz b c zzz"], n=4)
+    assert x[0] != y[0]
+
+
 def test_vocab_top_tokens_exact_vs_counter(ray_session):
     """Distributed top-k vocabulary equals a brute-force Counter with the
     (count DESC, token ASC) tie-break, across multiple buckets and with
