@@ -34,6 +34,29 @@ def expected_counts():
     return counts
 
 
+def test_flagship_two_phase_uniqueness_matches_string_mode(
+        ray_session, f0_dataset, tmp_path, monkeypatch):
+    """Forcing the hashed two-phase uniqueness plan (threshold 0) must
+    produce the IDENTICAL dup table and report as the default string
+    mode — collisions only add phase-2 candidates, never change output."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines import flagship
+
+    d, files = f0_dataset
+    out_s, out_h = tmp_path / "s", tmp_path / "h"
+    r_s = flagship.run_flagship(files, str(out_s), shards=3, batch_size=2048)
+    monkeypatch.setattr(flagship, "_UNIQ_TWO_PHASE_BYTES", 0)
+    r_h = flagship.run_flagship(files, str(out_h), shards=3, batch_size=2048)
+    for r in (r_s, r_h):
+        r.pop("uniqueness_tail_s", None)
+    assert r_s == r_h
+    t_s = pq.read_table(str(out_s / "uniqueness" / "dups-0000.parquet"))
+    t_h = pq.read_table(str(out_h / "uniqueness" / "dups-0000.parquet"))
+    assert t_s.equals(t_h)
+    assert t_s.num_rows > 0  # the fixture plants dup_doc_id rows
+
+
 def test_datagen_deterministic():
     a = make_docs_batch(np.arange(100, 200), seed=SEED)
     b = make_docs_batch(np.arange(100, 200), seed=SEED)
@@ -103,6 +126,9 @@ def test_flagship_resume_byte_identical(ray_session, f0_dataset, tmp_path):
 
     report2 = run_flagship(files, str(out), shards=3, batch_size=2048)
     m2 = load_manifest(str(out))
+    # timings are run-dependent; everything else must be byte-identical
+    report1.pop("uniqueness_tail_s", None)
+    report2.pop("uniqueness_tail_s", None)
     assert report2 == report1
     # per-partition content digests identical after resume
     assert {k: v["digest"] for k, v in m2.items()} == {k: v["digest"] for k, v in m1.items()}
@@ -173,6 +199,9 @@ def test_flagship_multi_wave_matches_single_wave(ray_session, f0_dataset, tmp_pa
                       wave_size=1,
                       catalog_path=str(d / "media_catalog.parquet"))
     m1, m2 = load_manifest(str(out1)), load_manifest(str(out2))
+    # timings are run-dependent; everything else must be byte-identical
+    r1.pop("uniqueness_tail_s", None)
+    r2.pop("uniqueness_tail_s", None)
     assert r1 == r2
     assert {k: v["digest"] for k, v in m1.items()} == \
         {k: v["digest"] for k, v in m2.items()}

@@ -64,6 +64,17 @@ def uniqueness_violations(ds: "ray.data.Dataset", key: str,
     return uniqueness_reduce(merged + pending, key, num_buckets)
 
 
+# Reserved column name of the HASHED uniqueness exchange (phase 1 of the
+# two-phase plan: 8-byte key hashes move instead of key strings; phase 2
+# re-reads ONLY the key column for candidate hashes and recounts exact
+# strings — collisions can only ADD candidates, exactness is unaffected).
+HASH_COL = "__kh"
+
+
+def _key_type(key: str):
+    return pa.int64() if key == HASH_COL else pa.string()
+
+
 def _bucket_partial_slices(t: pa.Table, key: str, num_buckets: int) -> list[pa.Table]:
     """Partial-count a key table and split it into ``num_buckets`` hash
     slices (the map half of the two-stage uniqueness exchange)."""
@@ -88,7 +99,7 @@ def _reduce_bucket_tables(parts, key: str) -> pa.Table:
     """Group-sum one bucket's partials and keep keys with total count > 1."""
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:
-        return pa.table({key: pa.array([], pa.string()),
+        return pa.table({key: pa.array([], _key_type(key)),
                          "n_docs": pa.array([], pa.int64())})
     t = pa.concat_tables(nonempty)
     g = t.group_by(key).aggregate([("partial_n", "sum")])
@@ -96,41 +107,52 @@ def _reduce_bucket_tables(parts, key: str) -> pa.Table:
     return pa.table({key: g[key], "n_docs": g["partial_n_sum"].cast(pa.int64())})
 
 
-def _uniq_map_key_blobs_task(key: str, num_buckets: int, *blocks: pa.Table):
+def _uniq_map_key_blobs_task(key: str, num_buckets: int, hashed: bool,
+                             *blocks: pa.Table):
     from .ipcio import ipc_table
-    from .sketches import limit_worker_threads
+    from .sketches import _hash64, limit_worker_threads
 
     limit_worker_threads()
     tables = [t for b in blocks
               for t in (ipc_table(x) for x in b["keys"].to_pylist())
               if t.num_columns]
+    slice_key = HASH_COL if hashed else key
     if not tables:
-        empty = pa.table({key: pa.array([], pa.string()),
+        empty = pa.table({slice_key: pa.array([], _key_type(slice_key)),
                           "partial_n": pa.array([], pa.int64())})
         return [empty] * num_buckets if num_buckets > 1 else empty
     t = pa.concat_tables(tables)
-    out = _bucket_partial_slices(t, key, num_buckets)
+    if hashed:
+        karr = t[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        t = pa.table({HASH_COL: pa.array(_hash64(karr).astype(np.int64))})
+    out = _bucket_partial_slices(t, slice_key, num_buckets)
     return out if num_buckets > 1 else out[0]
 
 
 _UNIQ_MAP_REMOTE = None
 
 
-def uniqueness_map_key_blobs(block_refs, key: str, num_buckets: int = 16):
+def uniqueness_map_key_blobs(block_refs, key: str, num_buckets: int = 16,
+                             hashed: bool = False):
     """Map half of the uniqueness exchange sourced from FUSED-STAGE rows
     (column ``keys``: IPC-encoded per-batch key tables) — the input table
     is NOT re-scanned; the flagship's single pass already extracted the key
     column.  ONE task per call covering every given block ref (callers
     chunk refs as they stream — per-block task submission was itself a
-    driver bottleneck at 96M+ docs); finish with
-    :func:`uniqueness_reduce`."""
+    driver bottleneck at 96M+ docs).  ``hashed=True`` emits 8-byte key
+    hashes (column ``HASH_COL``) instead of key strings — phase 1 of the
+    two-phase plan; finish with :func:`uniqueness_reduce` on ``HASH_COL``
+    and verify the candidate hashes with
+    :func:`uniqueness_verify_candidates`."""
     import ray
 
     global _UNIQ_MAP_REMOTE
     if _UNIQ_MAP_REMOTE is None:
         _UNIQ_MAP_REMOTE = ray.remote(_uniq_map_key_blobs_task)
     entry = _UNIQ_MAP_REMOTE.options(num_returns=num_buckets) \
-        .remote(key, num_buckets, *block_refs)
+        .remote(key, num_buckets, hashed, *block_refs)
     return [[entry] if num_buckets == 1 else entry]
 
 
@@ -143,7 +165,7 @@ def _combine_bucket_task(key: str, *parts: pa.Table) -> pa.Table:
     limit_worker_threads()
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:
-        return pa.table({key: pa.array([], pa.string()),
+        return pa.table({key: pa.array([], _key_type(key)),
                          "partial_n": pa.array([], pa.int64())})
     t = pa.concat_tables(nonempty)
     g = t.group_by(key).aggregate([("partial_n", "sum")])
@@ -193,9 +215,51 @@ def finalize_uniqueness_reduce(reduced_refs, key: str) -> pa.Table:
 
     tables = [t for t in ray.get(reduced_refs) if t.num_rows]
     if not tables:
-        return pa.table({key: pa.array([], pa.string()),
+        return pa.table({key: pa.array([], _key_type(key)),
                          "n_docs": pa.array([], pa.int64())})
     return pa.concat_tables(tables).combine_chunks().sort_by([(key, "ascending")])
+
+
+def uniqueness_verify_candidates(
+    files: list[str], key: str, cand_hashes: pa.Array,
+    num_buckets: int = 16, files_per_task: int = 4,
+) -> pa.Table:
+    """Phase 2 of the two-phase uniqueness plan: re-read ONLY the key
+    column (column-pruned parquet scan), keep rows whose 8-byte key hash
+    is in the broadcast candidate set (the phase-1 duplicate hashes —
+    typically ≲1% of rows), and run the exact string group-count over
+    just those.  A hash collision can only ADD a candidate row; the
+    string group-by makes the result exact."""
+    import ray
+
+    from .sketches import _hash64
+
+    cand_ref = ray.put(cand_hashes)
+
+    @ray.remote
+    def map_file(paths: list[str]):
+        import pyarrow.parquet as pq
+
+        from .sketches import limit_worker_threads
+
+        limit_worker_threads()
+        cand = ray.get(cand_ref)
+        t = pa.concat_tables([pq.read_table(p, columns=[key]) for p in paths])
+        karr = t[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        h = pa.array(_hash64(karr).astype(np.int64))
+        t = t.filter(pc.is_in(h, value_set=cand))
+        out = _bucket_partial_slices(t, key, num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    groups = [[str(f) for f in files[i:i + files_per_task]]
+              for i in range(0, len(files), files_per_task)]
+    map_out = [map_file.options(num_returns=num_buckets).remote(g)
+               for g in groups]
+    if num_buckets == 1:
+        map_out = [[r] for r in map_out]
+    return uniqueness_reduce(map_out, key, num_buckets)
 
 
 def uniqueness_violations_files(

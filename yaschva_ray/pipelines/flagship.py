@@ -46,6 +46,15 @@ _FUSED_CACHE: dict = {}
 _ASM_CONCAT_REMOTE = None
 _BLOCKS_PER_TASK = 8  # fused blocks per split/uniq-map task
 
+# Above this input size the uniqueness exchange goes TWO-PHASE (like exact
+# dedup's 4 GiB switch): phase 1 moves 8-byte key HASHES through the
+# streaming combine tiers instead of key strings — at 100 TB the string
+# volume through the combines is the bottleneck — and phase 2 re-reads
+# ONLY the key column to recount candidate rows exactly.  Below it,
+# strings flow directly (no second scan; the phase-2 scan costs more than
+# it saves at small inputs).
+_UNIQ_TWO_PHASE_BYTES = 8 << 30
+
 
 def _fused_task(batch: pa.Table, schema_json: str, catalog_ref,
                 unique_key: str = "doc_id") -> pa.Table:
@@ -402,11 +411,24 @@ def run_flagship(
     schema_json = json.dumps(schema, sort_keys=True)
     has_catalog = catalog_ref is not None
     full_run = not done  # fused blocks will cover EVERY shard
-    uniq_map_out: list = []  # tree-combined uniqueness bucket partials
-    uniq_pending: list = []  # raw per-block map entries awaiting combine
+    # Two TIERS of streaming uniqueness combines (LSM-style): 64 raw map
+    # entries fold into one level-1 entry; 64 level-1 entries fold into
+    # one level-2 entry.  Each key row is re-processed at most twice —
+    # the old collapse-everything-at-8 re-group-summed the FULL
+    # accumulated key volume on every trigger, which dominated the 96M
+    # post-scan tail (measured 11.6 s).  Driver state stays ≤ ~192 refs
+    # up to ~10^11 docs; beyond that level 2 self-folds (logged cost).
+    uniq_lvl1: list = []   # each = combine of _COMBINE_EVERY raw entries
+    uniq_lvl2: list = []   # each = combine of _COMBINE_EVERY lvl1 entries
+    uniq_pending: list = []  # raw per-chunk map entries awaiting combine
     _COMBINE_EVERY = 64  # blocks per streaming combine round
-    from ..engine.checks import (uniqueness_combine, uniqueness_map_key_blobs,
-                                 uniqueness_reduce)
+    from ..engine.checks import (HASH_COL, uniqueness_combine,
+                                 uniqueness_map_key_blobs, uniqueness_reduce)
+
+    uniq_hashed = full_run and sum(
+        os.path.getsize(str(f)) for f in input_files
+        if os.path.exists(str(f))) > _UNIQ_TWO_PHASE_BYTES
+    uniq_key_col = HASH_COL if uniq_hashed else unique_key
 
     uniq_done = os.path.exists(os.path.join(out_dir, "_uniqueness_done.json"))
     dup_reduce_refs = None  # pre-launched per-bucket uniqueness reducers
@@ -446,39 +468,43 @@ def run_flagship(
 
         on_block = None
         if full_run and not uniq_done:
-            # uniqueness map half off the fused rows' key blobs — only the
-            # small bucket partials outlive this wave.  Every
-            # _COMBINE_EVERY blocks the accumulated entries tree-combine
-            # into one, DURING the scan: the post-scan reduce tail sees a
-            # bounded fan-in instead of one slice per input block
+            # uniqueness map half off the fused rows' key blobs — HASHED
+            # (8-byte key hashes move, not key strings; phase 2 verifies
+            # candidate hashes against real keys below).  Tiered combines
+            # fire DURING the scan so the post-scan reduce sees a bounded
+            # fan-in without ever re-processing the full key volume.
             def on_block(refs):  # one uniq-map task per CHUNK of blocks
                 uniq_pending.extend(
-                    uniqueness_map_key_blobs(refs, unique_key))
+                    uniqueness_map_key_blobs(refs, unique_key,
+                                             hashed=uniq_hashed))
                 if len(uniq_pending) >= _COMBINE_EVERY:
-                    uniq_map_out.append(
-                        uniqueness_combine(uniq_pending, unique_key))
+                    uniq_lvl1.append(
+                        uniqueness_combine(uniq_pending, uniq_key_col))
                     uniq_pending.clear()
-                    # second level: collapse combined entries geometrically
-                    # so the driver's ref list stays O(1) at any scale
-                    # (1e12 docs would otherwise accumulate ~1M entries)
-                    # and the post-scan reduce is near-trivial
-                    if len(uniq_map_out) >= 8:
-                        merged = uniqueness_combine(uniq_map_out, unique_key)
-                        uniq_map_out.clear()
-                        uniq_map_out.append(merged)
+                    if len(uniq_lvl1) >= _COMBINE_EVERY:
+                        uniq_lvl2.append(
+                            uniqueness_combine(uniq_lvl1, uniq_key_col))
+                        uniq_lvl1.clear()
+                        if len(uniq_lvl2) >= _COMBINE_EVERY:
+                            # ~10^11+ docs: fold level 2 into itself
+                            merged = uniqueness_combine(uniq_lvl2,
+                                                        uniq_key_col)
+                            uniq_lvl2.clear()
+                            uniq_lvl2.append(merged)
         metric_refs = _assemble_distributed(_stream_refs(fused), wave_ids,
                                             file_to_shard, out_dir,
                                             has_catalog, on_block=on_block,
                                             gather=False)
         # the scan has fully streamed here, so every uniqueness map entry
-        # is submitted: on the LAST wave, launch the per-bucket uniqueness
-        # REDUCE now so it runs CONCURRENTLY with the stage-2 assemble
-        # tasks instead of forming a serial tail after their gather
-        # (VERDICT item: the fixed post-scan tail)
+        # is submitted: on the LAST wave, launch the per-bucket PHASE-1
+        # reduce (duplicate-hash candidates) now so it runs CONCURRENTLY
+        # with the stage-2 assemble tasks instead of forming a serial
+        # tail after their gather (VERDICT item: the fixed post-scan tail)
         if ((w0 + wave) >= len(pending) and full_run and not uniq_done
-                and (uniq_map_out or uniq_pending)):
+                and (uniq_lvl2 or uniq_lvl1 or uniq_pending)):
             dup_reduce_refs = uniqueness_reduce(
-                uniq_map_out + uniq_pending, unique_key, gather=False)
+                uniq_lvl2 + uniq_lvl1 + uniq_pending, uniq_key_col,
+                gather=False)
         by_shard = {m["partition"]: m for m in ray.get(metric_refs)}
         wave_wall = _time.time() - t0
 
@@ -506,6 +532,7 @@ def run_flagship(
     # already fed from the fused rows (single input scan); a RESUMED run
     # whose earlier shards predate this session falls back to the
     # key-column-only file scan.  Resumable via its own marker file.
+    t_uniq = _time.time()
     uniq_dir = os.path.join(out_dir, "uniqueness")
     uniq_marker = os.path.join(out_dir, "_uniqueness_done.json")
     if os.path.exists(uniq_marker):
@@ -516,14 +543,46 @@ def run_flagship(
             import shutil
 
             shutil.rmtree(uniq_dir)
-        if dup_reduce_refs is not None:
+        if dup_reduce_refs is not None and not uniq_hashed:
+            # string mode (small inputs): the pre-launched reduce output
+            # IS the final dup table (ran while the shards assembled)
             from ..engine.checks import finalize_uniqueness_reduce
 
             dup_table = finalize_uniqueness_reduce(dup_reduce_refs,
                                                    unique_key)
-        elif full_run and (uniq_map_out or uniq_pending):
-            dup_table = uniqueness_reduce(uniq_map_out + uniq_pending,
-                                          unique_key)
+        elif dup_reduce_refs is not None:
+            # phase 1 gathered: duplicate-HASH candidates (ran while the
+            # shards assembled); phase 2 re-reads ONLY the key column and
+            # recounts the candidate rows' real strings — collisions can
+            # only ADD candidates, the string group-by is exact
+            from ..engine.checks import (finalize_uniqueness_reduce,
+                                         uniqueness_verify_candidates)
+
+            cand = finalize_uniqueness_reduce(dup_reduce_refs, HASH_COL)
+            if not cand.num_rows:
+                dup_table = pa.table({
+                    unique_key: pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64())})
+            elif cand.num_rows > 20_000_000:
+                # duplicate-HEAVY corpus: the candidate set is no longer a
+                # small broadcast — fall back to the full string-exchange
+                # file scan (correctness identical; logged, no silent cap)
+                import logging
+
+                from ..engine.checks import uniqueness_violations_files
+
+                logging.getLogger("yaschva_ray.flagship").warning(
+                    "uniqueness phase 1 found %d duplicate-hash candidates"
+                    " (too many to broadcast): falling back to the full"
+                    " string-exchange scan", cand.num_rows)
+                dup_table = uniqueness_violations_files(
+                    [str(f) for f in input_files], unique_key)
+            else:
+                ch = cand[HASH_COL]
+                dup_table = uniqueness_verify_candidates(
+                    [str(f) for f in input_files], unique_key,
+                    ch.combine_chunks() if isinstance(ch, pa.ChunkedArray)
+                    else ch)
         else:
             from ..engine.checks import uniqueness_violations_files
 
@@ -546,6 +605,9 @@ def run_flagship(
         "partitions": len(records),
         "top_violated_paths": dict(sorted(top_paths.items(),
                                           key=lambda kv: (-kv[1], kv[0]))[:10]),
+        # phase observability: the uniqueness tail should be ~0 when the
+        # pre-launched reducers overlapped shard assembly (full runs)
+        "uniqueness_tail_s": round(_time.time() - t_uniq, 3),
     }
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, sort_keys=True)
