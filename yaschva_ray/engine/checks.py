@@ -75,10 +75,39 @@ def _key_type(key: str):
     return pa.int64() if key == HASH_COL else pa.string()
 
 
+def _int_group_sum(vals: np.ndarray, weights: np.ndarray | None):
+    """(unique_vals, summed_weights) via sort + reduceat — ~4× Arrow's
+    hash group_by for uint64/int64 keys (measured at 4M rows)."""
+    if weights is None:
+        u, c = np.unique(vals, return_counts=True)
+        return u, c.astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    sv, sw = vals[order], weights[order]
+    newg = np.ones(len(sv), dtype=bool)
+    newg[1:] = sv[1:] != sv[:-1]
+    starts = np.nonzero(newg)[0]
+    return sv[starts], np.add.reduceat(sw, starts).astype(np.int64)
+
+
 def _bucket_partial_slices(t: pa.Table, key: str, num_buckets: int) -> list[pa.Table]:
     """Partial-count a key table and split it into ``num_buckets`` hash
-    slices (the map half of the two-stage uniqueness exchange)."""
+    slices (the map half of the two-stage uniqueness exchange).  The
+    hashed-mode column gets a pure-numpy kernel (sort + reduceat beats
+    Arrow's hash group_by on int64 keys)."""
     from .sketches import _hash64
+
+    if key == HASH_COL:
+        vals = np.asarray(t[HASH_COL].to_numpy(zero_copy_only=False))
+        w = (np.asarray(t["partial_n"].to_numpy(zero_copy_only=False))
+             if "partial_n" in t.column_names else None)
+        u, c = _int_group_sum(vals, w)
+        buckets = (u.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(buckets, kind="stable")
+        u, c, sb = u[order], c[order], buckets[order]
+        bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
+        return [pa.table({HASH_COL: pa.array(u[bounds[b]:bounds[b + 1]]),
+                          "partial_n": pa.array(c[bounds[b]:bounds[b + 1]])})
+                for b in range(num_buckets)]
 
     counts = t.group_by(key).aggregate([([], "count_all")])
     karr = counts[key]
@@ -102,6 +131,13 @@ def _reduce_bucket_tables(parts, key: str) -> pa.Table:
         return pa.table({key: pa.array([], _key_type(key)),
                          "n_docs": pa.array([], pa.int64())})
     t = pa.concat_tables(nonempty)
+    if key == HASH_COL:
+        u, c = _int_group_sum(
+            np.asarray(t[HASH_COL].to_numpy(zero_copy_only=False)),
+            np.asarray(t["partial_n"].to_numpy(zero_copy_only=False)))
+        keep = c > 1
+        return pa.table({HASH_COL: pa.array(u[keep]),
+                         "n_docs": pa.array(c[keep])})
     g = t.group_by(key).aggregate([("partial_n", "sum")])
     g = g.filter(pc.greater(g["partial_n_sum"], 1))
     return pa.table({key: g[key], "n_docs": g["partial_n_sum"].cast(pa.int64())})
@@ -168,6 +204,11 @@ def _combine_bucket_task(key: str, *parts: pa.Table) -> pa.Table:
         return pa.table({key: pa.array([], _key_type(key)),
                          "partial_n": pa.array([], pa.int64())})
     t = pa.concat_tables(nonempty)
+    if key == HASH_COL:
+        u, c = _int_group_sum(
+            np.asarray(t[HASH_COL].to_numpy(zero_copy_only=False)),
+            np.asarray(t["partial_n"].to_numpy(zero_copy_only=False)))
+        return pa.table({HASH_COL: pa.array(u), "partial_n": pa.array(c)})
     g = t.group_by(key).aggregate([("partial_n", "sum")])
     return pa.table({key: g[key],
                      "partial_n": g["partial_n_sum"].cast(pa.int64())})

@@ -48,12 +48,14 @@ _BLOCKS_PER_TASK = 8  # fused blocks per split/uniq-map task
 
 # Above this input size the uniqueness exchange goes TWO-PHASE (like exact
 # dedup's 4 GiB switch): phase 1 moves 8-byte key HASHES through the
-# streaming combine tiers instead of key strings — at 100 TB the string
-# volume through the combines is the bottleneck — and phase 2 re-reads
-# ONLY the key column to recount candidate rows exactly.  Below it,
-# strings flow directly (no second scan; the phase-2 scan costs more than
-# it saves at small inputs).
-_UNIQ_TWO_PHASE_BYTES = 8 << 30
+# streaming combine tiers instead of key strings — string group-bys are
+# the dominant uniqueness cost (measured: 0.9 s per 4M-key Arrow string
+# group_by vs 0.35 s numpy int sort+reduceat, and the string volume is
+# the 100 TB shuffle bottleneck) — and phase 2 re-reads ONLY the key
+# column to recount candidate rows exactly.  Below it, strings flow
+# directly (no second scan; the phase-2 scan costs more than it saves at
+# small inputs).
+_UNIQ_TWO_PHASE_BYTES = 2 << 30
 
 
 def _fused_task(batch: pa.Table, schema_json: str, catalog_ref,
