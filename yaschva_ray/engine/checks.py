@@ -261,16 +261,71 @@ def finalize_uniqueness_reduce(reduced_refs, key: str) -> pa.Table:
     return pa.concat_tables(tables).combine_chunks().sort_by([(key, "ascending")])
 
 
+_UNIQ_VERIFY_BLOBS_REMOTE = None
+
+
+def _uniq_verify_blobs_task(key: str, num_buckets: int, cand, *blocks):
+    """Decode the retained fused blocks' key blobs, keep rows whose hash
+    is a phase-1 candidate, partial-slice the survivors (string mode)."""
+    from .ipcio import ipc_table
+    from .sketches import _hash64, limit_worker_threads
+
+    limit_worker_threads()
+    tables = [t for b in blocks
+              for t in (ipc_table(x) for x in b["keys"].to_pylist())
+              if t.num_columns]
+    if not tables:
+        empty = pa.table({key: pa.array([], pa.string()),
+                          "partial_n": pa.array([], pa.int64())})
+        return [empty] * num_buckets if num_buckets > 1 else empty
+    t = pa.concat_tables(tables)
+    karr = t[key]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    h = pa.array(_hash64(karr).astype(np.int64))
+    t = t.filter(pc.is_in(h, value_set=cand))
+    out = _bucket_partial_slices(t, key, num_buckets)
+    return out if num_buckets > 1 else out[0]
+
+
+def uniqueness_verify_candidates_blobs(
+    chunk_refs: list[list], key: str, cand_hashes: pa.Array,
+    num_buckets: int = 16,
+) -> pa.Table:
+    """Phase 2 over the RETAINED fused blocks (no re-read: their key
+    blobs are already in the object store — the price is pinning them
+    until phase 1 finishes, which Ray spills gracefully): keep rows
+    whose 8-byte key hash is in the broadcast candidate set (typically
+    ≲1% of rows) and run the exact string group-count over just those.
+    A hash collision can only ADD a candidate row; the string group-by
+    makes the result exact."""
+    import ray
+
+    global _UNIQ_VERIFY_BLOBS_REMOTE
+    if _UNIQ_VERIFY_BLOBS_REMOTE is None:
+        _UNIQ_VERIFY_BLOBS_REMOTE = ray.remote(_uniq_verify_blobs_task)
+    cand_ref = ray.put(cand_hashes)
+    map_out = [
+        _UNIQ_VERIFY_BLOBS_REMOTE.options(num_returns=num_buckets)
+        .remote(key, num_buckets, cand_ref, *chunk)
+        for chunk in chunk_refs
+    ]
+    if num_buckets == 1:
+        map_out = [[r] for r in map_out]
+    return uniqueness_reduce(map_out, key, num_buckets)
+
+
 def uniqueness_verify_candidates(
     files: list[str], key: str, cand_hashes: pa.Array,
     num_buckets: int = 16, files_per_task: int = 4,
 ) -> pa.Table:
-    """Phase 2 of the two-phase uniqueness plan: re-read ONLY the key
-    column (column-pruned parquet scan), keep rows whose 8-byte key hash
-    is in the broadcast candidate set (the phase-1 duplicate hashes —
-    typically ≲1% of rows), and run the exact string group-count over
-    just those.  A hash collision can only ADD a candidate row; the
-    string group-by makes the result exact."""
+    """Phase 2 of the two-phase uniqueness plan when the fused blocks are
+    NO LONGER available (e.g. resumed runs): re-read ONLY the key column
+    (column-pruned parquet scan), keep rows whose 8-byte key hash is in
+    the broadcast candidate set (the phase-1 duplicate hashes — typically
+    ≲1% of rows), and run the exact string group-count over just those.
+    A hash collision can only ADD a candidate row; the string group-by
+    makes the result exact."""
     import ray
 
     from .sketches import _hash64

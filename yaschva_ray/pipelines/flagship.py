@@ -431,6 +431,10 @@ def run_flagship(
         os.path.getsize(str(f)) for f in input_files
         if os.path.exists(str(f))) > _UNIQ_TWO_PHASE_BYTES
     uniq_key_col = HASH_COL if uniq_hashed else unique_key
+    # hashed mode RETAINS the fused-block ref chunks so phase 2 verifies
+    # candidates from the already-materialized key blobs (no re-read;
+    # pinning is spillable — O(fused bytes), ~1-2% of input)
+    uniq_chunks: list = []
 
     uniq_done = os.path.exists(os.path.join(out_dir, "_uniqueness_done.json"))
     dup_reduce_refs = None  # pre-launched per-bucket uniqueness reducers
@@ -476,6 +480,8 @@ def run_flagship(
             # fire DURING the scan so the post-scan reduce sees a bounded
             # fan-in without ever re-processing the full key volume.
             def on_block(refs):  # one uniq-map task per CHUNK of blocks
+                if uniq_hashed:
+                    uniq_chunks.append(list(refs))
                 uniq_pending.extend(
                     uniqueness_map_key_blobs(refs, unique_key,
                                              hashed=uniq_hashed))
@@ -580,11 +586,17 @@ def run_flagship(
                 dup_table = uniqueness_violations_files(
                     [str(f) for f in input_files], unique_key)
             else:
+                from ..engine.checks import uniqueness_verify_candidates_blobs
+
                 ch = cand[HASH_COL]
-                dup_table = uniqueness_verify_candidates(
-                    [str(f) for f in input_files], unique_key,
-                    ch.combine_chunks() if isinstance(ch, pa.ChunkedArray)
-                    else ch)
+                if isinstance(ch, pa.ChunkedArray):
+                    ch = ch.combine_chunks()
+                if uniq_chunks:
+                    dup_table = uniqueness_verify_candidates_blobs(
+                        uniq_chunks, unique_key, ch)
+                else:  # fused blocks unavailable: column-pruned re-read
+                    dup_table = uniqueness_verify_candidates(
+                        [str(f) for f in input_files], unique_key, ch)
         else:
             from ..engine.checks import uniqueness_violations_files
 
