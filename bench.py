@@ -46,8 +46,14 @@ def init_ray(n_cpus: int):
     # cap per-worker internal thread pools so the parallelism level is
     # honestly num_cpus (polars/arrow otherwise size pools to the machine)
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    # 50% of RAM for the object store (Ray's local default is ~43% here):
+    # the 96M bench point pins fused blocks through the uniqueness phase-2
+    # verify and a bigger store defers spill
+    store = int(os.environ.get("YR_OBJECT_STORE_BYTES",
+                               str(44 * (1 << 30))))
     ray.init(address="local", num_cpus=n_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=store,
              runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1",
                                        "OMP_NUM_THREADS": "1"}})
     from ray.data import DataContext
