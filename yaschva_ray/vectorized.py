@@ -615,7 +615,7 @@ def _float_repr_one(x) -> str:
     return repr(x)
 
 
-def _float_reprs(arr: pa.Array) -> list[str]:
+def _float_reprs(arr: pa.Array) -> pa.Array:
     """``json.dumps``-identical reprs for a float array: Python ``repr`` IS
     json.dumps for finite floats (json calls float.__repr__); only the
     non-finite spellings differ (NaN/Infinity).  Dictionary-encodes first
@@ -624,18 +624,16 @@ def _float_reprs(arr: pa.Array) -> list[str]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     enc = arr.dictionary_encode()
-    dreprs = np.array([_float_repr_one(v)
-                       for v in enc.dictionary.to_pylist()] + ["None"],
-                      dtype=object)
-    idx = enc.indices.fill_null(len(dreprs) - 1).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    return dreprs[idx].tolist()
+    dreprs = [_float_repr_one(v) for v in enc.dictionary.to_pylist()] + ["None"]
+    idx = enc.indices.fill_null(len(dreprs) - 1)
+    return pa.DictionaryArray.from_arrays(
+        idx, pa.array(dreprs, pa.string())).cast(pa.string())
 
 
 _JSON_SIMPLE_RE = r'^[ !#-\[\]-~]*$'  # printable ASCII minus `"` and `\`
 
 
-def _string_reprs(arr: pa.Array) -> list[str]:
+def _string_reprs(arr: pa.Array) -> pa.Array:
     """``json.dumps``-identical reprs for a string array: strings needing
     no escapes (printable ASCII without quote/backslash) are quote-wrapped
     vectorized; the rest fall back to json.dumps per value.  Dictionary-
@@ -645,12 +643,11 @@ def _string_reprs(arr: pa.Array) -> list[str]:
     enc = arr.dictionary_encode()
     d = enc.dictionary
     simple = _np(pc.match_substring_regex(d, _JSON_SIMPLE_RE), fill=False)
-    dreprs = np.array([f'"{s}"' if ok else json.dumps(s, default=str)
-                       for s, ok in zip(d.to_pylist(), simple)] + ["null"],
-                      dtype=object)
-    idx = enc.indices.fill_null(len(dreprs) - 1).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    return dreprs[idx].tolist()
+    dreprs = [f'"{s}"' if ok else json.dumps(s, default=str)
+              for s, ok in zip(d.to_pylist(), simple)] + ["null"]
+    idx = enc.indices.fill_null(len(dreprs) - 1)
+    return pa.DictionaryArray.from_arrays(
+        idx, pa.array(dreprs, pa.string())).cast(pa.string())
 
 
 def _repr_value(v: Any) -> str:
@@ -660,6 +657,23 @@ def _repr_value(v: Any) -> str:
         return json.dumps(v, default=str)
     except (TypeError, ValueError):
         return str(v)
+
+
+class _RowChunk:
+    """A columnar run of violation rows: ``rows`` (np.int64 input-row
+    indices), ``paths`` (a constant str, or one str per row), ``errors``
+    (numpy str/object array), ``reprs`` (Arrow string array).  Appended to
+    the same list as plain (row, path, error, repr) tuples; ``_emit``
+    assembles both forms with one stable argsort instead of per-row
+    Python tuples."""
+
+    __slots__ = ("rows", "paths", "errors", "reprs")
+
+    def __init__(self, rows, paths, errors, reprs):
+        self.rows = rows
+        self.paths = paths
+        self.errors = errors
+        self.reprs = reprs
 
 
 def explode_violations(output: Any, path: str, rows: list) -> None:
@@ -838,11 +852,11 @@ class ViolationExploder:
         return np.select(conds, outs, default="")
 
     @staticmethod
-    def _reprs_for(taken, col_type):
+    def _reprs_for(taken, col_type) -> pa.Array | None:
         if pa.types.is_floating(col_type):
             return _float_reprs(taken)
         if pa.types.is_integer(col_type):
-            return pc.cast(taken, pa.string()).to_pylist()
+            return pc.cast(taken, pa.string())
         if pa.types.is_string(col_type) or pa.types.is_large_string(col_type):
             return _string_reprs(taken)
         return None
@@ -914,7 +928,7 @@ class ViolationExploder:
             done_vec = False
             if m_leaf is not None and ch is not None and len(vecm):
                 done_vec = self._leaf_rows(
-                    m_leaf, ch, vecm, rows, rowof_all[vecm].tolist(),
+                    m_leaf, ch, vecm, rows, rowof_all[vecm],
                     [f"{_path(e)}.{mk}" for e in vecm])
             cell_cells = emit[~mdef[emit]] if done_vec else emit
             if len(cell_cells):
@@ -937,10 +951,13 @@ class ViolationExploder:
         return active & ~(explained & edefined)
 
     def _leaf_rows(self, leaf, col, vec_idx, rows, row_ids, paths):
-        """Emit (row, path, error, value_repr) for DEFINED failing cells of
-        a leaf/union-leaf plan.  ``row_ids``/``paths`` give the output row
-        index and path per cell (a flat field uses its own index and a
-        constant path; a struct element uses the parent row and an
+        """Emit violation rows for DEFINED failing cells of a leaf/union-leaf
+        plan as ONE columnar chunk (``_RowChunk``) — the tuple-per-row path
+        spent ~80 % of exploder time materializing/sorting/transposing
+        Python tuples at 770k rows (profiled sf0.1 lineitem).  ``row_ids``
+        (np.int64) / ``paths`` (constant str, or one str per cell) give the
+        output row index and path per cell (a flat field uses its own index
+        and a constant path; a struct element uses the parent row and an
         indexed path)."""
         from .oracle import E_NOT_NULL, E_NOT_UNDEFINED, E_ONEOF
 
@@ -948,26 +965,36 @@ class ViolationExploder:
         reprs = self._reprs_for(taken, col.type)
         if reprs is None:
             return False
+        n = len(taken)
         if leaf[0] == "union":
             seqs = []  # one error column per emitted row position
             for b in leaf[1]:
                 if b[0] == "?":
-                    seqs.append(np.full(len(taken), E_NOT_UNDEFINED, dtype=object))
+                    seqs.append(np.full(n, E_NOT_UNDEFINED, dtype=object))
                 elif b[0] == "null":
-                    seqs.append(np.full(len(taken), E_NOT_NULL, dtype=object))
+                    seqs.append(np.full(n, E_NOT_NULL, dtype=object))
                 else:
                     ev = self._leaf_error_vec(b, taken, col.type)
                     if ev is None:
                         return False
-                    seqs.append(ev)
-            seqs.insert(0, np.full(len(taken), E_ONEOF, dtype=object))
-            for i, p, rep, *errs in zip(row_ids, paths, reprs, *seqs):
-                rows.extend((i, p, e, rep) for e in errs)
+                    seqs.append(ev.astype(object))
+            seqs.insert(0, np.full(n, E_ONEOF, dtype=object))
+            # cell-major interleave: cell0's E_ONEOF + per-branch rows,
+            # then cell1's, ... (matches the oracle's emission order)
+            k = len(seqs)
+            rep_idx = np.repeat(np.arange(n, dtype=np.int64), k)
+            rows.append(_RowChunk(
+                np.repeat(np.asarray(row_ids, dtype=np.int64), k),
+                paths if isinstance(paths, str)
+                else np.repeat(np.asarray(paths, dtype=object), k),
+                np.stack(seqs, axis=1).ravel(),
+                reprs.take(pa.array(rep_idx))))
             return True
         errs = self._leaf_error_vec(leaf, taken, col.type)
         if errs is None:
             return False
-        rows.extend(zip(row_ids, paths, errs.tolist(), reprs))
+        rows.append(_RowChunk(np.asarray(row_ids, dtype=np.int64),
+                              paths, errs, reprs))
         return True
 
     def _escaped_fields(self) -> dict:
@@ -1056,8 +1083,7 @@ class ViolationExploder:
                 defined = ~u[idx] & ~jn[idx]
                 vec_idx = idx[defined]
                 if len(vec_idx) and self._leaf_rows(
-                        leaf, col, vec_idx, rows, vec_idx.tolist(),
-                        (name,) * len(vec_idx)):
+                        leaf, col, vec_idx, rows, vec_idx, name):
                     cell_idx = idx[~defined]
             if elem_plan is not None and col is not None and (
                     pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
@@ -1110,28 +1136,73 @@ class ViolationExploder:
                         sub = []
                         explode_violations(tree["output"], name, sub)
                         rows.extend((int(i), p, e, v) for p, e, v in sub)
-        if rows:
-            # group by input row — numpy stable argsort + one reorder pass
-            # beats list.sort(key=...) ~5× at 770k rows (profiled)
-            ri = np.fromiter((r[0] for r in rows), dtype=np.int64,
-                             count=len(rows))
-            order = np.argsort(ri, kind="stable")
-            rows = [rows[k] for k in order]
+        # input-row grouping happens columnar in _emit (stable argsort over
+        # the concatenated chunk row indices — same permutation as the old
+        # flat-tuple stable sort, without materializing per-row tuples)
         return rows
 
-    def _emit(self, batch: pa.Table,
-              rows: list[tuple[int, str, str, str]]) -> pa.Table:
+    def _emit(self, batch: pa.Table, rows: list) -> pa.Table:
+        """Assemble the output table from a mixed list of ``_RowChunk`` runs
+        and plain (row, path, error, repr) tuples.  A stable argsort over
+        the concatenated row indices reproduces the old flat-tuple stable
+        sort exactly (list order = old append order), without per-row
+        Python tuples on the vectorized paths."""
         def id_type(c: str):
             idx = batch.schema.get_field_index(c)
             return batch.schema.field(idx).type if idx >= 0 else pa.string()
 
-        if rows:  # ONE C-speed transpose instead of three per-field passes
-            ri, paths, errs, reprs = zip(*rows)
-            row_idx = pa.array(np.fromiter(ri, dtype=np.int64,
-                                           count=len(rows)))
-        else:
-            paths = errs = reprs = ()
-            row_idx = pa.array(np.empty(0, dtype=np.int64))
+        r_parts: list[np.ndarray] = []
+        p_parts: list[pa.Array] = []
+        e_parts: list[pa.Array] = []
+        v_parts: list[pa.Array] = []
+
+        def flush(buf: list) -> None:
+            if not buf:
+                return
+            ri, paths, errs, reprs = zip(*buf)
+            r_parts.append(np.fromiter(ri, dtype=np.int64, count=len(buf)))
+            p_parts.append(pa.array(paths, pa.string()))
+            e_parts.append(pa.array(errs, pa.string()))
+            v_parts.append(pa.array(reprs, pa.string()))
+            buf.clear()
+
+        buf: list = []
+        for entry in rows:
+            if not isinstance(entry, _RowChunk):
+                buf.append(entry)
+                continue
+            flush(buf)
+            r_parts.append(entry.rows)
+            if isinstance(entry.paths, str):
+                # constant path: one-element dictionary take (C-speed)
+                p_parts.append(pa.array([entry.paths], pa.string()).take(
+                    pa.array(np.zeros(len(entry.rows), dtype=np.int32))))
+            else:
+                p_parts.append(pa.array(entry.paths, pa.string()))
+            e_parts.append(entry.errors if isinstance(entry.errors, pa.Array)
+                           else pa.array(entry.errors, pa.string()))
+            v_parts.append(entry.reprs if isinstance(entry.reprs, pa.Array)
+                           else pa.array(entry.reprs, pa.string()))
+        flush(buf)
+
+        def cat(parts: list) -> pa.Array:
+            if not parts:
+                return pa.array([], pa.string())
+            norm = [p.combine_chunks() if isinstance(p, pa.ChunkedArray)
+                    else p for p in parts]
+            return norm[0] if len(norm) == 1 else pa.concat_arrays(norm)
+
+        row_all = (np.concatenate(r_parts) if len(r_parts) > 1
+                   else (r_parts[0] if r_parts else np.empty(0, np.int64)))
+        paths_a, errs_a, reprs_a = cat(p_parts), cat(e_parts), cat(v_parts)
+        if len(row_all) and not np.all(row_all[:-1] <= row_all[1:]):
+            order = np.argsort(row_all, kind="stable")
+            row_all = row_all[order]
+            oi = pa.array(order)
+            paths_a = paths_a.take(oi)
+            errs_a = errs_a.take(oi)
+            reprs_a = reprs_a.take(oi)
+        row_idx = pa.array(row_all)
         cols = {}
         for c in self.id_columns:
             if c in batch.column_names:
@@ -1140,10 +1211,10 @@ class ViolationExploder:
                     col = col.combine_chunks()
                 cols[c] = col.take(row_idx)
             else:
-                cols[c] = pa.nulls(len(rows), id_type(c))
-        cols["path"] = pa.array(paths, pa.string(), size=len(rows))
-        cols["error"] = pa.array(errs, pa.string(), size=len(rows))
-        cols["value_repr"] = pa.array(reprs, pa.string(), size=len(rows))
+                cols[c] = pa.nulls(len(row_all), id_type(c))
+        cols["path"] = paths_a
+        cols["error"] = errs_a
+        cols["value_repr"] = reprs_a
         return pa.table(cols)
 
     def _tree_table(self, batch: pa.Table) -> pa.Table:
