@@ -675,6 +675,47 @@ def q_minhash_verified_pairs(sf_dir: str, threshold: float = 0.5,
     return t.select(["doc_a", "doc_b", "n_inter", "n_union"])
 
 
+def q_neardup_components(sf_dir: str, threshold: float = 0.5,
+                         n_plant: int = 8,
+                         plant_offset: int = 10_000_000) -> pa.Table:
+    """Connected components of the verified near-dup pair graph — the
+    cluster step of a dedup pipeline: ``(doc_id, component)`` for every
+    document in some verified pair, component = min doc_id reachable.
+
+    Distributed hash-min label propagation (engine/components.py).
+    Oracle: the same planted fixture as ``q_minhash_verified_pairs``
+    (its pair set is hash-exact vs DuckDB), with components mirrored by
+    a recursive CTE reachability closure — exact because the pair sets
+    match exactly."""
+    from ..engine.components import connected_components
+
+    docs = _plant_copies(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         "doc_id", ["text"], n_plant, plant_offset)
+    pairs = minhash_verified_pairs_from_ds(docs, threshold=threshold)
+    return connected_components(pairs)
+
+
+def q_dedup_keep_canonical(sf_dir: str, threshold: float = 0.5,
+                           n_plant: int = 8,
+                           plant_offset: int = 10_000_000) -> pa.Table:
+    """Corpus after near-dup removal: keep each component's minimum
+    doc_id (plus every document with no near-duplicate) — the
+    end-to-end dedup pipeline (candidates → verify → components →
+    canonical filter).  The component map is broadcast (`ray.put`
+    once); the corpus itself never shuffles."""
+    from ..engine.components import connected_components, filter_canonical
+
+    docs = _plant_copies(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         "doc_id", ["text"], n_plant, plant_offset)
+    pairs = minhash_verified_pairs_from_ds(docs, threshold=threshold)
+    comp = connected_components(pairs)
+    kept = filter_canonical(
+        _plant_copies(_read(sf_dir, "documents", ["doc_id"]),
+                      "doc_id", [], n_plant, plant_offset), comp)
+    out = _gather(kept).select(["doc_id"])
+    return out.sort_by([("doc_id", "ascending")])
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
