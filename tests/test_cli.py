@@ -95,6 +95,34 @@ def test_cli_dedup_exact(tmp_path):
     assert pq.read_table(out)["doc_id"].to_pylist() == [3, 4]
 
 
+def test_cli_dedup_canonical(tmp_path):
+    """--emit canonical writes the DEDUPLICATED corpus: components over
+    the near-dup pair graph, keep each cluster's min doc_id."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs.parquet"
+    dup = "alpha beta gamma delta epsilon zeta"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([dup, "unique text one here today friend", dup,
+                          "another different document entirely now", dup]),
+    }), src)
+    for method, n_clusters in (("exact", 2), ("minhash", 3)):
+        out = tmp_path / f"kept_{method}"
+        r = run_cli("dedup", "--input", str(src), "--method", method,
+                    "--emit", "canonical", "--out", str(out),
+                    "--num-cpus", "2")
+        assert r.returncode == 0, r.stderr
+        line = [l for l in r.stdout.strip().split("\n") if l.startswith("{")][-1]
+        assert json.loads(line)["n_clusters"] == n_clusters
+        kept = pa.concat_tables(
+            [pq.read_table(f) for f in _glob.glob(str(out / "*.parquet"))])
+        assert sorted(kept["doc_id"].to_pylist()) == [0, 1, 3]
+
+
 def test_cli_vocab(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -121,6 +121,34 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
             print(f"error: no input files match {args.input!r}", file=sys.stderr)
             return 2
         ds = read_docs(files, columns=["doc_id", "text"])
+        if getattr(args, "emit", "pairs") == "canonical":
+            import pyarrow as pa
+
+            from .engine.components import (
+                connected_components,
+                filter_canonical,
+            )
+
+            if args.method == "exact":
+                # exact duplicates already name the drop set directly
+                dups = textops.dedup_exact_from_ds(ds)
+                comp = pa.table({
+                    "doc_id": dups["doc_id"],
+                    # any value != doc_id marks the row non-canonical
+                    "component": pa.array([-1] * dups.num_rows, pa.int64()),
+                })
+            else:
+                pairs = (textops.minhash_verified_pairs_from_ds(ds)
+                         if args.method == "minhash" else
+                         textops.simhash_neardup_pairs(
+                             ds, max_hamming=args.max_hamming))
+                comp = connected_components(pairs)
+            kept = filter_canonical(read_docs(files, columns=["doc_id", "text"]),
+                                    comp)
+            kept.write_parquet(args.out)
+            print(json.dumps({"method": args.method, "emit": "canonical",
+                              "n_clusters": comp.num_rows, "out": args.out}))
+            return 0
         if args.method == "exact":
             out = textops.dedup_exact_from_ds(ds)
         elif args.method == "simhash":
@@ -202,7 +230,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--input", required=True, help="parquet/jsonl/csv glob")
     d.add_argument("--method", choices=["exact", "minhash", "simhash"],
                    default="exact")
-    d.add_argument("--out", required=True, help="output parquet file")
+    d.add_argument("--out", required=True,
+                   help="output parquet file (pairs) or directory (canonical)")
+    d.add_argument("--emit", choices=["pairs", "canonical"], default="pairs",
+                   help="pairs: duplicate ids / near-dup pairs; canonical: "
+                        "the DEDUPLICATED corpus (connected components over "
+                        "the pair graph, keep each cluster's min doc_id)")
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--num-cpus", type=int, default=8)
 
