@@ -37,7 +37,8 @@ def _reference_components(edges):
     return {x: find(x) for x in parent}
 
 
-def test_chain_clique_singleton(ray_session):
+def test_chain_clique_singleton_local_path(ray_session):
+    # small pa.Table input takes the in-memory vectorized kernel
     comp = connected_components(
         _pairs([(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
                 (20, 21)]))
@@ -46,20 +47,40 @@ def test_chain_clique_singleton(ray_session):
         "component": [1, 1, 1, 1, 10, 10, 10, 20, 20]}
 
 
-def test_long_chain_converges(ray_session):
-    # a 120-node path exercises many propagation rounds (diameter-bound)
+def test_chain_clique_singleton_distributed(ray_session):
+    comp = connected_components(
+        _pairs([(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+                (20, 21)]), num_buckets=4, local_max_bytes=0)
+    assert comp.to_pydict() == {
+        "doc_id": [1, 2, 3, 4, 10, 11, 12, 20, 21],
+        "component": [1, 1, 1, 1, 10, 10, 10, 20, 20]}
+
+
+def test_long_chain_converges_without_contraction(ray_session):
+    # a 120-node path on the pure propagation+pointer-jumping path
+    # (contraction disabled) exercises the O(log diameter) acceleration
     edges = [(i, i + 1) for i in range(120)]
-    comp = connected_components(_pairs(edges), num_buckets=4)
+    comp = connected_components(_pairs(edges), num_buckets=4,
+                                local_max_bytes=0, contract_max_bytes=0)
     assert comp.num_rows == 121
     assert set(comp["component"].to_pylist()) == {0}
 
 
 def test_random_graph_matches_union_find(ray_session):
+    # forced-distributed: contraction fires (round >= 3) and the driver
+    # solve must agree with the union-find reference
     rng = np.random.default_rng(7)
     edges = [(int(a), int(b))
              for a, b in rng.integers(0, 400, size=(300, 2)) if a != b]
-    comp = connected_components(_pairs(edges), num_buckets=8)
     ref = _reference_components(edges)
+    for kwargs in ({"contract_max_bytes": 0}, {}):
+        comp = connected_components(_pairs(edges), num_buckets=8,
+                                    local_max_bytes=0, **kwargs)
+        got = dict(zip(comp["doc_id"].to_pylist(),
+                       comp["component"].to_pylist()))
+        assert got == ref
+    # and the local kernel agrees too
+    comp = connected_components(_pairs(edges))
     got = dict(zip(comp["doc_id"].to_pylist(), comp["component"].to_pylist()))
     assert got == ref
 
@@ -85,7 +106,8 @@ def test_empty_pairs(ray_session):
 def test_max_rounds_raises_loudly(ray_session):
     edges = [(i, i + 1) for i in range(30)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs(edges), num_buckets=2, max_rounds=3)
+        connected_components(_pairs(edges), num_buckets=2, max_rounds=3,
+                             local_max_bytes=0, contract_max_bytes=0)
 
 
 def test_filter_canonical(ray_session):

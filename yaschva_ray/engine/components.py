@@ -49,6 +49,9 @@ _PROP_REMOTE = None
 _ABSORB_REMOTE = None
 _JQ_REMOTE = None
 _JA_REMOTE = None
+_MERGEF_REMOTE = None
+_CONTRACT_REMOTE = None
+_RESOLVE_REMOTE = None
 
 # plain hash-min rounds before pointer-jumping joins in (the common
 # short-diameter case never pays the extra exchanges)
@@ -121,11 +124,32 @@ def _min_by_key(keys: np.ndarray, vals: np.ndarray):
     return k[starts], np.minimum.reduceat(v, starts)
 
 
-def _propagate(adj: pa.Table, labels: pa.Table,
-               num_buckets: int) -> list[pa.Table]:
-    """One round's map half for one bucket: send each node's current
-    label to every neighbour, min-combined per destination before the
-    slice so message volume is bounded by distinct neighbours."""
+def _slice_by_bucket(arrs: dict, key: np.ndarray, num_buckets: int,
+                     _hash64) -> list[pa.Table]:
+    """Slice aligned numpy columns into hash(key)%B tables."""
+    buckets = (_hash64(pa.array(key)) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(buckets, kind="stable")
+    sb = buckets[order]
+    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
+    cols = {n: a[order] for n, a in arrs.items()}
+    return [pa.table({n: pa.array(a[bounds[i]:bounds[i + 1]])
+                      for n, a in cols.items()})
+            for i in range(num_buckets)]
+
+
+def _propagate(adj: pa.Table, labels: pa.Table, frontier,
+               num_buckets: int, all_pairs: bool = False) -> list[pa.Table]:
+    """One round's map half for one bucket: send the current label of
+    every FRONTIER node (label changed last round; ``None`` = all, round
+    0) to its neighbours, min-combined per destination before the slice
+    — per-round shuffle volume tracks the shrinking frontier, not the
+    full edge set.
+
+    ``all_pairs=True`` (the contraction wave) keeps every DISTINCT
+    (dest, label) pair instead of the per-destination minimum — the
+    min-combine is sound for label absorption but would drop contracted
+    edges a destination needs for connectivity (a dest adjacent to
+    groups 5 and 9 must yield BOTH cross edges, not just the 5 one)."""
     from .sketches import _hash64, limit_worker_threads
 
     limit_worker_threads()
@@ -135,31 +159,61 @@ def _propagate(adj: pa.Table, labels: pa.Table,
         return [empty] * num_buckets if num_buckets > 1 else empty
     node = _np_col(adj, "node")          # sorted by _init_bucket
     nbr = _np_col(adj, "nbr")
+    if frontier is not None:
+        fnode = _np_col(frontier, "node")  # sorted subset of this bucket
+        if not len(fnode):
+            out = [empty] * num_buckets
+            return out if num_buckets > 1 else out[0]
+        idx = np.clip(np.searchsorted(fnode, node), 0, len(fnode) - 1)
+        sel = fnode[idx] == node
+        node = node[sel]
+        nbr = nbr[sel]
+        if not len(node):
+            out = [empty] * num_buckets
+            return out if num_buckets > 1 else out[0]
     lnode = _np_col(labels, "node")      # sorted distinct == unique(node)
     llab = _np_col(labels, "label")
     own = llab[np.searchsorted(lnode, node)]
-    dest, lab = _min_by_key(nbr, own)
-    buckets = (_hash64(pa.array(dest)) % np.uint64(num_buckets)).astype(np.int64)
-    order = np.argsort(buckets, kind="stable")
-    dest = dest[order]
-    lab = lab[order]
-    sb = buckets[order]
-    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
-    out = [pa.table({"node": pa.array(dest[bounds[i]:bounds[i + 1]]),
-                     "label": pa.array(lab[bounds[i]:bounds[i + 1]])})
-           for i in range(num_buckets)]
+    if all_pairs:
+        order = np.lexsort((own, nbr))
+        dest = nbr[order]
+        lab = own[order]
+        keep = np.ones(len(dest), dtype=bool)
+        keep[1:] = (dest[1:] != dest[:-1]) | (lab[1:] != lab[:-1])
+        dest = dest[keep]
+        lab = lab[keep]
+    else:
+        dest, lab = _min_by_key(nbr, own)
+    out = _slice_by_bucket({"node": dest, "label": lab}, dest,
+                           num_buckets, _hash64)
     return out if num_buckets > 1 else out[0]
+
+
+def _compress_local(lnode: np.ndarray, new: np.ndarray) -> np.ndarray:
+    """In-bucket path compression: while a node's label is itself a node
+    of this bucket with a smaller label, chase the pointer (pure numpy,
+    no exchange) — shortens chains that happen to be bucket-local."""
+    for _ in range(4):
+        pos = np.clip(np.searchsorted(lnode, new), 0, len(lnode) - 1)
+        hit = lnode[pos] == new
+        hop = np.where(hit, new[pos], new)
+        if np.array_equal(hop, new):
+            break
+        new = np.minimum(new, hop)
+    return new
 
 
 def _absorb(labels: pa.Table, *msgs: pa.Table):
     """One round's reduce half for one bucket: fold incoming neighbour
-    labels into the bucket's label table; return (new_labels, n_changed)."""
+    labels into the bucket's label table (plus local path compression);
+    return (new_labels, frontier_of_changed_nodes, n_changed)."""
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
+    empty_frontier = pa.table({"node": pa.array([], pa.int64())})
     live = [m for m in msgs if m.num_rows]
     if not labels.num_rows or not live:
-        return labels, 0
+        return labels, empty_frontier, 0
     lnode = _np_col(labels, "node")
     llab = _np_col(labels, "label")
     mnode = np.concatenate([_np_col(m, "node") for m in live])
@@ -170,11 +224,126 @@ def _absorb(labels: pa.Table, *msgs: pa.Table):
     pos = np.searchsorted(lnode, dk)
     new = llab.copy()
     np.minimum.at(new, pos, dv)
-    changed = int(np.count_nonzero(new < llab))
+    new = _compress_local(lnode, new)
+    changed_mask = new < llab
+    changed = int(np.count_nonzero(changed_mask))
     if not changed:
-        return labels, 0
-    return pa.table({"node": pa.array(lnode),
-                     "label": pa.array(new)}), changed
+        return labels, empty_frontier, 0
+    return (pa.table({"node": pa.array(lnode), "label": pa.array(new)}),
+            pa.table({"node": pa.array(lnode[changed_mask])}), changed)
+
+
+def _cc_local(a: np.ndarray, b: np.ndarray):
+    """In-memory connected components (vectorized numpy): symmetric
+    edge-relax + full pointer-jumping per sweep → O(log diameter)
+    sweeps.  The adjacency is sorted ONCE; each sweep is a pure
+    ``minimum.reduceat`` over the presorted segments (``minimum.at`` is
+    ~20× slower per element).  Returns (sorted distinct nodes,
+    component min per node)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    order = np.argsort(src, kind="stable")
+    src = src[order]
+    dst = dst[order]
+    seg = np.ones(len(src), dtype=bool)
+    seg[1:] = src[1:] != src[:-1]
+    starts = np.nonzero(seg)[0]
+    touched = src[starts]                # nodes with >=1 neighbour
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = label.copy()
+        nbr_min = np.minimum.reduceat(label[dst], starts)
+        new[touched] = np.minimum(new[touched], nbr_min)
+        while True:
+            hop = new[new]
+            if np.array_equal(hop, new):
+                break
+            new = hop
+        if np.array_equal(new, label):
+            break
+        label = new
+    return nodes, nodes[label]
+
+
+def _contract(labels: pa.Table, *msgs: pa.Table):
+    """Contraction map half for one bucket: emit the still-unresolved
+    structure as a small edge list — cross-label edges (label[u],
+    label[v]) from the full message wave, plus the bucket's label-forest
+    edges (node, label[node]).  Components of the union of these edges
+    over all buckets equal the original graph's components (every
+    original edge is either within one label group — reconstructed by
+    the two forest edges through the shared label — or crosses groups
+    and appears contracted).  Returns (deduped edge table, row count)."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if not labels.num_rows:
+        return empty, 0
+    lnode = _np_col(labels, "node")
+    llab = _np_col(labels, "label")
+    parts_a = []
+    parts_b = []
+    forest = llab != lnode
+    parts_a.append(llab[forest])
+    parts_b.append(lnode[forest])
+    live = [m for m in msgs if m.num_rows]
+    if live:
+        dest = np.concatenate([_np_col(m, "node") for m in live])
+        lab = np.concatenate([_np_col(m, "label") for m in live])
+        own = llab[np.searchsorted(lnode, dest)]
+        cross = lab != own
+        la = np.minimum(lab[cross], own[cross])
+        lb = np.maximum(lab[cross], own[cross])
+        parts_a.append(la)
+        parts_b.append(lb)
+    a = np.concatenate(parts_a)
+    b = np.concatenate(parts_b)
+    if not len(a):
+        return empty, 0
+    order = np.lexsort((b, a))
+    a = a[order]
+    b = b[order]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    a = a[keep]
+    b = b[keep]
+    return pa.table({"a": pa.array(a), "b": pa.array(b)}), int(len(a))
+
+
+def _resolve(labels: pa.Table, cmap) -> pa.Table:
+    """Apply the driver-solved component map to a bucket's labels."""
+    import ray
+
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    if not labels.num_rows:
+        return labels
+    nodes, comp = ray.get(cmap) if isinstance(cmap, ray.ObjectRef) else cmap
+    llab = _np_col(labels, "label")
+    if not len(nodes):
+        return labels
+    pos = np.clip(np.searchsorted(nodes, llab), 0, len(nodes) - 1)
+    hit = nodes[pos] == llab
+    final = np.where(hit, comp[pos], llab)
+    return pa.table({"node": labels["node"], "label": pa.array(final)})
+
+
+def _merge_frontier(f1: pa.Table, f2: pa.Table) -> pa.Table:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    if not f1.num_rows:
+        return f2
+    if not f2.num_rows:
+        return f1
+    return pa.table({"node": pa.array(np.union1d(_np_col(f1, "node"),
+                                                 _np_col(f2, "node")))})
 
 
 def _jump_queries(labels: pa.Table, num_buckets: int) -> list[pa.Table]:
@@ -237,42 +406,77 @@ def _jump_answers(labels: pa.Table, num_buckets: int,
 
 
 def _pairs_buckets(pairs) -> int:
-    from .joins import _MAX_BUCKETS, _MIN_BUCKETS, _TARGET_BUCKET_BYTES, \
-        _auto_buckets, _estimate_bytes
+    """Bucket count for the iterative exchange.  Unlike one-shot joins
+    (sized purely by reduce-input bytes), every ROUND here launches one
+    task wave per bucket — so the floor is the cluster's CPU count, or
+    waves under-fill the cluster and round latency, not data volume,
+    dominates.  The byte-based ceiling still applies for huge graphs."""
+    import ray
 
+    from .joins import _MAX_BUCKETS, _TARGET_BUCKET_BYTES, _auto_buckets, \
+        _estimate_bytes
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     if isinstance(pairs, pa.Table):
-        return int(min(_MAX_BUCKETS,
-                       max(_MIN_BUCKETS,
-                           math.ceil(2 * pairs.nbytes / _TARGET_BUCKET_BYTES))))
-    est = _estimate_bytes(pairs)
-    return 16 if est is None else _auto_buckets(pairs)
+        by_bytes = math.ceil(2 * pairs.nbytes / _TARGET_BUCKET_BYTES)
+    else:
+        est = _estimate_bytes(pairs)
+        by_bytes = _auto_buckets(pairs) if est is not None else 16
+    return int(min(_MAX_BUCKETS, max(cpus, by_bytes)))
 
 
 def connected_components(pairs, *, a_col: str = "doc_a",
                          b_col: str = "doc_b",
                          num_buckets: int | None = None,
-                         max_rounds: int = 64) -> pa.Table:
+                         max_rounds: int = 64,
+                         local_max_bytes: int = 64 << 20,
+                         contract_max_bytes: int = 256 << 20) -> pa.Table:
     """Connected components of the undirected pair graph → one
     ``(doc_id, component)`` row per node, component = min doc_id reachable.
 
     ``pairs`` is a ``pa.Table`` or ``ray.data.Dataset`` with two int64
     id columns.  The result covers only nodes that appear in some pair
     (documents with no near-duplicate are their own implicit component).
+
+    Size-switched plan (same pattern as the two-phase exact dedup):
+
+    * a driver table under ``local_max_bytes`` runs the in-memory
+      vectorized kernel directly — no task waves for small pair sets;
+    * otherwise, distributed hash-min rounds; from round ``_JUMP_AFTER``
+      on, the loop tries CONTRACTION — one full message wave emits the
+      unresolved structure (cross-label edges + label-forest edges),
+      and if that fits ``contract_max_bytes`` the driver solves it
+      in-memory and broadcasts the component map back (one resolve
+      wave), ending the loop.  A contracted graph still too big logs
+      and keeps iterating (pointer-jump-accelerated) — no silent cap.
     """
     import ray
 
     from .blocks import iter_block_refs
     from .exchange import bounded_map_refs
 
+    if isinstance(pairs, pa.Table) and pairs.nbytes <= local_max_bytes:
+        if not pairs.num_rows:
+            return _EMPTY_COMPONENTS
+        nodes, comp = _cc_local(
+            _np_col(pairs, a_col).astype(np.int64),
+            _np_col(pairs, b_col).astype(np.int64))
+        return pa.table({"doc_id": pa.array(nodes),
+                         "component": pa.array(comp)})
+
     global _ADJ_REMOTE, _INIT_REMOTE, _PROP_REMOTE, _ABSORB_REMOTE, \
-        _JQ_REMOTE, _JA_REMOTE
+        _JQ_REMOTE, _JA_REMOTE, _MERGEF_REMOTE, _CONTRACT_REMOTE, \
+        _RESOLVE_REMOTE
     if _ADJ_REMOTE is None:
         _ADJ_REMOTE = ray.remote(_adj_slices)
         _INIT_REMOTE = ray.remote(num_returns=2)(_init_bucket)
         _PROP_REMOTE = ray.remote(_propagate)
-        _ABSORB_REMOTE = ray.remote(num_returns=2)(_absorb)
+        _ABSORB_REMOTE = ray.remote(num_returns=3)(_absorb)
         _JQ_REMOTE = ray.remote(_jump_queries)
         _JA_REMOTE = ray.remote(_jump_answers)
+        _MERGEF_REMOTE = ray.remote(_merge_frontier)
+        _CONTRACT_REMOTE = ray.remote(num_returns=2)(_contract)
+        _RESOLVE_REMOTE = ray.remote(_resolve)
 
     if isinstance(pairs, pa.Table):
         if not pairs.num_rows:
@@ -301,21 +505,55 @@ def connected_components(pairs, *, a_col: str = "doc_a",
     # halves the remaining distance-to-root per round, so pathological
     # chains converge in O(log diameter) total — the common short case
     # never pays the extra waves.
+    frontier_refs = [None] * num_buckets  # round 0: every node broadcasts
     for rnd in range(max_rounds):
         prop = [_PROP_REMOTE.options(num_returns=num_buckets)
-                .remote(adj_refs[b], label_refs[b], num_buckets)
+                .remote(adj_refs[b], label_refs[b], frontier_refs[b],
+                        num_buckets)
                 for b in range(num_buckets)]
         if num_buckets == 1:
             prop = [[p] for p in prop]
         changed_refs = []
         new_labels = []
+        new_frontiers = []
         for b in range(num_buckets):
-            l_ref, c_ref = _ABSORB_REMOTE.remote(
+            l_ref, f_ref, c_ref = _ABSORB_REMOTE.remote(
                 label_refs[b], *[p[b] for p in prop])
             new_labels.append(l_ref)
+            new_frontiers.append(f_ref)
             changed_refs.append(c_ref)
         label_refs = new_labels
+        frontier_refs = new_frontiers
         n_changed = sum(ray.get(changed_refs))
+        if contract_max_bytes and rnd + 1 >= _JUMP_AFTER and n_changed:
+            full = [_PROP_REMOTE.options(num_returns=num_buckets)
+                    .remote(adj_refs[b], label_refs[b], None, num_buckets,
+                            True)
+                    for b in range(num_buckets)]
+            if num_buckets == 1:
+                full = [[f] for f in full]
+            cont = [_CONTRACT_REMOTE.remote(label_refs[b],
+                                            *[f[b] for f in full])
+                    for b in range(num_buckets)]
+            n_rows = sum(ray.get([c[1] for c in cont]))
+            if n_rows * 16 <= contract_max_bytes:
+                parts = [t for t in ray.get([c[0] for c in cont])
+                         if t.num_rows]
+                if parts:
+                    ct = pa.concat_tables(parts).combine_chunks()
+                    cmap = _cc_local(_np_col(ct, "a"), _np_col(ct, "b"))
+                    cmap_ref = ray.put(cmap)
+                    label_refs = [_RESOLVE_REMOTE.remote(label_refs[b],
+                                                         cmap_ref)
+                                  for b in range(num_buckets)]
+                logger.info(
+                    "connected_components: contracted to %d edges at "
+                    "round %d, solved on driver", n_rows, rnd + 1)
+                break
+            logger.info(
+                "connected_components: contraction deferred at round %d "
+                "(%d edges > %d bytes budget), continuing rounds",
+                rnd + 1, n_rows, contract_max_bytes)
         if rnd + 1 >= _JUMP_AFTER and n_changed:
             jq = [_JQ_REMOTE.options(num_returns=num_buckets)
                   .remote(label_refs[b], num_buckets)
@@ -329,11 +567,16 @@ def connected_components(pairs, *, a_col: str = "doc_a",
             if num_buckets == 1:
                 ja = [[a] for a in ja]
             new_labels = []
+            new_frontiers = []
             for b in range(num_buckets):
-                l_ref, _c = _ABSORB_REMOTE.remote(
+                l_ref, f_ref, _c = _ABSORB_REMOTE.remote(
                     label_refs[b], *[a[b] for a in ja])
                 new_labels.append(l_ref)
+                # a jump-lowered label must re-broadcast next round
+                new_frontiers.append(_MERGEF_REMOTE.remote(
+                    frontier_refs[b], f_ref))
             label_refs = new_labels
+            frontier_refs = new_frontiers
         if not n_changed:
             logger.info("connected_components: converged after %d rounds",
                         rnd + 1)
