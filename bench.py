@@ -106,6 +106,9 @@ def bench_queries(sf_dir: str) -> dict:
         "minhash_verified_pairs", "simhash_documents", "ann_bruteforce",
         "langid_documents", "quality_documents", "winnow_fingerprints",
         "vocab_top_tokens",
+        # round-4 addition: full dedup chain (candidates -> verify ->
+        # components -> canonical filter)
+        "dedup_keep_canonical",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):
