@@ -84,10 +84,10 @@ def _media_frames_smoke(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered ORACLE-CHECKED FIRST: the driver sweeps at most 50 entries,
     so every hash-exact query precedes the rows-only ones (round 3 lost
-    three entries off the tail); the final six are variants of siblings
-    that stay in the sweep (ann_lsh+bruteforce cover ANN, media plumbing
-    has its own tests, exact quantiles is hash-checked, drift's sketches
-    are accuracy-tested) — each keeps its own pytest coverage."""
+    three entries off the tail); the tail past 50 holds variants of
+    siblings that stay in the sweep (ann_bruteforce is hash-checked for
+    ANN, fingerprint_md5 for fingerprints, media plumbing and drift's
+    sketches have their own tests) — each keeps its pytest coverage."""
     from yaschva_ray.pipelines import ops, textops
 
     return {
@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": textops.q_quality_documents,
         "vocab_top_tokens": textops.q_vocab_top_tokens,
         "fingerprint_md5": textops.q_fingerprint_md5,
+        "train_val_split": textops.q_train_val_split,
+        "shuffle_documents": textops.q_shuffle_documents,
         "events_hourly_window": ops.q_events_hourly_window,
         "events_sliding_window": ops.q_events_sliding_window,
         "events_asof_orders": ops.q_events_asof_orders,
@@ -138,8 +140,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (approximate / model-like / engine-generated) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
         "simhash_documents": textops.q_simhash_documents,
-        "ann_lsh": textops.q_ann_lsh,
-        "fingerprint_documents": textops.q_fingerprint_documents,
         "winnow_fingerprints": textops.q_winnow_fingerprints,
         "approx_distinct_users": ops.q_approx_distinct_users,
         "generate_roundtrip": ops.q_generate_fixture,
@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variant of a sibling that stays (ann_lsh+bruteforce cover ANN,
         # media_features covers the plumbing, exact quantiles is checked) —
         # and each keeps its own tests
+        "ann_lsh": textops.q_ann_lsh,
+        "fingerprint_documents": textops.q_fingerprint_documents,
         "ann_ivf": textops.q_ann_ivf,
         "ann_ivf_partitioned": textops.q_ann_ivf_partitioned,
         "media_features": _media_features_smoke,
@@ -336,6 +338,22 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": """
             SELECT doc_id, md5(text) AS fingerprint_md5
             FROM documents ORDER BY doc_id
+        """,
+        # Knuth multiplicative mix: BIGINT product is exact for doc_id <
+        # ~3.4e9 (sf ids are far smaller), matching numpy's uint64 path
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN ((doc_id * 2654435761 + 7) % 4294967296)
+                             % 100 < 95
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        # row-order-exact: same SQL-expressible mix as the engine's
+        # shuffle key (seed 42 -> xor constant 42 * 2654435769)
+        "shuffle_documents": """
+            SELECT doc_id, text FROM documents
+            ORDER BY (xor(doc_id, 111486302298) * 48271) % 2147483647,
+                     doc_id
         """,
         "embedding_neardup": """
             WITH aug AS (

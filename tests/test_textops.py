@@ -634,3 +634,37 @@ def test_dedup_two_phase_dup_heavy_fallback(ray_session):
     plain = dedup_exact_from_ds(mk(), two_phase=False)
     assert fallback.equals(plain)
     assert plain.num_rows == 250
+
+
+def test_train_val_split(ray_session):
+    from yaschva_ray.pipelines.textops import _SPLIT_MULT, q_train_val_split
+
+    t = q_train_val_split(SF_DIR)
+    ids = t["doc_id"].to_pylist()
+    splits = t["split"].to_pylist()
+    assert set(splits) <= {"train", "val"}
+    # exact per-row agreement with the definition
+    for i, s in zip(ids, splits):
+        expect = "train" if ((i * _SPLIT_MULT + 7) % (1 << 32)) % 100 < 95 \
+            else "val"
+        assert s == expect
+    # ratio lands near 95% (fixture has 500+ docs)
+    frac = splits.count("train") / len(splits)
+    assert 0.88 < frac < 0.99
+    # pure function of doc_id: second run identical
+    assert t.equals(q_train_val_split(SF_DIR))
+
+
+def test_shuffle_documents(ray_session):
+    import pyarrow as pa
+
+    from yaschva_ray.pipelines.textops import q_shuffle_documents
+
+    a = q_shuffle_documents(SF_DIR, seed=42)
+    b = q_shuffle_documents(SF_DIR, seed=42)
+    assert a.equals(b)  # deterministic for a given seed
+    c = q_shuffle_documents(SF_DIR, seed=43)
+    assert not a["doc_id"].equals(c["doc_id"])  # new epoch, new order
+    # multiset preserved and genuinely shuffled
+    assert sorted(a["doc_id"].to_pylist()) == sorted(c["doc_id"].to_pylist())
+    assert a["doc_id"].to_pylist() != sorted(a["doc_id"].to_pylist())

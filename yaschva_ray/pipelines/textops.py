@@ -1613,6 +1613,66 @@ def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
         [("doc_id", "ascending")])
 
 
+_SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def q_train_val_split(sf_dir: str, train_pct: int = 95,
+                      salt: int = 7) -> pa.Table:
+    """Deterministic train/val split — the standard dataset-assembly
+    step: ``hash(doc_id) % 100 < train_pct`` → 'train' else 'val'.
+
+    The hash is the Knuth multiplicative mix ``(doc_id * 2654435761 +
+    salt) % 2**32`` — chosen because it is BOTH vectorizable (one numpy
+    expression per batch, no per-row Python) and exactly expressible in
+    ANSI SQL, so the split is hash-exact against DuckDB.  Membership is
+    a pure function of doc_id: stable under re-runs, re-partitioning
+    and resume (no RNG state)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def split(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        h = (ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+             + np.uint64(salt)) % np.uint64(1 << 32)
+        is_train = (h % np.uint64(100)) < train_pct
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array((~is_train).astype(np.int8)),
+            pa.array(["train", "val"])).cast(pa.string())
+        return pa.table({"doc_id": t["doc_id"], "split": lab})
+
+    return _gather(ds.map_batches(split, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
+
+
+def q_shuffle_documents(sf_dir: str, seed: int = 42) -> pa.Table:
+    """Seeded epoch shuffle: reorder the corpus by a keyed hash of
+    (doc_id, seed) via the distributed range-partitioned ``ds.sort`` —
+    the scale-friendly shuffle (deterministic, resumable, a different
+    ``seed`` per epoch gives a fresh order; contrast with RNG-state
+    ``random_shuffle`` whose order depends on partitioning).  The key
+    is a SQL-expressible mix so the ROW ORDER itself is hash-exact
+    against DuckDB (the driver compare is order-sensitive); a
+    production shuffle would swap in any stronger 64-bit mix — the
+    plan (vectorized key + ds.sort) is unchanged.
+
+    The seed folds in by XOR BEFORE the multiply: an additive seed
+    would shift every key by the same constant and leave the ORDER
+    unchanged across epochs (caught by the different-seed test).  The
+    Lehmer-style ``* 48271 % (2^31-1)`` keeps the mirroring BIGINT
+    product well inside DuckDB's range."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    seed_mix = np.uint64(seed * 2654435769)
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        h = ((ids.astype(np.uint64) ^ seed_mix) * np.uint64(48271)) \
+            % np.uint64(2147483647)
+        return t.append_column("__shuffle_key", pa.array(h.astype(np.int64)))
+
+    shuffled = ds.map_batches(key, batch_format="pyarrow") \
+        .sort(["__shuffle_key", "doc_id"])
+    return _gather(shuffled).select(["doc_id", "text"])
+
+
 def q_fingerprint_md5(sf_dir: str) -> pa.Table:
     """SQL-checkable content fingerprint: hex MD5 per doc, hash-exact vs
     DuckDB's ``md5()``.  Exists for cross-engine conformance — the
