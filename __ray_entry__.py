@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": textops.q_fingerprint_md5,
         "train_val_split": textops.q_train_val_split,
         "shuffle_documents": textops.q_shuffle_documents,
+        "pack_sequences": ops.q_pack_sequences,
         "events_hourly_window": ops.q_events_hourly_window,
         "events_sliding_window": ops.q_events_sliding_window,
         "events_asof_orders": ops.q_events_asof_orders,
@@ -139,7 +140,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f0_span_dedup": textops.q_f0_span_dedup,
         # --- rows-only (approximate / model-like / engine-generated) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
-        "simhash_documents": textops.q_simhash_documents,
         "winnow_fingerprints": textops.q_winnow_fingerprints,
         "approx_distinct_users": ops.q_approx_distinct_users,
         "generate_roundtrip": ops.q_generate_fixture,
@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variant of a sibling that stays (ann_lsh+bruteforce cover ANN,
         # media_features covers the plumbing, exact quantiles is checked) —
         # and each keeps its own tests
+        "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
         "ann_ivf": textops.q_ann_ivf,
@@ -347,6 +348,22 @@ def oracle_sql() -> dict[str, str]:
                              % 100 < 95
                         THEN 'train' ELSE 'val' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        # concat-and-cut packing: pack of a doc = floor(exclusive prefix
+        # sum of token counts in doc_id order / budget)
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       COALESCE(CAST(length(regexp_extract_all(text, '\\S+'))
+                                     AS BIGINT), 0) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) // 512 AS BIGINT) AS pack_id
+            FROM t ORDER BY doc_id
         """,
         # row-order-exact: same SQL-expressible mix as the engine's
         # shuffle key (seed 42 -> xor constant 42 * 2654435769)

@@ -125,3 +125,43 @@ def test_approx_quantiles_track_exact(ray_session):
     # partition-independence: the merged sketch must not depend on the
     # block split (same result twice)
     assert q_approx_quantiles_events(sf).equals(approx)
+
+
+def test_pack_sequences(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import pack_sequences_from_ds
+
+    def docs(ids, n_words):
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array([" ".join(["w"] * n)
+                                           for n in n_words])})
+
+    # two range-disjoint blocks, budget 10: stream = 4,3,5,2,6,4 tokens
+    ds = ray.data.from_arrow([docs([0, 1, 2], [4, 3, 5]),
+                              docs([3, 4, 5], [2, 6, 4])])
+    out = pack_sequences_from_ds(ds, budget=10)
+    assert out["doc_id"].to_pylist() == [0, 1, 2, 3, 4, 5]
+    assert out["n_tokens"].to_pylist() == [4, 3, 5, 2, 6, 4]
+    # starts: 0,4,7,12,14,20 -> packs 0,0,0,1,1,2
+    assert out["pack_id"].to_pylist() == [0, 0, 0, 1, 1, 2]
+    # pack_id nondecreasing and no pack skipped
+    p = np.array(out["pack_id"].to_pylist())
+    assert (np.diff(p) >= 0).all() and set(np.diff(p)) <= {0, 1}
+
+
+def test_pack_sequences_overlap_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import pack_sequences_from_ds
+
+    t1 = pa.table({"doc_id": pa.array([0, 5], pa.int64()),
+                   "text": pa.array(["a b", "c"])})
+    t2 = pa.table({"doc_id": pa.array([3, 9], pa.int64()),
+                   "text": pa.array(["d", "e f"])})
+    with pytest.raises(RuntimeError, match="range-disjoint"):
+        pack_sequences_from_ds(ray.data.from_arrow([t1, t2]), budget=4)

@@ -309,6 +309,110 @@ def q_token_count_documents(sf_dir: str) -> pa.Table:
                                         batch_format="pyarrow"), ["doc_id"])
 
 
+def _pack_phase1(block: pa.Table):
+    """Per-block scan half: token counts, IN-BLOCK exclusive prefix sums,
+    and a one-row meta (id range + token total) for the driver's global
+    prefix.  Returns (meta, prefix_table)."""
+    from ..engine.sketches import limit_worker_threads
+
+    limit_worker_threads()
+    empty_meta = pa.table({"min_id": pa.array([], pa.int64()),
+                           "max_id": pa.array([], pa.int64()),
+                           "total": pa.array([], pa.int64())})
+    if not block.num_rows or "doc_id" not in block.column_names:
+        return empty_meta, pa.table({"doc_id": pa.array([], pa.int64()),
+                                     "n_tokens": pa.array([], pa.int64()),
+                                     "local_start": pa.array([], pa.int64())})
+    counts = _count_tokens_batch(block)
+    order = pc.sort_indices(counts, sort_keys=[("doc_id", "ascending")])
+    s = counts.take(order)
+    ids = np.asarray(s["doc_id"].to_numpy(zero_copy_only=False))
+    n = np.asarray(pc.fill_null(s["n_tokens"], 0)
+                   .to_numpy(zero_copy_only=False)).astype(np.int64)
+    local_start = np.concatenate([[0], np.cumsum(n)[:-1]]) if len(n) \
+        else np.empty(0, np.int64)
+    meta = pa.table({"min_id": pa.array([int(ids[0])], pa.int64()),
+                     "max_id": pa.array([int(ids[-1])], pa.int64()),
+                     "total": pa.array([int(n.sum())], pa.int64())})
+    return meta, pa.table({"doc_id": pa.array(ids),
+                           "n_tokens": pa.array(n),
+                           "local_start": pa.array(local_start)})
+
+
+def _pack_phase2(prefix: pa.Table, offset: int, budget: int) -> pa.Table:
+    from ..engine.sketches import limit_worker_threads
+
+    limit_worker_threads()
+    if not prefix.num_rows:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "pack_id": pa.array([], pa.int64())})
+    start = np.asarray(prefix["local_start"].to_numpy(zero_copy_only=False))
+    pack = (start + offset) // budget
+    return pa.table({"doc_id": prefix["doc_id"],
+                     "n_tokens": prefix["n_tokens"],
+                     "pack_id": pa.array(pack.astype(np.int64))})
+
+
+_PACK1_REMOTE = None
+_PACK2_REMOTE = None
+
+
+def pack_sequences_from_ds(ds, budget: int = 512) -> pa.Table:
+    """Context-window sequence packing (the concat-and-cut pretraining
+    step): documents concatenate in doc_id order into one token stream
+    cut every ``budget`` tokens; each doc is assigned the pack its FIRST
+    token lands in → (doc_id, n_tokens, pack_id).
+
+    Distributed SCAN (exclusive prefix sum), the two-wave pattern: wave
+    1 computes per-block token sums and in-block prefixes (blocks stay
+    in the object store); the driver orders the one-row metas by doc_id
+    range — block ranges must be disjoint (parquet sorted by doc_id;
+    asserted loudly, never assumed) — and prefixes the totals; wave 2
+    adds each block's global offset.  Driver state is one (min, max,
+    sum) row per block, O(blocks) not O(rows)."""
+    import ray
+
+    from ..engine.blocks import iter_block_refs
+
+    global _PACK1_REMOTE, _PACK2_REMOTE
+    if _PACK1_REMOTE is None:
+        _PACK1_REMOTE = ray.remote(num_returns=2)(_pack_phase1)
+        _PACK2_REMOTE = ray.remote(_pack_phase2)
+
+    meta_refs, prefix_refs = [], []
+    for ref in iter_block_refs(ds):
+        m, p = _PACK1_REMOTE.remote(ref)
+        meta_refs.append(m)
+        prefix_refs.append(p)
+    metas = ray.get(meta_refs)
+    rows = [(int(m["min_id"][0].as_py()), int(m["max_id"][0].as_py()),
+             int(m["total"][0].as_py()), i)
+            for i, m in enumerate(metas) if m.num_rows]
+    rows.sort()
+    for (_, mx, _, _), (mn2, _, _, _) in zip(rows, rows[1:]):
+        if mx >= mn2:
+            raise RuntimeError(
+                "pack_sequences requires doc_id-range-disjoint blocks "
+                f"(got overlap: block max {mx} >= next min {mn2}); "
+                "sort the input by doc_id first")
+    offset = 0
+    out_refs = []
+    for _, _, total, i in rows:
+        out_refs.append(_PACK2_REMOTE.remote(prefix_refs[i], offset, budget))
+        offset += total
+    parts = [t for t in ray.get(out_refs) if t.num_rows]
+    if not parts:
+        return _pack_phase2(pa.table({}), 0, budget)
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("doc_id", "ascending")])
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 512) -> pa.Table:
+    return pack_sequences_from_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]), budget)
+
+
 def _table_as(sf_dir: str, table: str, columns: list[str], fmt: str) -> list[str]:
     """Materialize a testdata table in another format under /tmp (once per
     sf_dir, tmp-dir + atomic rename) THROUGH the engine's own sink — the
