@@ -97,7 +97,7 @@ def bench_queries(sf_dir: str) -> dict:
         "events_sessions", "top_events_per_type", "events_value_quantiles",
         "events_user_segments",
         # round-4 additions (per-query keys keep rounds comparable)
-        "events_price_range_join",
+        "events_price_range_join", "pack_sequences",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)
@@ -106,9 +106,10 @@ def bench_queries(sf_dir: str) -> dict:
         "minhash_verified_pairs", "simhash_documents", "ann_bruteforce",
         "langid_documents", "quality_documents", "winnow_fingerprints",
         "vocab_top_tokens",
-        # round-4 addition: full dedup chain (candidates -> verify ->
-        # components -> canonical filter)
-        "dedup_keep_canonical",
+        # round-4 additions: full dedup chain (candidates -> verify ->
+        # components -> canonical filter) + dataset assembly (split /
+        # epoch shuffle / concat-and-cut packing)
+        "dedup_keep_canonical", "train_val_split", "shuffle_documents",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):
