@@ -85,6 +85,28 @@ def test_random_graph_matches_union_find(ray_session):
     assert got == ref
 
 
+def test_cc_local_fuzz_vs_union_find():
+    """The in-memory kernel (the small-input fast path AND the
+    contraction finisher) differentially fuzzed against union-find
+    across many random topologies — no Ray needed."""
+    from yaschva_ray.engine.components import _cc_local
+
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        n_nodes = int(rng.integers(2, 300))
+        n_edges = int(rng.integers(1, 500))
+        a = rng.integers(0, n_nodes, size=n_edges)
+        b = rng.integers(0, n_nodes, size=n_edges)
+        m = a != b
+        if not m.any():
+            continue
+        edges = list(zip(a[m].tolist(), b[m].tolist()))
+        nodes, comp = _cc_local(a[m].astype(np.int64), b[m].astype(np.int64))
+        ref = _reference_components(edges)
+        got = dict(zip(nodes.tolist(), comp.tolist()))
+        assert got == ref, f"seed {seed}"
+
+
 def test_dataset_input_multiblock(ray_session):
     import ray.data
 
