@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": textops.q_ann_bruteforce,
         "langid_documents": textops.q_langid_documents,
         "quality_documents": textops.q_quality_documents,
+        "clean_corpus": textops.q_clean_corpus,
         "vocab_top_tokens": textops.q_vocab_top_tokens,
         "fingerprint_md5": textops.q_fingerprint_md5,
         "train_val_split": textops.q_train_val_split,
@@ -240,6 +241,30 @@ def _langid_sql() -> str:
             FROM documents
         ), h AS (SELECT doc_id, {hits} FROM tok)
         SELECT doc_id, {case} AS lang_pred FROM h ORDER BY doc_id
+    """
+
+
+def _clean_corpus_sql() -> str:
+    """Composed C4-style keep predicate: the langid mirror joined with the
+    quality-ratio mirrors (same rounding as quality_documents), filtered
+    by the engine's thresholds (n_tokens >= 5, ratios <= 0.3, lang known)."""
+    return rf"""
+        WITH l AS ({_langid_sql()}),
+        q AS (
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens,
+                   round(CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents
+        )
+        SELECT q.doc_id, l.lang_pred, q.n_tokens
+        FROM q JOIN l ON q.doc_id = l.doc_id
+        WHERE q.n_tokens >= 5 AND l.lang_pred <> 'unknown'
+          AND q.digit_ratio <= 0.3 AND q.punct_ratio <= 0.3
+        ORDER BY q.doc_id
     """
 
 
@@ -385,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY vec_a, vec_b
         """,
         "langid_documents": _langid_sql(),
+        "clean_corpus": _clean_corpus_sql(),
         "vocab_top_tokens": r"""
             WITH tok AS (
                 SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+'))

@@ -668,3 +668,29 @@ def test_shuffle_documents(ray_session):
     # multiset preserved and genuinely shuffled
     assert sorted(a["doc_id"].to_pylist()) == sorted(c["doc_id"].to_pylist())
     assert a["doc_id"].to_pylist() != sorted(a["doc_id"].to_pylist())
+
+
+def test_clean_corpus_fused_filter(ray_session):
+    """The fused C4-style keep predicate must equal composing the
+    standalone feature queries: quality_documents ratios + langid, with
+    the documented thresholds applied row-by-row."""
+    from yaschva_ray.pipelines.textops import (q_clean_corpus,
+                                               q_langid_documents,
+                                               q_quality_documents)
+
+    kept = q_clean_corpus(SF_DIR)
+    quality = q_quality_documents(SF_DIR)
+    lang = {d: l for d, l in zip(
+        q_langid_documents(SF_DIR)["doc_id"].to_pylist(),
+        q_langid_documents(SF_DIR)["lang_pred"].to_pylist())}
+    expect = []
+    for row in quality.to_pylist():
+        if (row["n_tokens"] >= 5 and lang[row["doc_id"]] != "unknown"
+                and row["digit_ratio"] <= 0.3 and row["punct_ratio"] <= 0.3):
+            expect.append((row["doc_id"], lang[row["doc_id"]],
+                           row["n_tokens"]))
+    got = list(zip(kept["doc_id"].to_pylist(),
+                   kept["lang_pred"].to_pylist(),
+                   kept["n_tokens"].to_pylist()))
+    assert got == expect
+    assert 0 < len(got) < quality.num_rows  # the filter actually bites

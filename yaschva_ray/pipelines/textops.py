@@ -1436,6 +1436,45 @@ _QUALITY_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that"]
 _STOP_RE = r"(?i)\b(?:" + "|".join(_QUALITY_STOPWORDS) + r")\b"
 
 
+def q_clean_corpus(sf_dir: str, min_tokens: int = 5,
+                   max_digit: float = 0.3,
+                   max_punct: float = 0.3) -> pa.Table:
+    """C4-style corpus cleaning — the composed filter a training-data
+    pipeline actually runs, as ONE fused batch pass (no per-feature
+    re-scan): language-ID + quality ratios + the keep predicate
+    (``n_tokens >= 5``, digit/punct ratio caps, identified language)
+    computed together; only surviving rows leave the stage.  Ratios are
+    rounded to 6 dp BEFORE comparing so the boundary decisions match
+    the SQL mirror bit-for-bit."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    langid = LangIdStage()
+
+    def clean(t: pa.Table) -> pa.Table:
+        lang = langid(t)["lang_pred"]
+        txt = t["text"]
+        n_chars = pc.utf8_length(txt).cast(pa.int64())
+        n_tokens = pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64())
+        denom_c = pc.cast(pc.max_element_wise(
+            n_chars, pa.scalar(1, pa.int64())), pa.float64())
+        digit_ratio = pc.round(pc.divide(pc.cast(
+            pc.count_substring_regex(txt, r"[0-9]").cast(pa.int64()),
+            pa.float64()), denom_c), ndigits=6)
+        punct_ratio = pc.round(pc.divide(pc.cast(
+            pc.count_substring_regex(txt, r"[^\w\s]").cast(pa.int64()),
+            pa.float64()), denom_c), ndigits=6)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_tokens, min_tokens),
+                    pc.not_equal(lang, "unknown")),
+            pc.and_(pc.less_equal(digit_ratio, max_digit),
+                    pc.less_equal(punct_ratio, max_punct)))
+        out = pa.table({"doc_id": t["doc_id"], "lang_pred": lang,
+                        "n_tokens": n_tokens})
+        return out.filter(pc.fill_null(keep, False))
+
+    return _gather(ds.map_batches(clean, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
+
+
 def q_quality_documents(sf_dir: str) -> pa.Table:
     """Vectorized quality features (length / punct / stopword / digit
     ratios per the training-data brief) — all via Arrow RE2 kernels,
