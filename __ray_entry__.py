@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": textops.q_langid_documents,
         "quality_documents": textops.q_quality_documents,
         "clean_corpus": textops.q_clean_corpus,
+        "decontaminate": textops.q_decontaminate,
+        "redact_pii": textops.q_redact_pii,
         "vocab_top_tokens": textops.q_vocab_top_tokens,
         "fingerprint_md5": textops.q_fingerprint_md5,
         "train_val_split": textops.q_train_val_split,
@@ -268,6 +270,64 @@ def _clean_corpus_sql() -> str:
     """
 
 
+def _decontaminate_sql() -> str:
+    """String-k-gram mirror of the hashed-shingle decontamination (k=8,
+    same planted rows, same short-doc whole-text fallback as the shingle
+    kernel)."""
+    from yaschva_ray.pipelines.textops import _DECON_PLANT_PREFIX
+
+    gram = "||' '||".join(f"t[i+{j}]" if j else "t[i]" for j in range(8))
+    return rf"""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 20000000, '{_DECON_PLANT_PREFIX} ' || text
+            FROM documents WHERE doc_id < 8
+        ), toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(coalesce(text, ''), '\S+') AS t
+            FROM aug
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 8
+                        THEN list_transform(range(1, len(t) - 6), i -> {gram})
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10
+        )
+        SELECT doc_id FROM sh
+        WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE list_contains(sh.s, b.g))
+        ORDER BY doc_id
+    """
+
+
+def _redact_pii_sql() -> str:
+    """Mirror of the sequential email-then-phone redaction over the same
+    planted rows; the RE2 pattern strings are SHARED with the engine."""
+    from yaschva_ray.pipelines.textops import PII_EMAIL_RE, PII_PHONE_RE
+
+    return rf"""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 30000000,
+                   text || ' reach user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call +1 555-0100 now'
+            FROM documents WHERE doc_id < 12
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+               + CAST(len(regexp_extract_all(
+                     regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                     '{PII_PHONE_RE}')) AS BIGINT) AS n_pii,
+               regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PII_PHONE_RE}', '[PHONE]', 'g') AS text_redacted
+        FROM aug ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact_documents": """
@@ -411,6 +471,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_documents": _langid_sql(),
         "clean_corpus": _clean_corpus_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "redact_pii": _redact_pii_sql(),
         "vocab_top_tokens": r"""
             WITH tok AS (
                 SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+'))

@@ -694,3 +694,63 @@ def test_clean_corpus_fused_filter(ray_session):
                    kept["n_tokens"].to_pylist()))
     assert got == expect
     assert 0 < len(got) < quality.num_rows  # the filter actually bites
+
+
+def test_decontaminate_drops_kgram_overlap(ray_session):
+    """Docs sharing any token 8-gram with the bench set are dropped; the
+    short-doc whole-text fallback and clean docs survive membership."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import _gather, decontaminate_from_ds
+
+    bench = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"]
+    texts = [
+        # 0: contains bench 8-gram (tokens 1..8 of the bench doc)
+        "xx alpha beta gamma delta epsilon zeta eta theta yy",
+        # 1: clean long doc
+        "one two three four five six seven eight nine ten eleven",
+        # 2: short doc equal to a bench short-fallback? bench is long, so
+        #    a short doc can only match via its whole text — it doesn't
+        "alpha beta gamma",
+        # 3: exact copy of the bench doc (all its 8-grams)
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = _gather(decontaminate_from_ds(
+        ray.data.from_arrow(t), bench)).sort_by([("doc_id", "ascending")])
+    assert out["doc_id"].to_pylist() == [1, 2]
+
+
+def test_decontaminate_short_bench_doc(ray_session):
+    """A bench doc shorter than k contributes its whole-text shingle; only
+    an identical short doc collides with it."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import _gather, decontaminate_from_ds
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["tiny eval doc", "tiny eval docs"])})
+    out = _gather(decontaminate_from_ds(
+        ray.data.from_arrow(t), ["tiny eval doc"]))
+    assert out["doc_id"].to_pylist() == [1]
+
+
+def test_redact_pii_counts_and_text(ray_session):
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import _gather, redact_pii_from_ds
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "mail a@b.co and c.d+x@e-f.org today",
+            "call +44 123-4567 or +1 555-0100",
+            "nothing sensitive here"])})
+    out = _gather(redact_pii_from_ds(ray.data.from_arrow(t))).sort_by(
+        [("doc_id", "ascending")])
+    assert out["n_pii"].to_pylist() == [2, 2, 0]
+    assert out["text_redacted"].to_pylist() == [
+        "mail [EMAIL] and [EMAIL] today",
+        "call [PHONE] or [PHONE]",
+        "nothing sensitive here"]

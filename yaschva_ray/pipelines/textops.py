@@ -1504,6 +1504,135 @@ def q_quality_documents(sf_dir: str) -> pa.Table:
         [("doc_id", "ascending")])
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+_DECON_SEED = 17
+_DECON_PLANT_PREFIX = "decon plant alpha beta"
+
+
+def decontaminate_from_ds(ds, bench_texts: list, k: int = 8):
+    """Training-data decontamination: drop every document that shares a
+    token ``k``-gram with the benchmark/eval set (the standard n-gram
+    overlap rule used to keep eval data out of training corpora).
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets are
+    MBs against a 100 TB corpus) — its distinct shingle hashes are computed
+    once on the driver, sorted, and broadcast via ``ray.put``; each batch
+    then does one vectorized shingle pass (the shared
+    ``_token_hash_segments``/``_batch_shingle_hashes`` kernels) plus a
+    ``searchsorted`` membership probe and a ``reduceat`` per-doc any().
+    No shuffle, no per-row Python.  Docs shorter than ``k`` tokens fall
+    back to one whole-doc shingle (the kernels' documented behavior, which
+    the SQL mirror reproduces).  Returns a Dataset of surviving doc_ids.
+    """
+    import ray
+
+    th, off, lens = _token_hash_segments(bench_texts, seed=_DECON_SEED)
+    sh, _ = _batch_shingle_hashes(th, off, lens, n=k)
+    bench = np.unique(sh)  # sorted, deduped
+    ref = ray.put(bench)
+
+    def drop_contaminated(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        b = ray.get(ref)
+        texts = t["text"].to_pylist()
+        th_, off_, lens_ = _token_hash_segments(texts, seed=_DECON_SEED)
+        sh_, s_off = _batch_shingle_hashes(th_, off_, lens_, n=k)
+        if len(b):
+            idx = np.minimum(np.searchsorted(b, sh_), len(b) - 1)
+            hit = (b[idx] == sh_).astype(np.int64)
+        else:
+            hit = np.zeros(len(sh_), dtype=np.int64)
+        # every doc owns >=1 shingle (kernel guarantee) so the segment
+        # starts are strictly increasing and reduceat is safe
+        seg = np.add.reduceat(hit, s_off[:-1])
+        return t.select(["doc_id"]).filter(pa.array(seg == 0))
+
+    return ds.map_batches(drop_contaminated, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str, k: int = 8) -> pa.Table:
+    """Decontamination demo with a deterministic, SQL-mirrorable setup:
+    the "benchmark" is docs 0..9 of the corpus itself, and 8 contaminated
+    rows are PLANTED (doc_id+20M, a fixed 4-token prefix prepended to an
+    eval doc's text) so true positives beyond the eval docs' self-matches
+    demonstrably get caught.  Output: surviving doc_ids over the augmented
+    table.  The hash-shingle membership is exact on this fixture (64-bit
+    shingle hashes over ~10^5 distinct shingles; the string-k-gram DuckDB
+    oracle is hash-equal at every tested sf)."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    head = _gather(ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 10)),
+        batch_format="pyarrow")).sort_by([("doc_id", "ascending")])
+    bench_texts = head["text"].to_pylist()
+    plant = head.filter(pc.less(head["doc_id"], 8))
+    planted = pa.table({
+        "doc_id": pa.array([i + 20_000_000 for i in
+                            plant["doc_id"].to_pylist()], pa.int64()),
+        "text": pa.array([f"{_DECON_PLANT_PREFIX} {t}" for t in
+                          plant["text"].to_pylist()], pa.string())})
+    aug = ds.union(ray.data.from_arrow(planted))
+    return _gather(decontaminate_from_ds(aug, bench_texts, k=k)).sort_by(
+        [("doc_id", "ascending")])
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# RE2 dialect on both sides (Arrow and DuckDB), so the same pattern strings
+# are shared verbatim by the engine and the SQL oracle
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3} [0-9]{3}-[0-9]{4}"
+
+
+def redact_pii_from_ds(ds):
+    """PII redaction as one vectorized batch pass: count then replace
+    emails, then count then replace phone numbers on the email-redacted
+    text (sequential composition keeps the counts unambiguous).  All four
+    kernels are Arrow RE2 (``count_substring_regex`` /
+    ``replace_substring_regex``) — no per-row Python; at 100 TB this is a
+    pure map stage."""
+    def redact(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        n_email = pc.count_substring_regex(txt, PII_EMAIL_RE).cast(pa.int64())
+        t1 = pc.replace_substring_regex(txt, PII_EMAIL_RE, "[EMAIL]")
+        n_phone = pc.count_substring_regex(t1, PII_PHONE_RE).cast(pa.int64())
+        t2 = pc.replace_substring_regex(t1, PII_PHONE_RE, "[PHONE]")
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_pii": pc.add(n_email, n_phone),
+                         "text_redacted": t2})
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+def q_redact_pii(sf_dir: str) -> pa.Table:
+    """The corpus has no natural PII, so 12 PII-bearing rows are PLANTED
+    (doc_id+30M, an email derived from the row's own doc_id plus a fixed
+    phone number appended) — the same in-SQL augmentation the oracle runs,
+    so redaction demonstrably fires and every row is hash-checked."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    head = _gather(ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 12)),
+        batch_format="pyarrow")).sort_by([("doc_id", "ascending")])
+    ids = head["doc_id"].to_pylist()
+    planted = pa.table({
+        "doc_id": pa.array([i + 30_000_000 for i in ids], pa.int64()),
+        "text": pa.array(
+            [f"{t} reach user{i}@example.com or call +1 555-0100 now"
+             for i, t in zip(ids, head["text"].to_pylist())], pa.string())})
+    aug = ds.union(ray.data.from_arrow(planted))
+    return _gather(redact_pii_from_ds(aug)).sort_by(
+        [("doc_id", "ascending")])
+
+
 def q_fingerprint_documents(sf_dir: str) -> pa.Table:
     """64-bit content fingerprint per doc (vectorized xxhash via polars) —
     the cheap first stage of any dedup pipeline.  Deterministic."""
