@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": textops.q_clean_corpus,
         "decontaminate": textops.q_decontaminate,
         "redact_pii": textops.q_redact_pii,
+        "domain_mix": textops.q_domain_mix,
         "vocab_top_tokens": textops.q_vocab_top_tokens,
         "fingerprint_md5": textops.q_fingerprint_md5,
         "train_val_split": textops.q_train_val_split,
@@ -328,6 +329,25 @@ def _redact_pii_sql() -> str:
     """
 
 
+def _domain_mix_sql() -> str:
+    """Mirror of the Knuth-mix stratified sampler, CASE built from the
+    same DOMAIN_MIX_RATES table the engine uses."""
+    from yaschva_ray.pipelines.textops import (_MIX_SALT, _SPLIT_MULT,
+                                               DOMAIN_MIX_DEFAULT,
+                                               DOMAIN_MIX_RATES)
+
+    case = ("CASE " + " ".join(
+        f"WHEN source = '{g}' THEN {int(round(r * 10_000))}"
+        for g, r in sorted(DOMAIN_MIX_RATES.items()))
+        + f" ELSE {int(round(DOMAIN_MIX_DEFAULT * 10_000))} END")
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE (doc_id * {_SPLIT_MULT} + {_MIX_SALT}) % 4294967296 % 10000
+              < {case}
+        ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact_documents": """
@@ -473,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _clean_corpus_sql(),
         "decontaminate": _decontaminate_sql(),
         "redact_pii": _redact_pii_sql(),
+        "domain_mix": _domain_mix_sql(),
         "vocab_top_tokens": r"""
             WITH tok AS (
                 SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+'))

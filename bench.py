@@ -110,6 +110,9 @@ def bench_queries(sf_dir: str) -> dict:
         # components -> canonical filter) + dataset assembly (split /
         # epoch shuffle / concat-and-cut packing)
         "dedup_keep_canonical", "train_val_split", "shuffle_documents",
+        # round-4 additions: corpus curation (fused C4-style clean,
+        # benchmark decontamination, PII redaction)
+        "clean_corpus", "decontaminate", "redact_pii",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):

@@ -754,3 +754,32 @@ def test_redact_pii_counts_and_text(ray_session):
         "mail [EMAIL] and [EMAIL] today",
         "call [PHONE] or [PHONE]",
         "nothing sensitive here"]
+
+
+def test_stratified_sample_rates_and_default(ray_session):
+    """Per-group keep rates land near their targets, membership is a pure
+    function of doc_id (re-run identical), and groups absent from the
+    rates table fall back to the default rate."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (_gather,
+                                               stratified_sample_from_ds)
+
+    n = 30_000
+    src = ["keep_all", "half", "mystery"]  # mystery: not in rates
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "source": pa.array([src[i % 3] for i in range(n)])})
+    rates = {"keep_all": 1.0, "half": 0.5}
+    out = _gather(stratified_sample_from_ds(
+        ray.data.from_arrow(t), rates, default=0.1)).sort_by(
+        [("doc_id", "ascending")])
+    kept = {}
+    for s in out["source"].to_pylist():
+        kept[s] = kept.get(s, 0) + 1
+    assert kept["keep_all"] == n // 3           # rate 1.0 keeps everything
+    assert abs(kept["half"] / (n / 3) - 0.5) < 0.03
+    assert abs(kept["mystery"] / (n / 3) - 0.1) < 0.03
+    again = _gather(stratified_sample_from_ds(
+        ray.data.from_arrow(t), rates, default=0.1)).sort_by(
+        [("doc_id", "ascending")])
+    assert out.equals(again)

@@ -155,8 +155,9 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
             out = textops.simhash_neardup_pairs(ds, max_hamming=args.max_hamming)
         else:  # minhash
             cands = textops.minhash_candidates_from_ds(ds)
-            tables = [t for t in ray.get(cands.to_arrow_refs())
-                      if t.num_columns and t.num_rows]
+            from yaschva_ray.engine.blocks import gather_tables
+
+            tables = [t for t in gather_tables(cands) if t.num_rows]
             import pyarrow as pa
 
             out = (pa.concat_tables(tables).combine_chunks()

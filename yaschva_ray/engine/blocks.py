@@ -27,3 +27,29 @@ def iter_block_refs(ds, *, force_fallback: bool = False):
                 yield block_ref
     else:
         yield from ds.to_arrow_refs()
+
+
+def gather_tables(ds, *, force_fallback: bool = False) -> list:
+    """Materialize the dataset's blocks as a list of Arrow tables.
+
+    Replaces the ``ray.get(ds.to_arrow_refs())`` pattern everywhere:
+    ``to_arrow_refs`` calls ``schema(fetch_if_missing=True)`` AFTER
+    consuming the ref bundles, and on an already-consumed plan that
+    schema fetch launches a SECOND limit-1 execution of the whole
+    pipeline prefix — measured 0.15–0.4 s of pure overhead per gather at
+    sf0.1, and a wasted scan start per stage at scale.  Block order is
+    identical (``to_arrow_refs`` consumes the same bundle iterator).
+    Blocks are Arrow already in every pyarrow-batch pipeline; anything
+    else is converted defensively.  Schema-less empty blocks are dropped
+    (they carry no rows and break ``concat_tables``)."""
+    import pyarrow as pa
+    import ray
+
+    refs = list(iter_block_refs(ds, force_fallback=force_fallback))
+    out = []
+    for b in ray.get(refs):
+        if not isinstance(b, pa.Table):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        if b.num_columns:
+            out.append(b)
+    return out

@@ -441,7 +441,9 @@ def referential_missing_keys(
             key_type = f.type
 
     if partials.count() <= broadcast_limit:
-        blocks = [x for x in ray.get(partials.to_arrow_refs()) if x.num_columns]
+        from .blocks import gather_tables
+
+        blocks = gather_tables(partials)
         keys_t = pa.concat_tables(blocks) if blocks else pa.table(
             {"key": pa.array([], key_type)})
         value_set = pc.unique(keys_t["key"].combine_chunks()
@@ -485,7 +487,9 @@ def referential_missing_keys(
         return (t.group_by(left_key).aggregate([])
                 .sort_by([(left_key, "ascending")]))
 
-    blocks = [x for x in ray.get(out.to_arrow_refs()) if x.num_columns]
+    from .blocks import gather_tables
+
+    blocks = gather_tables(out)
     if not blocks:
         return pa.table({left_key: pa.array([], key_type)})
     t = pa.concat_tables(blocks).combine_chunks()

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..engine.blocks import gather_tables
 from ..engine.checks import uniqueness_violations
 from ..pipelines.flagship import validate_dataset
 from ..vectorized import TableValidator, ViolationExploder
@@ -42,13 +43,12 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def _sorted_table(ds_or_table, sort_cols: list[str]) -> pa.Table:
-    import ray
+    from ..engine.blocks import gather_tables
 
     if isinstance(ds_or_table, pa.Table):
         t = ds_or_table
     else:
-        tables = ray.get(ds_or_table.to_arrow_refs())
-        tables = [t for t in tables if t.num_columns]  # drop schema-less empty blocks
+        tables = gather_tables(ds_or_table)
         t = pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
     if t.num_rows:
         t = t.combine_chunks().sort_by([(c, "ascending") for c in sort_cols])
@@ -163,12 +163,12 @@ def q_active_customers(sf_dir: str) -> pa.Table:
     import ray
 
     users = _read(sf_dir, "events", ["user_id"])
-    blocks = [b for b in ray.get(
+    blocks = gather_tables(
         users.map_batches(lambda t: pa.table(
             {"user_id": pc.unique(t["user_id"].combine_chunks()
                                   if isinstance(t["user_id"], pa.ChunkedArray)
                                   else t["user_id"])}),
-            batch_format="pyarrow").to_arrow_refs()) if b.num_columns]
+            batch_format="pyarrow"))
     uset = pc.unique(pa.concat_tables(blocks)["user_id"].combine_chunks()) \
         if blocks else pa.array([], pa.int64())
     ref = ray.put(uset)
@@ -213,9 +213,8 @@ def q_null_counts_documents(sf_dir: str) -> pa.Table:
     # bounded-cardinality partials (3 rows per block): driver-side combine
     import ray
 
-    blocks = [b for b in ray.get(
-        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-        if b.num_rows]
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
     g = (pa.concat_tables(blocks).group_by("col_name")
          .aggregate([("n_nulls", "sum"), ("n_rows", "sum")]))
     out = pa.table({"col_name": g["col_name"],
@@ -241,10 +240,8 @@ def q_distinct_lang(sf_dir: str) -> pa.Table:
         return pa.table({"lang": pc.unique(col)})
 
     vals: set = set()
-    for b in ray.get(ds.map_batches(partial, batch_format="pyarrow")
-                     .to_arrow_refs()):
-        if b.num_columns:
-            vals.update(b["lang"].to_pylist())
+    for b in gather_tables(ds.map_batches(partial, batch_format="pyarrow")):
+        vals.update(b["lang"].to_pylist())
     vals.discard(None)  # SQL COUNT(DISTINCT …) excludes NULL
     return pa.table({"n_distinct": pa.array([len(vals)], pa.int64())})
 
@@ -278,9 +275,8 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     # fixed latency for nothing
     import ray
 
-    blocks = [b for b in ray.get(
-        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-        if b.num_rows]
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
     g = (pa.concat_tables(blocks).group_by(["l_returnflag", "l_linestatus"])
          .aggregate([("qty_cents", "sum"), ("price_cents", "sum"),
                      ("n_rows", "sum")]))
@@ -633,9 +629,8 @@ def q_events_hourly_window(sf_dir: str) -> pa.Table:
             "value_cents": g["value_cents_sum"], "n_events": g["n_events_sum"],
         })
 
-    blocks = [b for b in ray.get(
-        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-        if b.num_columns and b.num_rows]
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
     g = (pa.concat_tables(blocks).group_by(["window_start", "event_type"])
          .aggregate([("value_cents", "sum"), ("n_events", "sum")]))
     out = pa.table({
@@ -672,7 +667,7 @@ def q_top_violated_paths(sf_dir: str) -> pa.Table:
     partials = ds.map_batches(partial_counts, batch_format="pyarrow")
     import ray
 
-    blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+    blocks = [b for b in gather_tables(partials) if b.num_rows]
     if not blocks:
         return pa.table({"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     merged = pa.concat_tables(blocks).group_by("path").aggregate([("n", "sum")])
@@ -792,9 +787,8 @@ def q_events_sliding_window(sf_dir: str) -> pa.Table:
                          "value_cents": g["value_cents_sum"],
                          "n": g["n_sum"]})
 
-    blocks = [b for b in ray.get(
-        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-        if b.num_rows]
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
     g = (pa.concat_tables(blocks).group_by(["window_start", "event_type"])
          .aggregate([("value_cents", "sum"), ("n", "sum")]))
     return pa.table({
@@ -849,9 +843,8 @@ def q_top_events_per_type(sf_dir: str, k: int = 3) -> pa.Table:
         rank = np.arange(n) - gstart
         return s.filter(pa.array(rank < k))
 
-    blocks = [b for b in ray.get(
-        ds.map_batches(topk, batch_format="pyarrow").to_arrow_refs())
-        if b.num_columns and b.num_rows]
+    blocks = [b for b in gather_tables(
+        ds.map_batches(topk, batch_format="pyarrow")) if b.num_rows]
     if not blocks:
         return pa.table({"event_type": pa.array([], pa.string()),
                          "event_id": pa.array([], pa.int64())})
@@ -878,9 +871,8 @@ def q_events_value_quantiles(sf_dir: str) -> pa.Table:
         return pa.table({"cents": g["cents"],
                          "n": g["count_all"].cast(pa.int64())})
 
-    blocks = [b for b in ray.get(
-        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-        if b.num_columns and b.num_rows]
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
     if not blocks:  # empty input: one row of nulls, like the SQL
         return pa.table({"p50_cents": pa.array([None], pa.int64()),
                          "p90_cents": pa.array([None], pa.int64()),
@@ -910,7 +902,7 @@ def q_events_user_segments(sf_dir: str) -> pa.Table:
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    blocks = [b for b in ray.get(cust.to_arrow_refs()) if b.num_columns]
+    blocks = gather_tables(cust)
     if not blocks:
         blocks = [pa.table({"c_custkey": pa.array([], pa.int64()),
                             "c_mktsegment": pa.array([], pa.string())})]
@@ -934,9 +926,8 @@ def q_events_user_segments(sf_dir: str) -> pa.Table:
                          "value_cents": g["value_cents_sum"],
                          "n": g["n_sum"]})
 
-    blocks = [b for b in ray.get(
-        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-        if b.num_columns and b.num_rows]
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
     if not blocks:
         return pa.table({"c_mktsegment": pa.array([], pa.string()),
                          "n_events": pa.array([], pa.int64()),
@@ -1110,9 +1101,8 @@ def q_approx_distinct_users(sf_dir: str) -> pa.Table:
                                                pa.binary())})
 
     merged = HyperLogLog()
-    for b in ray.get(ds.map_batches(partial, batch_format="pyarrow")
-                     .to_arrow_refs()):
-        if b.num_columns and b.num_rows:
+    for b in gather_tables(ds.map_batches(partial, batch_format="pyarrow")):
+        if b.num_rows:
             for blob in b["registers"].to_pylist():
                 other = HyperLogLog(
                     np.frombuffer(blob, dtype=merged.registers.dtype).copy())
@@ -1143,9 +1133,8 @@ def q_approx_quantiles_events(sf_dir: str) -> pa.Table:
 
     merged = LogHistogram()
     states = []
-    for b in ray.get(ds.map_batches(partial, batch_format="pyarrow")
-                     .to_arrow_refs()):
-        if b.num_columns and b.num_rows:
+    for b in gather_tables(ds.map_batches(partial, batch_format="pyarrow")):
+        if b.num_rows:
             states.extend(b["state"].to_pylist())
     for s in sorted(states):  # deterministic merge order
         merged.merge(pickle.loads(s))

@@ -56,9 +56,9 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _gather(ds) -> pa.Table:
-    import ray
+    from ..engine.blocks import gather_tables
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    tables = gather_tables(ds)
     return pa.concat_tables(tables).combine_chunks() if tables else pa.table({})
 
 
@@ -1808,6 +1808,50 @@ def q_train_val_split(sf_dir: str, train_pct: int = 95,
         return pa.table({"doc_id": t["doc_id"], "split": lab})
 
     return _gather(ds.map_batches(split, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
+
+
+# Demo mixing weights over the fixture's src0..src19: keep all of the
+# first five domains, half of the next five, 10% of the tail.  Shared
+# with the SQL oracle builder so the two stay in sync.
+DOMAIN_MIX_RATES = {f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.1)
+                    for i in range(10)}
+DOMAIN_MIX_DEFAULT = 0.1
+_MIX_SALT = 11  # distinct from the train/val salt: independent decisions
+
+
+def stratified_sample_from_ds(ds, rates: dict, default: float,
+                              salt: int = _MIX_SALT,
+                              group_col: str = "source"):
+    """Domain mixing / stratified downsampling — the corpus-assembly step
+    that rebalances sources before training: each row is kept iff
+    ``knuth_mix(doc_id, salt) % 10000 < rate(group) * 10000``.  A pure
+    per-batch map (rate lookup via ``index_in`` against the tiny rates
+    table, one numpy mix over doc_id) — no shuffle, no RNG state, stable
+    under re-partitioning and resume, and per-group rates are exact in
+    expectation with deterministic membership."""
+    groups = sorted(rates)
+    bp = np.array([int(round(rates[g] * 10_000)) for g in groups]
+                  + [int(round(default * 10_000))], dtype=np.int64)
+    gset = pa.array(groups, pa.string())
+
+    def samp(t: pa.Table) -> pa.Table:
+        idx = pc.fill_null(pc.index_in(t[group_col], value_set=gset),
+                           len(groups))
+        thr = bp[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        h = ((ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+              + np.uint64(salt)) % np.uint64(1 << 32)) % np.uint64(10_000)
+        return t.select(["doc_id", group_col]).filter(
+            pa.array(h.astype(np.int64) < thr))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+def q_domain_mix(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return _gather(stratified_sample_from_ds(
+        ds, DOMAIN_MIX_RATES, DOMAIN_MIX_DEFAULT)).sort_by(
         [("doc_id", "ascending")])
 
 
