@@ -101,10 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": textops.q_ann_bruteforce,
         "langid_documents": textops.q_langid_documents,
         "quality_documents": textops.q_quality_documents,
-        "clean_corpus": textops.q_clean_corpus,
         "decontaminate": textops.q_decontaminate,
         "redact_pii": textops.q_redact_pii,
         "domain_mix": textops.q_domain_mix,
+        "curate_corpus": textops.q_curate_corpus,
         "vocab_top_tokens": textops.q_vocab_top_tokens,
         "fingerprint_md5": textops.q_fingerprint_md5,
         "train_val_split": textops.q_train_val_split,
@@ -151,6 +151,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variant of a sibling that stays (ann_lsh+bruteforce cover ANN,
         # media_features covers the plumbing, exact quantiles is checked) —
         # and each keeps its own tests
+        # clean_corpus IS oracle-backed, but with 51 oracle-checked queries
+        # against the driver's 50-entry sweep one must sit past the cap:
+        # its keep predicate is re-checked verbatim inside curate_corpus's
+        # oracle (the `clean` CTE), so it loses nothing by living here
+        "clean_corpus": textops.q_clean_corpus,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
@@ -329,6 +334,65 @@ def _redact_pii_sql() -> str:
     """
 
 
+def _curate_corpus_sql() -> str:
+    """One SQL statement equivalent to the composed curation chain:
+    clean (langid + ratio thresholds) → decontaminate (8-gram overlap
+    with docs 0..9) → exact-dedup keep-canonical (min doc_id per text)
+    → train/val split (the Knuth mix of train_val_split)."""
+    from yaschva_ray.pipelines.textops import _SPLIT_MULT
+
+    gram = "||' '||".join(f"t[i+{j}]" if j else "t[i]" for j in range(8))
+    return rf"""
+        WITH l AS ({_langid_sql()}),
+        base AS (
+            SELECT d.doc_id, d.text, l.lang_pred,
+                   CAST(length(regexp_extract_all(d.text, '\S+')) AS BIGINT)
+                       AS n_tokens,
+                   round(CAST(length(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE)
+                         / greatest(length(d.text), 1), 6) AS digit_ratio,
+                   round(CAST(length(regexp_extract_all(d.text, '[^\w\s]')) AS DOUBLE)
+                         / greatest(length(d.text), 1), 6) AS punct_ratio
+            FROM documents d JOIN l ON d.doc_id = l.doc_id
+        ),
+        clean AS (
+            SELECT doc_id, text, lang_pred, n_tokens FROM base
+            WHERE n_tokens >= 5 AND lang_pred <> 'unknown'
+              AND digit_ratio <= 0.3 AND punct_ratio <= 0.3
+        ),
+        shc AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 8
+                        THEN list_transform(range(1, len(t) - 6), i -> {gram})
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM (SELECT doc_id,
+                         regexp_extract_all(coalesce(text, ''), '\S+') AS t
+                  FROM clean)
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(
+                CASE WHEN len(t) >= 8
+                     THEN list_transform(range(1, len(t) - 6), i -> {gram})
+                     ELSE [array_to_string(t, ' ')] END) AS g
+            FROM (SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS t
+                  FROM documents WHERE doc_id < 10)
+        ),
+        decon AS (
+            SELECT c.* FROM clean c JOIN shc s ON c.doc_id = s.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM bench b
+                              WHERE list_contains(s.s, b.g))
+        ),
+        dedup AS (
+            SELECT *, row_number() OVER (PARTITION BY text
+                                         ORDER BY doc_id) AS rn
+            FROM decon
+        )
+        SELECT doc_id, lang_pred, n_tokens,
+               CASE WHEN (doc_id * {_SPLIT_MULT} + 7) % 4294967296 % 100 < 95
+                    THEN 'train' ELSE 'val' END AS split
+        FROM dedup WHERE rn = 1 ORDER BY doc_id
+    """
+
+
 def _domain_mix_sql() -> str:
     """Mirror of the Knuth-mix stratified sampler, CASE built from the
     same DOMAIN_MIX_RATES table the engine uses."""
@@ -494,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "redact_pii": _redact_pii_sql(),
         "domain_mix": _domain_mix_sql(),
+        "curate_corpus": _curate_corpus_sql(),
         "vocab_top_tokens": r"""
             WITH tok AS (
                 SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+'))

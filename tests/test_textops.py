@@ -783,3 +783,35 @@ def test_stratified_sample_rates_and_default(ray_session):
         ray.data.from_arrow(t), rates, default=0.1)).sort_by(
         [("doc_id", "ascending")])
     assert out.equals(again)
+
+
+def test_curate_corpus_composition(ray_session, tmp_path):
+    """The composed chain must drop dirty rows (clean), bench-overlapping
+    rows (decon), and non-canonical exact duplicates (dedup), and label
+    the winners with the train_val_split formula."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import _SPLIT_MULT, q_curate_corpus
+
+    en = "the cat and the dog is in it that day one two"  # clean English
+    rows = {
+        # doc_ids 0..9 are the bench set: they self-contaminate and drop
+        # (no 8-gram overlap with the survivors below)
+        **{i: f"alpha beta gamma delta epsilon zeta eta theta bench {i}"
+           for i in range(10)},
+        10: en + " extra words here",          # clean survivor
+        11: en + " extra words here",          # exact dup of 10 → dropped
+        12: "x " * 3,                          # too short → clean drops it
+        13: "uno dos tres cuatro cinco seis siete ocho",  # unknown lang
+        14: en + " different tail entirely now",  # clean survivor
+    }
+    t = pa.table({"doc_id": pa.array(sorted(rows), pa.int64()),
+                  "text": pa.array([rows[i] for i in sorted(rows)])})
+    d = tmp_path / "documents.parquet"
+    pq.write_table(t, d)
+    out = q_curate_corpus(str(tmp_path))
+    assert out["doc_id"].to_pylist() == [10, 14]
+    for i, s in zip(out["doc_id"].to_pylist(), out["split"].to_pylist()):
+        expect = "train" if ((i * _SPLIT_MULT + 7) % (1 << 32)) % 100 < 95 \
+            else "val"
+        assert s == expect

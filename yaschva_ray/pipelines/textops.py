@@ -1581,6 +1581,97 @@ def q_decontaminate(sf_dir: str, k: int = 8) -> pa.Table:
         [("doc_id", "ascending")])
 
 
+def q_curate_corpus(sf_dir: str, min_tokens: int = 5, max_digit: float = 0.3,
+                    max_punct: float = 0.3, k: int = 8,
+                    train_pct: int = 95, salt: int = 7) -> pa.Table:
+    """End-to-end corpus curation — the COMPOSED pipeline a training-data
+    team actually runs, as one streaming chain: fused quality/langid clean
+    → benchmark decontamination (docs 0..9 as the eval set) → exact-dedup
+    keep-canonical → deterministic train/val split.
+
+    Scale shape: ONE scan; clean+decon are fused into a single per-batch
+    stage (quality ratios, langid, shingle membership probe against the
+    broadcast bench set — only surviving rows leave it); the only wide
+    step is the keyed hash exchange for exact dedup, and it moves only
+    the text that survived both filters; the split label is a pure map
+    over the canonical winners.  Every stage reuses an independently
+    oracle-checked operator, and the composition itself is hash-checked
+    against the equivalent single SQL statement."""
+    import ray
+
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    head = _gather(ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 10)),
+        batch_format="pyarrow")).sort_by([("doc_id", "ascending")])
+    th, off, lens = _token_hash_segments(head["text"].to_pylist(),
+                                         seed=_DECON_SEED)
+    bsh, _ = _batch_shingle_hashes(th, off, lens, n=k)
+    bref = ray.put(np.unique(bsh))
+    langid = LangIdStage()
+
+    def clean_and_decon(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        lang = langid(t)["lang_pred"]
+        n_chars = pc.utf8_length(txt).cast(pa.int64())
+        n_tokens = pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64())
+        denom = pc.cast(pc.max_element_wise(
+            n_chars, pa.scalar(1, pa.int64())), pa.float64())
+        digit = pc.round(pc.divide(pc.cast(pc.count_substring_regex(
+            txt, r"[0-9]").cast(pa.int64()), pa.float64()), denom), ndigits=6)
+        punct = pc.round(pc.divide(pc.cast(pc.count_substring_regex(
+            txt, r"[^\w\s]").cast(pa.int64()), pa.float64()), denom),
+            ndigits=6)
+        keep = pc.fill_null(pc.and_(
+            pc.and_(pc.greater_equal(n_tokens, min_tokens),
+                    pc.not_equal(lang, "unknown")),
+            pc.and_(pc.less_equal(digit, max_digit),
+                    pc.less_equal(punct, max_punct))), False)
+        kept = pa.table({"doc_id": t["doc_id"], "text": txt,
+                         "lang_pred": lang,
+                         "n_tokens": n_tokens}).filter(keep)
+        if kept.num_rows == 0:
+            return kept
+        b = ray.get(bref)
+        th_, off_, lens_ = _token_hash_segments(
+            kept["text"].to_pylist(), seed=_DECON_SEED)
+        sh_, s_off = _batch_shingle_hashes(th_, off_, lens_, n=k)
+        idx = np.minimum(np.searchsorted(b, sh_), max(len(b) - 1, 0))
+        hit = ((b[idx] == sh_) if len(b)
+               else np.zeros(len(sh_), bool)).astype(np.int64)
+        seg = np.add.reduceat(hit, s_off[:-1])
+        return kept.filter(pa.array(seg == 0))
+
+    def canonical(t: pa.Table) -> pa.Table:
+        # keep the min-doc_id row per exact text (winners, with their
+        # carried columns) — the keep-side twin of _dedup_bucket
+        tt = t.append_column("__txt", pc.fill_null(t["text"], "")) \
+              .append_column("__isn", pc.is_null(t["text"]))
+        keep = tt.group_by(["__txt", "__isn"]).aggregate([("doc_id", "min")])
+        j = tt.join(keep, keys=["__txt", "__isn"])
+        win = j.filter(pc.equal(j["doc_id"], j["doc_id_min"]))
+        return win.select(["doc_id", "lang_pred", "n_tokens"])
+
+    filtered = ds.map_batches(clean_and_decon, batch_format="pyarrow")
+    tables = keyed_exchange(filtered, "text", canonical)
+    if not tables:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang_pred": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "split": pa.array([], pa.string())})
+    out = pa.concat_tables(tables).combine_chunks()
+    ids = np.asarray(out["doc_id"].to_numpy(zero_copy_only=False))
+    h = (ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+         + np.uint64(salt)) % np.uint64(1 << 32)
+    is_train = (h % np.uint64(100)) < train_pct
+    split = pa.DictionaryArray.from_arrays(
+        pa.array((~is_train).astype(np.int8)),
+        pa.array(["train", "val"])).cast(pa.string())
+    return out.append_column("split", split).sort_by(
+        [("doc_id", "ascending")])
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------
