@@ -112,7 +112,7 @@ def bench_queries(sf_dir: str) -> dict:
         "dedup_keep_canonical", "train_val_split", "shuffle_documents",
         # round-4 additions: corpus curation (fused C4-style clean,
         # benchmark decontamination, PII redaction)
-        "clean_corpus", "decontaminate", "redact_pii",
+        "clean_corpus", "decontaminate", "redact_pii", "curate_corpus",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):
