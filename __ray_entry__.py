@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its keep predicate is re-checked verbatim inside curate_corpus's
         # oracle (the `clean` CTE), so it loses nothing by living here
         "clean_corpus": textops.q_clean_corpus,
+        "token_stats": textops.q_token_stats,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
@@ -559,6 +560,31 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_sql(),
         "domain_mix": _domain_mix_sql(),
         "curate_corpus": _curate_corpus_sql(),
+        "token_stats": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS w
+                FROM documents
+            ), vc AS (
+                SELECT w, count(*) AS n FROM tok GROUP BY w
+            ), agg AS (
+                SELECT t.doc_id, count(*) AS n_tokens, sum(vc.n) AS freq_sum
+                FROM tok t JOIN vc USING (w) GROUP BY t.doc_id
+            ), dis AS (
+                SELECT doc_id,
+                       len(list_distinct(regexp_extract_all(
+                           coalesce(text, ''), '\S+'))) AS n_distinct
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(dis.n_distinct AS BIGINT) AS n_distinct,
+                   CAST(coalesce(a.freq_sum, 0) AS BIGINT) AS freq_sum
+            FROM documents d
+            JOIN dis USING (doc_id)
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
+        """,
         "vocab_top_tokens": r"""
             WITH tok AS (
                 SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+'))

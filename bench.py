@@ -113,6 +113,7 @@ def bench_queries(sf_dir: str) -> dict:
         # round-4 additions: corpus curation (fused C4-style clean,
         # benchmark decontamination, PII redaction)
         "clean_corpus", "decontaminate", "redact_pii", "curate_corpus",
+        "token_stats",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):

@@ -815,3 +815,23 @@ def test_curate_corpus_composition(ray_session, tmp_path):
         expect = "train" if ((i * _SPLIT_MULT + 7) % (1 << 32)) % 100 < 95 \
             else "val"
         assert s == expect
+
+
+def test_token_stats_exact_integers(ray_session, tmp_path):
+    """n_tokens / n_distinct / freq_sum computed by hand on a tiny corpus
+    (freq_sum counts each OCCURRENCE's global frequency; empty and null
+    docs score zeros)."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import q_token_stats
+
+    texts = ["a a b", "b c", "", None, "a"]
+    # global counts: a=3, b=2, c=1
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_token_stats(str(tmp_path))
+    assert out["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
+    assert out["n_tokens"].to_pylist() == [3, 2, 0, 0, 1]
+    assert out["n_distinct"].to_pylist() == [2, 2, 0, 0, 1]
+    assert out["freq_sum"].to_pylist() == [3 + 3 + 2, 2 + 1, 0, 0, 3]

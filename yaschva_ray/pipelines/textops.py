@@ -1458,6 +1458,89 @@ def q_vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
         _read(sf_dir, "documents", ["doc_id", "text"]), k=k)
 
 
+def vocab_counts_from_ds(ds, num_buckets: int | None = None) -> pa.Table:
+    """FULL corpus vocabulary counts (the uncapped sibling of
+    ``vocab_top_tokens_from_ds``): per-block value_counts partials →
+    keyed hash exchange on the token → per-bucket group-sum.  The result
+    is one row per DISTINCT corpus token — natural-language vocabularies
+    are millions of rows (tens of MB), a documented broadcastable small
+    side, not corpus-sized."""
+    import polars as pl  # noqa: F401  (kernel dependency made explicit)
+
+    from ..engine.exchange import keyed_exchange
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        flat = (s.str.extract_all(TOKEN_RE)
+                .explode(empty_as_null=True).drop_nulls())
+        vc = flat.value_counts()
+        arrow = vc.to_arrow()
+        return pa.table({"token": arrow["t"].cast(pa.string()),
+                         "n": arrow["count"].cast(pa.int64())})
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("n", "sum")])
+        return pa.table({"token": g["token"],
+                         "n": g["n_sum"].cast(pa.int64())})
+
+    parts = keyed_exchange(ds.map_batches(partial_counts,
+                                          batch_format="pyarrow"),
+                           "token", sum_bucket, num_buckets=num_buckets,
+                           empty_result=empty)
+    return (pa.concat_tables(parts).combine_chunks() if parts else empty)
+
+
+def q_token_stats(sf_dir: str) -> pa.Table:
+    """Per-doc token statistics for repetition/rarity filtering — all
+    EXACT INTEGERS so the DuckDB mirror is hash-stable: ``n_tokens``,
+    ``n_distinct`` (distinct tokens in the doc — a low distinct/total
+    ratio flags boilerplate repetition), and ``freq_sum`` (sum over the
+    doc's token OCCURRENCES of each token's GLOBAL corpus count — the
+    integer analog of unigram log-likelihood; rare-token-heavy docs score
+    low).  Two-phase: the uncapped vocab exchange, broadcast once via
+    ``ray.put``, then one tokenize pass computes all three per batch
+    (``index_in`` against the vocab + an integer take + ``reduceat``)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = vocab_counts_from_ds(ds)
+    order = pc.sort_indices(vocab["token"])
+    words = vocab["token"].take(order)
+    counts = vocab["n"].take(order).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    bref = ray.put((words, counts))
+
+    def stats(t: pa.Table) -> pa.Table:
+        words_, counts_ = ray.get(bref)
+        s = _pl_text(t["text"])
+        toks = s.str.extract_all(TOKEN_RE)
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        n_distinct = toks.list.n_unique().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls()
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        if len(flat) and len(words_):
+            fa = flat.to_arrow()
+            if isinstance(fa, pa.ChunkedArray):
+                fa = fa.combine_chunks()
+            wid = pc.index_in(fa, value_set=words_) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            per_tok = np.append(counts_[wid], 0)  # vocab covers the corpus
+            fsum = np.where(lens > 0,
+                            np.add.reduceat(per_tok, starts), 0)
+        else:
+            fsum = np.zeros(len(lens), dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(lens),
+                         "n_distinct": pa.array(n_distinct),
+                         "freq_sum": pa.array(fsum.astype(np.int64))})
+
+    return _gather(ds.map_batches(stats, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
+
+
 _QUALITY_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that"]
 _STOP_RE = r"(?i)\b(?:" + "|".join(_QUALITY_STOPWORDS) + r")\b"
 
