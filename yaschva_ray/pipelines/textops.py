@@ -71,6 +71,12 @@ def _dedup_bucket(t: pa.Table) -> pa.Table:
     """Exact group-min over co-located text groups (null texts form one
     duplicate group, SQL PARTITION BY semantics; joins drop null keys, so
     group on (filled text, is-null flag))."""
+    from ..engine.joins import _warn_hot_key
+
+    # identical texts MUST co-locate (that is the dedup), so a document
+    # duplicated >1M times concentrates in one bucket task — observable,
+    # not silent (house rule; semantics unchanged)
+    _warn_hot_key(t, "text", "dedup_exact(bucket)", -1)
     isn = pc.is_null(t["text"])
     tt = pa.table({"text": pc.fill_null(t["text"], ""), "isn": isn,
                    "doc_id": t["doc_id"]})
@@ -1755,6 +1761,9 @@ def q_curate_corpus(sf_dir: str, min_tokens: int = 5, max_digit: float = 0.3,
     def canonical(t: pa.Table) -> pa.Table:
         # keep the min-doc_id row per exact text (winners, with their
         # carried columns) — the keep-side twin of _dedup_bucket
+        from ..engine.joins import _warn_hot_key
+
+        _warn_hot_key(t, "text", "curate_corpus(dedup)", -1)
         tt = t.append_column("__txt", pc.fill_null(t["text"], "")) \
               .append_column("__isn", pc.is_null(t["text"]))
         keep = tt.group_by(["__txt", "__isn"]).aggregate([("doc_id", "min")])
