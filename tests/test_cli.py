@@ -166,3 +166,58 @@ def test_cli_validate_e2e(tmp_path):
     parts = _glob.glob(str(out / "part-*"))
     assert len(parts) == 2
     assert (out / "report.json").exists()
+
+
+def test_cli_curate_e2e_and_resume(tmp_path):
+    """End-to-end curation: dirty / contaminated / duplicate rows drop,
+    winners get split labels; a SECOND run skips phase A via the lineage
+    manifest (part dirs untouched) and rewrites the final tail
+    idempotently."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    en = "the cat and the dog is in it that day one two"
+    texts = {
+        10: en + " extra words here",           # survivor
+        11: en + " extra words here",           # exact dup of 10
+        12: "x",                                # too short
+        13: en + " different tail entirely now",  # survivor
+        14: "alpha beta gamma delta epsilon zeta eta theta bench 0",  # contaminated
+    }
+    for i, shard in enumerate(([10, 11, 12], [13, 14])):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(shard, pa.int64()),
+            "text": pa.array([texts[k] for k in shard])}),
+            tmp_path / f"in{i}.parquet")
+    pq.write_table(pa.table({
+        "text": pa.array(["alpha beta gamma delta epsilon zeta eta theta "
+                          "bench extra"])}), tmp_path / "bench.parquet")
+
+    out = tmp_path / "curated"
+    r = run_cli("curate", "--input", str(tmp_path / "in*.parquet"),
+                "--bench", str(tmp_path / "bench.parquet"),
+                "--out", str(out), "--shards", "2", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads([l for l in r.stdout.strip().split("\n")
+                      if l.startswith("{")][-1])
+    assert rep["rows_final"] == 2 and rep["n_duplicates_dropped"] == 1
+    final = pa.concat_tables([pq.read_table(f) for f in
+                              _glob.glob(str(out / "final" / "*.parquet"))])
+    assert sorted(final["doc_id"].to_pylist()) == [10, 13]
+    assert set(final.column_names) == {"doc_id", "lang_pred", "n_tokens",
+                                       "split"}
+
+    mtimes = {d: os.path.getmtime(d)
+              for d in _glob.glob(str(out / "part-*"))}
+    r2 = run_cli("curate", "--input", str(tmp_path / "in*.parquet"),
+                 "--bench", str(tmp_path / "bench.parquet"),
+                 "--out", str(out), "--shards", "2", "--num-cpus", "2")
+    assert r2.returncode == 0, r2.stderr
+    rep2 = json.loads([l for l in r2.stdout.strip().split("\n")
+                       if l.startswith("{")][-1])
+    assert rep2 == rep  # identical report after resume
+    for d, m in mtimes.items():  # phase A genuinely skipped
+        assert os.path.getmtime(d) == m

@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 
 
@@ -177,6 +178,104 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    """Resumable end-to-end corpus curation (the north-rule pipeline
+    shape): phase A runs the fused clean+decontaminate stage PER SHARD
+    and checkpoints each shard's surviving rows through the lineage
+    manifest (kill + rerun skips finished shards); phase B is the cheap
+    global tail — exact-dedup over the curated parts, drop-list broadcast,
+    split labels — rewritten idempotently into ``<out>/final``."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .engine.checkpoint import run_partitioned
+        from .pipelines.textops import (
+            bench_shingle_ref,
+            dedup_exact_from_ds,
+            make_clean_decon_stage,
+            split_labels,
+        )
+        from .sources import read_docs
+
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"error: no input files match {args.input!r}", file=sys.stderr)
+            return 2
+        bfiles = sorted(glob.glob(args.bench))
+        if not bfiles:
+            print(f"error: no bench files match {args.bench!r}", file=sys.stderr)
+            return 2
+        bench_texts = pa.concat_tables(
+            [pq.read_table(f, columns=["text"]) for f in bfiles]
+        )["text"].to_pylist()
+
+        shards = [files[i::args.shards] for i in range(args.shards)]
+        shards = [s for s in shards if s]
+
+        def run_shard(fs: list, part_dir: str) -> dict:
+            bref = bench_shingle_ref(bench_texts)
+            stage = make_clean_decon_stage(bref)
+            kept = read_docs(fs, columns=["doc_id", "text"]).map_batches(
+                stage, batch_format="pyarrow")
+            kept.write_parquet(part_dir)
+            import pyarrow.dataset as pds
+
+            return {"rows_kept": pds.dataset(part_dir).count_rows()}
+
+        records = run_partitioned(shards, args.out, run_shard)
+
+        part_files = sorted(glob.glob(os.path.join(args.out, "part-*",
+                                                   "*.parquet")))
+        curated = read_docs(part_files, columns=["doc_id", "text"])
+        dups = dedup_exact_from_ds(curated)
+        # the drop list is duplicate rows only — small for real corpora;
+        # its size is logged so a duplicate-heavy corpus is observable
+        drop_ref = ray.put(dups["doc_id"].combine_chunks()
+                           if isinstance(dups["doc_id"], pa.ChunkedArray)
+                           else dups["doc_id"])
+
+        def finalize(t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(t["doc_id"],
+                                      value_set=ray.get(drop_ref)))
+            w = t.filter(keep)
+            ids = np.asarray(w["doc_id"].to_numpy(zero_copy_only=False))
+            return w.select(["doc_id", "lang_pred", "n_tokens"]) \
+                    .append_column("split", split_labels(ids))
+
+        final_dir = os.path.join(args.out, "final")
+        if os.path.exists(final_dir):  # idempotent global tail
+            import shutil
+
+            shutil.rmtree(final_dir)
+        read_docs(part_files).map_batches(
+            finalize, batch_format="pyarrow").write_parquet(final_dir)
+        import pyarrow.dataset as pds
+
+        n_final = pds.dataset(final_dir).count_rows()
+        print(json.dumps({
+            "shards": len(records),
+            "rows_kept_phase_a": int(sum(r["rows_kept"] for r in records)),
+            "n_duplicates_dropped": int(dups.num_rows),
+            "rows_final": int(n_final),
+            "out": final_dir,
+        }))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_vocab(args: argparse.Namespace) -> int:
     """Exact top-k token vocabulary over a (doc_id, text) table (see
     pipelines.textops.vocab_top_tokens_from_ds)."""
@@ -240,6 +339,17 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--num-cpus", type=int, default=8)
 
+    cu = sub.add_parser("curate", help="clean+decontaminate+dedup+split, "
+                                       "resumable per-shard")
+    cu.add_argument("--input", required=True, help="parquet/jsonl/csv glob")
+    cu.add_argument("--bench", required=True,
+                    help="benchmark/eval table glob (column: text) — docs "
+                         "sharing a token 8-gram with it are dropped")
+    cu.add_argument("--out", required=True,
+                    help="output directory (part-*/ + _manifest.jsonl + final/)")
+    cu.add_argument("--shards", type=int, default=8)
+    cu.add_argument("--num-cpus", type=int, default=8)
+
     vo = sub.add_parser("vocab", help="exact top-k token vocabulary")
     vo.add_argument("--input", required=True, help="parquet/jsonl/csv glob")
     vo.add_argument("--k", type=int, default=100)
@@ -267,6 +377,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_generate(args)
     if args.cmd == "dedup":
         return _cmd_dedup(args)
+    if args.cmd == "curate":
+        return _cmd_curate(args)
     if args.cmd == "vocab":
         return _cmd_vocab(args)
     return _cmd_validate(args)

@@ -1696,34 +1696,24 @@ def q_decontaminate(sf_dir: str, k: int = 8) -> pa.Table:
         [("doc_id", "ascending")])
 
 
-def q_curate_corpus(sf_dir: str, min_tokens: int = 5, max_digit: float = 0.3,
-                    max_punct: float = 0.3, k: int = 8,
-                    train_pct: int = 95, salt: int = 7) -> pa.Table:
-    """End-to-end corpus curation — the COMPOSED pipeline a training-data
-    team actually runs, as one streaming chain: fused quality/langid clean
-    → benchmark decontamination (docs 0..9 as the eval set) → exact-dedup
-    keep-canonical → deterministic train/val split.
-
-    Scale shape: ONE scan; clean+decon are fused into a single per-batch
-    stage (quality ratios, langid, shingle membership probe against the
-    broadcast bench set — only surviving rows leave it); the only wide
-    step is the keyed hash exchange for exact dedup, and it moves only
-    the text that survived both filters; the split label is a pure map
-    over the canonical winners.  Every stage reuses an independently
-    oracle-checked operator, and the composition itself is hash-checked
-    against the equivalent single SQL statement."""
+def bench_shingle_ref(bench_texts: list, k: int = 8):
+    """Broadcast the benchmark set's sorted distinct shingle hashes once
+    (the small side of decontamination)."""
     import ray
 
-    from ..engine.exchange import keyed_exchange
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    head = _gather(ds.map_batches(
-        lambda t: t.filter(pc.less(t["doc_id"], 10)),
-        batch_format="pyarrow")).sort_by([("doc_id", "ascending")])
-    th, off, lens = _token_hash_segments(head["text"].to_pylist(),
-                                         seed=_DECON_SEED)
+    th, off, lens = _token_hash_segments(bench_texts, seed=_DECON_SEED)
     bsh, _ = _batch_shingle_hashes(th, off, lens, n=k)
-    bref = ray.put(np.unique(bsh))
+    return ray.put(np.unique(bsh))
+
+
+def make_clean_decon_stage(bref, min_tokens: int = 5, max_digit: float = 0.3,
+                           max_punct: float = 0.3, k: int = 8):
+    """The fused clean+decontaminate batch stage shared by
+    ``q_curate_corpus`` and the ``curate`` CLI: quality ratios + langid +
+    keep predicate + bench shingle membership probe in ONE pass; only
+    surviving rows (doc_id, text, lang_pred, n_tokens) leave."""
+    import ray
+
     langid = LangIdStage()
 
     def clean_and_decon(t: pa.Table) -> pa.Table:
@@ -1758,6 +1748,48 @@ def q_curate_corpus(sf_dir: str, min_tokens: int = 5, max_digit: float = 0.3,
         seg = np.add.reduceat(hit, s_off[:-1])
         return kept.filter(pa.array(seg == 0))
 
+    return clean_and_decon
+
+
+def split_labels(ids: np.ndarray, train_pct: int = 95,
+                 salt: int = 7) -> pa.Array:
+    """'train'/'val' labels from the Knuth-mix split (shared with
+    q_train_val_split's formula — a pure function of doc_id)."""
+    h = (ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+         + np.uint64(salt)) % np.uint64(1 << 32)
+    is_train = (h % np.uint64(100)) < train_pct
+    return pa.DictionaryArray.from_arrays(
+        pa.array((~is_train).astype(np.int8)),
+        pa.array(["train", "val"])).cast(pa.string())
+
+
+def q_curate_corpus(sf_dir: str, min_tokens: int = 5, max_digit: float = 0.3,
+                    max_punct: float = 0.3, k: int = 8,
+                    train_pct: int = 95, salt: int = 7) -> pa.Table:
+    """End-to-end corpus curation — the COMPOSED pipeline a training-data
+    team actually runs, as one streaming chain: fused quality/langid clean
+    → benchmark decontamination (docs 0..9 as the eval set) → exact-dedup
+    keep-canonical → deterministic train/val split.
+
+    Scale shape: ONE scan; clean+decon are fused into a single per-batch
+    stage (quality ratios, langid, shingle membership probe against the
+    broadcast bench set — only surviving rows leave it); the only wide
+    step is the keyed hash exchange for exact dedup, and it moves only
+    the text that survived both filters; the split label is a pure map
+    over the canonical winners.  Every stage reuses an independently
+    oracle-checked operator, and the composition itself is hash-checked
+    against the equivalent single SQL statement."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    head = _gather(ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 10)),
+        batch_format="pyarrow")).sort_by([("doc_id", "ascending")])
+    bref = bench_shingle_ref(head["text"].to_pylist(), k=k)
+    clean_and_decon = make_clean_decon_stage(
+        bref, min_tokens=min_tokens, max_digit=max_digit,
+        max_punct=max_punct, k=k)
+
     def canonical(t: pa.Table) -> pa.Table:
         # keep the min-doc_id row per exact text (winners, with their
         # carried columns) — the keep-side twin of _dedup_bucket
@@ -1780,13 +1812,8 @@ def q_curate_corpus(sf_dir: str, min_tokens: int = 5, max_digit: float = 0.3,
                          "split": pa.array([], pa.string())})
     out = pa.concat_tables(tables).combine_chunks()
     ids = np.asarray(out["doc_id"].to_numpy(zero_copy_only=False))
-    h = (ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
-         + np.uint64(salt)) % np.uint64(1 << 32)
-    is_train = (h % np.uint64(100)) < train_pct
-    split = pa.DictionaryArray.from_arrays(
-        pa.array((~is_train).astype(np.int8)),
-        pa.array(["train", "val"])).cast(pa.string())
-    return out.append_column("split", split).sort_by(
+    return out.append_column(
+        "split", split_labels(ids, train_pct=train_pct, salt=salt)).sort_by(
         [("doc_id", "ascending")])
 
 
