@@ -90,3 +90,25 @@ def test_uniqueness_streaming_combine_equals_flat_reduce(ray_session):
     tree = uniqueness_reduce(combined, "doc_id")
     assert tree.equals(flat)
     assert tree.num_rows == 300
+
+
+def test_chained_phase2_sentinels(ray_session):
+    """The chained candidate task returns None when phase 1 found nothing
+    OR the set exceeds the broadcast cap; the verify map short-circuits
+    to empty partials on None (the driver then emits empty / falls back
+    from the gathered phase-1 tables)."""
+    import pyarrow as pa
+
+    from yaschva_ray.engine.checks import (HASH_COL,
+                                           _cand_from_reduced_task,
+                                           _uniq_verify_blobs_task)
+
+    dup = pa.table({HASH_COL: pa.array([1, 2, 3], pa.int64()),
+                    "n_docs": pa.array([2, 2, 3], pa.int64())})
+    empty = dup.slice(0, 0)
+    assert _cand_from_reduced_task(10, empty) is None          # no cands
+    assert _cand_from_reduced_task(2, dup) is None             # over cap
+    got = _cand_from_reduced_task(10, dup)
+    assert got.to_pylist() == [1, 2, 3]
+    outs = _uniq_verify_blobs_task("doc_id", 4, None)          # sentinel
+    assert all(o.num_rows == 0 for o in outs)

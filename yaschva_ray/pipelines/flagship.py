@@ -438,6 +438,7 @@ def run_flagship(
 
     uniq_done = os.path.exists(os.path.join(out_dir, "_uniqueness_done.json"))
     dup_reduce_refs = None  # pre-launched per-bucket uniqueness reducers
+    ver_refs = None  # pre-launched CHAINED phase-2 verify (hashed mode)
     for w0 in range(0, len(pending), wave):
         wave_ids = pending[w0:w0 + wave]
         files = [f for i in wave_ids for f in shard_lists[i]]
@@ -513,6 +514,17 @@ def run_flagship(
             dup_reduce_refs = uniqueness_reduce(
                 uniq_lvl2 + uniq_lvl1 + uniq_pending, uniq_key_col,
                 gather=False)
+            if uniq_hashed and uniq_chunks:
+                # chain PHASE 2 behind the phase-1 refs with no driver
+                # sync: candidates concat in a task, verify maps take that
+                # ref as an auto-dereferenced arg — the whole phase runs
+                # while the driver gathers the assembly below, so the
+                # post-scan uniqueness tail is just two tiny gathers
+                from ..engine.checks import \
+                    uniqueness_verify_candidates_blobs_chained
+
+                ver_refs = uniqueness_verify_candidates_blobs_chained(
+                    uniq_chunks, unique_key, dup_reduce_refs)
         by_shard = {m["partition"]: m for m in ray.get(metric_refs)}
         wave_wall = _time.time() - t0
 
@@ -563,7 +575,8 @@ def run_flagship(
             # shards assembled); phase 2 re-reads ONLY the key column and
             # recounts the candidate rows' real strings — collisions can
             # only ADD candidates, the string group-by is exact
-            from ..engine.checks import (finalize_uniqueness_reduce,
+            from ..engine.checks import (UNIQ_CAND_BROADCAST_CAP,
+                                         finalize_uniqueness_reduce,
                                          uniqueness_verify_candidates)
 
             cand = finalize_uniqueness_reduce(dup_reduce_refs, HASH_COL)
@@ -571,7 +584,7 @@ def run_flagship(
                 dup_table = pa.table({
                     unique_key: pa.array([], pa.string()),
                     "n_docs": pa.array([], pa.int64())})
-            elif cand.num_rows > 20_000_000:
+            elif cand.num_rows > UNIQ_CAND_BROADCAST_CAP:
                 # duplicate-HEAVY corpus: the candidate set is no longer a
                 # small broadcast — fall back to the full string-exchange
                 # file scan (correctness identical; logged, no silent cap)
@@ -585,6 +598,10 @@ def run_flagship(
                     " string-exchange scan", cand.num_rows)
                 dup_table = uniqueness_violations_files(
                     [str(f) for f in input_files], unique_key)
+            elif ver_refs is not None:
+                # the chained phase 2 already ran during shard assembly —
+                # only the tiny per-bucket gather remains
+                dup_table = finalize_uniqueness_reduce(ver_refs, unique_key)
             else:
                 from ..engine.checks import uniqueness_verify_candidates_blobs
 
