@@ -157,6 +157,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle (the `clean` CTE), so it loses nothing by living here
         "clean_corpus": textops.q_clean_corpus,
         "token_stats": textops.q_token_stats,
+        # repetition_signals / passage_dedup are likewise oracle-backed
+        # (hash-exact in tools/driver_sweep.py) but live past the cap for
+        # the same reason; their families stay sweep-visible through
+        # quality_documents and dedup_exact/curate_corpus
+        "repetition_signals": textops.q_repetition_signals,
+        "passage_dedup": textops.q_passage_dedup,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
@@ -584,6 +590,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN dis USING (doc_id)
             LEFT JOIN agg a ON d.doc_id = a.doc_id
             ORDER BY d.doc_id
+        """,
+        "repetition_signals": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\S+') AS t
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, t[i] AS a, t[i+1] AS b
+                FROM toks, UNNEST(range(1, greatest(length(t), 1))) AS u(i)
+            ), cnt AS (
+                SELECT doc_id, a, b, count(*) AS c FROM bg GROUP BY ALL
+            ), per AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) nd,
+                       CAST(max(c) AS BIGINT) top, CAST(sum(c) AS BIGINT) nb
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.nb, 0) AS n_bigrams,
+                   coalesce(p.nd, 0) AS n_distinct_bigrams,
+                   coalesce(p.nb - p.nd, 0) AS dup_bigram_occurrences,
+                   coalesce(p.top, 0) AS top_bigram_count
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "passage_dedup": r"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 6
+            ), toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\S+') AS t
+                FROM aug
+            ), pas AS (
+                SELECT doc_id, CAST(j AS BIGINT) AS idx,
+                       array_to_string(t[j*16+1 : j*16+16], ' ') AS p
+                FROM toks,
+                     UNNEST(range(0, CAST(ceil(length(t)/16.0) AS BIGINT)))
+                         AS u(j)
+                WHERE length(t) > 0
+            ), keep AS (
+                SELECT doc_id, idx, p FROM pas
+                QUALIFY row_number() OVER (PARTITION BY p
+                                           ORDER BY doc_id, idx) = 1
+            )
+            SELECT doc_id, string_agg(p, ' ' ORDER BY idx) AS text
+            FROM keep GROUP BY doc_id ORDER BY doc_id
         """,
         "vocab_top_tokens": r"""
             WITH tok AS (

@@ -835,3 +835,65 @@ def test_token_stats_exact_integers(ray_session, tmp_path):
     assert out["n_tokens"].to_pylist() == [3, 2, 0, 0, 1]
     assert out["n_distinct"].to_pylist() == [2, 2, 0, 0, 1]
     assert out["freq_sum"].to_pylist() == [3 + 3 + 2, 2 + 1, 0, 0, 3]
+
+
+def test_repetition_signals_exact_integers(ray_session, tmp_path):
+    """Bigram repetition counts computed by hand on a tiny corpus —
+    within-doc duplicate bigrams counted as occurrences beyond the first;
+    single-token / empty / null docs score zeros."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import q_repetition_signals
+
+    texts = ["a b a b c", "x", "", None, "w w w w"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_repetition_signals(str(tmp_path))
+    assert out["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
+    # doc0 bigrams: (a b)(b a)(a b)(b c); doc4: (w w) x3
+    assert out["n_bigrams"].to_pylist() == [4, 0, 0, 0, 3]
+    assert out["n_distinct_bigrams"].to_pylist() == [3, 0, 0, 0, 1]
+    assert out["dup_bigram_occurrences"].to_pylist() == [1, 0, 0, 0, 2]
+    assert out["top_bigram_count"].to_pylist() == [2, 0, 0, 0, 3]
+
+
+def test_passage_dedup_semantics(ray_session):
+    """Keep-first passage semantics: cross-doc duplicate passages drop,
+    within-doc repeats keep only the first, docs losing every passage
+    vanish, survivors reassemble in original passage order."""
+    import ray
+
+    from yaschva_ray.pipelines.textops import passage_dedup_from_ds
+
+    texts = ["a b c d",    # both passages novel
+             "a b x y",    # "a b" dups doc0 → "x y" survives
+             "a b c d",    # whole doc dups → vanishes
+             "c d a b",    # both passages dup doc0's → vanishes
+             "p q r",      # trailing short passage kept
+             "m n m n"]    # within-doc dup → "m n" once
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = passage_dedup_from_ds(ray.data.from_arrow(t).repartition(3),
+                                n_tokens=2)
+    assert out["doc_id"].to_pylist() == [0, 1, 4, 5]
+    assert out["text"].to_pylist() == ["a b c d", "x y", "p q r", "m n"]
+
+
+def test_passage_dedup_query_plants_vanish(ray_session, tmp_path):
+    """q_passage_dedup plants exact copies of doc_id < 6: the planted ids
+    must vanish entirely and every original doc reassembles to its
+    whitespace-normalized text (tokens joined by single spaces)."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import q_passage_dedup
+
+    texts = [f"doc{i} " + " ".join(f"tok{i}w{j}" for j in range(37))
+             for i in range(10)]
+    texts[3] = texts[3].replace(" ", "  ", 5)  # double spaces normalize
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_passage_dedup(str(tmp_path))
+    assert out["doc_id"].to_pylist() == list(range(10))
+    assert out["text"].to_pylist() == [" ".join(s.split()) for s in texts]

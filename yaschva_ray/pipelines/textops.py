@@ -2140,3 +2140,160 @@ def q_fingerprint_md5(sf_dir: str) -> pa.Table:
 
     return _gather(ds.map_batches(fp, batch_format="pyarrow")).sort_by(
         [("doc_id", "ascending")])
+
+
+# --------------------------------------------------------------------------
+# repetition signals (Gopher/MassiveText quality family)
+# --------------------------------------------------------------------------
+
+
+def q_repetition_signals(sf_dir: str) -> pa.Table:
+    """Gopher/MassiveText-style repetition quality signals per document,
+    over token BIGRAMS (this corpus is single-line text, so the classic
+    duplicate-LINE fractions degenerate to whole-doc dedup; the n-gram
+    repetition family is the live signal for word-stream web text).
+    All-integer outputs keep the DuckDB mirror hash-exact (no
+    float-rounding dialect): ``n_bigrams``, ``n_distinct_bigrams``,
+    ``dup_bigram_occurrences`` (occurrences beyond each bigram's first)
+    and ``top_bigram_count`` (0 when the doc has < 2 tokens) — the
+    filter-rule ratios (e.g. Gopher's top-2-gram fraction) derive from
+    these integers downstream without re-reading text.
+
+    Vectorized: tokens explode once per batch (the shared polars kernel
+    idiom), each token's in-doc successor comes from one flat shift plus
+    a same-segment mask (no per-row Python), and a single group_by over
+    the REAL token-pair strings — not hashes; exactness vs the oracle
+    needs string equality — yields the per-doc counts.  Stateless
+    map_batches, no shuffle (per-doc aggregates)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        toks = s.str.extract_all(TOKEN_RE)
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls()
+        n_big = np.maximum(lens - 1, 0)
+        out_distinct = np.zeros(len(lens), dtype=np.int64)
+        out_top = np.zeros(len(lens), dtype=np.int64)
+        if len(flat):
+            seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            same = np.append(seg[1:] == seg[:-1], False)
+            df = pl.DataFrame({"seg": seg, "a": flat, "b": flat.shift(-1)}) \
+                .filter(pl.Series(same))
+            if df.height:
+                g = df.group_by(["seg", "a", "b"]).agg(pl.len().alias("c"))
+                per = g.group_by("seg").agg(nd=pl.len(),
+                                            top=pl.col("c").max())
+                idx = per["seg"].to_numpy()
+                out_distinct[idx] = per["nd"].to_numpy().astype(np.int64)
+                out_top[idx] = per["top"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": pa.array(n_big),
+            "n_distinct_bigrams": pa.array(out_distinct),
+            "dup_bigram_occurrences": pa.array(n_big - out_distinct),
+            "top_bigram_count": pa.array(out_top)})
+
+    return _gather(ds.map_batches(feats, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
+
+
+# --------------------------------------------------------------------------
+# passage-level corpus dedup (sub-document exact dedup + reassembly)
+# --------------------------------------------------------------------------
+
+_PASSAGE_TOKENS = 16
+
+
+def passage_dedup_from_ds(ds, n_tokens: int = _PASSAGE_TOKENS,
+                          num_buckets: int | None = None) -> pa.Table:
+    """Corpus-level PASSAGE dedup — the sub-document exact-dedup stage of
+    a training pipeline (C4/RefinedWeb drop duplicated *lines* across the
+    corpus; this corpus is single-line, so the unit is a fixed
+    ``n_tokens``-token passage): chunk every doc into passages, keep only
+    the globally-FIRST occurrence (minimum ``(doc_id, idx)``) of each
+    distinct passage TEXT, drop the rest, and reassemble each doc from
+    its surviving passages in order.  Docs whose passages are all dropped
+    vanish (they duplicate earlier content entirely).
+
+    Scale shape: two keyed exchanges.  (1) by passage text — identical
+    passages MUST co-locate (that co-location IS the dedup, same as
+    ``dedup_exact``'s single-phase plan; the hash-first two-phase variant
+    applies above the same byte threshold if ever needed); the winner per
+    distinct passage is a vectorized sort + unique-first, and a hot
+    duplicate passage is logged via the shared observability hook.
+    (2) by doc_id — reassembly: sort by idx + per-group string join;
+    only WINNER rows move.  Passage text crosses the cluster once."""
+    import polars as pl
+    import ray.data
+
+    from ..engine.exchange import keyed_exchange
+    from ..engine.joins import _warn_hot_key
+
+    exploded_schema = pa.schema([("p", pa.string()),
+                                 ("doc_id", pa.int64()),
+                                 ("idx", pa.int64())])
+    empty_exploded = exploded_schema.empty_table()
+    out_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def explode_passages(t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        toks = s.str.extract_all(TOKEN_RE)
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls()
+        if not len(flat):
+            return empty_exploded
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        df = pl.DataFrame({"doc_id": np.repeat(ids, lens),
+                           "idx": pos // n_tokens, "tok": flat})
+        pas = df.group_by(["doc_id", "idx"], maintain_order=True).agg(
+            p=pl.col("tok").str.join(" "))
+        return pas.select(["p", "doc_id", "idx"]).to_arrow() \
+            .cast(exploded_schema)
+
+    def winners_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty_exploded
+        _warn_hot_key(t, "p", "passage_dedup(bucket)", -1)
+        w = pl.from_arrow(t).sort(["p", "doc_id", "idx"]) \
+            .unique(subset=["p"], keep="first", maintain_order=True)
+        return w.select(["p", "doc_id", "idx"]).to_arrow() \
+            .cast(exploded_schema)
+
+    def assemble_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        out = pl.from_arrow(t).sort(["doc_id", "idx"]) \
+            .group_by("doc_id", maintain_order=True) \
+            .agg(text=pl.col("p").str.join(" "))
+        return out.to_arrow().cast(out_schema)
+
+    refs = keyed_exchange(
+        ds.map_batches(explode_passages, batch_format="pyarrow"),
+        "p", winners_bucket, num_buckets=num_buckets,
+        empty_result=empty_exploded, gather=False)
+    tables = keyed_exchange(ray.data.from_arrow_refs(refs), "doc_id",
+                            assemble_bucket, num_buckets=num_buckets)
+    if not tables:
+        return out_schema.empty_table()
+    return (pa.concat_tables(tables).combine_chunks()
+            .sort_by([("doc_id", "ascending")]))
+
+
+def q_passage_dedup(sf_dir: str, n_plant: int = 6,
+                    plant_offset: int = 1_000_000) -> pa.Table:
+    """Passage dedup over the documents table with EXACT whole-doc copies
+    of the first ``n_plant`` docs planted in-query (the oracle-enabling
+    pattern, see ``_plant_copies``): every planted passage duplicates its
+    original, so the planted ids vanish from the output and the DuckDB
+    mirror (same augmentation, ``row_number() OVER (PARTITION BY passage
+    ORDER BY doc_id, idx) = 1`` + ordered ``string_agg``) is
+    hash-exact."""
+    docs = _plant_copies(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         "doc_id", ["text"], n_plant, plant_offset)
+    return passage_dedup_from_ds(docs)
