@@ -114,6 +114,8 @@ def bench_queries(sf_dir: str) -> dict:
         # benchmark decontamination, PII redaction)
         "clean_corpus", "decontaminate", "redact_pii", "curate_corpus",
         "token_stats",
+        # round-4 late additions: repetition quality signals + passage dedup
+        "repetition_signals", "passage_dedup",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):
