@@ -133,7 +133,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_customers": ops.q_active_customers,
         "dangling_lineitem_parts": ops.q_dangling_lineitem_parts,
         "null_counts_documents": ops.q_null_counts_documents,
-        "distinct_lang": ops.q_distinct_lang,
+        # exact integer-numerator drift (the north rule's drift-check
+        # family, hash-exact); distinct_lang yields its sweep slot — the
+        # per-block pc.unique partial pattern it demonstrated is also
+        # exercised by partitioned_write_langs and engine/checks tests
+        "drift_events_fixed_bins": ops.q_drift_events_fixed_bins,
         "pricing_summary": ops.q_pricing_summary,
         "token_count_documents": ops.q_token_count_documents,
         "token_count_jsonl": ops.q_token_count_jsonl,
@@ -157,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle (the `clean` CTE), so it loses nothing by living here
         "clean_corpus": textops.q_clean_corpus,
         "token_stats": textops.q_token_stats,
+        # distinct_lang (oracle-backed) ceded its sweep slot to the exact
+        # drift check above; its partial pattern stays sweep-visible
+        "distinct_lang": ops.q_distinct_lang,
         # repetition_signals / passage_dedup are likewise oracle-backed
         # (hash-exact in tools/driver_sweep.py) but live past the cap for
         # the same reason; their families stay sweep-visible through
@@ -862,6 +869,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_lang": """
             SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents
+        """,
+        # exact drift: fixed-width bins (floor(value/16) clamped to 63 —
+        # identical IEEE ops on both sides), integer TVD/KS numerators vs
+        # the 'view' baseline over the union grid of observed bins
+        "drift_events_fixed_bins": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(least(floor(value / 16.0), 63) AS BIGINT) AS bin,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT event_type, sum(cnt) AS n FROM b GROUP BY 1
+            ), grid AS (
+                SELECT t.event_type, g.bin
+                FROM (SELECT DISTINCT event_type FROM b) t
+                CROSS JOIN (SELECT DISTINCT bin FROM b) g
+            ), f AS (
+                SELECT grid.event_type, grid.bin,
+                       coalesce(b.cnt, 0) AS cnt
+                FROM grid LEFT JOIN b USING (event_type, bin)
+            ), c AS (
+                SELECT event_type, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY bin) AS cum
+                FROM f
+            ), base AS (
+                SELECT bin, cnt AS bcnt, cum AS bcum
+                FROM c WHERE event_type = 'view'
+            ), bn AS (
+                SELECT n AS n_base FROM tot WHERE event_type = 'view'
+            )
+            SELECT c.event_type,
+                   CAST(max(t.n) AS BIGINT) AS n_rows,
+                   CAST(max(bn.n_base) AS BIGINT) AS n_base,
+                   CAST(sum(abs(c.cnt * bn.n_base - base.bcnt * t.n))
+                        AS BIGINT) AS tvd_num,
+                   CAST(max(abs(c.cum * bn.n_base - base.bcum * t.n))
+                        AS BIGINT) AS ks_num
+            FROM c
+            JOIN base USING (bin)
+            CROSS JOIN bn
+            JOIN tot t ON t.event_type = c.event_type
+            WHERE c.event_type <> 'view'
+            GROUP BY c.event_type
+            ORDER BY c.event_type
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -164,3 +164,61 @@ def test_drift_pipeline_detects_planted_shift(ray_session, tmp_path):
     assert by_type["click"]["psi"] < 0.05
     # deterministic (partition-independent histogram partials)
     assert out.equals(q_drift_events_value(str(tmp_path)))
+
+
+def test_drift_fixed_bins_exact_integers(ray_session, tmp_path):
+    """The exact drift check: integer TVD/KS numerators match a
+    brute-force computation, a planted shift dominates, and an
+    identical distribution gives zero drift."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import (_DRIFT_BIN_MAX, _DRIFT_BIN_WIDTH,
+                                           q_drift_events_fixed_bins)
+
+    rng = np.random.RandomState(7)
+    n = 10_000
+    vals = {"view": rng.uniform(0, 200, n),
+            "click": None,              # exact copy of view -> zero drift
+            "purchase": rng.uniform(300, 900, n)}  # planted shift
+    vals["click"] = vals["view"].copy()
+    rows_type, rows_val = [], []
+    for et, v in vals.items():
+        rows_type += [et] * n
+        rows_val += list(v)
+    pq.write_table(pa.table({"event_type": pa.array(rows_type, pa.string()),
+                             "value": pa.array(rows_val, pa.float64())}),
+                   tmp_path / "events.parquet")
+    out = q_drift_events_fixed_bins(str(tmp_path))
+    by_type = {r["event_type"]: r for r in out.to_pylist()}
+    assert by_type["click"]["tvd_num"] == 0
+    assert by_type["click"]["ks_num"] == 0
+    # purchase is fully disjoint from view: TVD numerator = 2*N*M, KS = N*M
+    assert by_type["purchase"]["tvd_num"] == 2 * n * n
+    assert by_type["purchase"]["ks_num"] == n * n
+
+    # brute-force check of the numerators for a non-trivial overlap
+    def brute(a, b):
+        bins = np.arange(_DRIFT_BIN_MAX + 1)
+        ha = np.histogram(np.minimum(np.floor(a / _DRIFT_BIN_WIDTH),
+                                     _DRIFT_BIN_MAX),
+                          bins=np.append(bins, _DRIFT_BIN_MAX + 1))[0]
+        hb = np.histogram(np.minimum(np.floor(b / _DRIFT_BIN_WIDTH),
+                                     _DRIFT_BIN_MAX),
+                          bins=np.append(bins, _DRIFT_BIN_MAX + 1))[0]
+        na, nb_ = ha.sum(), hb.sum()
+        tvd = int(np.abs(hb * na - ha * nb_).sum())
+        ks = int(np.abs(np.cumsum(hb) * na - np.cumsum(ha) * nb_).max())
+        return tvd, ks
+
+    shifted = vals["view"] * 1.3 + 40
+    pq.write_table(pa.table({
+        "event_type": pa.array(["view"] * n + ["mix"] * n, pa.string()),
+        "value": pa.array(list(vals["view"]) + list(shifted),
+                          pa.float64())}), tmp_path / "events.parquet")
+    out2 = q_drift_events_fixed_bins(str(tmp_path))
+    row = out2.to_pylist()[0]
+    tvd, ks = brute(vals["view"], shifted)
+    assert (row["tvd_num"], row["ks_num"]) == (tvd, ks)
+    # deterministic across runs (partition-independent integer partials)
+    assert out2.equals(q_drift_events_fixed_bins(str(tmp_path)))

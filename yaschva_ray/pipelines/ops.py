@@ -565,6 +565,85 @@ def q_drift_events_value(sf_dir: str) -> pa.Table:
                      "ks": pa.array(out_ks, pa.float64())})
 
 
+_DRIFT_BIN_WIDTH = 16.0
+_DRIFT_BIN_MAX = 63
+
+
+def q_drift_events_fixed_bins(sf_dir: str) -> pa.Table:
+    """EXACT distribution-drift check (the north rule's fourth check
+    family, driver-checkable): per-event-type fixed-width value
+    histograms (bin = min(floor(value/16), 63) — pure IEEE ops, so Ray
+    and DuckDB bin identically), then integer total-variation and
+    Kolmogorov–Smirnov NUMERATORS vs the 'view' baseline:
+
+        tvd_num = Σ_bins |cnt_t·N_base − cnt_base·N_t|     (TVD = x/2NM)
+        ks_num  = max_bins |cum_t·N_base − cum_base·N_t|   (KS  = x/NM)
+
+    All-integer outputs make the hash-exact compare immune to libm/
+    rounding differences (the sketch-based ``drift_events_value`` keeps
+    PSI/KS as floats and stays rows-only).  Scale shape: per-batch
+    partial histograms are bounded cardinality (n_types × 64 rows per
+    block, same plan as null_counts); only those partials leave the
+    scan, the numerator math is a driver-side 5×64 matrix.  int64 is
+    safe while cnt·N < 2^63 (~3e9 rows per type); beyond that scale the
+    counts by gcd or switch the numerators to object ints."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["event_type"]))
+        et = t["event_type"].filter(mask).combine_chunks()
+        v = t["value"].filter(mask).to_numpy(zero_copy_only=False)
+        bins = np.minimum(np.floor(v / _DRIFT_BIN_WIDTH),
+                          _DRIFT_BIN_MAX).astype(np.int64)
+        codes_arr = pc.dictionary_encode(et)
+        codes = np.asarray(codes_arr.indices, dtype=np.int64)
+        uk, cnt = np.unique(codes * (_DRIFT_BIN_MAX + 1) + bins,
+                            return_counts=True)
+        types = codes_arr.dictionary.take(
+            pa.array(uk // (_DRIFT_BIN_MAX + 1)))
+        return pa.table({"event_type": types.cast(pa.string()),
+                         "bin": pa.array(uk % (_DRIFT_BIN_MAX + 1)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    if not blocks:
+        return pa.schema([("event_type", pa.string()),
+                          ("n_rows", pa.int64()), ("n_base", pa.int64()),
+                          ("tvd_num", pa.int64()),
+                          ("ks_num", pa.int64())]).empty_table()
+    g = (pa.concat_tables(blocks).group_by(["event_type", "bin"])
+         .aggregate([("cnt", "sum")]))
+    types = sorted(set(g["event_type"].to_pylist()))
+    bins_present = sorted(set(g["bin"].to_pylist()))
+    bin_pos = {b: i for i, b in enumerate(bins_present)}
+    hist = {t: np.zeros(len(bins_present), dtype=np.int64) for t in types}
+    for t_, b_, c_ in zip(g["event_type"].to_pylist(),
+                          g["bin"].to_pylist(),
+                          g["cnt_sum"].to_pylist()):
+        hist[t_][bin_pos[b_]] = c_
+    base = hist.get("view")
+    out_t, out_n, out_nb, out_tvd, out_ks = [], [], [], [], []
+    if base is not None:
+        nb = int(base.sum())
+        bcum = np.cumsum(base)
+        for t_ in types:
+            if t_ == "view":
+                continue
+            h = hist[t_]
+            n = int(h.sum())
+            out_t.append(t_)
+            out_n.append(n)
+            out_nb.append(nb)
+            out_tvd.append(int(np.abs(h * nb - base * n).sum()))
+            out_ks.append(int(np.abs(np.cumsum(h) * nb - bcum * n).max()))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "n_rows": pa.array(out_n, pa.int64()),
+                     "n_base": pa.array(out_nb, pa.int64()),
+                     "tvd_num": pa.array(out_tvd, pa.int64()),
+                     "ks_num": pa.array(out_ks, pa.int64())})
+
+
 def q_generate_fixture(sf_dir: str) -> pa.Table:
     """Generator round-trip as a distributed op: seeded generate() per row
     over ray.data.range, validated back by the vectorized engine — every
