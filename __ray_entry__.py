@@ -164,6 +164,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct_lang (oracle-backed) ceded its sweep slot to the exact
         # drift check above; its partial pattern stays sweep-visible
         "distinct_lang": ops.q_distinct_lang,
+        # semantic_dedup (SemDeDup: distributed k-means + cluster-local
+        # cosine dedup) is oracle-backed via planted exact copies at
+        # τ=1−1e−9 (hash-exact in tools/driver_sweep.py); the embedding
+        # dedup family stays sweep-visible through embedding_neardup
+        "semantic_dedup": textops.q_semantic_dedup,
         # repetition_signals / passage_dedup are likewise oracle-backed
         # (hash-exact in tools/driver_sweep.py) but live past the cap for
         # the same reason; their families stay sweep-visible through
@@ -176,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": textops.q_ann_ivf,
         "ann_ivf_partitioned": textops.q_ann_ivf_partitioned,
         "media_features": _media_features_smoke,
+        "kmeans_embeddings": textops.q_kmeans_embeddings,
         "drift_events_value": ops.q_drift_events_value,
         "media_frames": _media_frames_smoke,
         "approx_quantiles_events": ops.q_approx_quantiles_events,
@@ -566,6 +572,26 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
             ORDER BY vec_a, vec_b
+        """,
+        # semantic_dedup at τ=1−1e−9: an exact copy provably co-clusters
+        # with its original (identical rows ⇒ identical argmax) and only
+        # exact duplicates reach the threshold (max natural cosine ~0.51)
+        # — so the dropped set is the exact-duplicate self-join, with the
+        # keep-first rule as "a smaller vec_id with the same embedding"
+        "semantic_dedup": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000000, embedding FROM embeddings
+                WHERE vec_id < 8
+            )
+            SELECT a.vec_id AS dropped_vec
+            FROM aug a
+            WHERE EXISTS (
+                SELECT 1 FROM aug b
+                WHERE b.vec_id < a.vec_id AND b.embedding = a.embedding
+            )
+            ORDER BY dropped_vec
         """,
         "langid_documents": _langid_sql(),
         "clean_corpus": _clean_corpus_sql(),

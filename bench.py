@@ -117,6 +117,8 @@ def bench_queries(sf_dir: str) -> dict:
         "token_stats",
         # round-4 late additions: repetition quality signals + passage dedup
         "repetition_signals", "passage_dedup",
+        # round-4 late additions: distributed k-means + SemDeDup
+        "kmeans_embeddings", "semantic_dedup",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):

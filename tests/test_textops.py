@@ -897,3 +897,113 @@ def test_passage_dedup_query_plants_vanish(ray_session, tmp_path):
     out = q_passage_dedup(str(tmp_path))
     assert out["doc_id"].to_pylist() == list(range(10))
     assert out["text"].to_pylist() == [" ".join(s.split()) for s in texts]
+
+
+def _emb_table(mat: np.ndarray, ids: list) -> pa.Table:
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in mat],
+                              pa.list_(pa.float32()))})
+
+
+def test_kmeans_partition_independent(ray_session):
+    """Fixed-point integer partials make the Lloyd loop EXACTLY
+    partition-independent: different block splits, bit-identical
+    centroids."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import _read, kmeans_embeddings
+
+    ds = _read(SF_DIR, "embeddings", ["vec_id", "embedding"])
+    c1 = kmeans_embeddings(ds.repartition(2), k=8, iters=4)
+    c2 = kmeans_embeddings(ds.repartition(7), k=8, iters=4)
+    assert (c1 == c2).all()
+
+
+def test_kmeans_separates_planted_blobs(ray_session):
+    """Three well-separated directional blobs: k=3 k-means must assign
+    each blob to its own cluster (checked via assignment purity)."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (_gather, assign_clusters,
+                                               kmeans_embeddings)
+
+    rng = np.random.RandomState(3)
+    centers = np.eye(3, 16) * 10.0
+    mats, truth = [], []
+    for b in range(3):
+        mats.append(centers[b] + rng.randn(50, 16) * 0.1)
+        truth += [b] * 50
+    mat = np.vstack(mats)
+    ds = ray.data.from_arrow(_emb_table(mat, list(range(len(mat)))))
+    cents = kmeans_embeddings(ds.repartition(4), k=3, iters=6)
+    tagged = _gather(assign_clusters(ds, cents)).sort_by(
+        [("vec_id", "ascending")])
+    cl = np.asarray(tagged["cluster"].to_numpy(zero_copy_only=False))
+    # purity: within each true blob every row got the same cluster, and
+    # the three blobs landed in three DISTINCT clusters
+    blob_clusters = [set(cl[np.array(truth) == b]) for b in range(3)]
+    assert all(len(s) == 1 for s in blob_clusters)
+    assert len(set.union(*blob_clusters)) == 3
+
+
+def test_semantic_dedup_drops_planted_neardups(ray_session):
+    """Near-duplicate vectors (original + small noise) must be dropped at
+    the production threshold, keeping the LOWER id; unrelated vectors
+    survive."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import semantic_dedup_from_ds
+
+    rng = np.random.RandomState(11)
+    m = rng.randn(200, 32)
+    dup_src = np.arange(0, 40)
+    noisy = m[dup_src] + rng.randn(40, 32) * 0.01
+    allm = np.vstack([m, noisy])
+    ids = list(range(200)) + [1000 + int(i) for i in dup_src]
+    ds = ray.data.from_arrow(_emb_table(allm, ids)).repartition(3)
+    out = semantic_dedup_from_ds(ds, threshold=0.95, k=4, iters=4)
+    dropped = set(out["dropped_vec"].to_pylist())
+    planted = {1000 + int(i) for i in dup_src}
+    # recall: nearly every planted near-dup is caught (boundary clusters
+    # may split an occasional pair); precision: no original is dropped
+    # in place of its planted twin, and nothing unrelated is dropped
+    assert len(dropped & planted) >= 36
+    assert all(d >= 1000 for d in dropped)
+
+
+def test_semantic_dedup_hot_cluster_star(ray_session):
+    """A cluster above the pairwise cap takes the star path (the warning
+    fires in the reduce worker, not capturable here — same protocol as
+    the other hot-bucket tests) and still drops exact copies of the
+    hub."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import semantic_dedup_from_ds
+
+    rng = np.random.RandomState(7)
+    hub = rng.randn(32)
+    mat = np.vstack([hub] * 30 + [rng.randn(100, 32)])
+    ids = list(range(len(mat)))
+    ds = ray.data.from_arrow(_emb_table(mat, ids)).repartition(2)
+    out = semantic_dedup_from_ds(ds, threshold=1 - 1e-9, k=2, iters=2,
+                                 max_pairwise=8)
+    dropped = set(out["dropped_vec"].to_pylist())
+    assert set(range(1, 30)) <= dropped  # copies of the min-id hub
+    assert 0 not in dropped
+
+
+def test_semantic_dedup_query_plants_exact(ray_session, tmp_path):
+    """q_semantic_dedup over a tmp embeddings table drops exactly the
+    planted exact copies."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import q_semantic_dedup
+
+    rng = np.random.RandomState(2)
+    mat = rng.randn(60, 16)
+    pq.write_table(_emb_table(mat, list(range(60))),
+                   tmp_path / "embeddings.parquet")
+    out = q_semantic_dedup(str(tmp_path))
+    assert out["dropped_vec"].to_pylist() == [10_000_000 + i
+                                              for i in range(8)]

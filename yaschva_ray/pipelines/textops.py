@@ -2338,3 +2338,255 @@ def q_passage_dedup(sf_dir: str, n_plant: int = 6,
     docs = _plant_copies(_read(sf_dir, "documents", ["doc_id", "text"]),
                          "doc_id", ["text"], n_plant, plant_offset)
     return passage_dedup_from_ds(docs)
+
+
+# --------------------------------------------------------------------------
+# distributed k-means + SemDeDup-style semantic dedup (embedding scale path)
+# --------------------------------------------------------------------------
+
+_KM_SCALE = np.int64(1) << 24  # fixed-point scale for exact partial sums
+
+_KM_PARTIAL_REMOTE = None  # lazy ray.remote wrapper (house pattern)
+
+
+def _km_block_partial(c: np.ndarray, *blocks) -> tuple:
+    """One Lloyd partial over a chunk of cached blocks: per-row argmax
+    assignment + fixed-point int64 component sums per cluster.  int64
+    bound: 2^24 × rows_per_task ≪ 2^63."""
+    k, d = c.shape
+    tot = np.zeros((k, d), dtype=np.int64)
+    cnt = np.zeros(k, dtype=np.int64)
+    for t in blocks:
+        if not t.num_rows:
+            continue
+        m = _embeddings_matrix(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(mn @ c.T, axis=1)
+        fx = np.round(mn * float(_KM_SCALE)).astype(np.int64)
+        order = np.argsort(assign, kind="stable")
+        a_s, fx_s = assign[order], fx[order]
+        starts = np.flatnonzero(np.append(True, a_s[1:] != a_s[:-1]))
+        cls = a_s[starts]
+        tot[cls] += np.add.reduceat(fx_s, starts, axis=0)
+        cnt[cls] += np.diff(np.append(starts, len(a_s)))
+    return tot, cnt
+
+
+def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8) -> np.ndarray:
+    """Distributed spherical k-means over the FULL dataset (the IVF coarse
+    quantizer trains on a 512-row sample; this is the corpus-scale Lloyd
+    loop): each iteration broadcasts the centroid matrix (``ray.put``
+    once), one streaming ``map_batches`` pass emits per-batch partial
+    sums, and only k×(d+2) numbers return to the driver per block.
+
+    PARTITION-INDEPENDENT BY CONSTRUCTION: partials accumulate
+    fixed-point int64 component sums (normalized vectors scaled by 2^24
+    and rounded per ROW — a per-row pure function, so any block split
+    yields the same addends), and the driver merges them in arbitrary
+    order with Python arbitrary-precision ints.  Float mean-of-floats
+    would differ in the last ulp across block boundaries and could flip
+    an argmax assignment; integer sums cannot.  Per-batch int64 bound:
+    2^24 × batch_rows ≪ 2^63.
+
+    Init: the k lowest-id vectors (deterministic, no RNG).  Empty
+    clusters keep their previous centroid.  Returns normalized (k, d)
+    float64 centroids."""
+    import ray
+
+    from ..engine.blocks import gather_tables
+
+    # Lloyd re-reads the input every iteration: cache the decoded blocks
+    # in the object store once (spills to disk past capacity) instead of
+    # re-scanning parquet ``iters`` times — the standard iterative-
+    # algorithm trade; callers doing a single pass never materialize.
+    emb_ds = emb_ds.materialize()
+    head = _gather(emb_ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], k)), batch_format="pyarrow"
+    )).sort_by([("vec_id", "ascending")])
+    cm = _embeddings_matrix(head)
+    centroids = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
+                                1e-12)
+    k_eff, dim = centroids.shape
+
+    # iterate with RAW TASKS over the cached block refs: a Dataset
+    # map_batches per iteration pays a fresh streaming-executor startup
+    # (~0.5 s × iters of pure fixed cost, measured at sf0.1) for work the
+    # Dataset API adds nothing to — the refinement loop is the documented
+    # raw-task seam, like the uniqueness exchange
+    from ..engine.blocks import iter_block_refs
+
+    refs = list(iter_block_refs(emb_ds))
+    chunks = [refs[i:i + 8] for i in range(0, len(refs), 8)]
+    global _KM_PARTIAL_REMOTE
+    if _KM_PARTIAL_REMOTE is None:
+        _KM_PARTIAL_REMOTE = ray.remote(_km_block_partial)
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+        futs = [_KM_PARTIAL_REMOTE.remote(c_ref, *ch) for ch in chunks]
+        # python-int accumulation: exact and merge-order-independent
+        # (int64 per-task partials cannot overflow it at any scale)
+        tot = [[0] * dim for _ in range(k_eff)]
+        cnt = [0] * k_eff
+        for t_part, c_part in ray.get(futs):
+            for cl in range(k_eff):
+                if c_part[cl]:
+                    cnt[cl] += int(c_part[cl])
+                    row = tot[cl]
+                    trow = t_part[cl]
+                    for j in range(dim):
+                        row[j] += int(trow[j])
+        new = centroids.copy()
+        for cl in range(k_eff):
+            if cnt[cl]:
+                v = np.array([x / (cnt[cl] * float(_KM_SCALE))
+                              for x in tot[cl]])
+                new[cl] = v / max(np.linalg.norm(v), 1e-12)
+        centroids = new
+    return centroids
+
+
+def assign_clusters(emb_ds, centroids: np.ndarray):
+    """Add a ``cluster`` column (argmax cosine vs the broadcast centroid
+    matrix) — one zero-copy streaming pass."""
+    import ray
+
+    c_ref = ray.put(centroids)
+
+    def tag(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        if not t.num_rows:
+            return t.append_column("cluster", pa.array([], pa.int64()))
+        c = _ray.get(c_ref)
+        m = _embeddings_matrix(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return t.append_column(
+            "cluster", pa.array(np.argmax(mn @ c.T, axis=1).astype(np.int64)))
+
+    return emb_ds.map_batches(tag, batch_format="pyarrow")
+
+
+def semantic_dedup_from_ds(emb_ds, threshold: float = 0.95, k: int = 16,
+                           iters: int = 8,
+                           max_pairwise: int = _MAX_BUCKET_ROWS) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings, then WITHIN each cluster drop every vector whose cosine to
+    a LOWER-id cluster member reaches ``threshold`` (keep-first, the house
+    dedup semantic).  Near-duplicate pairs land in the same cluster with
+    high probability, so the quadratic compare is cluster-local — the
+    global quadratic of brute-force cosine dedup never materializes.
+
+    Scale shape: Lloyd iterations stream (see ``kmeans_embeddings``);
+    assignment + the dedup traverse ONE keyed exchange on ``cluster``
+    (vectors cross once).  A cluster larger than ``max_pairwise`` is
+    star-verified against its min-id hub (one matvec) with the same
+    logged policy as the LSH families.  Returns dropped vec_ids,
+    ascending."""
+    from ..engine.exchange import keyed_exchange
+
+    centroids = kmeans_embeddings(emb_ds, k=k, iters=iters)
+    tagged = assign_clusters(emb_ds, centroids)
+    empty = pa.table({"dropped_vec": pa.array([], pa.int64())})
+
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        order = pc.sort_indices(t, sort_keys=[("cluster", "ascending"),
+                                              ("vec_id", "ascending")])
+        s = t.take(order)
+        cl = np.asarray(s["cluster"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(s["vec_id"].to_numpy(zero_copy_only=False))
+        mall = _embeddings_matrix(s)
+        mall = mall / np.maximum(
+            np.linalg.norm(mall, axis=1, keepdims=True), 1e-12)
+        starts = np.flatnonzero(np.append(True, cl[1:] != cl[:-1]))
+        sizes = np.diff(np.append(starts, len(cl)))
+        acc = []
+        for gi in np.nonzero(sizes >= 2)[0]:
+            sl = slice(starts[gi], starts[gi] + sizes[gi])
+            gids, gm = ids[sl], mall[sl]
+            m = len(gids)
+            if m > max_pairwise:
+                _LOG.warning(
+                    "semantic_dedup cluster of %d rows exceeds cap %d: "
+                    "star-verifying against the min-id hub instead of "
+                    "%d all-pairs", m, max_pairwise, m * (m - 1) // 2)
+                sims = gm @ gm[0]
+                drop = (sims >= threshold) & (np.arange(m) != 0)
+            else:
+                sims = gm @ gm.T
+                # drop i if ANY lower-id member j (dropped or not) shadows
+                # it — SemDeDup's keep-one-per-neighborhood rule
+                drop = np.triu(sims >= threshold, k=1).any(axis=0)
+            acc.append(gids[drop])
+        if not acc:
+            return empty
+        return pa.table({"dropped_vec":
+                         pa.array(np.concatenate(acc).astype(np.int64))})
+
+    tables = keyed_exchange(tagged, "cluster", dedup_bucket,
+                            empty_result=empty)
+    if not tables:
+        return empty
+    return (pa.concat_tables(tables).combine_chunks()
+            .sort_by([("dropped_vec", "ascending")]))
+
+
+def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 8) -> pa.Table:
+    """Cluster-size profile of the distributed k-means (rows-only driver
+    check: the iterative argmax loop is not SQL-expressible; determinism
+    and partition-independence are pinned by tests)."""
+    import ray
+
+    from ..engine.blocks import gather_tables
+
+    emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = kmeans_embeddings(emb_ds, k=k)
+    tagged = assign_clusters(emb_ds, centroids)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        cl = np.asarray(t["cluster"].to_numpy(zero_copy_only=False))
+        uk, cnt = np.unique(cl, return_counts=True)
+        return pa.table({"cluster": pa.array(uk.astype(np.int64)),
+                         "n_vecs": pa.array(cnt.astype(np.int64))})
+
+    blocks = [b for b in gather_tables(
+        tagged.map_batches(sizes, batch_format="pyarrow")) if b.num_rows]
+    g = (pa.concat_tables(blocks).group_by("cluster")
+         .aggregate([("n_vecs", "sum")]))
+    return pa.table({"cluster": g["cluster"],
+                     "n_vecs": g["n_vecs_sum"].cast(pa.int64())}
+                    ).sort_by([("cluster", "ascending")])
+
+
+def q_semantic_dedup(sf_dir: str, n_plant: int = 8,
+                     plant_offset: int = 10_000_000) -> pa.Table:
+    """Semantic dedup with EXACT copies of the first ``n_plant`` vectors
+    planted in-query (vec_id + offset) and threshold 1−1e−9: an exact
+    copy lands in its original's cluster with certainty (identical rows
+    ⇒ identical argmax) and cosine ≈ 1 ≥ τ, while the synthetic data's
+    max natural cosine (~0.51 at sf0.01) stays far below — so the
+    dropped set equals DuckDB's exact-duplicate-embedding self-join and
+    the driver check is hash-exact.  The production threshold (0.95
+    near-dup semantics) is exercised by the planted-noise recall
+    test."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t["vec_id"], n_plant))
+        if not sel.num_rows:
+            return t
+        copy = pa.table({
+            "vec_id": pc.add(sel["vec_id"],
+                             pa.scalar(plant_offset, pa.int64())),
+            "embedding": sel["embedding"],
+        })
+        return pa.concat_tables([t.select(["vec_id", "embedding"]), copy])
+
+    return semantic_dedup_from_ds(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        threshold=1 - 1e-9)
