@@ -2485,6 +2485,9 @@ def semantic_dedup_from_ds(emb_ds, threshold: float = 0.95, k: int = 16,
     ascending."""
     from ..engine.exchange import keyed_exchange
 
+    # materialize HERE so the Lloyd loop and the assignment pass share one
+    # cached copy (materialize() on a MaterializedDataset is a no-op)
+    emb_ds = emb_ds.materialize()
     centroids = kmeans_embeddings(emb_ds, k=k, iters=iters)
     tagged = assign_clusters(emb_ds, centroids)
     empty = pa.table({"dropped_vec": pa.array([], pa.int64())})
