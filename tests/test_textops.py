@@ -1007,3 +1007,18 @@ def test_semantic_dedup_query_plants_exact(ray_session, tmp_path):
     out = q_semantic_dedup(str(tmp_path))
     assert out["dropped_vec"].to_pylist() == [10_000_000 + i
                                               for i in range(8)]
+
+
+def test_kmeans_init_non_zero_based_ids(ray_session):
+    """Init takes the k globally-smallest vec_ids — a corpus whose ids
+    start at 5000 (sliced/offset corpora) must still train."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import kmeans_embeddings
+
+    rng = np.random.RandomState(9)
+    mat = rng.randn(80, 16)
+    ds = ray.data.from_arrow(_emb_table(mat, list(range(5000, 5080))))
+    c = kmeans_embeddings(ds.repartition(3), k=4, iters=3)
+    assert c.shape == (4, 16)
+    assert np.isfinite(c).all()

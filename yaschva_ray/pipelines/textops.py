@@ -2357,6 +2357,8 @@ def _km_block_partial(c: np.ndarray, *blocks) -> tuple:
     tot = np.zeros((k, d), dtype=np.int64)
     cnt = np.zeros(k, dtype=np.int64)
     for t in blocks:
+        if not isinstance(t, pa.Table):  # defensive: pandas block
+            t = pa.Table.from_pandas(t, preserve_index=False)
         if not t.num_rows:
             continue
         m = _embeddings_matrix(t)
@@ -2400,9 +2402,18 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8) -> np.ndarray:
     # re-scanning parquet ``iters`` times — the standard iterative-
     # algorithm trade; callers doing a single pass never materialize.
     emb_ds = emb_ds.materialize()
-    head = _gather(emb_ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], k)), batch_format="pyarrow"
-    )).sort_by([("vec_id", "ascending")])
+
+    # init = the k GLOBALLY-smallest vec_ids (deterministic, no RNG):
+    # per-block partial top-k keeps the gather tiny; ids need not be
+    # 0-based (planted offsets, sliced corpora)
+    def head_k(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+        return t.take(order.slice(0, k))
+
+    head = _gather(emb_ds.map_batches(head_k, batch_format="pyarrow")) \
+        .sort_by([("vec_id", "ascending")]).slice(0, k)
     cm = _embeddings_matrix(head)
     centroids = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
                                 1e-12)
