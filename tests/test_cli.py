@@ -221,3 +221,42 @@ def test_cli_curate_e2e_and_resume(tmp_path):
     assert rep2 == rep  # identical report after resume
     for d, m in mtimes.items():  # phase A genuinely skipped
         assert os.path.getmtime(d) == m
+
+
+def test_cli_dedup_semantic(tmp_path):
+    """--method semantic reads (doc_id, embedding) and emits dropped ids
+    (exact copies at the default threshold); canonical writes survivors."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(4)
+    mat = rng.randn(30, 8)
+    mat[20] = mat[0]  # exact copy -> dropped
+    mat[21] = mat[5]
+    src = tmp_path / "emb.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in mat],
+                              pa.list_(pa.float32())),
+    }), src)
+    out = tmp_path / "dropped.parquet"
+    r = run_cli("dedup", "--input", str(src), "--method", "semantic",
+                "--threshold", "0.999999", "--out", str(out),
+                "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    line = [l for l in r.stdout.strip().split("\n") if l.startswith("{")][-1]
+    assert json.loads(line)["n_rows"] == 2
+    assert pq.read_table(out)["doc_id"].to_pylist() == [20, 21]
+
+    kept_dir = tmp_path / "kept"
+    r = run_cli("dedup", "--input", str(src), "--method", "semantic",
+                "--threshold", "0.999999", "--emit", "canonical",
+                "--out", str(kept_dir), "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    kept = pa.concat_tables(
+        [pq.read_table(f) for f in _glob.glob(str(kept_dir / "*.parquet"))])
+    assert sorted(kept["doc_id"].to_pylist()) == [i for i in range(30)
+                                                  if i not in (20, 21)]

@@ -102,7 +102,9 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     """Deduplicate a document table (columns ``doc_id``, ``text``):
     ``exact`` emits duplicate doc_ids (keep = lowest id per text group),
     ``minhash`` emits near-duplicate pairs verified by exact n-gram
-    Jaccard, ``simhash`` emits pairs within the hamming threshold."""
+    Jaccard, ``simhash`` emits pairs within the hamming threshold, and
+    ``semantic`` (SemDeDup) reads (``doc_id``, ``embedding``) instead and
+    emits the doc_ids dropped by cluster-local cosine dedup."""
     import ray
 
     if not ray.is_initialized():
@@ -121,6 +123,34 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
         if not files:
             print(f"error: no input files match {args.input!r}", file=sys.stderr)
             return 2
+        if args.method == "semantic":
+            import pyarrow as pa
+
+            emb_ds = read_docs(files, columns=["doc_id", "embedding"]) \
+                .map_batches(lambda t: t.select(["doc_id", "embedding"])
+                             .rename_columns(["vec_id", "embedding"]),
+                             batch_format="pyarrow")
+            dropped = textops.semantic_dedup_from_ds(
+                emb_ds, threshold=args.threshold)
+            out = pa.table({"doc_id": dropped["dropped_vec"]})
+            if getattr(args, "emit", "pairs") == "canonical":
+                from .engine.components import filter_canonical
+
+                comp = pa.table({
+                    "doc_id": out["doc_id"],
+                    "component": pa.array([-1] * out.num_rows, pa.int64()),
+                })
+                kept = filter_canonical(
+                    read_docs(files, columns=["doc_id", "embedding"]), comp)
+                kept.write_parquet(args.out)
+                print(json.dumps({"method": "semantic", "emit": "canonical",
+                                  "n_clusters": comp.num_rows,
+                                  "out": args.out}))
+                return 0
+            pq.write_table(out, args.out)
+            print(json.dumps({"method": "semantic", "n_rows": out.num_rows,
+                              "out": args.out}))
+            return 0
         ds = read_docs(files, columns=["doc_id", "text"])
         if getattr(args, "emit", "pairs") == "canonical":
             import pyarrow as pa
@@ -328,8 +358,11 @@ def main(argv: list[str] | None = None) -> int:
 
     d = sub.add_parser("dedup", help="deduplicate a (doc_id, text) table")
     d.add_argument("--input", required=True, help="parquet/jsonl/csv glob")
-    d.add_argument("--method", choices=["exact", "minhash", "simhash"],
+    d.add_argument("--method",
+                   choices=["exact", "minhash", "simhash", "semantic"],
                    default="exact")
+    d.add_argument("--threshold", type=float, default=0.95,
+                   help="semantic: cosine threshold for cluster-local dedup")
     d.add_argument("--out", required=True,
                    help="output parquet file (pairs) or directory (canonical)")
     d.add_argument("--emit", choices=["pairs", "canonical"], default="pairs",
