@@ -2435,24 +2435,31 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8) -> np.ndarray:
     for _ in range(iters):
         c_ref = ray.put(centroids)
         futs = [_KM_PARTIAL_REMOTE.remote(c_ref, *ch) for ch in chunks]
-        # python-int accumulation: exact and merge-order-independent
-        # (int64 per-task partials cannot overflow it at any scale)
-        tot = [[0] * dim for _ in range(k_eff)]
-        cnt = [0] * k_eff
+        # vectorized int64 accumulation (a python-int loop over k×d×tasks
+        # costs minutes per iteration at realistic k): integer addition is
+        # associative/commutative, so the merge stays order-independent.
+        # |tot[c][j]| ≤ cnt[c]·2^24, so the post-merge guard at 2^62
+        # (2× headroom under int64) catches the only overflow route — a
+        # single cluster holding > ~2.7e11 rows — before the NEXT merge
+        # could wrap; the fix at that scale is a larger k or smaller
+        # _KM_SCALE.
+        tot = np.zeros((k_eff, dim), dtype=np.int64)
+        cnt = np.zeros(k_eff, dtype=np.int64)
         for t_part, c_part in ray.get(futs):
-            for cl in range(k_eff):
-                if c_part[cl]:
-                    cnt[cl] += int(c_part[cl])
-                    row = tot[cl]
-                    trow = t_part[cl]
-                    for j in range(dim):
-                        row[j] += int(trow[j])
+            tot += t_part
+            cnt += c_part
+            if int(cnt.max()) > (1 << 62) // int(_KM_SCALE):
+                raise OverflowError(
+                    "kmeans_embeddings: a cluster exceeds the exact int64 "
+                    f"sum bound ({int(cnt.max())} rows × 2^24 scale); "
+                    "increase k or reduce _KM_SCALE")
         new = centroids.copy()
-        for cl in range(k_eff):
-            if cnt[cl]:
-                v = np.array([x / (cnt[cl] * float(_KM_SCALE))
-                              for x in tot[cl]])
-                new[cl] = v / max(np.linalg.norm(v), 1e-12)
+        nz = cnt > 0
+        if nz.any():
+            v = tot[nz].astype(np.float64) / (
+                cnt[nz, None].astype(np.float64) * float(_KM_SCALE))
+            new[nz] = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         centroids = new
     return centroids
 
