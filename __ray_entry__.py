@@ -902,10 +902,12 @@ def oracle_sql() -> dict[str, str]:
         "drift_events_fixed_bins": """
             WITH b AS (
                 SELECT event_type,
-                       CAST(least(floor(value / 16.0), 63) AS BIGINT) AS bin,
+                       CAST(least(greatest(floor(value / 16.0), 0), 63)
+                            AS BIGINT) AS bin,
                        CAST(count(*) AS BIGINT) AS cnt
                 FROM events
                 WHERE value IS NOT NULL AND event_type IS NOT NULL
+                  AND isfinite(value)
                 GROUP BY 1, 2
             ), tot AS (
                 SELECT event_type, sum(cnt) AS n FROM b GROUP BY 1

@@ -222,3 +222,26 @@ def test_drift_fixed_bins_exact_integers(ray_session, tmp_path):
     assert (row["tvd_num"], row["ks_num"]) == (tvd, ks)
     # deterministic across runs (partition-independent integer partials)
     assert out2.equals(q_drift_events_fixed_bins(str(tmp_path)))
+
+
+def test_drift_fixed_bins_negative_and_nan_values(ray_session, tmp_path):
+    """Negative values clamp to bin 0 (no wrap into the previous type's
+    top bin) and non-finite values are excluded — mirroring the SQL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_drift_events_fixed_bins
+
+    vals = ([-50.0, -1.0, 5.0, float("nan"), float("inf")] * 100
+            + [5.0] * 500)
+    types = (["view"] * 500) + (["click"] * 500)
+    pq.write_table(pa.table({"event_type": pa.array(types, pa.string()),
+                             "value": pa.array(vals, pa.float64())}),
+                   tmp_path / "events.parquet")
+    out = q_drift_events_fixed_bins(str(tmp_path))
+    row = out.to_pylist()[0]
+    # view: 100×(-50), 100×(-1), 100×5 finite -> bins {0: 300}; click:
+    # 500×5 -> {0: 500}; identical single-bin distributions -> zero drift
+    assert row["event_type"] == "click"
+    assert (row["n_rows"], row["n_base"]) == (500, 300)
+    assert row["tvd_num"] == 0 and row["ks_num"] == 0

@@ -1022,3 +1022,21 @@ def test_kmeans_init_non_zero_based_ids(ray_session):
     c = kmeans_embeddings(ds.repartition(3), k=4, iters=3)
     assert c.shape == (4, 16)
     assert np.isfinite(c).all()
+
+
+def test_semantic_dedup_star_keeps_exact_copies_of_non_hub(ray_session):
+    """The star cap must not lose exact duplicates of NON-hub members:
+    in an oversized cluster, a copy of a middle-id vector (far from the
+    hub) still drops via the linear exact-duplicate pass."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import semantic_dedup_from_ds
+
+    rng = np.random.RandomState(17)
+    mat = rng.randn(40, 16)
+    mat[30] = mat[15]  # exact copy of a NON-hub member
+    ds = ray.data.from_arrow(_emb_table(mat, list(range(40)))).repartition(2)
+    out = semantic_dedup_from_ds(ds, threshold=1 - 1e-9, k=1, iters=1,
+                                 max_pairwise=8)  # one cluster, star path
+    assert 30 in set(out["dropped_vec"].to_pylist())
+    assert 15 not in set(out["dropped_vec"].to_pylist())

@@ -144,7 +144,7 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
                     read_docs(files, columns=["doc_id", "embedding"]), comp)
                 kept.write_parquet(args.out)
                 print(json.dumps({"method": "semantic", "emit": "canonical",
-                                  "n_clusters": comp.num_rows,
+                                  "n_dropped": comp.num_rows,
                                   "out": args.out}))
                 return 0
             pq.write_table(out, args.out)

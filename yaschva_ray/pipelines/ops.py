@@ -572,8 +572,9 @@ _DRIFT_BIN_MAX = 63
 def q_drift_events_fixed_bins(sf_dir: str) -> pa.Table:
     """EXACT distribution-drift check (the north rule's fourth check
     family, driver-checkable): per-event-type fixed-width value
-    histograms (bin = min(floor(value/16), 63) — pure IEEE ops, so Ray
-    and DuckDB bin identically), then integer total-variation and
+    histograms (bin = clamp(floor(value/16), 0, 63), non-finite values
+    excluded — pure IEEE ops, so Ray and DuckDB bin identically), then
+    integer total-variation and
     Kolmogorov–Smirnov NUMERATORS vs the 'view' baseline:
 
         tvd_num = Σ_bins |cnt_t·N_base − cnt_base·N_t|     (TVD = x/2NM)
@@ -593,7 +594,12 @@ def q_drift_events_fixed_bins(sf_dir: str) -> pa.Table:
         mask = pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["event_type"]))
         et = t["event_type"].filter(mask).combine_chunks()
         v = t["value"].filter(mask).to_numpy(zero_copy_only=False)
-        bins = np.minimum(np.floor(v / _DRIFT_BIN_WIDTH),
+        fin = np.isfinite(v)  # NaN/inf excluded on BOTH sides (isfinite)
+        if not fin.all():
+            et, v = et.filter(pa.array(fin)), v[fin]
+        # clamp BOTH ends: a negative value must not wrap to bin -1 (it
+        # would decode as the previous type's top bin in the composite key)
+        bins = np.minimum(np.maximum(np.floor(v / _DRIFT_BIN_WIDTH), 0),
                           _DRIFT_BIN_MAX).astype(np.int64)
         codes_arr = pc.dictionary_encode(et)
         codes = np.asarray(codes_arr.indices, dtype=np.int64)

@@ -2384,18 +2384,17 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8) -> np.ndarray:
     PARTITION-INDEPENDENT BY CONSTRUCTION: partials accumulate
     fixed-point int64 component sums (normalized vectors scaled by 2^24
     and rounded per ROW — a per-row pure function, so any block split
-    yields the same addends), and the driver merges them in arbitrary
-    order with Python arbitrary-precision ints.  Float mean-of-floats
-    would differ in the last ulp across block boundaries and could flip
-    an argmax assignment; integer sums cannot.  Per-batch int64 bound:
-    2^24 × batch_rows ≪ 2^63.
+    yields the same addends), and the driver merges them with vectorized
+    int64 adds (associative, so merge order is irrelevant) behind a 2^62
+    guard that raises loudly if one cluster's row count (>~2.7e11) could
+    overflow the exact sum.  Float mean-of-floats would differ in the
+    last ulp across block boundaries and could flip an argmax
+    assignment; integer sums cannot.
 
     Init: the k lowest-id vectors (deterministic, no RNG).  Empty
     clusters keep their previous centroid.  Returns normalized (k, d)
     float64 centroids."""
     import ray
-
-    from ..engine.blocks import gather_tables
 
     # Lloyd re-reads the input every iteration: cache the decoded blocks
     # in the object store once (spills to disk past capacity) instead of
@@ -2412,8 +2411,10 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8) -> np.ndarray:
         order = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
         return t.take(order.slice(0, k))
 
-    head = _gather(emb_ds.map_batches(head_k, batch_format="pyarrow")) \
-        .sort_by([("vec_id", "ascending")]).slice(0, k)
+    head = _gather(emb_ds.map_batches(head_k, batch_format="pyarrow"))
+    if not head.num_rows:
+        raise ValueError("kmeans_embeddings: empty embeddings input")
+    head = head.sort_by([("vec_id", "ascending")]).slice(0, k)
     cm = _embeddings_matrix(head)
     centroids = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
                                 1e-12)
@@ -2499,16 +2500,20 @@ def semantic_dedup_from_ds(emb_ds, threshold: float = 0.95, k: int = 16,
     assignment + the dedup traverse ONE keyed exchange on ``cluster``
     (vectors cross once).  A cluster larger than ``max_pairwise`` is
     star-verified against its min-id hub (one matvec) with the same
-    logged policy as the LSH families.  Returns dropped vec_ids,
+    logged policy as the LSH families — plus a LINEAR exact-duplicate
+    pass, so exact copies are dropped at any cluster size (the oracle
+    contract at τ≈1 survives the cap).  Returns dropped vec_ids,
     ascending."""
     from ..engine.exchange import keyed_exchange
 
     # materialize HERE so the Lloyd loop and the assignment pass share one
     # cached copy (materialize() on a MaterializedDataset is a no-op)
     emb_ds = emb_ds.materialize()
+    empty = pa.table({"dropped_vec": pa.array([], pa.int64())})
+    if not emb_ds.count():  # metadata lookup on a materialized dataset
+        return empty
     centroids = kmeans_embeddings(emb_ds, k=k, iters=iters)
     tagged = assign_clusters(emb_ds, centroids)
-    empty = pa.table({"dropped_vec": pa.array([], pa.int64())})
 
     def dedup_bucket(t: pa.Table) -> pa.Table:
         if not t.num_rows:
@@ -2535,6 +2540,16 @@ def semantic_dedup_from_ds(emb_ds, threshold: float = 0.95, k: int = 16,
                     "%d all-pairs", m, max_pairwise, m * (m - 1) // 2)
                 sims = gm @ gm[0]
                 drop = (sims >= threshold) & (np.arange(m) != 0)
+                # the star cap must NOT lose exact duplicates of non-hub
+                # members (the oracle contract at τ≈1 and plain dedup
+                # hygiene at any τ): a linear pass drops every row whose
+                # normalized bytes already appeared at a lower id
+                rows = np.ascontiguousarray(gm).view(
+                    np.dtype((np.void, gm.shape[1] * gm.dtype.itemsize))
+                ).ravel()
+                _, first_idx, inv = np.unique(rows, return_index=True,
+                                              return_inverse=True)
+                drop |= first_idx[inv] < np.arange(m)
             else:
                 sims = gm @ gm.T
                 # drop i if ANY lower-id member j (dropped or not) shadows
@@ -2562,8 +2577,11 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 8) -> pa.Table:
 
     from ..engine.blocks import gather_tables
 
-    emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    centroids = kmeans_embeddings(emb_ds, k=k)
+    # materialize here so the Lloyd loop and the assignment pass share one
+    # cached copy (kmeans_embeddings' internal materialize is a no-op then)
+    emb_ds = _read(sf_dir, "embeddings",
+                   ["vec_id", "embedding"]).materialize()
+    centroids = kmeans_embeddings(emb_ds, k=k, iters=iters)
     tagged = assign_clusters(emb_ds, centroids)
 
     def sizes(t: pa.Table) -> pa.Table:
