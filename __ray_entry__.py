@@ -169,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # τ=1−1e−9 (hash-exact in tools/driver_sweep.py); the embedding
         # dedup family stays sweep-visible through embedding_neardup
         "semantic_dedup": textops.q_semantic_dedup,
+        # big-big shuffled equi-join (hash_join): oracle-backed; the join
+        # family stays sweep-visible through events_asof_orders /
+        # events_price_range_join / events_user_segments
+        "orders_customer_join": ops.q_orders_customer_join,
         # repetition_signals / passage_dedup are likewise oracle-backed
         # (hash-exact in tools/driver_sweep.py) but live past the cap for
         # the same reason; their families stay sweep-visible through
@@ -895,6 +899,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_lang": """
             SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents
+        """,
+        "orders_customer_join": """
+            SELECT o_orderkey, o_custkey, c_name, c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
         """,
         # exact drift: fixed-width bins (floor(value/16) clamped to 63 —
         # identical IEEE ops on both sides), integer TVD/KS numerators vs

@@ -506,3 +506,47 @@ def test_keyed_exchange_concat_rounds_equivalent(ray_session):
                 .sort_by([("k", "ascending")]))
 
     assert run(2).equals(run(10**9))
+
+
+def test_hash_join_vs_bruteforce(ray_session):
+    """Multi-bucket inner equi-join equals the pandas merge, including
+    duplicate keys on BOTH sides (cross products within a key) and keys
+    missing from either side."""
+    import pandas as pd
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    rng = np.random.RandomState(8)
+    lt = pa.table({"k": pa.array(rng.randint(0, 40, 300), pa.int64()),
+                   "lv": pa.array(np.arange(300), pa.int64())})
+    rt = pa.table({"rk": pa.array(rng.randint(20, 60, 200), pa.int64()),
+                   "rv": pa.array(np.arange(200), pa.int64())})
+    out = hash_join(ray.data.from_arrow(lt).repartition(5),
+                    ray.data.from_arrow(rt).repartition(3),
+                    left_key="k", right_key="rk", num_buckets=4)
+    got = out.to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    want = (lt.to_pandas().merge(rt.to_pandas(), left_on="k", right_on="rk")
+            .drop(columns=["rk"])[got.columns.tolist()]
+            .sort_values(["lv", "rv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_join_empty_side_and_shared_names(ray_session):
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    lt = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "v": pa.array([10, 20], pa.int64())})
+    empty_r = pa.table({"rk": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.int64())})
+    out = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(empty_r),
+                    left_key="k", right_key="rk", num_buckets=2)
+    assert out.num_rows == 0
+    # shared non-key column name must fail loudly (schema-drift hazard)
+    shared_r = pa.table({"rk": pa.array([1], pa.int64()),
+                         "v": pa.array([9], pa.int64())})
+    with pytest.raises(Exception, match="disjoint"):
+        hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(shared_r),
+                  left_key="k", right_key="rk", num_buckets=2)

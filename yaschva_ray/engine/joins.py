@@ -275,6 +275,86 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
+def _equi_bucket(n_left: int, left_key: str, right_key: str,
+                 bucket_id: int, out_dir: str | None,
+                 *parts: pa.Table) -> pa.Table:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    lparts = [p for p in parts[:n_left] if p.num_rows]
+    rparts = [p for p in parts[n_left:] if p.num_rows]
+    left_schema = next((p.schema for p in parts[:n_left] if p.num_columns),
+                       None)
+    right_schema = next((p.schema for p in parts[n_left:] if p.num_columns),
+                        None)
+    if left_schema is not None and right_schema is not None:
+        shared = ((set(left_schema.names) - {left_key})
+                  & (set(right_schema.names) - {right_key}))
+        if shared:
+            raise ValueError(
+                f"hash_join requires disjoint non-key column names; "
+                f"shared: {sorted(shared)}")
+    if not lparts or not rparts:  # inner join: either side empty → empty
+        merged = pa.table({})
+    else:
+        lt = pa.concat_tables(lparts).combine_chunks()
+        rt = pa.concat_tables(rparts).combine_chunks()
+        _warn_hot_key(lt, left_key, "hash_join(left)", bucket_id)
+        _warn_hot_key(rt, right_key, "hash_join(right)", bucket_id)
+        merged = lt.join(rt, keys=[left_key], right_keys=[right_key],
+                         join_type="inner")
+    if out_dir is not None:
+        return _sink_bucket(merged, out_dir, bucket_id)
+    return merged
+
+
+_EQUI_REDUCE = None
+
+
+def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
+              num_buckets: int | None = None,
+              out_dir: str | None = None) -> pa.Table:
+    """Big-big INNER equi-join: both sides hash-partition on their key
+    through the bounded exchange (each row crosses the cluster once), and
+    each bucket joins its co-located slices with Arrow's C++ hash join.
+    Complements the broadcast lookup join (ops.py — right side fits in
+    memory) for the case where NEITHER side does.  Non-key column names
+    must be disjoint (the broadcast join's rule).  Output row order is
+    unspecified — sort at the caller when determinism matters.  With
+    ``out_dir`` each bucket writes its own parquet part (the at-scale
+    path, same contract as asof_join)."""
+    import ray
+
+    from .exchange import bounded_map_entries
+
+    if num_buckets is None:
+        num_buckets = _auto_buckets(left_ds, right_ds)
+    global _MAP_REMOTE, _EQUI_REDUCE
+    if _MAP_REMOTE is None:
+        _MAP_REMOTE = ray.remote(_map_block)
+    if _EQUI_REDUCE is None:
+        _EQUI_REDUCE = ray.remote(_equi_bucket)
+
+    def _mapped(ds, key):
+        return bounded_map_entries(
+            ds,
+            lambda ref: _MAP_REMOTE.options(num_returns=num_buckets)
+            .remote(ref, key, num_buckets),
+            num_buckets)
+
+    lmap = _mapped(left_ds, left_key)
+    rmap = _mapped(right_ds, right_key)
+    joined = [
+        _EQUI_REDUCE.remote(len(lmap), left_key, right_key, b, out_dir,
+                            *[m[b] for m in lmap], *[m[b] for m in rmap])
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(joined) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
 _RANGE_MAP_L = None
 _RANGE_REDUCE = None
 _RANGE_COUNT = None

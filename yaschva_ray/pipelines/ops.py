@@ -1250,3 +1250,23 @@ def q_events_price_range_join(sf_dir: str, eps: float = 0.05) -> pa.Table:
                          "p_partkey": pa.array([], pa.int64())})
     return (joined.select(["event_id", "p_partkey"]).combine_chunks()
             .sort_by([("event_id", "ascending"), ("p_partkey", "ascending")]))
+
+
+def q_orders_customer_join(sf_dir: str) -> pa.Table:
+    """Big-big shuffled equi-join (neither side broadcastable at target
+    scale): orders ⋈ customer on custkey through ``engine.joins.hash_join``
+    — both sides hash-partition once, each bucket joins co-located slices
+    with Arrow's C++ hash join.  Row-level projection (not an aggregate)
+    so the driver hash checks the join itself; sorted for determinism."""
+    from ..engine.joins import hash_join
+
+    left = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    right = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    out = hash_join(left, right, left_key="o_custkey", right_key="c_custkey")
+    if not out.num_rows:
+        return pa.schema([("o_orderkey", pa.int64()),
+                          ("o_custkey", pa.int64()),
+                          ("c_name", pa.string()),
+                          ("c_nationkey", pa.int32())]).empty_table()
+    return out.select(["o_orderkey", "o_custkey", "c_name", "c_nationkey"]) \
+        .sort_by([("o_orderkey", "ascending")])
