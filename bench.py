@@ -98,7 +98,7 @@ def bench_queries(sf_dir: str) -> dict:
         "events_user_segments",
         # round-4 additions (per-query keys keep rounds comparable)
         "events_price_range_join", "pack_sequences",
-        "drift_events_fixed_bins",
+        "drift_events_fixed_bins", "orders_customer_join",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)
