@@ -550,3 +550,36 @@ def test_hash_join_empty_side_and_shared_names(ray_session):
     with pytest.raises(Exception, match="disjoint"):
         hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(shared_r),
                   left_key="k", right_key="rk", num_buckets=2)
+
+
+def test_hash_join_then_asof_join_lazy_remotes(ray_session):
+    """Regression: hash_join initializes the shared _MAP_REMOTE wrapper;
+    a subsequent asof_join must still initialize ITS reduce wrapper
+    (the joint-init pattern left _REDUCE_REMOTE None)."""
+    import importlib
+
+    import ray.data
+
+    import yaschva_ray.engine.joins as joins_mod
+    importlib.reload(joins_mod)  # reset the lazy globals
+
+    lt = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                   "lv": pa.array([1, 2, 3], pa.int64())})
+    rt = pa.table({"rk": pa.array([1, 2], pa.int64()),
+                   "rv": pa.array([10, 20], pa.int64())})
+    out = joins_mod.hash_join(ray.data.from_arrow(lt),
+                              ray.data.from_arrow(rt),
+                              left_key="k", right_key="rk", num_buckets=2)
+    assert out.num_rows == 3
+    la = pa.table({"key": pa.array([1, 1], pa.int64()),
+                   "ts": pa.array([5, 9], pa.int64()),
+                   "a": pa.array([100, 200], pa.int64())})
+    ra = pa.table({"rkey": pa.array([1], pa.int64()),
+                   "rts": pa.array([4], pa.int64()),
+                   "b": pa.array([7], pa.int64())})
+    out2 = joins_mod.asof_join(ray.data.from_arrow(la),
+                               ray.data.from_arrow(ra),
+                               left_key="key", right_key="rkey",
+                               left_ts="ts", right_ts="rts", num_buckets=2)
+    assert out2.num_rows == 2
+    importlib.reload(joins_mod)  # leave pristine for other tests

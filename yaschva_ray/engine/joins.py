@@ -250,8 +250,9 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     if num_buckets is None:
         num_buckets = _auto_buckets(left_ds, right_ds)
     global _MAP_REMOTE, _REDUCE_REMOTE
-    if _MAP_REMOTE is None:
+    if _MAP_REMOTE is None:  # may already be set by hash_join (shared map)
         _MAP_REMOTE = ray.remote(_map_block)
+    if _REDUCE_REMOTE is None:
         _REDUCE_REMOTE = ray.remote(_asof_bucket)
 
     def _mapped(ds, key):
