@@ -2461,6 +2461,10 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8) -> np.ndarray:
                 cnt[nz, None].astype(np.float64) * float(_KM_SCALE))
             new[nz] = v / np.maximum(
                 np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        if (new == centroids).all():
+            break  # exact fixed point — integer partials make this a
+            # meaningful test (no float drift), so converged runs skip
+            # the remaining full-input passes
         centroids = new
     return centroids
 
