@@ -583,3 +583,31 @@ def test_hash_join_then_asof_join_lazy_remotes(ray_session):
                                left_ts="ts", right_ts="rts", num_buckets=2)
     assert out2.num_rows == 2
     importlib.reload(joins_mod)  # leave pristine for other tests
+
+
+def test_hash_join_left_outer_vs_pandas(ray_session):
+    """Left-outer join equals the pandas left merge, including buckets
+    whose right side is completely empty (typed nulls from the shipped
+    schema hint)."""
+    import pandas as pd
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    rng = np.random.RandomState(6)
+    lt = pa.table({"k": pa.array(rng.randint(0, 50, 200), pa.int64()),
+                   "lv": pa.array(np.arange(200), pa.int64())})
+    # right side touches only a few keys -> most buckets right-empty
+    rt = pa.table({"rk": pa.array([0, 1, 2], pa.int64()),
+                   "rv": pa.array([10.5, 11.5, 12.5], pa.float64())})
+    out = hash_join(ray.data.from_arrow(lt).repartition(4),
+                    ray.data.from_arrow(rt),
+                    left_key="k", right_key="rk", how="left outer",
+                    num_buckets=6)
+    got = out.to_pandas().sort_values(["lv"]).reset_index(drop=True)
+    want = (lt.to_pandas().merge(rt.to_pandas(), how="left",
+                                 left_on="k", right_on="rk")
+            .drop(columns=["rk"])[got.columns.tolist()]
+            .sort_values(["lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert got["rv"].isna().sum() > 0  # unmatched lefts survive as nulls

@@ -276,9 +276,9 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
-def _equi_bucket(n_left: int, left_key: str, right_key: str,
-                 bucket_id: int, out_dir: str | None,
-                 *parts: pa.Table) -> pa.Table:
+def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
+                 right_schema_hint: pa.Schema, bucket_id: int,
+                 out_dir: str | None, *parts: pa.Table) -> pa.Table:
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
@@ -287,7 +287,7 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str,
     left_schema = next((p.schema for p in parts[:n_left] if p.num_columns),
                        None)
     right_schema = next((p.schema for p in parts[n_left:] if p.num_columns),
-                        None)
+                        right_schema_hint)
     if left_schema is not None and right_schema is not None:
         shared = ((set(left_schema.names) - {left_key})
                   & (set(right_schema.names) - {right_key}))
@@ -295,15 +295,19 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str,
             raise ValueError(
                 f"hash_join requires disjoint non-key column names; "
                 f"shared: {sorted(shared)}")
-    if not lparts or not rparts:  # inner join: either side empty → empty
+    if not lparts or (not rparts and how == "inner"):
         merged = pa.table({})
     else:
         lt = pa.concat_tables(lparts).combine_chunks()
-        rt = pa.concat_tables(rparts).combine_chunks()
+        # a right-empty bucket under left outer still joins (typed nulls):
+        # the driver-shipped schema hint covers buckets whose right parts
+        # are all schema-less empties
+        rt = (pa.concat_tables(rparts).combine_chunks()
+              if rparts else right_schema.empty_table())
         _warn_hot_key(lt, left_key, "hash_join(left)", bucket_id)
         _warn_hot_key(rt, right_key, "hash_join(right)", bucket_id)
         merged = lt.join(rt, keys=[left_key], right_keys=[right_key],
-                         join_type="inner")
+                         join_type=how)
     if out_dir is not None:
         return _sink_bucket(merged, out_dir, bucket_id)
     return merged
@@ -313,21 +317,31 @@ _EQUI_REDUCE = None
 
 
 def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
-              num_buckets: int | None = None,
+              how: str = "inner", num_buckets: int | None = None,
               out_dir: str | None = None) -> pa.Table:
-    """Big-big INNER equi-join: both sides hash-partition on their key
-    through the bounded exchange (each row crosses the cluster once), and
-    each bucket joins its co-located slices with Arrow's C++ hash join.
-    Complements the broadcast lookup join (ops.py — right side fits in
-    memory) for the case where NEITHER side does.  Non-key column names
-    must be disjoint (the broadcast join's rule).  Output row order is
-    unspecified — sort at the caller when determinism matters.  With
-    ``out_dir`` each bucket writes its own parquet part (the at-scale
-    path, same contract as asof_join)."""
+    """Big-big equi-join (``how``: "inner" or "left outer"): both sides
+    hash-partition on their key through the bounded exchange (each row
+    crosses the cluster once), and each bucket joins its co-located
+    slices with Arrow's C++ hash join.  Complements the broadcast lookup
+    join (ops.py — right side fits in memory) for the case where NEITHER
+    side does.  Non-key column names must be disjoint (the broadcast
+    join's rule).  Output row order is unspecified — sort at the caller
+    when determinism matters.  With ``out_dir`` each bucket writes its
+    own parquet part (the at-scale path, same contract as asof_join)."""
     import ray
 
     from .exchange import bounded_map_entries
 
+    if how not in ("inner", "left outer"):
+        raise ValueError(f"hash_join: unsupported how={how!r}")
+    # driver-shipped right schema: left-outer buckets with no right rows
+    # must still emit the right columns as typed nulls (metadata-cheap
+    # for parquet reads; None keeps inner joins free of the fetch)
+    right_schema_hint = None
+    if how == "left outer":
+        s = right_ds.schema()
+        right_schema_hint = getattr(s, "base_schema", None) or pa.schema(
+            [(n, t) for n, t in zip(s.names, s.types)])
     if num_buckets is None:
         num_buckets = _auto_buckets(left_ds, right_ds)
     global _MAP_REMOTE, _EQUI_REDUCE
@@ -346,7 +360,8 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     lmap = _mapped(left_ds, left_key)
     rmap = _mapped(right_ds, right_key)
     joined = [
-        _EQUI_REDUCE.remote(len(lmap), left_key, right_key, b, out_dir,
+        _EQUI_REDUCE.remote(len(lmap), left_key, right_key, how,
+                            right_schema_hint, b, out_dir,
                             *[m[b] for m in lmap], *[m[b] for m in rmap])
         for b in range(num_buckets)
     ]
