@@ -2506,8 +2506,11 @@ def semantic_dedup_from_ds(emb_ds, threshold: float = 0.95, k: int = 16,
     star-verified against its min-id hub (one matvec) with the same
     logged policy as the LSH families — plus a LINEAR exact-duplicate
     pass, so exact copies are dropped at any cluster size (the oracle
-    contract at τ≈1 survives the cap).  Returns dropped vec_ids,
-    ascending."""
+    contract at τ≈1 survives the cap).  SIZE ``k`` TO THE CORPUS: pick
+    k ≈ n_vectors / max_pairwise so expected cluster sizes stay under
+    the quadratic cap (SemDeDup uses k in the tens of thousands at
+    billion-doc scale); the default suits the test tables.  Returns
+    dropped vec_ids, ascending."""
     from ..engine.exchange import keyed_exchange
 
     # materialize HERE so the Lloyd loop and the assignment pass share one
