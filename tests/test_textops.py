@@ -1040,3 +1040,25 @@ def test_semantic_dedup_star_keeps_exact_copies_of_non_hub(ray_session):
                                  max_pairwise=8)  # one cluster, star path
     assert 30 in set(out["dropped_vec"].to_pylist())
     assert 15 not in set(out["dropped_vec"].to_pylist())
+
+
+def test_kmeans_tree_combine_same_centroids(ray_session):
+    """The bounded-fan-in combine rounds must not change the exact sums:
+    force multi-round combining (tiny chunking via many partitions) and
+    compare against a near-single-task run."""
+    import ray.data
+
+    import yaschva_ray.pipelines.textops as tx
+
+    rng = np.random.RandomState(21)
+    mat = rng.randn(600, 8)
+    ds = ray.data.from_arrow(_emb_table(mat, list(range(600))))
+    c1 = tx.kmeans_embeddings(ds.repartition(1), k=4, iters=2)
+    # 600 partitions → 75 chunk futures → one real 64-way combine round
+    c2 = tx.kmeans_embeddings(ds.repartition(600), k=4, iters=2)
+    assert (c1 == c2).all()
+    # kernel-level: combine of splits equals the direct sum
+    t = np.arange(12, dtype=np.int64).reshape(4, 3)
+    c = np.array([1, 2, 3, 4], dtype=np.int64)
+    tot, cnt = tx._km_combine((t, c), (2 * t, 3 * c), (t, c))
+    assert (tot == 4 * t).all() and (cnt == 5 * c).all()

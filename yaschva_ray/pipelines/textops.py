@@ -2346,7 +2346,19 @@ def q_passage_dedup(sf_dir: str, n_plant: int = 6,
 
 _KM_SCALE = np.int64(1) << 24  # fixed-point scale for exact partial sums
 
-_KM_PARTIAL_REMOTE = None  # lazy ray.remote wrapper (house pattern)
+_KM_PARTIAL_REMOTE = None  # lazy ray.remote wrappers (house pattern)
+_KM_COMBINE_REMOTE = None
+
+
+def _km_combine(*parts) -> tuple:
+    """Tree-combine Lloyd partials (int64 adds are associative, so any
+    combine topology yields the same exact sums)."""
+    tot = parts[0][0].copy()
+    cnt = parts[0][1].copy()
+    for t, c in parts[1:]:
+        tot += t
+        cnt += c
+    return tot, cnt
 
 
 def _km_block_partial(c: np.ndarray, *blocks) -> tuple:
@@ -2429,13 +2441,22 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8) -> np.ndarray:
 
     refs = list(iter_block_refs(emb_ds))
     chunks = [refs[i:i + 8] for i in range(0, len(refs), 8)]
-    global _KM_PARTIAL_REMOTE
+    global _KM_PARTIAL_REMOTE, _KM_COMBINE_REMOTE
     if _KM_PARTIAL_REMOTE is None:
         _KM_PARTIAL_REMOTE = ray.remote(_km_block_partial)
+    if _KM_COMBINE_REMOTE is None:
+        _KM_COMBINE_REMOTE = ray.remote(_km_combine)
 
     for _ in range(iters):
         c_ref = ray.put(centroids)
         futs = [_KM_PARTIAL_REMOTE.remote(c_ref, *ch) for ch in chunks]
+        # bounded fan-in (house rule): 64-way tree-combine rounds keep the
+        # driver's gather O(64) partials even with millions of blocks —
+        # int64 addition is associative, so the topology cannot change
+        # the exact sums
+        while len(futs) > 64:
+            futs = [_KM_COMBINE_REMOTE.remote(*futs[i:i + 64])
+                    for i in range(0, len(futs), 64)]
         # vectorized int64 accumulation (a python-int loop over k×d×tasks
         # costs minutes per iteration at realistic k): integer addition is
         # associative/commutative, so the merge stays order-independent.
