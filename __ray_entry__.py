@@ -88,7 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     siblings that stay in the sweep (ann_bruteforce is hash-checked for
     ANN, fingerprint_md5 for fingerprints, media plumbing and drift's
     sketches have their own tests) — each keeps its pytest coverage."""
-    from yaschva_ray.pipelines import ops, textops
+    from yaschva_ray.pipelines import conformance, ops, textops
 
     return {
         # --- oracle-checked (hash-exact vs DuckDB) ---
@@ -179,6 +179,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality_documents and dedup_exact/curate_corpus
         "repetition_signals": textops.q_repetition_signals,
         "passage_dedup": textops.q_passage_dedup,
+        # algorithm-conformance variants (oracle-backed, hash-exact in
+        # tools/driver_sweep.py): the near-dup family's ALGORITHMS —
+        # simhash bit votes, winnowing window selection, minhash affine
+        # mins — re-run on an MD5 base hash DuckDB can also compute; the
+        # production xxhash kernels stay sweep-visible through
+        # simhash_neardup / minhash_verified_pairs / fingerprint_md5
+        "simhash_md5": conformance.q_simhash_md5,
+        "winnow_md5": conformance.q_winnow_md5,
+        "minhash_sig_md5": conformance.q_minhash_sig_md5,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
@@ -436,6 +445,12 @@ def _domain_mix_sql() -> str:
     """
 
 
+def _conf_sql(name: str) -> str:
+    from yaschva_ray.pipelines import conformance
+
+    return getattr(conformance, name)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact_documents": """
@@ -533,6 +548,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fingerprint_md5
             FROM documents ORDER BY doc_id
         """,
+        # algorithm-conformance mirrors (md5_number_lower base hash; SQL
+        # strings rendered next to the kernels they pin)
+        "simhash_md5": _conf_sql("SIMHASH_MD5_SQL"),
+        "winnow_md5": _conf_sql("WINNOW_MD5_SQL"),
+        "minhash_sig_md5": _conf_sql("MINHASH_SIG_MD5_SQL"),
         # Knuth multiplicative mix: BIGINT product is exact for doc_id <
         # ~3.4e9 (sf ids are far smaller), matching numpy's uint64 path
         "train_val_split": """
