@@ -188,6 +188,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_md5": conformance.q_simhash_md5,
         "winnow_md5": conformance.q_winnow_md5,
         "minhash_sig_md5": conformance.q_minhash_sig_md5,
+        # likewise oracle-backed, past-cap: their families stay
+        # sweep-visible through token_count / events_value_quantiles /
+        # pricing_summary / ann_ivf_partitioned's layout twin
+        "quality_filter": ops.q_quality_filter,
+        "events_rollup": ops.q_events_rollup,
+        "keyword_search": textops.q_keyword_search,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
@@ -553,6 +559,60 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _conf_sql("SIMHASH_MD5_SQL"),
         "winnow_md5": _conf_sql("WINNOW_MD5_SQL"),
         "minhash_sig_md5": _conf_sql("MINHASH_SIG_MD5_SQL"),
+        # global-quantile quality pruning: threshold = value at zero-based
+        # rank floor(0.75*(n-1)) of the sorted token counts (the
+        # events_value_quantiles convention), keep n_tokens >= threshold
+        "quality_filter": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), ranked AS (
+                SELECT n_tokens,
+                       row_number() OVER (ORDER BY n_tokens) AS rn,
+                       count(*) OVER () AS n
+                FROM t
+            ), thr AS (
+                SELECT n_tokens AS t0 FROM ranked
+                WHERE rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1
+            )
+            SELECT doc_id, n_tokens FROM t, thr
+            WHERE n_tokens >= t0 ORDER BY doc_id
+        """,
+        "events_rollup": """
+            WITH e AS (
+                SELECT event_type,
+                       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+                           AS hour,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(hour, 'ALL') AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM e GROUP BY ROLLUP(event_type, hour)
+            ORDER BY event_type, hour
+        """,
+        # ranked by DISTINCT query tokens present; ties -> smaller doc_id
+        "keyword_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(coalesce(text, ''),
+                                                        '\S+')) AS t
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(list_intersect(
+                           t, ['spark','window','merge','quantile']))
+                           AS BIGINT) AS n_matched
+                FROM toks
+            )
+            SELECT doc_id, n_matched FROM m WHERE n_matched >= 1
+            QUALIFY row_number() OVER (ORDER BY n_matched DESC, doc_id) <= 10
+            ORDER BY n_matched DESC, doc_id
+        """,
         # Knuth multiplicative mix: BIGINT product is exact for doc_id <
         # ~3.4e9 (sf ids are far smaller), matching numpy's uint64 path
         "train_val_split": """

@@ -1,0 +1,93 @@
+"""Late round-4 operators: inverted-index keyword search, global-quantile
+quality filter, rollup aggregate."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["s"] * len(texts)),
+                  "n_chars": pa.array([len(x or "") for x in texts],
+                                      pa.int64())})
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+
+
+def test_keyword_search_ranks_planted_doc_first(ray_session, tmp_path):
+    from yaschva_ray.pipelines.textops import (
+        _KWSEARCH_QUERY,
+        inverted_index_build,
+        keyword_search,
+    )
+
+    texts = (["filler words only here nothing relevant"] * 20
+             + [" ".join(_KWSEARCH_QUERY)]              # all 4 -> rank 1
+             + ["spark window merge text", "spark window",  # 3, 2 matches
+                "quantile alone"])                         # 1 match
+    _write_docs(tmp_path, texts)
+    idx = os.path.join(tmp_path, "idx")
+    inverted_index_build(str(tmp_path), idx, num_buckets=4)
+    # partition-pruned layout: one hive dir per bucket + meta
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+    assert any(d.startswith("bucket=") for d in os.listdir(idx))
+
+    out = keyword_search(idx, _KWSEARCH_QUERY, k=3)
+    assert out["doc_id"].to_pylist() == [20, 21, 22]
+    assert out["n_matched"].to_pylist() == [4, 3, 2]
+    # duplicate tokens in a doc count once (distinct postings)
+    out2 = keyword_search(idx, ("spark",), k=2)
+    assert out2["n_matched"].to_pylist()[0] == 1
+
+
+def test_keyword_search_reads_only_query_buckets(ray_session, tmp_path):
+    """Pruning contract: buckets not hit by the query are never opened."""
+    from yaschva_ray.pipelines.textops import (
+        inverted_index_build,
+        keyword_search,
+    )
+
+    _write_docs(tmp_path, ["alpha beta", "beta gamma", "delta"])
+    idx = os.path.join(tmp_path, "idx2")
+    inverted_index_build(str(tmp_path), idx, num_buckets=8)
+    # corrupt every bucket EXCEPT the ones 'alpha' routes to: a search
+    # for 'alpha' must still succeed (it never reads the corrupted dirs)
+    from yaschva_ray.engine.sketches import _hash64
+
+    keep = int((_hash64(pa.array(["alpha"])) % np.uint64(8))[0])
+    for d in os.listdir(idx):
+        if d.startswith("bucket=") and d != f"bucket={keep}":
+            for f in os.listdir(os.path.join(idx, d)):
+                with open(os.path.join(idx, d, f), "wb") as fh:
+                    fh.write(b"not parquet")
+    out = keyword_search(idx, ("alpha",), k=5)
+    assert out["doc_id"].to_pylist() == [0]
+
+
+def test_quality_filter_threshold_semantics(ray_session, tmp_path):
+    from yaschva_ray.pipelines.ops import q_quality_filter
+
+    # token counts 1..8 -> p75 rank floor(0.75*7)=5 (zero-based) -> value 6
+    _write_docs(tmp_path, ["w " * n for n in range(1, 9)])
+    out = q_quality_filter(str(tmp_path))
+    assert out["n_tokens"].to_pylist() == [6, 7, 8]
+
+
+def test_events_rollup_levels_consistent(ray_session):
+    from yaschva_ray.pipelines.ops import q_events_rollup
+
+    out = q_events_rollup(SF_DIR)
+    df = out.to_pandas()
+    grand = df[(df.event_type == "ALL")]
+    assert len(grand) == 1
+    per_type = df[(df.event_type != "ALL") & (df.hour == "ALL")]
+    fine = df[(df.event_type != "ALL") & (df.hour != "ALL")]
+    assert per_type.n_events.sum() == grand.n_events.iloc[0] == fine.n_events.sum()
+    assert per_type.sum_value_cents.sum() == grand.sum_value_cents.iloc[0]

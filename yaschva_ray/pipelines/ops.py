@@ -1270,3 +1270,105 @@ def q_orders_customer_join(sf_dir: str) -> pa.Table:
                           ("c_nationkey", pa.int32())]).empty_table()
     return out.select(["o_orderkey", "o_custkey", "c_name", "c_nationkey"]) \
         .sort_by([("o_orderkey", "ascending")])
+
+
+def q_quality_filter(sf_dir: str, q: float = 0.75) -> pa.Table:
+    """Quality pruning at a GLOBAL quantile (the FineWeb/Gopher-style
+    "keep the best X%" curation step): keep documents whose token count is
+    ≥ the corpus p75 — a threshold nobody knows until the whole corpus has
+    been scanned.  Two-pass, both passes streaming:
+
+    pass 1 — counting partials: per-block (n_tokens, count) pairs (the
+    exact-quantiles pattern; cardinality bounded by the value range, not
+    rows), driver cumulates and picks the value at zero-based rank
+    ``floor(q*(n-1))`` of the sorted multiset (the convention
+    ``events_value_quantiles`` pinned — SQL mirrors it with row_number);
+    pass 2 — the threshold broadcasts in the task closure (one int) and a
+    plain vectorized filter re-scans; only survivors leave the stage.
+
+    At 100 TB pass 1 moves a few KB per block and pass 2 is the filtered
+    scan you were going to do anyway; no shuffle at all."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], r"\S+").cast(pa.int64())
+        g = pa.table({"n_tokens": n}).group_by("n_tokens").aggregate(
+            [([], "count_all")])
+        return pa.table({"n_tokens": g["n_tokens"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    if not blocks:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    g = (pa.concat_tables(blocks).group_by("n_tokens")
+         .aggregate([("cnt", "sum")]).sort_by([("n_tokens", "ascending")]))
+    vals = np.asarray(g["n_tokens"].to_numpy(zero_copy_only=False))
+    cum = np.cumsum(np.asarray(g["cnt_sum"].to_numpy(zero_copy_only=False)))
+    n = int(cum[-1])
+    threshold = int(vals[np.searchsorted(cum, int(np.floor(q * (n - 1))) + 1)])
+
+    def keep(t: pa.Table) -> pa.Table:
+        nt = pc.count_substring_regex(t["text"], r"\S+").cast(pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "n_tokens": nt})
+        return out.filter(pc.greater_equal(nt, threshold))
+
+    return _sorted_table(ds.map_batches(keep, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
+def q_events_rollup(sf_dir: str) -> pa.Table:
+    """Multi-level (ROLLUP) aggregate in ONE scan: per-(event_type, hour)
+    event counts and integer-cent value sums, plus the per-type and grand
+    totals — the reporting shape that would otherwise take three passes.
+    Per-block partials aggregate at the FINEST level only ((type, hour) —
+    bounded cardinality: types × hours); the driver combine then derives
+    the coarser levels by re-summing the partials, so each input byte is
+    read once and nothing wide shuffles.  Labels use 'ALL' sentinels in
+    string columns (hour rendered as text for one label column), matching
+    DuckDB's GROUP BY ROLLUP with coalesce — integer outputs keep the
+    mirror hash-exact."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(t["ts"], unit="hour"),
+                           format="%Y-%m-%d %H:00")
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "hour": hour,
+                       "cents": cents,
+                       "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        g = tt.group_by(["event_type", "hour"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        return pa.table({"event_type": g["event_type"], "hour": g["hour"],
+                         "cents": g["cents_sum"], "n": g["n_sum"]})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "hour": pa.array([], pa.string()),
+                      "n_events": pa.array([], pa.int64()),
+                      "sum_value_cents": pa.array([], pa.int64())})
+    if not blocks:
+        return empty
+    fine = (pa.concat_tables(blocks).group_by(["event_type", "hour"])
+            .aggregate([("cents", "sum"), ("n", "sum")]))
+    levels = [fine]
+    by_type = fine.group_by("event_type").aggregate(
+        [("cents_sum", "sum"), ("n_sum", "sum")])
+    levels.append(pa.table({
+        "event_type": by_type["event_type"],
+        "hour": pa.array(["ALL"] * by_type.num_rows),
+        "cents_sum": by_type["cents_sum_sum"], "n_sum": by_type["n_sum_sum"]}))
+    levels.append(pa.table({
+        "event_type": pa.array(["ALL"]), "hour": pa.array(["ALL"]),
+        "cents_sum": pa.array([pc.sum(fine["cents_sum"]).as_py() or 0],
+                              pa.int64()),
+        "n_sum": pa.array([pc.sum(fine["n_sum"]).as_py() or 0], pa.int64())}))
+    out = pa.concat_tables([lv.select(["event_type", "hour", "n_sum",
+                                       "cents_sum"]) for lv in levels])
+    return pa.table({
+        "event_type": out["event_type"], "hour": out["hour"],
+        "n_events": out["n_sum"].cast(pa.int64()),
+        "sum_value_cents": out["cents_sum"].cast(pa.int64()),
+    }).sort_by([("event_type", "ascending"), ("hour", "ascending")])

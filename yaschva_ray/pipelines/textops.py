@@ -2657,3 +2657,142 @@ def q_semantic_dedup(sf_dir: str, n_plant: int = 8,
     return semantic_dedup_from_ds(
         ds.map_batches(plant, batch_format="pyarrow"),
         threshold=1 - 1e-9)
+
+
+# --------------------------------------------------------------------------
+# inverted index + keyword search (the text-retrieval counterpart of the
+# partitioned IVF family)
+# --------------------------------------------------------------------------
+
+# fixed demo query, shared verbatim with the SQL oracle
+_KWSEARCH_QUERY = ("spark", "window", "merge", "quantile")
+
+
+def inverted_index_build(sf_dir: str, index_dir: str,
+                         num_buckets: int = 16) -> None:
+    """Build a PARTITIONED inverted index: distinct (token, doc_id)
+    postings written as hive-partitioned parquet, one directory per
+    token-hash bucket (``ivf_build``'s layout, applied to text).  A
+    keyword search then reads ONLY its query tokens' buckets — at 100 TB
+    a ``n_query_buckets/num_buckets`` fraction of the postings bytes.
+
+    Distinctness is per-batch, which IS global: each doc's text lives in
+    exactly one input row, so one batch holds all of a doc's tokens.
+    Token → bucket routing uses the engine's `_hash64` (the exchange
+    family's hash); build and search must run the same engine version —
+    the routing hash is part of the index format.  tmp-dir + atomic
+    rename keeps a crashed build from leaving appendable partials."""
+    import shutil
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def postings(t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        toks = s.str.extract_all(TOKEN_RE)
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls().to_arrow()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.cast(pa.string())
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        doc = np.repeat(ids, lens)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        # distinct (doc, token) via dictionary codes + np.unique —
+        # the repetition_signals kernel idiom (no per-batch hash join)
+        codes = np.asarray(pc.dictionary_encode(flat).indices,
+                           dtype=np.int64)
+        card = int(codes.max()) + 1
+        uk = np.unique(doc * card + codes)
+        u_doc, u_code = uk // card, uk % card
+        u_tok = pc.dictionary_encode(flat).dictionary.take(pa.array(u_code))
+        bucket = (_hash64(u_tok) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"token": u_tok, "doc_id": pa.array(u_doc),
+                         "bucket": pa.array(bucket)})
+
+    tmp_dir = index_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["bucket"])
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        import json
+
+        json.dump({"num_buckets": num_buckets}, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
+
+
+def keyword_search(index_dir: str, query_tokens, k: int = 10) -> pa.Table:
+    """Search a partitioned inverted index: read ONLY the query tokens'
+    buckets, filter to the query set, and rank docs by the number of
+    DISTINCT query tokens they contain (ties → smaller doc_id).  The
+    per-doc match counts cross buckets, so partial per-batch counts flow
+    through one ``keyed_exchange`` on doc_id (group-sum + per-bucket
+    top-k); the driver merges ≤ buckets × k rows."""
+    import glob as _glob
+    import json
+
+    import ray
+    import ray.data
+
+    from ..engine.exchange import keyed_exchange
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        num_buckets = json.load(f)["num_buckets"]
+    qarr = pa.array(list(query_tokens), pa.string())
+    need = sorted({int(b) for b in _hash64(qarr) % np.uint64(num_buckets)})
+    files = [f for b in need
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_matched": pa.array([], pa.int64())})
+    if not files:
+        return empty
+    ds = ray.data.read_parquet(files, columns=["token", "doc_id"])
+    qref = ray.put(qarr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = pc.is_in(t["token"], value_set=ray.get(qref))
+        sel = t.filter(hit)
+        # postings are globally distinct (token, doc) ⇒ row count per doc
+        # = distinct matched tokens contributed by this batch
+        g = pa.table({"doc_id": sel["doc_id"]}).group_by("doc_id").aggregate(
+            [([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("n", "sum")])
+        out = pa.table({"doc_id": g["doc_id"],
+                        "n_matched": g["n_sum"].cast(pa.int64())})
+        order = pc.sort_indices(out, sort_keys=[("n_matched", "descending"),
+                                                ("doc_id", "ascending")])
+        return out.take(order[:k])
+
+    parts = keyed_exchange(ds.map_batches(partial, batch_format="pyarrow"),
+                           "doc_id", topk_bucket, empty_result=empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).combine_chunks()
+    order = pc.sort_indices(merged, sort_keys=[("n_matched", "descending"),
+                                               ("doc_id", "ascending")])
+    return merged.take(order[:k]).sort_by([("n_matched", "descending"),
+                                           ("doc_id", "ascending")])
+
+
+def q_keyword_search(sf_dir: str, k: int = 10) -> pa.Table:
+    """Build (or reuse) the partitioned inverted index under /tmp, then
+    run the fixed conjunctive-ish keyword query through it — ranked by
+    distinct query tokens matched, hash-exact vs a DuckDB mirror over the
+    source table."""
+    import hashlib as _hashlib
+
+    tag = _hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "yaschva_invidx", tag)
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        inverted_index_build(sf_dir, index_dir)
+    return keyword_search(index_dir, _KWSEARCH_QUERY, k=k)
