@@ -99,6 +99,9 @@ def bench_queries(sf_dir: str) -> dict:
         # round-4 additions (per-query keys keep rounds comparable)
         "events_price_range_join", "pack_sequences",
         "drift_events_fixed_bins", "orders_customer_join",
+        # round-4 late additions: two-pass global-quantile pruning +
+        # one-scan multi-level rollup
+        "quality_filter", "events_rollup",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)
@@ -119,6 +122,10 @@ def bench_queries(sf_dir: str) -> dict:
         "repetition_signals", "passage_dedup",
         # round-4 late additions: distributed k-means + SemDeDup
         "kmeans_embeddings", "semantic_dedup",
+        # round-4 late additions: partitioned inverted-index retrieval
+        # (includes the one-time index build on first run; best-of-2
+        # reports the warm search)
+        "keyword_search",
     ]
     out = {}
     for mod, group in ((ops, names), (textops, text_names)):
