@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": ops.q_quality_filter,
         "events_rollup": ops.q_events_rollup,
         "keyword_search": textops.q_keyword_search,
+        "grouped_quantiles": ops.q_grouped_quantiles,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
@@ -594,6 +595,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cents) AS BIGINT) AS sum_value_cents
             FROM e GROUP BY ROLLUP(event_type, hour)
             ORDER BY event_type, hour
+        """,
+        # exact per-group quantiles: same zero-based floor(q*(n-1)) rank
+        # convention as events_value_quantiles, partitioned by type
+        "grouped_quantiles": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), r AS (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            )
+            SELECT event_type,
+                   max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                            THEN cents END) AS p50_cents,
+                   max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                            THEN cents END) AS p90_cents
+            FROM r GROUP BY event_type ORDER BY event_type
         """,
         # ranked by DISTINCT query tokens present; ties -> smaller doc_id
         "keyword_search": r"""

@@ -91,3 +91,19 @@ def test_events_rollup_levels_consistent(ray_session):
     fine = df[(df.event_type != "ALL") & (df.hour != "ALL")]
     assert per_type.n_events.sum() == grand.n_events.iloc[0] == fine.n_events.sum()
     assert per_type.sum_value_cents.sum() == grand.sum_value_cents.iloc[0]
+
+
+def test_grouped_quantiles_match_numpy(ray_session):
+    import duckdb
+
+    from yaschva_ray.pipelines.ops import q_grouped_quantiles
+
+    out = q_grouped_quantiles(SF_DIR).to_pandas().set_index("event_type")
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')").fetchdf()
+    for et, grp in df.groupby("event_type"):
+        vals = np.sort(grp.cents.to_numpy())
+        for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
+            assert out.loc[et, col] == vals[int(np.floor(q * (len(vals) - 1)))]

@@ -1372,3 +1372,56 @@ def q_events_rollup(sf_dir: str) -> pa.Table:
         "n_events": out["n_sum"].cast(pa.int64()),
         "sum_value_cents": out["cents_sum"].cast(pa.int64()),
     }).sort_by([("event_type", "ascending"), ("hour", "ascending")])
+
+
+def q_grouped_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT quantiles PER GROUP (p50/p90 of cent-quantized value per
+    event_type) — the grouped generalization of
+    ``q_events_value_quantiles``: per-block (event_type, cents, count)
+    partials (cardinality bounded by types × value range, independent of
+    rows), driver group-sums, then one vectorized rank pick per group on
+    the sorted (type, cents) histogram.  Same rank convention
+    (zero-based ``floor(q*(n-1))``) so the SQL mirror is row_number over
+    a per-type partition."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "cents": cents}) \
+            .group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "cents": g["cents"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "p50_cents": pa.array([], pa.int64()),
+                      "p90_cents": pa.array([], pa.int64())})
+    if not blocks:
+        return empty
+    g = (pa.concat_tables(blocks).group_by(["event_type", "cents"])
+         .aggregate([("cnt", "sum")])
+         .sort_by([("event_type", "ascending"), ("cents", "ascending")]))
+    et = np.asarray(g["event_type"].to_numpy(zero_copy_only=False))
+    cents = np.asarray(g["cents"].to_numpy(zero_copy_only=False))
+    counts = np.asarray(g["cnt_sum"].to_numpy(zero_copy_only=False))
+    # group boundaries over the sorted histogram
+    new = np.ones(len(et), dtype=bool)
+    new[1:] = et[1:] != et[:-1]
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], len(et))
+    out_t, out_p50, out_p90 = [], [], []
+    for s, e in zip(starts, ends):  # per TYPE (handful), not per row
+        cum = np.cumsum(counts[s:e])
+        n = int(cum[-1])
+        row = []
+        for q in (0.5, 0.9):
+            idx = int(np.floor(q * (n - 1)))
+            row.append(int(cents[s:e][np.searchsorted(cum, idx + 1)]))
+        out_t.append(et[s])
+        out_p50.append(row[0])
+        out_p90.append(row[1])
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "p50_cents": pa.array(out_p50, pa.int64()),
+                     "p90_cents": pa.array(out_p90, pa.int64())}).sort_by(
+        [("event_type", "ascending")])

@@ -2702,12 +2702,12 @@ def inverted_index_build(sf_dir: str, index_dir: str,
                              "bucket": pa.array([], pa.int64())})
         # distinct (doc, token) via dictionary codes + np.unique —
         # the repetition_signals kernel idiom (no per-batch hash join)
-        codes = np.asarray(pc.dictionary_encode(flat).indices,
-                           dtype=np.int64)
+        d = pc.dictionary_encode(flat)
+        codes = np.asarray(d.indices, dtype=np.int64)
         card = int(codes.max()) + 1
         uk = np.unique(doc * card + codes)
         u_doc, u_code = uk // card, uk % card
-        u_tok = pc.dictionary_encode(flat).dictionary.take(pa.array(u_code))
+        u_tok = d.dictionary.take(pa.array(u_code))
         bucket = (_hash64(u_tok) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({"token": u_tok, "doc_id": pa.array(u_doc),
                          "bucket": pa.array(bucket)})
