@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": ops.q_events_rollup,
         "keyword_search": textops.q_keyword_search,
         "grouped_quantiles": ops.q_grouped_quantiles,
+        "infer_schema": ops.q_infer_schema,
+        "compact_documents": ops.q_compact_documents,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
@@ -616,6 +618,45 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
                             THEN cents END) AS p90_cents
             FROM r GROUP BY event_type ORDER BY event_type
+        """,
+        # schema inference: base types are the parquet schema (static);
+        # the DATA-driven nullability decision is what the mirror checks —
+        # JSON literals match python json.dumps exactly (", " separator)
+        "infer_schema": """
+            WITH n AS (
+                SELECT count(*) FILTER (WHERE doc_id IS NULL) AS doc_id_n,
+                       count(*) FILTER (WHERE text IS NULL) AS text_n,
+                       count(*) FILTER (WHERE lang IS NULL) AS lang_n,
+                       count(*) FILTER (WHERE source IS NULL) AS source_n,
+                       count(*) FILTER (WHERE n_chars IS NULL) AS n_chars_n
+                FROM documents
+            )
+            SELECT * FROM (
+                SELECT 'doc_id' AS "column",
+                       CASE WHEN doc_id_n > 0 THEN '["integer", "null"]'
+                            ELSE '"integer"' END AS inferred FROM n
+                UNION ALL SELECT 'lang',
+                       CASE WHEN lang_n > 0 THEN '["string", "null"]'
+                            ELSE '"string"' END FROM n
+                UNION ALL SELECT 'n_chars',
+                       CASE WHEN n_chars_n > 0 THEN '["integer", "null"]'
+                            ELSE '"integer"' END FROM n
+                UNION ALL SELECT 'source',
+                       CASE WHEN source_n > 0 THEN '["string", "null"]'
+                            ELSE '"string"' END FROM n
+                UNION ALL SELECT 'text',
+                       CASE WHEN text_n > 0 THEN '["string", "null"]'
+                            ELSE '"string"' END FROM n
+            ) ORDER BY "column"
+        """,
+        # compaction conservation: the engine re-reads its COMPACTED
+        # output; any dropped/duplicated row breaks one of these
+        "compact_documents": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents
         """,
         # ranked by DISTINCT query tokens present; ties -> smaller doc_id
         "keyword_search": r"""

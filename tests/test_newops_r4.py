@@ -107,3 +107,46 @@ def test_grouped_quantiles_match_numpy(ray_session):
         vals = np.sort(grp.cents.to_numpy())
         for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
             assert out.loc[et, col] == vals[int(np.floor(q * (len(vals) - 1)))]
+
+
+def test_compact_parquet_resume_and_conservation(ray_session, tmp_path):
+    from yaschva_ray.engine.compact import compact_parquet
+
+    for i in range(6):
+        t = pa.table({"doc_id": pa.array(range(i * 10, i * 10 + 10),
+                                         pa.int64())})
+        pq.write_table(t, os.path.join(tmp_path, f"in-{i}.parquet"))
+    out = os.path.join(tmp_path, "out")
+    sz = os.path.getsize(os.path.join(tmp_path, "in-0.parquet"))
+    r1 = compact_parquet(str(tmp_path), out, target_bytes=sz * 3)
+    assert r1["rows"] == 60 and r1["n_out"] < 6 and r1["skipped"] == 0
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    got = pa.concat_tables([pq.read_table(os.path.join(out, p))
+                            for p in parts])
+    assert sorted(got["doc_id"].to_pylist()) == list(range(60))
+    # resume: a rerun rewrites nothing (every group in the manifest)
+    mtimes = {p: os.path.getmtime(os.path.join(out, p)) for p in parts}
+    r2 = compact_parquet(str(tmp_path), out, target_bytes=sz * 3)
+    assert r2["skipped"] == r1["n_out"] and r2["rows"] == 60
+    assert all(os.path.getmtime(os.path.join(out, p)) == mtimes[p]
+               for p in parts)
+
+
+def test_infer_schema_roundtrip_validates(ray_session):
+    """Every row of the table must pass validation against the schema
+    inferred FROM that table; a type-violating mutation must fail."""
+    import json
+
+    from yaschva_ray.pipelines.ops import q_infer_schema
+    from yaschva_ray.vectorized import TableValidator
+
+    inferred = {r["column"]: json.loads(r["inferred"])
+                for r in q_infer_schema(SF_DIR).to_pylist()}
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    tv = TableValidator(inferred)
+    out = tv(t)
+    assert out["valid"].to_pandas().all()
+    # mutate one column's type -> every row fails
+    bad = t.set_column(t.schema.get_field_index("n_chars"), "n_chars",
+                       pa.array(["x"] * t.num_rows))
+    assert not TableValidator(inferred)(bad)["valid"].to_pandas().any()

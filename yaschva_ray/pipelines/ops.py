@@ -1425,3 +1425,94 @@ def q_grouped_quantiles(sf_dir: str) -> pa.Table:
                      "p50_cents": pa.array(out_p50, pa.int64()),
                      "p90_cents": pa.array(out_p90, pa.int64())}).sort_by(
         [("event_type", "ascending")])
+
+
+def q_infer_schema(sf_dir: str) -> pa.Table:
+    """Schema INFERENCE from data (the type emitter's inverse,
+    typegen.arrow_to_validation): base types come from the parquet file
+    metadata (no data pages read for this half), nullability from the
+    DATA via one pass of per-block null-count partials — columns that
+    actually contain nulls become ``[T, 'null']`` unions.  Output is one
+    (column, inferred) row per column with the inferred validation type
+    JSON-encoded; the SQL mirror recomputes the nullability decision per
+    column, so the data-driven half is hash-checked (the static half is
+    pinned by the round-trip test: every row of the table validates
+    against the inferred schema)."""
+    import glob as _glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..typegen import arrow_to_validation
+
+    f = sorted(_glob.glob(os.path.join(sf_dir, "documents*.parquet")))[0]
+    schema = pq.read_schema(f)
+    cols = schema.names
+    ds = _read(sf_dir, "documents", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": pa.array(cols, pa.string()),
+            "n_nulls": pa.array([t[c].null_count for c in cols], pa.int64()),
+        })
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    nullable = set()
+    if blocks:
+        g = (pa.concat_tables(blocks).group_by("col_name")
+             .aggregate([("n_nulls", "sum")]))
+        nullable = {n for n, c in zip(g["col_name"].to_pylist(),
+                                      g["n_nulls_sum"].to_pylist()) if c}
+    inferred = arrow_to_validation(schema, nullable)
+    return pa.table({
+        "column": pa.array(list(inferred), pa.string()),
+        "inferred": pa.array([json.dumps(v) for v in inferred.values()],
+                             pa.string()),
+    }).sort_by([("column", "ascending")])
+
+
+def q_compact_documents(sf_dir: str) -> pa.Table:
+    """Small-file compaction round trip (engine/compact.py): documents
+    re-written as 16 small parts, compacted into ~4 target-size files
+    (one Ray task per group, tmp+rename, manifest lineage), then the
+    COMPACTED output is re-read distributed and aggregated — the oracle
+    checks conservation (count / min / max / sum of doc_id) against the
+    source table, so a dropped or duplicated row in either rewrite fails
+    the hash."""
+    import hashlib as _hashlib
+    import shutil
+
+    import ray.data
+
+    from ..engine.compact import compact_parquet
+
+    tag = _hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join("/tmp", "yaschva_compact", tag)
+    small, out = os.path.join(base, "small"), os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    _read(sf_dir, "documents", ["doc_id"]).repartition(16).write_parquet(small)
+    sz = sum(os.path.getsize(os.path.join(small, f))
+             for f in os.listdir(small) if f.endswith(".parquet"))
+    compact_parquet(small, out, target_bytes=max(sz // 4, 1))
+
+    ds = ray.data.read_parquet(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "min_doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
+            "max_doc_id": pa.array([pc.max(ids).as_py()], pa.int64()),
+            "sum_doc_id": pa.array([pc.sum(ids).as_py()], pa.int64()),
+        })
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    m = pa.concat_tables(blocks)
+    return pa.table({
+        "n_rows": pa.array([pc.sum(m["n_rows"]).as_py()], pa.int64()),
+        "min_doc_id": pa.array([pc.min(m["min_doc_id"]).as_py()], pa.int64()),
+        "max_doc_id": pa.array([pc.max(m["max_doc_id"]).as_py()], pa.int64()),
+        "sum_doc_id": pa.array([pc.sum(m["sum_doc_id"]).as_py()], pa.int64()),
+    })

@@ -211,3 +211,56 @@ def _arrow_type(t: Any, custom: dict, seen: frozenset | set) -> tuple[pa.DataTyp
             raise TypeGenError("$and must only contain objects")
         return _arrow_type(combined["pass"], custom, seen)
     return json_fb
+
+
+def arrow_to_validation(schema: pa.Schema,
+                        nullable_cols: set | frozenset = frozenset()) -> dict:
+    """INFER a validation schema from an Arrow schema — the inverse of
+    ``schema_to_arrow``, closing the reference's self-describe loop from
+    the data side: tables whose producer never wrote a schema get one the
+    engine can validate against (``validate(infer(t), row)`` passes for
+    every row of ``t`` — tested round-trip).
+
+    Arrow nullability is declared per field but almost always ``True``
+    regardless of content, so the DATA decides: callers pass the set of
+    columns that actually contain nulls (a per-block partial null count —
+    the ``null_counts_documents`` pattern) and only those become
+    ``[T, 'null']`` unions.  Nested list/struct types recurse; unhandled
+    Arrow types raise (no silent 'any')."""
+    out: dict = {}
+    for f in schema:
+        t = _validation_type(f.type)
+        if f.name in nullable_cols:
+            t = [t, "null"] if not isinstance(t, list) else [*t, "null"]
+        key = "\\" + f.name if f.name.startswith("$") else f.name
+        out[key] = t
+    return out
+
+
+def _validation_type(t: pa.DataType):
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "number"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_null(t):
+        return "null"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return {"$array": _validation_type(t.value_type)}
+    if pa.types.is_struct(t):
+        # struct members: Arrow cannot distinguish JSON null from absent,
+        # so inferred members accept both ('?') plus null — the loosest
+        # schema every conforming row passes
+        return {("\\" + f.name if f.name.startswith("$") else f.name):
+                [_validation_type(f.type), "null", "?"]
+                for f in t}
+    if pa.types.is_map(t):
+        return {"$map": _validation_type(t.item_type)}
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        # engine convention (FIXTURES.md): temporal columns validate as
+        # their ISO string form
+        return "string"
+    raise TypeGenError(f"cannot infer a validation type for {t}")
