@@ -260,3 +260,39 @@ def test_cli_dedup_semantic(tmp_path):
         [pq.read_table(f) for f in _glob.glob(str(kept_dir / "*.parquet"))])
     assert sorted(kept["doc_id"].to_pylist()) == [i for i in range(30)
                                                   if i not in (20, 21)]
+
+
+def test_cli_compact_and_index(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    small = tmp_path / "small"
+    small.mkdir()
+    for i in range(4):
+        pq.write_table(pa.table({"doc_id": pa.array([i], pa.int64()),
+                                 "text": pa.array([f"tok{i} shared"])}),
+                       small / f"in-{i}.parquet")
+    out = tmp_path / "compacted"
+    r = run_cli("compact", "--input", str(small), "--out", str(out),
+                "--target-mb", "64", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(r.stdout.strip().split("\n")[-1])
+    assert rec["rows"] == 4 and rec["n_out"] == 1
+
+    # index over a documents.parquet dir, then search in the same call
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "alpha", "gamma"]),
+    }), docs_dir / "documents.parquet")
+    idx = tmp_path / "idx"
+    r = run_cli("index", "--input", str(docs_dir), "--index", str(idx),
+                "--query", "alpha beta", "--k", "2", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rows = [json.loads(l) for l in r.stdout.strip().split("\n")
+            if l.startswith("{")]
+    assert rows[0]["built"] == str(idx)
+    hits = rows[1:]
+    assert hits[0] == {"doc_id": 0, "n_matched": 2}
+    assert hits[1] == {"doc_id": 1, "n_matched": 1}

@@ -306,6 +306,60 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    """Small-file compaction (engine/compact.py): resumable via the output
+    dir's manifest — rerunning after a kill skips finished groups."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    try:
+        from .engine.compact import compact_parquet
+
+        r = compact_parquet(args.input, args.out,
+                            target_bytes=args.target_mb * (1 << 20))
+        print(json.dumps(r))
+        return 0 if r["n_in"] else 2
+    finally:
+        ray.shutdown()
+
+
+def _cmd_index(args: argparse.Namespace) -> int:
+    """Inverted index: ``--input`` builds (or rebuilds) the partitioned
+    index; ``--query`` searches it (both may be given — build then
+    search)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from .pipelines.textops import inverted_index_build, keyword_search
+
+        if not args.input and not args.query:
+            print("error: need --input (build) and/or --query (search)",
+                  file=sys.stderr)
+            return 2
+        if args.input:
+            inverted_index_build(args.input, args.index,
+                                 num_buckets=args.buckets)
+            print(json.dumps({"built": args.index,
+                              "buckets": args.buckets}))
+        if args.query:
+            out = keyword_search(args.index, args.query.split(), k=args.k)
+            for row in out.to_pylist():
+                print(json.dumps(row))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_vocab(args: argparse.Namespace) -> int:
     """Exact top-k token vocabulary over a (doc_id, text) table (see
     pipelines.textops.vocab_top_tokens_from_ds)."""
@@ -389,6 +443,24 @@ def main(argv: list[str] | None = None) -> int:
     vo.add_argument("--out", required=True, help="output parquet file")
     vo.add_argument("--num-cpus", type=int, default=8)
 
+    co = sub.add_parser("compact", help="compact small parquet files into "
+                                        "~target-size outputs (resumable)")
+    co.add_argument("--input", required=True, help="parquet dir or glob")
+    co.add_argument("--out", required=True, help="output directory")
+    co.add_argument("--target-mb", type=int, default=128)
+    co.add_argument("--num-cpus", type=int, default=8)
+
+    ix = sub.add_parser("index", help="build a partitioned inverted index / "
+                                      "search it")
+    ix.add_argument("--input", default=None,
+                    help="(build) dir containing documents.parquet")
+    ix.add_argument("--index", required=True, help="index directory")
+    ix.add_argument("--query", default=None,
+                    help="(search) space-separated query tokens")
+    ix.add_argument("--k", type=int, default=10)
+    ix.add_argument("--buckets", type=int, default=16)
+    ix.add_argument("--num-cpus", type=int, default=8)
+
     v = sub.add_parser("validate", help="run the full table-validation pipeline")
     v.add_argument("--schema", required=True)
     v.add_argument("--input", required=True, help="parquet glob")
@@ -414,6 +486,10 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_curate(args)
     if args.cmd == "vocab":
         return _cmd_vocab(args)
+    if args.cmd == "compact":
+        return _cmd_compact(args)
+    if args.cmd == "index":
+        return _cmd_index(args)
     return _cmd_validate(args)
 
 
