@@ -100,3 +100,36 @@ def test_conformance_queries_end_to_end(ray_session):
     got = q_minhash_sig_md5(sf)
     want = con.execute(MINHASH_SIG_MD5_SQL).fetchdf()
     assert np.array_equal(got["sig"].to_numpy(), want["sig"].to_numpy())
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _texts = st.lists(
+        st.one_of(st.none(),
+                  st.text(alphabet=st.characters(
+                      blacklist_categories=("Cs",)), max_size=60)),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=30, deadline=None)
+    @given(_texts)
+    def test_conformance_kernels_match_duckdb_random(texts):
+        """Randomized differential: arbitrary unicode (incl. whitespace-only
+        and null docs) must agree with DuckDB on all three kernels."""
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        con = duckdb.connect()
+        con.register("documents", t)
+        assert np.array_equal(
+            con.execute(SIMHASH_MD5_SQL).fetchdf()["simhash_md5"].to_numpy(),
+            simhash_md5_batch(t["text"]))
+        n_fp, dig = winnow_md5_batch(t["text"])
+        o = con.execute(WINNOW_MD5_SQL).fetchdf()
+        assert np.array_equal(o["n_fingerprints"].to_numpy(), n_fp)
+        assert np.array_equal(o["fp_xor"].to_numpy(), dig)
+        mins, k = minhash_sig_md5_batch(t["text"])
+        o = con.execute(MINHASH_SIG_MD5_SQL).fetchdf()
+        assert np.array_equal(o["sig"].to_numpy(), mins.ravel())
+except ImportError:  # pragma: no cover
+    pass
