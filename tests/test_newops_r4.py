@@ -150,3 +150,19 @@ def test_infer_schema_roundtrip_validates(ray_session):
     bad = t.set_column(t.schema.get_field_index("n_chars"), "n_chars",
                        pa.array(["x"] * t.num_rows))
     assert not TableValidator(inferred)(bad)["valid"].to_pandas().any()
+
+
+def test_compact_refuses_mixed_plans(ray_session, tmp_path):
+    """Resuming into an out_dir built under a different plan (input set or
+    target changed) must fail loudly, not mix stale parts."""
+    from yaschva_ray.engine.compact import compact_parquet
+
+    for i in range(3):
+        pq.write_table(pa.table({"doc_id": pa.array([i], pa.int64())}),
+                       os.path.join(tmp_path, f"in-{i}.parquet"))
+    out = os.path.join(tmp_path, "out")
+    compact_parquet(str(tmp_path), out, target_bytes=1)
+    pq.write_table(pa.table({"doc_id": pa.array([99], pa.int64())}),
+                   os.path.join(tmp_path, "in-3.parquet"))
+    with pytest.raises(RuntimeError, match="different\\s+plan"):
+        compact_parquet(str(tmp_path), out, target_bytes=1)

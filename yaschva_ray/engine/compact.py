@@ -77,12 +77,29 @@ def compact_parquet(src, out_dir: str,
     groups = _plan_groups(files, target_bytes)
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_manifest.jsonl")
+    # the plan id pins (file set, target) — resuming into an out_dir built
+    # under a DIFFERENT plan would leave stale part-NNNNN files next to new
+    # ones and downstream reads would double-count; refuse loudly instead
+    import hashlib
+
+    plan_id = hashlib.md5(json.dumps([sorted(files), target_bytes])
+                          .encode()).hexdigest()[:16]
     done: dict[int, dict] = {}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             for line in f:
                 e = json.loads(line)
+                if "plan" in e:
+                    if e["plan"] != plan_id:
+                        raise RuntimeError(
+                            f"compact: {out_dir} holds outputs of a different "
+                            f"plan ({e['plan']} != {plan_id}: input set or "
+                            "target size changed) — use a fresh out_dir")
+                    continue
                 done[e["group"]] = e
+    else:
+        with open(manifest_path, "w") as f:
+            f.write(json.dumps({"plan": plan_id}) + "\n")
 
     global _COMPACT_REMOTE
     if _COMPACT_REMOTE is None:
