@@ -1,14 +1,21 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-Decode is IMPORT-GATED: ``decoder="real"`` uses PIL for images when it is
-importable and raises ``NotImplementedError`` at actor construction when
-it is not (this container ships neither PIL nor ffmpeg) — the gate is
-honest both ways: with PIL present the real path decodes/resizes actual
-image bytes (gated test), without it the plug point fails loudly.  Audio/
-video frame decode needs ffmpeg and stays a declared stub either way.
-``decoder="fake"`` (default) produces a deterministic hash-derived feature
-vector so the Ray-side plumbing — schema, batch sizing, actor signature,
-output layout — is real and tested regardless of libraries.
+THREE decoder tiers, honest about what each does:
+
+- ``decoder="ppm"`` — a REAL decode path with zero dependencies: a pure
+  numpy codec for the netpbm P6 (binary PPM) format.  ``synth_media_table
+  (image_payload="ppm")`` writes genuine P6 bytes (videos = concatenated
+  P6 frames), and the extractor / resizer / frame sampler parse the
+  actual pixel data — header parsing, frame walking, grayscale, area
+  mean-pooling are all exercised end-to-end.  This is the default for the
+  driver-visible media queries.
+- ``decoder="real"`` — IMPORT-GATED on PIL for compressed formats
+  (JPEG/PNG); raises ``NotImplementedError`` at actor construction when
+  PIL is absent (this container) and decodes real image bytes where it
+  exists (gated test).  Video frame decode of compressed codecs needs
+  ffmpeg and stays a declared stub.
+- ``decoder="fake"`` — deterministic hash-derived features from raw
+  payload bytes; kept for plumbing tests and non-image kinds.
 
 Design per the build brief: decode/feature-extract runs as an actor-pool
 ``map_batches`` stage with small batches (large binary payloads), emitting
@@ -28,6 +35,56 @@ def _try_import_pil():
     except ImportError:
         return None
 
+
+# --------------------------------------------------------------------------
+# pure-numpy netpbm P6 codec (public format; no libraries)
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Decode one P6 image starting at ``offset``; returns
+    ``(pixels (H, W, 3), end_offset)`` so concatenated frames can be
+    walked.  Handles the format's whitespace/comment header rules."""
+    if payload[offset:offset + 2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = offset + 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3), pos + n
+
+
+def _pool_gray(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Grayscale (channel mean) + area mean-pool to (out_h, out_w) —
+    the deterministic resize kernel shared by features and resizing."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    rows = np.array_split(gray, out_h, axis=0)
+    return np.array([[c.mean() if c.size else 0.0
+                      for c in np.array_split(r, out_w, axis=1)]
+                     for r in rows])
+
 MEDIA_SCHEMA = pa.schema([
     ("media_ref", pa.string()),
     ("kind", pa.string()),            # image | audio | video
@@ -40,17 +97,50 @@ MEDIA_SCHEMA = pa.schema([
 FEATURE_DIM = 16
 
 
-def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media table matching MEDIA_SCHEMA."""
+VIDEO_FRAMES = 8  # frames per synthetic ppm video
+
+
+def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
+                      image_payload: str = "ppm") -> pa.Table:
+    """Deterministic media table matching MEDIA_SCHEMA.
+
+    ``image_payload="ppm"`` (default): image rows carry REAL P6 bytes
+    (seeded gradient+noise pixels; width/height metadata match the encoded
+    dims) and video rows carry ``VIDEO_FRAMES`` concatenated P6 frames —
+    decodable end-to-end by the pure-numpy codec.  ``"opaque"`` keeps the
+    original random-bytes payloads for plumbing-only tests."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
-    payloads = [rng.randint(0, 256, payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    widths = rng.randint(16, 4096, n).astype(np.int32)
+    heights = rng.randint(16, 4096, n).astype(np.int32)
+    payloads = []
+    for i, k in enumerate(kinds):
+        if image_payload != "ppm" or k == "audio":
+            payloads.append(
+                rng.randint(0, 256, payload_bytes, dtype=np.uint8).tobytes())
+            continue
+        # small real dims (payload column stays light); metadata matches
+        w, h = int(rng.randint(8, 33)), int(rng.randint(8, 33))
+        widths[i], heights[i] = w, h
+        frames = 1 if k == "image" else VIDEO_FRAMES
+        buf = b""
+        for f in range(frames):
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((yy * 7 + xx * 3 + f * 11) % 256).astype(np.uint8)
+            px = np.stack([base,
+                           ((base.astype(int) + 85) % 256).astype(np.uint8),
+                           ((base.astype(int) + 170) % 256).astype(np.uint8)],
+                          axis=2)
+            noise = rng.randint(0, 16, (h, w, 3), dtype=np.uint8)
+            buf += encode_ppm(((px.astype(int) + noise) % 256)
+                              .astype(np.uint8))
+        payloads.append(buf)
     return pa.table({
         "media_ref": pa.array([f"media://cat/{i:06d}.bin" for i in range(n)]),
         "kind": pa.array(list(kinds)),
         "payload": pa.array(payloads, pa.binary()),
-        "width": pa.array(rng.randint(16, 4096, n).astype(np.int32)),
-        "height": pa.array(rng.randint(16, 4096, n).astype(np.int32)),
+        "width": pa.array(widths),
+        "height": pa.array(heights),
         "duration_ms": pa.array(rng.randint(0, 600000, n).astype(np.int32)),
     })
 
@@ -64,7 +154,7 @@ class MediaFeatureExtractor:
     num_cpus=1)`` — small batches because payloads are large.
     """
 
-    def __init__(self, decoder: str = "fake"):
+    def __init__(self, decoder: str = "ppm"):
         self._pil = None
         if decoder == "real":
             self._pil = _try_import_pil()
@@ -72,7 +162,8 @@ class MediaFeatureExtractor:
                 raise NotImplementedError(
                     "real media decoding requires PIL (images) — not "
                     "importable in this container; the import-gated real "
-                    "path activates automatically where PIL exists")
+                    "path activates automatically where PIL exists; "
+                    "decoder='ppm' is the dependency-free real path")
         self.decoder = decoder
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
@@ -89,12 +180,19 @@ class MediaFeatureExtractor:
         return np.asarray(img, dtype=np.float64).ravel()
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
-        if self._pil is not None and kind == "image":
-            try:
-                return self._real_decode_image(payload)
-            except Exception:
-                return np.zeros(FEATURE_DIM)  # undecodable bytes
-        # audio/video need ffmpeg (absent): deterministic stub either way
+        if kind == "image":
+            if self._pil is not None:
+                try:
+                    return self._real_decode_image(payload)
+                except Exception:
+                    return np.zeros(FEATURE_DIM)  # undecodable bytes
+            if self.decoder == "ppm":
+                try:  # REAL pixel decode, pure numpy
+                    px, _ = decode_ppm(payload)
+                    return _pool_gray(px, 4, 4).ravel()
+                except Exception:
+                    return np.zeros(FEATURE_DIM)  # undecodable bytes
+        # audio (and video in this stage) need ffmpeg: deterministic stub
         return self._fake_decode(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -108,11 +206,12 @@ class MediaFeatureExtractor:
         })
 
 
-def extract_media_features(ds, *, batch_size: int = 64, concurrency=(2, 4)):
+def extract_media_features(ds, *, batch_size: int = 64, concurrency=(2, 4),
+                           decoder: str = "ppm"):
     """The plumbing: small batches, actor pool, fixed-width output."""
     return ds.map_batches(
         MediaFeatureExtractor, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs={"decoder": "fake"},
+        fn_constructor_kwargs={"decoder": decoder},
         concurrency=concurrency, num_cpus=1,
     )
 
@@ -123,21 +222,23 @@ RESIZE_H, RESIZE_W = 8, 8
 class MediaResizer:
     """Actor-pool resize stage (images): payload → fixed (H×W) pixel grid.
 
-    The interpolation itself is stubbed deterministically (byte grid mean-
-    pooled to H×W — a real PIL/cv2 resize plugs into ``_resize``); the
-    Ray-side geometry is real: fixed-size-list output column, small batches,
-    per-actor setup in ``__init__``.
+    ``decoder="ppm"`` (default) decodes REAL P6 pixels (pure numpy) and
+    area-mean-pools to H×W; ``"real"`` uses PIL's resampler for compressed
+    formats; ``"fake"`` mean-pools the raw byte grid (plumbing-only).
+    Either way the Ray-side geometry is real: fixed-size-list output
+    column, small batches, per-actor setup in ``__init__``.
     """
 
-    def __init__(self, decoder: str = "fake"):
+    def __init__(self, decoder: str = "ppm"):
         self._pil = None
+        self.decoder = decoder
         if decoder == "real":
             self._pil = _try_import_pil()
             if self._pil is None:
                 raise NotImplementedError(
                     "real image resize requires PIL — not importable in "
                     "this container; activates automatically where PIL "
-                    "exists")
+                    "exists; decoder='ppm' is the dependency-free real path")
 
     def _resize(self, payload: bytes) -> np.ndarray:
         if self._pil is not None:
@@ -145,6 +246,12 @@ class MediaResizer:
                 img = self._pil.open(__import__("io").BytesIO(payload))
                 img = img.convert("L").resize((RESIZE_W, RESIZE_H))
                 return np.asarray(img, dtype=np.float64).ravel()
+            except Exception:
+                return np.zeros(RESIZE_H * RESIZE_W)
+        if self.decoder == "ppm":
+            try:  # REAL pixel decode + area mean-pool
+                px, _ = decode_ppm(payload)
+                return _pool_gray(px, RESIZE_H, RESIZE_W).ravel()
             except Exception:
                 return np.zeros(RESIZE_H * RESIZE_W)
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
@@ -174,15 +281,46 @@ class MediaResizer:
 class FrameSampler:
     """Actor-pool frame-sampling stage (videos): one INPUT row explodes to
     ``n_frames`` OUTPUT rows (media_ref, frame_idx, ts_ms, feature) — the
-    row-expanding geometry a real ffmpeg sampler has; frame decode is the
-    deterministic stub."""
+    row-expanding geometry a real ffmpeg sampler has.
 
-    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+    ``decoder="ppm"`` (default) treats the payload as CONCATENATED P6
+    frames (the synth layout): it walks the frame headers, samples
+    ``n_frames`` evenly over the actual frame count, and decodes only the
+    sampled frames' pixels — real seek-and-decode structure, pure numpy.
+    Non-P6 payloads (or ``decoder="fake"``) fall back to deterministic
+    payload-slice features; compressed codecs need ffmpeg (``"real"``
+    raises, the declared gate)."""
+
+    def __init__(self, n_frames: int = 4, decoder: str = "ppm"):
         if decoder == "real":
             raise NotImplementedError(
-                "real frame sampling requires ffmpeg — plug in here")
+                "real frame sampling requires ffmpeg — plug in here; "
+                "decoder='ppm' is the dependency-free real path")
         self.n_frames = n_frames
+        self.decoder = decoder
         self._fx = MediaFeatureExtractor(decoder)
+
+    def _ppm_frames(self, payload: bytes) -> list[np.ndarray] | None:
+        """Sampled frames' features, or None when the payload is not a
+        P6 sequence.  Walks headers once; decodes only sampled frames."""
+        if self.decoder != "ppm" or payload[:2] != b"P6":
+            return None
+        try:
+            bounds = []  # (start, end) per frame
+            pos = 0
+            while pos < len(payload):
+                px, end = decode_ppm(payload, pos)  # header walk
+                bounds.append((pos, end))
+                pos = end
+            total = len(bounds)
+            out = []
+            for f in range(self.n_frames):
+                s, e = bounds[(total * f) // self.n_frames]
+                px, _ = decode_ppm(payload, s)
+                out.append(_pool_gray(px, 4, 4).ravel())
+            return out
+        except Exception:
+            return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -193,13 +331,17 @@ class FrameSampler:
                                      vids["payload"].to_pylist(),
                                      vids["duration_ms"].to_pylist()):
             dur = dur or 0
+            real = self._ppm_frames(payload)
             for f in range(self.n_frames):
-                # deterministic "frame" = payload slice per frame index
-                lo = (len(payload) * f) // self.n_frames
-                hi = (len(payload) * (f + 1)) // self.n_frames
                 refs.append(ref)
                 idxs.append(f)
                 ts.append((dur * f) // max(self.n_frames, 1))
+                if real is not None:
+                    feats.append(real[f])
+                    continue
+                # deterministic "frame" = payload slice per frame index
+                lo = (len(payload) * f) // self.n_frames
+                hi = (len(payload) * (f + 1)) // self.n_frames
                 feats.append(self._fx._fake_decode(payload[lo:hi] or b"\0"))
         return pa.table({
             "media_ref": pa.array(refs, pa.string()),
@@ -211,19 +353,20 @@ class FrameSampler:
 
 
 def sample_video_frames(ds, *, n_frames: int = 4, batch_size: int = 32,
-                        concurrency=(2, 4)):
+                        concurrency=(2, 4), decoder: str = "ppm"):
     """Row-exploding frame sampling: small batches (video payloads are the
     largest), actor pool, fixed-width per-frame features."""
     return ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs={"n_frames": n_frames, "decoder": "fake"},
+        fn_constructor_kwargs={"n_frames": n_frames, "decoder": decoder},
         concurrency=concurrency, num_cpus=1,
     )
 
 
-def resize_images(ds, *, batch_size: int = 64, concurrency=(2, 4)):
+def resize_images(ds, *, batch_size: int = 64, concurrency=(2, 4),
+                  decoder: str = "ppm"):
     return ds.map_batches(
         MediaResizer, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs={"decoder": "fake"},
+        fn_constructor_kwargs={"decoder": decoder},
         concurrency=concurrency, num_cpus=1,
     )
