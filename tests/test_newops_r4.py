@@ -237,3 +237,43 @@ def test_frame_sampler_decodes_real_ppm_frames(ray_session):
         got = [r["feature"] for r in fr.to_pylist()
                if r["media_ref"] == ref and r["frame_idx"] == f][0]
         assert np.allclose(got, expected)
+
+
+def test_wav_codec_and_audio_features():
+    """Pure-numpy WAV codec: round trip (incl. an extra RIFF chunk before
+    data), and audio features derive from the REAL samples: a silent clip
+    yields zero RMS, a loud one does not."""
+    import struct
+
+    from yaschva_ray.pipelines.multimodal import (
+        FEATURE_DIM,
+        MediaFeatureExtractor,
+        decode_wav,
+        encode_wav,
+    )
+
+    x = (np.sin(np.arange(2048) / 10.0) * 20000).astype(np.int16)
+    buf = encode_wav(x, 16000)
+    got, rate = decode_wav(buf)
+    assert rate == 16000 and np.array_equal(got, x)
+    # tolerate an extra chunk between fmt and data (real-world files)
+    extra = buf[:36] + struct.pack("<4sI", b"LIST", 4) + b"INFO" + buf[36:]
+    got2, _ = decode_wav(bytes(extra))
+    assert np.array_equal(got2, x)
+
+    def feats(samples):
+        b = pa.table({"media_ref": pa.array(["a"]),
+                      "kind": pa.array(["audio"]),
+                      "payload": pa.array([encode_wav(samples)], pa.binary())})
+        return np.array(MediaFeatureExtractor(decoder="ppm")(b)
+                        ["feature"][0].as_py())
+
+    silent = feats(np.zeros(1024, np.int16))
+    assert np.allclose(silent[: FEATURE_DIM // 2], 0.0)
+    loud = feats(x)
+    assert (loud[: FEATURE_DIM // 2] > 0.1).all()
+    # undecodable bytes -> zeros
+    bad = pa.table({"media_ref": pa.array(["b"]), "kind": pa.array(["audio"]),
+                    "payload": pa.array([b"junkbytes"], pa.binary())})
+    assert MediaFeatureExtractor(decoder="ppm")(bad)["feature"][0].as_py() \
+        == [0.0] * FEATURE_DIM

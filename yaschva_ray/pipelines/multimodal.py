@@ -2,13 +2,15 @@
 
 THREE decoder tiers, honest about what each does:
 
-- ``decoder="ppm"`` — a REAL decode path with zero dependencies: a pure
-  numpy codec for the netpbm P6 (binary PPM) format.  ``synth_media_table
-  (image_payload="ppm")`` writes genuine P6 bytes (videos = concatenated
-  P6 frames), and the extractor / resizer / frame sampler parse the
-  actual pixel data — header parsing, frame walking, grayscale, area
-  mean-pooling are all exercised end-to-end.  This is the default for the
-  driver-visible media queries.
+- ``decoder="ppm"`` — a REAL decode path with zero dependencies: pure
+  numpy codecs for netpbm P6 (binary PPM) images and RIFF/WAV PCM16
+  audio.  ``synth_media_table(image_payload="ppm")`` writes genuine P6
+  bytes (videos = concatenated P6 frames) and genuine WAV bytes (seeded
+  sine mixtures), and the extractor / resizer / frame sampler parse the
+  actual pixels/samples — header and RIFF-chunk parsing, frame walking,
+  grayscale + area mean-pooling, segment RMS + spectral features, all
+  exercised end-to-end.  This is the default for the driver-visible
+  media queries.
 - ``decoder="real"`` — IMPORT-GATED on PIL for compressed formats
   (JPEG/PNG); raises ``NotImplementedError`` at actor construction when
   PIL is absent (this container) and decodes real image bytes where it
@@ -85,6 +87,65 @@ def _pool_gray(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
                       for c in np.array_split(r, out_w, axis=1)]
                      for r in rows])
 
+
+# --------------------------------------------------------------------------
+# pure-numpy RIFF/WAV PCM16 codec (public format; no libraries)
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode mono int16 samples as a canonical PCM WAV file."""
+    import struct
+
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono PCM16 WAV; returns (int16 samples, sample rate).
+    Walks RIFF chunks properly (extra chunks between fmt and data are
+    legal), so it reads real-world canonical files, not just its own."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH",
+                                                           payload, pos)
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError("only mono PCM16 supported")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", count=size // 2,
+                                 offset=pos)
+        pos += size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+def _audio_features(samples: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM deterministic audio features: 8 segment RMS values +
+    8 log-magnitude spectral bins (rfft, octave-ish grouping)."""
+    x = samples.astype(np.float64) / 32768.0
+    if not len(x):
+        return np.zeros(FEATURE_DIM)
+    segs = np.array_split(x, FEATURE_DIM // 2)
+    rms = np.array([np.sqrt((s * s).mean()) if len(s) else 0.0
+                    for s in segs])
+    mag = np.abs(np.fft.rfft(x))
+    bins = np.array_split(mag, FEATURE_DIM // 2)
+    spec = np.log1p(np.array([b.mean() if len(b) else 0.0 for b in bins]))
+    return np.concatenate([rms, spec])
+
 MEDIA_SCHEMA = pa.schema([
     ("media_ref", pa.string()),
     ("kind", pa.string()),            # image | audio | video
@@ -113,11 +174,22 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
     kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
     widths = rng.randint(16, 4096, n).astype(np.int32)
     heights = rng.randint(16, 4096, n).astype(np.int32)
+    durations = rng.randint(0, 600000, n).astype(np.int32)
     payloads = []
     for i, k in enumerate(kinds):
-        if image_payload != "ppm" or k == "audio":
+        if image_payload != "ppm":
             payloads.append(
                 rng.randint(0, 256, payload_bytes, dtype=np.uint8).tobytes())
+            continue
+        if k == "audio":  # real PCM16 WAV: seeded sine mixture + noise
+            rate, ns = 16000, 2048
+            t = np.arange(ns) / rate
+            f0 = float(rng.randint(100, 2000))
+            x = (0.5 * np.sin(2 * np.pi * f0 * t)
+                 + 0.1 * rng.standard_normal(ns))
+            samples = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+            payloads.append(encode_wav(samples, rate))
+            durations[i] = ns * 1000 // rate  # metadata matches the data
             continue
         # small real dims (payload column stays light); metadata matches
         w, h = int(rng.randint(8, 33)), int(rng.randint(8, 33))
@@ -141,7 +213,7 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
         "payload": pa.array(payloads, pa.binary()),
         "width": pa.array(widths),
         "height": pa.array(heights),
-        "duration_ms": pa.array(rng.randint(0, 600000, n).astype(np.int32)),
+        "duration_ms": pa.array(durations),
     })
 
 
@@ -192,7 +264,13 @@ class MediaFeatureExtractor:
                     return _pool_gray(px, 4, 4).ravel()
                 except Exception:
                     return np.zeros(FEATURE_DIM)  # undecodable bytes
-        # audio (and video in this stage) need ffmpeg: deterministic stub
+        if kind == "audio" and self.decoder == "ppm":
+            try:  # REAL PCM decode: segment RMS + spectral bins
+                samples, _ = decode_wav(payload)
+                return _audio_features(samples)
+            except Exception:
+                return np.zeros(FEATURE_DIM)  # undecodable bytes
+        # video in this stage (use FrameSampler), or decoder="fake"
         return self._fake_decode(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
