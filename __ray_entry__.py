@@ -67,6 +67,29 @@ def _media_features_smoke(sf_dir: str) -> Any:
     return out.sort_values("media_ref").reset_index(drop=True)[["media_ref", "kind"]]
 
 
+def _media_integrity_smoke(sf_dir: str) -> Any:
+    """Decode-verify media payloads vs typed metadata (rows-only: the
+    engine synthesizes the input, plants 3 deterministic corruption
+    classes — metadata lies on an image and an audio row, a truncated
+    video payload — and must flag exactly those)."""
+    import pyarrow as pa
+    import ray.data
+
+    from yaschva_ray.pipelines.multimodal import check_media_integrity, synth_media_table
+
+    df = synth_media_table(512, seed=11).to_pandas()
+    img = df.index[df.kind == "image"][0]
+    aud = df.index[df.kind == "audio"][0]
+    vid = df.index[df.kind == "video"][0]
+    df.loc[img, "width"] += 1
+    df.loc[aud, "duration_ms"] += 500
+    df.at[vid, "payload"] = b"XX" + df.at[vid, "payload"][2:]
+    out = check_media_integrity(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    ).to_pandas()
+    return out.sort_values(["media_ref", "path"]).reset_index(drop=True)
+
+
 def _media_frames_smoke(sf_dir: str) -> Any:
     """Row-exploding video frame sampling (rows-only: stubbed decode by
     design; the geometry — one input video → n_frames output rows with
@@ -203,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": textops.q_ann_ivf,
         "ann_ivf_partitioned": textops.q_ann_ivf_partitioned,
         "media_features": _media_features_smoke,
+        "media_integrity": _media_integrity_smoke,
         "kmeans_embeddings": textops.q_kmeans_embeddings,
         "drift_events_value": ops.q_drift_events_value,
         "media_frames": _media_frames_smoke,

@@ -277,3 +277,36 @@ def test_wav_codec_and_audio_features():
                     "payload": pa.array([b"junkbytes"], pa.binary())})
     assert MediaFeatureExtractor(decoder="ppm")(bad)["feature"][0].as_py() \
         == [0.0] * FEATURE_DIM
+
+
+def test_media_integrity_check(ray_session):
+    """Planted corruption is caught with stable error strings; the clean
+    synth table validates clean."""
+    import ray.data
+
+    from yaschva_ray.pipelines.multimodal import (
+        check_media_integrity,
+        synth_media_table,
+    )
+
+    t = synth_media_table(64, seed=5)
+    clean = check_media_integrity(ray.data.from_arrow(t)).to_pandas()
+    assert len(clean) == 0
+
+    df = t.to_pandas()
+    img = df.index[df.kind == "image"][0]
+    aud = df.index[df.kind == "audio"][0]
+    vid = df.index[df.kind == "video"][0]
+    df.loc[img, "width"] = df.loc[img, "width"] + 1          # lie about dims
+    df.loc[aud, "duration_ms"] = df.loc[aud, "duration_ms"] + 500
+    df.at[vid, "payload"] = b"corrupted" + df.at[vid, "payload"][9:]
+    bad = check_media_integrity(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    ).to_pandas().set_index("media_ref")
+    assert bad.loc[df.loc[img, "media_ref"], "error"] \
+        == "width metadata mismatch"
+    assert bad.loc[df.loc[aud, "media_ref"], "error"] \
+        == "duration metadata mismatch"
+    assert bad.loc[df.loc[vid, "media_ref"], "error"] \
+        == "payload does not decode"
+    assert len(bad) == 3

@@ -448,3 +448,71 @@ def resize_images(ds, *, batch_size: int = 64, concurrency=(2, 4),
         fn_constructor_kwargs={"decoder": decoder},
         concurrency=concurrency, num_cpus=1,
     )
+
+
+class MediaIntegrityChecker:
+    """Actor-pool VALIDATION stage for media payloads — the violation-row
+    contract applied to binary columns: each row's payload must decode
+    (P6 image / concatenated-P6 video / PCM16 WAV audio) and its typed
+    metadata must match the decoded reality (width/height vs pixel dims;
+    duration_ms vs sample count within 1 ms of rounding).  Emits one
+    (media_ref, path, error) row per violation — same shape as the text
+    validators' output, so media checks land in the same sink.
+
+    Errors (stable strings, tested): ``payload does not decode``,
+    ``width metadata mismatch``, ``height metadata mismatch``,
+    ``duration metadata mismatch``, ``unknown media kind``.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, paths, errors = [], [], []
+
+        def fail(ref: str, path: str, err: str) -> None:
+            refs.append(ref)
+            paths.append(path)
+            errors.append(err)
+
+        for ref, kind, payload, w, h, dur in zip(
+                batch["media_ref"].to_pylist(), batch["kind"].to_pylist(),
+                batch["payload"].to_pylist(), batch["width"].to_pylist(),
+                batch["height"].to_pylist(),
+                batch["duration_ms"].to_pylist()):
+            try:
+                if kind == "image":
+                    px, _ = decode_ppm(payload)
+                    if w is not None and px.shape[1] != w:
+                        fail(ref, "width", "width metadata mismatch")
+                    if h is not None and px.shape[0] != h:
+                        fail(ref, "height", "height metadata mismatch")
+                elif kind == "video":
+                    pos, shapes = 0, []
+                    while pos < len(payload):
+                        px, pos = decode_ppm(payload, pos)
+                        shapes.append(px.shape)
+                    if w is not None and any(s[1] != w for s in shapes):
+                        fail(ref, "width", "width metadata mismatch")
+                    if h is not None and any(s[0] != h for s in shapes):
+                        fail(ref, "height", "height metadata mismatch")
+                elif kind == "audio":
+                    samples, rate = decode_wav(payload)
+                    if dur is not None and \
+                            abs(len(samples) * 1000 // rate - dur) > 1:
+                        fail(ref, "duration_ms", "duration metadata mismatch")
+                else:
+                    fail(ref, "kind", "unknown media kind")
+            except Exception:
+                fail(ref, "payload", "payload does not decode")
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
+def check_media_integrity(ds, *, batch_size: int = 64, concurrency=(2, 4)):
+    """Decode-verify every media payload against its typed metadata;
+    returns the violation-row Dataset (empty = all media intact)."""
+    return ds.map_batches(
+        MediaIntegrityChecker, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
