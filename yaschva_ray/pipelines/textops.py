@@ -20,7 +20,14 @@ import pyarrow.compute as pc
 
 from ..engine.sketches import _hash64
 
-TOKEN_RE = r"\S+"
+# RE2-equivalent of \S+: polars compiles Rust regex, whose \s is Unicode
+# White_Space (VT, NEL, NBSP, U+2028, ...) while DuckDB's RE2 \s is the
+# ASCII set [\t\n\f\r ] — a hypothesis-found divergence ('\x0b' tokenized
+# differently) that would silently break every token-level SQL mirror on
+# exotic whitespace.  The explicit class below IS RE2's \S, so the polars
+# kernels and the mirrors' regexp_extract_all(text, '\S+') agree on every
+# input, not just the testdata.
+TOKEN_RE = r"[^ \t\n\r\x0c]+"
 
 _LOG = logging.getLogger("yaschva_ray.textops")
 
@@ -226,7 +233,7 @@ def _token_hash_segments(texts, seed: int) -> tuple[np.ndarray, np.ndarray, np.n
     no per-row Python, no per-doc Series construction.  ``texts`` may be
     a Python list OR an Arrow string column (zero-copy path)."""
     s = _pl_text(texts)
-    toks = s.str.extract_all(r"\S+")
+    toks = s.str.extract_all(TOKEN_RE)
     lens = toks.list.len().to_numpy().astype(np.int64)
     # empty_as_null pinned: polars 2.0 flips the default; either way the
     # null row an empty list explodes to is dropped, but pinning keeps the
@@ -1375,7 +1382,7 @@ class LangIdStage:
         argmax (ties keep the earlier language; zero hits ⇒ unknown) —
         identical decisions to the per-row loop it replaced."""
         s = _pl_text(batch["text"])
-        toks = s.str.to_lowercase().str.extract_all(r"\S+")
+        toks = s.str.to_lowercase().str.extract_all(TOKEN_RE)
         lens = toks.list.len().to_numpy().astype(np.int64)
         # empty_as_null pinned against the polars 2.0 default flip (the
         # null row is dropped either way; see _token_hash_segments)
