@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": textops.q_ann_ivf,
         "ann_ivf_partitioned": textops.q_ann_ivf_partitioned,
         "media_features": _media_features_smoke,
+        # oracle-backed via literal VALUES (deterministic planted corruption)
         "media_integrity": _media_integrity_smoke,
         "kmeans_embeddings": textops.q_kmeans_embeddings,
         "drift_events_value": ops.q_drift_events_value,
@@ -672,6 +673,21 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN text_n > 0 THEN '["string", "null"]'
                             ELSE '"string"' END FROM n
             ) ORDER BY "column"
+        """,
+        # media integrity: the planted corruption is deterministic (seed-11
+        # synth, first image/audio/video rows), so the expected violation
+        # rows are literal VALUES (the type_emitter precedent) — synth or
+        # checker drift fails the hash loudly
+        "media_integrity": """
+            SELECT * FROM (VALUES
+                ('media://cat/000000.bin', 'duration_ms',
+                 'duration metadata mismatch'),
+                ('media://cat/000001.bin', 'width',
+                 'width metadata mismatch'),
+                ('media://cat/000006.bin', 'payload',
+                 'payload does not decode')
+            ) AS t(media_ref, path, error)
+            ORDER BY media_ref, path
         """,
         # compaction conservation: the engine re-reads its COMPACTED
         # output; any dropped/duplicated row breaks one of these
