@@ -54,8 +54,9 @@ def _f0_smoke(sf_dir: str) -> Any:
 
 
 def _media_features_smoke(sf_dir: str) -> Any:
-    """Multimodal plumbing: synth media table → actor-pool decode stub →
-    fixed-width features (rows-only check; decode is stubbed by design)."""
+    """Multimodal features: synth media (real P6/WAV bytes) → actor-pool
+    REAL pure-numpy decode → fixed-width features (rows-only check: the
+    feature values are engine-defined, pinned by pytest)."""
     import ray.data
 
     from yaschva_ray.pipelines.multimodal import extract_media_features, synth_media_table
@@ -91,9 +92,9 @@ def _media_integrity_smoke(sf_dir: str) -> Any:
 
 
 def _media_frames_smoke(sf_dir: str) -> Any:
-    """Row-exploding video frame sampling (rows-only: stubbed decode by
-    design; the geometry — one input video → n_frames output rows with
-    fixed-width features — is the real plumbing under test)."""
+    """Row-exploding video frame sampling (rows-only): videos are real
+    concatenated-P6 sequences; the sampler walks frame headers and decodes
+    the sampled frames' pixels — geometry AND decode are real."""
     import ray.data
 
     from yaschva_ray.pipelines.multimodal import sample_video_frames, synth_media_table
