@@ -164,3 +164,36 @@ def test_schema_to_arrow_fallbacks():
     assert pa.types.is_struct(arrow.field("rec").type)  # one level, then json
     assert arrow.field("anything").metadata[b"encoding"] == b"json"
     assert pa.types.is_map(arrow.field("m").type)
+
+
+def test_arrow_to_validation_nested_roundtrip():
+    """Inference handles nested list/struct/map and $-keys; the inferred
+    schema validates a conforming row via the oracle."""
+    import pyarrow as pa
+
+    from yaschva_ray.oracle import validate
+    from yaschva_ray.typegen import arrow_to_validation
+
+    schema = pa.schema([
+        ("doc_id", pa.int64()),
+        ("$meta", pa.string()),
+        ("spans", pa.list_(pa.struct([("kind", pa.string()),
+                                      ("offset", pa.int32())]))),
+        ("tags", pa.map_(pa.string(), pa.int64())),
+        ("score", pa.float64()),
+        ("ok", pa.bool_()),
+        ("ts", pa.timestamp("us")),
+    ])
+    v = arrow_to_validation(schema, nullable_cols={"score"})
+    assert v["doc_id"] == "integer"
+    assert v["\\$meta"] == "string"          # $-escape preserved
+    assert v["score"] == ["number", "null"]
+    assert v["spans"] == {"$array": {"kind": ["string", "null", "?"],
+                                     "offset": ["integer", "null", "?"]}}
+    assert v["tags"] == {"$map": "integer"}
+    assert v["ts"] == "string"
+    row = {"doc_id": 1, "$meta": "m", "score": None, "ok": True,
+           "ts": "2024-01-01T00:00:00",
+           "spans": [{"kind": "text", "offset": 0}],
+           "tags": {"a": 1}}
+    assert validate(v, row)["result"] == "pass"

@@ -2685,6 +2685,9 @@ def inverted_index_build(sf_dir: str, index_dir: str,
 
     Distinctness is per-batch, which IS global: each doc's text lives in
     exactly one input row, so one batch holds all of a doc's tokens.
+    At scale the partitioned write emits one file per (block × bucket) —
+    the classic small-file problem; run ``cli compact`` per bucket dir
+    (engine/compact.py) after a large build.
     Token → bucket routing uses the engine's `_hash64` (the exchange
     family's hash); build and search must run the same engine version —
     the routing hash is part of the index format.  tmp-dir + atomic
