@@ -112,7 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     siblings that stay in the sweep (ann_bruteforce is hash-checked for
     ANN, fingerprint_md5 for fingerprints, media plumbing and drift's
     sketches have their own tests) — each keeps its pytest coverage."""
-    from yaschva_ray.pipelines import conformance, ops, textops
+    from yaschva_ray.pipelines import bpe, conformance, ops, textops
 
     return {
         # --- oracle-checked (hash-exact vs DuckDB) ---
@@ -233,6 +233,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_value": ops.q_drift_events_value,
         "media_frames": _media_frames_smoke,
         "approx_quantiles_events": ops.q_approx_quantiles_events,
+        # BPE tokenizer training (iterative merge loop — not SQL-
+        # expressible; the distributed word-count half is hash-checked by
+        # vocab_top_tokens' oracle, the trainer by a brute-force-reference
+        # equality test on real corpus counts)
+        "bpe_merges": bpe.q_bpe_merges,
     }
 
 

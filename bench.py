@@ -127,8 +127,11 @@ def bench_queries(sf_dir: str) -> dict:
         # reports the warm search)
         "keyword_search",
     ]
+    bpe_names = ["bpe_merges"]
     out = {}
-    for mod, group in ((ops, names), (textops, text_names)):
+    from yaschva_ray.pipelines import bpe as bpe_mod
+    for mod, group in ((ops, names), (textops, text_names),
+                       (bpe_mod, bpe_names)):
         for name in group:
             fn = getattr(mod, f"q_{name}", None)
             if fn is None:

@@ -310,3 +310,81 @@ def test_media_integrity_check(ray_session):
     assert bad.loc[df.loc[vid, "media_ref"], "error"] \
         == "payload does not decode"
     assert len(bad) == 3
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Independent brute-force Sennrich reference (dict/loop form)."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for w, cnt in word_counts.items():
+            seq = vocab[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] = \
+                    pairs.get((seq[i], seq[i + 1]), 0) + cnt
+        if not pairs:
+            break
+        best = max(pairs.values())
+        if best < 2:
+            break
+        left, right = sorted(p for p, c in pairs.items() if c == best)[0]
+        merges.append((rank, left, right, left + right, best))
+        for w in vocab:
+            seq, new, i = vocab[w], [], 0
+            while i < len(seq):
+                if (i < len(seq) - 1 and seq[i] == left
+                        and seq[i + 1] == right):
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(seq[i])
+                    i += 1
+            vocab[w] = new
+    return merges
+
+
+def test_bpe_train_matches_bruteforce_reference():
+    from yaschva_ray.pipelines.bpe import bpe_encode, bpe_train
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    t = pa.table({"word": pa.array(list(wc)),
+                  "n": pa.array(list(wc.values()), pa.int64())})
+    got = bpe_train(t, n_merges=10)
+    want = _ref_bpe(wc, 10)
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    # the paper's corpus learns ('e','s') then ('es','t') first
+    assert got["merged"].to_pylist()[:2] == ["es", "est"]
+    # greedy lowest-rank encode segments concatenate back to the word
+    ranks = {(r["left"], r["right"]): r["rank"] for r in got.to_pylist()}
+    for w in wc:
+        segs = bpe_encode(w, ranks)
+        assert "".join(segs) == w and len(segs) < len(w)
+
+
+def test_bpe_distributed_word_counts_and_train(ray_session):
+    """Word counting runs through the exchange and matches DuckDB; the
+    trainer over real corpus counts matches the brute-force reference."""
+    import duckdb
+
+    from yaschva_ray.pipelines.bpe import bpe_train, word_counts_from_ds
+    from yaschva_ray.pipelines.textops import _read
+
+    wc = word_counts_from_ds(_read(SF_DIR, "documents", ["doc_id", "text"]))
+    con = duckdb.connect()
+    want = con.execute(rf"""
+        WITH t AS (
+            SELECT unnest(regexp_extract_all(coalesce(text,''), '\S+'))
+                AS word
+            FROM read_parquet('{SF_DIR}/documents.parquet')
+        )
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY word ORDER BY word
+    """).fetchdf()
+    # DuckDB's unnest+group mirror must agree exactly
+    assert wc["word"].to_pylist() == want["word"].tolist()
+    assert wc["n"].to_pylist() == want["n"].tolist()
+
+    got = bpe_train(wc, n_merges=16)
+    ref = _ref_bpe(dict(zip(wc["word"].to_pylist(), wc["n"].to_pylist())), 16)
+    assert [tuple(r.values()) for r in got.to_pylist()] == ref
