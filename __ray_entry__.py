@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": ops.q_events_rollup,
         "keyword_search": textops.q_keyword_search,
         "grouped_quantiles": ops.q_grouped_quantiles,
+        "running_total_user": ops.q_running_total_user,
         "infer_schema": ops.q_infer_schema,
         "compact_documents": ops.q_compact_documents,
         "simhash_documents": textops.q_simhash_documents,
@@ -628,6 +629,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cents) AS BIGINT) AS sum_value_cents
             FROM e GROUP BY ROLLUP(event_type, hour)
             ORDER BY event_type, hour
+        """,
+        # ordered per-key window aggregate: ties on ts break by event_id
+        # on both sides so the row order (and hash) is deterministic
+        "running_total_user": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS BIGINT)
+                       AS running_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS event_seq
+            FROM events
+            ORDER BY user_id, event_seq
         """,
         # exact per-group quantiles: same zero-based floor(q*(n-1)) rank
         # convention as events_value_quantiles, partitioned by type

@@ -388,3 +388,22 @@ def test_bpe_distributed_word_counts_and_train(ray_session):
     got = bpe_train(wc, n_merges=16)
     ref = _ref_bpe(dict(zip(wc["word"].to_pylist(), wc["n"].to_pylist())), 16)
     assert [tuple(r.values()) for r in got.to_pylist()] == ref
+
+
+def test_running_total_matches_pandas(ray_session):
+    import duckdb
+
+    from yaschva_ray.pipelines.ops import q_running_total_user
+
+    out = q_running_total_user(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) "
+        f"AS cents FROM read_parquet('{SF_DIR}/events.parquet')").fetchdf()
+    s = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    want = s.groupby("user_id")["cents"].cumsum().to_numpy()
+    assert np.array_equal(out["running_cents"].to_numpy(), want)
+    assert np.array_equal(out["event_id"].to_numpy(),
+                          s["event_id"].to_numpy())
+    # seq restarts at 1 per user
+    assert (out.groupby("user_id")["event_seq"].min() == 1).all()

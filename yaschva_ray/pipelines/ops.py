@@ -1516,3 +1516,54 @@ def q_compact_documents(sf_dir: str) -> pa.Table:
         "max_doc_id": pa.array([pc.max(m["max_doc_id"]).as_py()], pa.int64()),
         "sum_doc_id": pa.array([pc.sum(m["sum_doc_id"]).as_py()], pa.int64()),
     })
+
+
+def q_running_total_user(sf_dir: str) -> pa.Table:
+    """Ordered per-key window aggregate (the classic ``SUM() OVER
+    (PARTITION BY key ORDER BY ts)``): each user's events get a running
+    cent total and a 1-based event index.  One keyed exchange on user_id
+    co-locates each user's history (the as-of/session partitioning
+    contract — a key's rows fit one bucket, hot keys logged by the
+    exchange family); the per-bucket kernel is one vectorized sort +
+    segment-reset cumulative sum for ALL users in the bucket.  Ties on
+    ts break by event_id so both engines order identically."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "running_cents": pa.array([], pa.int64()),
+                      "event_seq": pa.array([], pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        s = t.take(order)
+        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(s["value"], 100.0)),
+                                   pa.int64()).to_numpy(zero_copy_only=False))
+        n = len(users)
+        new = np.ones(n, dtype=bool)
+        new[1:] = users[1:] != users[:-1]
+        cum = np.cumsum(cents)
+        # per-group running sum = global cumsum minus the prefix before
+        # each group, forward-filled by group length (sign-safe — no
+        # monotonicity assumption on the values)
+        starts = np.nonzero(new)[0]
+        glens = np.diff(np.append(starts, n))
+        run = cum - np.repeat(cum[starts] - cents[starts], glens)
+        seq = np.arange(n) - np.repeat(starts, glens) + 1
+        return pa.table({
+            "event_id": s["event_id"],
+            "user_id": s["user_id"],
+            "running_cents": pa.array(run),
+            "event_seq": pa.array(seq.astype(np.int64)),
+        })
+
+    parts = keyed_exchange(ds, "user_id", bucket, empty_result=empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("user_id", "ascending"), ("event_seq", "ascending")])
