@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": textops.q_keyword_search,
         "grouped_quantiles": ops.q_grouped_quantiles,
         "running_total_user": ops.q_running_total_user,
+        "events_pivot": ops.q_events_pivot,
         "infer_schema": ops.q_infer_schema,
         "compact_documents": ops.q_compact_documents,
         "simhash_documents": textops.q_simhash_documents,
@@ -642,6 +643,25 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id) AS event_seq
             FROM events
             ORDER BY user_id, event_seq
+        """,
+        # pivot over the FIXED type domain (both sides share the list,
+        # the SQL-PIVOT IN (...) requirement)
+        "events_pivot": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+                       AS hour,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view
+            FROM events
+            WHERE event_type IN ('click','error','purchase','signup','view')
+            GROUP BY 1 ORDER BY hour
         """,
         # exact per-group quantiles: same zero-based floor(q*(n-1)) rank
         # convention as events_value_quantiles, partitioned by type

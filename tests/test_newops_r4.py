@@ -407,3 +407,15 @@ def test_running_total_matches_pandas(ray_session):
                           s["event_id"].to_numpy())
     # seq restarts at 1 per user
     assert (out.groupby("user_id")["event_seq"].min() == 1).all()
+
+
+def test_events_pivot_row_conservation(ray_session):
+    from yaschva_ray.pipelines.ops import q_events_pivot
+
+    out = q_events_pivot(SF_DIR).to_pandas()
+    import pyarrow.parquet as _pq
+
+    total = _pq.read_table(f"{SF_DIR}/events.parquet").num_rows
+    wide_cols = [c for c in out.columns if c.startswith("n_")]
+    assert int(out[wide_cols].to_numpy().sum()) == total
+    assert out["hour"].is_monotonic_increasing

@@ -1567,3 +1567,51 @@ def q_running_total_user(sf_dir: str) -> pa.Table:
         return empty
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("user_id", "ascending"), ("event_seq", "ascending")])
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str) -> pa.Table:
+    """PIVOT: per-hour event counts spread into one column per event type
+    (the reporting reshape).  The column set is the FIXED domain
+    ``_PIVOT_TYPES`` — shared verbatim with the SQL mirror, because a
+    data-driven column set would make the output schema nondeterministic
+    (the same reason SQL PIVOT needs IN (...)).  One scan of per-block
+    (hour, type) partials (bounded by hours × types), driver combine +
+    vectorized scatter into the wide shape; unseen (hour, type) cells are
+    0, rows with types outside the domain are dropped on both sides."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(t["ts"], unit="hour"),
+                           format="%Y-%m-%d %H:00")
+        tt = pa.table({"hour": hour, "event_type": t["event_type"],
+                       "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        g = tt.group_by(["hour", "event_type"]).aggregate([("n", "sum")])
+        return pa.table({"hour": g["hour"], "event_type": g["event_type"],
+                         "n": g["n_sum"]})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"hour": pa.array([], pa.string()),
+                      **{f"n_{t}": pa.array([], pa.int64())
+                         for t in _PIVOT_TYPES}})
+    if not blocks:
+        return empty
+    g = (pa.concat_tables(blocks).group_by(["hour", "event_type"])
+         .aggregate([("n", "sum")]))
+    hours = np.asarray(g["hour"].to_numpy(zero_copy_only=False))
+    types = np.asarray(g["event_type"].to_numpy(zero_copy_only=False))
+    counts = np.asarray(g["n_sum"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+    in_domain = np.isin(types, _PIVOT_TYPES)
+    hours, types, counts = hours[in_domain], types[in_domain], \
+        counts[in_domain]
+    uh, hidx = np.unique(hours, return_inverse=True)
+    tpos = {t: i for i, t in enumerate(_PIVOT_TYPES)}
+    wide = np.zeros((len(uh), len(_PIVOT_TYPES)), dtype=np.int64)
+    wide[hidx, [tpos[t] for t in types]] = counts
+    return pa.table({"hour": pa.array(uh),
+                     **{f"n_{t}": pa.array(wide[:, i])
+                        for i, t in enumerate(_PIVOT_TYPES)}})
