@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": ops.q_grouped_quantiles,
         "running_total_user": ops.q_running_total_user,
         "events_pivot": ops.q_events_pivot,
+        "lineitem_part_left_join": ops.q_lineitem_part_left_join,
         "infer_schema": ops.q_infer_schema,
         "compact_documents": ops.q_compact_documents,
         "simhash_documents": textops.q_simhash_documents,
@@ -643,6 +644,12 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id) AS event_seq
             FROM events
             ORDER BY user_id, event_seq
+        """,
+        "lineitem_part_left_join": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+                   p.p_name, p.p_size
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey
         """,
         # pivot over the FIXED type domain (both sides share the list,
         # the SQL-PIVOT IN (...) requirement)

@@ -419,3 +419,24 @@ def test_events_pivot_row_conservation(ray_session):
     wide_cols = [c for c in out.columns if c.startswith("n_")]
     assert int(out[wide_cols].to_numpy().sum()) == total
     assert out["hour"].is_monotonic_increasing
+
+
+def test_left_join_preserves_dangling_lineitems(ray_session):
+    """Every lineitem row survives the left join; dangling partkeys carry
+    nulls and match the anti-join query's dangling set."""
+    import pyarrow.parquet as _pq
+
+    from yaschva_ray.pipelines.ops import (
+        q_dangling_lineitem_parts,
+        q_lineitem_part_left_join,
+    )
+
+    out = q_lineitem_part_left_join(SF_DIR)
+    n_lineitem = _pq.read_table(f"{SF_DIR}/lineitem.parquet").num_rows
+    assert out.num_rows == n_lineitem
+    import pyarrow.compute as _pc
+
+    null_keys = set(out.filter(_pc.is_null(out["p_name"]))
+                    ["l_partkey"].to_pylist())
+    dangling = set(q_dangling_lineitem_parts(SF_DIR)["l_partkey"].to_pylist())
+    assert null_keys == dangling

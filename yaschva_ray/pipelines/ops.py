@@ -1615,3 +1615,30 @@ def q_events_pivot(sf_dir: str) -> pa.Table:
     return pa.table({"hour": pa.array(uh),
                      **{f"n_{t}": pa.array(wide[:, i])
                         for i, t in enumerate(_PIVOT_TYPES)}})
+
+
+def q_lineitem_part_left_join(sf_dir: str) -> pa.Table:
+    """LEFT OUTER big-big join (the other half of the shuffled-join
+    family): every lineitem row survives; rows whose l_partkey has no
+    part (the dangling keys ``dangling_lineitem_parts`` reports) carry
+    typed nulls from the right.  Same two-sided hash exchange as the
+    inner join — only the per-bucket Arrow join type changes.  Sorted by
+    the (l_orderkey, l_linenumber) primary key so the row order (and the
+    driver hash) is total."""
+    from ..engine.joins import hash_join
+
+    left = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_partkey"])
+    right = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
+    out = hash_join(left, right, left_key="l_partkey",
+                    right_key="p_partkey", how="left outer")
+    if not out.num_rows:
+        return pa.schema([("l_orderkey", pa.int64()),
+                          ("l_linenumber", pa.int64()),
+                          ("l_partkey", pa.int64()),
+                          ("p_name", pa.string()),
+                          ("p_size", pa.int32())]).empty_table()
+    return out.select(["l_orderkey", "l_linenumber", "l_partkey",
+                       "p_name", "p_size"]).sort_by(
+        [("l_orderkey", "ascending"), ("l_linenumber", "ascending"),
+         ("l_partkey", "ascending")])
