@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_user": ops.q_running_total_user,
         "events_pivot": ops.q_events_pivot,
         "lineitem_part_left_join": ops.q_lineitem_part_left_join,
+        "part_lineitem_full_join": ops.q_part_lineitem_full_join,
         "infer_schema": ops.q_infer_schema,
         "compact_documents": ops.q_compact_documents,
         "simhash_documents": textops.q_simhash_documents,
@@ -650,6 +651,24 @@ def oracle_sql() -> dict[str, str]:
                    p.p_name, p.p_size
             FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
             ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey
+        """,
+        # full-outer conservation classes (side detection via each side's
+        # non-key columns — Arrow coalesces the key, SQL does not)
+        "part_lineitem_full_join": """
+            WITH j AS (
+                SELECT p.p_size, l.l_orderkey
+                FROM part p FULL JOIN lineitem l
+                  ON p.p_partkey = l.l_partkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (p_size IS NOT NULL
+                                         AND l_orderkey IS NOT NULL)
+                        AS BIGINT) AS n_matched,
+                   CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT)
+                       AS n_left_only,
+                   CAST(count(*) FILTER (p_size IS NULL) AS BIGINT)
+                       AS n_right_only
+            FROM j
         """,
         # pivot over the FIXED type domain (both sides share the list,
         # the SQL-PIVOT IN (...) requirement)

@@ -611,3 +611,34 @@ def test_hash_join_left_outer_vs_pandas(ray_session):
             .sort_values(["lv"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert got["rv"].isna().sum() > 0  # unmatched lefts survive as nulls
+
+
+def test_hash_join_full_outer(ray_session):
+    """Full outer keeps unmatched rows from BOTH sides with typed nulls;
+    matches pandas' outer merge exactly."""
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    lt = pa.table({"k": pa.array([1, 2, 3, 7], pa.int64()),
+                   "lv": pa.array(["a", "b", "c", "g"])})
+    rt = pa.table({"rk": pa.array([2, 3, 3, 9], pa.int64()),
+                   "rv": pa.array([20, 30, 31, 90], pa.int64())})
+    out = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    left_key="k", right_key="rk", how="full outer",
+                    num_buckets=4).to_pandas()
+    # Arrow coalesces the key into 'k' — mirror that in the pandas want
+    want = (lt.to_pandas().merge(rt.to_pandas(), how="outer",
+                                 left_on="k", right_on="rk"))
+    want["k"] = want["k"].fillna(want["rk"]).astype("int64")
+    want = want.drop(columns=["rk"])
+    import pandas as pd
+
+    def key(df):
+        df = df.sort_values(["k", "rv"], na_position="last")
+        # None-vs-NaN null spellings differ between Arrow and pandas
+        return df.reset_index(drop=True).astype(object).where(
+            pd.notna(df.reset_index(drop=True)), "NULL").astype(str)
+
+    pd.testing.assert_frame_equal(
+        key(out[want.columns.tolist()]), key(want))

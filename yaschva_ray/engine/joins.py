@@ -277,17 +277,18 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
 
 def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
-                 right_schema_hint: pa.Schema, bucket_id: int,
+                 schema_hints: tuple, bucket_id: int,
                  out_dir: str | None, *parts: pa.Table) -> pa.Table:
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
+    left_hint, right_hint = schema_hints
     lparts = [p for p in parts[:n_left] if p.num_rows]
     rparts = [p for p in parts[n_left:] if p.num_rows]
     left_schema = next((p.schema for p in parts[:n_left] if p.num_columns),
-                       None)
+                       left_hint)
     right_schema = next((p.schema for p in parts[n_left:] if p.num_columns),
-                        right_schema_hint)
+                        right_hint)
     if left_schema is not None and right_schema is not None:
         shared = ((set(left_schema.names) - {left_key})
                   & (set(right_schema.names) - {right_key}))
@@ -295,13 +296,19 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
             raise ValueError(
                 f"hash_join requires disjoint non-key column names; "
                 f"shared: {sorted(shared)}")
-    if not lparts or (not rparts and how == "inner"):
+    # which empty sides still produce rows: inner needs both, left outer
+    # needs left, full outer needs either
+    dead = ((not lparts and not rparts)
+            or (not lparts and how in ("inner", "left outer"))
+            or (not rparts and how == "inner"))
+    if dead:
         merged = pa.table({})
     else:
-        lt = pa.concat_tables(lparts).combine_chunks()
-        # a right-empty bucket under left outer still joins (typed nulls):
-        # the driver-shipped schema hint covers buckets whose right parts
-        # are all schema-less empties
+        # an empty side under an outer join still joins (typed nulls):
+        # the driver-shipped schema hints cover buckets whose parts for
+        # that side are all schema-less empties
+        lt = (pa.concat_tables(lparts).combine_chunks()
+              if lparts else left_schema.empty_table())
         rt = (pa.concat_tables(rparts).combine_chunks()
               if rparts else right_schema.empty_table())
         _warn_hot_key(lt, left_key, "hash_join(left)", bucket_id)
@@ -319,7 +326,8 @@ _EQUI_REDUCE = None
 def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
               how: str = "inner", num_buckets: int | None = None,
               out_dir: str | None = None) -> pa.Table:
-    """Big-big equi-join (``how``: "inner" or "left outer"): both sides
+    """Big-big equi-join (``how``: "inner", "left outer" or
+    "full outer"): both sides
     hash-partition on their key through the bounded exchange (each row
     crosses the cluster once), and each bucket joins its co-located
     slices with Arrow's C++ hash join.  Complements the broadcast lookup
@@ -332,16 +340,22 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
     from .exchange import bounded_map_entries
 
-    if how not in ("inner", "left outer"):
+    if how not in ("inner", "left outer", "full outer"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
-    # driver-shipped right schema: left-outer buckets with no right rows
-    # must still emit the right columns as typed nulls (metadata-cheap
-    # for parquet reads; None keeps inner joins free of the fetch)
-    right_schema_hint = None
-    if how == "left outer":
-        s = right_ds.schema()
-        right_schema_hint = getattr(s, "base_schema", None) or pa.schema(
+
+    # driver-shipped schemas: outer-join buckets whose parts for one side
+    # are all empty must still emit that side's columns as typed nulls
+    # (metadata-cheap; None keeps inner joins free of the fetch)
+    def _hint(ds):
+        s = ds.schema()
+        return getattr(s, "base_schema", None) or pa.schema(
             [(n, t) for n, t in zip(s.names, s.types)])
+
+    schema_hints = (None, None)
+    if how == "left outer":
+        schema_hints = (None, _hint(right_ds))
+    elif how == "full outer":
+        schema_hints = (_hint(left_ds), _hint(right_ds))
     if num_buckets is None:
         num_buckets = _auto_buckets(left_ds, right_ds)
     global _MAP_REMOTE, _EQUI_REDUCE
@@ -361,7 +375,7 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     rmap = _mapped(right_ds, right_key)
     joined = [
         _EQUI_REDUCE.remote(len(lmap), left_key, right_key, how,
-                            right_schema_hint, b, out_dir,
+                            schema_hints, b, out_dir,
                             *[m[b] for m in lmap], *[m[b] for m in rmap])
         for b in range(num_buckets)
     ]

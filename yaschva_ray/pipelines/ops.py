@@ -1642,3 +1642,34 @@ def q_lineitem_part_left_join(sf_dir: str) -> pa.Table:
                        "p_name", "p_size"]).sort_by(
         [("l_orderkey", "ascending"), ("l_linenumber", "ascending"),
          ("l_partkey", "ascending")])
+
+
+def q_part_lineitem_full_join(sf_dir: str) -> pa.Table:
+    """FULL OUTER big-big join, checked by conservation classes: the
+    joined row count plus how many rows are matched / left-only (part
+    never ordered) / right-only (dangling l_partkey).  Aggregating inside
+    the query keeps the sweep payload one row while still requiring the
+    outer join itself to be exactly right on both dangling sides."""
+    from ..engine.joins import hash_join
+
+    left = _read(sf_dir, "part", ["p_partkey", "p_size"])
+    right = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linenumber", "l_partkey"])
+    out = hash_join(left, right, left_key="p_partkey",
+                    right_key="l_partkey", how="full outer")
+    # Arrow COALESCES the key column in a full outer join (right-only rows
+    # carry their key in p_partkey), so side-detection uses each side's
+    # non-key columns — non-null in the sources by construction
+    lnull = (pc.is_null(out["p_size"]) if out.num_rows
+             else pa.array([], pa.bool_()))
+    rnull = (pc.is_null(out["l_orderkey"]) if out.num_rows
+             else pa.array([], pa.bool_()))
+    n = out.num_rows
+    n_left_only = int(pc.sum(pc.cast(rnull, pa.int64())).as_py() or 0)
+    n_right_only = int(pc.sum(pc.cast(lnull, pa.int64())).as_py() or 0)
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_matched": pa.array([n - n_left_only - n_right_only], pa.int64()),
+        "n_left_only": pa.array([n_left_only], pa.int64()),
+        "n_right_only": pa.array([n_right_only], pa.int64()),
+    })
