@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocab_top_tokens' oracle, the trainer by a brute-force-reference
         # equality test on real corpus counts)
         "bpe_merges": bpe.q_bpe_merges,
+        # Misra-Gries heavy hitters (approximate by design; the
+        # presence/bracket guarantee is pinned vs the exact vocabulary)
+        "approx_top_tokens": textops.q_approx_top_tokens,
     }
 
 

@@ -127,7 +127,7 @@ def bench_queries(sf_dir: str) -> dict:
         # round-4 late additions: partitioned inverted-index retrieval
         # (includes the one-time index build on first run; best-of-2
         # reports the warm search)
-        "keyword_search",
+        "keyword_search", "approx_top_tokens",
     ]
     bpe_names = ["bpe_merges"]
     out = {}

@@ -440,3 +440,29 @@ def test_left_join_preserves_dangling_lineitems(ray_session):
                     ["l_partkey"].to_pylist())
     dangling = set(q_dangling_lineitem_parts(SF_DIR)["l_partkey"].to_pylist())
     assert null_keys == dangling
+
+
+def test_approx_top_tokens_guarantee(ray_session):
+    """Misra-Gries heavy hitters: every token whose true count exceeds the
+    budget is present, every estimate brackets the truth, and the top
+    tokens match the exact vocabulary's top."""
+    from yaschva_ray.pipelines.textops import (
+        q_approx_top_tokens,
+        q_vocab_top_tokens,
+    )
+
+    approx = q_approx_top_tokens(SF_DIR, k=64)
+    budget = int(approx["budget"][0].as_py()) if approx.num_rows else 0
+    est = dict(zip(approx["value"].to_pylist(), approx["n"].to_pylist()))
+    exact = q_vocab_top_tokens(SF_DIR)  # full exact top-100
+    true = dict(zip(exact["token"].to_pylist(), exact["n"].to_pylist()))
+    for tok, tc in true.items():
+        if tc > budget:
+            assert tok in est, (tok, tc, budget)
+        if tok in est:
+            assert est[tok] <= tc <= est[tok] + budget
+    # the exact top token is the approx top token
+    assert approx["value"][0].as_py() == exact["token"][0].as_py()
+    # deterministic
+    again = q_approx_top_tokens(SF_DIR, k=64)
+    assert again.equals(approx)

@@ -380,3 +380,65 @@ def ks_statistic(a: TDigest, b: TDigest, points: int = 64) -> float:
     if len(xs) == 0:
         return 0.0
     return float(max(abs(a.cdf(x) - b.cdf(x)) for x in xs))
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries, Agarwal et al. 2012)
+# --------------------------------------------------------------------------
+
+
+def mg_summary(values: pa.Array, counts: np.ndarray, k: int) -> pa.Table:
+    """Reduce exact (value, count) pairs to a k-counter Misra-Gries
+    summary: subtract the (k+1)-th largest count from every counter and
+    drop the non-positive ones.  The summary's ERROR BUDGET (the subtracted
+    offset, ≤ N/(k+1) for N input occurrences) rides along as one row with
+    a NULL value, so summaries stay plain mergeable tables: true count ∈
+    [n, n + total budget] for any stored item, and any item whose true
+    count exceeds the total budget is guaranteed present."""
+    if len(counts) <= k:
+        off = 0
+    else:
+        off = int(np.partition(counts,
+                               len(counts) - k - 1)[len(counts) - k - 1])
+    kept = counts - off
+    pos = kept > 0
+    vals = values.combine_chunks() if isinstance(values, pa.ChunkedArray) \
+        else values
+    return pa.table({
+        "value": pa.concat_arrays([vals.filter(pa.array(pos)),
+                                   pa.array([None], vals.type)]),
+        "n": pa.array(np.append(kept[pos], off), pa.int64()),
+    })
+
+
+def mg_merge(parts: list, k: int) -> tuple[pa.Table, int]:
+    """Merge Misra-Gries summaries: group-sum stored counts, pool the
+    null-row budgets, reduce once more to k counters (the new offset adds
+    to the budget).  Returns (summary (value, n) sorted by n desc then
+    value, total error budget) — true count ∈ [n, n + budget]."""
+    empty = pa.table({"value": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty, 0
+    t = pa.concat_tables(parts).combine_chunks()
+    nullmask = pc.is_null(t["value"])
+    budget = int(pc.sum(t.filter(nullmask)["n"]).as_py() or 0)
+    g = t.filter(pc.invert(nullmask)).group_by("value").aggregate(
+        [("n", "sum")])
+    ns = np.asarray(g["n_sum"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    if len(ns) <= k:
+        off = 0
+    else:
+        off = int(np.partition(ns, len(ns) - k - 1)[len(ns) - k - 1])
+    kept = ns - off
+    pos = kept > 0
+    vals = g["value"].combine_chunks() if isinstance(g["value"],
+                                                     pa.ChunkedArray) \
+        else g["value"]
+    out = pa.table({"value": vals.filter(pa.array(pos)),
+                    "n": pa.array(kept[pos], pa.int64())})
+    order = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                            ("value", "ascending")])
+    return out.take(order), budget + off

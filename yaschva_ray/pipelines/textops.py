@@ -2806,3 +2806,43 @@ def q_keyword_search(sf_dir: str, k: int = 10) -> pa.Table:
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         inverted_index_build(sf_dir, index_dir)
     return keyword_search(index_dir, _KWSEARCH_QUERY, k=k)
+
+
+def q_approx_top_tokens(sf_dir: str, k: int = 64) -> pa.Table:
+    """Heavy hitters with BOUNDED memory (mergeable Misra-Gries,
+    engine/sketches.py): per-block exact token counts reduce to k-counter
+    summaries (k rows + a budget row each — constant bytes per block at
+    any corpus size), driver merge.  The streaming counterpart of the
+    exact ``vocab_top_tokens`` exchange: no shuffle at all, error bounded
+    by the returned budget (true ∈ [n, n + budget]; every token with true
+    count > budget is guaranteed present).  Approximate by design →
+    rows-only; the guarantee is pinned against the exact vocabulary in
+    tests."""
+    from ..engine.sketches import mg_merge, mg_summary
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        flat = (s.str.extract_all(TOKEN_RE)
+                .explode(empty_as_null=True).drop_nulls())
+        vc = flat.value_counts()
+        arrow = vc.to_arrow()
+        vals = arrow["t"].cast(pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        counts = np.asarray(arrow["count"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        return mg_summary(vals, counts, k)
+
+    parts = list(_gather_tables(ds.map_batches(partial,
+                                               batch_format="pyarrow")))
+    summ, budget = mg_merge(parts, k)
+    return summ.append_column(
+        "budget", pa.array(np.full(summ.num_rows, budget, dtype=np.int64)))
+
+
+def _gather_tables(ds):
+    from ..engine.blocks import gather_tables
+
+    return gather_tables(ds)
