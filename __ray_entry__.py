@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries heavy hitters (approximate by design; the
         # presence/bracket guarantee is pinned vs the exact vocabulary)
         "approx_top_tokens": textops.q_approx_top_tokens,
+        # quantiles via t-digest (north-star sketch; partition-dependent
+        # clustering -> rows-only, accuracy pinned vs exact quantiles)
+        "tdigest_quantiles_events": ops.q_tdigest_quantiles_events,
     }
 
 

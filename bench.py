@@ -103,7 +103,7 @@ def bench_queries(sf_dir: str) -> dict:
         # one-scan multi-level rollup
         "quality_filter", "events_rollup", "grouped_quantiles",
         "running_total_user", "events_pivot", "lineitem_part_left_join",
-        "part_lineitem_full_join",
+        "part_lineitem_full_join", "tdigest_quantiles_events",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

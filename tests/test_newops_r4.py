@@ -466,3 +466,21 @@ def test_approx_top_tokens_guarantee(ray_session):
     # deterministic
     again = q_approx_top_tokens(SF_DIR, k=64)
     assert again.equals(approx)
+
+
+def test_tdigest_quantiles_accurate(ray_session):
+    """The distributed t-digest's quantiles land within 1% (relative) of
+    the exact counting quantiles, with bounded centroid count."""
+    from yaschva_ray.pipelines.ops import (
+        q_events_value_quantiles,
+        q_tdigest_quantiles_events,
+    )
+
+    td = q_tdigest_quantiles_events(SF_DIR)
+    exact = q_events_value_quantiles(SF_DIR)
+    for p, col in (("p50", "p50_cents"), ("p90", "p90_cents"),
+                   ("p99", "p99_cents")):
+        approx = td[p][0].as_py() * 100
+        truth = exact[col][0].as_py()
+        assert abs(approx - truth) / max(truth, 1) < 0.01, (p, approx, truth)
+    assert td["n_centroids"][0].as_py() < 600

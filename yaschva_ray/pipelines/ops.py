@@ -1673,3 +1673,39 @@ def q_part_lineitem_full_join(sf_dir: str) -> pa.Table:
         "n_left_only": pa.array([n_left_only], pa.int64()),
         "n_right_only": pa.array([n_right_only], pa.int64()),
     })
+
+
+def q_tdigest_quantiles_events(sf_dir: str) -> pa.Table:
+    """Quantiles via t-digest (the north star's named sketch): per-block
+    digests serialize as (mean, weight) centroid tables — a few hundred
+    rows per block regardless of block size — and the driver folds them
+    into one digest.  Rows-only (the k1-scale clustering is partition-
+    DEPENDENT, unlike LogHistogram's fixed bins — which is why the exact
+    and log-histogram paths exist for hash-checkable quantiles); accuracy
+    vs the exact counting quantiles is pinned in tests."""
+    from ..engine.sketches import TDigest
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = TDigest()
+        d.add(np.asarray(t["value"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64))
+        d._compress(force=True)
+        return pa.table({"mean": pa.array(d.means),
+                         "weight": pa.array(d.weights)})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    d = TDigest()
+    if blocks:
+        cent = pa.concat_tables(blocks)
+        d.means = np.asarray(cent["mean"].to_numpy(zero_copy_only=False))
+        d.weights = np.asarray(cent["weight"].to_numpy(zero_copy_only=False))
+        d._compress(force=True)
+    return pa.table({
+        "p50": pa.array([d.quantile(0.5)], pa.float64()),
+        "p90": pa.array([d.quantile(0.9)], pa.float64()),
+        "p99": pa.array([d.quantile(0.99)], pa.float64()),
+        "n_centroids": pa.array([len(d.means)], pa.int64()),
+    })
