@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": ops.q_pricing_summary,
         "token_count_documents": ops.q_token_count_documents,
         "token_count_jsonl": ops.q_token_count_jsonl,
+        "token_count_orc": ops.q_token_count_orc,
+        "token_count_feather": ops.q_token_count_feather,
         "check_lineitem_csv": ops.q_check_lineitem_csv,
         "top_violated_paths": ops.q_top_violated_paths,
         "type_emitter": ops.q_type_emitter,
@@ -1228,6 +1230,18 @@ def oracle_sql() -> dict[str, str]:
         # engine's own JSONL/CSV sink+source round-trip must not change a
         # single value
         "token_count_jsonl": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "token_count_orc": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "token_count_feather": r"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens

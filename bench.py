@@ -104,6 +104,7 @@ def bench_queries(sf_dir: str) -> dict:
         "quality_filter", "events_rollup", "grouped_quantiles",
         "running_total_user", "events_pivot", "lineitem_part_left_join",
         "part_lineitem_full_join", "tdigest_quantiles_events",
+        "token_count_orc", "token_count_feather",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -159,3 +159,28 @@ def test_write_docs_round_trips_all_formats(ray_session, tmp_path):
         df = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert df["doc_id"].tolist() == list(range(20)), fmt
         assert df["text"].tolist() == [f"doc {i} body" for i in range(20)], fmt
+
+
+def test_orc_feather_roundtrip_with_projection(ray_session, tmp_path):
+    """ORC and Arrow-IPC dispatch: engine sink -> per-file-task reader
+    with column pruning; values and projection exact."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from yaschva_ray.sources import read_docs, write_docs
+
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array([f"w{i}" for i in range(50)]),
+                  "extra": pa.array([i * 2 for i in range(50)], pa.int64())})
+    for fmt in ("orc", "feather"):
+        out = tmp_path / fmt
+        shutil.rmtree(out, ignore_errors=True)
+        write_docs(ray.data.from_arrow(t).repartition(3), str(out),
+                   format=fmt)
+        back = read_docs(f"{out}/*.{fmt}",
+                         columns=["doc_id", "text"]).to_pandas()
+        assert sorted(back.columns) == ["doc_id", "text"]
+        assert sorted(back["doc_id"]) == list(range(50))
+        assert set(back["text"]) == {f"w{i}" for i in range(50)}

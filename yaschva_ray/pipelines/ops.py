@@ -423,7 +423,8 @@ def _table_as(sf_dir: str, table: str, columns: list[str], fmt: str) -> list[str
     tag = hashlib.md5(f"{os.path.realpath(sf_dir)}:{table}:{fmt}"
                       .encode()).hexdigest()[:10]
     out = os.path.join("/tmp", "yaschva_sources", f"{table}_{fmt}_{tag}")
-    ext = {"jsonl": "json", "csv": "csv"}[fmt]
+    ext = {"jsonl": "json", "csv": "csv", "orc": "orc",
+           "feather": "feather"}[fmt]
     if not os.path.isdir(out):
         tmp = out + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1709,3 +1710,26 @@ def q_tdigest_quantiles_events(sf_dir: str) -> pa.Table:
         "p99": pa.array([d.quantile(0.99)], pa.float64()),
         "n_centroids": pa.array([len(d.means)], pa.int64()),
     })
+
+
+def q_token_count_orc(sf_dir: str) -> pa.Table:
+    """``q_token_count_documents`` through the ORC source/sink path
+    (documents round-trip parquet → ORC via the per-block sink → the
+    per-file-task reader with column pruning).  Same oracle SQL."""
+    from ..sources import read_docs
+
+    files = _table_as(sf_dir, "documents", ["doc_id", "text"], "orc")
+    ds = read_docs(files, columns=["doc_id", "text"])
+    return _sorted_table(ds.map_batches(_count_tokens_batch,
+                                        batch_format="pyarrow"), ["doc_id"])
+
+
+def q_token_count_feather(sf_dir: str) -> pa.Table:
+    """``q_token_count_documents`` through the Arrow-IPC (feather) path —
+    same round trip and oracle as the ORC variant."""
+    from ..sources import read_docs
+
+    files = _table_as(sf_dir, "documents", ["doc_id", "text"], "feather")
+    ds = read_docs(files, columns=["doc_id", "text"])
+    return _sorted_table(ds.map_batches(_count_tokens_batch,
+                                        batch_format="pyarrow"), ["doc_id"])

@@ -48,6 +48,8 @@ def read_docs(paths: list[str] | str, *, columns: list[str] | None = None,
     * ``.jsonl``/``.json`` → ``ray.data.read_json`` (+ column projection
       applied as a batch select — JSON has no pushdown),
     * ``.csv`` → ``ray.data.read_csv`` (same),
+    * ``.orc`` / ``.feather``/``.arrow``/``.ipc`` → one Ray task per file
+      with pyarrow's native column pruning (Ray ships no reader for these),
     * otherwise parquet file(s) → ``ray.data.read_parquet``.
     """
     import ray.data
@@ -68,6 +70,12 @@ def read_docs(paths: list[str] | str, *, columns: list[str] | None = None,
             ds = ds.map_batches(lambda t: t.select(keep),
                                 batch_format="pyarrow")
         return ds
+    if s.endswith(".orc") or s.endswith((".feather", ".arrow", ".ipc")):
+        # Ray ships no ORC / Arrow-IPC reader: distribute as one task per
+        # file with column projection pushed into the pyarrow reader
+        return _read_files_with(paths,
+                                "orc" if s.endswith(".orc") else "feather",
+                                columns)
     if "schema" not in kwargs and os.path.isfile(str(first)):
         kwargs["schema"] = clean_parquet_schema(str(first), columns)
     return ray.data.read_parquet(paths, columns=columns,
@@ -83,4 +91,73 @@ def write_docs(ds, path: str, *, format: str = "parquet", **kwargs) -> None:
         return ds.write_json(path, **kwargs)
     if format == "csv":
         return ds.write_csv(path, **kwargs)
+    if format in ("orc", "feather"):
+        return _write_blocks(ds, path, format)
     return ds.write_parquet(path, **kwargs)
+
+
+_FILE_READ_REMOTE = None
+
+
+def _read_files_with(paths, fmt: str, columns):
+    """Distributed per-file read for formats Ray lacks natively (ORC,
+    Arrow IPC/feather): one Ray task per file, column projection pushed
+    into the task's pyarrow reader (both formats support native column
+    pruning), assembled with ``from_arrow_refs``."""
+    import glob as _glob
+
+    import ray
+    import ray.data
+
+    if isinstance(paths, str):
+        files = sorted(_glob.glob(paths)) if any(c in paths for c in "*?[") \
+            else [paths]
+    else:
+        files = list(paths)
+
+    global _FILE_READ_REMOTE
+    if _FILE_READ_REMOTE is None:
+        _FILE_READ_REMOTE = ray.remote(_read_one_file)
+    return ray.data.from_arrow_refs(
+        [_FILE_READ_REMOTE.remote(f, fmt, columns) for f in files])
+
+
+def _read_one_file(f: str, fmt: str, columns):
+    if fmt == "orc":
+        import pyarrow.orc as orc
+
+        return orc.ORCFile(f).read(columns=columns)
+    import pyarrow.feather as feather
+
+    return feather.read_table(f, columns=columns)
+
+
+def _write_blocks(ds, path: str, fmt: str) -> None:
+    """Per-block sink for formats Ray lacks natively: each block writes
+    one file (tmp + atomic rename; unique names, so retries and reruns
+    never interleave half-written parts)."""
+    import uuid
+
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def w(t: pa.Table) -> pa.Table:
+        out = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.{fmt}")
+        tmp = out + ".tmp"
+        if fmt == "orc":
+            import pyarrow.orc as orc
+
+            orc.write_table(t, tmp)
+        else:
+            import pyarrow.feather as feather
+
+            feather.write_feather(t, tmp)
+        os.replace(tmp, out)
+        return pa.table({"path": pa.array([out]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    for _ in ds.map_batches(w, batch_format="pyarrow",
+                            batch_size=None).iter_batches():
+        pass
+
