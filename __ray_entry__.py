@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": textops.q_keyword_search,
         "grouped_quantiles": ops.q_grouped_quantiles,
         "running_total_user": ops.q_running_total_user,
+        "user_event_gaps": ops.q_user_event_gaps,
         "events_pivot": ops.q_events_pivot,
         "lineitem_part_left_join": ops.q_lineitem_part_left_join,
         "part_lineitem_full_join": ops.q_part_lineitem_full_join,
@@ -653,6 +654,20 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id) AS event_seq
             FROM events
             ORDER BY user_id, event_seq
+        """,
+        # per-key LAG: gap since the previous event (exact int64 us) and
+        # cent delta vs the previous value, NULL on each user's first row
+        "user_event_gaps": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_us,
+                   CAST(round(value * 100) AS BIGINT)
+                     - lag(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS delta_cents
+            FROM events
+            ORDER BY user_id, event_id
         """,
         "lineitem_part_left_join": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,

@@ -409,6 +409,31 @@ def test_running_total_matches_pandas(ray_session):
     assert (out.groupby("user_id")["event_seq"].min() == 1).all()
 
 
+def test_user_event_gaps_matches_pandas(ray_session):
+    """Per-user LAG: first row per user is NULL; the rest equal a pandas
+    groupby-shift diff in exact integer microseconds / cents."""
+    import duckdb
+
+    from yaschva_ray.pipelines.ops import q_user_event_gaps
+
+    out = q_user_event_gaps(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+        f"CAST(round(value*100) AS BIGINT) AS cents "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')").fetchdf()
+    s = df.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+    want_gap = s.groupby("user_id")["ts_us"].diff()
+    want_delta = s.groupby("user_id")["cents"].diff()
+    got = out.set_index("event_id")
+    assert np.array_equal(got.loc[s["event_id"], "gap_us"].to_numpy(),
+                          want_gap.to_numpy(), equal_nan=True)
+    assert np.array_equal(got.loc[s["event_id"], "delta_cents"].to_numpy(),
+                          want_delta.to_numpy(), equal_nan=True)
+    # exactly one NULL gap per user (the first event)
+    assert out["gap_us"].isna().groupby(out["user_id"]).sum().eq(1).all()
+
+
 def test_events_pivot_row_conservation(ray_session):
     from yaschva_ray.pipelines.ops import q_events_pivot
 

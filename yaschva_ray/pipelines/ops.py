@@ -1570,6 +1570,56 @@ def q_running_total_user(sf_dir: str) -> pa.Table:
         [("user_id", "ascending"), ("event_seq", "ascending")])
 
 
+def q_user_event_gaps(sf_dir: str) -> pa.Table:
+    """Ordered per-key LAG (the window family's other half next to
+    ``running_total_user``'s SUM OVER): for each user's event stream,
+    the microsecond gap since the PREVIOUS event and the cent delta vs
+    the previous value — NULL on each user's first event, exactly SQL's
+    ``lag() OVER (PARTITION BY user_id ORDER BY ts, event_id)``.  Same
+    plan as the running total: one keyed exchange on user_id, then one
+    vectorized sort + shifted-diff per bucket (group starts masked to
+    null); gaps are exact int64 because ts is timestamp[us]."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "gap_us": pa.array([], pa.int64()),
+                      "delta_cents": pa.array([], pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        s = t.take(order)
+        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
+        ts_us = np.asarray(pc.cast(s["ts"], pa.int64())
+                           .to_numpy(zero_copy_only=False))
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(s["value"], 100.0)),
+                                   pa.int64()).to_numpy(zero_copy_only=False))
+        n = len(users)
+        first = np.ones(n, dtype=bool)
+        first[1:] = users[1:] != users[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        delta = np.empty(n, dtype=np.int64)
+        gap[0] = delta[0] = 0
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        delta[1:] = cents[1:] - cents[:-1]
+        return pa.table({
+            "event_id": s["event_id"],
+            "user_id": s["user_id"],
+            "gap_us": pa.array(gap, mask=first),
+            "delta_cents": pa.array(delta, mask=first),
+        })
+
+    parts = keyed_exchange(ds, "user_id", bucket, empty_result=empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")])
+
+
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
