@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": ops.q_grouped_quantiles,
         "running_total_user": ops.q_running_total_user,
         "user_event_gaps": ops.q_user_event_gaps,
+        "ship_before_order": ops.q_ship_before_order,
         "events_pivot": ops.q_events_pivot,
         "lineitem_part_left_join": ops.q_lineitem_part_left_join,
         "part_lineitem_full_join": ops.q_part_lineitem_full_join,
@@ -654,6 +655,15 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id) AS event_seq
             FROM events
             ORDER BY user_id, event_seq
+        """,
+        # cross-table row constraint: violations only (filter inside the
+        # join reduce on the engine side)
+        "ship_before_order": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+                   o.o_orderdate
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate < o.o_orderdate
+            ORDER BY l.l_orderkey, l.l_linenumber
         """,
         # per-key LAG: gap since the previous event (exact int64 us) and
         # cent delta vs the previous value, NULL on each user's first row

@@ -532,6 +532,41 @@ def test_hash_join_vs_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_hash_join_bucket_fn_equals_post_filter(ray_session):
+    """bucket_fn (in-reduce transform) ≡ the same filter applied to the
+    full join output — only placement differs (violations-only leaves
+    each reduce task)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    rng = np.random.RandomState(11)
+    lt = pa.table({"k": pa.array(rng.randint(0, 40, 300), pa.int64()),
+                   "lv": pa.array(rng.randint(0, 100, 300), pa.int64())})
+    rt = pa.table({"rk": pa.array(rng.randint(20, 60, 200), pa.int64()),
+                   "rv": pa.array(rng.randint(0, 100, 200), pa.int64())})
+
+    def mk():
+        return (ray.data.from_arrow(lt).repartition(5),
+                ray.data.from_arrow(rt).repartition(3))
+
+    # a closure (cloudpickle by-value) — test modules aren't importable
+    # on workers, so a module-level fn here would fail to unpickle
+    def lv_gt_rv(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return t.filter(_pc.greater(t["lv"], t["rv"]))
+
+    l1, r1 = mk()
+    got = hash_join(l1, r1, left_key="k", right_key="rk", num_buckets=4,
+                    bucket_fn=lv_gt_rv)
+    l2, r2 = mk()
+    full = hash_join(l2, r2, left_key="k", right_key="rk", num_buckets=4)
+    want = full.filter(pc.greater(full["lv"], full["rv"]))
+    key = [("k", "ascending"), ("lv", "ascending"), ("rv", "ascending")]
+    assert got.sort_by(key).equals(want.select(got.column_names).sort_by(key))
+
+
 def test_hash_join_empty_side_and_shared_names(ray_session):
     import ray.data
 

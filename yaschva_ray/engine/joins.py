@@ -278,7 +278,7 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
 def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
                  schema_hints: tuple, bucket_id: int,
-                 out_dir: str | None, *parts: pa.Table) -> pa.Table:
+                 out_dir: str | None, bucket_fn, *parts: pa.Table) -> pa.Table:
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
@@ -315,6 +315,11 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
         _warn_hot_key(rt, right_key, "hash_join(right)", bucket_id)
         merged = lt.join(rt, keys=[left_key], right_keys=[right_key],
                          join_type=how)
+    if bucket_fn is not None and merged.num_rows:
+        # post-join transform INSIDE the reduce: a filter/projection here
+        # means only its output (e.g. constraint violations, typically
+        # ≪ join size) crosses back to the driver/sink
+        merged = bucket_fn(merged)
     if out_dir is not None:
         return _sink_bucket(merged, out_dir, bucket_id)
     return merged
@@ -325,7 +330,7 @@ _EQUI_REDUCE = None
 
 def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
               how: str = "inner", num_buckets: int | None = None,
-              out_dir: str | None = None) -> pa.Table:
+              out_dir: str | None = None, bucket_fn=None) -> pa.Table:
     """Big-big equi-join (``how``: "inner", "left outer" or
     "full outer"): both sides
     hash-partition on their key through the bounded exchange (each row
@@ -335,7 +340,10 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     side does.  Non-key column names must be disjoint (the broadcast
     join's rule).  Output row order is unspecified — sort at the caller
     when determinism matters.  With ``out_dir`` each bucket writes its
-    own parquet part (the at-scale path, same contract as asof_join)."""
+    own parquet part (the at-scale path, same contract as asof_join).
+    ``bucket_fn`` (a picklable table→table callable) runs on each bucket's
+    joined slice inside the reduce — filters/projections there shrink
+    what leaves the task."""
     import ray
 
     from .exchange import bounded_map_entries
@@ -375,7 +383,7 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     rmap = _mapped(right_ds, right_key)
     joined = [
         _EQUI_REDUCE.remote(len(lmap), left_key, right_key, how,
-                            schema_hints, b, out_dir,
+                            schema_hints, b, out_dir, bucket_fn,
                             *[m[b] for m in lmap], *[m[b] for m in rmap])
         for b in range(num_buckets)
     ]

@@ -1273,6 +1273,38 @@ def q_orders_customer_join(sf_dir: str) -> pa.Table:
         .sort_by([("o_orderkey", "ascending")])
 
 
+def _ship_before_order_filter(t: pa.Table) -> pa.Table:
+    """In-reduce cross-field predicate: emit only violating rows."""
+    return t.filter(pc.less(t["l_shipdate"], t["o_orderdate"])).select(
+        ["l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"])
+
+
+def q_ship_before_order(sf_dir: str) -> pa.Table:
+    """CROSS-TABLE row-level constraint check (the data-quality checker
+    kind next to uniqueness/referential/drift): a lineitem must not ship
+    before its order was placed.  The predicate spans two tables, so the
+    plan is the big-big hash join on orderkey with the filter pushed INTO
+    the join reduce (``bucket_fn``) — each bucket joins its co-located
+    slices and emits only violations, so the driver/sink traffic is the
+    violation set (here ~half the rows by synthetic construction; in a
+    healthy corpus ~0), never the full join."""
+    from ..engine.joins import hash_join
+
+    left = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_shipdate"])
+    right = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    out = hash_join(left, right, left_key="l_orderkey",
+                    right_key="o_orderkey",
+                    bucket_fn=_ship_before_order_filter)
+    if not out.num_rows:
+        return pa.schema([("l_orderkey", pa.int64()),
+                          ("l_linenumber", pa.int32()),
+                          ("l_shipdate", pa.timestamp("us")),
+                          ("o_orderdate", pa.timestamp("us"))]).empty_table()
+    return out.sort_by([("l_orderkey", "ascending"),
+                        ("l_linenumber", "ascending")])
+
+
 def q_quality_filter(sf_dir: str, q: float = 0.75) -> pa.Table:
     """Quality pruning at a GLOBAL quantile (the FineWeb/Gopher-style
     "keep the best X%" curation step): keep documents whose token count is
