@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_user": ops.q_running_total_user,
         "user_event_gaps": ops.q_user_event_gaps,
         "ship_before_order": ops.q_ship_before_order,
+        "validate_quarantine": ops.q_validate_quarantine,
         "events_pivot": ops.q_events_pivot,
         "lineitem_part_left_join": ops.q_lineitem_part_left_join,
         "part_lineitem_full_join": ops.q_part_lineitem_full_join,
@@ -655,6 +656,22 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id) AS event_seq
             FROM events
             ORDER BY user_id, event_seq
+        """,
+        # one-pass split sink: the engine's summary is re-derived from the
+        # WRITTEN clean/ and quarantine/ files, so the hash checks the
+        # on-disk routing against the validity predicate
+        "validate_quarantine": """
+            WITH v AS (
+                SELECT l_orderkey,
+                       (l_quantity >= 1 AND l_quantity <= 25
+                        AND l_discount >= 0 AND l_discount <= 0.05
+                        AND l_returnflag IN ('A', 'N')) AS ok
+                FROM lineitem
+            )
+            SELECT CASE WHEN ok THEN 'clean' ELSE 'quarantine' END AS side,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey
+            FROM v GROUP BY 1 ORDER BY side
         """,
         # cross-table row constraint: violations only (filter inside the
         # join reduce on the engine side)

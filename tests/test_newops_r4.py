@@ -409,6 +409,49 @@ def test_running_total_matches_pandas(ray_session):
     assert (out.groupby("user_id")["event_seq"].min() == 1).all()
 
 
+def test_validate_quarantine_routes_exactly(ray_session):
+    """clean/ ∪ quarantine/ is a PARTITION of the source: every
+    (orderkey, linenumber) appears exactly once, on the side the validity
+    predicate assigns it; a second call reuses the written sink."""
+    import glob
+
+    import duckdb
+    import pyarrow.parquet as _pq
+
+    from yaschva_ray.pipelines.ops import q_validate_quarantine
+
+    first = q_validate_quarantine(SF_DIR).to_pandas()
+    import hashlib
+    import os as _os
+
+    tag = hashlib.md5(_os.path.realpath(SF_DIR).encode()).hexdigest()[:10]
+    bd = f"/tmp/yaschva_quarantine/{tag}/"
+    assert glob.glob(bd + "clean/*.parquet"), "sink directory missing"
+
+    def keys(side):
+        # MULTISET of keys: (orderkey, linenumber) is not unique in the
+        # synthetic data, and two rows sharing it can differ in the
+        # checked columns — one clean, one quarantined — legitimately
+        t = _pq.read_table(glob.glob(f"{bd}{side}/*.parquet"))
+        return sorted(zip(t["l_orderkey"].to_pylist(),
+                          t["l_linenumber"].to_pylist()))
+
+    clean, quar = keys("clean"), keys("quarantine")
+    con = duckdb.connect()
+    want_bad = sorted(map(tuple, con.execute(
+        f"SELECT l_orderkey, l_linenumber "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet') "
+        f"WHERE NOT (l_quantity >= 1 AND l_quantity <= 25 AND "
+        f"l_discount >= 0 AND l_discount <= 0.05 AND "
+        f"l_returnflag IN ('A','N'))").fetchall()))
+    assert quar == want_bad
+    total = _pq.read_table(f"{SF_DIR}/lineitem.parquet").num_rows
+    assert len(clean) + len(quar) == total
+    # idempotent: the second call reads the existing sink, same summary
+    again = q_validate_quarantine(SF_DIR).to_pandas()
+    assert again.equals(first)
+
+
 def test_user_event_gaps_matches_pandas(ray_session):
     """Per-user LAG: first row per user is NULL; the rest equal a pandas
     groupby-shift diff in exact integer microseconds / cents."""

@@ -1062,6 +1062,83 @@ def q_partitioned_write_langs(sf_dir: str) -> pa.Table:
                      "n_docs": pa.array(counts, pa.int64())})
 
 
+def q_validate_quarantine(sf_dir: str) -> pa.Table:
+    """ONE-PASS split sink (the validation engine's production shape):
+    each block is validated once and routed — pass rows to ``clean/``,
+    violating rows to ``quarantine/`` — by the SAME map task, so the
+    corpus is scanned exactly once and no second filter pass exists.
+    Part files are named by a content hash of the block's key columns
+    (tmp+rename), so a retried task overwrites its own output
+    idempotently; the whole sink is tmp+renamed for resumability.  The
+    returned summary is computed from the WRITTEN files (key column
+    only), proving the on-disk split — the oracle mirrors the validity
+    predicate, so a row lost or double-routed fails the hash."""
+    import glob as _glob
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join("/tmp", "yaschva_quarantine", tag)
+    if not os.path.isdir(base):
+        tmp = base + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for side in ("clean", "quarantine"):
+            os.makedirs(os.path.join(tmp, side), exist_ok=True)
+        ds = _read(sf_dir, "lineitem", LINEITEM_COLS)
+        validated = validate_dataset(ds, LINEITEM_CHECK_SCHEMA)
+
+        def route(t: pa.Table) -> pa.Table:
+            counts = []
+            for side, st in (("clean", t.filter(t["valid"])),
+                             ("quarantine",
+                              t.filter(pc.invert(t["valid"])))):
+                st = st.drop_columns(["valid"])
+                if st.num_rows:
+                    keys = np.ascontiguousarray(
+                        st["l_orderkey"].to_numpy(zero_copy_only=False))
+                    lns = np.ascontiguousarray(
+                        st["l_linenumber"].to_numpy(zero_copy_only=False))
+                    name = hashlib.md5(
+                        keys.tobytes() + lns.tobytes()).hexdigest()[:16]
+                    path = os.path.join(tmp, side, f"part-{name}.parquet")
+                    pq.write_table(st, path + ".inprogress")
+                    os.rename(path + ".inprogress", path)
+                counts.append(st.num_rows)
+            return pa.table({"side": pa.array(["clean", "quarantine"]),
+                             "n": pa.array(counts, pa.int64())})
+
+        # consume the stream (the partials are progress metrics; truth is
+        # re-derived from disk below)
+        gather_tables(validated.map_batches(route, batch_format="pyarrow"))
+        os.rename(tmp, base)
+
+    sides, n_rows, sums = [], [], []
+    for side in ("clean", "quarantine"):
+        files = _glob.glob(os.path.join(base, side, "*.parquet"))
+        if not files:
+            continue
+        rb = ray.data.read_parquet(files, columns=["l_orderkey"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([pc.sum(t["l_orderkey"]).as_py() or 0],
+                              pa.int64())})
+
+        blocks = [b for b in gather_tables(
+            rb.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+        m = pa.concat_tables(blocks)
+        sides.append(side)
+        n_rows.append(pc.sum(m["n"]).as_py())
+        sums.append(pc.sum(m["s"]).as_py())
+    return pa.table({"side": pa.array(sides, pa.string()),
+                     "n_rows": pa.array(n_rows, pa.int64()),
+                     "sum_orderkey": pa.array(sums, pa.int64())})
+
+
 _CUSTOM_CHECK_ERR = "Text is longer than 100 characters"
 
 
