@@ -53,6 +53,67 @@ def _f0_smoke(sf_dir: str) -> Any:
                                 ("error", "ascending")])
 
 
+def _f0_partition_verdicts(sf_dir: str) -> Any:
+    """Per-partition PASS/FAIL verdicts (the north rule's reporting
+    unit): the F0 corpus is synthesized as 16 shards, one Ray task per
+    shard validates its partition with the vectorized mask and emits
+    (partition_id, n_docs, n_violating, verdict).  Each task also writes
+    its shard (tagged with partition_id) so the DuckDB oracle recomputes
+    the same verdicts from the raw spans — a task that under- or
+    over-reports its partition fails the hash."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.datagen import make_docs_batch
+    from yaschva_ray.pipelines.flagship import FLAGSHIP_SCHEMA
+    from yaschva_ray.vectorized import TableValidator
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    n_parts = 16
+    chunk = (n + n_parts - 1) // n_parts
+    out_dir = "/tmp/yaschva_oracle/f0_parts"
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        tv = TableValidator(FLAGSHIP_SCHEMA)
+        pids, counts, bads = [], [], []
+        for p in batch["p"].to_pylist():
+            lo, hi = p * chunk, min((p + 1) * chunk, n)
+            t = make_docs_batch(np.arange(lo, hi), seed=42)
+            pq.write_table(
+                t.append_column("partition_id", pa.array(
+                    np.full(hi - lo, p, dtype=np.int64))),
+                os.path.join(tmp_dir, f"part-{p:04d}.parquet"))
+            bad = pc.sum(pc.cast(pc.invert(tv(t)["valid"]),
+                                 pa.int64())).as_py() or 0
+            pids.append(p)
+            counts.append(hi - lo)
+            bads.append(int(bad))
+        return pa.table({"partition_id": pa.array(pids, pa.int64()),
+                         "n_docs": pa.array(counts, pa.int64()),
+                         "n_violating": pa.array(bads, pa.int64())})
+
+    ds = ray.data.from_arrow(
+        pa.table({"p": pa.array(range(n_parts), pa.int64())})
+    ).repartition(n_parts)
+    got = pa.Table.from_pylist(
+        ds.map_batches(shard, batch_size=1,
+                       batch_format="pyarrow").take_all())
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp_dir, out_dir)
+    got = got.sort_by([("partition_id", "ascending")])
+    verdict = pc.if_else(pc.equal(got["n_violating"], 0), "pass", "fail")
+    return got.append_column("verdict", verdict)
+
+
 def _media_features_smoke(sf_dir: str) -> Any:
     """Multimodal features: synth media (real P6/WAV bytes) → actor-pool
     REAL pure-numpy decode → fixed-width features (rows-only check: the
@@ -171,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_violated_paths": ops.q_top_violated_paths,
         "type_emitter": ops.q_type_emitter,
         "f0_flagship_violations": _f0_smoke,
+        "f0_partition_verdicts": _f0_partition_verdicts,
         "f0_span_dedup": textops.q_f0_span_dedup,
         # --- rows-only (approximate / model-like / engine-generated) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -656,6 +718,32 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id) AS event_seq
             FROM events
             ORDER BY user_id, event_seq
+        """,
+        # per-partition verdicts over the engine-written sharded F0 table:
+        # a row is invalid iff any span violates the flagship predicates
+        # (the same classes f0_flagship_violations pins hash-exact);
+        # row_number is only a row key for the DISTINCT, order-free
+        "f0_partition_verdicts": """
+            WITH f0 AS (
+                SELECT partition_id, spans, row_number() OVER () AS rid
+                FROM read_parquet('/tmp/yaschva_oracle/f0_parts/*.parquet')
+            ), sp AS (
+                SELECT partition_id, rid, unnest(spans) AS s FROM f0
+            ), badr AS (
+                SELECT DISTINCT rid FROM sp
+                WHERE s.kind NOT IN ('text', 'image', 'audio', 'video')
+                   OR (s.text IS NOT NULL AND length(s.text) < 1)
+                   OR (s.media_ref IS NOT NULL AND NOT regexp_matches(
+                           s.media_ref, '^media://[a-z0-9/._-]+$'))
+                   OR s."offset" < 0
+            )
+            SELECT f0.partition_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(b.rid) AS BIGINT) AS n_violating,
+                   CASE WHEN count(b.rid) > 0 THEN 'fail' ELSE 'pass' END
+                       AS verdict
+            FROM f0 LEFT JOIN badr b ON f0.rid = b.rid
+            GROUP BY f0.partition_id ORDER BY f0.partition_id
         """,
         # one-pass split sink: the engine's summary is re-derived from the
         # WRITTEN clean/ and quarantine/ files, so the hash checks the
