@@ -105,6 +105,11 @@ def bench_queries(sf_dir: str) -> dict:
         "running_total_user", "events_pivot", "lineitem_part_left_join",
         "part_lineitem_full_join", "tdigest_quantiles_events",
         "token_count_orc", "token_count_feather",
+        # round-4 late additions: per-key LAG window, cross-table
+        # constraint (filter inside the join reduce), one-pass
+        # validate-and-quarantine split sink (sink cleared per iteration
+        # so both timings are cold end-to-end writes)
+        "user_event_gaps", "ship_before_order", "validate_quarantine",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)
@@ -141,6 +146,10 @@ def bench_queries(sf_dir: str) -> dict:
                 continue
             best = None
             for _ in range(2):  # best-of-2: host co-tenant noise spikes
+                if name == "validate_quarantine":  # cold sink each time
+                    import shutil
+                    shutil.rmtree("/tmp/yaschva_quarantine",
+                                  ignore_errors=True)
                 t0 = time.time()  # 2-4x minute-to-minute (BENCH/BASELINE.md)
                 fn(sf_dir)
                 dt = time.time() - t0
