@@ -114,6 +114,51 @@ def _f0_partition_verdicts(sf_dir: str) -> Any:
     return got.append_column("verdict", verdict)
 
 
+def _flagship_lineage(sf_dir: str) -> Any:
+    """The REAL checkpointed flagship driven driver-visibly: an 8-shard
+    F0 corpus is written to parquet, ``run_flagship`` executes the full
+    fused pass (validate + violation payloads + sketches + uniqueness +
+    per-partition manifest), and the query returns the LINEAGE rows
+    (partition_id, n_docs, n_fail) read back from ``_manifest.jsonl``.
+    The oracle recomputes each shard's verdict counts from the written
+    input files (``filename=true`` maps rows to shards), so a manifest
+    line that miscounts its partition fails the hash.  The content
+    digest stays engine-defined (pinned by the kill/resume byte-identical
+    tests), so it is not part of the compared schema."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.engine.checkpoint import load_manifest
+    from yaschva_ray.pipelines.datagen import make_docs_batch
+    from yaschva_ray.pipelines.flagship import run_flagship
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    n_shards = 8
+    chunk = (n + n_shards - 1) // n_shards
+    base = "/tmp/yaschva_oracle/flagship_lineage"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "out")
+    os.makedirs(in_dir)
+    for s in range(n_shards):
+        t = make_docs_batch(np.arange(s * chunk, min((s + 1) * chunk, n)),
+                            seed=42)
+        pq.write_table(t, os.path.join(in_dir, f"docs-{s:03d}.parquet"))
+    files = sorted(_glob.glob(os.path.join(in_dir, "*.parquet")))
+    run_flagship(files, out_dir, shards=n_shards)
+    recs = load_manifest(out_dir)
+    rows = sorted(recs.values(), key=lambda r: r["partition"])
+    return pa.table({
+        "partition_id": pa.array([r["partition"] for r in rows], pa.int64()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "n_fail": pa.array([r["n_fail"] for r in rows], pa.int64()),
+    })
+
+
 def _media_features_smoke(sf_dir: str) -> Any:
     """Multimodal features: synth media (real P6/WAV bytes) → actor-pool
     REAL pure-numpy decode → fixed-width features (rows-only check: the
@@ -233,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_emitter": ops.q_type_emitter,
         "f0_flagship_violations": _f0_smoke,
         "f0_partition_verdicts": _f0_partition_verdicts,
+        "flagship_lineage": _flagship_lineage,
         "f0_span_dedup": textops.q_f0_span_dedup,
         # --- rows-only (approximate / model-like / engine-generated) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -718,6 +764,34 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id) AS event_seq
             FROM events
             ORDER BY user_id, event_seq
+        """,
+        # the real flagship's lineage manifest vs a recount of its own
+        # written input shards (filename=true maps rows to shards; the
+        # manifest's digest stays engine-defined and is not compared)
+        "flagship_lineage": """
+            WITH f0 AS (
+                SELECT spans,
+                       CAST(regexp_extract(filename, 'docs-(\\d+)', 1)
+                            AS BIGINT) AS partition_id,
+                       row_number() OVER () AS rid
+                FROM read_parquet(
+                    '/tmp/yaschva_oracle/flagship_lineage/in/*.parquet',
+                    filename=true)
+            ), sp AS (
+                SELECT partition_id, rid, unnest(spans) AS s FROM f0
+            ), badr AS (
+                SELECT DISTINCT rid FROM sp
+                WHERE s.kind NOT IN ('text', 'image', 'audio', 'video')
+                   OR (s.text IS NOT NULL AND length(s.text) < 1)
+                   OR (s.media_ref IS NOT NULL AND NOT regexp_matches(
+                           s.media_ref, '^media://[a-z0-9/._-]+$'))
+                   OR s."offset" < 0
+            )
+            SELECT f0.partition_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(b.rid) AS BIGINT) AS n_fail
+            FROM f0 LEFT JOIN badr b ON f0.rid = b.rid
+            GROUP BY f0.partition_id ORDER BY f0.partition_id
         """,
         # per-partition verdicts over the engine-written sharded F0 table:
         # a row is invalid iff any span violates the flagship predicates
