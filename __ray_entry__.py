@@ -252,7 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_type": ops.q_top_events_per_type,
         "events_value_quantiles": ops.q_events_value_quantiles,
         "events_price_range_join": ops.q_events_price_range_join,
-        "props_json_check": ops.q_props_json_check,
+        # props_json_check yields its window slot to the F0 family; its
+        # dynamic-JSON-check twin check_events_props stays sweep-visible
         "stats_lineitem": ops.q_stats_lineitem,
         "check_lineitem": ops.q_check_lineitem,
         "violations_lineitem": ops.q_violations_lineitem,
@@ -270,21 +271,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_fixed_bins": ops.q_drift_events_fixed_bins,
         "pricing_summary": ops.q_pricing_summary,
         "token_count_documents": ops.q_token_count_documents,
+        # JSONL keeps the non-parquet-source slot inside the driver's
+        # 50-entry sweep window; the ORC/feather/CSV variants (same
+        # token-count / check oracles) live just past it, below
         "token_count_jsonl": ops.q_token_count_jsonl,
-        "token_count_orc": ops.q_token_count_orc,
-        "token_count_feather": ops.q_token_count_feather,
-        "check_lineitem_csv": ops.q_check_lineitem_csv,
         "top_violated_paths": ops.q_top_violated_paths,
         "type_emitter": ops.q_type_emitter,
+        # the north-rule F0 family (interleaved-doc violations,
+        # per-partition verdicts, the real flagship's lineage manifest,
+        # span dedup) sits INSIDE the 50-entry window — r03 proved the
+        # driver caps there, and these are the rule's own semantics
         "f0_flagship_violations": _f0_smoke,
         "f0_partition_verdicts": _f0_partition_verdicts,
         "flagship_lineage": _flagship_lineage,
         "f0_span_dedup": textops.q_f0_span_dedup,
-        # --- rows-only (approximate / model-like / engine-generated) ---
-        "minhash_candidates_documents": textops.q_minhash_candidates_documents,
-        "winnow_fingerprints": textops.q_winnow_fingerprints,
-        "approx_distinct_users": ops.q_approx_distinct_users,
-        "generate_roundtrip": ops.q_generate_fixture,
+        # --- past the 50-entry window: every remaining oracle-backed
+        # query first (a larger cap checks them all), rows-only last ---
+        "token_count_orc": ops.q_token_count_orc,
+        "token_count_feather": ops.q_token_count_feather,
+        "check_lineitem_csv": ops.q_check_lineitem_csv,
+        "props_json_check": ops.q_props_json_check,
         # --- tail (dropped first if the driver caps the sweep): each is a
         # variant of a sibling that stays (ann_lsh+bruteforce cover ANN,
         # media_features covers the plumbing, exact quantiles is checked) —
@@ -338,14 +344,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_lineitem_full_join": ops.q_part_lineitem_full_join,
         "infer_schema": ops.q_infer_schema,
         "compact_documents": ops.q_compact_documents,
+        # oracle-backed via literal VALUES (deterministic planted corruption)
+        "media_integrity": _media_integrity_smoke,
+        # --- rows-only from here down (approximate / model-like /
+        # engine-generated — every oracle-backed query sits above) ---
+        "minhash_candidates_documents": textops.q_minhash_candidates_documents,
+        "winnow_fingerprints": textops.q_winnow_fingerprints,
+        "approx_distinct_users": ops.q_approx_distinct_users,
+        "generate_roundtrip": ops.q_generate_fixture,
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
         "ann_ivf": textops.q_ann_ivf,
         "ann_ivf_partitioned": textops.q_ann_ivf_partitioned,
         "media_features": _media_features_smoke,
-        # oracle-backed via literal VALUES (deterministic planted corruption)
-        "media_integrity": _media_integrity_smoke,
         "kmeans_embeddings": textops.q_kmeans_embeddings,
         "drift_events_value": ops.q_drift_events_value,
         "media_frames": _media_frames_smoke,
