@@ -313,6 +313,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family stays sweep-visible through events_asof_orders /
         # events_price_range_join / events_user_segments
         "orders_customer_join": ops.q_orders_customer_join,
+        # incremental dedup against the PERSISTED hash index (the 100 TB
+        # operating mode: new batch vs corpus without rescanning corpus
+        # text) — oracle-backed via planted copies; the dedup family
+        # stays sweep-visible through dedup_exact_documents
+        "dedup_incremental": textops.q_dedup_incremental,
         # repetition_signals / passage_dedup are likewise oracle-backed
         # (hash-exact in tools/driver_sweep.py) but live past the cap for
         # the same reason; their families stay sweep-visible through
@@ -633,6 +638,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
                 FROM documents
             ) WHERE rn > 1 ORDER BY doc_id
+        """,
+        # incremental dedup: NEW batch (odd ids + planted copies of the
+        # first 16 even non-null docs) vs the INDEXED corpus (even ids);
+        # null texts are out of contract (SQL equality semantics), and
+        # within-batch duplicates are by design not reported
+        "dedup_incremental": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            ), newb AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text FROM documents
+                WHERE doc_id % 2 = 0 AND doc_id < 32 AND text IS NOT NULL
+            )
+            SELECT n.doc_id AS doc_id, MIN(c.doc_id) AS dup_of
+            FROM newb n JOIN corpus c ON n.text = c.text
+            GROUP BY n.doc_id ORDER BY doc_id
         """,
         "quality_documents": r"""
             SELECT doc_id,

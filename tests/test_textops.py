@@ -1062,3 +1062,120 @@ def test_kmeans_tree_combine_same_centroids(ray_session):
     c = np.array([1, 2, 3, 4], dtype=np.int64)
     tot, cnt = tx._km_combine((t, c), (2 * t, 3 * c), (t, c))
     assert (tot == 4 * t).all() and (cnt == 5 * c).all()
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against a persisted corpus index
+# --------------------------------------------------------------------------
+
+def test_dedup_index_incremental_lifecycle(ray_session, tmp_path):
+    """Build → dedup batch 1 → commit update → batch 2 must match BOTH the
+    base corpus and batch 1's update; re-committing a tag is a no-op; a
+    crashed (uncommitted) update stays invisible."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (
+        dedup_against_index, dedup_index_build, dedup_index_update)
+
+    corpus = pa.table({"doc_id": pa.array(list(range(10)), pa.int64()),
+                       "text": [f"doc {i}" for i in range(9)] + [None]})
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus, corpus_path)
+    idx = str(tmp_path / "idx")
+    m = dedup_index_build(ray.data.from_arrow(corpus).repartition(3), idx,
+                          num_shards=4)
+    assert m["num_shards"] == 4 and m["updates"] == []
+
+    # batch 1: one dup of corpus, one fresh, one null (out of contract)
+    b1 = pa.table({"doc_id": pa.array([100, 101, 102], pa.int64()),
+                   "text": ["doc 2", "fresh text", None]})
+    out = dedup_against_index(ray.data.from_arrow(b1), idx, corpus_path)
+    assert out.to_pydict() == {"doc_id": [100], "dup_of": [2]}
+
+    # ingest batch 1 (minus its dups) and persist its text alongside
+    keep = b1.filter(pc.not_equal(b1["doc_id"], 100))
+    b1_path = str(tmp_path / "b1.parquet")
+    pq.write_table(keep, b1_path)
+    dedup_index_update(ray.data.from_arrow(keep), idx, "b1")
+    # idempotent: same tag again leaves one committed update
+    m = dedup_index_update(ray.data.from_arrow(keep), idx, "b1")
+    assert m["updates"] == ["b1"]
+
+    # a crashed update: data written but tag never committed → invisible
+    import os as _os
+    ghost = tmp_path / "idx" / "updates" / "ghost" / "shard=0"
+    ghost.mkdir(parents=True)
+    pq.write_table(pa.table({"h": pa.array([1], pa.int64()),
+                             "doc_id": pa.array([999], pa.int64())}),
+                   str(ghost / "x.parquet"))
+
+    # batch 2: hits the BASE corpus, the COMMITTED update, and a
+    # hash-match-only id (the ghost's) must not surface
+    b2 = pa.table({"doc_id": pa.array([200, 201, 202], pa.int64()),
+                   "text": ["fresh text", "doc 0", "brand new"]})
+    out2 = dedup_against_index(ray.data.from_arrow(b2), idx,
+                               [corpus_path, b1_path])
+    assert out2.to_pydict() == {"doc_id": [200, 201], "dup_of": [101, 0]}
+    assert _os.path.exists(str(ghost))  # untouched, just unread
+
+
+def test_dedup_index_routing_fingerprint_guard(ray_session, tmp_path):
+    """An index built under a different hash routing must fail LOUDLY, not
+    silently miss matches."""
+    import json
+
+    import pytest
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (
+        dedup_against_index, dedup_index_build)
+
+    corpus = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                       "text": ["a", "b"]})
+    idx = str(tmp_path / "idx")
+    dedup_index_build(ray.data.from_arrow(corpus), idx, num_shards=2)
+    mpath = tmp_path / "idx" / "manifest.json"
+    m = json.loads(mpath.read_text())
+    m["routing"] = ["0"] * len(m["routing"])
+    mpath.write_text(json.dumps(m))
+    with pytest.raises(RuntimeError, match="routing fingerprint"):
+        dedup_against_index(ray.data.from_arrow(corpus), idx, "unused")
+
+
+def test_dedup_incremental_collision_cannot_lie(ray_session, tmp_path):
+    """A poisoned index entry (hash of one text pointing at a doc whose
+    text DIFFERS — what a 64-bit collision would produce) must be filtered
+    by the text-verify phase: exactness never rests on the hash."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (
+        _hash64, _routing_fingerprint, dedup_against_index)
+
+    corpus = pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "text": ["alpha"]})
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus, corpus_path)
+
+    # hand-built 1-shard index: the correct alpha→0 row PLUS a planted
+    # collision — gamma's hash also claims doc 0
+    h = _hash64(pa.array(["alpha", "gamma"])).astype(np.int64)
+    idx = tmp_path / "idx"
+    shard = idx / "base" / "shard=0"
+    shard.mkdir(parents=True)
+    pq.write_table(pa.table({"h": pa.array(h, pa.int64()),
+                             "doc_id": pa.array([0, 0], pa.int64())}),
+                   str(shard / "part-0.parquet"))
+    (idx / "manifest.json").write_text(json.dumps(
+        {"num_shards": 1, "updates": [], "routing": _routing_fingerprint()}))
+
+    newb = pa.table({"doc_id": pa.array([50, 51], pa.int64()),
+                     "text": ["alpha", "gamma"]})
+    out = dedup_against_index(ray.data.from_arrow(newb), str(idx),
+                              corpus_path)
+    # 51 ("gamma") hash-matches the planted entry but text-verify drops it
+    assert out.to_pydict() == {"doc_id": [50], "dup_of": [0]}

@@ -186,6 +186,319 @@ def q_dedup_exact_documents(sf_dir: str, num_buckets: int = 16) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# Incremental dedup against a persisted corpus index
+# --------------------------------------------------------------------------
+#
+# The 100 TB operating mode for dedup is INCREMENTAL: the corpus was
+# deduped once; each arriving batch (small relative to the corpus) must be
+# checked against everything seen so far WITHOUT rescanning corpus text.
+# The persisted index holds only (hash64(text), doc_id) — 16 bytes/row —
+# hive-partitioned by the exchange's OWN routing function
+# (engine/joins._hash_slices: ``_hash64(h) % num_shards``), so an
+# incremental run routes new rows through a plain ``keyed_exchange`` on
+# "h" and each reduce task reads exactly its shard's files and nothing
+# else.  Hash matches are CANDIDATES; a second, text-verified exchange —
+# new text from the batch, old text via a doc_id-pruned corpus read —
+# makes the result exact (a 64-bit collision can only ADD a candidate,
+# never a wrong answer; phase 2 compares real text).  Updates land under
+# ``updates/<tag>/shard=S/`` and become visible only when the manifest
+# commits (atomic tmp-write + rename), so a crashed update is invisible
+# and re-running the same tag is a no-op.
+
+_DEDUP_INDEX_EMPTY = pa.table({
+    "doc_id": pa.array([], pa.int64()),
+    "dup_of": pa.array([], pa.int64()),
+})
+
+# the index outlives the process, but its shard routing is polars'
+# seed-0 hash — if the library version ever changed the hash, new rows
+# would route to the WRONG shard and matches would silently vanish.
+# A probe vector hashed at build time makes that failure loud instead.
+_ROUTING_PROBE = pa.array(list(range(16)), pa.int64())
+
+
+def _routing_fingerprint() -> list[str]:
+    return [str(int(x)) for x in _hash64(_ROUTING_PROBE)]
+
+
+def _dedup_index_manifest(index_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    if m.get("routing") != _routing_fingerprint():
+        raise RuntimeError(
+            "dedup index routing fingerprint mismatch (the environment's "
+            "hash function changed since the index was built) — rebuild "
+            f"the index at {index_dir}")
+    return m
+
+
+def _write_dedup_manifest(index_dir: str, manifest: dict) -> None:
+    import json
+
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+
+
+def _hash_ids_table(t: pa.Table, keep_text: bool = False) -> pa.Table:
+    """(h, doc_id[, text]) for NON-NULL texts.  Null texts never match SQL
+    equality, so the incremental family excludes them by contract (a
+    documented divergence from ``dedup_exact``'s PARTITION BY semantics,
+    where nulls form one duplicate group)."""
+    if "text" not in t.column_names:  # schema-less empty block
+        cols = {"h": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64())}
+        if keep_text:
+            cols["text"] = pa.array([], pa.string())
+        return pa.table(cols)
+    t = t.filter(pc.is_valid(t["text"]))
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    cols = {"h": pa.array(_hash64(txt).astype(np.int64)),
+            "doc_id": t["doc_id"]}
+    if keep_text:
+        cols["text"] = txt
+    return pa.table(cols)
+
+
+def _index_shard_files(index_dir: str, shard: int, manifest: dict) -> list[str]:
+    import glob as _glob
+
+    dirs = [os.path.join(index_dir, "base")]
+    dirs += [os.path.join(index_dir, "updates", tag)
+             for tag in manifest.get("updates", [])]
+    return [f for d in dirs for f in sorted(
+        _glob.glob(os.path.join(d, f"shard={shard}", "*.parquet")))]
+
+
+def _shard_col(h_col, num_shards: int) -> pa.Array:
+    if isinstance(h_col, pa.ChunkedArray):
+        h_col = h_col.combine_chunks()
+    return pa.array((_hash64(h_col) % np.uint64(num_shards)).astype(np.int64))
+
+
+def dedup_index_build(corpus_ds, index_dir: str, *,
+                      num_shards: int = 16) -> dict:
+    """One corpus scan → persisted (hash64(text), doc_id) index,
+    hive-partitioned by the exchange routing of "h", under
+    ``index_dir/base``.  Atomic tmp-build + rename: a crashed build
+    leaves nothing half-visible for a rerun to double-append next to."""
+    import shutil
+
+    def assign(t: pa.Table) -> pa.Table:
+        ht = _hash_ids_table(t)
+        return ht.append_column("shard", _shard_col(ht["h"], num_shards))
+
+    tmp_dir = index_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(os.path.join(tmp_dir, "base"), exist_ok=True)
+    corpus_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp_dir, "base"), partition_cols=["shard"])
+    manifest = {"num_shards": num_shards, "updates": [],
+                "routing": _routing_fingerprint()}
+    _write_dedup_manifest(tmp_dir, manifest)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
+    return manifest
+
+
+def dedup_against_index(new_ds, index_dir: str,
+                        corpus_paths: str | list[str], *,
+                        max_candidates: int = 5_000_000) -> pa.Table:
+    """New-batch doc_ids that exactly duplicate an already-indexed corpus
+    doc: (doc_id, dup_of = min matching corpus doc_id), sorted.
+
+    Corpus text is NEVER rescanned — phase 1 joins the new rows' hashes
+    against the index shards (each reduce task reads only its own shard's
+    files); phase 2 fetches ONLY the candidate corpus doc_ids' rows
+    (predicate-pruned ``read_parquet``) and text-verifies through one
+    more exchange.  Within-batch duplicates are out of scope by design
+    (that is ``dedup_exact_from_ds``'s job on the batch itself).
+
+    ``corpus_paths`` must cover the text of EVERY indexed doc_id —
+    the base corpus plus each ingested batch's parquet (the growing
+    corpus the index mirrors); an indexed id missing from the read is
+    treated as a non-match.
+
+    The gathered candidate set is bounded by the batch's true-duplicate
+    volume (collisions add ~0); above ``max_candidates`` we log — the
+    result is still exact, the driver list is just bigger than the design
+    point (no silent caps)."""
+    import ray
+    import ray.data
+
+    from ..engine.exchange import keyed_exchange
+
+    manifest = _dedup_index_manifest(index_dir)
+    num_shards = manifest["num_shards"]
+
+    hashed = new_ds.map_batches(
+        lambda t: _hash_ids_table(t, keep_text=True), batch_format="pyarrow")
+
+    def check_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        harr = t["h"]
+        if isinstance(harr, pa.ChunkedArray):
+            harr = harr.combine_chunks()
+        shard = int(_hash64(harr.slice(0, 1))[0] % np.uint64(num_shards))
+        files = _index_shard_files(index_dir, shard, manifest)
+        ttype = t.schema.field("text").type
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], ttype),
+                          "side": pa.array([], pa.int8())})
+        if not files:
+            return empty
+        idx = pa.concat_tables(
+            [pq.read_table(f, columns=["h", "doc_id"]) for f in files])
+        idx_h = pc.unique(idx["h"].combine_chunks())
+        newm = t.filter(pc.is_in(harr, value_set=idx_h))
+        if not newm.num_rows:
+            return empty
+        nm_h = newm["h"]
+        if isinstance(nm_h, pa.ChunkedArray):
+            nm_h = nm_h.combine_chunks()
+        old = idx.filter(pc.is_in(idx["h"].combine_chunks(),
+                                  value_set=pc.unique(nm_h)))
+        newt = pa.table({
+            "doc_id": newm["doc_id"].cast(pa.int64()),
+            "text": newm["text"],
+            "side": pa.array(np.zeros(newm.num_rows, np.int8)),
+        })
+        oldt = pa.table({
+            "doc_id": old["doc_id"].cast(pa.int64()),
+            "text": pa.nulls(old.num_rows, ttype),
+            "side": pa.array(np.ones(old.num_rows, np.int8)),
+        })
+        return pa.concat_tables([newt, oldt])
+
+    cand_tables = keyed_exchange(hashed, "h", check_shard,
+                                 num_buckets=num_shards)
+    cand_tables = [t for t in cand_tables if t.num_rows]
+    if not cand_tables:
+        return _DEDUP_INDEX_EMPTY
+    cand = pa.concat_tables(cand_tables).combine_chunks()
+    if cand.num_rows > max_candidates:
+        _LOG.warning(
+            "incremental dedup gathered %d candidate rows (> %d design "
+            "point) — result stays exact, driver memory is the cost",
+            cand.num_rows, max_candidates)
+    old_ids = pc.unique(
+        cand.filter(pc.equal(cand["side"], 1))["doc_id"].combine_chunks())
+    new_cand = cand.filter(pc.equal(cand["side"], 0)).select(
+        ["doc_id", "text", "side"])
+    if not len(old_ids) or not new_cand.num_rows:
+        return _DEDUP_INDEX_EMPTY
+
+    import pyarrow.dataset as pads
+
+    old_ds = ray.data.read_parquet(
+        corpus_paths, columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(old_ids.to_pylist()))
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    union = ray.data.from_arrow(new_cand).union(
+        old_ds.map_batches(tag_old, batch_format="pyarrow"))
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        old = t.filter(pc.equal(t["side"], 1))
+        new = t.filter(pc.equal(t["side"], 0))
+        if not old.num_rows or not new.num_rows:
+            return _DEDUP_INDEX_EMPTY
+        om = (old.select(["text", "doc_id"]).group_by("text")
+              .aggregate([("doc_id", "min")]))
+        j = new.select(["doc_id", "text"]).join(om, keys=["text"])
+        return pa.table({"doc_id": j["doc_id"].cast(pa.int64()),
+                         "dup_of": j["doc_id_min"].cast(pa.int64())})
+
+    tables = keyed_exchange(union, "text", verify_bucket)
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return _DEDUP_INDEX_EMPTY
+    return (pa.concat_tables(tables).combine_chunks()
+            .sort_by([("doc_id", "ascending")]))
+
+
+def dedup_index_update(new_ds, index_dir: str, tag: str) -> dict:
+    """Append the batch's (h, doc_id) rows under ``updates/<tag>/`` and
+    COMMIT the tag in the manifest.  Idempotent resume: an
+    already-committed tag is a no-op; a crashed earlier attempt (data
+    written, tag never committed) is invisible to readers and simply
+    overwritten.  Callers wanting the deduped-corpus invariant pass the
+    batch with its found duplicates already filtered out."""
+    manifest = _dedup_index_manifest(index_dir)
+    if tag in manifest["updates"]:
+        return manifest
+    num_shards = manifest["num_shards"]
+
+    def assign(t: pa.Table) -> pa.Table:
+        ht = _hash_ids_table(t)
+        return ht.append_column("shard", _shard_col(ht["h"], num_shards))
+
+    import shutil
+
+    upd_dir = os.path.join(index_dir, "updates", tag)
+    tmp_dir = upd_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    new_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["shard"])
+    shutil.rmtree(upd_dir, ignore_errors=True)
+    os.rename(tmp_dir, upd_dir)
+    manifest["updates"].append(tag)
+    _write_dedup_manifest(index_dir, manifest)
+    return manifest
+
+
+def q_dedup_incremental(sf_dir: str, n_plant: int = 16,
+                        plant_offset: int = 10_000_000) -> pa.Table:
+    """Documents split into CORPUS (even doc_id) and NEW batch (odd doc_id
+    + planted exact copies of the first ``n_plant`` even non-null docs at
+    doc_id+offset, guaranteeing a non-empty, oracle-checkable result).
+    Builds (or reuses) the persisted hash index over the corpus under
+    /tmp, then dedups the new batch against the INDEX — corpus text is
+    touched only for the candidate doc_ids (predicate-pruned read)."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    def news(t: pa.Table) -> pa.Table:
+        odd = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+        sel = t.filter(pc.and_(pc.and_(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0),
+            pc.less(t["doc_id"], 2 * n_plant)), pc.is_valid(t["text"])))
+        planted = pa.table({
+            "doc_id": pc.add(sel["doc_id"], pa.scalar(plant_offset, pa.int64())),
+            "text": sel["text"],
+        })
+        return pa.concat_tables([odd.select(["doc_id", "text"]), planted])
+
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "yaschva_dedup_idx", tag)
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        dedup_index_build(docs.map_batches(evens, batch_format="pyarrow"),
+                          index_dir)
+    corpus_path = os.path.join(sf_dir, "documents.parquet")
+    return dedup_against_index(
+        docs.map_batches(news, batch_format="pyarrow"),
+        index_dir, corpus_path)
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 
