@@ -296,3 +296,62 @@ def test_cli_compact_and_index(tmp_path):
     hits = rows[1:]
     assert hits[0] == {"doc_id": 0, "n_matched": 2}
     assert hits[1] == {"doc_id": 1, "n_matched": 1}
+
+
+def test_cli_ingest_incremental_and_resume(tmp_path):
+    """Two-batch incremental ingest: batch 1 dedups against the corpus and
+    commits; batch 2 dedups against corpus AND batch 1's kept rows; a
+    rerun of a committed tag is a no-op."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha", "beta", "gamma"]),
+    }), corpus)
+    b1 = tmp_path / "b1.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["beta", "delta"]),  # 10 dups corpus, 11 fresh
+    }), b1)
+    idx = tmp_path / "idx"
+    out = tmp_path / "out"
+
+    r = run_cli("ingest", "--index", str(idx), "--batch", str(b1),
+                "--corpus", str(corpus), "--tag", "t1",
+                "--out", str(out), "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads([l for l in r.stdout.strip().split("\n")
+                      if l.startswith("{")][-1])
+    assert rep["n_duplicates"] == 1 and rep["n_kept"] == 1
+    dups = pq.read_table(str(out / "t1" / "duplicates.parquet"))
+    assert dups.to_pydict() == {"doc_id": [10], "dup_of": [1]}
+    kept = pa.concat_tables([pq.read_table(f) for f in _glob.glob(
+        str(out / "t1" / "deduped" / "*.parquet"))])
+    assert kept["doc_id"].to_pylist() == [11]
+
+    # committed tag → no-op rerun
+    r2 = run_cli("ingest", "--index", str(idx), "--batch", str(b1),
+                 "--corpus", str(corpus), "--tag", "t1",
+                 "--out", str(out), "--num-cpus", "2")
+    assert r2.returncode == 0, r2.stderr
+    assert json.loads([l for l in r2.stdout.strip().split("\n")
+                       if l.startswith("{")][-1])["skipped"] is True
+
+    # batch 2 matches batch 1's kept text ("delta") through the UPDATE;
+    # corpus globs now cover the earlier tag's deduped output
+    b2 = tmp_path / "b2.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([20, 21], pa.int64()),
+        "text": pa.array(["delta", "epsilon"]),
+    }), b2)
+    r3 = run_cli("ingest", "--index", str(idx), "--batch", str(b2),
+                 "--corpus", str(corpus),
+                 str(out / "t1" / "deduped" / "*.parquet"),
+                 "--tag", "t2", "--out", str(out), "--num-cpus", "2")
+    assert r3.returncode == 0, r3.stderr
+    dups2 = pq.read_table(str(out / "t2" / "duplicates.parquet"))
+    assert dups2.to_pydict() == {"doc_id": [20], "dup_of": [11]}

@@ -208,6 +208,91 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_ingest(args: argparse.Namespace) -> int:
+    """Incremental corpus ingestion: dedup a NEW batch against the
+    persisted hash index (built from --corpus on first run), write the
+    deduped batch + duplicate report under ``--out/<tag>/``, then COMMIT
+    the kept rows into the index.  Resumable end-to-end: an
+    already-committed tag exits as a no-op; a crash before the commit
+    leaves the index unchanged and the rerun redoes the batch from
+    scratch.  For later batches pass ``--corpus`` globs that also cover
+    earlier tags' ``deduped/`` outputs (the growing corpus the index
+    mirrors)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .pipelines import textops
+        from .sources import read_docs
+
+        corpus_files = sorted(f for g in args.corpus for f in glob.glob(g))
+        batch_files = sorted(glob.glob(args.batch))
+        if not batch_files:
+            print(f"error: no batch files match {args.batch!r}",
+                  file=sys.stderr)
+            return 2
+        if not os.path.exists(os.path.join(args.index, "manifest.json")):
+            if not corpus_files:
+                print(f"error: no corpus files match {args.corpus!r} "
+                      "(needed to build the index)", file=sys.stderr)
+                return 2
+            textops.dedup_index_build(
+                read_docs(corpus_files, columns=["doc_id", "text"]),
+                args.index)
+        manifest = textops._dedup_index_manifest(args.index)
+        if args.tag in manifest["updates"]:
+            print(json.dumps({"tag": args.tag, "skipped": True,
+                              "reason": "already committed"}))
+            return 0
+
+        batch = read_docs(batch_files, columns=["doc_id", "text"])
+        dups = textops.dedup_against_index(batch, args.index, corpus_files)
+
+        out_dir = os.path.join(args.out, args.tag)
+        tmp_dir = out_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(os.path.join(tmp_dir, "deduped"), exist_ok=True)
+        pq.write_table(dups, os.path.join(tmp_dir, "duplicates.parquet"))
+        dup_ids = ray.put(dups["doc_id"].combine_chunks())
+
+        def drop_dups(t: pa.Table) -> pa.Table:
+            ids = ray.get(dup_ids)
+            if not len(ids) or "doc_id" not in t.column_names:
+                return t
+            return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=ids)))
+
+        batch.map_batches(drop_dups, batch_format="pyarrow").write_parquet(
+            os.path.join(tmp_dir, "deduped"))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.rename(tmp_dir, out_dir)
+        # commit FROM the written output so the index mirrors exactly the
+        # rows whose text future --corpus globs can read back
+        kept = read_docs(sorted(
+            glob.glob(os.path.join(out_dir, "deduped", "*.parquet"))),
+            columns=["doc_id", "text"])
+        textops.dedup_index_update(kept, args.index, args.tag)
+        n_kept = sum(
+            pq.read_metadata(f).num_rows for f in
+            glob.glob(os.path.join(out_dir, "deduped", "*.parquet")))
+        print(json.dumps({"tag": args.tag, "n_duplicates": dups.num_rows,
+                          "n_kept": n_kept, "out": out_dir}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_curate(args: argparse.Namespace) -> int:
     """Resumable end-to-end corpus curation (the north-rule pipeline
     shape): phase A runs the fused clean+decontaminate stage PER SHARD
@@ -426,6 +511,20 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--num-cpus", type=int, default=8)
 
+    ing = sub.add_parser("ingest", help="incremental ingest: dedup a new "
+                                        "batch against the persisted hash "
+                                        "index, write deduped output, "
+                                        "commit the index update")
+    ing.add_argument("--index", required=True, help="hash index directory")
+    ing.add_argument("--batch", required=True, help="new batch parquet glob")
+    ing.add_argument("--corpus", required=True, nargs="+",
+                     help="globs covering ALL indexed texts (base corpus + "
+                          "earlier tags' deduped outputs)")
+    ing.add_argument("--tag", required=True,
+                     help="batch id — committed tags are no-op reruns")
+    ing.add_argument("--out", required=True, help="output directory root")
+    ing.add_argument("--num-cpus", type=int, default=8)
+
     cu = sub.add_parser("curate", help="clean+decontaminate+dedup+split, "
                                        "resumable per-shard")
     cu.add_argument("--input", required=True, help="parquet/jsonl/csv glob")
@@ -482,6 +581,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_generate(args)
     if args.cmd == "dedup":
         return _cmd_dedup(args)
+    if args.cmd == "ingest":
+        return _cmd_ingest(args)
     if args.cmd == "curate":
         return _cmd_curate(args)
     if args.cmd == "vocab":
