@@ -313,11 +313,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family stays sweep-visible through events_asof_orders /
         # events_price_range_join / events_user_segments
         "orders_customer_join": ops.q_orders_customer_join,
+        # SELECTIVE big-big join with a broadcast Bloom prefilter: right
+        # rows that cannot match die at the scan, not in the exchange
+        "recent_orders_lineitems": ops.q_recent_orders_lineitems,
         # incremental dedup against the PERSISTED hash index (the 100 TB
         # operating mode: new batch vs corpus without rescanning corpus
         # text) — oracle-backed via planted copies; the dedup family
         # stays sweep-visible through dedup_exact_documents
         "dedup_incremental": textops.q_dedup_incremental,
+        # exact stats from parquet FOOTERS only (zero data pages read —
+        # prune-at-read applied to the stats check itself); the scan-based
+        # stats family stays sweep-visible through stats_lineitem
+        "stats_lineitem_metadata": ops.q_stats_lineitem_metadata,
         # repetition_signals / passage_dedup are likewise oracle-backed
         # (hash-exact in tools/driver_sweep.py) but live past the cap for
         # the same reason; their families stay sweep-visible through
@@ -655,6 +662,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id AS doc_id, MIN(c.doc_id) AS dup_of
             FROM newb n JOIN corpus c ON n.text = c.text
             GROUP BY n.doc_id ORDER BY doc_id
+        """,
+        # footer-stats variant of stats_lineitem: same exact components
+        # (numeric columns ⇒ footer min/max are exact, not truncated)
+        "stats_lineitem_metadata": """
+            SELECT col_name, n_rows, n_nulls, min_v, max_v FROM (
+                SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
+                       COUNT(*) - COUNT(l_discount) AS n_nulls,
+                       round(CAST(MIN(l_discount) AS DOUBLE), 6) AS min_v,
+                       round(CAST(MAX(l_discount) AS DOUBLE), 6) AS max_v
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', COUNT(*),
+                       COUNT(*) - COUNT(l_extendedprice),
+                       round(CAST(MIN(l_extendedprice) AS DOUBLE), 6),
+                       round(CAST(MAX(l_extendedprice) AS DOUBLE), 6)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', COUNT(*),
+                       COUNT(*) - COUNT(l_quantity),
+                       round(CAST(MIN(l_quantity) AS DOUBLE), 6),
+                       round(CAST(MAX(l_quantity) AS DOUBLE), 6)
+                FROM lineitem
+            ) ORDER BY col_name
         """,
         "quality_documents": r"""
             SELECT doc_id,
@@ -1399,6 +1429,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, c_name, c_nationkey
             FROM orders JOIN customer ON o_custkey = c_custkey
             ORDER BY o_orderkey
+        """,
+        "recent_orders_lineitems": """
+            SELECT o_orderkey, l_quantity, l_extendedprice
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate >= TIMESTAMP '2001-07-01'
+            ORDER BY o_orderkey, l_quantity, l_extendedprice
         """,
         # exact drift: fixed-width bins (floor(value/16) clamped to 63 —
         # identical IEEE ops on both sides), integer TVD/KS numerators vs

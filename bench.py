@@ -110,6 +110,9 @@ def bench_queries(sf_dir: str) -> dict:
         # validate-and-quarantine split sink (sink cleared per iteration
         # so both timings are cold end-to-end writes)
         "user_event_gaps", "ship_before_order", "validate_quarantine",
+        # round-4 late additions: footer-only stats (zero data pages) +
+        # bloom-prefiltered selective join (right rows die at the scan)
+        "stats_lineitem_metadata", "recent_orders_lineitems",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -677,3 +677,60 @@ def test_hash_join_full_outer(ray_session):
 
     pd.testing.assert_frame_equal(
         key(out[want.columns.tolist()]), key(want))
+
+
+def test_hash_join_bloom_parity_and_pruning(ray_session):
+    """Bloom-prefiltered join must equal the plain join exactly (inner and
+    left outer), and the filter must actually drop non-matching rows
+    before the exchange."""
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.engine.joins import (
+        bloom_prefilter, build_bloom, hash_join)
+
+    rng = np.random.RandomState(7)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 200, 500), pa.int64()),
+        "lv": pa.array(np.arange(500), pa.int64()),
+    })
+    # right keys mostly OUTSIDE the left's range → selective join
+    right = pa.table({
+        "k2": pa.array(rng.randint(0, 20_000, 4000), pa.int64()),
+        "rv": pa.array(np.arange(4000), pa.int64()),
+    })
+
+    def mk(t):
+        return ray.data.from_arrow(t).repartition(4)
+
+    for how in ("inner", "left outer"):
+        plain = hash_join(mk(left), mk(right), left_key="k", right_key="k2",
+                          how=how)
+        bloom = hash_join(mk(left), mk(right), left_key="k", right_key="k2",
+                          how=how, bloom_right_by_left=True)
+        key_cols = [c for c in plain.column_names]
+        assert (plain.sort_by([(c, "ascending") for c in key_cols])
+                .equals(bloom.sort_by([(c, "ascending") for c in key_cols]))), how
+
+    # the prefilter itself: rows surviving ⊇ true matches, and ≪ input
+    bref = build_bloom(mk(left), "k")
+    n_kept = bloom_prefilter(mk(right), "k2", bref).count()
+    left_keys = set(left["k"].to_pylist())
+    n_true = sum(1 for v in right["k2"].to_pylist() if v in left_keys)
+    assert n_kept >= n_true
+    # 4000 rows, ~1% nominal fpr at this fill: anything under 10% of the
+    # input proves real pruning (plain join would ship all 4000)
+    assert n_kept < 400, n_kept
+
+
+def test_hash_join_bloom_full_outer_raises(ray_session):
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "v": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="full outer"):
+        hash_join(ray.data.from_arrow(t), ray.data.from_arrow(t),
+                  left_key="k", right_key="k", how="full outer",
+                  bloom_right_by_left=True)

@@ -165,3 +165,24 @@ def test_pack_sequences_overlap_raises(ray_session):
                    "text": pa.array(["d", "e f"])})
     with pytest.raises(RuntimeError, match="range-disjoint"):
         pack_sequences_from_ds(ray.data.from_arrow([t1, t2]), budget=4)
+
+
+def test_metadata_stats_fallback_and_nulls(ray_session, tmp_path):
+    """Footer-only stats must be exact across: a normal file, a file
+    written WITHOUT statistics (per-file column-scan fallback), an
+    all-null row group, and null rows mixed in."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import metadata_stats
+
+    t1 = pa.table({"x": pa.array([1.0, None, 3.0], pa.float64())})
+    t2 = pa.table({"x": pa.array([None, None], pa.float64())})  # all-null
+    t3 = pa.table({"x": pa.array([-7.5, 2.0], pa.float64())})
+    pq.write_table(t1, str(tmp_path / "a.parquet"))
+    pq.write_table(t2, str(tmp_path / "b.parquet"))
+    pq.write_table(t3, str(tmp_path / "c.parquet"),
+                   write_statistics=False)  # forces the scan fallback
+    out = metadata_stats(str(tmp_path / "*.parquet"), ["x"])
+    assert out.to_pydict() == {"col_name": ["x"], "n_rows": [7],
+                               "n_nulls": [3], "min_v": [-7.5],
+                               "max_v": [3.0]}

@@ -328,9 +328,116 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
 _EQUI_REDUCE = None
 
 
+# --------------------------------------------------------------------------
+# Bloom prefilter: drop non-matching big-side rows BEFORE the exchange
+# --------------------------------------------------------------------------
+
+_BLOOM_HASHES = 4
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_positions(arr, num_bits: int) -> np.ndarray:
+    """(len(arr), _BLOOM_HASHES) bit positions via double hashing — one
+    real hash per value, the rest derived (standard Kirsch-Mitzenmacher)."""
+    from .sketches import _hash64
+
+    h1 = _hash64(arr)
+    with np.errstate(over="ignore"):  # uint64 wraparound intended
+        h2 = (h1 ^ (h1 >> np.uint64(29))) * _BLOOM_MIX | np.uint64(1)
+        steps = np.arange(_BLOOM_HASHES, dtype=np.uint64)
+        return (h1[:, None] + steps[None, :] * h2[:, None]) \
+            % np.uint64(num_bits)
+
+
+def _bloom_partial(num_bits: int, key: str, block: pa.Table) -> np.ndarray:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    bm = np.zeros(num_bits >> 6, dtype=np.uint64)
+    if key in block.column_names and block.num_rows:
+        arr = block[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        p = _bloom_positions(arr, num_bits).ravel()
+        np.bitwise_or.at(bm, (p >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (p & np.uint64(63)))
+    return bm
+
+
+def _bloom_or(*parts: np.ndarray) -> np.ndarray:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    out = parts[0].copy()
+    for p in parts[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+_BLOOM_PART_REMOTE = None
+_BLOOM_OR_REMOTE = None
+
+
+def build_bloom(ds, key: str, *, num_bits: int = 1 << 23):
+    """Distributed Bloom filter over ``ds[key]``: one partial bitmap per
+    block (launched as refs stream out of the scan), OR-combined through
+    bounded tree rounds.  Returns a ``ray.ObjectRef`` to the packed uint64
+    bitmap — ``num_bits/8`` bytes (1 MiB at the default), broadcast once.
+
+    Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k with k=4; the 2^23
+    default holds ~1% at n=1M distinct keys — pass a bigger ``num_bits``
+    for bigger build sides (the filter only needs to fit in task memory,
+    it is never shuffled)."""
+    import ray
+
+    from .blocks import iter_block_refs
+
+    global _BLOOM_PART_REMOTE, _BLOOM_OR_REMOTE
+    if _BLOOM_PART_REMOTE is None:
+        _BLOOM_PART_REMOTE = ray.remote(_bloom_partial)
+        _BLOOM_OR_REMOTE = ray.remote(_bloom_or)
+    pending = [_BLOOM_PART_REMOTE.remote(num_bits, key, ref)
+               for ref in iter_block_refs(ds)]
+    if not pending:
+        import numpy as _np
+
+        return ray.put(_np.zeros(num_bits >> 6, dtype=_np.uint64))
+    while len(pending) > 1:  # bounded fan-in OR tree
+        pending = [_BLOOM_OR_REMOTE.remote(*pending[i:i + 16])
+                   for i in range(0, len(pending), 16)]
+    return pending[0]
+
+
+def bloom_prefilter(ds, key: str, bloom_ref, *, num_bits: int = 1 << 23):
+    """Keep only rows whose ``key`` MIGHT be in the bloom (false positives
+    pass — the downstream join re-checks exactly; false negatives are
+    impossible), so non-matching rows die at the scan instead of crossing
+    the exchange.  NULL keys are dropped (equi-join semantics)."""
+    import ray
+
+    def filt(t: pa.Table) -> pa.Table:
+        if key not in t.column_names or not t.num_rows:
+            return t
+        bm = ray.get(bloom_ref)
+        t = t.filter(pc.is_valid(t[key]))
+        if not t.num_rows:
+            return t
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        p = _bloom_positions(arr, num_bits)
+        hits = (bm[(p >> np.uint64(6)).astype(np.int64)]
+                >> (p & np.uint64(63))) & np.uint64(1)
+        return t.filter(pa.array(hits.all(axis=1)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
               how: str = "inner", num_buckets: int | None = None,
-              out_dir: str | None = None, bucket_fn=None) -> pa.Table:
+              out_dir: str | None = None, bucket_fn=None,
+              bloom_right_by_left: bool = False,
+              bloom_bits: int = 1 << 23) -> pa.Table:
     """Big-big equi-join (``how``: "inner", "left outer" or
     "full outer"): both sides
     hash-partition on their key through the bounded exchange (each row
@@ -350,6 +457,21 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
     if how not in ("inner", "left outer", "full outer"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
+    if bloom_right_by_left:
+        if how == "full outer":
+            raise ValueError(
+                "bloom_right_by_left drops unmatched right rows — a full "
+                "outer join must emit them")
+        # SELECTIVE joins at scale: one extra pass over the left side
+        # builds a broadcast Bloom filter (bloom_bits/8 bytes, never
+        # shuffled) and right rows that cannot match die AT THE SCAN
+        # instead of crossing the exchange; false positives just ride
+        # through to the exact in-bucket join (never a wrong answer).
+        # Trade: the left side is scanned twice.
+        right_ds = bloom_prefilter(
+            right_ds, right_key,
+            build_bloom(left_ds, left_key, num_bits=bloom_bits),
+            num_bits=bloom_bits)
 
     # driver-shipped schemas: outer-join buckets whose parts for one side
     # are all empty must still emit that side's columns as typed nulls

@@ -518,6 +518,117 @@ def q_stats_lineitem(sf_dir: str) -> pa.Table:
     })
 
 
+def metadata_stats(paths: list[str] | str, columns: list[str]) -> pa.Table:
+    """Exact per-column (n_rows, n_nulls, min, max) computed from parquet
+    FOOTERS only — zero data pages read.  The at-100 TB fast path for
+    table-level stats checks: a footer is a few KB regardless of file
+    size, so the job reads megabytes where a scan reads the table.
+
+    NUMERIC columns only: parquet string min/max stats may be truncated,
+    so exactness can't be promised for them (use ColumnSketcher).  A file
+    whose footer lacks statistics for a requested column falls back to
+    scanning THAT column of THAT file (logged — no silent caps, no wrong
+    answers)."""
+    import glob as _glob
+
+    import ray
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(paths)) or [paths]
+
+    def footer_stats(batch: pa.Table) -> pa.Table:
+        import logging
+
+        import pyarrow.parquet as pq
+
+        out = {"col_name": [], "n_rows": [], "n_nulls": [],
+               "min_v": [], "max_v": []}
+        for path in batch["path"].to_pylist():
+            md = pq.read_metadata(path)
+            idx = {md.schema.column(i).path: i
+                   for i in range(md.num_columns)}
+            for col in columns:
+                rows = nulls = 0
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    st = rgm.column(idx[col]).statistics
+                    # has_min_max is false for an ALL-NULL chunk too —
+                    # only a chunk with real values and no min/max means
+                    # stats are missing
+                    if st is None or st.null_count is None or (
+                            not st.has_min_max and st.num_values):
+                        ok = False
+                        break
+                    rows += rgm.num_rows
+                    nulls += st.null_count
+                    if st.num_values:  # all-null row group has no min/max
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                if not ok:
+                    logging.getLogger("yaschva_ray.ops").warning(
+                        "metadata_stats: %s lacks footer stats for %r — "
+                        "scanning that column of that file", path, col)
+                    t = pq.read_table(path, columns=[col])
+                    arr = t[col]
+                    rows = len(arr)
+                    nulls = arr.null_count
+                    mm = pc.min_max(arr)
+                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                out["col_name"].append(col)
+                out["n_rows"].append(rows)
+                out["n_nulls"].append(nulls)
+                out["min_v"].append(None if mn is None else float(mn))
+                out["max_v"].append(None if mx is None else float(mx))
+        # pre-combine per task: one output row per column, not per file
+        part = pa.table({
+            "col_name": pa.array(out["col_name"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "min_v": pa.array(out["min_v"], pa.float64()),
+            "max_v": pa.array(out["max_v"], pa.float64()),
+        })
+        return part.group_by("col_name").aggregate(
+            [("n_rows", "sum"), ("n_nulls", "sum"),
+             ("min_v", "min"), ("max_v", "max")])
+
+    parts = gather_tables(
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(footer_stats, batch_format="pyarrow"))
+    parts = [p for p in parts if p.num_rows]
+    merged = (pa.concat_tables(parts).group_by("col_name").aggregate(
+        [("n_rows_sum", "sum"), ("n_nulls_sum", "sum"),
+         ("min_v_min", "min"), ("max_v_max", "max")])
+        .sort_by([("col_name", "ascending")]))
+    return pa.table({
+        "col_name": merged["col_name"],
+        "n_rows": merged["n_rows_sum_sum"],
+        "n_nulls": merged["n_nulls_sum_sum"],
+        "min_v": merged["min_v_min_min"],
+        "max_v": merged["max_v_max_max"],
+    })
+
+
+def q_stats_lineitem_metadata(sf_dir: str) -> pa.Table:
+    """`q_stats_lineitem`'s exact count/null/min/max components computed
+    WITHOUT scanning — parquet footer statistics only (the prune-at-read
+    pattern applied to the stats check itself).  Numeric columns, so the
+    footer min/max are exact; values rounded like the scan variant."""
+    t = metadata_stats(os.path.join(sf_dir, "lineitem.parquet"),
+                       ["l_discount", "l_extendedprice", "l_quantity"])
+    return pa.table({
+        "col_name": t["col_name"],
+        "n_rows": t["n_rows"],
+        "n_nulls": t["n_nulls"],
+        # +0.0 folds the footer's sign-normalized -0.0 lower bound back to
+        # 0.0 (IEEE: -0.0 + 0.0 = +0.0), matching SQL MIN over the data
+        "min_v": pc.add(pc.round(t["min_v"], ndigits=6), 0.0),
+        "max_v": pc.add(pc.round(t["max_v"], ndigits=6), 0.0),
+    })
+
+
 def q_drift_events_value(sf_dir: str) -> pa.Table:
     """Distribution drift of events.value between event types: per-type
     LogHistogram sketches (actor-pool partials + merge), PSI + KS vs the
@@ -1348,6 +1459,38 @@ def q_orders_customer_join(sf_dir: str) -> pa.Table:
                           ("c_nationkey", pa.int32())]).empty_table()
     return out.select(["o_orderkey", "o_custkey", "c_name", "c_nationkey"]) \
         .sort_by([("o_orderkey", "ascending")])
+
+
+def q_recent_orders_lineitems(sf_dir: str) -> pa.Table:
+    """SELECTIVE big-big join, bloom-prefiltered: the left side (orders in
+    a narrow recent window — a date filter pushed INTO the read) matches
+    ~1% of lineitem, so `hash_join(bloom_right_by_left=True)` builds a
+    broadcast Bloom filter from the filtered orders and lineitem rows
+    that cannot match die at the scan instead of crossing the exchange
+    (at 100 TB: ~99% fewer shuffled right-side bytes; false positives
+    just ride through to the exact in-bucket join)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..engine.joins import hash_join
+
+    cutoff = pa.scalar(np.datetime64("2001-07-01", "us"),
+                       pa.timestamp("us"))
+    left = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= cutoff))
+    right = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_quantity", "l_extendedprice"])
+    out = hash_join(left, right, left_key="o_orderkey",
+                    right_key="l_orderkey", bloom_right_by_left=True)
+    if not out.num_rows:
+        return pa.schema([("o_orderkey", pa.int64()),
+                          ("l_quantity", pa.float64()),
+                          ("l_extendedprice", pa.float64())]).empty_table()
+    return out.select(["o_orderkey", "l_quantity", "l_extendedprice"]) \
+        .sort_by([("o_orderkey", "ascending"), ("l_quantity", "ascending"),
+                  ("l_extendedprice", "ascending")])
 
 
 def _ship_before_order_filter(t: pa.Table) -> pa.Table:
