@@ -316,6 +316,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SELECTIVE big-big join with a broadcast Bloom prefilter: right
         # rows that cannot match die at the scan, not in the exchange
         "recent_orders_lineitems": ops.q_recent_orders_lineitems,
+        # ORDERED-partition export (range exchange — the hash exchange's
+        # sibling): globally sorted parquet parts + lineage manifest,
+        # checked hash-exact from equi-depth sampled cutpoints the SQL
+        # mirror recomputes identically
+        "sorted_export_events": ops.q_sorted_export_events,
         # incremental dedup against the PERSISTED hash index (the 100 TB
         # operating mode: new batch vs corpus without rescanning corpus
         # text) — oracle-backed via planted copies; the dedup family
@@ -1435,6 +1440,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             WHERE o_orderdate >= TIMESTAMP '2001-07-01'
             ORDER BY o_orderkey, l_quantity, l_extendedprice
+        """,
+        # mirror of the sorted export's lineage: identical id-keyed
+        # systematic sample, identical equi-depth order statistics
+        # (0-based idx ((g+1)*c)//8 → 1-based rn +1), identical
+        # searchsorted(side='right') assignment #(cut <= value)
+        "sorted_export_events": """
+            WITH s AS (
+                SELECT value FROM events WHERE event_id % 97 = 0
+            ), n AS (SELECT COUNT(*) AS c FROM s),
+            ss AS (
+                SELECT value, row_number() OVER (ORDER BY value) AS rn
+                FROM s
+            ), cuts AS (
+                SELECT ss.value AS cut FROM ss, n
+                WHERE ss.rn IN (SELECT ((g + 1) * c) // 8 + 1
+                                FROM generate_series(0, 6) t(g), n)
+            ), b AS (
+                SELECT e.value,
+                       (SELECT COUNT(*) FROM cuts
+                        WHERE cut <= e.value) AS range_id
+                FROM events e
+            )
+            SELECT range_id, COUNT(*) AS n_rows,
+                   MIN(value) AS min_v, MAX(value) AS max_v
+            FROM b GROUP BY range_id ORDER BY range_id
         """,
         # exact drift: fixed-width bins (floor(value/16) clamped to 63 —
         # identical IEEE ops on both sides), integer TVD/KS numerators vs

@@ -111,8 +111,11 @@ def bench_queries(sf_dir: str) -> dict:
         # so both timings are cold end-to-end writes)
         "user_event_gaps", "ship_before_order", "validate_quarantine",
         # round-4 late additions: footer-only stats (zero data pages) +
-        # bloom-prefiltered selective join (right rows die at the scan)
+        # bloom-prefiltered selective join (right rows die at the scan) +
+        # range-exchange sorted export (globally ordered parts, end-to-end
+        # write each iteration)
         "stats_lineitem_metadata", "recent_orders_lineitems",
+        "sorted_export_events",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -186,3 +186,53 @@ def test_metadata_stats_fallback_and_nulls(ray_session, tmp_path):
     assert out.to_pydict() == {"col_name": ["x"], "n_rows": [7],
                                "n_nulls": [3], "min_v": [-7.5],
                                "max_v": [3.0]}
+
+
+def test_sorted_export_global_order_and_manifest(ray_session, tmp_path):
+    """Reading part files in range order must BE the table in key order
+    (nulls first), file key-ranges must be disjoint-or-touching, and the
+    persisted manifest must match a recount of the written files."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import sorted_export
+
+    rng = np.random.RandomState(11)
+    vals = rng.randn(5000).round(3)
+    vals[::97] = 1.5  # duplicate value likely to sit on a cutpoint
+    arr = vals.tolist()
+    arr[17] = None
+    arr[4200] = None
+    t = pa.table({"id": pa.array(list(range(5000)), pa.int64()),
+                  "v": pa.array(arr, pa.float64())})
+    cuts = np.sort(vals)[[600, 1800, 2500, 4000]]
+    out = str(tmp_path / "sorted")
+    manifest = sorted_export(
+        ray.data.from_arrow(t).repartition(6), "v", out, cuts)
+    assert manifest.num_rows == 5
+
+    files = sorted(json.load(open(f"{out}/manifest.json")),
+                   key=lambda r: r["range_id"])
+    got = pa.concat_tables([pq.read_table(r["path"]) for r in files])
+    vv = got["v"].to_pylist()
+    nn = sum(1 for x in vv if x is None)
+    assert nn == 2 and vv[0] is None and vv[1] is None  # nulls first
+    nonnull = [x for x in vv if x is not None]
+    assert nonnull == sorted(nonnull)  # GLOBAL order, no merge needed
+    assert sorted(got["id"].to_pylist()) == list(range(5000))  # lossless
+    # manifest rows match a recount of the files they point to
+    for r in files:
+        ft = pq.read_table(r["path"])
+        assert ft.num_rows == r["n_rows"]
+        assert ft["v"].null_count == r["n_nulls"]
+    # boundaries: max of range i <= min of range i+1 (non-empty ranges)
+    ne = [r for r in files if r["n_rows"] - r["n_nulls"] > 0]
+    for a, b in zip(ne, ne[1:]):
+        assert a["max_v"] <= b["min_v"]
+    # a duplicated cutpoint value never straddles a boundary
+    host = {r["range_id"] for r in files
+            if r["min_v"] is not None and r["min_v"] <= 1.5 <= r["max_v"]}
+    assert len(host) == 1

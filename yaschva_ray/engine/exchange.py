@@ -128,3 +128,87 @@ def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int | None = None,
     if not gather:
         return reduced
     return [t for t in ray.get(reduced) if t.num_rows]
+
+
+# --------------------------------------------------------------------------
+# Range exchange: ORDERED partitioning (the hash exchange's sibling)
+# --------------------------------------------------------------------------
+
+def _range_map_block(block: pa.Table, key: str, cutpoints):
+    """Slice a block into len(cutpoints)+1 ORDERED ranges:
+    bucket = #(cutpoints <= key) (numpy searchsorted side='right', so a
+    value equal to a cutpoint — and every duplicate of it — lands in ONE
+    bucket, never straddling a file boundary).  Null keys route to bucket
+    0 (global nulls-first order); NaN sorts after everything (numpy
+    comparison semantics) → last bucket."""
+    import numpy as np
+
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    num_buckets = len(cutpoints) + 1
+    if key not in block.column_names:
+        out = [pa.table({})] * num_buckets
+        return out if num_buckets > 1 else out[0]
+    arr = block[key]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = np.asarray(arr.is_valid())
+    v = np.asarray(arr.to_numpy(zero_copy_only=False))
+    b = np.searchsorted(cutpoints, v, side="right").astype(np.int64)
+    b[~valid] = 0
+    order = np.argsort(b, kind="stable")
+    st = block.take(pa.array(order))
+    sb = b[order]
+    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
+    out = [st.slice(bounds[i], bounds[i + 1] - bounds[i])
+           for i in range(num_buckets)]
+    return out if num_buckets > 1 else out[0]
+
+
+def _range_reduce_task(reduce_fn, empty_result, bucket_id: int,
+                       *parts: pa.Table) -> pa.Table:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return (reduce_fn(bucket_id, empty_result)
+                if empty_result is not None else pa.table({}))
+    return reduce_fn(bucket_id,
+                     pa.concat_tables(nonempty).combine_chunks())
+
+
+_RANGE_MAP_REMOTE = None
+_RANGE_REDUCE_REMOTE = None
+
+
+def range_exchange(ds, key: str, cutpoints, reduce_fn, *,
+                   empty_result: pa.Table | None = None,
+                   concat_every: int = 64) -> list:
+    """ORDERED partition of ``ds`` on ``key`` by broadcastable
+    ``cutpoints`` (a sorted numpy array, len+1 buckets): every row of
+    range i precedes every row of range i+1 globally, so a per-bucket
+    sort yields globally sorted output — the primitive behind sorted
+    export / merge-ready files, which a hash exchange cannot provide.
+    ``reduce_fn(bucket_id, table)`` runs once per range (same bounded
+    fan-in concat rounds as ``keyed_exchange``); pass ``empty_result``
+    (typed zero-row table) to have ``reduce_fn`` see empty ranges too
+    (e.g. to write their manifest rows).  Returns the gathered reduce
+    outputs, index-aligned with range ids."""
+    import ray
+
+    global _RANGE_MAP_REMOTE, _RANGE_REDUCE_REMOTE
+    if _RANGE_MAP_REMOTE is None:
+        _RANGE_MAP_REMOTE = ray.remote(_range_map_block)
+        _RANGE_REDUCE_REMOTE = ray.remote(_range_reduce_task)
+    num_buckets = len(cutpoints) + 1
+    map_out = bounded_map_entries(
+        ds,
+        lambda ref: _RANGE_MAP_REMOTE.options(num_returns=num_buckets)
+        .remote(ref, key, cutpoints),
+        num_buckets, concat_every)
+    reduced = [_RANGE_REDUCE_REMOTE.remote(reduce_fn, empty_result, b,
+                                           *[m[b] for m in map_out])
+               for b in range(num_buckets)]
+    return ray.get(reduced)

@@ -1461,6 +1461,94 @@ def q_orders_customer_join(sf_dir: str) -> pa.Table:
         .sort_by([("o_orderkey", "ascending")])
 
 
+def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
+    """Globally SORTED parquet export: a range exchange on broadcast
+    ``cutpoints`` (every row of range i precedes every row of range i+1),
+    then each range sorts locally (nulls first) and writes its own part
+    via tmp+atomic-rename — reading part files in range order IS the
+    table in key order, with no merge step.  Returns (and persists, as
+    ``manifest.json``) one lineage row per range: rows, nulls,
+    nulls-ignored min/max, path.  Ranges write in parallel; a duplicate
+    cutpoint value yields an empty range (manifest row kept — file
+    boundaries stay honest)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..engine.exchange import range_exchange
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema_cols = None
+
+    def write_range(bucket_id: int, t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[(key, "ascending")], null_placement="at_start")
+        t = t.take(idx)
+        path = os.path.join(out_dir, f"part-{bucket_id:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        arr = t[key]
+        mm = (pc.min_max(arr) if t.num_rows - arr.null_count
+              else {"min": pa.scalar(None, pa.float64()),
+                    "max": pa.scalar(None, pa.float64())})
+        return pa.table({
+            "range_id": pa.array([bucket_id], pa.int64()),
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "n_nulls": pa.array([arr.null_count], pa.int64()),
+            "min_v": pa.array([mm["min"].as_py()], pa.float64()),
+            "max_v": pa.array([mm["max"].as_py()], pa.float64()),
+            "path": pa.array([path], pa.string()),
+        })
+
+    s = ds.schema()
+    empty_t = (getattr(s, "base_schema", None) or pa.schema(
+        [(n, t) for n, t in zip(s.names, s.types)])).empty_table()
+    manifest = pa.concat_tables(
+        range_exchange(ds, key, cutpoints, write_range,
+                       empty_result=empty_t)).combine_chunks()
+    rows = manifest.to_pylist()
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rows, f)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
+                           sample_mod: int = 97) -> pa.Table:
+    """Sorted export of events by value, driver-checked from the LINEAGE:
+    equi-depth cutpoints from a deterministic id-keyed systematic sample
+    (event_id % 97 == 0 — position-independent, so both engines pick the
+    same rows), export to /tmp, return the non-empty manifest rows.  The
+    oracle recomputes the identical cutpoints and range assignment in
+    SQL, so rows/min/max per range are hash-exact.  At scale the sample
+    gather is the only driver-side state — size it with ``sample_mod``
+    (~n/sample_mod values)."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"].to_numpy(zero_copy_only=False))
+        keep = pa.array(ids % sample_mod == 0)
+        return pa.table({"value": t["value"].filter(keep)})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["value"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(ds.map_batches(sample, batch_format="pyarrow"))
+        if t.num_rows] or [np.empty(0)]))
+    cutpoints = np.array([sv[((i + 1) * len(sv)) // n_ranges]
+                          for i in range(n_ranges - 1)]) \
+        if len(sv) >= n_ranges else np.array([])
+    import hashlib
+
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", "yaschva_sorted_events", tag)
+    manifest = sorted_export(ds, "value", out_dir, cutpoints)
+    manifest = manifest.filter(pc.greater(manifest["n_rows"], 0))
+    return manifest.select(["range_id", "n_rows", "min_v", "max_v"]) \
+        .sort_by([("range_id", "ascending")])
+
+
 def q_recent_orders_lineitems(sf_dir: str) -> pa.Table:
     """SELECTIVE big-big join, bloom-prefiltered: the left side (orders in
     a narrow recent window — a date filter pushed INTO the read) matches
