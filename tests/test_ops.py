@@ -214,8 +214,9 @@ def test_sorted_export_global_order_and_manifest(ray_session, tmp_path):
         ray.data.from_arrow(t).repartition(6), "v", out, cuts)
     assert manifest.num_rows == 5
 
-    files = sorted(json.load(open(f"{out}/manifest.json")),
-                   key=lambda r: r["range_id"])
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["key"] == "v"
+    files = sorted(m["ranges"], key=lambda r: r["range_id"])
     got = pa.concat_tables([pq.read_table(r["path"]) for r in files])
     vv = got["v"].to_pylist()
     nn = sum(1 for x in vv if x is None)
@@ -236,3 +237,30 @@ def test_sorted_export_global_order_and_manifest(ray_session, tmp_path):
     host = {r["range_id"] for r in files
             if r["min_v"] is not None and r["min_v"] <= 1.5 <= r["max_v"]}
     assert len(host) == 1
+
+
+def test_lookup_sorted_prunes_and_matches_full_filter(ray_session, tmp_path):
+    """Manifest-pruned lookup must equal a full-table filter while reading
+    only the parts whose range can contain a probe."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (
+        _sorted_lookup_plan, lookup_sorted, sorted_export)
+
+    vals = np.arange(1000, dtype=np.float64)
+    t = pa.table({"id": pa.array(list(range(1000)), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    cuts = np.array([250.0, 500.0, 750.0])
+    out = str(tmp_path / "sorted")
+    sorted_export(ray.data.from_arrow(t).repartition(4), "v", out, cuts)
+
+    got = lookup_sorted(out, [10.0, 760.0])
+    assert sorted(got["id"].to_pylist()) == [10, 760]
+    # pruning: probes in ranges 0 and 3 → exactly two parts planned
+    m = json.load(open(f"{out}/manifest.json"))
+    planned = _sorted_lookup_plan(m["ranges"], [10.0, 760.0])
+    assert len(planned) == 2
+    assert lookup_sorted(out, [99999.0]).num_rows == 0

@@ -1507,12 +1507,53 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     manifest = pa.concat_tables(
         range_exchange(ds, key, cutpoints, write_range,
                        empty_result=empty_t)).combine_chunks()
-    rows = manifest.to_pylist()
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
-        json.dump(rows, f)
+        json.dump({"key": key, "ranges": manifest.to_pylist()}, f)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     return manifest
+
+
+def _sorted_lookup_plan(manifest_rows: list[dict], values) -> list[str]:
+    """Parts whose [min_v, max_v] can contain a probe — the manifest as a
+    coarse index (all-null parts never match a value probe)."""
+    return [r["path"] for r in manifest_rows
+            if r["min_v"] is not None and any(
+                r["min_v"] <= v <= r["max_v"] for v in values)]
+
+
+def lookup_sorted(out_dir: str, values) -> pa.Table:
+    """Point lookups over a ``sorted_export`` directory WITHOUT a scan:
+    the lineage manifest prunes to the parts whose key range can contain
+    a probe (at 100 TB: one part per probe instead of the table), then an
+    exact vectorized ``is_in`` filters inside just those parts.  The key
+    column name comes from the manifest the export wrote."""
+    import json
+
+    from ..engine.blocks import gather_tables
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    key, rows = m["key"], m["ranges"]
+    files = _sorted_lookup_plan(rows, values)
+    if not files:
+        return pa.table({})
+    import ray.data
+
+    vset = pa.array(list(values))
+
+    def filt(t: pa.Table) -> pa.Table:
+        if key not in t.column_names:
+            return t
+        return t.filter(pc.is_in(t[key], value_set=vset))
+
+    parts = [t for t in gather_tables(
+        ray.data.read_parquet(files).map_batches(filt,
+                                                 batch_format="pyarrow"))
+        if t.num_rows]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts).combine_chunks()
 
 
 def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
