@@ -1179,3 +1179,35 @@ def test_dedup_incremental_collision_cannot_lie(ray_session, tmp_path):
                               corpus_path)
     # 51 ("gamma") hash-matches the planted entry but text-verify drops it
     assert out.to_pydict() == {"doc_id": [50], "dup_of": [0]}
+
+
+def test_dedup_against_index_new_paths_parity(ray_session, tmp_path):
+    """The hash-only phase-1 mode (new_paths: batch text never crosses the
+    exchange) must return exactly what the text-shipping mode returns."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (
+        dedup_against_index, dedup_index_build)
+
+    corpus = pa.table({"doc_id": pa.array(list(range(20)), pa.int64()),
+                       "text": [f"corpus doc {i % 7}" for i in range(20)]})
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus, corpus_path)
+    idx = str(tmp_path / "idx")
+    dedup_index_build(ray.data.from_arrow(corpus).repartition(3), idx,
+                      num_shards=4)
+
+    batch = pa.table({
+        "doc_id": pa.array([100, 101, 102, 103], pa.int64()),
+        "text": ["corpus doc 3", "fresh", "corpus doc 0", None],
+    })
+    batch_path = str(tmp_path / "batch.parquet")
+    pq.write_table(batch, batch_path)
+
+    via_text = dedup_against_index(ray.data.from_arrow(batch), idx,
+                                   corpus_path)
+    via_hash = dedup_against_index(ray.data.from_arrow(batch), idx,
+                                   corpus_path, new_paths=batch_path)
+    assert via_text.equals(via_hash)
+    assert via_text.to_pydict() == {"doc_id": [100, 102], "dup_of": [3, 0]}

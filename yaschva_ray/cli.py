@@ -258,7 +258,13 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
             return 0
 
         batch = read_docs(batch_files, columns=["doc_id", "text"])
-        dups = textops.dedup_against_index(batch, args.index, corpus_files)
+        # parquet-backed batch ⇒ phase 1 ships only (hash64, doc_id); the
+        # batch's text never crosses the exchange (jsonl/csv batches have
+        # no pruned-read path, so they ship text — still correct)
+        parquet_batch = all(f.endswith(".parquet") for f in batch_files)
+        dups = textops.dedup_against_index(
+            batch, args.index, corpus_files,
+            new_paths=batch_files if parquet_batch else None)
 
         out_dir = os.path.join(args.out, args.tag)
         tmp_dir = out_dir + ".tmp"

@@ -308,6 +308,7 @@ def dedup_index_build(corpus_ds, index_dir: str, *,
 
 def dedup_against_index(new_ds, index_dir: str,
                         corpus_paths: str | list[str], *,
+                        new_paths: str | list[str] | None = None,
                         max_candidates: int = 5_000_000) -> pa.Table:
     """New-batch doc_ids that exactly duplicate an already-indexed corpus
     doc: (doc_id, dup_of = min matching corpus doc_id), sorted.
@@ -324,6 +325,13 @@ def dedup_against_index(new_ds, index_dir: str,
     corpus the index mirrors); an indexed id missing from the read is
     treated as a non-match.
 
+    ``new_paths`` (the batch's own parquet, when it is file-backed — the
+    CLI ingest path) switches phase 1 to ship ONLY (hash64, doc_id) — 16
+    bytes/row instead of the batch's text — and phase 2 fetches the
+    candidate NEW rows' text by the same doc_id-pruned read the corpus
+    side uses.  Same result (parity-tested); at 100 TB the batch text
+    never crosses the exchange.
+
     The gathered candidate set is bounded by the batch's true-duplicate
     volume (collisions add ~0); above ``max_candidates`` we log — the
     result is still exact, the driver list is just bigger than the design
@@ -335,9 +343,11 @@ def dedup_against_index(new_ds, index_dir: str,
 
     manifest = _dedup_index_manifest(index_dir)
     num_shards = manifest["num_shards"]
+    keep_text = new_paths is None
 
     hashed = new_ds.map_batches(
-        lambda t: _hash_ids_table(t, keep_text=True), batch_format="pyarrow")
+        lambda t: _hash_ids_table(t, keep_text=keep_text),
+        batch_format="pyarrow")
 
     def check_shard(t: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -347,7 +357,8 @@ def dedup_against_index(new_ds, index_dir: str,
             harr = harr.combine_chunks()
         shard = int(_hash64(harr.slice(0, 1))[0] % np.uint64(num_shards))
         files = _index_shard_files(index_dir, shard, manifest)
-        ttype = t.schema.field("text").type
+        ttype = (t.schema.field("text").type if "text" in t.column_names
+                 else pa.string())
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "text": pa.array([], ttype),
                           "side": pa.array([], pa.int8())})
@@ -366,7 +377,8 @@ def dedup_against_index(new_ds, index_dir: str,
                                   value_set=pc.unique(nm_h)))
         newt = pa.table({
             "doc_id": newm["doc_id"].cast(pa.int64()),
-            "text": newm["text"],
+            "text": (newm["text"] if "text" in newm.column_names
+                     else pa.nulls(newm.num_rows, ttype)),
             "side": pa.array(np.zeros(newm.num_rows, np.int8)),
         })
         oldt = pa.table({
@@ -400,16 +412,29 @@ def dedup_against_index(new_ds, index_dir: str,
         corpus_paths, columns=["doc_id", "text"],
         filter=pads.field("doc_id").isin(old_ids.to_pylist()))
 
-    def tag_old(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["text"]))
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "text": t["text"],
-            "side": pa.array(np.ones(t.num_rows, np.int8)),
-        })
+    def _tag(side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["text"]))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "side": pa.array(np.full(t.num_rows, side, np.int8)),
+            })
+        return tag
 
-    union = ray.data.from_arrow(new_cand).union(
-        old_ds.map_batches(tag_old, batch_format="pyarrow"))
+    if new_paths is None:
+        new_side_ds = ray.data.from_arrow(new_cand)
+    else:
+        # phase 1 shipped no text — fetch the candidate NEW rows by the
+        # same doc_id-pruned read the corpus side uses
+        new_ids = pc.unique(new_cand["doc_id"].combine_chunks())
+        new_side_ds = ray.data.read_parquet(
+            new_paths, columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(new_ids.to_pylist())
+        ).map_batches(_tag(0), batch_format="pyarrow")
+
+    union = new_side_ds.union(
+        old_ds.map_batches(_tag(1), batch_format="pyarrow"))
 
     def verify_bucket(t: pa.Table) -> pa.Table:
         old = t.filter(pc.equal(t["side"], 1))
