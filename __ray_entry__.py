@@ -316,6 +316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SELECTIVE big-big join with a broadcast Bloom prefilter: right
         # rows that cannot match die at the scan, not in the exchange
         "recent_orders_lineitems": ops.q_recent_orders_lineitems,
+        # KEYLESS global-time as-of (ordered co-partition + boundary
+        # carry) — the keyed asof family stays sweep-visible through
+        # events_asof_orders
+        "events_global_asof": ops.q_events_global_asof,
         # ORDERED-partition export (range exchange — the hash exchange's
         # sibling): globally sorted parquet parts + lineage manifest,
         # checked hash-exact from equi-depth sampled cutpoints the SQL
@@ -1440,6 +1444,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             WHERE o_orderdate >= TIMESTAMP '2001-07-01'
             ORDER BY o_orderkey, l_quantity, l_extendedprice
+        """,
+        # keyless as-of: DuckDB's own ASOF JOIN is the oracle (right side
+        # pre-aggregated to unique timestamps on both sides identically)
+        "events_global_asof": """
+            WITH r AS (
+                SELECT ts AS rts, MAX(event_id) AS ref_id FROM events
+                WHERE event_type = 'view' GROUP BY ts
+            ), l AS (
+                SELECT event_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id, r.ref_id
+            FROM l ASOF LEFT JOIN r ON l.ts >= r.rts
+            ORDER BY event_id
         """,
         # mirror of the sorted export's lineage: identical id-keyed
         # systematic sample, identical equi-depth order statistics

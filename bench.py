@@ -115,7 +115,7 @@ def bench_queries(sf_dir: str) -> dict:
         # range-exchange sorted export (globally ordered parts, end-to-end
         # write each iteration)
         "stats_lineitem_metadata", "recent_orders_lineitems",
-        "sorted_export_events",
+        "sorted_export_events", "events_global_asof",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -734,3 +734,58 @@ def test_hash_join_bloom_full_outer_raises(ray_session):
         hash_join(ray.data.from_arrow(t), ray.data.from_arrow(t),
                   left_key="k", right_key="k", how="full outer",
                   bloom_right_by_left=True)
+
+
+def test_global_asof_partition_independent_and_carry(ray_session):
+    """Cutpoints place rows in ranges but must NEVER change the result
+    (boundary carry makes range edges invisible), including ranges with
+    no right rows and left rows before the first right row."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from yaschva_ray.engine.joins import global_asof_join
+
+    rng = np.random.RandomState(5)
+    lts = np.sort(rng.uniform(0, 100, 300))
+    left = pa.table({"lid": pa.array(list(range(300)), pa.int64()),
+                     "lts": pa.array(lts, pa.float64())})
+    rts = np.unique(rng.uniform(5, 90, 40))
+    right = pa.table({"rts": pa.array(rts, pa.float64()),
+                      "rv": pa.array(np.arange(len(rts)), pa.int64())})
+
+    def mk(t, n):
+        return ray.data.from_arrow(t).repartition(n)
+
+    want = pd.merge_asof(left.to_pandas(), right.to_pandas(),
+                         left_on="lts", right_on="rts")
+    outs = []
+    for cuts in (np.array([50.0]),
+                 np.array([10.0, 20.0, 30.0, 95.0]),  # empty tail range
+                 np.empty(0)):
+        out = global_asof_join(mk(left, 5), mk(right, 3),
+                               left_ts="lts", right_ts="rts",
+                               cutpoints=cuts).sort_by([("lid", "ascending")])
+        outs.append(out)
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+    got = outs[0].to_pandas()
+    assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+    # left rows before the first right row carry typed nulls
+    assert got["rv"].isna().sum() == want["rv"].isna().sum() > 0
+
+
+def test_global_asof_duplicate_right_ts_raises(ray_session):
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.engine.joins import global_asof_join
+
+    left = pa.table({"lid": pa.array([0], pa.int64()),
+                     "lts": pa.array([5.0], pa.float64())})
+    right = pa.table({"rts": pa.array([1.0, 1.0], pa.float64()),
+                      "rv": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="UNIQUE right timestamps"):
+        global_asof_join(ray.data.from_arrow(left),
+                         ray.data.from_arrow(right),
+                         left_ts="lts", right_ts="rts",
+                         cutpoints=np.empty(0))

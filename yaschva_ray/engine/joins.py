@@ -821,3 +821,157 @@ def range_join(left_ds, right_ds, *, left_val: str, right_val: str,
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+# --------------------------------------------------------------------------
+# Global (keyless) as-of join over an ordered co-partition
+# --------------------------------------------------------------------------
+
+def _gasof_rsort(right_ts: str, *parts: pa.Table) -> pa.Table:
+    """Concat + sort a range's right rows; duplicate right timestamps
+    raise LOUDLY (the matched payload would depend on partition order)."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table({})
+    t = pa.concat_tables(nonempty).combine_chunks()
+    return t.take(pc.sort_indices(t, sort_keys=[(right_ts, "ascending")]))
+
+
+def _gasof_last(right_ts: str, t: pa.Table) -> pa.Table:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    if not t.num_rows:
+        return pa.table({})
+    return t.slice(t.num_rows - 1, 1)
+
+
+def _gasof_join(left_ts: str, right_ts: str, right_schema,
+                n_left: int, *parts) -> pa.Table:
+    """parts = n_left left slices, then [carry_table, sorted_right]."""
+    import pandas as pd
+
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    carry, right_t = parts[n_left], parts[n_left + 1]
+    lparts = [p for p in parts[:n_left] if p.num_rows]
+    if not lparts:
+        return pa.table({})
+    left_t = pa.concat_tables(lparts).combine_chunks()
+    left_t = left_t.take(pc.sort_indices(
+        left_t, sort_keys=[(left_ts, "ascending")]))
+    rparts = [p for p in (carry, right_t) if p.num_rows]
+    if not rparts:
+        for f in right_schema:
+            left_t = left_t.append_column(
+                pa.field(f.name, f.type), pa.nulls(left_t.num_rows, f.type))
+        return left_t
+    right_full = pa.concat_tables(rparts).combine_chunks()
+    right_full = right_full.take(pc.sort_indices(
+        right_full, sort_keys=[(right_ts, "ascending")]))
+    # unique-right-ts contract check (within range + carry)
+    ts = right_full[right_ts].combine_chunks()
+    if right_full.num_rows > 1 and pc.any(pc.equal(
+            ts.slice(1), ts.slice(0, right_full.num_rows - 1))).as_py():
+        raise ValueError(
+            "global_asof_join requires UNIQUE right timestamps — ties "
+            "would make the matched payload partition-order-dependent; "
+            "pre-aggregate the right side to one row per timestamp")
+    merged = pd.merge_asof(
+        left_t.to_pandas(), right_full.to_pandas(),
+        left_on=left_ts, right_on=right_ts, direction="backward")
+    merged_t = pa.Table.from_pandas(merged, preserve_index=False)
+    for f in right_schema:  # restore arrow types (same rule as asof_join)
+        col = f.name
+        if col not in merged_t.column_names:
+            continue
+        arr = merged_t[col]
+        if arr.type == f.type:
+            continue
+        if pa.types.is_floating(arr.type) and \
+                not pa.types.is_floating(f.type):
+            arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, arr.type), arr)
+        i = merged_t.schema.get_field_index(col)
+        merged_t = merged_t.set_column(i, pa.field(col, f.type),
+                                       arr.cast(f.type))
+    return merged_t
+
+
+_GASOF_RSORT = None
+_GASOF_LAST = None
+_GASOF_JOIN = None
+
+
+def global_asof_join(left_ds, right_ds, *, left_ts: str, right_ts: str,
+                     cutpoints) -> pa.Table:
+    """KEYLESS as-of: for every left row, the latest right row with
+    ``right_ts <= left_ts`` over the WHOLE stream — what the keyed
+    ``asof_join`` cannot express (no key to co-partition on; one global
+    order instead).  Both sides co-partition ORDERED by the broadcast
+    ``cutpoints`` (range exchange), each range joins locally, and a
+    B-row CARRY (the last right row of the nearest earlier non-empty
+    range) makes range boundaries invisible — the right row matching a
+    left row near a range start may live arbitrarily far back.
+
+    Contracts: right timestamps UNIQUE (raises on ties — the matched
+    payload would be partition-order-dependent; pre-aggregate to one row
+    per ts), column names disjoint across sides."""
+    import ray
+
+    from .blocks import iter_block_refs
+    from .exchange import _range_map_block, bounded_map_refs
+
+    def _hint(ds):
+        s = ds.schema()
+        return getattr(s, "base_schema", None) or pa.schema(
+            [(n, t) for n, t in zip(s.names, s.types)])
+
+    lschema, rschema = _hint(left_ds), _hint(right_ds)
+    shared = set(lschema.names) & set(rschema.names)
+    if shared:
+        raise ValueError(
+            f"global_asof_join requires disjoint column names; "
+            f"shared: {sorted(shared)}")
+
+    global _GASOF_RSORT, _GASOF_LAST, _GASOF_JOIN
+    if _GASOF_RSORT is None:
+        _GASOF_RSORT = ray.remote(_gasof_rsort)
+        _GASOF_LAST = ray.remote(_gasof_last)
+        _GASOF_JOIN = ray.remote(_gasof_join)
+    num_buckets = len(cutpoints) + 1
+
+    range_map = ray.remote(_range_map_block)
+
+    def _mapped(ds, col):
+        return bounded_map_refs(
+            iter_block_refs(ds),
+            lambda r: range_map.options(num_returns=num_buckets)
+            .remote(r, col, cutpoints),
+            num_buckets)
+
+    lmap = _mapped(left_ds, left_ts)
+    rmap = _mapped(right_ds, right_ts)
+    r_sorted = [_GASOF_RSORT.remote(right_ts, *[m[b] for m in rmap])
+                for b in range(num_buckets)]
+    lasts = ray.get([_GASOF_LAST.remote(right_ts, r) for r in r_sorted])
+    # carry[i] = last right row of the nearest earlier NON-EMPTY range
+    # (ranges are ordered, so that row is globally the latest before i)
+    empty_r = pa.table({})
+    carries, prev = [], empty_r
+    for b in range(num_buckets):
+        carries.append(prev)
+        if lasts[b].num_rows:
+            prev = lasts[b]
+    joined = [_GASOF_JOIN.remote(left_ts, right_ts, rschema, len(lmap),
+                                 *[m[b] for m in lmap], carries[b],
+                                 r_sorted[b])
+              for b in range(num_buckets)]
+    tables = [t for t in ray.get(joined) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default") \
+        .combine_chunks()

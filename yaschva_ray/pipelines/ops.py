@@ -1590,6 +1590,68 @@ def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
         .sort_by([("range_id", "ascending")])
 
 
+def q_events_global_asof(sf_dir: str, n_ranges: int = 8,
+                         sample_mod: int = 97) -> pa.Table:
+    """KEYLESS as-of over global TIME order: every purchase event aligned
+    to the latest 'view' reference event at or before it — no join key,
+    so the keyed asof_join cannot express it; `engine.joins.
+    global_asof_join` co-partitions both sides ORDERED by sampled time
+    cutpoints and carries each range's last right row across boundaries.
+    The right side is pre-aggregated to one row per timestamp (MAX
+    event_id) — the operator's unique-right-ts contract.  Cutpoints only
+    place rows in ranges, never change the result, so the oracle is plain
+    DuckDB ASOF JOIN."""
+    import ray.data
+
+    from ..engine.exchange import keyed_exchange
+    from ..engine.joins import global_asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def view_partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["event_type"], "view"))
+        g = (sel.select(["ts", "event_id"]).group_by("ts")
+             .aggregate([("event_id", "max")]))
+        return pa.table({"rts": g["ts"], "ref_id": g["event_id_max"]})
+
+    def dedup_ts(t: pa.Table) -> pa.Table:
+        g = t.group_by("rts").aggregate([("ref_id", "max")])
+        return pa.table({"rts": g["rts"], "ref_id": g["ref_id_max"]})
+
+    right_empty = pa.table({"rts": pa.array([], pa.timestamp("us")),
+                            "ref_id": pa.array([], pa.int64())})
+    right_refs = keyed_exchange(
+        events.map_batches(view_partial, batch_format="pyarrow"),
+        "rts", dedup_ts, gather=False, empty_result=right_empty)
+    right = ray.data.from_arrow_refs(right_refs)
+
+    def purchases(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "purchase")) \
+            .select(["event_id", "ts"])
+
+    left = events.map_batches(purchases, batch_format="pyarrow")
+
+    def ts_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"ts": t["ts"].filter(pa.array(ids % sample_mod == 0))})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["ts"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(events.map_batches(ts_sample,
+                                                  batch_format="pyarrow"))
+        if t.num_rows] or [np.empty(0, "datetime64[us]")]))
+    cutpoints = (np.array([sv[((i + 1) * len(sv)) // n_ranges]
+                           for i in range(n_ranges - 1)])
+                 if len(sv) >= n_ranges else np.empty(0, sv.dtype))
+    out = global_asof_join(left, right, left_ts="ts", right_ts="rts",
+                           cutpoints=cutpoints)
+    if not out.num_rows:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "ref_id": pa.array([], pa.int64())})
+    return out.select(["event_id", "ref_id"]) \
+        .sort_by([("event_id", "ascending")])
+
+
 def q_recent_orders_lineitems(sf_dir: str) -> pa.Table:
     """SELECTIVE big-big join, bloom-prefiltered: the left side (orders in
     a narrow recent window — a date filter pushed INTO the read) matches
