@@ -241,7 +241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_documents": textops.q_shuffle_documents,
         "pack_sequences": ops.q_pack_sequences,
         "events_hourly_window": ops.q_events_hourly_window,
-        "events_sliding_window": ops.q_events_sliding_window,
+        # the KEYLESS global-time as-of (ordered co-partition + boundary
+        # carry, DuckDB-ASOF oracle) takes events_sliding_window's sweep
+        # slot — a new operator CLASS beats a second window variant
+        # (tumbling + sessions keep the window family sweep-visible;
+        # sliding stays oracle-backed past the cap)
+        "events_global_asof": ops.q_events_global_asof,
         "events_asof_orders": ops.q_events_asof_orders,
         "events_sessions": ops.q_events_sessions,
         "jaccard_pairs": ops.q_jaccard_pairs,
@@ -316,10 +321,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SELECTIVE big-big join with a broadcast Bloom prefilter: right
         # rows that cannot match die at the scan, not in the exchange
         "recent_orders_lineitems": ops.q_recent_orders_lineitems,
-        # KEYLESS global-time as-of (ordered co-partition + boundary
-        # carry) — the keyed asof family stays sweep-visible through
-        # events_asof_orders
-        "events_global_asof": ops.q_events_global_asof,
+        # sliding window (oracle-backed): ceded its sweep slot to the
+        # keyless global as-of; tumbling + sessions keep the window
+        # family sweep-visible
+        "events_sliding_window": ops.q_events_sliding_window,
         # ORDERED-partition export (range exchange — the hash exchange's
         # sibling): globally sorted parquet parts + lineage manifest,
         # checked hash-exact from equi-depth sampled cutpoints the SQL
