@@ -339,6 +339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prune-at-read applied to the stats check itself); the scan-based
         # stats family stays sweep-visible through stats_lineitem
         "stats_lineitem_metadata": ops.q_stats_lineitem_metadata,
+        # schema drift vs an evolved snapshot, footers only (added /
+        # removed / type_changed) — the nightly first check at 100 TB
+        "schema_drift_documents": ops.q_schema_drift_documents,
         # repetition_signals / passage_dedup are likewise oracle-backed
         # (hash-exact in tools/driver_sweep.py) but live past the cap for
         # the same reason; their families stay sweep-visible through
@@ -676,6 +679,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id AS doc_id, MIN(c.doc_id) AS dup_of
             FROM newb n JOIN corpus c ON n.text = c.text
             GROUP BY n.doc_id ORDER BY doc_id
+        """,
+        # the drift report depends only on the two snapshots' schemas
+        # (documents vs its deterministically evolved twin), so the
+        # oracle is the expected report itself
+        "schema_drift_documents": """
+            SELECT * FROM (VALUES
+                ('doc_id', 'type_changed', 'int64', 'int32'),
+                ('flag', 'added', CAST(NULL AS VARCHAR), 'int64'),
+                ('lang', 'removed', 'string', CAST(NULL AS VARCHAR)),
+                ('n_chars', 'same', 'int64', 'int64'),
+                ('source', 'same', 'string', 'string'),
+                ('text', 'same', 'string', 'string')
+            ) AS t(col_name, status, type_a, type_b)
+            ORDER BY col_name
         """,
         # footer-stats variant of stats_lineitem: same exact components
         # (numeric columns ⇒ footer min/max are exact, not truncated)

@@ -264,3 +264,31 @@ def test_lookup_sorted_prunes_and_matches_full_filter(ray_session, tmp_path):
     planned = _sorted_lookup_plan(m["ranges"], [10.0, 760.0])
     assert len(planned) == 2
     assert lookup_sorted(out, [99999.0]).num_rows == 0
+
+
+def test_schema_drift_null_fracs_and_unknown_stats(ray_session, tmp_path):
+    """Null fractions come from footer null_counts; a file written without
+    statistics must report -1.0 (unknown), never a wrong number."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import schema_drift
+
+    a = pa.table({"x": pa.array([1.0, None, 3.0, None], pa.float64()),
+                  "gone": pa.array(["a", "b", "c", "d"])})
+    b1 = pa.table({"x": pa.array([None, 2.0], pa.float64()),
+                   "neu": pa.array([1, 2], pa.int32())})
+    b2 = pa.table({"x": pa.array([5.0], pa.float64()),
+                   "neu": pa.array([3], pa.int32())})
+    pq.write_table(a, str(tmp_path / "a.parquet"))
+    pq.write_table(b1, str(tmp_path / "b1.parquet"))
+    pq.write_table(b2, str(tmp_path / "b2.parquet"),
+                   write_statistics=False)
+    out = schema_drift(str(tmp_path / "a.parquet"),
+                       [str(tmp_path / "b1.parquet"),
+                        str(tmp_path / "b2.parquet")])
+    rows = {r["col_name"]: r for r in out.to_pylist()}
+    assert rows["x"]["status"] == "same"
+    assert rows["x"]["null_frac_a"] == 0.5
+    assert rows["x"]["null_frac_b"] == -1.0  # unknown poisons, not lies
+    assert rows["gone"]["status"] == "removed"
+    assert rows["neu"]["status"] == "added" and rows["neu"]["type_b"] == "int32"

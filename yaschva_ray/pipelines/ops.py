@@ -611,6 +611,142 @@ def metadata_stats(paths: list[str] | str, columns: list[str]) -> pa.Table:
     })
 
 
+def _footer_profile(paths: list[str] | str) -> pa.Table:
+    """Per-column (type, n_rows, n_nulls) from parquet FOOTERS only —
+    distributed one task group per file batch, tiny pre-combined
+    partials.  Null counts fall back to -1 (unknown) when a footer lacks
+    statistics — schema comparison never needs data pages."""
+    import glob as _glob
+
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(paths)) or [paths]
+
+    def profile(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = {"col_name": [], "col_type": [], "n_rows": [], "n_nulls": []}
+        for path in batch["path"].to_pylist():
+            schema = pq.read_schema(path)
+            md = pq.read_metadata(path)
+            nulls = {}
+            for i in range(md.num_columns):
+                name = md.schema.column(i).path
+                tot = 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or st.null_count is None:
+                        tot = -1
+                        break
+                    tot += st.null_count
+                nulls[name] = tot
+            for f in schema:
+                out["col_name"].append(f.name)
+                out["col_type"].append(str(f.type))
+                out["n_rows"].append(md.num_rows)
+                out["n_nulls"].append(nulls.get(f.name, -1))
+        return pa.table({
+            "col_name": pa.array(out["col_name"], pa.string()),
+            "col_type": pa.array(out["col_type"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+        })
+
+    parts = [t for t in gather_tables(
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(profile, batch_format="pyarrow")) if t.num_rows]
+    merged = pa.concat_tables(parts)
+    g = merged.group_by(["col_name", "col_type"]).aggregate(
+        [("n_rows", "sum"), ("n_nulls", "min"), ("n_nulls", "sum")])
+    # any file with unknown nulls (-1) poisons the sum → report -1
+    nn = pc.if_else(pc.less(g["n_nulls_min"], 0),
+                    pa.scalar(-1, pa.int64()), g["n_nulls_sum"])
+    return pa.table({"col_name": g["col_name"], "col_type": g["col_type"],
+                     "n_rows": g["n_rows_sum"], "n_nulls": nn})
+
+
+def schema_drift(paths_a, paths_b) -> pa.Table:
+    """Schema drift between two table snapshots from FOOTERS only: per
+    column → added / removed / type_changed / same, with each side's type
+    and null fraction (rounded; -1.0 when a footer lacks stats).  The
+    check a 100 TB nightly ingest runs FIRST — it catches a producer that
+    silently dropped or retyped a column without reading any data pages.
+    A column appearing with two types within ONE side reports the
+    lexically first (and that side's pipeline is already broken — the
+    validators will say so loudly)."""
+    pa_, pb = _footer_profile(paths_a), _footer_profile(paths_b)
+
+    def as_map(t: pa.Table) -> dict:
+        return {r["col_name"]: r for r in
+                sorted(t.to_pylist(), key=lambda r: (r["col_name"],
+                                                     r["col_type"]))}
+
+    ma, mb = as_map(pa_), as_map(pb)
+
+    def frac(r) -> float:
+        if r is None or r["n_nulls"] < 0 or not r["n_rows"]:
+            return -1.0
+        return round(r["n_nulls"] / r["n_rows"], 6)
+
+    rows = []
+    for col in sorted(set(ma) | set(mb)):
+        ra, rb = ma.get(col), mb.get(col)
+        if ra is None:
+            status = "added"
+        elif rb is None:
+            status = "removed"
+        elif ra["col_type"] != rb["col_type"]:
+            status = "type_changed"
+        else:
+            status = "same"
+        rows.append({
+            "col_name": col, "status": status,
+            "type_a": ra["col_type"] if ra else None,
+            "type_b": rb["col_type"] if rb else None,
+            "null_frac_a": frac(ra), "null_frac_b": frac(rb),
+        })
+    return pa.table({
+        "col_name": pa.array([r["col_name"] for r in rows], pa.string()),
+        "status": pa.array([r["status"] for r in rows], pa.string()),
+        "type_a": pa.array([r["type_a"] for r in rows], pa.string()),
+        "type_b": pa.array([r["type_b"] for r in rows], pa.string()),
+        "null_frac_a": pa.array([r["null_frac_a"] for r in rows],
+                                pa.float64()),
+        "null_frac_b": pa.array([r["null_frac_b"] for r in rows],
+                                pa.float64()),
+    })
+
+
+def q_schema_drift_documents(sf_dir: str) -> pa.Table:
+    """Schema drift of documents vs a deterministically EVOLVED snapshot
+    (doc_id retyped int64→int32, lang dropped, flag added) written once
+    under /tmp — the drift report depends only on the two schemas, so the
+    oracle is a literal VALUES table.  Null fractions stay in the API
+    (tested) but out of the query: they vary with sf."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    snap_dir = os.path.join("/tmp", "yaschva_schema_drift", tag)
+    snap = os.path.join(snap_dir, "documents_v2.parquet")
+    if not os.path.exists(snap):
+        os.makedirs(snap_dir, exist_ok=True)
+        t = pq.read_table(src, columns=["doc_id", "text", "source",
+                                        "n_chars"])
+        t = t.set_column(0, pa.field("doc_id", pa.int32()),
+                         t["doc_id"].cast(pa.int32()))
+        t = t.append_column("flag", pa.nulls(t.num_rows, pa.int64()))
+        tmp = snap + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, snap)
+    drift = schema_drift(src, snap)
+    return drift.select(["col_name", "status", "type_a", "type_b"]) \
+        .sort_by([("col_name", "ascending")])
+
+
 def q_stats_lineitem_metadata(sf_dir: str) -> pa.Table:
     """`q_stats_lineitem`'s exact count/null/min/max components computed
     WITHOUT scanning — parquet footer statistics only (the prune-at-read
