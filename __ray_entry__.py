@@ -342,6 +342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # schema drift vs an evolved snapshot, footers only (added /
         # removed / type_changed) — the nightly first check at 100 TB
         "schema_drift_documents": ops.q_schema_drift_documents,
+        # row-level snapshot diff by key (added/removed/modified via two
+        # independent 64-bit row hashes — 24 bytes/row shuffled, payloads
+        # never move): the migration/backfill reconciliation check
+        "snapshot_diff_documents": ops.q_snapshot_diff_documents,
         # repetition_signals / passage_dedup are likewise oracle-backed
         # (hash-exact in tools/driver_sweep.py) but live past the cap for
         # the same reason; their families stay sweep-visible through
@@ -679,6 +683,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id AS doc_id, MIN(c.doc_id) AS dup_of
             FROM newb n JOIN corpus c ON n.text = c.text
             GROUP BY n.doc_id ORDER BY doc_id
+        """,
+        # the evolved snapshot's three predicates are SQL-expressible, so
+        # the row-level diff mirrors exactly (IS DISTINCT FROM = the row
+        # hash's null semantics)
+        "snapshot_diff_documents": """
+            WITH b0 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 103 = 0 THEN 'MODIFIED'
+                            ELSE text END AS text,
+                       lang, source, n_chars
+                FROM documents WHERE doc_id % 101 <> 0
+            ), b AS (
+                SELECT * FROM b0
+                UNION ALL
+                SELECT doc_id + 50000000, text, lang, source, n_chars
+                FROM b0 WHERE doc_id < 10
+            ), a AS (
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'modified' END AS change
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+               OR a.text IS DISTINCT FROM b.text
+               OR a.lang IS DISTINCT FROM b.lang
+               OR a.source IS DISTINCT FROM b.source
+               OR a.n_chars IS DISTINCT FROM b.n_chars
+            ORDER BY doc_id, change
         """,
         # the drift report depends only on the two snapshots' schemas
         # (documents vs its deterministically evolved twin), so the

@@ -292,3 +292,28 @@ def test_schema_drift_null_fracs_and_unknown_stats(ray_session, tmp_path):
     assert rows["x"]["null_frac_b"] == -1.0  # unknown poisons, not lies
     assert rows["gone"]["status"] == "removed"
     assert rows["neu"]["status"] == "added" and rows["neu"]["type_b"] == "int32"
+
+
+def test_table_diff_semantics_and_dup_guard(ray_session):
+    """added/removed/modified classification incl. null transitions, and
+    the duplicate-key guard."""
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import table_diff
+
+    a = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array(["x", None, "z", "w"]),
+                  "n": pa.array([10, 20, 30, 40], pa.int64())})
+    b = pa.table({"k": pa.array([2, 3, 4, 5], pa.int64()),
+                  "v": pa.array(["now set", "z", "w", "new"]),
+                  "n": pa.array([20, 31, 40, 50], pa.int64())})
+    out = table_diff(ray.data.from_arrow(a).repartition(2),
+                     ray.data.from_arrow(b).repartition(3), "k")
+    assert out.to_pydict() == {
+        "key": [1, 2, 3, 5],
+        "change": ["removed", "modified", "modified", "added"]}
+
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "v": pa.array(["a", "b"])})
+    with pytest.raises(Exception, match="duplicate keys"):
+        table_diff(ray.data.from_arrow(dup), ray.data.from_arrow(a), "k")

@@ -611,7 +611,123 @@ def metadata_stats(paths: list[str] | str, columns: list[str]) -> pa.Table:
     })
 
 
-def _footer_profile(paths: list[str] | str) -> pa.Table:
+def _row_hash(t: pa.Table, cols: list[str], seed: int) -> np.ndarray:
+    """Vectorized row hash over ``cols`` (sorted for stability): per-column
+    seeded polars hash mixed with a distinct odd multiplier per column
+    position.  The numpy fallback derives the seed by post-mixing (weaker
+    independence, documented in table_diff)."""
+    try:
+        import polars as pl
+    except ImportError:
+        pl = None
+    acc = np.full(t.num_rows, np.uint64(0x9E3779B97F4A7C15))
+    with np.errstate(over="ignore"):
+        for i, c in enumerate(sorted(cols)):
+            arr = t[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pl is not None:
+                h = pl.from_arrow(arr).hash(seed=seed) \
+                    .to_numpy().astype(np.uint64)
+            else:  # pragma: no cover - polars is present in this image
+                from ..engine.sketches import _hash64
+                h = _hash64(arr)
+                h = (h ^ np.uint64(seed * 0xBF58476D1CE4E5B9)) \
+                    * np.uint64(0x94D049BB133111EB)
+            acc ^= h * np.uint64(2 * i + 3)
+    return acc
+
+
+def table_diff(a_ds, b_ds, key: str, *, num_buckets: int | None = None) -> pa.Table:
+    """Row-level diff of two SAME-SCHEMA snapshots by unique key:
+    ``added`` (key only in B), ``removed`` (only in A), ``modified`` (in
+    both, any non-key column differs).  The migration/backfill
+    reconciliation check: only (key, two independent 64-bit row hashes)
+    cross the cluster — 24 bytes/row — never the row payloads.
+
+    Change detection is 128-bit-hash-based: a missed modification needs
+    simultaneous collisions in two independently seeded hash functions
+    (~2^-128; with the numpy fallback hasher the two seeds are derived,
+    weaker but still astronomically safe).  Duplicate keys within one
+    side raise — the diff would be ambiguous."""
+    from ..engine.exchange import keyed_exchange
+
+    def prep(side: int):
+        def go(t: pa.Table) -> pa.Table:
+            cols = [c for c in t.column_names if c != key]
+            return pa.table({
+                "k": t[key],
+                "h1": pa.array(_row_hash(t, cols, 0).astype(np.int64)),
+                "h2": pa.array(_row_hash(t, cols, 1).astype(np.int64)),
+                "side": pa.array(np.full(t.num_rows, side, np.int8)),
+            })
+        return go
+
+    union = a_ds.map_batches(prep(0), batch_format="pyarrow").union(
+        b_ds.map_batches(prep(1), batch_format="pyarrow"))
+
+    def diff_bucket(t: pa.Table) -> pa.Table:
+        a = t.filter(pc.equal(t["side"], 0)).select(["k", "h1", "h2"])
+        b = (t.filter(pc.equal(t["side"], 1)).select(["k", "h1", "h2"])
+             .rename_columns(["k", "g1", "g2"]))
+        for side_t, name in ((a, "A"), (b, "B")):
+            if side_t.num_rows != len(pc.unique(side_t["k"].combine_chunks())):
+                raise ValueError(
+                    f"table_diff: duplicate keys in side {name} — the "
+                    "diff is ambiguous; dedup or pick a unique key")
+        j = a.join(b, keys=["k"], join_type="full outer")
+        in_a = pc.is_valid(j["h1"])
+        in_b = pc.is_valid(j["g1"])
+        added = j.filter(pc.and_(pc.invert(in_a), in_b))
+        removed = j.filter(pc.and_(in_a, pc.invert(in_b)))
+        both = j.filter(pc.and_(in_a, in_b))
+        changed = both.filter(pc.or_(
+            pc.not_equal(both["h1"], both["g1"]),
+            pc.not_equal(both["h2"], both["g2"])))
+        return pa.table({
+            "key": pa.concat_tables([
+                added.select(["k"]), removed.select(["k"]),
+                changed.select(["k"])])["k"],
+            "change": pa.array(["added"] * added.num_rows
+                               + ["removed"] * removed.num_rows
+                               + ["modified"] * changed.num_rows,
+                               pa.string()),
+        })
+
+    tables = keyed_exchange(union, "k", diff_bucket, num_buckets=num_buckets)
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({"key": pa.array([], pa.int64()),
+                         "change": pa.array([], pa.string())})
+    return (pa.concat_tables(tables).combine_chunks()
+            .sort_by([("key", "ascending"), ("change", "ascending")]))
+
+
+def q_snapshot_diff_documents(sf_dir: str) -> pa.Table:
+    """documents vs a deterministically EVOLVED snapshot, diffed by
+    doc_id: every 101st doc deleted, every 103rd (surviving) doc's text
+    replaced, copies of the first 10 docs appended at +50M — all three
+    predicates SQL-expressible, so the row-level diff is hash-exact."""
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def evolve(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(ids % 101 != 0))
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        txt = pc.if_else(pa.array(ids % 103 == 0),
+                         pa.scalar("MODIFIED", pa.string()), t["text"])
+        t = t.set_column(t.schema.get_field_index("text"),
+                         pa.field("text", pa.string()), txt)
+        extra = t.filter(pc.less(t["doc_id"], 10))
+        extra = extra.set_column(
+            0, pa.field("doc_id", pa.int64()),
+            pc.add(extra["doc_id"], pa.scalar(50_000_000, pa.int64())))
+        return pa.concat_tables([t, extra])
+
+    out = table_diff(docs, docs.map_batches(evolve, batch_format="pyarrow"),
+                     "doc_id")
+    return pa.table({"doc_id": out["key"], "change": out["change"]})
     """Per-column (type, n_rows, n_nulls) from parquet FOOTERS only —
     distributed one task group per file batch, tiny pre-combined
     partials.  Null counts fall back to -1 (unknown) when a footer lacks
