@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # schema drift vs an evolved snapshot, footers only (added /
         # removed / type_changed) — the nightly first check at 100 TB
         "schema_drift_documents": ops.q_schema_drift_documents,
+        # persisted mergeable sketch state: incremental == batch invariant
+        # (build on evens, fold odds in, equals full-table SQL stats)
+        "stats_incremental_lineitem": ops.q_stats_incremental_lineitem,
         # row-level snapshot diff by key (added/removed/modified via two
         # independent 64-bit row hashes — 24 bytes/row shuffled, payloads
         # never move): the migration/backfill reconciliation check
@@ -1399,6 +1402,29 @@ def oracle_sql() -> dict[str, str]:
                OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) < 0
                OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) IS NULL
             ORDER BY event_id
+        """,
+        # incremental==batch: the merged persisted state must equal
+        # the SAME full-table stats the scan-based query mirrors
+        "stats_incremental_lineitem": """
+            SELECT col_name, n_rows, n_nulls, min_v, max_v, sum_cents FROM (
+                SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+                       round(min(l_quantity), 6) AS min_v, round(max(l_quantity), 6) AS max_v,
+                       CAST(round(SUM(l_quantity) * 100) AS BIGINT) AS sum_cents
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                       round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
+                       CAST(round(SUM(l_extendedprice) * 100) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_discount) AS BIGINT),
+                       round(min(l_discount), 6), round(max(l_discount), 6),
+                       CAST(round(SUM(l_discount) * 100) AS BIGINT)
+                FROM lineitem
+            ) ORDER BY col_name
         """,
         "stats_lineitem": """
             SELECT col_name, n_rows, n_nulls, min_v, max_v, sum_cents FROM (

@@ -116,6 +116,10 @@ def bench_queries(sf_dir: str) -> dict:
         # write each iteration)
         "stats_lineitem_metadata", "recent_orders_lineitems",
         "sorted_export_events", "events_global_asof",
+        # round-4 late additions: footer schema drift, row-level snapshot
+        # diff, incremental stats state (warm after first iteration)
+        "schema_drift_documents", "snapshot_diff_documents",
+        "stats_incremental_lineitem",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

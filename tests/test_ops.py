@@ -317,3 +317,34 @@ def test_table_diff_semantics_and_dup_guard(ray_session):
                     "v": pa.array(["a", "b"])})
     with pytest.raises(Exception, match="duplicate keys"):
         table_diff(ray.data.from_arrow(dup), ray.data.from_arrow(a), "k")
+
+
+def test_stats_state_lifecycle(ray_session, tmp_path):
+    """Committed-update visibility contract: idempotent tags, a crashed
+    (uncommitted) update file stays invisible, merged state equals a
+    one-shot build over the union."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (
+        stats_state_build, stats_state_read, stats_state_update)
+
+    a = pa.table({"x": pa.array([1.0, 2.0, None], pa.float64())})
+    b = pa.table({"x": pa.array([10.0, -5.0], pa.float64())})
+    sd = str(tmp_path / "state")
+    stats_state_build(ray.data.from_arrow(a), ["x"], sd)
+    stats_state_update(ray.data.from_arrow(b), sd, "b")
+    m = stats_state_update(ray.data.from_arrow(b), sd, "b")  # idempotent
+    assert m["updates"] == ["b"]
+
+    # crashed update: file written, tag never committed → invisible
+    ghost = pq.read_table(str(tmp_path / "state" / "update-b.parquet"))
+    pq.write_table(ghost, str(tmp_path / "state" / "update-ghost.parquet"))
+
+    got = stats_state_read(sd)
+    union = str(tmp_path / "union")
+    stats_state_build(
+        ray.data.from_arrow(pa.concat_tables([a, b])), ["x"], union)
+    assert got.equals(stats_state_read(union))
+    assert got.to_pydict()["n_rows"] == [5]
+    assert got.to_pydict()["min_v"] == [-5.0]

@@ -492,21 +492,7 @@ def q_props_json_check(sf_dir: str) -> pa.Table:
     return _sorted_table(ds.map_batches(check, batch_format="pyarrow"), ["event_id"])
 
 
-def q_stats_lineitem(sf_dir: str) -> pa.Table:
-    """Per-column streaming sketch stats (the ColumnSketcher stage) — the
-    exact components (count, nulls, min, max, integer-cent sum) are
-    oracle-checkable; HLL/quantiles are approximate and reported elsewhere."""
-    import pickle
-
-    from ..engine.sketches import ColumnSketcher, merge_partials
-
-    cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    ds = _read(sf_dir, "lineitem", cols)
-    partials = ds.map_batches(
-        ColumnSketcher, batch_format="pyarrow",
-        fn_constructor_args=(cols,), concurrency=2,
-    ).take_all()
-    merged = merge_partials(partials)
+def _sketch_stats_table(merged: dict) -> pa.Table:
     names = sorted(merged)
     return pa.table({
         "col_name": pa.array(names, pa.string()),
@@ -516,6 +502,150 @@ def q_stats_lineitem(sf_dir: str) -> pa.Table:
         "max_v": pa.array([round(merged[c].max, 6) for c in names], pa.float64()),
         "sum_cents": pa.array([int(round(merged[c].sum * 100)) for c in names], pa.int64()),
     })
+
+
+def q_stats_lineitem(sf_dir: str) -> pa.Table:
+    """Per-column streaming sketch stats (the ColumnSketcher stage) — the
+    exact components (count, nulls, min, max, integer-cent sum) are
+    oracle-checkable; HLL/quantiles are approximate and reported elsewhere."""
+    from ..engine.sketches import ColumnSketcher, merge_partials
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", cols)
+    partials = ds.map_batches(
+        ColumnSketcher, batch_format="pyarrow",
+        fn_constructor_args=(cols,), concurrency=2,
+    ).take_all()
+    return _sketch_stats_table(merge_partials(partials))
+
+
+# --------------------------------------------------------------------------
+# Incremental column stats: persisted mergeable sketch state
+# --------------------------------------------------------------------------
+#
+# The stats sibling of the incremental dedup index: sketches are
+# MERGEABLE, so the corpus's column stats live as a persisted state the
+# nightly batch UPDATES without rescanning anything — base + each
+# committed update is one tiny (column, state) parquet; reads merge them
+# deterministically (merge_partials sorts, so arrival order never
+# changes the bytes).  Updates commit through the manifest (atomic
+# tmp+rename, idempotent tags, crashed update invisible) — the same
+# contract the dedup index pins with tests.
+
+def _stats_state_manifest(state_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(state_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def _write_stats_manifest(state_dir: str, manifest: dict) -> None:
+    import json
+
+    tmp = os.path.join(state_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(state_dir, "manifest.json"))
+
+
+def _sketch_partials(ds, cols: list[str]) -> pa.Table:
+    import pickle
+
+    from ..engine.sketches import ColumnSketcher, merge_partials
+
+    partials = ds.map_batches(
+        ColumnSketcher, batch_format="pyarrow",
+        fn_constructor_args=(cols,), concurrency=2,
+    ).take_all()
+    merged = merge_partials(partials)
+    names = sorted(merged)
+    return pa.table({
+        "column": pa.array(names, pa.string()),
+        "state": pa.array([pickle.dumps(merged[c]) for c in names],
+                          pa.binary()),
+    })
+
+
+def stats_state_build(ds, cols: list[str], state_dir: str) -> dict:
+    """One scan → persisted merged sketch state under ``state_dir/base``
+    (atomic tmp-build + rename)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tmp_dir = state_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(_sketch_partials(ds, cols),
+                   os.path.join(tmp_dir, "base.parquet"))
+    manifest = {"cols": sorted(cols), "updates": []}
+    _write_stats_manifest(tmp_dir, manifest)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.rename(tmp_dir, state_dir)
+    return manifest
+
+
+def stats_state_update(ds, state_dir: str, tag: str) -> dict:
+    """Fold a new batch into the persisted stats WITHOUT rescanning the
+    corpus: one scan of the batch → one (column, state) file committed
+    under the tag.  Idempotent: a committed tag is a no-op."""
+    import pyarrow.parquet as pq
+
+    manifest = _stats_state_manifest(state_dir)
+    if tag in manifest["updates"]:
+        return manifest
+    part = _sketch_partials(ds, manifest["cols"])
+    path = os.path.join(state_dir, f"update-{tag}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(part, tmp)
+    os.replace(tmp, path)
+    manifest["updates"].append(tag)
+    _write_stats_manifest(state_dir, manifest)
+    return manifest
+
+
+def stats_state_read(state_dir: str) -> pa.Table:
+    """Merged stats over base + every COMMITTED update (uncommitted files
+    are invisible); deterministic regardless of update order."""
+    import pyarrow.parquet as pq
+
+    from ..engine.sketches import merge_partials
+
+    manifest = _stats_state_manifest(state_dir)
+    files = [os.path.join(state_dir, "base.parquet")]
+    files += [os.path.join(state_dir, f"update-{tag}.parquet")
+              for tag in manifest["updates"]]
+    rows = []
+    for f in files:
+        rows.extend(pq.read_table(f).to_pylist())
+    return _sketch_stats_table(merge_partials(rows))
+
+
+def q_stats_incremental_lineitem(sf_dir: str) -> pa.Table:
+    """Incremental == batch, driver-checked: build the persisted stats
+    state over EVEN l_orderkey rows, fold the odd rows in as an update,
+    read the merged state — the result must equal full-table SQL stats
+    exactly (same components as stats_lineitem, never rescanning the
+    'corpus' half)."""
+    import hashlib
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"] + cols)
+
+    def half(parity: int):
+        def go(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["l_orderkey"], 1), parity)
+            return t.filter(keep).select(cols)
+        return go
+
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    state_dir = os.path.join("/tmp", "yaschva_stats_state", tag)
+    if not os.path.exists(os.path.join(state_dir, "manifest.json")):
+        stats_state_build(ds.map_batches(half(0), batch_format="pyarrow"),
+                          cols, state_dir)
+    stats_state_update(ds.map_batches(half(1), batch_format="pyarrow"),
+                       state_dir, "odd")
+    return stats_state_read(state_dir)
 
 
 def metadata_stats(paths: list[str] | str, columns: list[str]) -> pa.Table:
