@@ -858,6 +858,9 @@ def q_snapshot_diff_documents(sf_dir: str) -> pa.Table:
     out = table_diff(docs, docs.map_batches(evolve, batch_format="pyarrow"),
                      "doc_id")
     return pa.table({"doc_id": out["key"], "change": out["change"]})
+
+
+def _footer_profile(paths: list[str] | str) -> pa.Table:
     """Per-column (type, n_rows, n_nulls) from parquet FOOTERS only —
     distributed one task group per file batch, tiny pre-combined
     partials.  Null counts fall back to -1 (unknown) when a footer lacks
