@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # schema drift vs an evolved snapshot, footers only (added /
         # removed / type_changed) — the nightly first check at 100 TB
         "schema_drift_documents": ops.q_schema_drift_documents,
+        # SHUFFLE-FREE merge join over two sorted exports sharing
+        # cutpoints (pick one partitioning, reuse it across stages)
+        "sorted_merge_join": ops.q_sorted_merge_join,
         # persisted mergeable sketch state: incremental == batch invariant
         # (build on evens, fold odds in, equals full-table SQL stats)
         "stats_incremental_lineitem": ops.q_stats_incremental_lineitem,
@@ -1402,6 +1405,12 @@ def oracle_sql() -> dict[str, str]:
                OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) < 0
                OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) IS NULL
             ORDER BY event_id
+        """,
+        # cutpoints never change the join result — plain SQL join mirror
+        "sorted_merge_join": """
+            SELECT o_orderkey, o_totalprice, l_quantity
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ORDER BY o_orderkey, o_totalprice, l_quantity
         """,
         # incremental==batch: the merged persisted state must equal
         # the SAME full-table stats the scan-based query mirrors

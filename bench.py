@@ -120,6 +120,9 @@ def bench_queries(sf_dir: str) -> dict:
         # diff, incremental stats state (warm after first iteration)
         "schema_drift_documents", "snapshot_diff_documents",
         "stats_incremental_lineitem",
+        # shuffle-free merge join (includes both sorted exports each
+        # iteration — the honest end-to-end cost)
+        "sorted_merge_join",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -348,3 +348,30 @@ def test_stats_state_lifecycle(ray_session, tmp_path):
     assert got.equals(stats_state_read(union))
     assert got.to_pydict()["n_rows"] == [5]
     assert got.to_pydict()["min_v"] == [-5.0]
+
+
+def test_merge_join_sorted_cutpoint_guard_and_parity(ray_session, tmp_path):
+    """Mismatched cutpoints must raise (mis-aligned files would silently
+    lose matches); aligned exports must join exactly like a plain join."""
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import merge_join_sorted, sorted_export
+
+    a = pa.table({"ka": pa.array(list(range(100)), pa.int64()),
+                  "va": pa.array(np.arange(100) * 2, pa.int64())})
+    b = pa.table({"kb": pa.array([5, 5, 50, 99, 120], pa.int64()),
+                  "vb": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    cuts = np.array([30, 60], dtype=np.int64)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    sorted_export(ray.data.from_arrow(a).repartition(3), "ka", da, cuts)
+    sorted_export(ray.data.from_arrow(b), "kb", db, cuts)
+    out = merge_join_sorted(da, db)
+    got = sorted(zip(out["ka"].to_pylist(), out["vb"].to_pylist()))
+    assert got == [(5, 1), (5, 2), (50, 3), (99, 4)]
+
+    db2 = str(tmp_path / "b2")
+    sorted_export(ray.data.from_arrow(b), "kb", db2,
+                  np.array([40], dtype=np.int64))
+    with pytest.raises(ValueError, match="DIFFERENT cutpoints"):
+        merge_join_sorted(da, db2)

@@ -1893,8 +1893,10 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
         range_exchange(ds, key, cutpoints, write_range,
                        empty_result=empty_t)).combine_chunks()
     tmp = os.path.join(out_dir, "manifest.json.tmp")
+    cuts = [str(c) for c in np.asarray(cutpoints).tolist()]
     with open(tmp, "w") as f:
-        json.dump({"key": key, "ranges": manifest.to_pylist()}, f)
+        json.dump({"key": key, "cutpoints": cuts,
+                   "ranges": manifest.to_pylist()}, f)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     return manifest
 
@@ -1939,6 +1941,108 @@ def lookup_sorted(out_dir: str, values) -> pa.Table:
     if not parts:
         return pa.table({})
     return pa.concat_tables(parts).combine_chunks()
+
+
+def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner") -> pa.Table:
+    """SHUFFLE-FREE join of two ``sorted_export`` directories that share
+    cutpoints: equal keys provably live in the same range id on both
+    sides (searchsorted is a pure function of the value), so the join is
+    one task per range pair reading two parts — no exchange, no network
+    beyond the reads.  The lakehouse pattern: pick ONE partitioning and
+    reuse it across stages; the manifests carry the cutpoints, and a
+    mismatch raises instead of silently joining mis-aligned files.
+    Non-key column names must be disjoint."""
+    import json
+
+    import ray
+
+    def load(d):
+        with open(os.path.join(d, "manifest.json")) as f:
+            return json.load(f)
+
+    ma, mb = load(dir_a), load(dir_b)
+    if ma["cutpoints"] != mb["cutpoints"]:
+        raise ValueError(
+            "merge_join_sorted: the two exports were partitioned with "
+            "DIFFERENT cutpoints — equal keys are not co-located; "
+            "re-export one side with the other's cutpoints")
+    ranges_a = {r["range_id"]: r for r in ma["ranges"]}
+    ranges_b = {r["range_id"]: r for r in mb["ranges"]}
+
+    @ray.remote
+    def join_range(pa_path: str | None, pb_path: str | None,
+                   key_a: str, key_b: str, how_: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        if pa_path is None or pb_path is None:
+            return pa.table({})
+        ta = pq.read_table(pa_path)
+        tb = pq.read_table(pb_path)
+        shared = (set(ta.column_names) - {key_a}) & \
+            (set(tb.column_names) - {key_b})
+        if shared:
+            raise ValueError(
+                f"merge_join_sorted requires disjoint non-key column "
+                f"names; shared: {sorted(shared)}")
+        if not ta.num_rows or not tb.num_rows:
+            return pa.table({})
+        return ta.join(tb, keys=[key_a], right_keys=[key_b],
+                       join_type=how_)
+
+    refs = [join_range.remote(
+        ranges_a.get(i, {}).get("path"), ranges_b.get(i, {}).get("path"),
+        ma["key"], mb["key"], how)
+        for i in sorted(set(ranges_a) | set(ranges_b))]
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default") \
+        .combine_chunks()
+
+
+def q_sorted_merge_join(sf_dir: str, n_ranges: int = 6,
+                        sample_mod: int = 17) -> pa.Table:
+    """orders ⋈ lineitem with ZERO shuffle at join time: both tables are
+    range-exported sorted by orderkey with the SAME cutpoints (sampled
+    once from orders), then each range pair joins locally — the
+    partitioning is picked once and reused across stages.  Cutpoints
+    never change the result, so the oracle is the plain SQL join."""
+    import hashlib
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def key_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"k": t["o_orderkey"].filter(
+            pa.array(ids % sample_mod == 0))})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["k"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(orders.map_batches(key_sample,
+                                                  batch_format="pyarrow"))
+        if t.num_rows] or [np.empty(0, np.int64)]))
+    cutpoints = (np.array([sv[((i + 1) * len(sv)) // n_ranges]
+                           for i in range(n_ranges - 1)])
+                 if len(sv) >= n_ranges else np.empty(0, np.int64))
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join("/tmp", "yaschva_sorted_join", tag)
+    dir_o = os.path.join(root, "orders")
+    dir_l = os.path.join(root, "lineitem")
+    sorted_export(orders, "o_orderkey", dir_o, cutpoints)
+    sorted_export(items, "l_orderkey", dir_l, cutpoints)
+    out = merge_join_sorted(dir_o, dir_l)
+    if not out.num_rows:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_totalprice": pa.array([], pa.float64()),
+                         "l_quantity": pa.array([], pa.float64())})
+    return out.select(["o_orderkey", "o_totalprice", "l_quantity"]) \
+        .sort_by([("o_orderkey", "ascending"),
+                  ("o_totalprice", "ascending"),
+                  ("l_quantity", "ascending")])
 
 
 def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
