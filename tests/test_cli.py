@@ -355,3 +355,45 @@ def test_cli_ingest_incremental_and_resume(tmp_path):
     assert r3.returncode == 0, r3.stderr
     dups2 = pq.read_table(str(out / "t2" / "duplicates.parquet"))
     assert dups2.to_pydict() == {"doc_id": [20], "dup_of": [11]}
+
+
+def test_cli_sort_and_diff(tmp_path):
+    """sort: globally ordered parts + manifest; diff: reconciliation
+    report between two snapshots."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(9)
+    a = pa.table({"id": pa.array(list(range(300)), pa.int64()),
+                  "v": pa.array(rng.randn(300).round(3), pa.float64())})
+    src = tmp_path / "a.parquet"
+    pq.write_table(a, src)
+
+    out = tmp_path / "sorted"
+    r = run_cli("sort", "--input", str(src), "--key", "v",
+                "--out", str(out), "--ranges", "4", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads([l for l in r.stdout.strip().split("\n")
+                      if l.startswith("{")][-1])
+    assert rep["n_rows"] == 300 and rep["n_ranges"] == 4
+    m = json.load(open(out / "manifest.json"))
+    got = pa.concat_tables([pq.read_table(x["path"]) for x in
+                            sorted(m["ranges"],
+                                   key=lambda x: x["range_id"])])
+    vv = got["v"].to_pylist()
+    assert vv == sorted(vv) and sorted(got["id"].to_pylist()) == list(range(300))
+
+    b = a.filter(pa.array([i % 7 != 0 for i in range(300)]))
+    bsrc = tmp_path / "b.parquet"
+    pq.write_table(b, bsrc)
+    dout = tmp_path / "diff.parquet"
+    r2 = run_cli("diff", "--a", str(src), "--b", str(bsrc), "--key", "id",
+                 "--out", str(dout), "--num-cpus", "2")
+    assert r2.returncode == 0, r2.stderr
+    rep2 = json.loads([l for l in r2.stdout.strip().split("\n")
+                       if l.startswith("{")][-1])
+    assert rep2 == {"n_rows": 43, "added": 0, "removed": 43,
+                    "modified": 0, "out": str(dout)}

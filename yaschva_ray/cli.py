@@ -299,6 +299,99 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_sort(args: argparse.Namespace) -> int:
+    """Globally sorted export: equi-depth cutpoints from an id-keyed
+    systematic sample, range exchange, one sorted parquet part per range
+    + lineage manifest (see pipelines.ops.sorted_export)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        import ray.data
+
+        from .engine.blocks import gather_tables
+        from .pipelines.ops import sorted_export
+
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"error: no input files match {args.input!r}",
+                  file=sys.stderr)
+            return 2
+        ds = ray.data.read_parquet(files)
+        key = args.key
+
+        def sample(t):
+            if key not in t.column_names or not t.num_rows:
+                return t.select([])
+            n = max(1, t.num_rows // max(1, args.sample_per_block))
+            import pyarrow as pa
+            return pa.table({key: t[key].take(
+                pa.array(list(range(0, t.num_rows, n))))})
+
+        sv = np.sort(np.concatenate(
+            [t[key].to_numpy(zero_copy_only=False)
+             for t in gather_tables(ds.map_batches(
+                 sample, batch_format="pyarrow"))
+             if t.num_rows and key in t.column_names] or [np.empty(0)]))
+        b = args.ranges
+        cutpoints = (np.array([sv[((i + 1) * len(sv)) // b]
+                               for i in range(b - 1)])
+                     if len(sv) >= b else np.empty(0, sv.dtype))
+        manifest = sorted_export(ds, key, args.out, cutpoints)
+        print(json.dumps({"key": key, "n_ranges": manifest.num_rows,
+                          "n_rows": int(pc.sum(manifest["n_rows"]).as_py()),
+                          "out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def _cmd_diff(args: argparse.Namespace) -> int:
+    """Row-level snapshot diff by key (added/removed/modified) — the
+    migration reconciliation check (pipelines.ops.table_diff)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from .pipelines.ops import table_diff
+
+        fa = sorted(glob.glob(args.a))
+        fb = sorted(glob.glob(args.b))
+        if not fa or not fb:
+            print("error: empty input glob", file=sys.stderr)
+            return 2
+        out = table_diff(ray.data.read_parquet(fa),
+                         ray.data.read_parquet(fb), args.key)
+        pq.write_table(out, args.out)
+        counts = {c: 0 for c in ("added", "removed", "modified")}
+        for c in out["change"].to_pylist():
+            counts[c] += 1
+        print(json.dumps({"n_rows": out.num_rows, **counts,
+                          "out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_curate(args: argparse.Namespace) -> int:
     """Resumable end-to-end corpus curation (the north-rule pipeline
     shape): phase A runs the fused clean+decontaminate stage PER SHARD
@@ -566,6 +659,25 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--buckets", type=int, default=16)
     ix.add_argument("--num-cpus", type=int, default=8)
 
+    so = sub.add_parser("sort", help="globally sorted export (range "
+                                     "exchange, one part per range + "
+                                     "lineage manifest)")
+    so.add_argument("--input", required=True, help="parquet glob")
+    so.add_argument("--key", required=True)
+    so.add_argument("--out", required=True, help="output directory")
+    so.add_argument("--ranges", type=int, default=16)
+    so.add_argument("--sample-per-block", type=int, default=64,
+                    help="cutpoint sample values taken per input block")
+    so.add_argument("--num-cpus", type=int, default=8)
+
+    df = sub.add_parser("diff", help="row-level snapshot diff by key "
+                                     "(added/removed/modified)")
+    df.add_argument("--a", required=True, help="snapshot A parquet glob")
+    df.add_argument("--b", required=True, help="snapshot B parquet glob")
+    df.add_argument("--key", required=True)
+    df.add_argument("--out", required=True, help="output parquet file")
+    df.add_argument("--num-cpus", type=int, default=8)
+
     v = sub.add_parser("validate", help="run the full table-validation pipeline")
     v.add_argument("--schema", required=True)
     v.add_argument("--input", required=True, help="parquet glob")
@@ -589,6 +701,10 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_dedup(args)
     if args.cmd == "ingest":
         return _cmd_ingest(args)
+    if args.cmd == "sort":
+        return _cmd_sort(args)
+    if args.cmd == "diff":
+        return _cmd_diff(args)
     if args.cmd == "curate":
         return _cmd_curate(args)
     if args.cmd == "vocab":
