@@ -375,3 +375,41 @@ def test_merge_join_sorted_cutpoint_guard_and_parity(ray_session, tmp_path):
                   np.array([40], dtype=np.int64))
     with pytest.raises(ValueError, match="DIFFERENT cutpoints"):
         merge_join_sorted(da, db2)
+
+
+def test_compact_sorted_preserves_order_and_lookup(ray_session, tmp_path):
+    """Adjacent-range compaction must keep global order, manifest
+    recounts, and manifest-pruned lookups working; cutpoints coarsen to
+    group boundaries."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (
+        compact_sorted, lookup_sorted, sorted_export)
+
+    vals = np.arange(2000, dtype=np.float64)
+    t = pa.table({"id": pa.array(list(range(2000)), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    cuts = np.array([250.0, 500.0, 1000.0, 1500.0, 1750.0])
+    out = str(tmp_path / "sorted")
+    sorted_export(ray.data.from_arrow(t).repartition(4), "v", out, cuts)
+
+    manifest = compact_sorted(out, target_bytes=12_000)
+    assert 1 < manifest.num_rows < 6  # actually merged something
+    m = json.load(open(f"{out}/manifest.json"))
+    assert len(m["cutpoints"]) == manifest.num_rows - 1
+    got = pa.concat_tables([pq.read_table(r["path"]) for r in
+                            sorted(m["ranges"],
+                                   key=lambda r: r["range_id"])])
+    assert got["v"].to_pylist() == sorted(vals.tolist())  # global order
+    assert got.num_rows == 2000
+    # lookups still prune correctly through the rewritten manifest
+    hit = lookup_sorted(out, [1234.0])
+    assert hit["id"].to_pylist() == [1234]
+    # boundaries stay monotone
+    rs = sorted(m["ranges"], key=lambda r: r["range_id"])
+    for a, b in zip(rs, rs[1:]):
+        assert a["max_v"] <= b["min_v"]

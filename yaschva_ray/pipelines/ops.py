@@ -1943,6 +1943,92 @@ def lookup_sorted(out_dir: str, values) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks()
 
 
+def compact_sorted(out_dir: str, target_bytes: int = 128 << 20) -> pa.Table:
+    """Order-PRESERVING compaction of a ``sorted_export`` directory: merge
+    ADJACENT small ranges toward ``target_bytes`` — concatenating parts in
+    range order is already globally sorted, so no re-sort, no exchange.
+    The sorted-table small-files maintenance op: lookups and merge joins
+    keep working through the rewritten manifest (whose cutpoints coarsen
+    to the kept group boundaries — joining against an export partitioned
+    with the ORIGINAL cutpoints now raises, as it must).  New parts write
+    first, the manifest commits atomically, THEN old parts are removed —
+    a crash in between leaves only unreferenced files."""
+    import json
+
+    import ray
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    ranges = sorted(m["ranges"], key=lambda r: r["range_id"])
+    groups, cur, size = [], [], 0
+    for r in ranges:
+        fsize = os.path.getsize(r["path"]) if os.path.exists(r["path"]) else 0
+        if cur and size + fsize > target_bytes:
+            groups.append(cur)
+            cur, size = [], 0
+        cur.append(r)
+        size += fsize
+    if cur:
+        groups.append(cur)
+
+    @ray.remote
+    def merge_group(gid: int, paths: list[str], out: str) -> dict:
+        import pyarrow.parquet as pq
+
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        t = pa.concat_tables([pq.read_table(p) for p in paths]) \
+            .combine_chunks()
+        tmp = out + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, out)
+        return {"range_id": gid, "n_rows": t.num_rows, "path": out}
+
+    key = m["key"]
+    refs, new_ranges = [], []
+    for gid, grp in enumerate(groups):
+        out = os.path.join(out_dir, f"compact-{gid:05d}.parquet")
+        refs.append(merge_group.remote(gid, [r["path"] for r in grp], out))
+        mins = [r["min_v"] for r in grp if r["min_v"] is not None]
+        new_ranges.append({
+            "range_id": gid,
+            "n_rows": sum(r["n_rows"] for r in grp),
+            "n_nulls": sum(r["n_nulls"] for r in grp),
+            "min_v": min(mins) if mins else None,
+            "max_v": max(r["max_v"] for r in grp
+                         if r["max_v"] is not None) if mins else None,
+            "path": out,
+        })
+    written = ray.get(refs)
+    for w, nr in zip(written, new_ranges):
+        if w["n_rows"] != nr["n_rows"]:  # lineage recount, not trust
+            raise RuntimeError(
+                f"compact_sorted: group {w['range_id']} wrote "
+                f"{w['n_rows']} rows, manifest expected {nr['n_rows']}")
+    # cutpoints coarsen to the kept group boundaries (the cut AFTER each
+    # group's last range), so range assignment stays a pure function
+    old_cuts = m["cutpoints"]
+    new_cuts = []
+    last = -1
+    for grp in groups[:-1]:
+        last = grp[-1]["range_id"]
+        new_cuts.append(old_cuts[last])
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "cutpoints": new_cuts,
+                   "ranges": new_ranges}, f)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    for r in ranges:  # old parts now unreferenced
+        try:
+            os.remove(r["path"])
+        except OSError:
+            pass
+    import pandas as pd  # noqa: F401
+
+    return pa.Table.from_pylist(new_ranges)
+
+
 def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner") -> pa.Table:
     """SHUFFLE-FREE join of two ``sorted_export`` directories that share
     cutpoints: equal keys provably live in the same range id on both
