@@ -335,6 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text) — oracle-backed via planted copies; the dedup family
         # stays sweep-visible through dedup_exact_documents
         "dedup_incremental": textops.q_dedup_incremental,
+        # incremental NEAR-dup against the persisted LSH band index
+        # (the near-dup sibling of dedup_incremental: 256 B/doc of band
+        # keys instead of rescanning corpus text)
+        "neardup_incremental": textops.q_neardup_incremental,
         # exact stats from parquet FOOTERS only (zero data pages read —
         # prune-at-read applied to the stats check itself); the scan-based
         # stats family stays sweep-visible through stats_lineitem
@@ -672,6 +676,48 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
                 FROM documents
             ) WHERE rn > 1 ORDER BY doc_id
+        """,
+        # incremental near-dup: cross-split version of the
+        # minhash_verified_pairs CTE (same shingle dialect, same integer
+        # rationals, same planted-copy recall-1.0 argument)
+        "neardup_incremental": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            ), newb AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text FROM documents
+                WHERE doc_id % 2 = 0 AND doc_id < 16
+            ), shc AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct(list_transform(
+                                   range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+') AS t
+                      FROM corpus)
+            ), shn AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct(list_transform(
+                                   range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+') AS t
+                      FROM newb)
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+                       CAST(len(a.s) + len(b.s)
+                            - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+                FROM shc a JOIN shn b ON true
+            )
+            SELECT doc_a, doc_b, n_inter, n_union FROM pairs
+            WHERE 2 * n_inter >= n_union
+            ORDER BY doc_a, doc_b
         """,
         # incremental dedup: NEW batch (odd ids + planted copies of the
         # first 16 even non-null docs) vs the INDEXED corpus (even ids);

@@ -147,10 +147,10 @@ def bench_queries(sf_dir: str) -> dict:
         # (includes the one-time index build on first run; best-of-2
         # reports the warm search)
         "keyword_search", "approx_top_tokens",
-        # round-4 late addition: incremental dedup vs the persisted hash
-        # index (first run pays the one-time build; best-of-2 reports the
-        # warm incremental path — the 100 TB operating mode)
-        "dedup_incremental",
+        # round-4 late addition: incremental dedup / near-dup vs the
+        # persisted indexes (first run pays the one-time build; best-of-2
+        # reports the warm incremental path — the 100 TB operating mode)
+        "dedup_incremental", "neardup_incremental",
     ]
     bpe_names = ["bpe_merges"]
     out = {}

@@ -1211,3 +1211,97 @@ def test_dedup_against_index_new_paths_parity(ray_session, tmp_path):
                                    corpus_path, new_paths=batch_path)
     assert via_text.equals(via_hash)
     assert via_text.to_pydict() == {"doc_id": [100, 102], "dup_of": [3, 0]}
+
+
+def test_dedup_incremental_collision_sharing_verify_bucket(ray_session,
+                                                           tmp_path):
+    """Regression: the text-verify join defaulted to pyarrow's LEFT OUTER,
+    so a hash-collision candidate whose text shares a verify BUCKET with a
+    real old text emitted dup_of=null.  Deterministically pick a decoy
+    text that co-buckets with 'alpha' under the default 16-way exchange."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.engine.sketches import _hash64
+    from yaschva_ray.pipelines.textops import (
+        _routing_fingerprint, dedup_against_index)
+
+    target = int(_hash64(pa.array(["alpha"]))[0] % np.uint64(16))
+    decoy = next(f"decoy {i}" for i in range(1000)
+                 if int(_hash64(pa.array([f"decoy {i}"]))[0]
+                        % np.uint64(16)) == target)
+
+    corpus = pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "text": ["alpha"]})
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus, corpus_path)
+    h = _hash64(pa.array(["alpha", decoy])).astype(np.int64)
+    idx = tmp_path / "idx"
+    shard = idx / "base" / "shard=0"
+    shard.mkdir(parents=True)
+    pq.write_table(pa.table({"h": pa.array(h, pa.int64()),
+                             "doc_id": pa.array([0, 0], pa.int64())}),
+                   str(shard / "part-0.parquet"))
+    (idx / "manifest.json").write_text(json.dumps(
+        {"num_shards": 1, "updates": [], "routing": _routing_fingerprint()}))
+
+    newb = pa.table({"doc_id": pa.array([50, 51], pa.int64()),
+                     "text": ["alpha", decoy]})
+    out = dedup_against_index(ray.data.from_arrow(newb), str(idx),
+                              corpus_path)
+    # the decoy must vanish entirely — not surface with a null dup_of
+    assert out.to_pydict() == {"doc_id": [50], "dup_of": [0]}
+    assert out["dup_of"].null_count == 0
+
+
+def test_neardup_index_incremental_lifecycle(ray_session, tmp_path):
+    """Build the LSH band index, near-dup batch 1 against it (one-word
+    edit found, unrelated text not), commit the update, then batch 2 must
+    match batch 1's text THROUGH the update."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (
+        neardup_against_index, neardup_index_build, neardup_index_update)
+
+    base = ("spark data table row column filter join group sort merge "
+            "select where order limit offset union except intersect "
+            "scan").split()
+    rng = np.random.RandomState(3)
+    texts = [" ".join(base[rng.randint(len(base))] for _ in range(40))
+             for _ in range(30)]
+    corpus = pa.table({"doc_id": pa.array(list(range(30)), pa.int64()),
+                       "text": texts})
+    cp = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus, cp)
+    idx = str(tmp_path / "idx")
+    m = neardup_index_build(ray.data.from_arrow(corpus).repartition(3),
+                            idx, num_shards=4)
+    assert m["updates"] == []
+
+    edited = texts[5].split()
+    edited[3] = "changedword"
+    b1 = pa.table({"doc_id": pa.array([100, 101], pa.int64()),
+                   "text": [" ".join(edited),
+                            "entirely different unrelated words here "
+                            "nothing shared with the corpus at all ok"]})
+    b1p = str(tmp_path / "b1.parquet")
+    pq.write_table(b1, b1p)
+    out = neardup_against_index(ray.data.from_arrow(b1), idx, cp,
+                                threshold=0.5, new_paths=b1p)
+    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    assert (5, 100) in pairs
+    assert all(b != 101 for _, b in pairs)
+
+    neardup_index_update(ray.data.from_arrow(b1), idx, "b1")
+    assert neardup_index_update(ray.data.from_arrow(b1), idx,
+                                "b1")["updates"] == ["b1"]
+
+    b2 = pa.table({"doc_id": pa.array([200], pa.int64()),
+                   "text": [b1["text"][1].as_py()]})  # copy of 101
+    out2 = neardup_against_index(ray.data.from_arrow(b2), idx,
+                                 [cp, b1p], threshold=0.5)
+    pairs2 = set(zip(out2["doc_a"].to_pylist(), out2["doc_b"].to_pylist()))
+    assert (101, 200) in pairs2

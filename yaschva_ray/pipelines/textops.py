@@ -443,7 +443,11 @@ def dedup_against_index(new_ds, index_dir: str,
             return _DEDUP_INDEX_EMPTY
         om = (old.select(["text", "doc_id"]).group_by("text")
               .aggregate([("doc_id", "min")]))
-        j = new.select(["doc_id", "text"]).join(om, keys=["text"])
+        # pyarrow Table.join DEFAULTS to left outer: a candidate new text
+        # with no same-text old row IN THIS BUCKET (a hash collision that
+        # text-verify must drop) would emit dup_of=null — inner join
+        j = new.select(["doc_id", "text"]).join(om, keys=["text"],
+                                                join_type="inner")
         return pa.table({"doc_id": j["doc_id"].cast(pa.int64()),
                          "dup_of": j["doc_id_min"].cast(pa.int64())})
 
@@ -521,6 +525,233 @@ def q_dedup_incremental(sf_dir: str, n_plant: int = 16,
     return dedup_against_index(
         docs.map_batches(news, batch_format="pyarrow"),
         index_dir, corpus_path)
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup against a persisted LSH band index
+# --------------------------------------------------------------------------
+#
+# The near-dup sibling of the exact-dedup index: the corpus persists its
+# MinHash LSH band keys — (band_key, doc_id), 16 rows × 16 bytes per doc,
+# ~0.03% of the text — hive-partitioned by the exchange's own routing.
+# A new batch is banded, each reduce task joins its shard's band keys,
+# and the candidate pairs flow through the SAME distributed text-verify
+# co-group the all-pairs flow uses (verify_candidate_pairs) with both
+# texts fetched by doc_id-pruned reads.  Same manifest contract as the
+# exact index (atomic commits, idempotent tags, routing fingerprint).
+
+_NEARDUP_CAND_EMPTY = pa.table({
+    "doc_a": pa.array([], pa.int64()),
+    "doc_b": pa.array([], pa.int64()),
+})
+_NEARDUP_VERIFIED_EMPTY = pa.table({
+    "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+    "n_inter": pa.array([], pa.int64()), "n_union": pa.array([], pa.int64()),
+    "jaccard": pa.array([], pa.float64())})
+
+
+def _band_rows(t: pa.Table) -> pa.Table:
+    if "text" not in t.column_names:  # schema-less empty block
+        return pa.table({"bk": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+    return MinHasher()(t).select(["bk", "doc_id"])
+
+
+def neardup_index_build(corpus_ds, index_dir: str, *,
+                        num_shards: int = 16) -> dict:
+    """One corpus scan → persisted LSH band index under
+    ``index_dir/base`` (atomic tmp-build + rename; manifest carries the
+    routing fingerprint like the exact-dedup index)."""
+    import shutil
+
+    def assign(t: pa.Table) -> pa.Table:
+        rows = _band_rows(t)
+        return rows.append_column("shard", _shard_col(rows["bk"],
+                                                      num_shards))
+
+    tmp_dir = index_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(os.path.join(tmp_dir, "base"), exist_ok=True)
+    corpus_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp_dir, "base"), partition_cols=["shard"])
+    manifest = {"num_shards": num_shards, "updates": [],
+                "routing": _routing_fingerprint()}
+    _write_dedup_manifest(tmp_dir, manifest)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
+    return manifest
+
+
+def neardup_index_update(new_ds, index_dir: str, tag: str) -> dict:
+    """Append the batch's band rows under ``updates/<tag>/`` and COMMIT
+    the tag (idempotent; crashed attempts invisible)."""
+    import shutil
+
+    manifest = _dedup_index_manifest(index_dir)
+    if tag in manifest["updates"]:
+        return manifest
+    num_shards = manifest["num_shards"]
+
+    def assign(t: pa.Table) -> pa.Table:
+        rows = _band_rows(t)
+        return rows.append_column("shard", _shard_col(rows["bk"],
+                                                      num_shards))
+
+    upd_dir = os.path.join(index_dir, "updates", tag)
+    tmp_dir = upd_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    new_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["shard"])
+    shutil.rmtree(upd_dir, ignore_errors=True)
+    os.rename(tmp_dir, upd_dir)
+    manifest["updates"].append(tag)
+    _write_dedup_manifest(index_dir, manifest)
+    return manifest
+
+
+def neardup_candidates_against_index(new_ds, index_dir: str, *,
+                                     max_group_old: int = _MAX_BUCKET_ROWS,
+                                     max_candidates: int = 5_000_000) -> pa.Table:
+    """Candidate (corpus doc_a, new doc_b) pairs from the band index: the
+    batch is banded, each reduce task Arrow-joins its shard's persisted
+    band keys — only (bk, doc_id) ever moves.  A band whose CORPUS side
+    exceeds ``max_group_old`` rows is degenerate (empty/boilerplate
+    shingles): it contributes only its minimum doc_id as a hub, logged —
+    linear instead of quadratic, same policy as the all-pairs caps."""
+    from ..engine.exchange import keyed_exchange
+
+    manifest = _dedup_index_manifest(index_dir)
+    num_shards = manifest["num_shards"]
+    banded = new_ds.map_batches(_band_rows, batch_format="pyarrow")
+
+    def check_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        bkarr = t["bk"]
+        if isinstance(bkarr, pa.ChunkedArray):
+            bkarr = bkarr.combine_chunks()
+        shard = int(_hash64(bkarr.slice(0, 1))[0] % np.uint64(num_shards))
+        files = _index_shard_files(index_dir, shard, manifest)
+        if not files:
+            return _NEARDUP_CAND_EMPTY
+        idx = pa.concat_tables(
+            [pq.read_table(f, columns=["bk", "doc_id"]) for f in files])
+        idx = idx.rename_columns(["bk", "doc_a"])
+        g = idx.group_by("bk").aggregate([("doc_a", "min"),
+                                          ([], "count_all")])
+        hot = g.filter(pc.greater(g["count_all"], max_group_old))
+        if hot.num_rows:
+            _LOG.warning(
+                "neardup index: %d degenerate band(s) over %d corpus rows "
+                "— contributing hub (min doc_id) only", hot.num_rows,
+                max_group_old)
+            cold = idx.filter(pc.invert(pc.is_in(
+                idx["bk"].combine_chunks(),
+                value_set=hot["bk"].combine_chunks())))
+            hubs = pa.table({"bk": hot["bk"], "doc_a": hot["doc_a_min"]})
+            idx = pa.concat_tables([cold, hubs])
+        new = pa.table({"bk": t["bk"], "doc_b": t["doc_id"]})
+        # pyarrow Table.join DEFAULTS to left outer — unmatched new bands
+        # would emit null doc_a rows; this must be an inner join
+        j = new.join(idx, keys=["bk"], join_type="inner")
+        if not j.num_rows:
+            return _NEARDUP_CAND_EMPTY
+        return (j.select(["doc_a", "doc_b"])
+                .group_by(["doc_a", "doc_b"]).aggregate([]))
+
+    tables = keyed_exchange(banded, "bk", check_shard,
+                            num_buckets=num_shards)
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return _NEARDUP_CAND_EMPTY
+    cand = pa.concat_tables(tables).combine_chunks()
+    if cand.num_rows > max_candidates:
+        _LOG.warning(
+            "neardup index produced %d candidate pairs (> %d design "
+            "point) — verify stays exact, driver memory is the cost",
+            cand.num_rows, max_candidates)
+    return cand
+
+
+def neardup_against_index(new_ds, index_dir: str,
+                          corpus_paths: str | list[str], *,
+                          threshold: float = 0.5,
+                          new_paths: str | list[str] | None = None) -> pa.Table:
+    """New-batch docs near-duplicating an INDEXED corpus doc, text-verified
+    by exact n-gram Jaccard ≥ threshold through the shared distributed
+    co-group.  Corpus text is read only for candidate doc_ids
+    (predicate-pruned); with ``new_paths`` the batch text is too.
+    ``corpus_paths`` must cover every indexed doc_id's text (base corpus +
+    earlier tags' outputs)."""
+    import ray
+    import ray.data
+
+    cands = neardup_candidates_against_index(new_ds, index_dir)
+    if not cands.num_rows:
+        return _NEARDUP_VERIFIED_EMPTY
+
+    import pyarrow.dataset as pads
+
+    old_ids = pc.unique(cands["doc_a"].combine_chunks())
+    texts_old = ray.data.read_parquet(
+        corpus_paths, columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(old_ids.to_pylist()))
+    if new_paths is None:
+        texts_new = new_ds.map_batches(
+            lambda t: (t.select(["doc_id", "text"])
+                       if "text" in t.column_names else
+                       pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "text": pa.array([], pa.string())})),
+            batch_format="pyarrow")
+    else:
+        new_ids = pc.unique(cands["doc_b"].combine_chunks())
+        texts_new = ray.data.read_parquet(
+            new_paths, columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(new_ids.to_pylist()))
+    out = verify_candidate_pairs(ray.data.from_arrow(cands),
+                                 texts_old.union(texts_new),
+                                 threshold=threshold)
+    return out
+
+
+def q_neardup_incremental(sf_dir: str, threshold: float = 0.5,
+                          n_plant: int = 8,
+                          plant_offset: int = 10_000_000) -> pa.Table:
+    """Near-dup of a NEW batch (odd docs + planted exact copies of the
+    first ``n_plant`` even docs) against the INDEXED corpus (even docs) —
+    corpus text touched only for candidates.  Oracle-exact for the same
+    reason as minhash_verified_pairs: every qualifying cross pair in the
+    fixtures has Jaccard ≈ 1.0 (planted copies / empty-text doubles), and
+    16×4-band recall at j=1.0 is exactly 1.0."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    def news(t: pa.Table) -> pa.Table:
+        odd = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+        sel = t.filter(pc.and_(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0),
+            pc.less(t["doc_id"], 2 * n_plant)))
+        planted = pa.table({
+            "doc_id": pc.add(sel["doc_id"],
+                             pa.scalar(plant_offset, pa.int64())),
+            "text": sel["text"],
+        })
+        return pa.concat_tables([odd.select(["doc_id", "text"]), planted])
+
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "yaschva_neardup_idx", tag)
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        neardup_index_build(docs.map_batches(evens, batch_format="pyarrow"),
+                            index_dir)
+    out = neardup_against_index(
+        docs.map_batches(news, batch_format="pyarrow"), index_dir,
+        os.path.join(sf_dir, "documents.parquet"), threshold=threshold)
+    return out.select(["doc_a", "doc_b", "n_inter", "n_union"])
 
 
 # --------------------------------------------------------------------------
@@ -867,7 +1098,17 @@ def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
 def minhash_verified_pairs_from_ds(docs_ds, threshold: float = 0.5) -> pa.Table:
     """Candidates verified by exact n-gram Jaccard ≥ threshold — fully
     distributed co-group (no driver-side text lookup), both halves on the
-    raw-task exchange (engine/exchange.py):
+    raw-task exchange (engine/exchange.py).  ``docs_ds`` is branched twice
+    (signatures + text attach); each branch re-executes the upstream
+    read, same cost as two scans."""
+    return verify_candidate_pairs(minhash_candidates_from_ds(docs_ds),
+                                  docs_ds, threshold)
+
+
+def verify_candidate_pairs(cands, texts_ds, threshold: float = 0.5) -> pa.Table:
+    """Exact n-gram Jaccard verification of an ARBITRARY candidate-pair
+    Dataset (doc_a, doc_b) against a (doc_id, text) Dataset — shared by
+    the all-pairs LSH flow and the incremental index flow:
 
     1. each candidate pair emits two side rows keyed by its member doc_id,
     2. side rows union with the text corpus (keyed by doc_id); exchange 1
@@ -879,15 +1120,12 @@ def minhash_verified_pairs_from_ds(docs_ds, threshold: float = 0.5) -> pa.Table:
        inside the bucket, the mixed key only routes.
 
     Returns (doc_a, doc_b, n_inter, n_union, jaccard) — the integer
-    rationals alongside the float so SQL oracles compare exactly.
-    ``docs_ds`` is branched twice (signatures + text attach); each branch
-    re-executes the upstream read, same cost as two scans.
-    """
+    rationals alongside the float so SQL oracles compare exactly."""
     import ray.data
 
     from ..engine.exchange import keyed_exchange
 
-    cands = minhash_candidates_from_ds(docs_ds)
+    docs_ds = texts_ds
 
     def emit_sides(t: pa.Table) -> pa.Table:
         n = t.num_rows
