@@ -789,3 +789,44 @@ def test_global_asof_duplicate_right_ts_raises(ray_session):
                          ray.data.from_arrow(right),
                          left_ts="lts", right_ts="rts",
                          cutpoints=np.empty(0))
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _floats = st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_infinity=False)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(_floats, min_size=1, max_size=60),
+           st.lists(_floats, min_size=0, max_size=25, unique=True),
+           st.lists(_floats, min_size=0, max_size=4, unique=True))
+    def test_global_asof_matches_pandas_random(lts, rts, cuts):
+        """Randomized differential vs pandas merge_asof: arbitrary left
+        timestamps, unique right timestamps, arbitrary cutpoints (which
+        must never change the result)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from yaschva_ray.engine.joins import global_asof_join
+
+        left = pa.table({"lid": pa.array(list(range(len(lts))), pa.int64()),
+                         "lts": pa.array(lts, pa.float64())})
+        right = pa.table({
+            "rts": pa.array(sorted(rts), pa.float64()),
+            "rv": pa.array(list(range(len(rts))), pa.int64())})
+        got = global_asof_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right),
+            left_ts="lts", right_ts="rts",
+            cutpoints=np.array(sorted(cuts), dtype=np.float64))
+        got = got.sort_by([("lid", "ascending")]).to_pandas()
+        want = pd.merge_asof(
+            left.to_pandas().sort_values("lts", kind="mergesort"),
+            right.to_pandas(), left_on="lts", right_on="rts") \
+            .sort_values("lid").reset_index(drop=True)
+        assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+except ImportError:  # pragma: no cover
+    pass
