@@ -335,6 +335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text) — oracle-backed via planted copies; the dedup family
         # stays sweep-visible through dedup_exact_documents
         "dedup_incremental": textops.q_dedup_incremental,
+        # footer-pruned violation scan (files footer-proven clean never
+        # leave storage; conservative, result identical to a full scan)
+        "violations_lineitem_pruned": ops.q_violations_lineitem_pruned,
         # incremental NEAR-dup against the persisted LSH band index
         # (the near-dup sibling of dedup_incremental: 256 B/doc of band
         # keys instead of rescanning corpus text)
@@ -1513,6 +1516,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "violations_lineitem": _LINEITEM_VIOLATION_SQL + """
             SELECT * FROM v ORDER BY l_orderkey, l_linenumber, path
+        """,
+        # footer pruning is conservative — the output must equal the full
+        # scan's NUMERIC violations (the enum path is not footer-provable
+        # and is excluded from both sides)
+        "violations_lineitem_pruned": _LINEITEM_VIOLATION_SQL + """
+            SELECT * FROM v WHERE path <> 'l_returnflag'
+            ORDER BY l_orderkey, l_linenumber, path
         """,
         "violations_documents": """
             SELECT doc_id, 'n_chars' AS path,

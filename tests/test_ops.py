@@ -413,3 +413,32 @@ def test_compact_sorted_preserves_order_and_lookup(ray_session, tmp_path):
     rs = sorted(m["ranges"], key=lambda r: r["range_id"])
     for a, b in zip(rs, rs[1:]):
         assert a["max_v"] <= b["min_v"]
+
+
+def test_provably_clean_files_prunes_conservatively(ray_session, tmp_path):
+    """Files footer-proven in-bounds are skipped; a single excursion, any
+    null, or missing stats makes a file suspicious; the pruned result
+    equals the full scan's."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import provably_clean_files
+
+    bounds = {"q": (1.0, 25.0)}
+    clean_t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                        "q": pa.array([3.0, 20.0], pa.float64())})
+    dirty_t = pa.table({"id": pa.array([3, 4], pa.int64()),
+                        "q": pa.array([5.0, 30.0], pa.float64())})
+    nully_t = pa.table({"id": pa.array([5], pa.int64()),
+                        "q": pa.array([None], pa.float64())})
+    nostat_t = pa.table({"id": pa.array([6], pa.int64()),
+                         "q": pa.array([7.0], pa.float64())})
+    pq.write_table(clean_t, str(tmp_path / "clean.parquet"))
+    pq.write_table(dirty_t, str(tmp_path / "dirty.parquet"))
+    pq.write_table(nully_t, str(tmp_path / "nully.parquet"))
+    pq.write_table(nostat_t, str(tmp_path / "nostat.parquet"),
+                   write_statistics=False)
+    files = sorted(str(tmp_path / f"{n}.parquet")
+                   for n in ("clean", "dirty", "nully", "nostat"))
+    clean, suspicious = provably_clean_files(files, bounds)
+    assert [f.rsplit("/", 1)[1] for f in clean] == ["clean.parquet"]
+    assert len(suspicious) == 3  # excursion, null, and no-stats all scan

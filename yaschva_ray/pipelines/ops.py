@@ -94,6 +94,84 @@ def q_violations_lineitem(sf_dir: str) -> pa.Table:
          "path": pa.array([], pa.string()), "error": pa.array([], pa.string())})
 
 
+def provably_clean_files(paths: list[str],
+                         bounds: dict[str, tuple[float, float]]) -> tuple[list[str], list[str]]:
+    """Split files into (clean, suspicious) using FOOTERS only: a file is
+    provably clean iff for EVERY bounded column each row group has
+    statistics, zero nulls, and footer [min, max] inside the bound —
+    those files can be skipped by a violation scan without reading a
+    data page.  Anything unprovable (missing stats, any null, any
+    excursion) is suspicious — pruning is conservative, never lossy.
+    Only numeric $number-style bounds are footer-provable; $enum/regex
+    constraints force the scan (string footer bounds may truncate)."""
+    import pyarrow.parquet as pq
+
+    clean, suspicious = [], []
+    for path in paths:
+        md = pq.read_metadata(path)
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        ok = all(c in idx for c in bounds)
+        if ok:
+            for col, (lo, hi) in bounds.items():
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    if (st is None or not st.has_min_max
+                            or st.null_count is None or st.null_count
+                            or st.min < lo or st.max > hi):
+                        ok = False
+                        break
+                if not ok:
+                    break
+        (clean if ok else suspicious).append(path)
+    return clean, suspicious
+
+
+LINEITEM_NUMERIC_SCHEMA = {
+    "l_orderkey": "any",
+    "l_linenumber": "any",
+    "l_quantity": {"$number": {"min": 1, "max": 25}},
+    "l_discount": {"$number": {"min": 0, "max": 0.05}},
+}
+
+
+def q_violations_lineitem_pruned(sf_dir: str) -> pa.Table:
+    """The numeric lineitem violations with FOOTER PRUNING in front of the
+    scan: files whose footers prove every bounded column in range (and
+    null-free) never leave storage.  Pruning is conservative, so the
+    result is identical to scanning everything (the oracle checks that);
+    at 100 TB a mostly-clean corpus reads only its suspicious shards.
+    The $enum constraint is excluded — footers cannot prove it."""
+    import glob as _glob
+
+    import ray.data
+
+    files = sorted(_glob.glob(os.path.join(sf_dir, "lineitem*.parquet")))
+    bounds = {"l_quantity": (1.0, 25.0), "l_discount": (0.0, 0.05)}
+    clean, suspicious = provably_clean_files(files, bounds)
+    if clean:
+        _LOG.info("violations_lineitem_pruned: %d/%d files footer-proven "
+                  "clean, skipped", len(clean), len(files))
+    empty = pa.table({
+        "l_orderkey": pa.array([], pa.int64()),
+        "l_linenumber": pa.array([], pa.int32()),
+        "path": pa.array([], pa.string()),
+        "error": pa.array([], pa.string())})
+    if not suspicious:
+        return empty
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+    ds = ray.data.read_parquet(suspicious, columns=cols)
+    validated = validate_dataset(ds, LINEITEM_NUMERIC_SCHEMA)
+    exploder = ViolationExploder(LINEITEM_NUMERIC_SCHEMA,
+                                 id_columns=("l_orderkey", "l_linenumber"))
+    vio = validated.map_batches(
+        lambda t: t.filter(pc.invert(t["valid"])), batch_format="pyarrow"
+    ).map_batches(exploder, batch_format="pyarrow")
+    out = _sorted_table(vio, ["l_orderkey", "l_linenumber", "path"])
+    if not out.num_rows:
+        return empty
+    return out.select(["l_orderkey", "l_linenumber", "path", "error"])
+
+
 DOCS_CHECK_SCHEMA = {
     "doc_id": "any",
     "text": {"$string": {"minLength": 1}},
