@@ -397,3 +397,65 @@ def test_cli_sort_and_diff(tmp_path):
                        if l.startswith("{")][-1])
     assert rep2 == {"n_rows": 43, "added": 0, "removed": 43,
                     "modified": 0, "out": str(dout)}
+
+
+def test_cli_ingest_near_mode(tmp_path):
+    """--method near: a one-word edit of a corpus doc is dropped, a fresh
+    text kept; batch 2 near-dups batch 1's kept text through the update."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = ("spark data table row column filter join group sort merge "
+            "select where order limit offset union except intersect "
+            "scan").split()
+    rng = np.random.RandomState(4)
+    texts = [" ".join(base[rng.randint(len(base))] for _ in range(40))
+             for _ in range(20)]
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array(texts)}), corpus)
+    edited = texts[7].split()
+    edited[5] = "changedword"
+    fresh = ("entirely different unrelated words here nothing shared "
+             "with the corpus at all believe me truly")
+    b1 = tmp_path / "b1.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array([" ".join(edited), fresh])}), b1)
+    idx, out = tmp_path / "idx", tmp_path / "out"
+
+    r = run_cli("ingest", "--index", str(idx), "--batch", str(b1),
+                "--corpus", str(corpus), "--tag", "t1", "--out", str(out),
+                "--method", "near", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads([l for l in r.stdout.strip().split("\n")
+                      if l.startswith("{")][-1])
+    assert rep["method"] == "near"
+    assert rep["n_duplicates"] >= 1 and rep["n_kept"] == 1
+    pairs = pq.read_table(str(out / "t1" / "duplicates.parquet"))
+    assert (7, 100) in set(zip(pairs["doc_a"].to_pylist(),
+                               pairs["doc_b"].to_pylist()))
+    kept = pa.concat_tables([pq.read_table(f) for f in _glob.glob(
+        str(out / "t1" / "deduped" / "*.parquet"))])
+    assert kept["doc_id"].to_pylist() == [101]
+
+    # batch 2: near-dup of batch 1's KEPT doc → found via the update
+    edited2 = fresh.split()
+    edited2[2] = "tweaked"
+    b2 = tmp_path / "b2.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([200], pa.int64()),
+        "text": pa.array([" ".join(edited2)])}), b2)
+    r2 = run_cli("ingest", "--index", str(idx), "--batch", str(b2),
+                 "--corpus", str(corpus),
+                 str(out / "t1" / "deduped" / "*.parquet"),
+                 "--tag", "t2", "--out", str(out),
+                 "--method", "near", "--num-cpus", "2")
+    assert r2.returncode == 0, r2.stderr
+    pairs2 = pq.read_table(str(out / "t2" / "duplicates.parquet"))
+    assert (101, 200) in set(zip(pairs2["doc_a"].to_pylist(),
+                                 pairs2["doc_b"].to_pylist()))

@@ -243,14 +243,16 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
             print(f"error: no batch files match {args.batch!r}",
                   file=sys.stderr)
             return 2
+        near = getattr(args, "method", "exact") == "near"
+        build = (textops.neardup_index_build if near
+                 else textops.dedup_index_build)
         if not os.path.exists(os.path.join(args.index, "manifest.json")):
             if not corpus_files:
                 print(f"error: no corpus files match {args.corpus!r} "
                       "(needed to build the index)", file=sys.stderr)
                 return 2
-            textops.dedup_index_build(
-                read_docs(corpus_files, columns=["doc_id", "text"]),
-                args.index)
+            build(read_docs(corpus_files, columns=["doc_id", "text"]),
+                  args.index)
         manifest = textops._dedup_index_manifest(args.index)
         if args.tag in manifest["updates"]:
             print(json.dumps({"tag": args.tag, "skipped": True,
@@ -262,15 +264,26 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         # batch's text never crosses the exchange (jsonl/csv batches have
         # no pruned-read path, so they ship text — still correct)
         parquet_batch = all(f.endswith(".parquet") for f in batch_files)
-        dups = textops.dedup_against_index(
-            batch, args.index, corpus_files,
-            new_paths=batch_files if parquet_batch else None)
+        new_paths = batch_files if parquet_batch else None
+        if near:
+            # (doc_a=corpus, doc_b=new) pairs verified by exact Jaccard —
+            # the dropped set is the distinct new side
+            pairs = textops.neardup_against_index(
+                batch, args.index, corpus_files,
+                threshold=args.threshold, new_paths=new_paths)
+            dups = pa.table({"doc_id": pc.unique(
+                pairs["doc_b"].combine_chunks())})
+        else:
+            pairs = None
+            dups = textops.dedup_against_index(
+                batch, args.index, corpus_files, new_paths=new_paths)
 
         out_dir = os.path.join(args.out, args.tag)
         tmp_dir = out_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(os.path.join(tmp_dir, "deduped"), exist_ok=True)
-        pq.write_table(dups, os.path.join(tmp_dir, "duplicates.parquet"))
+        pq.write_table(pairs if pairs is not None else dups,
+                       os.path.join(tmp_dir, "duplicates.parquet"))
         dup_ids = ray.put(dups["doc_id"].combine_chunks())
 
         def drop_dups(t: pa.Table) -> pa.Table:
@@ -285,14 +298,23 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         os.rename(tmp_dir, out_dir)
         # commit FROM the written output so the index mirrors exactly the
         # rows whose text future --corpus globs can read back
-        kept = read_docs(sorted(
-            glob.glob(os.path.join(out_dir, "deduped", "*.parquet"))),
-            columns=["doc_id", "text"])
-        textops.dedup_index_update(kept, args.index, args.tag)
-        n_kept = sum(
-            pq.read_metadata(f).num_rows for f in
+        kept_files = sorted(
             glob.glob(os.path.join(out_dir, "deduped", "*.parquet")))
-        print(json.dumps({"tag": args.tag, "n_duplicates": dups.num_rows,
+        if kept_files:
+            kept = read_docs(kept_files, columns=["doc_id", "text"])
+            (textops.neardup_index_update if near
+             else textops.dedup_index_update)(kept, args.index, args.tag)
+        else:
+            # every batch row was a duplicate: nothing to index, but the
+            # tag still commits so a rerun stays a no-op
+            m2 = textops._dedup_index_manifest(args.index)
+            if args.tag not in m2["updates"]:
+                m2["updates"].append(args.tag)
+                textops._write_dedup_manifest(args.index, m2)
+        n_kept = sum(pq.read_metadata(f).num_rows for f in kept_files)
+        print(json.dumps({"tag": args.tag,
+                          "method": "near" if near else "exact",
+                          "n_duplicates": dups.num_rows,
                           "n_kept": n_kept, "out": out_dir}))
         return 0
     finally:
@@ -621,6 +643,11 @@ def main(argv: list[str] | None = None) -> int:
                           "earlier tags' deduped outputs)")
     ing.add_argument("--tag", required=True,
                      help="batch id — committed tags are no-op reruns")
+    ing.add_argument("--method", choices=["exact", "near"],
+                     default="exact",
+                     help="near: MinHash-LSH index, drop docs that "
+                          "near-dup the corpus at --threshold")
+    ing.add_argument("--threshold", type=float, default=0.5)
     ing.add_argument("--out", required=True, help="output directory root")
     ing.add_argument("--num-cpus", type=int, default=8)
 
