@@ -238,7 +238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": textops.q_vocab_top_tokens,
         "fingerprint_md5": textops.q_fingerprint_md5,
         "train_val_split": textops.q_train_val_split,
-        "shuffle_documents": textops.q_shuffle_documents,
+        # sorted export takes shuffle_documents' sweep slot: ordered
+        # partitioning is a family nothing else in the window covers
+        # (assembly stays visible via train_val_split + pack_sequences;
+        # shuffle_documents remains oracle-backed past the cap)
+        "sorted_export_events": ops.q_sorted_export_events,
         "pack_sequences": ops.q_pack_sequences,
         "events_hourly_window": ops.q_events_hourly_window,
         # the KEYLESS global-time as-of (ordered co-partition + boundary
@@ -267,7 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniqueness_events_user": ops.q_uniqueness_events_user,
         "customers_without_orders": ops.q_customers_without_orders,
         "active_customers": ops.q_active_customers,
-        "dangling_lineitem_parts": ops.q_dangling_lineitem_parts,
+        # row-level snapshot diff takes dangling_lineitem_parts' slot
+        # (referential anti/semi joins stay visible via
+        # customers_without_orders + active_customers)
+        "snapshot_diff_documents": ops.q_snapshot_diff_documents,
         "null_counts_documents": ops.q_null_counts_documents,
         # exact integer-numerator drift (the north rule's drift-check
         # family, hash-exact); distinct_lang yields its sweep slot — the
@@ -275,7 +282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exercised by partitioned_write_langs and engine/checks tests
         "drift_events_fixed_bins": ops.q_drift_events_fixed_bins,
         "pricing_summary": ops.q_pricing_summary,
-        "token_count_documents": ops.q_token_count_documents,
+        # incremental dedup vs the persisted index takes
+        # token_count_documents' slot (token counting stays visible via
+        # token_count_jsonl, which also covers the non-parquet source)
+        "dedup_incremental": textops.q_dedup_incremental,
         # JSONL keeps the non-parquet-source slot inside the driver's
         # 50-entry sweep window; the ORC/feather/CSV variants (same
         # token-count / check oracles) live just past it, below
@@ -325,16 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyless global as-of; tumbling + sessions keep the window
         # family sweep-visible
         "events_sliding_window": ops.q_events_sliding_window,
-        # ORDERED-partition export (range exchange — the hash exchange's
-        # sibling): globally sorted parquet parts + lineage manifest,
-        # checked hash-exact from equi-depth sampled cutpoints the SQL
-        # mirror recomputes identically
-        "sorted_export_events": ops.q_sorted_export_events,
-        # incremental dedup against the PERSISTED hash index (the 100 TB
-        # operating mode: new batch vs corpus without rescanning corpus
-        # text) — oracle-backed via planted copies; the dedup family
-        # stays sweep-visible through dedup_exact_documents
-        "dedup_incremental": textops.q_dedup_incremental,
+        # displaced by the window swaps above — still oracle-backed here
+        "shuffle_documents": textops.q_shuffle_documents,
+        "dangling_lineitem_parts": ops.q_dangling_lineitem_parts,
+        "token_count_documents": ops.q_token_count_documents,
         # footer-pruned violation scan (files footer-proven clean never
         # leave storage; conservative, result identical to a full scan)
         "violations_lineitem_pruned": ops.q_violations_lineitem_pruned,
@@ -355,10 +359,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # persisted mergeable sketch state: incremental == batch invariant
         # (build on evens, fold odds in, equals full-table SQL stats)
         "stats_incremental_lineitem": ops.q_stats_incremental_lineitem,
-        # row-level snapshot diff by key (added/removed/modified via two
-        # independent 64-bit row hashes — 24 bytes/row shuffled, payloads
-        # never move): the migration/backfill reconciliation check
-        "snapshot_diff_documents": ops.q_snapshot_diff_documents,
         # repetition_signals / passage_dedup are likewise oracle-backed
         # (hash-exact in tools/driver_sweep.py) but live past the cap for
         # the same reason; their families stay sweep-visible through
