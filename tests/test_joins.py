@@ -830,3 +830,21 @@ try:
         assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_bloom_bits_rounding(ray_session):
+    """Review finding: a non-multiple-of-64 bloom_bits indexed past the
+    bitmap's last word.  Rounding is shared by build and prefilter."""
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.engine.joins import bloom_prefilter, build_bloom
+
+    left = pa.table({"k": pa.array(list(range(100)), pa.int64())})
+    right = pa.table({"k2": pa.array([5, 50, 5000], pa.int64())})
+    bits = 10_000_001  # deliberately unaligned
+    bref = build_bloom(ray.data.from_arrow(left), "k", num_bits=bits)
+    kept = bloom_prefilter(ray.data.from_arrow(right), "k2", bref,
+                           num_bits=bits).take_all()
+    ids = sorted(r["k2"] for r in kept)
+    assert 5 in ids and 50 in ids  # true matches always survive

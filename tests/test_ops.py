@@ -442,3 +442,90 @@ def test_provably_clean_files_prunes_conservatively(ray_session, tmp_path):
     clean, suspicious = provably_clean_files(files, bounds)
     assert [f.rsplit("/", 1)[1] for f in clean] == ["clean.parquet"]
     assert len(suspicious) == 3  # excursion, null, and no-stats all scan
+
+
+def test_compact_sorted_recompaction_safe(ray_session, tmp_path):
+    """Review finding: a second compaction used to reuse the compact-{gid}
+    filenames of the parts it was reading, then delete the fresh files.
+    Generations keep every run's names disjoint — compact twice, data
+    intact."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import compact_sorted, sorted_export
+
+    vals = np.arange(3000, dtype=np.float64)
+    t = pa.table({"id": pa.array(list(range(3000)), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    out = str(tmp_path / "sorted")
+    sorted_export(ray.data.from_arrow(t).repartition(4), "v", out,
+                  np.array([500.0, 1000.0, 1500.0, 2000.0, 2500.0]))
+    compact_sorted(out, target_bytes=15_000)
+    compact_sorted(out, target_bytes=10 << 20)  # merge everything
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["compaction_gen"] == 2
+    got = pa.concat_tables([pq.read_table(r["path"]) for r in
+                            sorted(m["ranges"],
+                                   key=lambda r: r["range_id"])])
+    assert got["v"].to_pylist() == sorted(vals.tolist())
+    assert sorted(got["id"].to_pylist()) == list(range(3000))
+
+
+def test_merge_join_sorted_left_outer_empty_right_range(ray_session,
+                                                        tmp_path):
+    """Review finding: a range pair with an empty right part used to drop
+    the left rows instead of emitting them with typed nulls."""
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import merge_join_sorted, sorted_export
+
+    a = pa.table({"ka": pa.array([1, 10, 20], pa.int64()),
+                  "va": pa.array([1, 2, 3], pa.int64())})
+    b = pa.table({"kb": pa.array([1], pa.int64()),   # ranges 1,2 empty
+                  "vb": pa.array([7], pa.int64())})
+    cuts = np.array([5, 15], dtype=np.int64)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    sorted_export(ray.data.from_arrow(a), "ka", da, cuts)
+    sorted_export(ray.data.from_arrow(b), "kb", db, cuts)
+    out = merge_join_sorted(da, db, how="left outer") \
+        .sort_by([("ka", "ascending")])
+    assert out["ka"].to_pylist() == [1, 10, 20]
+    assert out["vb"].to_pylist() == [7, None, None]
+
+
+def test_sorted_export_string_key(ray_session, tmp_path):
+    """Review finding: manifest min/max were forced float64, crashing on
+    non-numeric sort keys after the parts were written."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import lookup_sorted, sorted_export
+
+    t = pa.table({"name": pa.array(["delta", "alpha", "zeta", "mike"]),
+                  "n": pa.array([1, 2, 3, 4], pa.int64())})
+    out = str(tmp_path / "s")
+    manifest = sorted_export(ray.data.from_arrow(t), "name", out,
+                             np.array(["m"]))
+    assert manifest.num_rows == 2
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["ranges"][0]["min_v"] == "alpha"
+    hit = lookup_sorted(out, ["zeta"])
+    assert hit["n"].to_pylist() == [3]
+
+
+def test_table_diff_typed_empty_on_string_key(ray_session):
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import table_diff
+
+    t = pa.table({"k": pa.array(["a", "b"]),
+                  "v": pa.array([1, 2], pa.int64())})
+    out = table_diff(ray.data.from_arrow(t), ray.data.from_arrow(t), "k")
+    assert out.num_rows == 0
+    assert out.schema.field("key").type == pa.string()

@@ -1305,3 +1305,20 @@ def test_neardup_index_incremental_lifecycle(ray_session, tmp_path):
                                  [cp, b1p], threshold=0.5)
     pairs2 = set(zip(out2["doc_a"].to_pylist(), out2["doc_b"].to_pylist()))
     assert (101, 200) in pairs2
+
+
+def test_index_kind_marker_guards_misuse(ray_session, tmp_path):
+    """Review finding: probing an exact-hash index as an LSH index failed
+    deep inside shard reads — the manifest kind marker raises up front."""
+    import pytest
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (
+        dedup_index_build, neardup_candidates_against_index)
+
+    corpus = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                       "text": ["alpha beta gamma", "delta epsilon zeta"]})
+    idx = str(tmp_path / "idx")
+    dedup_index_build(ray.data.from_arrow(corpus), idx, num_shards=2)
+    with pytest.raises(RuntimeError, match="kind='exact_hash'"):
+        neardup_candidates_against_index(ray.data.from_arrow(corpus), idx)

@@ -359,15 +359,14 @@ def _cmd_sort(args: argparse.Namespace) -> int:
             return pa.table({key: t[key].take(
                 pa.array(list(range(0, t.num_rows, n))))})
 
+        from .pipelines.ops import equidepth_cutpoints
+
         sv = np.sort(np.concatenate(
             [t[key].to_numpy(zero_copy_only=False)
              for t in gather_tables(ds.map_batches(
                  sample, batch_format="pyarrow"))
              if t.num_rows and key in t.column_names] or [np.empty(0)]))
-        b = args.ranges
-        cutpoints = (np.array([sv[((i + 1) * len(sv)) // b]
-                               for i in range(b - 1)])
-                     if len(sv) >= b else np.empty(0, sv.dtype))
+        cutpoints = equidepth_cutpoints(sv, args.ranges)
         manifest = sorted_export(ds, key, args.out, cutpoints)
         print(json.dumps({"key": key, "n_ranges": manifest.num_rows,
                           "n_rows": int(pc.sum(manifest["n_rows"]).as_py()),

@@ -183,6 +183,17 @@ _RANGE_MAP_REMOTE = None
 _RANGE_REDUCE_REMOTE = None
 
 
+def range_map_remote():
+    """Cached ray.remote registration of the range-slicing map task
+    (shared by range_exchange and the ordered co-partition joins)."""
+    import ray
+
+    global _RANGE_MAP_REMOTE
+    if _RANGE_MAP_REMOTE is None:
+        _RANGE_MAP_REMOTE = ray.remote(_range_map_block)
+    return _RANGE_MAP_REMOTE
+
+
 def range_exchange(ds, key: str, cutpoints, reduce_fn, *,
                    empty_result: pa.Table | None = None,
                    concat_every: int = 64) -> list:
@@ -198,14 +209,14 @@ def range_exchange(ds, key: str, cutpoints, reduce_fn, *,
     outputs, index-aligned with range ids."""
     import ray
 
-    global _RANGE_MAP_REMOTE, _RANGE_REDUCE_REMOTE
-    if _RANGE_MAP_REMOTE is None:
-        _RANGE_MAP_REMOTE = ray.remote(_range_map_block)
+    global _RANGE_REDUCE_REMOTE
+    range_map = range_map_remote()
+    if _RANGE_REDUCE_REMOTE is None:
         _RANGE_REDUCE_REMOTE = ray.remote(_range_reduce_task)
     num_buckets = len(cutpoints) + 1
     map_out = bounded_map_entries(
         ds,
-        lambda ref: _RANGE_MAP_REMOTE.options(num_returns=num_buckets)
+        lambda ref: range_map.options(num_returns=num_buckets)
         .remote(ref, key, cutpoints),
         num_buckets, concat_every)
     reduced = [_RANGE_REDUCE_REMOTE.remote(reduce_fn, empty_result, b,

@@ -336,6 +336,13 @@ _BLOOM_HASHES = 4
 _BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _round_bloom_bits(num_bits: int) -> int:
+    """Bitmaps pack into uint64 words — positions mod a non-multiple of
+    64 would index past the last word.  Build and prefilter both round
+    identically, so any caller-supplied size stays consistent."""
+    return max(64, (int(num_bits) + 63) >> 6 << 6)
+
+
 def _bloom_positions(arr, num_bits: int) -> np.ndarray:
     """(len(arr), _BLOOM_HASHES) bit positions via double hashing — one
     real hash per value, the rest derived (standard Kirsch-Mitzenmacher)."""
@@ -392,6 +399,7 @@ def build_bloom(ds, key: str, *, num_bits: int = 1 << 23):
 
     from .blocks import iter_block_refs
 
+    num_bits = _round_bloom_bits(num_bits)
     global _BLOOM_PART_REMOTE, _BLOOM_OR_REMOTE
     if _BLOOM_PART_REMOTE is None:
         _BLOOM_PART_REMOTE = ray.remote(_bloom_partial)
@@ -414,6 +422,8 @@ def bloom_prefilter(ds, key: str, bloom_ref, *, num_bits: int = 1 << 23):
     impossible), so non-matching rows die at the scan instead of crossing
     the exchange.  NULL keys are dropped (equi-join semantics)."""
     import ray
+
+    num_bits = _round_bloom_bits(num_bits)
 
     def filt(t: pa.Table) -> pa.Table:
         if key not in t.column_names or not t.num_rows:
@@ -923,7 +933,7 @@ def global_asof_join(left_ds, right_ds, *, left_ts: str, right_ts: str,
     import ray
 
     from .blocks import iter_block_refs
-    from .exchange import _range_map_block, bounded_map_refs
+    from .exchange import bounded_map_refs, range_map_remote
 
     def _hint(ds):
         s = ds.schema()
@@ -943,8 +953,7 @@ def global_asof_join(left_ds, right_ds, *, left_ts: str, right_ts: str,
         _GASOF_LAST = ray.remote(_gasof_last)
         _GASOF_JOIN = ray.remote(_gasof_join)
     num_buckets = len(cutpoints) + 1
-
-    range_map = ray.remote(_range_map_block)
+    range_map = range_map_remote()
 
     def _mapped(ds, col):
         return bounded_map_refs(

@@ -905,7 +905,11 @@ def table_diff(a_ds, b_ds, key: str, *, num_buckets: int | None = None) -> pa.Ta
     tables = keyed_exchange(union, "k", diff_bucket, num_buckets=num_buckets)
     tables = [t for t in tables if t.num_rows]
     if not tables:
-        return pa.table({"key": pa.array([], pa.int64()),
+        # typed empty: the key column keeps the input's type (string keys
+        # must not come back int64 on an all-equal diff)
+        s = a_ds.schema()
+        ktype = dict(zip(s.names, s.types))[key]
+        return pa.table({"key": pa.array([], ktype),
                          "change": pa.array([], pa.string())})
     return (pa.concat_tables(tables).combine_chunks()
             .sort_by([("key", "ascending"), ("change", "ascending")]))
@@ -1005,9 +1009,11 @@ def schema_drift(paths_a, paths_b) -> pa.Table:
     pa_, pb = _footer_profile(paths_a), _footer_profile(paths_b)
 
     def as_map(t: pa.Table) -> dict:
-        return {r["col_name"]: r for r in
-                sorted(t.to_pylist(), key=lambda r: (r["col_name"],
-                                                     r["col_type"]))}
+        out: dict = {}
+        for r in sorted(t.to_pylist(), key=lambda r: (r["col_name"],
+                                                      r["col_type"])):
+            out.setdefault(r["col_name"], r)  # lexically FIRST type wins
+        return out
 
     ma, mb = as_map(pa_), as_map(pb)
 
@@ -1924,6 +1930,20 @@ def q_orders_customer_join(sf_dir: str) -> pa.Table:
         .sort_by([("o_orderkey", "ascending")])
 
 
+def equidepth_cutpoints(sorted_values: np.ndarray,
+                        n_ranges: int) -> np.ndarray:
+    """B-1 equi-depth order statistics from a SORTED sample: cut i is the
+    value at 0-based index ((i+1)*len)//B — the formula every SQL mirror
+    reproduces as rn = ((g+1)*c)//B + 1.  Too-small samples yield no
+    cutpoints (one range)."""
+    if len(sorted_values) < n_ranges:
+        return np.empty(0, sorted_values.dtype if len(sorted_values)
+                        else np.float64)
+    return np.array([sorted_values[((i + 1) * len(sorted_values))
+                                   // n_ranges]
+                     for i in range(n_ranges - 1)])
+
+
 def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     """Globally SORTED parquet export: a range exchange on broadcast
     ``cutpoints`` (every row of range i precedes every row of range i+1),
@@ -1941,7 +1961,6 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     from ..engine.exchange import range_exchange
 
     os.makedirs(out_dir, exist_ok=True)
-    schema_cols = None
 
     def write_range(bucket_id: int, t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -1952,15 +1971,18 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
         pq.write_table(t, tmp)
         os.replace(tmp, path)
         arr = t[key]
+        ktype = t.schema.field(key).type
         mm = (pc.min_max(arr) if t.num_rows - arr.null_count
-              else {"min": pa.scalar(None, pa.float64()),
-                    "max": pa.scalar(None, pa.float64())})
+              else {"min": pa.scalar(None, ktype),
+                    "max": pa.scalar(None, ktype)})
+        # min/max carry the KEY's type — a string or timestamp sort key
+        # must not be forced through float64
         return pa.table({
             "range_id": pa.array([bucket_id], pa.int64()),
             "n_rows": pa.array([t.num_rows], pa.int64()),
             "n_nulls": pa.array([arr.null_count], pa.int64()),
-            "min_v": pa.array([mm["min"].as_py()], pa.float64()),
-            "max_v": pa.array([mm["max"].as_py()], pa.float64()),
+            "min_v": pa.array([mm["min"].as_py()], ktype),
+            "max_v": pa.array([mm["max"].as_py()], ktype),
             "path": pa.array([path], pa.string()),
         })
 
@@ -1973,8 +1995,10 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     cuts = [str(c) for c in np.asarray(cutpoints).tolist()]
     with open(tmp, "w") as f:
+        # default=str: timestamp/date min-max values JSON-serialize as
+        # their ISO strings (lookups on such keys pass string probes)
         json.dump({"key": key, "cutpoints": cuts,
-                   "ranges": manifest.to_pylist()}, f)
+                   "ranges": manifest.to_pylist()}, f, default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     return manifest
 
@@ -2037,6 +2061,10 @@ def compact_sorted(out_dir: str, target_bytes: int = 128 << 20) -> pa.Table:
 
     with open(os.path.join(out_dir, "manifest.json")) as f:
         m = json.load(f)
+    # generation counter keeps every compaction's filenames DISJOINT from
+    # the current parts: without it a re-compaction would write into the
+    # very compact-{gid} files it is still reading, then delete them
+    gen = int(m.get("compaction_gen", 0)) + 1
     ranges = sorted(m["ranges"], key=lambda r: r["range_id"])
     groups, cur, size = [], [], 0
     for r in ranges:
@@ -2066,7 +2094,7 @@ def compact_sorted(out_dir: str, target_bytes: int = 128 << 20) -> pa.Table:
     key = m["key"]
     refs, new_ranges = [], []
     for gid, grp in enumerate(groups):
-        out = os.path.join(out_dir, f"compact-{gid:05d}.parquet")
+        out = os.path.join(out_dir, f"compact-g{gen}-{gid:05d}.parquet")
         refs.append(merge_group.remote(gid, [r["path"] for r in grp], out))
         mins = [r["min_v"] for r in grp if r["min_v"] is not None]
         new_ranges.append({
@@ -2095,15 +2123,14 @@ def compact_sorted(out_dir: str, target_bytes: int = 128 << 20) -> pa.Table:
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"key": key, "cutpoints": new_cuts,
-                   "ranges": new_ranges}, f)
+                   "compaction_gen": gen, "ranges": new_ranges}, f,
+                  default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     for r in ranges:  # old parts now unreferenced
         try:
             os.remove(r["path"])
         except OSError:
             pass
-    import pandas as pd  # noqa: F401
-
     return pa.Table.from_pylist(new_ranges)
 
 
@@ -2124,6 +2151,8 @@ def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner") -> pa.Table
         with open(os.path.join(d, "manifest.json")) as f:
             return json.load(f)
 
+    if how not in ("inner", "left outer", "right outer", "full outer"):
+        raise ValueError(f"merge_join_sorted: unsupported how={how!r}")
     ma, mb = load(dir_a), load(dir_b)
     if ma["cutpoints"] != mb["cutpoints"]:
         raise ValueError(
@@ -2142,7 +2171,11 @@ def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner") -> pa.Table
 
         limit_worker_threads()
         if pa_path is None or pb_path is None:
-            return pa.table({})
+            # equal cutpoints imply equal range counts — a missing side
+            # means mismatched manifests, never silently-droppable rows
+            raise ValueError(
+                f"merge_join_sorted: range missing on one side "
+                f"({pa_path!r} vs {pb_path!r}) — manifests disagree")
         ta = pq.read_table(pa_path)
         tb = pq.read_table(pb_path)
         shared = (set(ta.column_names) - {key_a}) & \
@@ -2151,8 +2184,9 @@ def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner") -> pa.Table
             raise ValueError(
                 f"merge_join_sorted requires disjoint non-key column "
                 f"names; shared: {sorted(shared)}")
-        if not ta.num_rows or not tb.num_rows:
-            return pa.table({})
+        # no empty-side shortcut: a LEFT OUTER join with an empty right
+        # part must still emit the left rows with typed nulls — Arrow's
+        # join handles 0-row sides correctly and keeps full schemas
         return ta.join(tb, keys=[key_a], right_keys=[key_b],
                        join_type=how_)
 
@@ -2189,9 +2223,7 @@ def q_sorted_merge_join(sf_dir: str, n_ranges: int = 6,
         for t in gather_tables(orders.map_batches(key_sample,
                                                   batch_format="pyarrow"))
         if t.num_rows] or [np.empty(0, np.int64)]))
-    cutpoints = (np.array([sv[((i + 1) * len(sv)) // n_ranges]
-                           for i in range(n_ranges - 1)])
-                 if len(sv) >= n_ranges else np.empty(0, np.int64))
+    cutpoints = equidepth_cutpoints(sv, n_ranges)
     tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
     root = os.path.join("/tmp", "yaschva_sorted_join", tag)
     dir_o = os.path.join(root, "orders")
@@ -2230,9 +2262,7 @@ def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
         np.asarray(t["value"].to_numpy(zero_copy_only=False))
         for t in gather_tables(ds.map_batches(sample, batch_format="pyarrow"))
         if t.num_rows] or [np.empty(0)]))
-    cutpoints = np.array([sv[((i + 1) * len(sv)) // n_ranges]
-                          for i in range(n_ranges - 1)]) \
-        if len(sv) >= n_ranges else np.array([])
+    cutpoints = equidepth_cutpoints(sv, n_ranges)
     import hashlib
 
     tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
@@ -2293,9 +2323,7 @@ def q_events_global_asof(sf_dir: str, n_ranges: int = 8,
         for t in gather_tables(events.map_batches(ts_sample,
                                                   batch_format="pyarrow"))
         if t.num_rows] or [np.empty(0, "datetime64[us]")]))
-    cutpoints = (np.array([sv[((i + 1) * len(sv)) // n_ranges]
-                           for i in range(n_ranges - 1)])
-                 if len(sv) >= n_ranges else np.empty(0, sv.dtype))
+    cutpoints = equidepth_cutpoints(sv, n_ranges)
     out = global_asof_join(left, right, left_ts="ts", right_ts="rts",
                            cutpoints=cutpoints)
     if not out.num_rows:

@@ -221,7 +221,8 @@ def _routing_fingerprint() -> list[str]:
     return [str(int(x)) for x in _hash64(_ROUTING_PROBE)]
 
 
-def _dedup_index_manifest(index_dir: str) -> dict:
+def _dedup_index_manifest(index_dir: str,
+                          expect_kind: str | None = None) -> dict:
     import json
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -231,6 +232,14 @@ def _dedup_index_manifest(index_dir: str) -> dict:
             "dedup index routing fingerprint mismatch (the environment's "
             "hash function changed since the index was built) — rebuild "
             f"the index at {index_dir}")
+    # an exact-hash index probed as an LSH index (or vice versa) would
+    # fail deep inside shard reads with a cryptic column error — the
+    # manifest's kind marker makes the misuse loud up front
+    if expect_kind and m.get("kind", expect_kind) != expect_kind:
+        raise RuntimeError(
+            f"index at {index_dir} is kind={m['kind']!r}, but this "
+            f"operation needs kind={expect_kind!r} — point it at the "
+            "right index (or rebuild)")
     return m
 
 
@@ -299,6 +308,7 @@ def dedup_index_build(corpus_ds, index_dir: str, *,
     corpus_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         os.path.join(tmp_dir, "base"), partition_cols=["shard"])
     manifest = {"num_shards": num_shards, "updates": [],
+                "kind": "exact_hash",
                 "routing": _routing_fingerprint()}
     _write_dedup_manifest(tmp_dir, manifest)
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -341,7 +351,7 @@ def dedup_against_index(new_ds, index_dir: str,
 
     from ..engine.exchange import keyed_exchange
 
-    manifest = _dedup_index_manifest(index_dir)
+    manifest = _dedup_index_manifest(index_dir, expect_kind="exact_hash")
     num_shards = manifest["num_shards"]
     keep_text = new_paths is None
 
@@ -466,7 +476,7 @@ def dedup_index_update(new_ds, index_dir: str, tag: str) -> dict:
     written, tag never committed) is invisible to readers and simply
     overwritten.  Callers wanting the deduped-corpus invariant pass the
     batch with its found duplicates already filtered out."""
-    manifest = _dedup_index_manifest(index_dir)
+    manifest = _dedup_index_manifest(index_dir, expect_kind="exact_hash")
     if tag in manifest["updates"]:
         return manifest
     num_shards = manifest["num_shards"]
@@ -575,6 +585,7 @@ def neardup_index_build(corpus_ds, index_dir: str, *,
     corpus_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         os.path.join(tmp_dir, "base"), partition_cols=["shard"])
     manifest = {"num_shards": num_shards, "updates": [],
+                "kind": "lsh_bands",
                 "routing": _routing_fingerprint()}
     _write_dedup_manifest(tmp_dir, manifest)
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -587,7 +598,7 @@ def neardup_index_update(new_ds, index_dir: str, tag: str) -> dict:
     the tag (idempotent; crashed attempts invisible)."""
     import shutil
 
-    manifest = _dedup_index_manifest(index_dir)
+    manifest = _dedup_index_manifest(index_dir, expect_kind="lsh_bands")
     if tag in manifest["updates"]:
         return manifest
     num_shards = manifest["num_shards"]
@@ -621,7 +632,7 @@ def neardup_candidates_against_index(new_ds, index_dir: str, *,
     linear instead of quadratic, same policy as the all-pairs caps."""
     from ..engine.exchange import keyed_exchange
 
-    manifest = _dedup_index_manifest(index_dir)
+    manifest = _dedup_index_manifest(index_dir, expect_kind="lsh_bands")
     num_shards = manifest["num_shards"]
     banded = new_ds.map_batches(_band_rows, batch_format="pyarrow")
 
