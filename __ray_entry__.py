@@ -356,6 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SHUFFLE-FREE merge join over two sorted exports sharing
         # cutpoints (pick one partitioning, reuse it across stages)
         "sorted_merge_join": ops.q_sorted_merge_join,
+        # CDC merge-apply into a sorted export: delete/update/insert by
+        # key, only touched ranges rewritten, manifest commit atomic
+        "upsert_orders": ops.q_upsert_orders,
         # persisted mergeable sketch state: incremental == batch invariant
         # (build on evens, fold odds in, equals full-table SQL stats)
         "stats_incremental_lineitem": ops.q_stats_incremental_lineitem,
@@ -1454,6 +1457,26 @@ def oracle_sql() -> dict[str, str]:
                OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) < 0
                OR TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) IS NULL
             ORDER BY event_id
+        """,
+        # the upsert's delete/update/insert predicates are deterministic,
+        # so the merged table is plain relational algebra over orders
+        "upsert_orders": """
+            WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+            mx AS (SELECT max(o_orderkey) AS m FROM base),
+            kept AS (SELECT * FROM base
+                     WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0),
+            ups AS (SELECT o_orderkey,
+                           o_totalprice + 1000.0 AS o_totalprice
+                    FROM base
+                    WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0),
+            ins AS (SELECT m + r.range AS o_orderkey,
+                           1.5 * r.range AS o_totalprice
+                    FROM mx, range(1, 51) r)
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM (SELECT * FROM kept
+                  UNION ALL SELECT * FROM ups
+                  UNION ALL SELECT * FROM ins)
+            ORDER BY o_orderkey
         """,
         # cutpoints never change the join result — plain SQL join mirror
         "sorted_merge_join": """

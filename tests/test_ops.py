@@ -529,3 +529,143 @@ def test_table_diff_typed_empty_on_string_key(ray_session):
     out = table_diff(ray.data.from_arrow(t), ray.data.from_arrow(t), "k")
     assert out.num_rows == 0
     assert out.schema.field("key").type == pa.string()
+
+
+def test_upsert_sorted_semantics_and_touched_ranges(ray_session, tmp_path):
+    """CDC merge: deletes remove, upserts replace-or-insert, untouched
+    ranges keep their exact files (path AND mtime), order stays global,
+    and the manifest matches a recount of the rewritten parts."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (
+        lookup_sorted, sorted_export, upsert_sorted)
+
+    t = pa.table({"k": pa.array(list(range(100)), pa.int64()),
+                  "v": pa.array([float(i) for i in range(100)],
+                                pa.float64())})
+    out = str(tmp_path / "u")
+    cuts = np.array([25, 50, 75], np.int64)
+    sorted_export(ray.data.from_arrow(t).repartition(4), "k", out, cuts)
+    m0 = json.load(open(f"{out}/manifest.json"))
+    stat0 = {r["range_id"]: (r["path"], os.path.getmtime(r["path"]))
+             for r in m0["ranges"]}
+
+    changes = pa.table({
+        # 25 == cutpoint (lands with its duplicates in ONE bucket),
+        # -5 below min, 200 past max, 60 mid-range update, 10/30 deletes
+        "k": pa.array([10, 30, 25, 60, -5, 200], pa.int64()),
+        "v": pa.array([None, None, 111.0, 222.0, 333.0, 444.0],
+                      pa.float64()),
+        "op": pa.array(["delete", "delete", "upsert", "upsert",
+                        "upsert", "upsert"]),
+    })
+    man = upsert_sorted(out, changes)
+    assert set(man.column_names) >= {"range_id", "n_rows", "path",
+                                     "rows_removed", "rows_upserted"}
+
+    m1 = json.load(open(f"{out}/manifest.json"))
+    ordered = sorted(m1["ranges"], key=lambda r: r["range_id"])
+    got = pa.concat_tables([pq.read_table(r["path"]) for r in ordered])
+    kk = got["k"].to_pylist()
+    assert kk == sorted(kk)  # still globally sorted, no merge step
+    d = dict(zip(kk, got["v"].to_pylist()))
+    expect = {i: float(i) for i in range(100) if i not in (10, 30)}
+    expect.update({25: 111.0, 60: 222.0, -5: 333.0, 200: 444.0})
+    assert d == expect
+    # manifest rows match a recount of the files they point to
+    for r in ordered:
+        ft = pq.read_table(r["path"])
+        assert ft.num_rows == r["n_rows"]
+    # range 3 hosts keys 76..100 → untouched? no: 200 → bucket 3.
+    # bucket(60)=2, bucket(25)=1 (side='right': 25 goes WITH its
+    # duplicates), bucket(10)=bucket(-5)=0, bucket(30)=1.  So every
+    # bucket was touched except... none.  Re-run with a narrow change
+    # to pin the untouched-range guarantee:
+    stat1 = {r["range_id"]: (r["path"], os.path.getmtime(r["path"]))
+             for r in m1["ranges"]}
+    upsert_sorted(out, pa.table({
+        "k": pa.array([77], pa.int64()),
+        "v": pa.array([0.5], pa.float64()),
+        "op": pa.array(["upsert"])}))
+    m2 = json.load(open(f"{out}/manifest.json"))
+    stat2 = {r["range_id"]: (r["path"], os.path.getmtime(r["path"]))
+             for r in m2["ranges"]}
+    for rid in (0, 1, 2):  # only range 3 (76..) rewrites
+        assert stat2[rid] == stat1[rid]
+    assert stat2[3] != stat1[3]
+    # lookups keep working through the rewritten manifest
+    hit = lookup_sorted(out, [77, 10, 200])
+    assert dict(zip(hit["k"].to_pylist(), hit["v"].to_pylist())) == \
+        {77: 0.5, 200: 444.0}
+
+
+def test_upsert_sorted_guards(ray_session, tmp_path):
+    """Ambiguous or malformed changesets must refuse loudly before any
+    file is touched: duplicate keys, null keys, unknown op, columns not
+    in the export schema."""
+    import numpy as np
+    import pytest as _pytest
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import sorted_export, upsert_sorted
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    out = str(tmp_path / "g")
+    sorted_export(ray.data.from_arrow(t), "k", out, np.array([2], np.int64))
+
+    def ch(ks, vs, ops_):
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "v": pa.array(vs, pa.float64()),
+                         "op": pa.array(ops_)})
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        upsert_sorted(out, ch([1, 1], [0.0, 0.0], ["upsert", "delete"]))
+    with _pytest.raises(ValueError, match="null"):
+        upsert_sorted(out, ch([None], [0.0], ["delete"]))
+    with _pytest.raises(ValueError, match="op not in"):
+        upsert_sorted(out, ch([1], [0.0], ["replace"]))
+    with _pytest.raises(ValueError, match="not in the export schema"):
+        upsert_sorted(out, pa.table({
+            "k": pa.array([1], pa.int64()),
+            "bogus": pa.array([9.0], pa.float64()),
+            "op": pa.array(["upsert"])}))
+
+
+def test_upsert_sorted_after_compact_string_key(ray_session, tmp_path):
+    """The shared write-generation counter keeps compact-g*/upsert-g*
+    filenames disjoint across op interleavings, and string cutpoints
+    re-type correctly from the JSON manifest."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (
+        compact_sorted, sorted_export, upsert_sorted)
+
+    t = pa.table({"name": pa.array(["alpha", "beta", "mike", "zeta"]),
+                  "n": pa.array([0, 1, 2, 3], pa.int64())})
+    out = str(tmp_path / "s")
+    sorted_export(ray.data.from_arrow(t), "name", out,
+                  np.array(["m", "t"]))
+    compact_sorted(out, target_bytes=1)  # keep every range, bump gen
+    upsert_sorted(out, pa.table({
+        "name": pa.array(["beta", "omega"]),
+        "n": pa.array([99, 100], pa.int64()),
+        "op": pa.array(["upsert", "upsert"])}))
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["compaction_gen"] == 2  # compact bumped to 1, upsert to 2
+    ordered = sorted(m["ranges"], key=lambda r: r["range_id"])
+    got = pa.concat_tables(
+        [pq.read_table(r["path"]) for r in ordered])
+    assert got["name"].to_pylist() == [
+        "alpha", "beta", "mike", "omega", "zeta"]
+    assert dict(zip(got["name"].to_pylist(), got["n"].to_pylist()))[
+        "beta"] == 99

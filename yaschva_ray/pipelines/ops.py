@@ -2134,6 +2134,150 @@ def compact_sorted(out_dir: str, target_bytes: int = 128 << 20) -> pa.Table:
     return pa.Table.from_pylist(new_ranges)
 
 
+def upsert_sorted(out_dir: str, changes: pa.Table, *,
+                  op_col: str = "op") -> pa.Table:
+    """MERGE a keyed changeset into a ``sorted_export`` directory — the
+    lakehouse upsert/CDC-apply: ``changes`` carries the export's key
+    column, the export's payload columns (for upserts) and ``op_col``
+    with values ``'upsert'`` (insert-or-replace by key) / ``'delete'``.
+    Only ranges whose key interval is TOUCHED by a change are read and
+    rewritten (at 100 TB: a thousand-row changeset rewrites a handful of
+    parts out of millions, never the table); untouched parts and their
+    manifest rows are byte-identical afterward.  Each rewritten range
+    re-sorts locally (rows stay inside their range — assignment is a
+    pure function of the unchanged cutpoints), writes tmp+rename under a
+    bumped write generation, and the manifest commits atomically BEFORE
+    old parts are removed — a crash in between leaves only unreferenced
+    files, exactly like ``compact_sorted``.  Changeset keys must be
+    unique and non-null (raises otherwise: an ambiguous merge must never
+    half-apply).  Returns the new manifest rows for the touched ranges.
+    """
+    import json
+
+    import ray
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    key = m["key"]
+    ranges = sorted(m["ranges"], key=lambda r: r["range_id"])
+    # shared write-generation counter with compact_sorted: ANY rewrite
+    # bumps it, so upsert-g*/compact-g* filenames never collide with a
+    # live part regardless of op interleaving
+    gen = int(m.get("compaction_gen", 0)) + 1
+
+    if key not in changes.column_names or op_col not in changes.column_names:
+        raise ValueError(
+            f"upsert_sorted: changes must carry {key!r} and {op_col!r}")
+    karr = changes[key]
+    if karr.null_count:
+        raise ValueError("upsert_sorted: null changeset keys")
+    kv = pc.cast(changes[op_col], pa.string())
+    bad = pc.sum(pc.invert(pc.is_in(
+        kv, value_set=pa.array(["upsert", "delete"])))).as_py()
+    if bad:
+        raise ValueError(f"upsert_sorted: {bad} rows with op not in "
+                         "('upsert','delete')")
+    if changes.num_rows and pc.count_distinct(karr).as_py() \
+            != changes.num_rows:
+        raise ValueError("upsert_sorted: duplicate changeset keys — "
+                         "merge order would be ambiguous")
+
+    # range assignment mirrors engine.exchange._range_map_block exactly:
+    # bucket = #(cutpoints <= key), side='right' (manifest stores the
+    # cutpoints stringified; re-type them against the changeset key)
+    v = np.asarray(karr.combine_chunks().to_numpy(zero_copy_only=False)
+                   if isinstance(karr, pa.ChunkedArray)
+                   else karr.to_numpy(zero_copy_only=False))
+    cuts = np.array(m["cutpoints"])
+    if len(cuts) and v.dtype != object:
+        cuts = cuts.astype(v.dtype)
+    b = np.searchsorted(cuts, v, side="right").astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    ch = changes.take(pa.array(order))
+    sb = b[order]
+    bounds = np.searchsorted(sb, np.arange(len(cuts) + 2))
+    per_range = {rid: ch.slice(bounds[rid], bounds[rid + 1] - bounds[rid])
+                 for rid in range(len(cuts) + 1)
+                 if bounds[rid + 1] > bounds[rid]}
+    by_id = {r["range_id"]: r for r in ranges}
+    missing = sorted(set(per_range) - set(by_id))
+    if missing:
+        raise ValueError(
+            f"upsert_sorted: changes map to range ids {missing} absent "
+            "from the manifest — cutpoints/manifest disagree")
+
+    payload_cols = [c for c in changes.column_names if c != op_col]
+
+    @ray.remote
+    def apply_range(rid: int, path: str, out: str,
+                    part_changes: pa.Table) -> dict:
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        t = pq.read_table(path)
+        ops_ = pc.cast(part_changes[op_col], pa.string())
+        all_keys = part_changes[key]  # upserts replace, deletes remove
+        keep = pc.invert(pc.is_in(t[key], value_set=all_keys))
+        removed = t.num_rows - pc.sum(keep).as_py()
+        kept = t.filter(keep)
+        ups = part_changes.filter(pc.equal(ops_, "upsert"))
+        extra = sorted(set(payload_cols) - set(t.column_names))
+        if extra:
+            raise ValueError(
+                f"upsert_sorted: changeset columns {extra} not in the "
+                f"export schema {t.column_names}")
+        ups = pa.table({c: (pc.cast(ups[c], t.schema.field(c).type)
+                            if c in ups.column_names else
+                            pa.nulls(ups.num_rows, t.schema.field(c).type))
+                        for c in t.column_names})
+        new = pa.concat_tables([kept, ups]).combine_chunks()
+        new = new.take(pc.sort_indices(
+            new, sort_keys=[(key, "ascending")], null_placement="at_start"))
+        tmp = out + ".tmp"
+        pq.write_table(new, tmp)
+        os.replace(tmp, out)
+        arr = new[key]
+        ktype = new.schema.field(key).type
+        mm = (pc.min_max(arr) if new.num_rows - arr.null_count
+              else {"min": pa.scalar(None, ktype),
+                    "max": pa.scalar(None, ktype)})
+        return {"range_id": rid, "n_rows": new.num_rows,
+                "n_nulls": arr.null_count, "min_v": mm["min"].as_py(),
+                "max_v": mm["max"].as_py(), "path": out,
+                "rows_removed": removed, "rows_upserted": ups.num_rows}
+
+    refs = {}
+    for rid, part_ch in per_range.items():
+        out = os.path.join(out_dir, f"upsert-g{gen}-{rid:05d}.parquet")
+        refs[rid] = apply_range.remote(rid, by_id[rid]["path"], out, part_ch)
+    done = {rid: ray.get(r) for rid, r in refs.items()}
+
+    new_ranges = []
+    for r in ranges:
+        if r["range_id"] in done:
+            d = done[r["range_id"]]
+            new_ranges.append({k_: d[k_] for k_ in (
+                "range_id", "n_rows", "n_nulls", "min_v", "max_v", "path")})
+        else:
+            new_ranges.append(r)  # untouched: manifest row byte-identical
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "cutpoints": m["cutpoints"],
+                   "compaction_gen": gen, "ranges": new_ranges}, f,
+                  default=str)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    for rid in done:  # old touched parts now unreferenced
+        old = by_id[rid]["path"]
+        if old != done[rid]["path"]:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+    return pa.Table.from_pylist(
+        [done[rid] for rid in sorted(done)]) if done else pa.table({})
+
+
 def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner") -> pa.Table:
     """SHUFFLE-FREE join of two ``sorted_export`` directories that share
     cutpoints: equal keys provably live in the same range id on both
@@ -2239,6 +2383,80 @@ def q_sorted_merge_join(sf_dir: str, n_ranges: int = 6,
         .sort_by([("o_orderkey", "ascending"),
                   ("o_totalprice", "ascending"),
                   ("l_quantity", "ascending")])
+
+
+def q_upsert_orders(sf_dir: str, n_ranges: int = 6,
+                    sample_mod: int = 17, n_inserts: int = 50) -> pa.Table:
+    """CDC merge into a sorted orders export — delete every key divisible
+    by 7, upsert (price + 1000) every key divisible by 5 but not 7, and
+    insert ``n_inserts`` brand-new keys past the max — then read the
+    table back in range order.  Exercises the full ``upsert_sorted``
+    path: only touched ranges rewrite (at 100 TB the changeset IS the
+    input and rewrites a handful of parts); here the changeset is derived
+    from the same deterministic predicates the DuckDB oracle mirrors, so
+    the final table is hash-exact.  Global max comes from the export's
+    own manifest — no extra scan."""
+    import hashlib
+    import shutil
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    def key_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"k": t["o_orderkey"].filter(
+            pa.array(ids % sample_mod == 0))})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["k"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(orders.map_batches(
+            key_sample, batch_format="pyarrow"))
+        if t.num_rows] or [np.empty(0, np.int64)]))
+    cutpoints = equidepth_cutpoints(sv, n_ranges)
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", "yaschva_upsert", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)  # upsert mutates: fresh run
+    manifest = sorted_export(orders, "o_orderkey", out_dir, cutpoints)
+    max_key = pc.max(manifest["max_v"]).as_py()
+
+    def change_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        dels = ids % 7 == 0
+        ups = (ids % 5 == 0) & ~dels
+        dt = t.filter(pa.array(dels))
+        ut = t.filter(pa.array(ups))
+        return pa.concat_tables([
+            pa.table({"o_orderkey": dt["o_orderkey"],
+                      "o_totalprice": pa.nulls(dt.num_rows, pa.float64()),
+                      "op": pa.array(["delete"] * dt.num_rows,
+                                     pa.string())}),
+            pa.table({"o_orderkey": ut["o_orderkey"],
+                      "o_totalprice": pc.add(ut["o_totalprice"], 1000.0),
+                      "op": pa.array(["upsert"] * ut.num_rows,
+                                     pa.string())}),
+        ])
+
+    parts = [t for t in gather_tables(orders.map_batches(
+        change_rows, batch_format="pyarrow")) if t.num_rows]
+    ins = pa.table({
+        "o_orderkey": pa.array(
+            [max_key + i for i in range(1, n_inserts + 1)], pa.int64()),
+        "o_totalprice": pa.array(
+            [1.5 * i for i in range(1, n_inserts + 1)], pa.float64()),
+        "op": pa.array(["upsert"] * n_inserts),
+    })
+    changes = pa.concat_tables(parts + [ins]).combine_chunks()
+    upsert_sorted(out_dir, changes)
+
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    tabs = [pq.read_table(r["path"])
+            for r in sorted(m["ranges"], key=lambda r: r["range_id"])]
+    out = pa.concat_tables([t for t in tabs if t.num_rows]).combine_chunks()
+    # parts in range order ARE the table in key order — no sort needed
+    return out.select(["o_orderkey", "o_totalprice"])
 
 
 def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
