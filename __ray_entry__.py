@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": ops.q_events_sessions,
         "jaccard_pairs": ops.q_jaccard_pairs,
         "sample_quality": ops.q_sample_quality,
+        # exact per-stratum 1-in-10 sample via distributed order
+        # statistic (hash-prefix histogram -> threshold bucket refine)
+        "stratified_sample": ops.q_stratified_sample,
         "custom_check_documents": ops.q_custom_check_documents,
         "events_user_segments": ops.q_events_user_segments,
         "partitioned_write_langs": ops.q_partitioned_write_langs,
@@ -1390,6 +1393,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(length(regexp_extract_all(text, '\S+'))
                                  AS BIGINT), 0) AS n_tokens
             FROM documents WHERE doc_id % 20 = 7 ORDER BY doc_id
+        """,
+        # exact stratified quota: k smallest by (md5(id), id) per lang;
+        # integer quota (n+9)//10 on both sides (float ceil diverges
+        # between Python doubles and DuckDB decimals)
+        "stratified_sample": """
+            WITH ranked AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n_g
+                FROM documents)
+            SELECT lang, doc_id FROM ranked WHERE rn <= (n_g + 9) // 10
+            ORDER BY lang, doc_id
         """,
         "events_user_segments": """
             SELECT c.c_mktsegment,

@@ -669,3 +669,50 @@ def test_upsert_sorted_after_compact_string_key(ray_session, tmp_path):
         "alpha", "beta", "mike", "omega", "zeta"]
     assert dict(zip(got["name"].to_pylist(), got["n"].to_pylist()))[
         "beta"] == 99
+
+
+def test_stratified_sample_exact_quota_and_ties(ray_session, tmp_path,
+                                                monkeypatch):
+    """The distributed order-statistic sampler must equal the brute-force
+    per-stratum rank selection exactly — including a hot stratum, a
+    1-row stratum, and null-lang rows as their own stratum."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_stratified_sample
+
+    rng = np.random.RandomState(7)
+    langs = (["en"] * 3000 + ["de"] * 40 + ["fr"] * 1
+             + [None] * 13 + ["zh"] * 9)
+    ids = rng.permutation(len(langs)).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "lang": pa.array(langs, pa.string()),
+                  "text": pa.array(["x"] * len(langs)),
+                  "source": pa.array(["s"] * len(langs)),
+                  "n_chars": pa.array([1] * len(langs), pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = q_stratified_sample(str(d), m=10)
+
+    # brute force: k smallest by (md5(str(id)), id) per stratum
+    by = {}
+    for lg, did in zip(langs, ids.tolist()):
+        by.setdefault(lg, []).append(
+            (hashlib.md5(str(did).encode()).hexdigest(), did))
+    want = []
+    for lg, rows in by.items():
+        k = (len(rows) + 9) // 10
+        for _, did in sorted(rows)[:k]:
+            want.append((lg, did))
+    want.sort(key=lambda p: (p[0] is None, p[0] or "", p[1]))
+    assert list(zip(got["lang"].to_pylist(),
+                    got["doc_id"].to_pylist())) == want
+    # quota check per stratum, explicitly
+    from collections import Counter
+
+    c = Counter(got["lang"].to_pylist())
+    assert c["en"] == 300 and c["de"] == 4 and c["fr"] == 1
+    assert c["zh"] == 1 and c[None] == 2

@@ -1782,6 +1782,114 @@ def q_sample_quality(sf_dir: str) -> pa.Table:
                          ["doc_id"])
 
 
+def q_stratified_sample(sf_dir: str, m: int = 10) -> pa.Table:
+    """EXACT stratified 1-in-``m`` sample: every language keeps exactly
+    ``ceil(n_lang / m)`` documents — the ``k`` smallest by
+    ``(md5(doc_id), doc_id)``, a deterministic rank both engines can
+    compute.  Distributed as an exact per-stratum ORDER STATISTIC, never
+    a per-stratum shuffle: pass 1 histograms the 16-bit md5 prefix per
+    (lang, bucket) — driver state bounded by strata × 65536, independent
+    of row count — the cumsum locates each stratum's threshold bucket;
+    pass 2 emits every row strictly below its stratum's threshold and
+    gathers only the rows INSIDE the threshold bucket (expected
+    n_lang/65536 rows) for the final exact tie-break.  A hot stratum
+    costs a histogram row, not a reduce task.  md5-of-id is the
+    SQL-conformance rank (DuckDB ``md5``); swap a vectorized xxhash for
+    production where cross-engine rank equality isn't needed."""
+    import hashlib as _h
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def hash_bucket(t: pa.Table):
+        hh = [_h.md5(str(i).encode()).hexdigest()
+              for i in t["doc_id"].to_pylist()]
+        bk = np.array([int(h[:4], 16) for h in hh], np.int32)
+        return hh, bk
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, bk = hash_bucket(t)
+        g = pa.table({"lang": t["lang"], "bucket": pa.array(bk)}) \
+            .group_by(["lang", "bucket"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "bucket": g["bucket"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    parts = [b for b in gather_tables(ds.map_batches(
+        partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    hist = (pa.concat_tables(parts).group_by(["lang", "bucket"])
+            .aggregate([("n", "sum")])
+            .sort_by([("lang", "ascending"), ("bucket", "ascending")]))
+    from collections import defaultdict
+
+    per: dict = defaultdict(list)
+    for lg, bkt, n in zip(hist["lang"].to_pylist(),
+                          hist["bucket"].to_pylist(),
+                          hist["n_sum"].to_pylist()):
+        per[lg].append((bkt, n))
+    # threshold bucket + how many of its rows the stratum still needs
+    # (integer quota (n+m-1)//m: float ceil(frac*n) diverges between
+    # Python doubles and DuckDB decimals — keep the rank arithmetic
+    # integral on both sides)
+    thresholds: dict = {}
+    for lg, rows in per.items():
+        k = (sum(n for _, n in rows) + m - 1) // m
+        cum = 0
+        for bkt, n in rows:
+            if cum + n >= k:
+                thresholds[lg] = (bkt, k - cum)
+                break
+            cum += n
+
+    def select(t: pa.Table) -> pa.Table:
+        hh, bk = hash_bucket(t)
+        enc = t["lang"].combine_chunks() if isinstance(
+            t["lang"], pa.ChunkedArray) else t["lang"]
+        enc = pc.dictionary_encode(enc)
+        dv = enc.dictionary.to_pylist()
+        # null langs are their own stratum: index past the dictionary
+        idx = np.asarray(pc.fill_null(enc.indices, len(dv))
+                         .to_numpy(zero_copy_only=False)).astype(np.int64)
+        tb = np.array([thresholds.get(d, (-1, 0))[0] for d in dv]
+                      + [thresholds.get(None, (-1, 0))[0]], np.int64)
+        row_tb = tb[idx]
+        below = bk < row_tb
+        at = bk == row_tb
+        keep = below | at
+        out = t.filter(pa.array(keep))
+        return pa.table({
+            "lang": out["lang"], "doc_id": out["doc_id"],
+            "h": pa.array([h for h, k_ in zip(hh, keep) if k_],
+                          pa.string()),
+            "at_threshold": pa.array(at[keep], pa.bool_()),
+        })
+
+    got = pa.concat_tables([b for b in gather_tables(ds.map_batches(
+        select, batch_format="pyarrow")) if b.num_rows] or [pa.table({
+            "lang": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "h": pa.array([], pa.string()),
+            "at_threshold": pa.array([], pa.bool_())})]).combine_chunks()
+    sure = got.filter(pc.invert(got["at_threshold"]))
+    cand = got.filter(got["at_threshold"]).sort_by(
+        [("h", "ascending"), ("doc_id", "ascending")])
+    chosen = []
+    seen: dict = defaultdict(int)
+    for lg, did in zip(cand["lang"].to_pylist(),
+                       cand["doc_id"].to_pylist()):
+        if seen[lg] < thresholds.get(lg, (-1, 0))[1]:
+            seen[lg] += 1
+            chosen.append((lg, did))
+    out = pa.concat_tables([
+        sure.select(["lang", "doc_id"]),
+        pa.table({"lang": pa.array([c[0] for c in chosen], pa.string()),
+                  "doc_id": pa.array([c[1] for c in chosen], pa.int64())}),
+    ])
+    return out.sort_by([("lang", "ascending"), ("doc_id", "ascending")])
+
+
 def q_jaccard_pairs(sf_dir: str, k_docs: int = 40) -> pa.Table:
     """Exact n-gram-Jaccard CONFORMANCE surface: all pairs among the first
     ``k_docs`` documents scored by the same ``jaccard_ngrams`` kernel the
