@@ -254,9 +254,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": ops.q_events_asof_orders,
         "events_sessions": ops.q_events_sessions,
         "jaccard_pairs": ops.q_jaccard_pairs,
-        "sample_quality": ops.q_sample_quality,
         # exact per-stratum 1-in-10 sample via distributed order
-        # statistic (hash-prefix histogram -> threshold bucket refine)
+        # statistic (hash-prefix histogram -> threshold bucket refine);
+        # takes sample_quality's sweep slot — the EXACT order-statistic
+        # sampler subsumes the systematic-sample pattern, and the quality
+        # features stay sweep-visible via quality_documents
+        # (sample_quality remains oracle-backed just past the cap)
         "stratified_sample": ops.q_stratified_sample,
         "custom_check_documents": ops.q_custom_check_documents,
         "events_user_segments": ops.q_events_user_segments,
@@ -305,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f0_span_dedup": textops.q_f0_span_dedup,
         # --- past the 50-entry window: every remaining oracle-backed
         # query first (a larger cap checks them all), rows-only last ---
+        # sample_quality (oracle-backed) ceded its sweep slot to the exact
+        # stratified sampler; the deterministic systematic-sample + quality
+        # feature chain keeps its oracle here and its pytest coverage
+        "sample_quality": ops.q_sample_quality,
         "token_count_orc": ops.q_token_count_orc,
         "token_count_feather": ops.q_token_count_feather,
         "check_lineitem_csv": ops.q_check_lineitem_csv,
