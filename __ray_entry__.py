@@ -312,6 +312,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stratified sampler; the deterministic systematic-sample + quality
         # feature chain keeps its oracle here and its pytest coverage
         "sample_quality": ops.q_sample_quality,
+        # ordered funnel pattern-match (view → click → purchase first-
+        # completion per user): later stages depend on the user's GLOBAL
+        # earlier-stage minimum, so this is a keyed-exchange operator,
+        # not a per-block aggregate
+        "user_funnel": ops.q_user_funnel,
+        # hourly LOCF gap-fill resample (time-series regularization):
+        # per-user grids generated inside the bucket tasks, output
+        # bounded by keys × time-range/step, never by input rows
+        "user_hourly_locf": ops.q_user_hourly_locf,
         "token_count_orc": ops.q_token_count_orc,
         "token_count_feather": ops.q_token_count_feather,
         "check_lineitem_csv": ops.q_check_lineitem_csv,
@@ -1400,6 +1409,52 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(length(regexp_extract_all(text, '\S+'))
                                  AS BIGINT), 0) AS n_tokens
             FROM documents WHERE doc_id % 20 = 7 ORDER BY doc_id
+        """,
+        # funnel: stage k+1 strictly after the user's FIRST stage-k event
+        # (strict > removes any ts-tie ambiguity — no event_id tie-break
+        # needed, so the mirror is three plain min() aggregates)
+        "user_funnel": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+                       FROM events),
+            v AS (SELECT user_id, min(tus) AS view_us FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.tus) AS click_us
+                  FROM e JOIN v USING(user_id)
+                  WHERE e.event_type = 'click' AND e.tus > v.view_us
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.tus) AS purchase_us
+                  FROM e JOIN c USING(user_id)
+                  WHERE e.event_type = 'purchase' AND e.tus > c.click_us
+                  GROUP BY e.user_id)
+            SELECT u.user_id, v.view_us, c.click_us, p.purchase_us
+            FROM (SELECT DISTINCT user_id FROM e) u
+            LEFT JOIN v USING(user_id) LEFT JOIN c USING(user_id)
+            LEFT JOIN p USING(user_id)
+            ORDER BY user_id
+        """,
+        # LOCF resample: observations collapse to per-(user, hour) max
+        # cents first so ts ties are deterministic on both engines; the
+        # grid spans each user's own [first, last] observed hour
+        "user_hourly_locf": """
+            WITH m AS (SELECT user_id,
+                              epoch_us(date_trunc('hour', ts)) AS h,
+                              max(CAST(round(value*100) AS BIGINT)) AS cents
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM m
+                  GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(h0, h1, 3600000000))
+                                AS hour_us
+                     FROM b),
+            j AS (SELECT grid.user_id, grid.hour_us, m.cents
+                  FROM grid LEFT JOIN m ON m.user_id = grid.user_id
+                                       AND m.h = grid.hour_us)
+            SELECT user_id, hour_us,
+                   last_value(cents IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY hour_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cents
+            FROM j ORDER BY user_id, hour_us
         """,
         # exact stratified quota: k smallest by (md5(id), id) per lang;
         # integer quota (n+9)//10 on both sides (float ceil diverges

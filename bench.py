@@ -123,6 +123,13 @@ def bench_queries(sf_dir: str) -> dict:
         # shuffle-free merge join (includes both sorted exports each
         # iteration — the honest end-to-end cost)
         "sorted_merge_join",
+        # round-4 late additions: CDC upsert into a sorted export (builds
+        # the base export + applies the changeset each iteration) + exact
+        # per-stratum order-statistic sampling
+        "upsert_orders", "stratified_sample",
+        # round-4 late additions: ordered funnel pattern-match + hourly
+        # LOCF gap-fill resample (both one keyed exchange on user_id)
+        "user_funnel", "user_hourly_locf",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -716,3 +716,118 @@ def test_stratified_sample_exact_quota_and_ties(ray_session, tmp_path,
     c = Counter(got["lang"].to_pylist())
     assert c["en"] == 300 and c["de"] == 4 and c["fr"] == 1
     assert c["zh"] == 1 and c[None] == 2
+
+
+def test_user_funnel_vs_bruteforce(ray_session, tmp_path):
+    """Funnel kernel equals per-user brute force — incl. a user missing a
+    stage (null cascades), a click BEFORE the first view (ignored), ts
+    ties (strict > excludes same-instant next stages), and a user whose
+    only events are purchases (view null ⇒ all null)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_user_funnel
+
+    rows = []  # (event_id, ts_us, user_id, event_type)
+    rows += [(1, 100, 1, "view"), (2, 50, 1, "click"),  # click before view
+             (3, 100, 1, "click"),                      # tie: excluded
+             (4, 200, 1, "click"), (5, 200, 1, "purchase")]  # tie w/ click
+    rows += [(6, 10, 2, "purchase"), (7, 20, 2, "purchase")]  # no view
+    rows += [(8, 5, 3, "view"), (9, 6, 3, "click")]      # no purchase
+    rows += [(10, 1, 4, "view"), (11, 2, 4, "click"), (12, 3, 4, "purchase")]
+    rng = np.random.RandomState(3)
+    eid = 100
+    for u in range(5, 40):
+        for _ in range(rng.randint(1, 30)):
+            rows.append((eid, int(rng.randint(0, 1000)), u,
+                         ["view", "click", "purchase", "error"][
+                             rng.randint(4)]))
+            eid += 1
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = q_user_funnel(str(d))
+
+    def brute(user_rows):
+        v = min((ts for ts, k in user_rows if k == "view"), default=None)
+        c = (min((ts for ts, k in user_rows if k == "click" and ts > v),
+                 default=None) if v is not None else None)
+        p = (min((ts for ts, k in user_rows if k == "purchase" and ts > c),
+                 default=None) if c is not None else None)
+        return v, c, p
+
+    by = {}
+    for _, ts, u, k in rows:
+        by.setdefault(u, []).append((ts, k))
+    want = [(u, *brute(ur)) for u, ur in sorted(by.items())]
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    # the hand-built cases, explicitly
+    m = {r["user_id"]: r for r in got.to_pylist()}
+    assert (m[1]["view_us"], m[1]["click_us"], m[1]["purchase_us"]) == (
+        100, 200, None)  # tie at 200 excluded for purchase
+    assert m[2]["view_us"] is None and m[2]["purchase_us"] is None
+    assert m[3]["purchase_us"] is None
+    assert (m[4]["view_us"], m[4]["click_us"], m[4]["purchase_us"]) == (
+        1, 2, 3)
+
+
+def test_user_hourly_locf_vs_bruteforce(ray_session, tmp_path):
+    """LOCF resample equals a per-user python reference — incl. gaps of
+    several hours, an hour whose only values are null (inherits the
+    previous hour), a single-event user (1-cell grid), and null values
+    at a user's first hour (leading nulls stay null)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_user_hourly_locf
+
+    HOUR = 3_600_000_000
+    rows = []  # (ts_us, user_id, value)
+    rows += [(0, 1, 1.0), (HOUR * 5, 1, 2.5),          # 4-hour gap
+             (HOUR * 5 + 7, 1, 2.0)]                   # same hour, max=2.5
+    rows += [(HOUR * 2 + 3, 2, None),                  # leading null hour
+             (HOUR * 4, 2, 7.0), (HOUR * 6, 2, None)]  # null hour inherits
+    rows += [(HOUR * 9 + 1, 3, 3.25)]                  # single event
+    rng = np.random.RandomState(11)
+    for u in range(4, 30):
+        for _ in range(rng.randint(1, 40)):
+            v = None if rng.rand() < 0.2 else float(rng.randint(0, 500)) / 7
+            rows.append((int(rng.randint(0, 30 * HOUR)), u, v))
+    t = pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = q_user_hourly_locf(str(d))
+
+    want = []
+    by = {}
+    for ts, u, v in rows:
+        c = None if v is None else int(np.round(v * 100))
+        h = ts // HOUR * HOUR
+        cur = by.setdefault(u, {}).get(h)
+        by[u][h] = c if cur is None else (cur if c is None else max(cur, c))
+    for u in sorted(by):
+        hs = sorted(by[u])
+        last = None
+        for h in range(hs[0], hs[-1] + HOUR, HOUR):
+            if h in by[u] and by[u][h] is not None:
+                last = by[u][h]
+            want.append((u, h, last))
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    m = {(r["user_id"], r["hour_us"]): r["cents"] for r in got.to_pylist()}
+    assert m[(1, HOUR * 2)] == 100          # gap carries hour-0 value
+    assert m[(1, HOUR * 5)] == 250          # same-hour max
+    assert m[(2, HOUR * 2)] is None         # leading null stays null
+    assert m[(2, HOUR * 6)] == 700          # null hour inherits
+    assert m[(3, HOUR * 9)] == 325 and (3, HOUR * 10) not in m

@@ -3233,3 +3233,159 @@ def q_token_count_feather(sf_dir: str) -> pa.Table:
     ds = read_docs(files, columns=["doc_id", "text"])
     return _sorted_table(ds.map_batches(_count_tokens_batch,
                                         batch_format="pyarrow"), ["doc_id"])
+
+
+def q_user_funnel(sf_dir: str) -> pa.Table:
+    """Ordered funnel analysis (view → click → purchase): for each user,
+    the timestamp of their FIRST view, the first click STRICTLY AFTER
+    that view, and the first purchase strictly after that click — the
+    classic product-analytics pattern match no single SQL aggregate
+    expresses.  Later stages depend on the user's GLOBAL earlier-stage
+    minimum, so per-block partials can't compose; one keyed exchange on
+    user_id co-locates each user's history (the window family's
+    partitioning contract — hot keys logged by the exchange), then the
+    per-bucket kernel is whole-batch numpy: one sort, per-stage masked
+    ``minimum.reduceat`` with an INT64-max sentinel, each stage's
+    threshold broadcast by ``np.repeat``.  A missing stage nulls every
+    later stage for free (nothing beats the sentinel).  Timestamps
+    return as int64 microseconds so both engines hash the same bytes."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "view_us": pa.array([], pa.int64()),
+                      "click_us": pa.array([], pa.int64()),
+                      "purchase_us": pa.array([], pa.int64())})
+    SENT = np.iinfo(np.int64).max
+
+    def bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending")])
+        s = t.take(order)
+        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
+        ts_us = np.asarray(pc.cast(s["ts"], pa.int64())
+                           .to_numpy(zero_copy_only=False))
+        n = len(users)
+        new = np.ones(n, dtype=bool)
+        new[1:] = users[1:] != users[:-1]
+        starts = np.nonzero(new)[0]
+        glens = np.diff(np.append(starts, n))
+
+        def stage(kind: str, after: np.ndarray | None) -> np.ndarray:
+            mask = np.asarray(pc.fill_null(
+                pc.equal(s["event_type"], kind), False)
+                .to_numpy(zero_copy_only=False))
+            if after is not None:
+                mask = mask & (ts_us > np.repeat(after, glens))
+            return np.minimum.reduceat(np.where(mask, ts_us, SENT), starts)
+
+        t_view = stage("view", None)
+        t_click = stage("click", t_view)
+        t_purchase = stage("purchase", t_click)
+        return pa.table({
+            "user_id": pa.array(users[starts]),
+            "view_us": pa.array(t_view, mask=t_view == SENT),
+            "click_us": pa.array(t_click, mask=t_click == SENT),
+            "purchase_us": pa.array(t_purchase, mask=t_purchase == SENT),
+        })
+
+    parts = [p for p in keyed_exchange(ds, "user_id", bucket,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("user_id", "ascending")])
+
+
+def q_user_hourly_locf(sf_dir: str) -> pa.Table:
+    """Time-series regularization with gap fill: each user's event values
+    resampled onto an hourly grid spanning THEIR OWN [first, last]
+    observed hour, missing hours filled by last observation carried
+    forward (LOCF) — the step that turns irregular event streams into
+    aligned series.  Observations collapse to per-(user, hour) max cents
+    first (deterministic under ts ties on both engines), so the LOCF is
+    a pure searchsorted against each user's sorted observation hours —
+    no per-row loop, no per-grid-cell join.  Output size is bounded by
+    keys × (time-range / step), NOT by input rows: the grid is generated
+    inside the bucket task and streams out per part, so a wide time
+    range needs a coarser step, never more driver memory.  Same keyed
+    exchange contract as the window family."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "hour_us": pa.array([], pa.int64()),
+                      "cents": pa.array([], pa.int64())})
+    HOUR = 3_600_000_000  # microseconds
+
+    def bucket(t: pa.Table) -> pa.Table:
+        cents_col = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                            pa.int64())
+        hour_col = pc.multiply(
+            pc.floor(pc.divide(pc.cast(t["ts"], pa.int64()), HOUR)), HOUR)
+        obs = pa.table({"user_id": t["user_id"],
+                        "h": pc.cast(hour_col, pa.int64()),
+                        "cents": cents_col})
+        # per-(user, hour) max cents — Arrow group_by is bucket-local
+        agg = (obs.group_by(["user_id", "h"])
+                  .aggregate([("cents", "max")])
+                  .sort_by([("user_id", "ascending"), ("h", "ascending")]))
+        users = np.asarray(agg["user_id"].to_numpy(zero_copy_only=False))
+        hours = np.asarray(agg["h"].to_numpy(zero_copy_only=False))
+        vals = agg["cents_max"]  # may hold nulls (all-null hours)
+        n = len(users)
+        if n == 0:
+            return empty
+        new = np.ones(n, dtype=bool)
+        new[1:] = users[1:] != users[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n)
+        # grid sizes per user: (last − first)/HOUR + 1
+        sizes = ((hours[ends - 1] - hours[starts]) // HOUR + 1).astype(
+            np.int64)
+        total = int(sizes.sum())
+        g_user = np.repeat(users[starts], sizes)
+        # per-user arange: global arange minus each segment's start offset
+        offs = np.zeros(len(sizes), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=offs[1:])
+        g_idx = np.arange(total, dtype=np.int64) - np.repeat(offs, sizes)
+        g_hour = np.repeat(hours[starts], sizes) + g_idx * HOUR
+        # LOCF source per grid cell: scatter each observation's global
+        # index onto its own grid cell, then maximum.accumulate — every
+        # user's FIRST grid cell is that user's first observation (the
+        # grid starts at it), and observation indices increase in
+        # (user, hour) order, so the fill can never carry a previous
+        # user's index across a boundary
+        glens_obs = ends - starts
+        obs_pos = (np.repeat(offs, glens_obs)
+                   + (hours - np.repeat(hours[starts], glens_obs)) // HOUR)
+        g_src = np.full(total, -1, dtype=np.int64)
+        g_src[obs_pos] = np.arange(n)
+        g_src = np.maximum.accumulate(g_src)
+        # a grid cell can map to an all-null observation hour whose LOCF
+        # should come from an earlier non-null hour: forward-fill the
+        # OBSERVATION values per user first (null obs inherit the
+        # previous non-null obs in the same user segment)
+        valid = np.asarray(pc.is_valid(vals).to_numpy(zero_copy_only=False))
+        vnum = np.asarray(pc.fill_null(vals, 0).to_numpy(
+            zero_copy_only=False))
+        idx = np.where(valid, np.arange(n), -1)
+        idx = np.maximum.accumulate(idx)
+        # reset carries that crossed a user boundary
+        idx = np.where(idx >= np.repeat(starts, glens_obs), idx, -1)
+        filled_valid = idx >= 0
+        filled = np.where(filled_valid, vnum[np.maximum(idx, 0)], 0)
+        out_valid = filled_valid[g_src]
+        out_vals = filled[g_src]
+        return pa.table({
+            "user_id": pa.array(g_user),
+            "hour_us": pa.array(g_hour),
+            "cents": pa.array(out_vals, mask=~out_valid),
+        })
+
+    parts = [p for p in keyed_exchange(ds, "user_id", bucket,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("user_id", "ascending"), ("hour_us", "ascending")])
