@@ -321,6 +321,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user grids generated inside the bucket tasks, output
         # bounded by keys × time-range/step, never by input rows
         "user_hourly_locf": ops.q_user_hourly_locf,
+        # grouped VECTOR aggregate: per-label centroid numerators as
+        # exact fixed-point sums (float32→double cast + 2^20 scale +
+        # floor are all dialect-free); partials bounded by labels × dim
+        "label_centroids": textops.q_label_centroids,
+        # text normalization curation stage (unicode lower + whitespace
+        # collapse + trim), pinned cross-engine by the mirror
+        "normalize_text": textops.q_normalize_text,
         "token_count_orc": ops.q_token_count_orc,
         "token_count_feather": ops.q_token_count_feather,
         "check_lineitem_csv": ops.q_check_lineitem_csv,
@@ -1409,6 +1416,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(length(regexp_extract_all(text, '\S+'))
                                  AS BIGINT), 0) AS n_tokens
             FROM documents WHERE doc_id % 20 = 7 ORDER BY doc_id
+        """,
+        # grouped vector aggregate: fixed-point (floor(x·2^20)) component
+        # sums — float32→double is exact, power-of-two scaling is exact,
+        # floor has no rounding-tie dialect
+        "label_centroids": """
+            WITH u AS (SELECT label,
+                              CAST(generate_subscripts(embedding, 1) - 1
+                                   AS BIGINT) AS dim,
+                              unnest(embedding) AS x
+                       FROM embeddings WHERE embedding IS NOT NULL)
+            SELECT label, dim,
+                   CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576)
+                                 AS BIGINT)) AS BIGINT) AS sum_fp,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM u GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+                       AS norm_text,
+                   coalesce(CAST(length(trim(regexp_replace(lower(text),
+                                 '\s+', ' ', 'g'), ' ')) AS BIGINT), 0)
+                       AS n_chars
+            FROM documents ORDER BY doc_id
         """,
         # funnel: stage k+1 strictly after the user's FIRST stage-k event
         # (strict > removes any ts-tie ambiguity — no event_id tie-break

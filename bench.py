@@ -158,6 +158,9 @@ def bench_queries(sf_dir: str) -> dict:
         # persisted indexes (first run pays the one-time build; best-of-2
         # reports the warm incremental path — the 100 TB operating mode)
         "dedup_incremental", "neardup_incremental",
+        # round-4 late additions: grouped vector aggregate (fixed-point
+        # centroid numerators) + text-normalization curation stage
+        "label_centroids", "normalize_text",
     ]
     bpe_names = ["bpe_merges"]
     out = {}

@@ -1322,3 +1322,67 @@ def test_index_kind_marker_guards_misuse(ray_session, tmp_path):
     dedup_index_build(ray.data.from_arrow(corpus), idx, num_shards=2)
     with pytest.raises(RuntimeError, match="kind='exact_hash'"):
         neardup_candidates_against_index(ray.data.from_arrow(corpus), idx)
+
+
+def test_label_centroids_vs_bruteforce(ray_session, tmp_path):
+    """Fixed-point grouped vector sums equal a numpy reference — incl. a
+    null label (its own group), a null embedding row (dropped), and
+    negative components; partial shape bounded by labels × dim."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import q_label_centroids
+
+    rng = np.random.RandomState(5)
+    n, dim = 300, 8
+    mat = (rng.rand(n, dim).astype(np.float32) - 0.5) * 2
+    labels = [None if i % 97 == 0 else int(i % 4) for i in range(n)]
+    emb = [None if i == 13 else mat[i].tolist() for i in range(n)]
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    got = q_label_centroids(str(d))
+
+    fp = np.floor(mat.astype(np.float64) * (1 << 20)).astype(np.int64)
+    want = {}
+    for i in range(n):
+        if emb[i] is None:
+            continue
+        g = labels[i]
+        s, c = want.setdefault(g, [np.zeros(dim, np.int64), 0])
+        s += fp[i]
+        want[g][1] = c + 1
+    rows = got.to_pylist()
+    assert len(rows) == len(want) * dim
+    for r in rows:
+        s, c = want[r["label"]]
+        assert r["sum_fp"] == s[r["dim"]] and r["n_vecs"] == c
+
+
+def test_normalize_text_unicode_and_whitespace(ray_session, tmp_path):
+    """Normalization handles unicode lowering (É→é), CJK (unchanged),
+    tab/newline runs, leading/trailing space, empty and null text."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import q_normalize_text
+
+    texts = ["  Hello\t\tWORLD \n", "ÉÈ Ü ss", "中文 文本", "", None,
+             "a b"]  # NBSP is \s in neither? pinned by the oracle
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = q_normalize_text(str(d)).to_pylist()
+    by = {r["doc_id"]: r for r in got}
+    assert by[0]["norm_text"] == "hello world"
+    assert by[1]["norm_text"] == "éè ü ss"
+    assert by[2]["norm_text"] == "中文 文本"
+    assert by[3]["norm_text"] == "" and by[3]["n_chars"] == 0
+    assert by[4]["norm_text"] is None and by[4]["n_chars"] == 0
+    assert by[0]["n_chars"] == 11

@@ -3433,3 +3433,92 @@ def _gather_tables(ds):
     from ..engine.blocks import gather_tables
 
     return gather_tables(ds)
+
+
+def q_label_centroids(sf_dir: str) -> pa.Table:
+    """Grouped VECTOR aggregate: per-label embedding centroid numerators
+    — the building block behind class prototypes, per-cluster means and
+    IVF retraining.  Exactness across engines comes from fixed-point
+    component sums: each float32 component casts exactly to double,
+    scales by 2^20 (a power of two — still exact), and floors (no
+    rounding-tie dialect).  The partial per block is (labels × dim)
+    rows — bounded by group cardinality, never input size — so the
+    driver merge is one small Arrow group-sum; the embedding matrix
+    itself is one zero-copy flatten + reshape + ``add.reduceat`` per
+    block, no per-row loop.  int64 headroom: |x| ≤ 1 ⇒ |sum_fp| <
+    2^20·n, overflow needs ~2^43 rows per label."""
+    SCALE = float(1 << 20)
+    NULL_SENT = np.int64(1) << 62
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["embedding"]))
+        if not t.num_rows:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_fp": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        mat = _embeddings_matrix(t)
+        fp = np.floor(mat * SCALE).astype(np.int64)
+        lab_col = t["label"]
+        lab = np.where(
+            np.asarray(pc.is_valid(lab_col).to_numpy(zero_copy_only=False)),
+            np.asarray(pc.fill_null(lab_col, 0)
+                       .to_numpy(zero_copy_only=False)).astype(np.int64),
+            NULL_SENT)
+        order = np.argsort(lab, kind="stable")
+        lab_s, fp_s = lab[order], fp[order]
+        new = np.ones(len(lab_s), dtype=bool)
+        new[1:] = lab_s[1:] != lab_s[:-1]
+        starts = np.nonzero(new)[0]
+        glens = np.diff(np.append(starts, len(lab_s)))
+        sums = np.add.reduceat(fp_s, starts, axis=0)
+        g, d = sums.shape
+        glabs = lab_s[starts]
+        return pa.table({
+            "label": pa.array(
+                np.repeat(glabs, d).astype(np.int64),
+                mask=np.repeat(glabs == NULL_SENT, d)).cast(pa.int32()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), g)),
+            "sum_fp": pa.array(sums.ravel()),
+            "n_vecs": pa.array(np.repeat(glens.astype(np.int64), d)),
+        })
+
+    parts = [t for t in _gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if t.num_rows]
+    if not parts:
+        return pa.table({"label": pa.array([], pa.int32()),
+                         "dim": pa.array([], pa.int64()),
+                         "sum_fp": pa.array([], pa.int64()),
+                         "n_vecs": pa.array([], pa.int64())})
+    merged = (pa.concat_tables(parts)
+              .group_by(["label", "dim"])
+              .aggregate([("sum_fp", "sum"), ("n_vecs", "sum")])
+              .rename_columns(["label", "dim", "sum_fp", "n_vecs"]))
+    return merged.sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+def q_normalize_text(sf_dir: str) -> pa.Table:
+    """Text normalization as a curation stage: unicode lowercase,
+    collapse every whitespace run to one space, trim — all Arrow
+    kernels (utf8proc lower + RE2 replace), zero Python per row.  The
+    SQL mirror applies the identical three steps, pinning the unicode
+    lowering and the RE2 ``\\s+`` class cross-engine; n_chars of the
+    normalized text rides along as an integer conformance signal."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        one = pc.replace_substring_regex(low, pattern=r"\s+",
+                                         replacement=" ")
+        out = pc.utf8_trim(one, characters=" ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": out,
+            "n_chars": pc.cast(pc.fill_null(pc.utf8_length(out), 0),
+                               pa.int64()),
+        })
+
+    return _gather(ds.map_batches(norm, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
