@@ -325,6 +325,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact fixed-point sums (float32→double cast + 2^20 scale +
         # floor are all dialect-free); partials bounded by labels × dim
         "label_centroids": textops.q_label_centroids,
+        # TPC-H-Q10-style composition proof: scan-filtered big-big join
+        # with GROUP BY pushed into the join reduce → keyed exchange
+        # group-sum + per-bucket top-k → k-row pruned enrichment read
+        "returned_revenue_topk": ops.q_returned_revenue_topk,
+        # frame-clause window (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        # completing the window family: cumsum + clamped index arithmetic
+        "user_moving_sum": ops.q_user_moving_sum,
         # text normalization curation stage (unicode lower + whitespace
         # collapse + trim), pinned cross-engine by the mirror
         "normalize_text": textops.q_normalize_text,
@@ -1416,6 +1423,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(length(regexp_extract_all(text, '\S+'))
                                  AS BIGINT), 0) AS n_tokens
             FROM documents WHERE doc_id % 20 = 7 ORDER BY doc_id
+        """,
+        # Q10-style chain: revenue = round(price·100) · (100 −
+        # round(discount·100)) — both factors round separately so both
+        # engines compute identical int64s; ties break by custkey
+        "returned_revenue_topk": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount*100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_c2
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_c2 DESC, c_custkey LIMIT 20
+        """,
+        "user_moving_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value*100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS mov_cents
+            FROM events ORDER BY user_id, event_id
         """,
         # grouped vector aggregate: fixed-point (floor(x·2^20)) component
         # sums — float32→double is exact, power-of-two scaling is exact,

@@ -130,6 +130,9 @@ def bench_queries(sf_dir: str) -> dict:
         # round-4 late additions: ordered funnel pattern-match + hourly
         # LOCF gap-fill resample (both one keyed exchange on user_id)
         "user_funnel", "user_hourly_locf",
+        # round-4 late additions: Q10-style chained join/agg/top-k
+        # pipeline + frame-clause moving window
+        "returned_revenue_topk", "user_moving_sum",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -831,3 +831,96 @@ def test_user_hourly_locf_vs_bruteforce(ray_session, tmp_path):
     assert m[(2, HOUR * 2)] is None         # leading null stays null
     assert m[(2, HOUR * 6)] == 700          # null hour inherits
     assert m[(3, HOUR * 9)] == 325 and (3, HOUR * 10) not in m
+
+
+def test_user_moving_sum_vs_pandas(ray_session, tmp_path):
+    """Frame window equals pandas rolling(4, min_periods=1) per user —
+    windows clamp at group starts and never cross users."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_user_moving_sum
+
+    rng = np.random.RandomState(9)
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.randint(0, 10**6, n), unit="us"),
+        "user_id": rng.randint(0, 37, n).astype(np.int64),
+        "value": rng.rand(n) * 100 - 20,
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    got = q_user_moving_sum(str(d)).to_pandas()
+
+    df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["mov"] = (df.groupby("user_id")["cents"]
+                   .rolling(4, min_periods=1).sum()
+                   .reset_index(level=0, drop=True)).astype(np.int64)
+    want = (df.sort_values(["user_id", "event_id"])
+              [["event_id", "user_id", "mov"]].reset_index(drop=True))
+    assert got["mov_cents"].tolist() == want["mov"].tolist()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+
+
+def test_returned_revenue_topk_vs_duckdb(ray_session, tmp_path):
+    """The chained join→agg→top-k pipeline equals DuckDB on a synthetic
+    4-table fixture with revenue ties (broken by custkey) and customers
+    whose revenue lands them exactly at the k boundary."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_returned_revenue_topk
+
+    rng = np.random.RandomState(21)
+    n_li, n_ord, n_cust = 5000, 800, 60
+    d = tmp_path / "sf"
+    d.mkdir()
+    ordkeys = np.arange(n_ord, dtype=np.int64)
+    pq.write_table(pa.table({
+        "l_orderkey": rng.choice(ordkeys, n_li).astype(np.int64),
+        "l_extendedprice": np.round(rng.rand(n_li) * 1000, 2),
+        "l_discount": np.round(rng.rand(n_li) * 0.1, 2),
+        "l_returnflag": rng.choice(["A", "N", "R"], n_li),
+    }), str(d / "lineitem.parquet"))
+    base = np.datetime64("1995-06-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": ordkeys,
+        "o_custkey": rng.randint(0, n_cust, n_ord).astype(np.int64),
+        "o_orderdate": pa.array(
+            base + rng.randint(0, 730, n_ord).astype("timedelta64[D]")
+                      .astype("timedelta64[us]"), pa.timestamp("us")),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": pa.array([f"cust#{i}" for i in range(n_cust)]),
+        "c_nationkey": (np.arange(n_cust, dtype=np.int64) % 5),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": np.arange(5, dtype=np.int64),
+        "n_name": pa.array([f"nation#{i}" for i in range(5)]),
+    }), str(d / "nation.parquet"))
+
+    got = q_returned_revenue_topk(str(d)).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.sql("""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                    AS BIGINT) AS revenue_c2
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3 ORDER BY revenue_c2 DESC, c_custkey LIMIT 20
+    """).df()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))

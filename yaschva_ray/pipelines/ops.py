@@ -3389,3 +3389,150 @@ def q_user_hourly_locf(sf_dir: str) -> pa.Table:
         return empty
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("user_id", "ascending"), ("hour_us", "ascending")])
+
+
+def q_returned_revenue_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """TPC-H-Q10-style multi-stage pipeline — the composition proof that
+    the engine's join / exchange / top-k primitives CHAIN: top-k
+    customers by revenue from RETURNED items ordered in 1996.  Stage
+    plan, each step sized for 100 TB:
+
+    1. both scans filter + project at the read (returnflag = 'R';
+       orderdate in 1996) — only surviving columns cross the cluster;
+    2. big-big hash join lineitem⋈orders on orderkey with the GROUP-BY
+       PUSHED INTO THE JOIN REDUCE (``bucket_fn``): each bucket emits
+       per-custkey partial revenue sums, so join output never
+       materializes — the exchange's own partial-aggregate hook;
+    3. one keyed exchange on custkey group-sums the partials exactly
+       (a custkey's partials can span every join bucket) and each
+       bucket keeps only its local top-k — ≤ B·k rows reach the driver;
+    4. the global top-k joins customer + nation names via one tiny
+       pruned broadcast read (k rows, not the customer table).
+
+    Revenue is the exact integer ``round(price·100) · (100 −
+    round(discount·100))`` — both factors round separately so both
+    engines compute identical int64s; ties break by custkey."""
+    import ray
+
+    from ..engine.exchange import keyed_exchange
+    from ..engine.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"])
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        dh = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                     pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dh))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c2": rev})
+
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def od_filter(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    def bucket_partial(j: pa.Table) -> pa.Table:
+        # per-bucket partial GROUP BY custkey — join rows die here
+        return (j.select(["o_custkey", "rev_c2"])
+                 .group_by(["o_custkey"]).aggregate([("rev_c2", "sum")])
+                 .rename_columns(["o_custkey", "rev_c2"]))
+
+    partials = hash_join(
+        li.map_batches(li_filter, batch_format="pyarrow"),
+        od.map_batches(od_filter, batch_format="pyarrow"),
+        left_key="l_orderkey", right_key="o_orderkey",
+        bucket_fn=bucket_partial)
+    empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                      "rev_c2": pa.array([], pa.int64())})
+    if not partials.num_rows:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "revenue_c2": pa.array([], pa.int64())})
+
+    def custkey_topk(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["o_custkey"]).aggregate([("rev_c2", "sum")])
+              .rename_columns(["o_custkey", "rev_c2"]))
+        order = pc.sort_indices(
+            g, sort_keys=[("rev_c2", "descending"),
+                          ("o_custkey", "ascending")])
+        return g.take(order[:k])
+
+    parts = keyed_exchange(ray.data.from_arrow(partials), "o_custkey",
+                           custkey_topk, empty_result=empty)
+    merged = pa.concat_tables([p for p in parts if p.num_rows] or [empty])
+    order = pc.sort_indices(merged,
+                            sort_keys=[("rev_c2", "descending"),
+                                       ("o_custkey", "ascending")])
+    top = merged.take(order[:k])
+
+    # enrichment: read ONLY the k winning customers (pruned read), then
+    # their nations — both tiny
+    keys = top["o_custkey"].to_pylist()
+    import pyarrow.dataset as pads
+    cust = pads.dataset(os.path.join(sf_dir, "customer.parquet")).to_table(
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=pads.field("c_custkey").isin(keys))
+    nat = pads.dataset(os.path.join(sf_dir, "nation.parquet")).to_table(
+        columns=["n_nationkey", "n_name"])
+    idx = pc.index_in(top["o_custkey"], cust["c_custkey"])
+    nidx = pc.index_in(cust["c_nationkey"].take(idx), nat["n_nationkey"])
+    return pa.table({
+        "c_custkey": top["o_custkey"],
+        "c_name": cust["c_name"].take(idx),
+        "n_name": nat["n_name"].take(nidx),
+        "revenue_c2": top["rev_c2"],
+    })
+
+
+def q_user_moving_sum(sf_dir: str, frame: int = 3) -> pa.Table:
+    """Frame-clause window (``ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW``): each event's cent value summed with its user's previous
+    ``frame`` events — completing the window family next to the
+    running total (unbounded frame), LAG (offset) and sessions (gap).
+    Same keyed-exchange plan; the kernel is one global cumsum + index
+    arithmetic: each row's frame start clamps to its group start, so
+    windows never cross users and no per-window loop exists."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "mov_cents": pa.array([], pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        s = t.take(order)
+        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(s["value"], 100.0)),
+                                   pa.int64()).to_numpy(zero_copy_only=False))
+        n = len(users)
+        new = np.ones(n, dtype=bool)
+        new[1:] = users[1:] != users[:-1]
+        starts = np.nonzero(new)[0]
+        glens = np.diff(np.append(starts, n))
+        cum = np.cumsum(cents)
+        i = np.arange(n)
+        pos = i - np.repeat(starts, glens)
+        lo = i - np.minimum(pos, frame)
+        mov = cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        return pa.table({"event_id": s["event_id"],
+                         "user_id": s["user_id"],
+                         "mov_cents": pa.array(mov)})
+
+    parts = [p for p in keyed_exchange(ds, "user_id", bucket,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")])
