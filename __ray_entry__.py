@@ -335,6 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text normalization curation stage (unicode lower + whitespace
         # collapse + trim), pinned cross-engine by the mirror
         "normalize_text": textops.q_normalize_text,
+        # SymSpell/FastSS fuzzy vocabulary join: ed==1 token pairs via a
+        # distributed deletion-neighborhood exchange, verified with NO
+        # per-pair edit-distance loop (hamming matrices + a length proof)
+        "vocab_fuzzy_pairs": textops.q_vocab_fuzzy_pairs,
         "token_count_orc": ops.q_token_count_orc,
         "token_count_feather": ops.q_token_count_feather,
         "check_lineitem_csv": ops.q_check_lineitem_csv,
@@ -1474,6 +1478,20 @@ def oracle_sql() -> dict[str, str]:
                                  '\s+', ' ', 'g'), ' ')) AS BIGINT), 0)
                        AS n_chars
             FROM documents ORDER BY doc_id
+        """,
+        # fuzzy vocab join: planted typos (substr(t,2) of every ≥3-char
+        # token) make the levenshtein cross join non-trivially exercised;
+        # a < b means every surviving pair has distance exactly 1
+        "vocab_fuzzy_pairs": r"""
+            WITH tok AS (SELECT DISTINCT unnest(regexp_extract_all(
+                             coalesce(text, ''), '\S+')) AS t
+                         FROM documents),
+            synth AS (SELECT DISTINCT substr(t, 2) AS t FROM tok
+                      WHERE length(t) >= 3),
+            u AS (SELECT t FROM tok UNION SELECT t FROM synth)
+            SELECT a.t AS tok_a, b.t AS tok_b
+            FROM u a JOIN u b ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
+            ORDER BY 1, 2
         """,
         # funnel: stage k+1 strictly after the user's FIRST stage-k event
         # (strict > removes any ts-tie ambiguity — no event_id tie-break

@@ -164,6 +164,8 @@ def bench_queries(sf_dir: str) -> dict:
         # round-4 late additions: grouped vector aggregate (fixed-point
         # centroid numerators) + text-normalization curation stage
         "label_centroids", "normalize_text",
+        # round-4 late addition: SymSpell/FastSS fuzzy vocabulary join
+        "vocab_fuzzy_pairs",
     ]
     bpe_names = ["bpe_merges"]
     out = {}

@@ -1386,3 +1386,72 @@ def test_normalize_text_unicode_and_whitespace(ray_session, tmp_path):
     assert by[3]["norm_text"] == "" and by[3]["n_chars"] == 0
     assert by[4]["norm_text"] is None and by[4]["n_chars"] == 0
     assert by[0]["n_chars"] == 11
+
+
+def test_vocab_fuzzy_pairs_vs_bruteforce(ray_session, tmp_path):
+    """Deletion-neighborhood join equals brute-force Levenshtein over a
+    vocabulary with repeated-char tokens (duplicate deletion variants),
+    1-char tokens (the "" hub variant), unicode, and planted typos."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import q_vocab_fuzzy_pairs
+
+    words = ["aa", "a", "b", "ab", "ba", "abc", "abd", "abcd", "xyz",
+             "héllo", "hello", "hallo", "zzz", "zz"]
+    docs = [" ".join(words), " ".join(reversed(words)), "abc abd extra"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string()),
+                  "lang": pa.array(["en"] * len(docs)),
+                  "source": pa.array(["s"] * len(docs)),
+                  "n_chars": pa.array([len(d) for d in docs], pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = [tuple(r.values()) for r in q_vocab_fuzzy_pairs(str(d)).to_pylist()]
+
+    def ed(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            for i, ca in enumerate(a, 1):
+                cur.append(min(prev[i] + 1, cur[-1] + 1,
+                               prev[i - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    toks = {w for doc in docs for w in doc.split()}
+    union = sorted(toks | {w[1:] for w in toks if len(w) >= 3})
+    want = [(a, b) for i, a in enumerate(union) for b in union[i + 1:]
+            if ed(a, b) == 1]
+    assert got == sorted(want)
+    assert ("abc", "abd") in got and ("ab", "ba") not in got
+    assert ("a", "b") in got  # 1-char pair via the "" hub variant
+
+
+def test_vocab_fuzzy_pairs_hub_cap(ray_session, tmp_path):
+    """A variant group over the cap emits a verified star to the
+    lexicographic minimum, with a loud log — never silent truncation."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import q_vocab_fuzzy_pairs
+
+    # 30 single-char tokens all share the "" variant → one hub group
+    # (the warning itself fires inside the Ray worker — the output
+    # contract below is the observable; same pattern as the LSH caps)
+    words = [chr(ord("a") + i) for i in range(26)] + ["0", "1", "2", "3"]
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([" ".join(words)], pa.string()),
+                  "lang": pa.array(["en"]), "source": pa.array(["s"]),
+                  "n_chars": pa.array([1], pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = q_vocab_fuzzy_pairs(str(d), max_bucket_rows=8).to_pylist()
+    star = {(r["tok_a"], r["tok_b"]) for r in got}
+    # star pairs to the minimum token "0" (all 1-char ⇒ all ed 1)
+    assert {("0", w) for w in words if w != "0"} <= star
+    # sub-cap all-pairs among the same-length tokens must NOT all appear
+    # (the cap traded completeness for boundedness on this hub)
+    assert ("a", "b") not in star

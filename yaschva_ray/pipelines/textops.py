@@ -3522,3 +3522,137 @@ def q_normalize_text(sf_dir: str) -> pa.Table:
 
     return _gather(ds.map_batches(norm, batch_format="pyarrow")).sort_by(
         [("doc_id", "ascending")])
+
+
+def q_vocab_fuzzy_pairs(sf_dir: str,
+                        max_bucket_rows: int = 4096) -> pa.Table:
+    """SymSpell/FastSS-style fuzzy vocabulary join: every pair of corpus
+    tokens at edit distance EXACTLY 1 — the candidate-generation core of
+    spell correction and typo-tolerant matching, as a distributed
+    deletion-neighborhood exchange.  Each token emits itself plus its
+    single-deletion variants; tokens sharing a variant co-locate through
+    one keyed exchange, and the in-bucket verify is exact with NO
+    per-pair edit-distance loop:
+
+    * equal-length pair → ed = 1 ⟺ hamming = 1, computed on packed
+      fixed-width char matrices (one vectorized compare per length);
+    * length-diff-1 pair → PROVABLY ed = 1 already: the shared variant's
+      length forces it to equal the shorter token, which therefore IS a
+      deletion of the longer (no check needed);
+    * length diff ≥ 2 cannot share a variant.
+
+    Each qualifying pair shares exactly ONE variant (substitution pairs
+    share only the deletion at the differing position), so the exchange
+    emits no duplicates; a final group-by asserts that cheaply.  Typos
+    are PLANTED in-query (``t[1:]`` of every ≥3-char distinct token —
+    SQL-expressible) so the oracle's ``levenshtein`` cross join is
+    non-trivially exercised.  Hub variants (e.g. "" from 1-char tokens)
+    over the cap emit a star to the lexicographic minimum, verified by
+    the same exact predicate — logged, never silent.  The vocabulary is
+    the documented broadcastable small side (tens of MB at corpus
+    scale); everything from variants onward is exchange-distributed."""
+    import ray
+
+    from ..engine.exchange import keyed_exchange
+
+    vocab = vocab_counts_from_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+    toks_py = [t for t in pc.unique(vocab["token"]).to_pylist() if t]
+    synth = {t[1:] for t in toks_py if len(t) >= 3}
+    union = sorted(set(toks_py) | synth)
+    empty = pa.table({"tok_a": pa.array([], pa.string()),
+                      "tok_b": pa.array([], pa.string())})
+    if not union:
+        return empty
+    ds = ray.data.from_arrow(pa.table({"token": pa.array(union,
+                                                         pa.string())}))
+
+    def variants(t: pa.Table) -> pa.Table:
+        toks = np.asarray(t["token"].to_pylist(), dtype=object)
+        lens = np.asarray(pc.utf8_length(t["token"])
+                          .to_numpy(zero_copy_only=False))
+        out_tok, out_var = [], []
+        for L in np.unique(lens):
+            grp = toks[lens == L]
+            out_tok.append(grp)
+            out_var.append(grp)  # identity variant (covers deletions)
+            L = int(L)
+            if L == 1:
+                out_tok.append(grp)
+                out_var.append(np.full(len(grp), "", dtype=object))
+                continue
+            # vectorized single-deletions: one fixed-width char-matrix
+            # slice per position, never a per-token loop
+            m = np.array(grp, dtype=f"U{L}").view("U1").reshape(-1, L)
+            for i in range(L):
+                vm = np.ascontiguousarray(
+                    np.concatenate([m[:, :i], m[:, i + 1:]], axis=1))
+                out_tok.append(grp)
+                out_var.append(vm.view(f"U{L - 1}").ravel()
+                               .astype(object))
+        return pa.table({
+            "variant": pa.array(np.concatenate(out_var), pa.string()),
+            "token": pa.array(np.concatenate(out_tok), pa.string()),
+        })
+
+    def _verify_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Exact ed==1 mask; a/b object arrays of equal shape."""
+        la = np.asarray([len(x) for x in a])
+        lb = np.asarray([len(x) for x in b])
+        keep = np.abs(la - lb) == 1  # shared variant ⟹ ed == 1 (proof
+        # in the docstring); equal-length pairs verify by hamming
+        for L in np.unique(la[la == lb]):
+            sel = (la == L) & (lb == L)
+            am = np.array(a[sel], dtype=f"U{L}").view("U1").reshape(-1, L)
+            bm = np.array(b[sel], dtype=f"U{L}").view("U1").reshape(-1, L)
+            keep[sel] = (am != bm).sum(axis=1) == 1
+        return keep
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("variant", "ascending"),
+                                              ("token", "ascending")])
+        s = t.take(order)
+        var = np.asarray(s["variant"].to_pylist(), dtype=object)
+        tok = np.asarray(s["token"].to_pylist(), dtype=object)
+        n = len(tok)
+        newg = np.ones(n, dtype=bool)
+        newg[1:] = var[1:] != var[:-1]
+        starts = np.nonzero(newg)[0]
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b = [], []
+        for gi in np.nonzero(sizes >= 2)[0]:
+            grp = tok[starts[gi]: starts[gi] + sizes[gi]]
+            m = len(grp)
+            if m > max_bucket_rows:
+                _LOG.warning(
+                    "fuzzy-vocab variant %r groups %d tokens (cap %d): "
+                    "emitting %d verified star pairs to %r instead of "
+                    "%d all-pairs", str(var[starts[gi]]), m,
+                    max_bucket_rows, m - 1, str(grp[0]),
+                    m * (m - 1) // 2)
+                out_a.append(np.full(m - 1, grp[0], dtype=object))
+                out_b.append(grp[1:])
+            else:
+                ia, ib = np.triu_indices(m, k=1)
+                out_a.append(grp[ia])
+                out_b.append(grp[ib])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        keep = _verify_pairs(a, b)
+        return pa.table({"tok_a": pa.array(a[keep], pa.string()),
+                         "tok_b": pa.array(b[keep], pa.string())})
+
+    parts = [p for p in keyed_exchange(ds.map_batches(
+        variants, batch_format="pyarrow"), "variant", pairs_bucket,
+        empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    # a pair shares exactly one variant STRING, but a token with
+    # repeated characters emits the same deletion twice ("aa" → "a" at
+    # i=0 and i=1), so in-bucket duplicates can occur — the group-by
+    # dedups them (and self-pairs die in the hamming verify)
+    return (pa.concat_tables(parts).group_by(["tok_a", "tok_b"])
+            .aggregate([]).sort_by([("tok_a", "ascending"),
+                                    ("tok_b", "ascending")]))
