@@ -3484,7 +3484,20 @@ def q_returned_revenue_topk(sf_dir: str, k: int = 20) -> pa.Table:
     nat = pads.dataset(os.path.join(sf_dir, "nation.parquet")).to_table(
         columns=["n_nationkey", "n_name"])
     idx = pc.index_in(top["o_custkey"], cust["c_custkey"])
+    # the inner-join oracle DROPS dangling custkeys (and would promote
+    # the next customer into the k) — an engine-side silent null here
+    # would diverge, so the referential assumption fails loudly; a
+    # corpus with dangling keys needs the broadcast semi-filter before
+    # the top-k (ReferentialChecker), not this fast path
+    if pc.any(pc.is_null(idx)).as_py():
+        raise ValueError(
+            "returned_revenue_topk: top-k contains order custkeys "
+            "missing from customer — run the referential filter first")
     nidx = pc.index_in(cust["c_nationkey"].take(idx), nat["n_nationkey"])
+    if pc.any(pc.is_null(nidx)).as_py():
+        raise ValueError(
+            "returned_revenue_topk: customer nationkey missing from "
+            "nation")
     return pa.table({
         "c_custkey": top["o_custkey"],
         "c_name": cust["c_name"].take(idx),
