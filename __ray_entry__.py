@@ -332,6 +332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frame-clause window (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         # completing the window family: cumsum + clamped index arithmetic
         "user_moving_sum": ops.q_user_moving_sum,
+        # ranking windows (ROW_NUMBER/RANK/DENSE_RANK/NTILE/PERCENT_RANK)
+        # in one run-length kernel; percent_rank as an exact rational
+        "user_rank_windows": ops.q_user_rank_windows,
         # text normalization curation stage (unicode lower + whitespace
         # collapse + trim), pinned cross-engine by the mirror
         "normalize_text": textops.q_normalize_text,
@@ -1081,6 +1084,29 @@ def oracle_sql() -> dict[str, str]:
                        AS delta_cents
             FROM events
             ORDER BY user_id, event_id
+        """,
+        # ranking windows: RANK/DENSE_RANK are ties-aware over cents DESC,
+        # ROW_NUMBER/NTILE use the tie-broken total order, and
+        # PERCENT_RANK is the exact rational (rank-1, n-1) so the value
+        # hash never compares floats
+        "user_rank_windows": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   row_number() OVER wt AS row_num,
+                   rank() OVER wv AS rnk,
+                   dense_rank() OVER wv AS drnk,
+                   ntile(4) OVER wt AS ntile4,
+                   rank() OVER wv - 1 AS pr_num,
+                   count(*) OVER (PARTITION BY user_id) - 1 AS pr_den
+            FROM e
+            WINDOW wv AS (PARTITION BY user_id ORDER BY cents DESC),
+                   wt AS (PARTITION BY user_id
+                          ORDER BY cents DESC, event_id)
+            ORDER BY user_id, row_num
         """,
         "lineitem_part_left_join": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,

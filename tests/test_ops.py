@@ -867,6 +867,54 @@ def test_user_moving_sum_vs_pandas(ray_session, tmp_path):
     assert got["event_id"].tolist() == want["event_id"].tolist()
 
 
+def test_user_rank_windows_vs_duckdb(ray_session, tmp_path):
+    """Ranking windows equal DuckDB on a fixture with heavy value ties
+    (cents drawn from 8 distinct levels, ~47 users) so RANK/DENSE_RANK
+    see real tie runs and NTILE's uneven buckets hit every n%4 case;
+    PERCENT_RANK's exact rational (rank-1, n-1) is compared as integers."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_user_rank_windows
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 47, n).astype(np.int64),
+        "value": rng.choice([0.25, 1.5, 2.0, 3.75, 5.0, 7.25, 9.5, 12.0], n),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    got = q_user_rank_windows(str(d)).to_pandas()
+
+    want = duckdb.sql(f"""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM read_parquet('{d}/events.parquet')
+        )
+        SELECT event_id, user_id,
+               row_number() OVER wt AS row_num,
+               rank() OVER wv AS rnk,
+               dense_rank() OVER wv AS drnk,
+               ntile(4) OVER wt AS ntile4,
+               rank() OVER wv - 1 AS pr_num,
+               count(*) OVER (PARTITION BY user_id) - 1 AS pr_den
+        FROM e
+        WINDOW wv AS (PARTITION BY user_id ORDER BY cents DESC),
+               wt AS (PARTITION BY user_id ORDER BY cents DESC, event_id)
+        ORDER BY user_id, row_num
+    """).df()
+    for col in got.columns:
+        assert got[col].astype(np.int64).tolist() == \
+            want[col].astype(np.int64).tolist(), col
+
+
 def test_returned_revenue_topk_vs_duckdb(ray_session, tmp_path):
     """The chained join→agg→top-k pipeline equals DuckDB on a synthetic
     4-table fixture with revenue ties (broken by custkey) and customers

@@ -3549,3 +3549,79 @@ def q_user_moving_sum(sf_dir: str, frame: int = 3) -> pa.Table:
         return empty
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("user_id", "ascending"), ("event_id", "ascending")])
+
+
+def q_user_rank_windows(sf_dir: str) -> pa.Table:
+    """Ranking window family (ROW_NUMBER / RANK / DENSE_RANK / NTILE /
+    PERCENT_RANK) per user over cent value, completing the window set
+    next to SUM OVER, LAG, the moving frame and sessions.  RANK and
+    DENSE_RANK are ties-aware over ``cents DESC``; ROW_NUMBER and
+    NTILE(4) use the tie-broken total order ``(cents DESC, event_id)``
+    so every emitted column is deterministic.  PERCENT_RANK is emitted
+    as the exact rational ``(pr_num, pr_den) = (rank-1, n-1)`` — integer
+    on both engines, so the hash compare never meets a float.  Plan: one
+    keyed exchange on user_id (hot keys logged by the exchange family);
+    the per-bucket kernel ranks ALL users at once with run-length
+    arithmetic — no per-group loop."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "row_num": pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64()),
+                      "drnk": pa.array([], pa.int64()),
+                      "ntile4": pa.array([], pa.int64()),
+                      "pr_num": pa.array([], pa.int64()),
+                      "pr_den": pa.array([], pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        t = t.set_column(t.schema.get_field_index("value"), "cents", cents)
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("cents", "descending"),
+                                              ("event_id", "ascending")])
+        s = t.take(order)
+        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
+        cv = np.asarray(s["cents"].to_numpy(zero_copy_only=False))
+        n = len(users)
+        new = np.ones(n, dtype=bool)
+        new[1:] = users[1:] != users[:-1]
+        starts = np.nonzero(new)[0]
+        glens = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, glens)   # 0-based in group
+        # equal-value runs within a group: RANK = run start's pos + 1,
+        # DENSE_RANK = per-group cumsum of run starts
+        vg = new.copy()
+        vg[1:] |= cv[1:] != cv[:-1]
+        rstarts = np.nonzero(vg)[0]
+        rlens = np.diff(np.append(rstarts, n))
+        rnk = np.repeat(pos[rstarts] + 1, rlens)
+        dv = np.cumsum(vg)
+        drnk = dv - np.repeat(dv[starts] - 1, glens)
+        # NTILE(4), SQL semantics: first n%4 buckets get ceil(n/4) rows
+        gn = np.repeat(glens, glens)
+        base = gn // 4
+        rem = gn % 4
+        cut = rem * (base + 1)
+        in_big = pos < cut
+        ntile4 = np.where(in_big,
+                          pos // np.maximum(base + 1, 1),
+                          rem + (pos - cut) // np.maximum(base, 1)) + 1
+        return pa.table({
+            "event_id": s["event_id"],
+            "user_id": s["user_id"],
+            "row_num": pa.array((pos + 1).astype(np.int64)),
+            "rnk": pa.array(rnk.astype(np.int64)),
+            "drnk": pa.array(drnk.astype(np.int64)),
+            "ntile4": pa.array(ntile4.astype(np.int64)),
+            "pr_num": pa.array((rnk - 1).astype(np.int64)),
+            "pr_den": pa.array((gn - 1).astype(np.int64)),
+        })
+
+    parts = [p for p in keyed_exchange(ds, "user_id", bucket,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("user_id", "ascending"), ("row_num", "ascending")])
