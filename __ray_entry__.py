@@ -356,6 +356,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle (the `clean` CTE), so it loses nothing by living here
         "clean_corpus": textops.q_clean_corpus,
         "token_stats": textops.q_token_stats,
+        # bigram-LM fluency scoring with a PRUNED top-M model (the KenLM
+        # shape): per-bucket top-M partials bound the driver merge; all
+        # emitted features are exact integers
+        "lm_bigram_score": textops.q_lm_bigram_score,
         # distinct_lang (oracle-backed) ceded its sweep slot to the exact
         # drift check above; its partial pattern stays sweep-visible
         "distinct_lang": ops.q_distinct_lang,
@@ -1338,6 +1342,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN dis USING (doc_id)
             LEFT JOIN agg a ON d.doc_id = a.doc_id
             ORDER BY d.doc_id
+        """,
+        # bigram-LM scoring: the model is the top-1024 corpus bigrams by
+        # (count DESC, bigram ASC) — the same deterministic tie rule the
+        # engine's per-bucket top-M merge implements; all features integer
+        "lm_bigram_score": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\S+') AS t
+                FROM documents
+            ), big AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM toks WHERE len(t) >= 2
+            ), model AS (
+                SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big
+                GROUP BY bg ORDER BY n DESC, bg LIMIT 1024
+            )
+            SELECT t.doc_id,
+                   CAST(greatest(len(t.t) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(sum(CASE WHEN b.bg IS NOT NULL
+                                           AND m.bg IS NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS oov_bigrams,
+                   CAST(coalesce(sum(m.n), 0) AS BIGINT) AS model_hit_sum
+            FROM toks t
+            LEFT JOIN big b ON b.doc_id = t.doc_id
+            LEFT JOIN model m ON b.bg = m.bg
+            GROUP BY t.doc_id, len(t.t)
+            ORDER BY t.doc_id
         """,
         "repetition_signals": r"""
             WITH toks AS (

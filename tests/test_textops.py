@@ -837,6 +837,55 @@ def test_token_stats_exact_integers(ray_session, tmp_path):
     assert out["freq_sum"].to_pylist() == [3 + 3 + 2, 2 + 1, 0, 0, 3]
 
 
+def test_lm_bigram_score_hand_computed(ray_session, tmp_path):
+    """Bigram-LM features computed by hand on a tiny corpus with the
+    model pruned to top_m=2: the tie at the model boundary breaks by
+    (count DESC, bigram ASC), out-of-model bigram occurrences count as
+    OOV, and 0/1-token, empty and null docs score all zeros."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.textops import q_lm_bigram_score
+
+    texts = ["a b a b c", "a b x", "", None, "q", "c a b"]
+    # bigram counts: "a b"=4, "b a"=1, "b c"=1, "b x"=1, "c a"=1
+    # top_m=2 by (n DESC, bg ASC): {"a b": 4, "b a": 1}
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_lm_bigram_score(str(tmp_path), top_m=2)
+    assert out["doc_id"].to_pylist() == [0, 1, 2, 3, 4, 5]
+    assert out["n_bigrams"].to_pylist() == [4, 2, 0, 0, 0, 2]
+    # doc0: (a b)(b a)(a b)(b c) -> hits 4+1+4, oov 1
+    # doc1: (a b)(b x) -> hits 4, oov 1; doc5: (c a)(a b) -> hits 4, oov 1
+    assert out["oov_bigrams"].to_pylist() == [1, 1, 0, 0, 0, 1]
+    assert out["model_hit_sum"].to_pylist() == [9, 4, 0, 0, 0, 4]
+
+
+def test_bigram_model_partition_independent(ray_session, tmp_path):
+    """The pruned model is identical under different bucket counts (each
+    bigram lives in exactly one bucket, so per-bucket top-M union covers
+    the global top-M; ties settle by the shared deterministic rule)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import bigram_model_from_ds
+
+    rng = np.random.RandomState(3)
+    words = np.array(["w%d" % i for i in range(40)])
+    texts = [" ".join(rng.choice(words, rng.randint(2, 30)))
+             for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    m2 = bigram_model_from_ds(ds, top_m=50, num_buckets=2)
+    m9 = bigram_model_from_ds(ds, top_m=50, num_buckets=9)
+    assert m2.equals(m9)
+    assert m2.num_rows == 50
+    n = m2["n"].to_pylist()
+    assert n == sorted(n, reverse=True)
+
+
 def test_repetition_signals_exact_integers(ray_session, tmp_path):
     """Bigram repetition counts computed by hand on a tiny corpus —
     within-doc duplicate bigrams counted as occurrences beyond the first;

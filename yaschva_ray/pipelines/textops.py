@@ -2141,6 +2141,121 @@ def q_token_stats(sf_dir: str) -> pa.Table:
         [("doc_id", "ascending")])
 
 
+def _batch_bigrams(texts) -> tuple[pa.Array, np.ndarray]:
+    """Flat adjacent-token bigram strings ("tok_i tok_i+1") for a batch of
+    texts plus the per-doc bigram counts ``max(n_tokens - 1, 0)`` — one
+    tokenize pass, bigrams formed by offset arithmetic on the flat token
+    array (pairs crossing a doc boundary are masked out), joined with one
+    vectorized ``binary_join_element_wise``."""
+    s = _pl_text(texts)
+    toks = s.str.extract_all(TOKEN_RE)
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    nb = np.maximum(lens - 1, 0)
+    flat = toks.explode(empty_as_null=True).drop_nulls().to_arrow()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    if n < 2 or int(nb.sum()) == 0:
+        return pa.array([], pa.string()), nb
+    keep = np.ones(n - 1, dtype=bool)
+    last = np.cumsum(lens) - 1          # last token index of each doc
+    last = last[(last >= 0) & (last < n - 1)]
+    keep[last] = False
+    mask = pa.array(keep)
+    left = flat.slice(0, n - 1).filter(mask)
+    right = flat.slice(1, n - 1).filter(mask)
+    sep = pa.scalar(" ", type=flat.type)   # polars emits large_string
+    joined = pc.binary_join_element_wise(left, right, sep)
+    return joined.cast(pa.string()), nb    # one schema across all batches
+
+
+def bigram_model_from_ds(ds, top_m: int = 1024,
+                         num_buckets: int | None = None) -> pa.Table:
+    """Global top-M bigram language model (count-based): per-block bigram
+    value-count partials → keyed hash exchange on the bigram →
+    per-bucket group-sum → per-bucket top-M.  Each bigram lands in
+    exactly one bucket, so the global top-M is contained in the union of
+    the per-bucket top-Ms; the driver merges only ``num_buckets × M``
+    rows and never sees the full bigram vocabulary (unbounded at 100 TB,
+    unlike the unigram vocab).  Ties rank by (count DESC, bigram ASC) so
+    the model is deterministic under any partitioning."""
+    from ..engine.exchange import keyed_exchange
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        bg, _ = _batch_bigrams(t["text"])
+        g = pa.table({"bg": bg}).group_by("bg").aggregate([("bg", "count")])
+        return pa.table({"bg": g["bg"],
+                         "n": g["bg_count"].cast(pa.int64())})
+
+    empty = pa.table({"bg": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def topm_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by("bg").aggregate([("n", "sum")])
+        g = pa.table({"bg": g["bg"], "n": g["n_sum"].cast(pa.int64())})
+        order = pc.sort_indices(g, sort_keys=[("n", "descending"),
+                                              ("bg", "ascending")])
+        return g.take(order.slice(0, top_m))
+
+    parts = keyed_exchange(ds.map_batches(partial_counts,
+                                          batch_format="pyarrow"),
+                           "bg", topm_bucket, num_buckets=num_buckets,
+                           empty_result=empty)
+    merged = (pa.concat_tables([p for p in parts if p.num_rows])
+              .combine_chunks() if any(p.num_rows for p in parts) else empty)
+    order = pc.sort_indices(merged, sort_keys=[("n", "descending"),
+                                               ("bg", "ascending")])
+    return merged.take(order.slice(0, top_m))
+
+
+def q_lm_bigram_score(sf_dir: str, top_m: int = 1024) -> pa.Table:
+    """CCNet-style n-gram language-model fluency scoring with a PRUNED
+    model — the bigram sibling of ``token_stats``'s unigram rarity, and
+    the shape real pipelines use (KenLM scoring with a fixed model): the
+    corpus trains a top-M bigram count model (heavy hitters only — the
+    full bigram vocabulary is unbounded at scale, the pruned model is a
+    broadcastable ~top_m rows), then ONE scoring pass computes per doc
+    all-integer features: ``n_bigrams``, ``oov_bigrams`` (bigram
+    occurrences outside the model — high OOV ⇒ disfluent/rare text) and
+    ``model_hit_sum`` (sum of model counts over the doc's bigram
+    occurrences — the integer analog of a bigram log-likelihood).
+    Model broadcast once via ``ray.put``; scoring is tokenize + offset
+    bigrams + ``index_in`` + ``reduceat`` per batch, no Python loop."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = bigram_model_from_ds(ds, top_m=top_m)
+    mcounts = model["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bref = ray.put((model["bg"].combine_chunks(), mcounts))
+
+    def score(t: pa.Table) -> pa.Table:
+        model_bg, model_n = ray.get(bref)
+        bg, nb = _batch_bigrams(t["text"])
+        starts = np.concatenate([[0], np.cumsum(nb)])[:-1]
+        if len(bg) and len(model_bg):
+            wid = pc.fill_null(pc.index_in(bg, value_set=model_bg), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = wid >= 0
+            per_hit = np.where(hit, model_n[np.maximum(wid, 0)], 0)
+            hit_sum = np.where(nb > 0,
+                               np.add.reduceat(np.append(per_hit, 0),
+                                               starts), 0)
+            oov = np.where(nb > 0,
+                           np.add.reduceat(
+                               np.append((~hit).astype(np.int64), 0),
+                               starts), 0)
+        else:
+            hit_sum = np.zeros(len(nb), dtype=np.int64)
+            oov = nb.copy()
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bigrams": pa.array(nb),
+                         "oov_bigrams": pa.array(oov.astype(np.int64)),
+                         "model_hit_sum": pa.array(hit_sum.astype(np.int64))})
+
+    return _gather(ds.map_batches(score, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
+
+
 _QUALITY_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that"]
 _STOP_RE = r"(?i)\b(?:" + "|".join(_QUALITY_STOPWORDS) + r")\b"
 
