@@ -1,0 +1,148 @@
+"""Null / pre-epoch semantics of the window-function family vs the
+REGISTERED oracles (review findings, round 4): null event values must not
+NaN-poison cumulative sums, null timestamps must not win funnel minima,
+null cents must tie in RANK/DENSE_RANK, null user_ids must form ONE
+partition, and pre-epoch timestamps must floor (not truncate) to their
+hour.  Each test runs the engine kernel AND the exact SQL string shipped
+in __ray_entry__.oracle_sql() over the same null-carrying fixture — the
+driver's sweep can't see these paths because the sf fixtures hold no
+nulls."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+HOUR = 3_600_000_000  # us
+
+
+def _write_events(tmp_path) -> str:
+    """One fixture exercising every fixed path: null values, null ts,
+    null user_id, pre-epoch timestamps, ties among null cents."""
+    rows = [
+        # (event_id, ts_us or None, user_id or None, value or None, type)
+        # user 1: null value inside the running/moving window
+        (1, 1 * HOUR, 1, 1.0, "view"),
+        (2, 2 * HOUR, 1, None, "click"),
+        (3, 3 * HOUR, 1, 2.0, "view"),
+        (4, 4 * HOUR, 1, 3.0, "purchase"),
+        # user 2: a null-ts view plus a valid funnel
+        (5, None, 2, 5.0, "view"),
+        (6, 1 * HOUR, 2, 6.0, "view"),
+        (7, 2 * HOUR, 2, 7.0, "click"),
+        (8, 3 * HOUR, 2, 8.0, "purchase"),
+        # user 3: tie runs incl. two null cents (rank must tie them)
+        (9, 1 * HOUR, 3, 3.0, "view"),
+        (10, 2 * HOUR, 3, None, "view"),
+        (11, 3 * HOUR, 3, None, "view"),
+        (12, 4 * HOUR, 3, 3.0, "view"),
+        (13, 5 * HOUR, 3, 1.0, "view"),
+        # user 4: pre-epoch timestamps (hour must FLOOR toward -inf)
+        (14, -1, 4, 1.0, "view"),
+        (15, -2 * HOUR - 5, 4, 2.0, "view"),
+        # user 5: only null-ts events (funnel row with all-null stages)
+        (16, None, 5, 1.0, "view"),
+        (17, None, 5, 2.0, "click"),
+        # null user_id at hours 0 and 2 (one LOCF partition, gap filled)
+        (18, 0, None, 1.0, "view"),
+        (19, 2 * HOUR, None, 2.0, "view"),
+        # user 6: null-value prefix (running total NULL until first valid)
+        (20, 1 * HOUR, 6, None, "view"),
+        (21, 2 * HOUR, 6, 4.0, "view"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "event_type": pa.array([r[4] for r in rows], pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
+    import glob
+    import os
+
+    import duckdb
+
+    import __ray_entry__
+
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        con.execute(
+            f"CREATE VIEW {stem} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(__ray_entry__.oracle_sql()[name]).df()
+
+
+def _assert_matches_oracle(got, name: str, sf_dir: str) -> None:
+    if isinstance(got, pa.Table):
+        got = got.to_pandas()
+    want = _oracle(name, sf_dir)
+    assert sorted(got.columns) == sorted(want.columns), name
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    want = want[sorted(want.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("float64"),
+                                  want.astype("float64"),
+                                  check_dtype=False, obj=name)
+
+
+@pytest.mark.parametrize("name,fn", [
+    ("running_total_user", "q_running_total_user"),
+    ("user_event_gaps", "q_user_event_gaps"),
+    ("user_moving_sum", "q_user_moving_sum"),
+    ("user_funnel", "q_user_funnel"),
+    ("user_hourly_locf", "q_user_hourly_locf"),
+    ("user_rank_windows", "q_user_rank_windows"),
+])
+def test_window_family_null_semantics(ray_session, tmp_path, name, fn):
+    from yaschva_ray.pipelines import ops
+
+    sf = _write_events(tmp_path)
+    got = getattr(ops, fn)(sf)
+    _assert_matches_oracle(got, name, sf)
+
+
+def test_moving_sum_null_value_exact(ray_session, tmp_path):
+    """The review's confirmed reproduction: values [1.0, None, 2.0, 3.0]
+    must yield [100, 100, 300, 600] (SUM skips NULLs), not NaN-poisoned
+    floats."""
+    from yaschva_ray.pipelines.ops import q_user_moving_sum
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "value": pa.array([1.0, None, 2.0, 3.0], pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = q_user_moving_sum(str(d))
+    assert out["mov_cents"].to_pylist() == [100, 100, 300, 600]
+    assert pa.types.is_integer(out.schema.field("mov_cents").type)
+
+
+def test_locf_pre_epoch_hours(ray_session, tmp_path):
+    """ts=-1us floors to hour -1h (not 0); -2h-5us floors to -3h."""
+    from yaschva_ray.pipelines.ops import q_user_hourly_locf
+
+    t = pa.table({
+        "ts": pa.array([-1, -2 * HOUR - 5], pa.timestamp("us")),
+        "user_id": pa.array([4, 4], pa.int64()),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = q_user_hourly_locf(str(d))
+    assert out["hour_us"].to_pylist() == [-3 * HOUR, -2 * HOUR, -1 * HOUR]
+    assert out["cents"].to_pylist() == [200, 200, 100]

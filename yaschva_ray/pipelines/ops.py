@@ -2969,6 +2969,35 @@ def q_compact_documents(sf_dir: str) -> pa.Table:
     })
 
 
+def _seg_new(col) -> np.ndarray:
+    """Null-safe new-segment flags over a SORTED key column: null keys
+    compare equal to each other (SQL PARTITION BY groups NULLs as one
+    partition) instead of NaN-splitting into per-row segments, and the
+    flags never meet a float NaN.  Input is an Arrow column; output is a
+    bool array with True at each segment start."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = np.asarray(pc.is_valid(col).to_numpy(zero_copy_only=False))
+    f = np.asarray(pc.fill_null(col, 0).to_numpy(zero_copy_only=False))
+    n = len(v)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = (f[1:] != f[:-1]) | (v[1:] != v[:-1])
+    return new
+
+
+def _int_col(col, fill: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """(values, valid) for a nullable int64 Arrow column: values as int64
+    with nulls replaced by ``fill`` (never a NaN-poisoned float array),
+    valid as the original validity mask."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = np.asarray(pc.is_valid(col).to_numpy(zero_copy_only=False))
+    vals = np.asarray(pc.fill_null(col, fill).to_numpy(zero_copy_only=False)
+                      ).astype(np.int64)
+    return vals, valid
+
+
 def q_running_total_user(sf_dir: str) -> pa.Table:
     """Ordered per-key window aggregate (the classic ``SUM() OVER
     (PARTITION BY key ORDER BY ts)``): each user's events get a running
@@ -2991,12 +3020,13 @@ def q_running_total_user(sf_dir: str) -> pa.Table:
                                               ("ts", "ascending"),
                                               ("event_id", "ascending")])
         s = t.take(order)
-        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
-        cents = np.asarray(pc.cast(pc.round(pc.multiply(s["value"], 100.0)),
-                                   pa.int64()).to_numpy(zero_copy_only=False))
-        n = len(users)
-        new = np.ones(n, dtype=bool)
-        new[1:] = users[1:] != users[:-1]
+        # null-safe: null values contribute 0 to the sum (SQL SUM skips
+        # NULLs) and the result is NULL only while a user's prefix has
+        # seen no non-null value; null user_ids form one partition
+        cents, cvalid = _int_col(
+            pc.cast(pc.round(pc.multiply(s["value"], 100.0)), pa.int64()))
+        new = _seg_new(s["user_id"])
+        n = len(new)
         cum = np.cumsum(cents)
         # per-group running sum = global cumsum minus the prefix before
         # each group, forward-filled by group length (sign-safe — no
@@ -3004,11 +3034,14 @@ def q_running_total_user(sf_dir: str) -> pa.Table:
         starts = np.nonzero(new)[0]
         glens = np.diff(np.append(starts, n))
         run = cum - np.repeat(cum[starts] - cents[starts], glens)
+        vnum = cvalid.astype(np.int64)
+        cumv = np.cumsum(vnum)
+        nval = cumv - np.repeat(cumv[starts] - vnum[starts], glens)
         seq = np.arange(n) - np.repeat(starts, glens) + 1
         return pa.table({
             "event_id": s["event_id"],
             "user_id": s["user_id"],
-            "running_cents": pa.array(run),
+            "running_cents": pa.array(run, mask=nval == 0),
             "event_seq": pa.array(seq.astype(np.int64)),
         })
 
@@ -3042,24 +3075,28 @@ def q_user_event_gaps(sf_dir: str) -> pa.Table:
                                               ("ts", "ascending"),
                                               ("event_id", "ascending")])
         s = t.take(order)
-        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
-        ts_us = np.asarray(pc.cast(s["ts"], pa.int64())
-                           .to_numpy(zero_copy_only=False))
-        cents = np.asarray(pc.cast(pc.round(pc.multiply(s["value"], 100.0)),
-                                   pa.int64()).to_numpy(zero_copy_only=False))
-        n = len(users)
-        first = np.ones(n, dtype=bool)
-        first[1:] = users[1:] != users[:-1]
-        gap = np.empty(n, dtype=np.int64)
-        delta = np.empty(n, dtype=np.int64)
-        gap[0] = delta[0] = 0
-        gap[1:] = ts_us[1:] - ts_us[:-1]
-        delta[1:] = cents[1:] - cents[:-1]
+        # null-safe: lag arithmetic with a NULL on either side is NULL
+        # (the oracle's epoch_us/round propagate NULL through the diff);
+        # null user_ids form one partition
+        ts_us, tvalid = _int_col(pc.cast(s["ts"], pa.int64()))
+        cents, cvalid = _int_col(
+            pc.cast(pc.round(pc.multiply(s["value"], 100.0)), pa.int64()))
+        first = _seg_new(s["user_id"])
+        n = len(first)
+        gap = np.zeros(n, dtype=np.int64)
+        delta = np.zeros(n, dtype=np.int64)
+        gmask = first.copy()
+        dmask = first.copy()
+        if n > 1:
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+            delta[1:] = cents[1:] - cents[:-1]
+            gmask[1:] |= ~tvalid[1:] | ~tvalid[:-1]
+            dmask[1:] |= ~cvalid[1:] | ~cvalid[:-1]
         return pa.table({
             "event_id": s["event_id"],
             "user_id": s["user_id"],
-            "gap_us": pa.array(gap, mask=first),
-            "delta_cents": pa.array(delta, mask=first),
+            "gap_us": pa.array(gap, mask=gmask),
+            "delta_cents": pa.array(delta, mask=dmask),
         })
 
     parts = keyed_exchange(ds, "user_id", bucket, empty_result=empty)
@@ -3262,12 +3299,13 @@ def q_user_funnel(sf_dir: str) -> pa.Table:
     def bucket(t: pa.Table) -> pa.Table:
         order = pc.sort_indices(t, sort_keys=[("user_id", "ascending")])
         s = t.take(order)
-        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
-        ts_us = np.asarray(pc.cast(s["ts"], pa.int64())
-                           .to_numpy(zero_copy_only=False))
-        n = len(users)
-        new = np.ones(n, dtype=bool)
-        new[1:] = users[1:] != users[:-1]
+        # null-safe: null timestamps fill to the SENTINEL so they can
+        # never win a stage minimum (the oracle's min() skips NULLs) yet
+        # the row still marks its user present; null user_ids form one
+        # partition (SQL DISTINCT/GROUP BY treat NULLs as one group)
+        ts_us, _ = _int_col(pc.cast(s["ts"], pa.int64()), fill=SENT)
+        new = _seg_new(s["user_id"])
+        n = len(new)
         starts = np.nonzero(new)[0]
         glens = np.diff(np.append(starts, n))
 
@@ -3282,8 +3320,20 @@ def q_user_funnel(sf_dir: str) -> pa.Table:
         t_view = stage("view", None)
         t_click = stage("click", t_view)
         t_purchase = stage("purchase", t_click)
+        uid = s["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        # a NULL user row appears in the output (DISTINCT user_id keeps
+        # it) but its stage joins never match — SQL's USING(user_id)
+        # equality is false for NULL = NULL — so all stages are NULL
+        uvalid = np.asarray(pc.is_valid(uid).to_numpy(zero_copy_only=False))
+        nullseg = ~uvalid[starts]
+        if nullseg.any():
+            t_view[nullseg] = SENT
+            t_click[nullseg] = SENT
+            t_purchase[nullseg] = SENT
         return pa.table({
-            "user_id": pa.array(users[starts]),
+            "user_id": uid.take(pa.array(starts)),
             "view_us": pa.array(t_view, mask=t_view == SENT),
             "click_us": pa.array(t_click, mask=t_click == SENT),
             "purchase_us": pa.array(t_purchase, mask=t_purchase == SENT),
@@ -3319,32 +3369,42 @@ def q_user_hourly_locf(sf_dir: str) -> pa.Table:
     HOUR = 3_600_000_000  # microseconds
 
     def bucket(t: pa.Table) -> pa.Table:
+        # null-ts rows can never join a grid hour (the oracle's m rows
+        # with NULL h never match the grid), so drop them up front;
+        # date_trunc('hour') FLOORS toward -inf, so the hour must use
+        # floor division (pc.divide truncates toward zero — wrong for
+        # pre-epoch timestamps)
+        t = t.filter(pc.is_valid(t["ts"]))
+        if t.num_rows == 0:
+            return empty
         cents_col = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
                             pa.int64())
-        hour_col = pc.multiply(
-            pc.floor(pc.divide(pc.cast(t["ts"], pa.int64()), HOUR)), HOUR)
+        ts_us = np.asarray(pc.cast(t["ts"], pa.int64())
+                           .to_numpy(zero_copy_only=False)).astype(np.int64)
         obs = pa.table({"user_id": t["user_id"],
-                        "h": pc.cast(hour_col, pa.int64()),
+                        "h": pa.array(np.floor_divide(ts_us, HOUR) * HOUR),
                         "cents": cents_col})
         # per-(user, hour) max cents — Arrow group_by is bucket-local
         agg = (obs.group_by(["user_id", "h"])
                   .aggregate([("cents", "max")])
                   .sort_by([("user_id", "ascending"), ("h", "ascending")]))
-        users = np.asarray(agg["user_id"].to_numpy(zero_copy_only=False))
         hours = np.asarray(agg["h"].to_numpy(zero_copy_only=False))
         vals = agg["cents_max"]  # may hold nulls (all-null hours)
-        n = len(users)
+        n = agg.num_rows
         if n == 0:
             return empty
-        new = np.ones(n, dtype=bool)
-        new[1:] = users[1:] != users[:-1]
+        # null user_ids form ONE partition (SQL GROUP BY/PARTITION BY)
+        new = _seg_new(agg["user_id"])
         starts = np.nonzero(new)[0]
         ends = np.append(starts[1:], n)
         # grid sizes per user: (last − first)/HOUR + 1
         sizes = ((hours[ends - 1] - hours[starts]) // HOUR + 1).astype(
             np.int64)
         total = int(sizes.sum())
-        g_user = np.repeat(users[starts], sizes)
+        ua = agg["user_id"]
+        if isinstance(ua, pa.ChunkedArray):
+            ua = ua.combine_chunks()
+        g_user = ua.take(pa.array(np.repeat(starts, sizes)))
         # per-user arange: global arange minus each segment's start offset
         offs = np.zeros(len(sizes), dtype=np.int64)
         np.cumsum(sizes[:-1], out=offs[1:])
@@ -3377,8 +3437,13 @@ def q_user_hourly_locf(sf_dir: str) -> pa.Table:
         filled = np.where(filled_valid, vnum[np.maximum(idx, 0)], 0)
         out_valid = filled_valid[g_src]
         out_vals = filled[g_src]
+        # the NULL-user grid exists (GROUP BY keeps the NULL group) but
+        # its observation join never matches — SQL's m.user_id =
+        # grid.user_id is false for NULL = NULL — so its cents stay NULL
+        out_valid &= np.asarray(
+            pc.is_valid(g_user).to_numpy(zero_copy_only=False))
         return pa.table({
-            "user_id": pa.array(g_user),
+            "user_id": g_user,
             "hour_us": pa.array(g_hour),
             "cents": pa.array(out_vals, mask=~out_valid),
         })
@@ -3526,22 +3591,27 @@ def q_user_moving_sum(sf_dir: str, frame: int = 3) -> pa.Table:
                                               ("ts", "ascending"),
                                               ("event_id", "ascending")])
         s = t.take(order)
-        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
-        cents = np.asarray(pc.cast(pc.round(pc.multiply(s["value"], 100.0)),
-                                   pa.int64()).to_numpy(zero_copy_only=False))
-        n = len(users)
-        new = np.ones(n, dtype=bool)
-        new[1:] = users[1:] != users[:-1]
+        # null-safe: null values contribute 0 (SQL SUM skips NULLs) and
+        # the frame sum is NULL only when every row in the frame is null;
+        # null user_ids form one partition
+        cents, cvalid = _int_col(
+            pc.cast(pc.round(pc.multiply(s["value"], 100.0)), pa.int64()))
+        new = _seg_new(s["user_id"])
+        n = len(new)
         starts = np.nonzero(new)[0]
         glens = np.diff(np.append(starts, n))
         cum = np.cumsum(cents)
+        cumv = np.cumsum(cvalid.astype(np.int64))
         i = np.arange(n)
         pos = i - np.repeat(starts, glens)
         lo = i - np.minimum(pos, frame)
-        mov = cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        pre = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        prev = np.where(lo > 0, cumv[np.maximum(lo - 1, 0)], 0)
+        mov = cum - pre
+        nval = cumv - prev
         return pa.table({"event_id": s["event_id"],
                          "user_id": s["user_id"],
-                         "mov_cents": pa.array(mov)})
+                         "mov_cents": pa.array(mov, mask=nval == 0)})
 
     parts = [p for p in keyed_exchange(ds, "user_id", bucket,
                                        empty_result=empty) if p.num_rows]
@@ -3582,18 +3652,18 @@ def q_user_rank_windows(sf_dir: str) -> pa.Table:
                                               ("cents", "descending"),
                                               ("event_id", "ascending")])
         s = t.take(order)
-        users = np.asarray(s["user_id"].to_numpy(zero_copy_only=False))
-        cv = np.asarray(s["cents"].to_numpy(zero_copy_only=False))
-        n = len(users)
-        new = np.ones(n, dtype=bool)
-        new[1:] = users[1:] != users[:-1]
+        # null-safe: null cents tie with each other (SQL treats NULLs as
+        # one rank run, sorted last) and null user_ids form one partition
+        new = _seg_new(s["user_id"])
+        cvn, cvv = _int_col(s["cents"])
+        n = len(new)
         starts = np.nonzero(new)[0]
         glens = np.diff(np.append(starts, n))
         pos = np.arange(n) - np.repeat(starts, glens)   # 0-based in group
         # equal-value runs within a group: RANK = run start's pos + 1,
         # DENSE_RANK = per-group cumsum of run starts
         vg = new.copy()
-        vg[1:] |= cv[1:] != cv[:-1]
+        vg[1:] |= (cvn[1:] != cvn[:-1]) | (cvv[1:] != cvv[:-1])
         rstarts = np.nonzero(vg)[0]
         rlens = np.diff(np.append(rstarts, n))
         rnk = np.repeat(pos[rstarts] + 1, rlens)
