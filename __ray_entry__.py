@@ -976,8 +976,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(round(value * 100) AS BIGINT) AS cents
                 FROM events
             )
-            SELECT coalesce(event_type, 'ALL') AS event_type,
-                   coalesce(hour, 'ALL') AS hour,
+            SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                        ELSE event_type END AS event_type,
+                   CASE WHEN GROUPING(hour) = 1 THEN 'ALL'
+                        ELSE hour END AS hour,
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(cents) AS BIGINT) AS sum_value_cents
             FROM e GROUP BY ROLLUP(event_type, hour)

@@ -48,17 +48,42 @@ def _session_bucket(key: str, ts: str, gap_s: float, bucket_id: int,
     order = pc.sort_indices(t, sort_keys=[(key, "ascending"),
                                           (ts, "ascending")])
     t = t.take(order)
-    u = np.asarray(t[key].to_numpy(zero_copy_only=False))
-    tsv = np.asarray(t[ts].cast(pa.int64()).to_numpy(zero_copy_only=False))
-    n = len(u)
+    # null-safe, mirroring SQL window semantics: null keys form ONE
+    # partition; null timestamps sort last within a partition.  The SQL
+    # boundary rule is `lag(ts) IS NULL OR ts - lag(ts) > gap`, so the
+    # FIRST null-ts row attaches to its user's last session (lag is the
+    # last valid ts, NULL-diff is not > gap) while every SUBSEQUENT
+    # null-ts row sees lag(ts) IS NULL and starts a singleton session;
+    # min/max(ts) skip nulls so an all-null session has null bounds
+    ka = t[key]
+    if isinstance(ka, pa.ChunkedArray):
+        ka = ka.combine_chunks()
+    kv = np.asarray(pc.is_valid(ka).to_numpy(zero_copy_only=False))
+    kf = np.asarray(pc.fill_null(ka, 0).to_numpy(zero_copy_only=False))
+    tsa = t[ts]
+    if isinstance(tsa, pa.ChunkedArray):
+        tsa = tsa.combine_chunks()
+    tv = np.asarray(pc.is_valid(tsa).to_numpy(zero_copy_only=False))
+    tsv = np.asarray(pc.fill_null(tsa.cast(pa.int64()), 0)
+                     .to_numpy(zero_copy_only=False)).astype(np.int64)
+    n = len(kf)
     new_s = np.ones(n, dtype=bool)
-    new_s[1:] = (u[1:] != u[:-1]) | (tsv[1:] - tsv[:-1] > gap_units)
+    if n > 1:
+        new_user = (kf[1:] != kf[:-1]) | (kv[1:] != kv[:-1])
+        new_s[1:] = new_user | ~tv[:-1] | (tv[1:] & tv[:-1]
+                                           & (tsv[1:] - tsv[:-1] > gap_units))
     starts = np.nonzero(new_s)[0]
     ends = np.append(starts[1:], n)
+    # valid-ts count per session: valid rows sort first, so the session's
+    # min is its first row and its max is row starts + nval - 1
+    cv = np.cumsum(tv.astype(np.int64))
+    nval = cv[ends - 1] - (cv[starts] - tv[starts].astype(np.int64))
+    has_ts = nval > 0
+    end_idx = starts + np.maximum(nval, 1) - 1
     out = pa.table({
-        key: pa.array(u[starts]),
-        "session_start": pa.array(tsv[starts]).cast(ts_type),
-        "session_end": pa.array(tsv[ends - 1]).cast(ts_type),
+        key: ka.take(pa.array(starts)),
+        "session_start": pa.array(tsv[starts], mask=~has_ts).cast(ts_type),
+        "session_end": pa.array(tsv[end_idx], mask=~has_ts).cast(ts_type),
         "n_events": pa.array((ends - starts).astype(np.int64)),
     })
     if out_dir is not None:

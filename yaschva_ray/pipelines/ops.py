@@ -1435,7 +1435,16 @@ def q_events_sliding_window(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64())
-        base = pc.multiply(pc.floor(pc.divide(us, HOP_US)), HOP_US).cast(pa.int64())
+        if isinstance(us, pa.ChunkedArray):
+            us = us.combine_chunks()
+        # floor_divide, not pc.divide: the window must FLOOR toward -inf
+        # (the oracle's floor(epoch/1800)) — integer division truncates
+        # toward zero, which shifts pre-epoch events one window late
+        uvalid = np.asarray(pc.is_valid(us).to_numpy(zero_copy_only=False))
+        usn = np.asarray(pc.fill_null(us, 0).to_numpy(zero_copy_only=False)
+                         ).astype(np.int64)
+        base = pa.array(np.floor_divide(usn, HOP_US) * HOP_US,
+                        mask=~uvalid)
         cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
         parts = []
         for k in (0, 1):  # the two windows covering each event
@@ -1545,16 +1554,21 @@ def q_events_value_quantiles(sf_dir: str) -> pa.Table:
                          "p99_cents": pa.array([None], pa.int64())})
     g = (pa.concat_tables(blocks).group_by("cents").aggregate([("n", "sum")])
          .sort_by([("cents", "ascending")]))
-    cents = np.asarray(g["cents"].to_numpy(zero_copy_only=False))
-    counts = np.asarray(g["n_sum"].to_numpy(zero_copy_only=False))
+    # null cents form their own group, sorted LAST (SQL row_number orders
+    # NULLS LAST while count(*) still counts them): a quantile index that
+    # lands in the null tail yields NULL, exactly like the mirror
+    cents, cval = _int_col(g["cents"])
+    counts = np.asarray(g["n_sum"].to_numpy(zero_copy_only=False)
+                        ).astype(np.int64)
     cum = np.cumsum(counts)
     n = int(cum[-1])
     out = {}
     for name, q in (("p50_cents", 0.5), ("p90_cents", 0.9),
                     ("p99_cents", 0.99)):
         idx = int(np.floor(q * (n - 1)))
-        out[name] = pa.array([int(cents[np.searchsorted(cum, idx + 1)])],
-                             pa.int64())
+        pos = int(np.searchsorted(cum, idx + 1))
+        val = int(cents[pos]) if cval[pos] else None
+        out[name] = pa.array([val], pa.int64())
     return pa.table(out)
 
 
@@ -2811,9 +2825,11 @@ def q_events_rollup(sf_dir: str) -> pa.Table:
         "event_type": by_type["event_type"],
         "hour": pa.array(["ALL"] * by_type.num_rows),
         "cents_sum": by_type["cents_sum_sum"], "n_sum": by_type["n_sum_sum"]}))
+    # sum() skips nulls but is NULL when every input is null — keep the
+    # None instead of coercing to 0 so the grand total matches SQL
     levels.append(pa.table({
         "event_type": pa.array(["ALL"]), "hour": pa.array(["ALL"]),
-        "cents_sum": pa.array([pc.sum(fine["cents_sum"]).as_py() or 0],
+        "cents_sum": pa.array([pc.sum(fine["cents_sum"]).as_py()],
                               pa.int64()),
         "n_sum": pa.array([pc.sum(fine["n_sum"]).as_py() or 0], pa.int64())}))
     out = pa.concat_tables([lv.select(["event_type", "hour", "n_sum",
@@ -2853,26 +2869,31 @@ def q_grouped_quantiles(sf_dir: str) -> pa.Table:
     g = (pa.concat_tables(blocks).group_by(["event_type", "cents"])
          .aggregate([("cnt", "sum")])
          .sort_by([("event_type", "ascending"), ("cents", "ascending")]))
-    et = np.asarray(g["event_type"].to_numpy(zero_copy_only=False))
-    cents = np.asarray(g["cents"].to_numpy(zero_copy_only=False))
-    counts = np.asarray(g["cnt_sum"].to_numpy(zero_copy_only=False))
-    # group boundaries over the sorted histogram
-    new = np.ones(len(et), dtype=bool)
-    new[1:] = et[1:] != et[:-1]
+    # null-safe: a NULL event_type is its own partition and null cents
+    # sort LAST within each one (SQL row_number NULLS LAST while the
+    # partition count still includes them) — a quantile rank landing in
+    # the null tail yields NULL, exactly like the mirror
+    new = _seg_new(g["event_type"])
+    cents, cval = _int_col(g["cents"])
+    counts = np.asarray(g["cnt_sum"].to_numpy(zero_copy_only=False)
+                        ).astype(np.int64)
     starts = np.nonzero(new)[0]
-    ends = np.append(starts[1:], len(et))
-    out_t, out_p50, out_p90 = [], [], []
+    ends = np.append(starts[1:], len(new))
+    ea = g["event_type"]
+    if isinstance(ea, pa.ChunkedArray):
+        ea = ea.combine_chunks()
+    out_p50, out_p90 = [], []
     for s, e in zip(starts, ends):  # per TYPE (handful), not per row
         cum = np.cumsum(counts[s:e])
         n = int(cum[-1])
         row = []
         for q in (0.5, 0.9):
             idx = int(np.floor(q * (n - 1)))
-            row.append(int(cents[s:e][np.searchsorted(cum, idx + 1)]))
-        out_t.append(et[s])
+            pos = s + int(np.searchsorted(cum, idx + 1))
+            row.append(int(cents[pos]) if cval[pos] else None)
         out_p50.append(row[0])
         out_p90.append(row[1])
-    return pa.table({"event_type": pa.array(out_t, pa.string()),
+    return pa.table({"event_type": ea.take(pa.array(starts)),
                      "p50_cents": pa.array(out_p50, pa.int64()),
                      "p90_cents": pa.array(out_p90, pa.int64())}).sort_by(
         [("event_type", "ascending")])
@@ -2970,19 +2991,20 @@ def q_compact_documents(sf_dir: str) -> pa.Table:
 
 
 def _seg_new(col) -> np.ndarray:
-    """Null-safe new-segment flags over a SORTED key column: null keys
-    compare equal to each other (SQL PARTITION BY groups NULLs as one
-    partition) instead of NaN-splitting into per-row segments, and the
-    flags never meet a float NaN.  Input is an Arrow column; output is a
-    bool array with True at each segment start."""
+    """Null-safe new-segment flags over a SORTED key column of ANY type:
+    null keys compare equal to each other (SQL PARTITION BY groups NULLs
+    as one partition) instead of NaN-splitting into per-row segments, and
+    the flags never meet a float NaN.  Works by dictionary codes —
+    distinct values get distinct integer codes, nulls fill to -1."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    v = np.asarray(pc.is_valid(col).to_numpy(zero_copy_only=False))
-    f = np.asarray(pc.fill_null(col, 0).to_numpy(zero_copy_only=False))
-    n = len(v)
+    enc = col.dictionary_encode()
+    f = np.asarray(pc.fill_null(enc.indices, -1)
+                   .to_numpy(zero_copy_only=False)).astype(np.int64)
+    n = len(f)
     new = np.ones(n, dtype=bool)
     if n > 1:
-        new[1:] = (f[1:] != f[:-1]) | (v[1:] != v[:-1])
+        new[1:] = f[1:] != f[:-1]
     return new
 
 
@@ -3146,13 +3168,22 @@ def q_events_pivot(sf_dir: str) -> pa.Table:
     in_domain = np.isin(types, _PIVOT_TYPES)
     hours, types, counts = hours[in_domain], types[in_domain], \
         counts[in_domain]
-    uh, hidx = np.unique(hours, return_inverse=True)
+    # a null-ts row with an in-domain type keeps its NULL hour group
+    # (SQL GROUP BY keeps the NULL group); the sentinel never collides
+    # with strftime output and the final arrow sort puts NULL last
+    _NULLH = "\x00null-hour"
+    hkey = np.array([h if h is not None else _NULLH for h in hours],
+                    dtype=object)
+    uh, hidx = np.unique(hkey, return_inverse=True)
     tpos = {t: i for i, t in enumerate(_PIVOT_TYPES)}
     wide = np.zeros((len(uh), len(_PIVOT_TYPES)), dtype=np.int64)
     wide[hidx, [tpos[t] for t in types]] = counts
-    return pa.table({"hour": pa.array(uh),
-                     **{f"n_{t}": pa.array(wide[:, i])
-                        for i, t in enumerate(_PIVOT_TYPES)}})
+    return pa.table({
+        "hour": pa.array([None if h == _NULLH else h for h in uh],
+                         pa.string()),
+        **{f"n_{t}": pa.array(wide[:, i])
+           for i, t in enumerate(_PIVOT_TYPES)},
+    }).sort_by([("hour", "ascending")])
 
 
 def q_lineitem_part_left_join(sf_dir: str) -> pa.Table:
