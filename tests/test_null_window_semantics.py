@@ -53,6 +53,9 @@ def _write_events(tmp_path) -> str:
         # user 6: null-value prefix (running total NULL until first valid)
         (20, 1 * HOUR, 6, None, "view"),
         (21, 2 * HOUR, 6, 4.0, "view"),
+        # user 7: a null-ts purchase (as-of joins emit it with null right)
+        (22, None, 7, 1.0, "purchase"),
+        (23, 1 * HOUR, 7, 2.0, "view"),
     ]
     t = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -138,6 +141,91 @@ def test_event_aggregates_null_semantics(ray_session, tmp_path, name):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     assert norm(got).equals(norm(want)), name
+
+
+def _write_join_tables(sf_dir: str) -> None:
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 2, None, 1], pa.int64()),
+        "o_orderdate": pa.array([0, 1, None, 2], pa.date32()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    })
+    pq.write_table(orders, sf_dir + "/orders.parquet")
+    part = pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_retailprice": pa.array([100.0, None, 305.0], pa.float64()),
+        "p_name": pa.array(["a", "b", "c"], pa.string()),
+        "p_size": pa.array([1, 2, 3], pa.int64()),
+    })
+    pq.write_table(part, sf_dir + "/part.parquet")
+
+
+def test_asof_join_null_semantics(ray_session, tmp_path):
+    """Keyed as-of with nulls follows three-valued logic (a NULL left
+    key/ts matches nothing and keeps the row with a null date; NULL
+    right key/date rows match nothing) — pinned against an explicit
+    correlated-subquery SQL, NOT DuckDB's ASOF operator, whose keyed
+    path treats NULL ts as +inf (and its keyless path as no-match):
+    an implementation quirk, not semantics."""
+    import duckdb
+
+    from yaschva_ray.pipelines.ops import q_events_asof_orders
+
+    sf = _write_events(tmp_path)
+    _write_join_tables(sf)
+    got = q_events_asof_orders(sf).to_pandas()
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT * FROM read_parquet('{sf}/events.parquet')),
+             o AS (SELECT * FROM read_parquet('{sf}/orders.parquet'))
+        SELECT e.event_id,
+               (SELECT max(o.o_orderdate) FROM o
+                 WHERE o.o_custkey = e.user_id
+                   AND o.o_orderdate <= e.ts) AS asof_date
+        FROM e ORDER BY e.event_id
+    """).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert [None if pd.isna(x) else str(x)[:10]
+            for x in got["asof_date"]] == \
+        [None if pd.isna(x) else str(x)[:10] for x in want["asof_date"]]
+
+
+def test_range_join_null_values(ray_session, tmp_path):
+    """NULL values on either side of the interval join satisfy no
+    inequality — the registered oracle (a plain SQL inequality join)
+    already encodes that; the engine must not NaN-band them together."""
+    sf = _write_events(tmp_path)
+    _write_join_tables(sf)
+    got = __import__("__ray_entry__").queries()["events_price_range_join"](sf)
+    _assert_matches_oracle(got, "events_price_range_join", sf)
+
+
+def test_global_asof_null_semantics(ray_session, tmp_path):
+    """Keyless global as-of: NULL left ts emits with a null ref, NULL
+    right ts drops — pinned against explicit SQL (DuckDB's keyless ASOF
+    happens to agree on the left, and the engine's rsort drops the null
+    right rows its unique-ts check would otherwise trip on)."""
+    import duckdb
+
+    from yaschva_ray.pipelines.ops import q_events_global_asof
+
+    sf = _write_events(tmp_path)
+    got = q_events_global_asof(sf).to_pandas()
+    want = duckdb.sql(f"""
+        WITH ev AS (SELECT * FROM read_parquet('{sf}/events.parquet')),
+        r AS (
+            SELECT ts AS rts, MAX(event_id) AS ref_id FROM ev
+            WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY ts
+        ), l AS (
+            SELECT event_id, ts FROM ev WHERE event_type = 'purchase'
+        )
+        SELECT l.event_id,
+               (SELECT r.ref_id FROM r WHERE r.rts <= l.ts
+                 ORDER BY r.rts DESC LIMIT 1) AS ref_id
+        FROM l ORDER BY event_id
+    """).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert [None if pd.isna(x) else int(x) for x in got["ref_id"]] == \
+        [None if pd.isna(x) else int(x) for x in want["ref_id"]]
 
 
 def test_moving_sum_null_value_exact(ray_session, tmp_path):

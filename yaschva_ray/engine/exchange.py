@@ -155,8 +155,14 @@ def _range_map_block(block: pa.Table, key: str, cutpoints):
         arr = arr.combine_chunks()
     valid = np.asarray(arr.is_valid())
     v = np.asarray(arr.to_numpy(zero_copy_only=False))
-    b = np.searchsorted(cutpoints, v, side="right").astype(np.int64)
-    b[~valid] = 0
+    b = np.zeros(len(v), dtype=np.int64)
+    if valid.all():
+        b = np.searchsorted(cutpoints, v, side="right").astype(np.int64)
+    elif valid.any():
+        # null slots may surface as Python None in the object path —
+        # search only the valid values (nulls stay in bucket 0)
+        b[valid] = np.searchsorted(cutpoints, v[valid],
+                                   side="right").astype(np.int64)
     order = np.argsort(b, kind="stable")
     st = block.take(pa.array(order))
     sb = b[order]

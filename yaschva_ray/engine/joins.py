@@ -171,64 +171,91 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
                 f"sides; shared: {sorted(shared)}")
     if not lparts:
         merged_t = pa.table({})
-    elif not rparts:
-        # no right rows in this bucket: left rows joined with typed nulls —
-        # fabricating pandas NaT here produced datetime64[ns] columns other
-        # buckets' timestamp[us]/date32 schemas could not unify with
-        left_t = pa.concat_tables(lparts).combine_chunks()
-        order = pc.sort_indices(left_t, sort_keys=[(left_ts, "ascending")])
-        left_t = left_t.take(order)
-        for f in (right_schema or []):
-            left_t = left_t.append_column(
-                pa.field(f.name, f.type), pa.nulls(left_t.num_rows, f.type))
-        merged_t = left_t
     else:
-        import pandas as pd
+        left_all = pa.concat_tables(lparts).combine_chunks()
+        # SQL ASOF LEFT JOIN null semantics: a NULL left key or ts
+        # satisfies no inequality — the row emits with typed-null right
+        # columns; a NULL right key or ts matches nothing and drops
+        # before the merge (pandas merge_asof would otherwise reject
+        # null merge keys outright)
+        lvalid = pc.and_(pc.is_valid(left_all[left_key]),
+                         pc.is_valid(left_all[left_ts]))
+        left_valid_t = left_all.filter(lvalid)
+        left_null_t = left_all.filter(pc.invert(lvalid))
+        right_all = None
+        if rparts:
+            r = pa.concat_tables(rparts).combine_chunks()
+            r = r.filter(pc.and_(pc.is_valid(r[right_key]),
+                                 pc.is_valid(r[right_ts])))
+            right_all = r if r.num_rows else None
+        if right_all is None:
+            # no (valid) right rows in this bucket: every left row takes
+            # the typed-null path — fabricating pandas NaT here produced
+            # datetime64[ns] columns other buckets' timestamp[us]/date32
+            # schemas could not unify with
+            left_null_t = left_all
+            left_valid_t = left_all.slice(0, 0)
+        pieces = []
+        if left_valid_t.num_rows:
+            import pandas as pd
 
-        def _key_compat(tbl: pa.Table, col: str):
-            # date32/date64 hit pandas as object dtype, which merge_asof
-            # rejects — cast to timestamp[us] for the merge (lossless:
-            # dates are midnights) and remember the type to cast back
-            f = tbl.schema.field(col)
-            if pa.types.is_date(f.type):
-                i = tbl.schema.get_field_index(col)
-                return tbl.set_column(
-                    i, pa.field(col, pa.timestamp("us")),
-                    tbl[col].cast(pa.timestamp("us"))), f.type
-            return tbl, None
+            def _key_compat(tbl: pa.Table, col: str):
+                # date32/date64 hit pandas as object dtype, which
+                # merge_asof rejects — cast to timestamp[us] for the
+                # merge (lossless: dates are midnights)
+                f = tbl.schema.field(col)
+                if pa.types.is_date(f.type):
+                    i = tbl.schema.get_field_index(col)
+                    return tbl.set_column(
+                        i, pa.field(col, pa.timestamp("us")),
+                        tbl[col].cast(pa.timestamp("us"))), f.type
+                return tbl, None
 
-        left_t, _ = _key_compat(pa.concat_tables(lparts), left_ts)
-        right_t, _ = _key_compat(pa.concat_tables(rparts), right_ts)
-        _warn_hot_key(left_t, left_key, "asof_join(left)", bucket_id)
-        _warn_hot_key(right_t, right_key, "asof_join(right)", bucket_id)
-        left = left_t.to_pandas()
-        left = left.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
-        right = right_t.to_pandas()
-        # stable sort: among equal (key, ts) right rows merge_asof takes the
-        # LAST — callers should select tie-independent output columns
-        right = right.sort_values(right_ts, kind="mergesort").reset_index(drop=True)
-        merged = pd.merge_asof(left, right, left_on=left_ts, right_on=right_ts,
-                               left_by=left_key, right_by=right_key,
-                               direction="backward")
-        merged_t = pa.Table.from_pandas(merged, preserve_index=False)
-        # restore right-side columns' ORIGINAL arrow types: merge_asof
-        # leaves unmatched rows NaN/NaT (widening ints to double, dates to
-        # datetime64), and buckets with different match patterns would
-        # otherwise fail to unify at the final concat
-        for f in right_schema:
-            col = f.name
-            if col not in merged_t.column_names:
-                continue
-            arr = merged_t[col]
-            if arr.type == f.type:
-                continue
-            if pa.types.is_floating(arr.type) and \
-                    not pa.types.is_floating(f.type):
-                arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, arr.type),
-                                 arr)
-            i = merged_t.schema.get_field_index(col)
-            merged_t = merged_t.set_column(i, pa.field(col, f.type),
-                                           arr.cast(f.type))
+            left_t, _ = _key_compat(left_valid_t, left_ts)
+            right_t, _ = _key_compat(right_all, right_ts)
+            _warn_hot_key(left_t, left_key, "asof_join(left)", bucket_id)
+            _warn_hot_key(right_t, right_key, "asof_join(right)", bucket_id)
+            left = left_t.to_pandas()
+            left = left.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
+            right = right_t.to_pandas()
+            # stable sort: among equal (key, ts) right rows merge_asof
+            # takes the LAST — callers should select tie-independent
+            # output columns
+            right = right.sort_values(right_ts, kind="mergesort").reset_index(drop=True)
+            merged = pd.merge_asof(left, right, left_on=left_ts,
+                                   right_on=right_ts,
+                                   left_by=left_key, right_by=right_key,
+                                   direction="backward")
+            merged_t = pa.Table.from_pandas(merged, preserve_index=False)
+            # restore right-side columns' ORIGINAL arrow types: merge_asof
+            # leaves unmatched rows NaN/NaT (widening ints to double,
+            # dates to datetime64), and buckets with different match
+            # patterns would otherwise fail to unify at the final concat
+            for f in right_schema:
+                col = f.name
+                if col not in merged_t.column_names:
+                    continue
+                arr = merged_t[col]
+                if arr.type == f.type:
+                    continue
+                if pa.types.is_floating(arr.type) and \
+                        not pa.types.is_floating(f.type):
+                    arr = pc.if_else(pc.is_nan(arr),
+                                     pa.scalar(None, arr.type), arr)
+                i = merged_t.schema.get_field_index(col)
+                merged_t = merged_t.set_column(i, pa.field(col, f.type),
+                                               arr.cast(f.type))
+            pieces.append(merged_t)
+        if left_null_t.num_rows:
+            order = pc.sort_indices(left_null_t,
+                                    sort_keys=[(left_ts, "ascending")])
+            lt = left_null_t.take(order)
+            for f in (right_schema or []):
+                lt = lt.append_column(
+                    pa.field(f.name, f.type), pa.nulls(lt.num_rows, f.type))
+            pieces.append(lt)
+        merged_t = (pa.concat_tables(pieces, promote_options="default")
+                    .combine_chunks() if pieces else pa.table({}))
     if out_dir is not None:
         return _sink_bucket(merged_t, out_dir, bucket_id)
     return merged_t
@@ -242,7 +269,14 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     estimated bytes (per-bucket target ``_TARGET_BUCKET_BYTES``).  With
     ``out_dir`` each bucket writes its own parquet part and a small manifest
     table (bucket, n_rows, path) is returned — the at-scale path; otherwise
-    the joined table is gathered."""
+    the joined table is gathered.
+
+    NULL semantics (pinned, three-valued logic): a NULL key or timestamp
+    on the left matches nothing and emits with typed-null right columns;
+    a NULL key or timestamp on the right matches nothing and drops.
+    (DuckDB's own ASOF operator leaks its sort order here — its keyed
+    path treats NULL ts as +inf and can even match a NULL right ts —
+    so the engine pins the principled rule instead of the quirk.)"""
     import ray
 
     from .exchange import bounded_map_entries
@@ -574,6 +608,10 @@ def _band_counts(t: pa.Table, val_col: str, width: float, eps: float,
     if val_col not in t.column_names or not t.num_rows:
         return pa.table({"band": pa.array([], pa.int64()),
                          "n": pa.array([], pa.int64())})
+    t = t.filter(pc.is_valid(t[val_col]))  # same null rule as _band_slices
+    if not t.num_rows:
+        return pa.table({"band": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     v = np.asarray(t[val_col].to_numpy(zero_copy_only=False), dtype=np.float64)
     _idx, bands = _row_bands(v, width, eps, replicate)
     ub, counts = np.unique(bands, return_counts=True)
@@ -606,6 +644,11 @@ def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
     limit_worker_threads()
     empty = [pa.table({})] * num_buckets
     if val_col not in t.column_names or not t.num_rows:
+        return empty if num_buckets > 1 else empty[0]
+    # NULL values satisfy no inequality (SQL inner-join semantics) and
+    # would NaN-poison the band arithmetic — drop them at the map
+    t = t.filter(pc.is_valid(t[val_col]))
+    if not t.num_rows:
         return empty if num_buckets > 1 else empty[0]
     # hot_ref travels as an ObjectRef argument, which Ray auto-resolves:
     # the broadcast tuple arrives zero-copy from the object store
@@ -847,6 +890,11 @@ def _gasof_rsort(right_ts: str, *parts: pa.Table) -> pa.Table:
     if not nonempty:
         return pa.table({})
     t = pa.concat_tables(nonempty).combine_chunks()
+    # a NULL right timestamp matches nothing (SQL ASOF inequality) —
+    # drop before sorting so the unique-ts check and merge never see it
+    t = t.filter(pc.is_valid(t[right_ts]))
+    if not t.num_rows:
+        return pa.table({})
     return t.take(pc.sort_indices(t, sort_keys=[(right_ts, "ascending")]))
 
 
@@ -871,15 +919,25 @@ def _gasof_join(left_ts: str, right_ts: str, right_schema,
     lparts = [p for p in parts[:n_left] if p.num_rows]
     if not lparts:
         return pa.table({})
-    left_t = pa.concat_tables(lparts).combine_chunks()
+    left_all = pa.concat_tables(lparts).combine_chunks()
+    # a NULL left timestamp satisfies no inequality: those rows emit
+    # with typed-null right columns (ASOF LEFT JOIN), the rest merge
+    lvalid = pc.is_valid(left_all[left_ts])
+    left_t = left_all.filter(lvalid)
+    left_null_t = left_all.filter(pc.invert(lvalid))
+
+    def _nullified(lt: pa.Table) -> pa.Table:
+        for f in right_schema:
+            lt = lt.append_column(
+                pa.field(f.name, f.type), pa.nulls(lt.num_rows, f.type))
+        return lt
+
     left_t = left_t.take(pc.sort_indices(
         left_t, sort_keys=[(left_ts, "ascending")]))
     rparts = [p for p in (carry, right_t) if p.num_rows]
-    if not rparts:
-        for f in right_schema:
-            left_t = left_t.append_column(
-                pa.field(f.name, f.type), pa.nulls(left_t.num_rows, f.type))
-        return left_t
+    if not rparts or not left_t.num_rows:
+        return _nullified(pa.concat_tables([left_t, left_null_t])
+                          .combine_chunks())
     right_full = pa.concat_tables(rparts).combine_chunks()
     right_full = right_full.take(pc.sort_indices(
         right_full, sort_keys=[(right_ts, "ascending")]))
@@ -908,6 +966,10 @@ def _gasof_join(left_ts: str, right_ts: str, right_schema,
         i = merged_t.schema.get_field_index(col)
         merged_t = merged_t.set_column(i, pa.field(col, f.type),
                                        arr.cast(f.type))
+    if left_null_t.num_rows:
+        merged_t = pa.concat_tables(
+            [merged_t, _nullified(left_null_t)],
+            promote_options="default").combine_chunks()
     return merged_t
 
 
@@ -929,7 +991,9 @@ def global_asof_join(left_ds, right_ds, *, left_ts: str, right_ts: str,
 
     Contracts: right timestamps UNIQUE (raises on ties — the matched
     payload would be partition-order-dependent; pre-aggregate to one row
-    per ts), column names disjoint across sides."""
+    per ts), column names disjoint across sides.  NULL semantics match
+    the keyed asof_join (three-valued logic): a NULL left ts emits with
+    typed-null right columns, a NULL right ts drops."""
     import ray
 
     from .blocks import iter_block_refs

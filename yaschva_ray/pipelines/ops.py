@@ -2655,8 +2655,11 @@ def q_events_global_asof(sf_dir: str, n_ranges: int = 8,
     left = events.map_batches(purchases, batch_format="pyarrow")
 
     def ts_sample(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["event_id"].to_numpy(zero_copy_only=False))
-        return pa.table({"ts": t["ts"].filter(pa.array(ids % sample_mod == 0))})
+        # null-safe: null ids still sample deterministically (as 0) and
+        # null timestamps never become cutpoints (they carry no order)
+        ids, _ = _int_col(t["event_id"])
+        sel = t["ts"].filter(pa.array(ids % sample_mod == 0))
+        return pa.table({"ts": sel.drop_null()})
 
     sv = np.sort(np.concatenate([
         np.asarray(t["ts"].to_numpy(zero_copy_only=False))
