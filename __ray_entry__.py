@@ -1803,8 +1803,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id
         """,
         "customers_without_orders": """
-            SELECT c_custkey FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            -- NOT EXISTS, not NOT IN: one NULL o_custkey would void the
+            -- whole NOT IN result (three-valued logic), which is never
+            -- the intent of a referential check; NULL FKs are skipped
+            -- like SQL FK constraints skip them
+            SELECT c_custkey FROM customer c
+            WHERE c_custkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey
         """,
         "active_customers": """
@@ -1813,8 +1818,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "dangling_lineitem_parts": """
-            SELECT DISTINCT l_partkey FROM lineitem
-            WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+            -- NOT EXISTS + IS NOT NULL (see customers_without_orders)
+            SELECT DISTINCT l_partkey FROM lineitem l
+            WHERE l_partkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
             ORDER BY l_partkey
         """,
         "null_counts_documents": """

@@ -228,6 +228,77 @@ def test_global_asof_null_semantics(ray_session, tmp_path):
         [None if pd.isna(x) else int(x) for x in want["ref_id"]]
 
 
+@pytest.mark.parametrize("name", [
+    "lineitem_part_left_join", "part_lineitem_full_join",
+    "orders_customer_join", "customers_without_orders",
+    "active_customers", "events_user_segments", "dangling_lineitem_parts",
+    "recent_orders_lineitems", "ship_before_order",
+])
+def test_join_family_null_keys(ray_session, tmp_path, name):
+    """Equi/semi/anti/broadcast joins with NULL keys on both sides:
+    NULL = NULL never matches (inner/semi drop, left/full carry typed
+    nulls, anti skips NULL FKs like SQL constraints do — the oracles use
+    NOT EXISTS because one NULL parent key voids a whole NOT IN)."""
+    import __ray_entry__
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    HOUR_ = HOUR
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([1 * HOUR_, 2 * HOUR_, 3 * HOUR_, 4 * HOUR_],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, None, 2, 1], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, None], pa.float64()),
+        "event_type": pa.array(["view", "click", "view", "purchase"],
+                               pa.string()),
+    }), str(d / "events.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, None], pa.int64()),
+        "c_name": pa.array(["x", "y", "z"], pa.string()),
+        "c_mktsegment": pa.array(["A", "B", "C"], pa.string()),
+        "c_acctbal": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "c_nationkey": pa.array([0, 1, 2], pa.int64()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "o_custkey": pa.array([1, None, 2, 9], pa.int64()),
+        "o_orderdate": pa.array([0, 1, 2, 3], pa.date32()),
+        "o_totalprice": pa.array([5.0, 6.0, 7.0, 8.0], pa.float64()),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 11, 99], pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1], pa.int64()),
+        "l_partkey": pa.array([1, None, 3], pa.int64()),
+        "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.01, 0.02], pa.float64()),
+        "l_returnflag": pa.array(["A", "N", "A"], pa.string()),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        "l_shipdate": pa.array([0, 1, None], pa.date32()),
+        "l_linestatus": pa.array(["O", "F", "O"], pa.string()),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, None], pa.int64()),
+        "p_name": pa.array(["a", "b", "c"], pa.string()),
+        "p_size": pa.array([1, 2, 3], pa.int64()),
+        "p_retailprice": pa.array([100.0, 200.0, 300.0], pa.float64()),
+    }), str(d / "part.parquet"))
+
+    got = __ray_entry__.queries()[name](str(d))
+    if isinstance(got, pa.Table):
+        got = got.to_pandas()
+    want = _oracle(name, str(d))
+    assert sorted(got.columns) == sorted(want.columns), name
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert norm(got).equals(norm(want)), name
+
+
 def test_moving_sum_null_value_exact(ray_session, tmp_path):
     """The review's confirmed reproduction: values [1.0, None, 2.0, 3.0]
     must yield [100, 100, 300, 600] (SUM skips NULLs), not NaN-poisoned

@@ -507,10 +507,15 @@ def referential_missing_keys(
         value_set = pc.unique(keys_t["key"].combine_chunks()
                               if isinstance(keys_t["key"], pa.ChunkedArray)
                               else keys_t["key"])
+        # SQL FK semantics: a NULL left key is never a violation and a
+        # NULL right key satisfies nothing — drop both (arrow's is_in
+        # would otherwise match NULL = NULL)
+        value_set = value_set.drop_null()
         ref = ray.put(value_set)
 
         def anti(t: pa.Table) -> pa.Table:
             vs = ray.get(ref)
+            t = t.filter(pc.is_valid(t[left_key]))
             miss = t.filter(pc.invert(pc.is_in(t[left_key], value_set=vs)))
             d = miss.group_by(left_key).aggregate([])
             return pa.table({left_key: d[left_key]})
@@ -531,7 +536,9 @@ def referential_missing_keys(
             right_keys = t.filter(is_right)["key"]
             if isinstance(right_keys, pa.ChunkedArray):
                 right_keys = right_keys.combine_chunks()
+            right_keys = right_keys.drop_null()  # same FK null rule
             left_t = pa.table({"key": t.filter(pc.invert(is_right))["key"]})
+            left_t = left_t.filter(pc.is_valid(left_t["key"]))
             left_t = left_t.group_by("key").aggregate([])
             miss = left_t.filter(
                 pc.invert(pc.is_in(left_t["key"], value_set=right_keys)))

@@ -249,6 +249,9 @@ def q_active_customers(sf_dir: str) -> pa.Table:
             batch_format="pyarrow"))
     uset = pc.unique(pa.concat_tables(blocks)["user_id"].combine_chunks()) \
         if blocks else pa.array([], pa.int64())
+    # SQL IN semantics: NULL = NULL is not a match — a null custkey is
+    # never "active" and a null user_id activates nobody
+    uset = uset.drop_null()
     ref = ray.put(uset)
 
     def semi(t: pa.Table) -> pa.Table:
@@ -1587,6 +1590,9 @@ def q_events_user_segments(sf_dir: str) -> pa.Table:
         blocks = [pa.table({"c_custkey": pa.array([], pa.int64()),
                             "c_mktsegment": pa.array([], pa.string())})]
     small = pa.concat_tables(blocks).combine_chunks()
+    # equi-join: NULL keys match nothing — drop them from the lookup so
+    # index_in can't pair a null event user with a null custkey
+    small = small.filter(pc.is_valid(small["c_custkey"]))
     lookup_ref = ray.put((small["c_custkey"], small["c_mktsegment"]))
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
