@@ -133,6 +133,9 @@ def bench_queries(sf_dir: str) -> dict:
         # round-4 late additions: Q10-style chained join/agg/top-k
         # pipeline + frame-clause moving window
         "returned_revenue_topk", "user_moving_sum",
+        # round-4 final additions: the five ranking windows in one
+        # run-length kernel
+        "user_rank_windows",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)
@@ -166,6 +169,9 @@ def bench_queries(sf_dir: str) -> dict:
         "label_centroids", "normalize_text",
         # round-4 late addition: SymSpell/FastSS fuzzy vocabulary join
         "vocab_fuzzy_pairs",
+        # round-4 final addition: bigram-LM fluency scoring (trains the
+        # pruned top-M model + scores, end-to-end per iteration)
+        "lm_bigram_score",
     ]
     bpe_names = ["bpe_merges"]
     out = {}
