@@ -848,3 +848,131 @@ def test_bloom_bits_rounding(ray_session):
                            num_bits=bits).take_all()
     ids = sorted(r["k2"] for r in kept)
     assert 5 in ids and 50 in ids  # true matches always survive
+
+
+def test_hash_join_skew_split_inner_equals_unsplit(ray_session):
+    """Planted hot key on BOTH sides: the skew grid split (S_l x S_r
+    virtual cells) produces the exact same pair multiset as the plain
+    path — every pair matched in exactly one cell, none duplicated."""
+    import pandas as pd
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    rng = np.random.RandomState(21)
+    lk = np.concatenate([np.full(800, 7), rng.randint(100, 160, 400)])
+    rk = np.concatenate([np.full(600, 7), rng.randint(130, 200, 300)])
+    lt = pa.table({"k": pa.array(lk, type=pa.int64()),
+                   "lv": pa.array(np.arange(len(lk)), pa.int64())})
+    rt = pa.table({"rk": pa.array(rk, type=pa.int64()),
+                   "rv": pa.array(np.arange(len(rk)), pa.int64())})
+
+    def run(**kw):
+        out = hash_join(ray.data.from_arrow(lt).repartition(6),
+                        ray.data.from_arrow(rt).repartition(4),
+                        left_key="k", right_key="rk", num_buckets=5, **kw)
+        return (out.to_pandas().sort_values(["lv", "rv"])
+                .reset_index(drop=True))
+
+    base = run()
+    split = run(skew_split=True, max_key_rows=100)  # S_l=8, S_r=6
+    pd.testing.assert_frame_equal(split[base.columns.tolist()], base)
+    assert (base["k"] == 7).sum() == 800 * 600  # the hot cross product
+
+
+def test_hash_join_skew_split_left_outer(ray_session):
+    """Left outer under skew splits only the LEFT side (each left row in
+    exactly one cell keeps unmatched-null emission duplicate-free);
+    dangling left keys still emit exactly one typed-null row."""
+    import pandas as pd
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    rng = np.random.RandomState(22)
+    lk = np.concatenate([np.full(700, 3), rng.randint(100, 140, 300),
+                         np.array([999, 998])])      # dangling
+    rk = np.concatenate([np.full(90, 3), rng.randint(120, 160, 200)])
+    lt = pa.table({"k": pa.array(lk, type=pa.int64()),
+                   "lv": pa.array(np.arange(len(lk)), pa.int64())})
+    rt = pa.table({"rk": pa.array(rk, type=pa.int64()),
+                   "rv": pa.array(np.arange(len(rk)), pa.int64())})
+
+    def run(**kw):
+        out = hash_join(ray.data.from_arrow(lt).repartition(5),
+                        ray.data.from_arrow(rt).repartition(3),
+                        left_key="k", right_key="rk",
+                        how="left outer", num_buckets=4, **kw)
+        return (out.to_pandas().sort_values(["lv", "rv"])
+                .reset_index(drop=True))
+
+    base = run()
+    split = run(skew_split=True, max_key_rows=100)   # S_l=7, S_r forced 1
+    pd.testing.assert_frame_equal(split[base.columns.tolist()], base)
+    assert (split["k"] == 999).sum() == 1            # no null-row dupes
+    assert split.loc[split["k"] == 999, "rv"].isna().all()
+
+
+def test_hash_join_skew_noop_without_hot_keys(ray_session):
+    """skew_split with nothing over the threshold takes the plain path
+    (no __cell column, identical output)."""
+    import pandas as pd
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    rng = np.random.RandomState(23)
+    lt = pa.table({"k": pa.array(rng.randint(0, 50, 400), pa.int64()),
+                   "lv": pa.array(np.arange(400), pa.int64())})
+    rt = pa.table({"rk": pa.array(rng.randint(25, 75, 300), pa.int64()),
+                   "rv": pa.array(np.arange(300), pa.int64())})
+    base = hash_join(ray.data.from_arrow(lt).repartition(4),
+                     ray.data.from_arrow(rt).repartition(3),
+                     left_key="k", right_key="rk", num_buckets=4)
+    split = hash_join(ray.data.from_arrow(lt).repartition(4),
+                      ray.data.from_arrow(rt).repartition(3),
+                      left_key="k", right_key="rk", num_buckets=4,
+                      skew_split=True, max_key_rows=1000)
+    b = base.to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    s = split.to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s[b.columns.tolist()], b)
+    assert "__cell" not in split.column_names
+
+
+def test_hash_join_skew_full_outer_refused(ray_session):
+    """Full outer + skew_split raises (either side's replication would
+    duplicate its unmatched rows)."""
+    import pytest as _pytest
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "lv": pa.array([1], pa.int64())})
+    r = pa.table({"rk": pa.array([1], pa.int64()),
+                  "rv": pa.array([1], pa.int64())})
+    with _pytest.raises(ValueError, match="skew_split"):
+        hash_join(ray.data.from_arrow(t), ray.data.from_arrow(r),
+                  left_key="k", right_key="rk", how="full outer",
+                  skew_split=True)
+
+
+def test_hh_detection_lower_bound(ray_session):
+    """The merged heavy-hitter counts are exact for a planted hot key
+    concentrated in real blocks (and never overestimate)."""
+    import ray as _ray
+
+    from yaschva_ray.engine.joins import (_hh_combine, _hh_partial,
+                                          _hh_tree)
+
+    rng = np.random.RandomState(24)
+    blocks = []
+    for i in range(7):
+        ks = np.concatenate([np.full(500, 42),
+                             rng.randint(1000, 9000, 700)])
+        blocks.append(pa.table({"k": pa.array(ks, type=pa.int64())}))
+    part = _ray.remote(_hh_partial)
+    refs = [part.remote(b, "k", 64) for b in blocks]
+    merged = _ray.get(_hh_tree(refs, 64))
+    counts = dict(zip(merged["k"].to_pylist(), merged["n"].to_pylist()))
+    assert counts[42] == 7 * 500  # concentrated key counted exactly

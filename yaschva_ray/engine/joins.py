@@ -39,6 +39,12 @@ _MIN_BUCKETS, _MAX_BUCKETS = 8, 512
 # semantics unchanged).
 _HOT_KEY_WARN_ROWS = 1_000_000
 
+# hash_join skew split: per-block heavy-hitter partial size and the
+# hot-key row threshold (a key with more rows than this on either side
+# gets grid-split across reduce tasks) — helpers live below hash_join
+_SKEW_TOPK = 4096
+_SKEW_MAX_KEY_ROWS = 1_000_000
+
 
 def _warn_hot_key(t: pa.Table, key: str, op: str, bucket_id: int) -> None:
     """Log the bucket's largest key group if it looks hot (vectorized
@@ -324,8 +330,8 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
     right_schema = next((p.schema for p in parts[n_left:] if p.num_columns),
                         right_hint)
     if left_schema is not None and right_schema is not None:
-        shared = ((set(left_schema.names) - {left_key})
-                  & (set(right_schema.names) - {right_key}))
+        shared = ((set(left_schema.names) - {left_key, "__cell"})
+                  & (set(right_schema.names) - {right_key, "__cell"}))
         if shared:
             raise ValueError(
                 f"hash_join requires disjoint non-key column names; "
@@ -347,8 +353,25 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
               if rparts else right_schema.empty_table())
         _warn_hot_key(lt, left_key, "hash_join(left)", bucket_id)
         _warn_hot_key(rt, right_key, "hash_join(right)", bucket_id)
-        merged = lt.join(rt, keys=[left_key], right_keys=[right_key],
+        # skew-split rows carry a virtual __cell: join on (key, cell) so
+        # a hot key's grid cells never cross-match (an empty side built
+        # from the driver schema hint gains the column to stay joinable)
+        join_l, join_r = [left_key], [right_key]
+        has_cell = ("__cell" in lt.column_names
+                    or "__cell" in rt.column_names)
+        if has_cell:
+            if "__cell" not in lt.column_names:
+                lt = lt.append_column("__cell", pa.nulls(lt.num_rows,
+                                                         pa.int64()))
+            if "__cell" not in rt.column_names:
+                rt = rt.append_column("__cell", pa.nulls(rt.num_rows,
+                                                         pa.int64()))
+            join_l.append("__cell")
+            join_r.append("__cell")
+        merged = lt.join(rt, keys=join_l, right_keys=join_r,
                          join_type=how)
+        if "__cell" in merged.column_names:
+            merged = merged.drop_columns(["__cell"])
     if bucket_fn is not None and merged.num_rows:
         # post-join transform INSIDE the reduce: a filter/projection here
         # means only its output (e.g. constraint violations, typically
@@ -481,7 +504,9 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
               how: str = "inner", num_buckets: int | None = None,
               out_dir: str | None = None, bucket_fn=None,
               bloom_right_by_left: bool = False,
-              bloom_bits: int = 1 << 23) -> pa.Table:
+              bloom_bits: int = 1 << 23,
+              skew_split: bool = False,
+              max_key_rows: int = _SKEW_MAX_KEY_ROWS) -> pa.Table:
     """Big-big equi-join (``how``: "inner", "left outer" or
     "full outer"): both sides
     hash-partition on their key through the bounded exchange (each row
@@ -494,13 +519,31 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     own parquet part (the at-scale path, same contract as asof_join).
     ``bucket_fn`` (a picklable table→table callable) runs on each bucket's
     joined slice inside the reduce — filters/projections there shrink
-    what leaves the task."""
+    what leaves the task.
+
+    ``skew_split=True`` adds a heavy-hitter counting pre-pass over
+    SNAPSHOTTED block refs (the range_join trade: refs stay pinned, the
+    count overlaps the scan) and grid-splits any key whose merged count
+    exceeds ``max_key_rows`` on either side across an S_l × S_r grid of
+    virtual cells (left row: one grid row, replicated across columns;
+    right row: one column, replicated across rows — each pair co-occurs
+    in exactly one cell), so one hot key can no longer concentrate in
+    one reduce task.  The merged counts are LOWER bounds, so detection
+    is conservative-correct; evaders still hit the loud _warn_hot_key.
+    "left outer" splits only the LEFT side (splitting the right would
+    duplicate unmatched-left rows); "full outer" refuses (either side's
+    split would duplicate its unmatched rows)."""
     import ray
 
     from .exchange import bounded_map_entries
 
     if how not in ("inner", "left outer", "full outer"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
+    if skew_split and how == "full outer":
+        raise ValueError(
+            "skew_split cannot protect a full outer join: replicating "
+            "either side duplicates its unmatched rows; use the default "
+            "path (hot keys are logged) or pre-aggregate the hot keys")
     if bloom_right_by_left:
         if how == "full outer":
             raise ValueError(
@@ -545,8 +588,80 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
             .remote(ref, key, num_buckets),
             num_buckets)
 
-    lmap = _mapped(left_ds, left_key)
-    rmap = _mapped(right_ds, right_key)
+    if skew_split:
+        from .blocks import iter_block_refs
+        from .exchange import bounded_map_refs
+
+        global _HH_PARTIAL, _SKEW_MAP_REMOTE
+        if _HH_PARTIAL is None:
+            _HH_PARTIAL = ray.remote(_hh_partial)
+        if _SKEW_MAP_REMOTE is None:
+            _SKEW_MAP_REMOTE = ray.remote(_skew_map_block)
+        # snapshot refs once: counting and slicing read the SAME blocks
+        # (pinned; count tasks launch as refs stream out of the scan)
+        lrefs, rrefs, lcnt, rcnt = [], [], [], []
+        for r in iter_block_refs(left_ds):
+            lrefs.append(r)
+            lcnt.append(_HH_PARTIAL.remote(r, left_key, _SKEW_TOPK))
+        for r in iter_block_refs(right_ds):
+            rrefs.append(r)
+            rcnt.append(_HH_PARTIAL.remote(r, right_key, _SKEW_TOPK))
+        lhot_t = ray.get(_hh_tree(lcnt, _SKEW_TOPK)) if lcnt else pa.table({})
+        rhot_t = ray.get(_hh_tree(rcnt, _SKEW_TOPK)) if rcnt else pa.table({})
+        lcounts = (dict(zip(lhot_t["k"].to_pylist(),
+                            lhot_t["n"].to_pylist()))
+                   if lhot_t.num_rows else {})
+        rcounts = (dict(zip(rhot_t["k"].to_pylist(),
+                            rhot_t["n"].to_pylist()))
+                   if rhot_t.num_rows else {})
+        key_type = (lhot_t["k"].type if lhot_t.num_rows
+                    else (rhot_t["k"].type if rhot_t.num_rows else None))
+        hot = []
+        for k in set(lcounts) | set(rcounts):
+            cl, cr = lcounts.get(k, 0), rcounts.get(k, 0)
+            if max(cl, cr) <= max_key_rows:
+                continue
+            s_l = max(1, -(-cl // max_key_rows))
+            s_r = max(1, -(-cr // max_key_rows))
+            if how == "left outer" and s_r > 1:
+                s_r = 1  # right split would duplicate unmatched-left rows
+                if cr > max_key_rows:
+                    _LOG.warning(
+                        "hash_join(skew): key %r has ~%d right rows under "
+                        "a left outer join — only the left side splits; "
+                        "the right side rides whole per cell", k, cr)
+            hot.append((k, s_l, s_r))
+        if hot:
+            _LOG.warning(
+                "hash_join(skew): grid-splitting %d hot key(s) over "
+                "max_key_rows=%d: %s", len(hot), max_key_rows,
+                [(k, f"{sl}x{sr}") for k, sl, sr in hot[:8]])
+            hot_ref = ray.put((
+                pa.array([k for k, _, _ in hot], type=key_type),
+                np.array([sl for _, sl, _ in hot], dtype=np.int64),
+                np.array([sr for _, _, sr in hot], dtype=np.int64)))
+            lmap = bounded_map_refs(
+                lrefs, lambda r: _SKEW_MAP_REMOTE
+                .options(num_returns=num_buckets)
+                .remote(r, left_key, num_buckets, True, hot_ref),
+                num_buckets)
+            rmap = bounded_map_refs(
+                rrefs, lambda r: _SKEW_MAP_REMOTE
+                .options(num_returns=num_buckets)
+                .remote(r, right_key, num_buckets, False, hot_ref),
+                num_buckets)
+        else:
+            lmap = bounded_map_refs(
+                lrefs, lambda ref: _MAP_REMOTE
+                .options(num_returns=num_buckets)
+                .remote(ref, left_key, num_buckets), num_buckets)
+            rmap = bounded_map_refs(
+                rrefs, lambda ref: _MAP_REMOTE
+                .options(num_returns=num_buckets)
+                .remote(ref, right_key, num_buckets), num_buckets)
+    else:
+        lmap = _mapped(left_ds, left_key)
+        rmap = _mapped(right_ds, right_key)
     joined = [
         _EQUI_REDUCE.remote(len(lmap), left_key, right_key, how,
                             schema_hints, b, out_dir, bucket_fn,
@@ -557,6 +672,115 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+# --------------------------------------------------------------------------
+# Equi-join skew split: grid-partition HOT KEYS across reduce tasks
+# --------------------------------------------------------------------------
+
+def _hh_partial(block: pa.Table, key: str, topk: int) -> pa.Table:
+    """Per-block heavy-hitter partial: the block's top-K key counts.
+    Merged partial sums are LOWER bounds (per-block and per-combine
+    truncation only ever drops counts), so a key crossing the threshold
+    in the merged view is definitely hot; an adversarially spread key
+    can evade detection and still hits the loud _warn_hot_key backstop."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    if key not in block.column_names or not block.num_rows:
+        return pa.table({})
+    g = block.select([key]).group_by(key).aggregate([([], "count_all")])
+    t = pa.table({"k": g[key], "n": g["count_all"].cast(pa.int64())})
+    t = t.filter(pc.is_valid(t["k"]))  # null keys never join
+    order = pc.sort_indices(t, sort_keys=[("n", "descending")])
+    return t.take(order.slice(0, topk))
+
+
+def _hh_combine(topk: int, *parts: pa.Table) -> pa.Table:
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table({})
+    t = pa.concat_tables(nonempty).combine_chunks()
+    g = t.group_by("k").aggregate([("n", "sum")])
+    t = pa.table({"k": g["k"], "n": g["n_sum"].cast(pa.int64())})
+    order = pc.sort_indices(t, sort_keys=[("n", "descending")])
+    return t.take(order.slice(0, topk))
+
+
+_HH_PARTIAL = None
+_HH_COMBINE = None
+
+
+def _hh_tree(refs: list, topk: int, fanin: int = 64):
+    """Tree-combine heavy-hitter partial refs with bounded fan-in."""
+    import ray
+
+    global _HH_COMBINE
+    if _HH_COMBINE is None:
+        _HH_COMBINE = ray.remote(_hh_combine)
+    while len(refs) > 1:
+        refs = [_HH_COMBINE.remote(topk, *refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    return refs[0] if refs else None
+
+
+def _skew_map_block(block: pa.Table, key: str, num_buckets: int,
+                    is_left: bool, hot_ref):
+    """Map half of the skew-aware exchange.  Every row gains a virtual
+    CELL of its hot key's S_l × S_r grid (cell = i·S_r + j): a left row
+    takes one grid row ``i`` and replicates across the ``j`` columns, a
+    right row takes one column ``j`` and replicates across the ``i``
+    rows — a matching pair co-occurs in exactly ONE cell, each cell
+    holds ~count/S of each side, and the reduce joins on (key, cell).
+    Non-hot rows have cell 0 and no replication (the original path)."""
+    from .sketches import _hash64, limit_worker_threads
+
+    limit_worker_threads()
+    empty = [pa.table({})] * num_buckets
+    if key not in block.column_names or not block.num_rows:
+        return empty if num_buckets > 1 else empty[0]
+    hot_keys, s_l, s_r = hot_ref
+    karr = block[key]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    h = _hash64(karr)
+    idx = pc.fill_null(pc.index_in(karr, value_set=hot_keys), -1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    hotm = idx >= 0
+    safe = np.maximum(idx, 0)
+    sl_row = np.where(hotm, s_l[safe], 1)
+    sr_row = np.where(hotm, s_r[safe], 1)
+    own_s = sl_row if is_left else sr_row      # own coordinate domain
+    reps = sr_row if is_left else sl_row       # replication factor
+    n = len(idx)
+    own = np.arange(n) % np.maximum(own_s, 1)  # position spreads load
+    out_idx = np.repeat(np.arange(n), reps)
+    offs = np.concatenate([[0], np.cumsum(reps)])[:-1]
+    copy_i = np.arange(len(out_idx)) - np.repeat(offs, reps)
+    own_rep = np.repeat(own, reps)
+    sr_rep = np.repeat(sr_row, reps)
+    if is_left:
+        cell = own_rep * sr_rep + copy_i       # i = own, j = copy index
+    else:
+        cell = copy_i * sr_rep + own_rep       # i = copy index, j = own
+    st = block.take(pa.array(out_idx))
+    st = st.append_column("__cell", pa.array(cell.astype(np.int64)))
+    with np.errstate(over="ignore"):
+        v = np.repeat(h, reps) + cell.astype(np.uint64)
+    buckets = _vkey_bucket(v, num_buckets)
+    order = np.argsort(buckets, kind="stable")
+    st = st.take(pa.array(order))
+    sb = buckets[order]
+    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
+    out = [st.slice(bounds[b], bounds[b + 1] - bounds[b])
+           for b in range(num_buckets)]
+    return out if num_buckets > 1 else out[0]
+
+
+_SKEW_MAP_REMOTE = None
 
 
 _RANGE_MAP_L = None
