@@ -433,6 +433,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_before_order": ops.q_ship_before_order,
         "validate_quarantine": ops.q_validate_quarantine,
         "events_pivot": ops.q_events_pivot,
+        # DELIBERATELY skewed big-big join (key = 5-value event_type):
+        # the driver-visible exercise of hash_join's hot-key grid split
+        "events_type_stats_join": ops.q_events_type_stats_join,
         "lineitem_part_left_join": ops.q_lineitem_part_left_join,
         "part_lineitem_full_join": ops.q_part_lineitem_full_join,
         "infer_schema": ops.q_infer_schema,
@@ -1140,6 +1143,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pivot over the FIXED type domain (both sides share the list,
         # the SQL-PIVOT IN (...) requirement)
+        # skewed enrichment join: every event gains its type's exact
+        # global count + cent sum (engine side runs the hot-key split)
+        "events_type_stats_join": """
+            WITH s AS (
+                SELECT event_type AS et,
+                       CAST(count(*) AS BIGINT) AS type_n,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS type_sum_cents
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, s.type_n, s.type_sum_cents
+            FROM events e JOIN s ON e.event_type = s.et
+            ORDER BY e.event_id
+        """,
         "events_pivot": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
                        AS hour,

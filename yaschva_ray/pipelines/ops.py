@@ -3195,6 +3195,52 @@ def q_events_pivot(sf_dir: str) -> pa.Table:
     }).sort_by([("hour", "ascending")])
 
 
+def q_events_type_stats_join(sf_dir: str, max_key_rows: int = 2_000) -> pa.Table:
+    """Enrich every event with its type's global stats via a DELIBERATELY
+    skewed big-big join: the key is event_type (5 values), so EVERY key
+    is hot and ``hash_join(skew_split=True)`` grid-splits each across
+    reduce tasks (left rows spread over S_l cells, the 5-row right side
+    replicated per cell) — the driver-visible exercise of the equi-join
+    skew mitigation.  The right side is the per-type exact aggregate
+    (bounded-cardinality partials, the pricing_summary pattern)."""
+    import ray.data
+
+    from ..engine.joins import hash_join
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = (pa.table({"et": t["event_type"], "cents": cents,
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("et").aggregate([("cents", "sum"), ("n", "sum")]))
+        return pa.table({"et": g["et"], "cents": g["cents_sum"],
+                         "n": g["n_sum"]})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "type_n": pa.array([], pa.int64()),
+                      "type_sum_cents": pa.array([], pa.int64())})
+    if not blocks:
+        return empty
+    g = (pa.concat_tables(blocks).group_by("et")
+         .aggregate([("cents", "sum"), ("n", "sum")]))
+    right = pa.table({"et": g["et"],
+                      "type_sum_cents": g["cents_sum"].cast(pa.int64()),
+                      "type_n": g["n_sum"].cast(pa.int64())})
+    out = hash_join(_read(sf_dir, "events", ["event_id", "event_type"]),
+                    ray.data.from_arrow(right),
+                    left_key="event_type", right_key="et",
+                    skew_split=True, max_key_rows=max_key_rows)
+    if not out.num_rows:
+        return empty
+    return out.select(["event_id", "event_type", "type_n",
+                       "type_sum_cents"]).combine_chunks() \
+        .sort_by([("event_id", "ascending")])
+
+
 def q_lineitem_part_left_join(sf_dir: str) -> pa.Table:
     """LEFT OUTER big-big join (the other half of the shuffled-join
     family): every lineitem row survives; rows whose l_partkey has no
