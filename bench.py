@@ -134,8 +134,9 @@ def bench_queries(sf_dir: str) -> dict:
         # pipeline + frame-clause moving window
         "returned_revenue_topk", "user_moving_sum",
         # round-4 final additions: the five ranking windows in one
-        # run-length kernel
-        "user_rank_windows",
+        # run-length kernel + the deliberately skewed big-big join
+        # (every key hot -> hash_join grid split end-to-end)
+        "user_rank_windows", "events_type_stats_join",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)
