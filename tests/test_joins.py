@@ -976,3 +976,105 @@ def test_hh_detection_lower_bound(ray_session):
     merged = _ray.get(_hh_tree(refs, 64))
     counts = dict(zip(merged["k"].to_pylist(), merged["n"].to_pylist()))
     assert counts[42] == 7 * 500  # concentrated key counted exactly
+
+
+def test_hash_join_cell_payload_column_untouched(ray_session):
+    """Review finding: a user payload column named __cell must ride
+    through the PLAIN path as data (never hijacked as a join key), and
+    the skew path must reject it loudly."""
+    import pytest as _pytest
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    lt = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "__cell": pa.array([10, 20], pa.int64())})
+    rt = pa.table({"rk": pa.array([1, 2], pa.int64()),
+                   "rv": pa.array([5, 6], pa.int64())})
+    out = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    left_key="k", right_key="rk", num_buckets=2)
+    assert out.num_rows == 2 and "__cell" in out.column_names
+    assert sorted(out["__cell"].to_pylist()) == [10, 20]
+    hot_lt = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                       "__cell": pa.array([10, 20, 30, 40], pa.int64())})
+    with _pytest.raises(Exception, match="__cell"):
+        hash_join(ray.data.from_arrow(hot_lt), ray.data.from_arrow(rt),
+                  left_key="k", right_key="rk", num_buckets=2,
+                  skew_split=True, max_key_rows=1)
+
+
+def test_session_windows_string_keys_with_nulls(ray_session):
+    """Review finding: the null-safe session kernel must stay
+    type-generic — string keys (with and without nulls) sessionize."""
+    import ray.data
+
+    from yaschva_ray.engine.windows import session_windows
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", None, None, "a"], pa.string()),
+        "t": pa.array([0, 10**6 * 3600, 5, 7, 9, 2 * 10**6 * 3600],
+                      pa.timestamp("us")),
+    })
+    out = session_windows(ray.data.from_arrow(t), key="k", ts="t",
+                          gap_s=60, num_buckets=2)
+    got = out.to_pandas()
+    assert (got["k"] == "a").sum() == 3      # three gap-split sessions
+    assert (got["k"] == "b").sum() == 1
+    assert got["k"].isna().sum() == 1        # nulls form one partition
+    assert got.loc[got["k"].isna(), "n_events"].tolist() == [2]
+
+
+def test_asof_join_date_left_ts_with_nulls(ray_session):
+    """Review finding: a date32 left_ts bucket holding BOTH merged rows
+    (cast to timestamp for merge_asof) and null-path rows must restore
+    the original type so its pieces concat."""
+    import ray.data
+
+    from yaschva_ray.engine.joins import asof_join
+
+    left = pa.table({
+        "lk": pa.array([1, 1, None], pa.int64()),
+        "lts": pa.array([5, None, 3], pa.date32()),
+        "lv": pa.array([10, 11, 12], pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array([1, 1], pa.int64()),
+        "rts": pa.array([1, 4], pa.date32()),
+        "rv": pa.array([100, 101], pa.int64()),
+    })
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_key="lk", right_key="rk",
+                    left_ts="lts", right_ts="rts", num_buckets=2)
+    assert out.num_rows == 3
+    assert pa.types.is_date32(out.schema.field("lts").type)
+    got = {r["lv"]: r["rv"] for r in out.to_pylist()}
+    assert got == {10: 101, 11: None, 12: None}
+
+
+def test_hash_join_skew_left_outer_right_hot_only_noop(ray_session):
+    """Review finding: a key hot only on the RIGHT under a left outer
+    join clamps to a 1x1 'split' — it must take the plain path (no
+    replication, identical output)."""
+    import pandas as pd
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    rng = np.random.RandomState(25)
+    lt = pa.table({"k": pa.array(rng.randint(0, 10, 50), pa.int64()),
+                   "lv": pa.array(np.arange(50), pa.int64())})
+    rk = np.concatenate([np.full(400, 3), rng.randint(5, 15, 100)])
+    rt = pa.table({"rk": pa.array(rk, type=pa.int64()),
+                   "rv": pa.array(np.arange(len(rk)), pa.int64())})
+
+    def run(**kw):
+        out = hash_join(ray.data.from_arrow(lt).repartition(3),
+                        ray.data.from_arrow(rt).repartition(3),
+                        left_key="k", right_key="rk",
+                        how="left outer", num_buckets=3, **kw)
+        return (out.to_pandas().sort_values(["lv", "rv"])
+                .reset_index(drop=True))
+
+    base = run()
+    split = run(skew_split=True, max_key_rows=100)
+    pd.testing.assert_frame_equal(split[base.columns.tolist()], base)

@@ -217,7 +217,7 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
                         tbl[col].cast(pa.timestamp("us"))), f.type
                 return tbl, None
 
-            left_t, _ = _key_compat(left_valid_t, left_ts)
+            left_t, l_orig = _key_compat(left_valid_t, left_ts)
             right_t, _ = _key_compat(right_all, right_ts)
             _warn_hot_key(left_t, left_key, "asof_join(left)", bucket_id)
             _warn_hot_key(right_t, right_key, "asof_join(right)", bucket_id)
@@ -251,6 +251,14 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
                 i = merged_t.schema.get_field_index(col)
                 merged_t = merged_t.set_column(i, pa.field(col, f.type),
                                                arr.cast(f.type))
+            if l_orig is not None and left_ts in merged_t.column_names:
+                # cast a date left_ts back from the merge's timestamp[us]
+                # so this piece concats with the typed-null piece (and
+                # with buckets that took the empty-right path)
+                i = merged_t.schema.get_field_index(left_ts)
+                merged_t = merged_t.set_column(
+                    i, pa.field(left_ts, l_orig),
+                    merged_t[left_ts].cast(l_orig))
             pieces.append(merged_t)
         if left_null_t.num_rows:
             order = pc.sort_indices(left_null_t,
@@ -318,7 +326,8 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
 def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
                  schema_hints: tuple, bucket_id: int,
-                 out_dir: str | None, bucket_fn, *parts: pa.Table) -> pa.Table:
+                 out_dir: str | None, bucket_fn, use_cell: bool,
+                 *parts: pa.Table) -> pa.Table:
     from .sketches import limit_worker_threads
 
     limit_worker_threads()
@@ -330,8 +339,9 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
     right_schema = next((p.schema for p in parts[n_left:] if p.num_columns),
                         right_hint)
     if left_schema is not None and right_schema is not None:
-        shared = ((set(left_schema.names) - {left_key, "__cell"})
-                  & (set(right_schema.names) - {right_key, "__cell"}))
+        cell_excl = {"__cell"} if use_cell else set()
+        shared = ((set(left_schema.names) - {left_key} - cell_excl)
+                  & (set(right_schema.names) - {right_key} - cell_excl))
         if shared:
             raise ValueError(
                 f"hash_join requires disjoint non-key column names; "
@@ -355,11 +365,11 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
         _warn_hot_key(rt, right_key, "hash_join(right)", bucket_id)
         # skew-split rows carry a virtual __cell: join on (key, cell) so
         # a hot key's grid cells never cross-match (an empty side built
-        # from the driver schema hint gains the column to stay joinable)
+        # from the driver schema hint gains the column to stay joinable).
+        # use_cell is an EXPLICIT flag from the driver — a user payload
+        # column that happens to be named __cell is never hijacked
         join_l, join_r = [left_key], [right_key]
-        has_cell = ("__cell" in lt.column_names
-                    or "__cell" in rt.column_names)
-        if has_cell:
+        if use_cell:
             if "__cell" not in lt.column_names:
                 lt = lt.append_column("__cell", pa.nulls(lt.num_rows,
                                                          pa.int64()))
@@ -370,7 +380,7 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
             join_r.append("__cell")
         merged = lt.join(rt, keys=join_l, right_keys=join_r,
                          join_type=how)
-        if "__cell" in merged.column_names:
+        if use_cell and "__cell" in merged.column_names:
             merged = merged.drop_columns(["__cell"])
     if bucket_fn is not None and merged.num_rows:
         # post-join transform INSIDE the reduce: a filter/projection here
@@ -630,6 +640,8 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
                         "hash_join(skew): key %r has ~%d right rows under "
                         "a left outer join — only the left side splits; "
                         "the right side rides whole per cell", k, cr)
+            if s_l == 1 and s_r == 1:
+                continue  # a 1x1 "split" is the plain path — skip it
             hot.append((k, s_l, s_r))
         if hot:
             _LOG.warning(
@@ -662,9 +674,10 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     else:
         lmap = _mapped(left_ds, left_key)
         rmap = _mapped(right_ds, right_key)
+    use_cell = bool(skew_split and hot)
     joined = [
         _EQUI_REDUCE.remote(len(lmap), left_key, right_key, how,
-                            schema_hints, b, out_dir, bucket_fn,
+                            schema_hints, b, out_dir, bucket_fn, use_cell,
                             *[m[b] for m in lmap], *[m[b] for m in rmap])
         for b in range(num_buckets)
     ]
@@ -742,6 +755,10 @@ def _skew_map_block(block: pa.Table, key: str, num_buckets: int,
     empty = [pa.table({})] * num_buckets
     if key not in block.column_names or not block.num_rows:
         return empty if num_buckets > 1 else empty[0]
+    if "__cell" in block.column_names:
+        raise ValueError(
+            "hash_join(skew_split=True) reserves the column name "
+            "'__cell' for its virtual grid cells; rename the input column")
     hot_keys, s_l, s_r = hot_ref
     karr = block[key]
     if isinstance(karr, pa.ChunkedArray):

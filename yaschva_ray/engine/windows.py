@@ -58,18 +58,20 @@ def _session_bucket(key: str, ts: str, gap_s: float, bucket_id: int,
     ka = t[key]
     if isinstance(ka, pa.ChunkedArray):
         ka = ka.combine_chunks()
-    kv = np.asarray(pc.is_valid(ka).to_numpy(zero_copy_only=False))
-    kf = np.asarray(pc.fill_null(ka, 0).to_numpy(zero_copy_only=False))
+    # segment by dictionary codes: type-generic (string/int/any key) and
+    # null-safe — distinct values get distinct codes, nulls fill to -1
+    kcodes = np.asarray(pc.fill_null(ka.dictionary_encode().indices, -1)
+                        .to_numpy(zero_copy_only=False)).astype(np.int64)
     tsa = t[ts]
     if isinstance(tsa, pa.ChunkedArray):
         tsa = tsa.combine_chunks()
     tv = np.asarray(pc.is_valid(tsa).to_numpy(zero_copy_only=False))
     tsv = np.asarray(pc.fill_null(tsa.cast(pa.int64()), 0)
                      .to_numpy(zero_copy_only=False)).astype(np.int64)
-    n = len(kf)
+    n = len(kcodes)
     new_s = np.ones(n, dtype=bool)
     if n > 1:
-        new_user = (kf[1:] != kf[:-1]) | (kv[1:] != kv[:-1])
+        new_user = kcodes[1:] != kcodes[:-1]
         new_s[1:] = new_user | ~tv[:-1] | (tv[1:] & tv[:-1]
                                            & (tsv[1:] - tsv[:-1] > gap_units))
     starts = np.nonzero(new_s)[0]
