@@ -197,7 +197,30 @@ def bench_queries(sf_dir: str) -> dict:
     return out
 
 
+def canary_mean_task_s(workers: int = 24) -> float:
+    """Multicore co-tenancy canary (the BENCH/BASELINE.md protocol): the
+    mean wall time of `workers` concurrent 2M-element numpy sorts.  Calm
+    windows measure < 0.5 s; co-tenant contention swings it 0.19→3.1 s
+    on a minutes timescale, so every headline number ships with the
+    window quality it was measured in."""
+    import concurrent.futures as cf
+
+    import numpy as np
+
+    def task(_):
+        rng = np.random.RandomState(0)
+        a = rng.rand(2_000_000)
+        t0 = time.time()
+        np.sort(a)
+        return time.time() - t0
+
+    with cf.ThreadPoolExecutor(workers) as ex:
+        ts = list(ex.map(task, range(workers)))
+    return round(sum(ts) / len(ts), 3)
+
+
 def main_default() -> None:
+    canary = canary_mean_task_s()
     init_ray(NUM_CPUS)
     import ray
 
@@ -226,6 +249,10 @@ def main_default() -> None:
             "wall_elapsed_s": round(time.time() - t_all, 3),
             "flagship_docs_per_sec": flag["docs_per_sec"],
             "flagship_n_docs": flag["n_docs"],
+            # co-tenant window quality at run start (calm < 0.5; see
+            # BENCH/BASELINE.md canary protocol) — read the numbers in
+            # context of the window they were measured in
+            "canary_mean_task_s": canary,
         }))
     finally:
         ray.shutdown()
@@ -260,6 +287,7 @@ def main_single(n_cpus: int, n_docs: int) -> None:
 
 
 def main_scaling(lo: int, hi: int) -> None:
+    canary = canary_mean_task_s()
     # Pre-generate the dataset once (its own session) so neither timed run
     # pays generation cost.
     init_ray(hi)
@@ -291,6 +319,7 @@ def main_scaling(lo: int, hi: int) -> None:
         "n_docs": SCALING_DOCS,
         "target": 0.8,
         "pass": eff >= 0.8,
+        "canary_mean_task_s": canary,  # calm window < 0.5 (BENCH/BASELINE.md)
     }
     print(json.dumps(summary))
     _record_scaling(lo, hi, results, eff)
