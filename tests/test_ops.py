@@ -867,6 +867,27 @@ def test_user_moving_sum_vs_pandas(ray_session, tmp_path):
     assert got["event_id"].tolist() == want["event_id"].tolist()
 
 
+def test_user_moving_sum_streaming_sink(ray_session, tmp_path):
+    """Window-family streaming exemplar: the gather=False path writes the
+    per-bucket window outputs straight to a partitioned parquet sink (no
+    driver concat/sort — the 100 TB shape for per-event output) and the
+    rows read back equal the gathered oracle wrapper's exactly."""
+    import pyarrow.dataset as pads
+
+    from yaschva_ray.pipelines.ops import (q_user_moving_sum,
+                                           stream_user_moving_sum)
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "mov_sink")
+    n = stream_user_moving_sum(sf, out)
+    gathered = q_user_moving_sum(sf)
+    assert n == gathered.num_rows
+    back = (pads.dataset(out, format="parquet").to_table()
+            .sort_by([("user_id", "ascending"), ("event_id", "ascending")]))
+    assert back.schema.equals(gathered.schema)
+    assert back.equals(gathered.combine_chunks())
+
+
 def test_user_rank_windows_vs_duckdb(ray_session, tmp_path):
     """Ranking windows equal DuckDB on a fixture with heavy value ties
     (cents drawn from 8 distinct levels, ~47 users) so RANK/DENSE_RANK

@@ -3657,20 +3657,15 @@ def q_returned_revenue_topk(sf_dir: str, k: int = 20) -> pa.Table:
     })
 
 
-def q_user_moving_sum(sf_dir: str, frame: int = 3) -> pa.Table:
-    """Frame-clause window (``ROWS BETWEEN 3 PRECEDING AND CURRENT
-    ROW``): each event's cent value summed with its user's previous
-    ``frame`` events — completing the window family next to the
-    running total (unbounded frame), LAG (offset) and sessions (gap).
-    Same keyed-exchange plan; the kernel is one global cumsum + index
-    arithmetic: each row's frame start clamps to its group start, so
-    windows never cross users and no per-window loop exists."""
-    from ..engine.exchange import keyed_exchange
+_MOVING_SUM_EMPTY = pa.table({"event_id": pa.array([], pa.int64()),
+                              "user_id": pa.array([], pa.int64()),
+                              "mov_cents": pa.array([], pa.int64())})
 
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    empty = pa.table({"event_id": pa.array([], pa.int64()),
-                      "user_id": pa.array([], pa.int64()),
-                      "mov_cents": pa.array([], pa.int64())})
+
+def _moving_sum_bucket(frame: int):
+    """Per-bucket kernel for the frame-clause moving window (module-level
+    so both the gathered oracle wrapper and the streaming sink path share
+    one implementation)."""
 
     def bucket(t: pa.Table) -> pa.Table:
         order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
@@ -3699,12 +3694,58 @@ def q_user_moving_sum(sf_dir: str, frame: int = 3) -> pa.Table:
                          "user_id": s["user_id"],
                          "mov_cents": pa.array(mov, mask=nval == 0)})
 
-    parts = [p for p in keyed_exchange(ds, "user_id", bucket,
-                                       empty_result=empty) if p.num_rows]
+    return bucket
+
+
+def q_user_moving_sum(sf_dir: str, frame: int = 3) -> pa.Table:
+    """Frame-clause window (``ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW``): each event's cent value summed with its user's previous
+    ``frame`` events — completing the window family next to the
+    running total (unbounded frame), LAG (offset) and sessions (gap).
+    Same keyed-exchange plan; the kernel is one global cumsum + index
+    arithmetic: each row's frame start clamps to its group start, so
+    windows never cross users and no per-window loop exists.
+
+    The final gather + concat + global sort exists ONLY for the driver's
+    oracle compare (per-event output ≈ input size — gathering it at 100 TB
+    would be wrong).  At scale the SAME kernel streams to a partitioned
+    sink with zero driver materialization: `stream_user_moving_sum`
+    (``gather=False`` → ``ray.data.from_arrow_refs`` → ``write_parquet``),
+    equality-tested against this wrapper.  Every per-event window wrapper
+    in the family (running total, LAG, rank windows, LOCF, sessions)
+    shares the keyed-exchange plan, so the same swap applies to each."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    parts = [p for p in keyed_exchange(ds, "user_id",
+                                       _moving_sum_bucket(frame),
+                                       empty_result=_MOVING_SUM_EMPTY)
+             if p.num_rows]
     if not parts:
-        return empty
+        return _MOVING_SUM_EMPTY
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("user_id", "ascending"), ("event_id", "ascending")])
+
+
+def stream_user_moving_sum(sf_dir: str, out_dir: str, frame: int = 3) -> int:
+    """Streaming-sink exemplar for the per-event window family: the same
+    moving-window plan as `q_user_moving_sum`, but the per-bucket reduce
+    OUTPUT REFS feed ``ray.data.from_arrow_refs`` → ``write_parquet`` —
+    one file per hash bucket, nothing concatenated or sorted on the
+    driver.  This is the 100 TB shape: per-event window output is as big
+    as the input, so it must land in a partitioned sink, not a driver
+    table.  Returns the row count written (from the dataset's metadata,
+    not a gather)."""
+    import ray
+
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    refs = keyed_exchange(ds, "user_id", _moving_sum_bucket(frame),
+                          empty_result=_MOVING_SUM_EMPTY, gather=False)
+    out = ray.data.from_arrow_refs(refs)
+    out.write_parquet(out_dir)
+    return out.count()
 
 
 def q_user_rank_windows(sf_dir: str) -> pa.Table:
