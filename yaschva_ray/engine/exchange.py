@@ -43,6 +43,19 @@ def _concat_task(*parts: pa.Table) -> pa.Table:
     return pa.concat_tables(nonempty).combine_chunks()
 
 
+def reduce_remote():
+    """Cached ray.remote registration of the per-bucket reduce task
+    (``_reduce_task(reduce_fn, empty_result, *parts)``) — shared by
+    keyed_exchange and callers that build their own map half (e.g. a
+    fused multi-output scan) but want the identical reduce semantics."""
+    import ray
+
+    global _REDUCE_REMOTE
+    if _REDUCE_REMOTE is None:
+        _REDUCE_REMOTE = ray.remote(_reduce_task)
+    return _REDUCE_REMOTE
+
+
 def bounded_map_refs(block_refs, launch, num_buckets: int,
                      concat_every: int = 64) -> list:
     """Launch ``launch(block_ref) -> num_returns slices`` for every ref in
@@ -112,10 +125,10 @@ def keyed_exchange(ds, key: str, reduce_fn, *, num_buckets: int | None = None,
     if num_buckets is None:
         num_buckets = _auto_buckets(ds)
 
-    global _MAP_REMOTE, _REDUCE_REMOTE
+    global _MAP_REMOTE
     if _MAP_REMOTE is None:
         _MAP_REMOTE = ray.remote(_map_block)
-        _REDUCE_REMOTE = ray.remote(_reduce_task)
+    reduce_remote()
 
     map_out = bounded_map_entries(
         ds,

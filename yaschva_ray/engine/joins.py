@@ -1219,8 +1219,11 @@ _GASOF_LAST = None
 _GASOF_JOIN = None
 
 
-def global_asof_join(left_ds, right_ds, *, left_ts: str, right_ts: str,
-                     cutpoints) -> pa.Table:
+def global_asof_join(left_ds=None, right_ds=None, *, left_ts: str,
+                     right_ts: str, cutpoints,
+                     left_refs=None, left_schema: pa.Schema | None = None,
+                     right_refs=None,
+                     right_schema: pa.Schema | None = None) -> pa.Table:
     """KEYLESS as-of: for every left row, the latest right row with
     ``right_ts <= left_ts`` over the WHOLE stream — what the keyed
     ``asof_join`` cannot express (no key to co-partition on; one global
@@ -1229,6 +1232,15 @@ def global_asof_join(left_ds, right_ds, *, left_ts: str, right_ts: str,
     B-row CARRY (the last right row of the nearest earlier non-empty
     range) makes range boundaries invisible — the right row matching a
     left row near a range start may live arbitrarily far back.
+
+    Either side may be a Dataset (``left_ds``/``right_ds``) or a list of
+    Arrow block OBJECT REFS plus an explicit schema
+    (``left_refs``+``left_schema`` / ``right_refs``+``right_schema``) —
+    the refs form lets a caller feed slices produced by an upstream fused
+    scan (one pass over the source instead of one per consumer) without a
+    ``from_arrow_refs`` round trip; schema-less empty slices among the
+    refs are routed harmlessly by the range map's key-missing path, which
+    is exactly why the schema must be passed explicitly in that form.
 
     Contracts: right timestamps UNIQUE (raises on ties — the matched
     payload would be partition-order-dependent; pre-aggregate to one row
@@ -1245,7 +1257,17 @@ def global_asof_join(left_ds, right_ds, *, left_ts: str, right_ts: str,
         return getattr(s, "base_schema", None) or pa.schema(
             [(n, t) for n, t in zip(s.names, s.types)])
 
-    lschema, rschema = _hint(left_ds), _hint(right_ds)
+    def _side(ds, refs, schema, what):
+        if refs is not None:
+            if schema is None:
+                raise ValueError(
+                    f"global_asof_join: {what}_refs requires {what}_schema "
+                    f"(refs may contain schema-less empty slices)")
+            return refs, schema
+        return iter_block_refs(ds), _hint(ds)
+
+    lrefs, lschema = _side(left_ds, left_refs, left_schema, "left")
+    rrefs, rschema = _side(right_ds, right_refs, right_schema, "right")
     shared = set(lschema.names) & set(rschema.names)
     if shared:
         raise ValueError(
@@ -1260,15 +1282,15 @@ def global_asof_join(left_ds, right_ds, *, left_ts: str, right_ts: str,
     num_buckets = len(cutpoints) + 1
     range_map = range_map_remote()
 
-    def _mapped(ds, col):
+    def _mapped(refs, col):
         return bounded_map_refs(
-            iter_block_refs(ds),
+            refs,
             lambda r: range_map.options(num_returns=num_buckets)
             .remote(r, col, cutpoints),
             num_buckets)
 
-    lmap = _mapped(left_ds, left_ts)
-    rmap = _mapped(right_ds, right_ts)
+    lmap = _mapped(lrefs, left_ts)
+    rmap = _mapped(rrefs, right_ts)
     r_sorted = [_GASOF_RSORT.remote(right_ts, *[m[b] for m in rmap])
                 for b in range(num_buckets)]
     lasts = ray.get([_GASOF_LAST.remote(right_ts, r) for r in r_sorted])

@@ -2619,6 +2619,48 @@ def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
         .sort_by([("range_id", "ascending")])
 
 
+_GASOF_PURCHASE_EMPTY = pa.table({"event_id": pa.array([], pa.int64()),
+                                  "ts": pa.array([], pa.timestamp("us"))})
+_GASOF_RIGHT_EMPTY = pa.table({"rts": pa.array([], pa.timestamp("us")),
+                               "ref_id": pa.array([], pa.int64())})
+
+
+def _gasof_fused_map(block: pa.Table, num_buckets: int, sample_mod: int):
+    """ONE pass over an events block producing all three consumers the
+    keyless as-of needs — (a) per-ts view partials hash-sliced for the
+    right exchange, (b) projected purchase rows (the join's left side),
+    (c) a deterministic timestamp sample for cutpoint estimation — where
+    the original plan re-scanned the whole events table once per
+    consumer.  Returns ``num_buckets`` right slices + [purchases,
+    sample]."""
+    from ..engine.joins import _hash_slices
+    from ..engine.sketches import limit_worker_threads
+
+    limit_worker_threads()
+    sample_empty = pa.table({"ts": pa.array([], pa.timestamp("us"))})
+    if "event_type" not in block.column_names:
+        # schema-less empty block (Ray's empty map output shape)
+        return ([pa.table({})] * num_buckets
+                + [_GASOF_PURCHASE_EMPTY, sample_empty])
+    sel = block.filter(pc.equal(block["event_type"], "view"))
+    g = (sel.select(["ts", "event_id"]).group_by("ts")
+         .aggregate([("event_id", "max")]))
+    vp = pa.table({"rts": g["ts"], "ref_id": g["event_id_max"]})
+    slices = _hash_slices(vp, "rts", num_buckets)
+    purch = block.filter(pc.equal(block["event_type"], "purchase")) \
+        .select(["event_id", "ts"])
+    # null-safe: null ids still sample deterministically (as 0) and
+    # null timestamps never become cutpoints (they carry no order)
+    ids, _ = _int_col(block["event_id"])
+    samp = pa.table(
+        {"ts": block["ts"].filter(pa.array(ids % sample_mod == 0))
+         .drop_null()})
+    return slices + [purch, samp]
+
+
+_GASOF_FUSED_REMOTE = None
+
+
 def q_events_global_asof(sf_dir: str, n_ranges: int = 8,
                          sample_mod: int = 97) -> pa.Table:
     """KEYLESS as-of over global TIME order: every purchase event aligned
@@ -2629,52 +2671,50 @@ def q_events_global_asof(sf_dir: str, n_ranges: int = 8,
     The right side is pre-aggregated to one row per timestamp (MAX
     event_id) — the operator's unique-right-ts contract.  Cutpoints only
     place rows in ranges, never change the result, so the oracle is plain
-    DuckDB ASOF JOIN."""
-    import ray.data
+    DuckDB ASOF JOIN.
 
-    from ..engine.exchange import keyed_exchange
-    from ..engine.joins import global_asof_join
+    The events table is scanned ONCE: a fused multi-output map
+    (`_gasof_fused_map`) emits the right exchange's hash slices, the
+    left purchase rows and the cutpoint sample per block (the naive plan
+    consumed the source three times — two wasted full scans at 100 TB),
+    and the join takes both sides as slice refs + explicit schemas."""
+    import ray
+
+    from ..engine.exchange import bounded_map_entries, reduce_remote
+    from ..engine.joins import _auto_buckets, global_asof_join
 
     events = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    # right-exchange sizing from the one input we have; view partials are
+    # a small fraction of it, so this errs toward more, smaller buckets
+    nb = _auto_buckets(events)
 
-    def view_partial(t: pa.Table) -> pa.Table:
-        sel = t.filter(pc.equal(t["event_type"], "view"))
-        g = (sel.select(["ts", "event_id"]).group_by("ts")
-             .aggregate([("event_id", "max")]))
-        return pa.table({"rts": g["ts"], "ref_id": g["event_id_max"]})
+    global _GASOF_FUSED_REMOTE
+    if _GASOF_FUSED_REMOTE is None:
+        _GASOF_FUSED_REMOTE = ray.remote(_gasof_fused_map)
+    entries = bounded_map_entries(
+        events,
+        lambda ref: _GASOF_FUSED_REMOTE.options(num_returns=nb + 2)
+        .remote(ref, nb, sample_mod),
+        nb + 2)
 
     def dedup_ts(t: pa.Table) -> pa.Table:
         g = t.group_by("rts").aggregate([("ref_id", "max")])
         return pa.table({"rts": g["rts"], "ref_id": g["ref_id_max"]})
 
-    right_empty = pa.table({"rts": pa.array([], pa.timestamp("us")),
-                            "ref_id": pa.array([], pa.int64())})
-    right_refs = keyed_exchange(
-        events.map_batches(view_partial, batch_format="pyarrow"),
-        "rts", dedup_ts, gather=False, empty_result=right_empty)
-    right = ray.data.from_arrow_refs(right_refs)
-
-    def purchases(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["event_type"], "purchase")) \
-            .select(["event_id", "ts"])
-
-    left = events.map_batches(purchases, batch_format="pyarrow")
-
-    def ts_sample(t: pa.Table) -> pa.Table:
-        # null-safe: null ids still sample deterministically (as 0) and
-        # null timestamps never become cutpoints (they carry no order)
-        ids, _ = _int_col(t["event_id"])
-        sel = t["ts"].filter(pa.array(ids % sample_mod == 0))
-        return pa.table({"ts": sel.drop_null()})
-
+    reduce = reduce_remote()
+    right_refs = [reduce.remote(dedup_ts, _GASOF_RIGHT_EMPTY,
+                                *[m[b] for m in entries])
+                  for b in range(nb)]
+    left_refs = [m[nb] for m in entries]
     sv = np.sort(np.concatenate([
         np.asarray(t["ts"].to_numpy(zero_copy_only=False))
-        for t in gather_tables(events.map_batches(ts_sample,
-                                                  batch_format="pyarrow"))
+        for t in ray.get([m[nb + 1] for m in entries])
         if t.num_rows] or [np.empty(0, "datetime64[us]")]))
     cutpoints = equidepth_cutpoints(sv, n_ranges)
-    out = global_asof_join(left, right, left_ts="ts", right_ts="rts",
-                           cutpoints=cutpoints)
+    out = global_asof_join(
+        left_refs=left_refs, left_schema=_GASOF_PURCHASE_EMPTY.schema,
+        right_refs=right_refs, right_schema=_GASOF_RIGHT_EMPTY.schema,
+        left_ts="ts", right_ts="rts", cutpoints=cutpoints)
     if not out.num_rows:
         return pa.table({"event_id": pa.array([], pa.int64()),
                          "ref_id": pa.array([], pa.int64())})
