@@ -350,6 +350,37 @@ def test_stats_state_lifecycle(ray_session, tmp_path):
     assert got.to_pydict()["min_v"] == [-5.0]
 
 
+def test_footer_equidepth_cutpoints(ray_session, tmp_path):
+    """Footer-only cutpoints: zero data pages read, near-balanced ranges
+    on real testdata, deterministic, and a loud ValueError on stat-less
+    files (the callers' logged scan-fallback trigger)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from yaschva_ray.pipelines.ops import footer_equidepth_cutpoints
+
+    path = "/root/testdata/sf0.01/orders.parquet"
+    cuts = footer_equidepth_cutpoints(path, "o_orderkey", 6)
+    assert list(cuts) == sorted(cuts) and len(cuts) <= 5
+    again = footer_equidepth_cutpoints(path, "o_orderkey", 6)
+    assert np.array_equal(cuts, again)
+    # balance check against the actual key distribution
+    keys = np.asarray(pq.read_table(path, columns=["o_orderkey"])
+                      ["o_orderkey"].to_numpy(zero_copy_only=False))
+    sizes = np.diff(np.concatenate(
+        [[0], np.searchsorted(np.sort(keys), cuts, side="right"),
+         [len(keys)]]))
+    assert sizes.max() <= 3 * len(keys) / 6  # no degenerate range
+
+    # stat-less file => loud error, never a silent guess
+    t = pa.table({"k": pa.array(range(100), pa.int64())})
+    bad = str(tmp_path / "nostats.parquet")
+    pq.write_table(t, bad, write_statistics=False)
+    with pytest.raises(ValueError, match="lacks min/max"):
+        footer_equidepth_cutpoints(bad, "k", 4)
+
+
 def test_merge_join_sorted_cutpoint_guard_and_parity(ray_session, tmp_path):
     """Mismatched cutpoints must raise (mis-aligned files would silently
     lose matches); aligned exports must join exactly like a plain join."""

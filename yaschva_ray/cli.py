@@ -351,22 +351,27 @@ def _cmd_sort(args: argparse.Namespace) -> int:
         ds = ray.data.read_parquet(files)
         key = args.key
 
-        def sample(t):
-            if key not in t.column_names or not t.num_rows:
-                return t.select([])
-            n = max(1, t.num_rows // max(1, args.sample_per_block))
-            import pyarrow as pa
-            return pa.table({key: t[key].take(
-                pa.array(list(range(0, t.num_rows, n))))})
+        from .pipelines.ops import (equidepth_cutpoints,
+                                    footer_equidepth_cutpoints)
 
-        from .pipelines.ops import equidepth_cutpoints
+        try:  # cutpoints are result-neutral: footers first (zero data
+            cutpoints = footer_equidepth_cutpoints(files, key, args.ranges)
+        except (ValueError, OSError):  # read), sampling scan as fallback
 
-        sv = np.sort(np.concatenate(
-            [t[key].to_numpy(zero_copy_only=False)
-             for t in gather_tables(ds.map_batches(
-                 sample, batch_format="pyarrow"))
-             if t.num_rows and key in t.column_names] or [np.empty(0)]))
-        cutpoints = equidepth_cutpoints(sv, args.ranges)
+            def sample(t):
+                if key not in t.column_names or not t.num_rows:
+                    return t.select([])
+                n = max(1, t.num_rows // max(1, args.sample_per_block))
+                import pyarrow as pa
+                return pa.table({key: t[key].take(
+                    pa.array(list(range(0, t.num_rows, n))))})
+
+            sv = np.sort(np.concatenate(
+                [t[key].to_numpy(zero_copy_only=False)
+                 for t in gather_tables(ds.map_batches(
+                     sample, batch_format="pyarrow"))
+                 if t.num_rows and key in t.column_names] or [np.empty(0)]))
+            cutpoints = equidepth_cutpoints(sv, args.ranges)
         manifest = sorted_export(ds, key, args.out, cutpoints)
         print(json.dumps({"key": key, "n_ranges": manifest.num_rows,
                           "n_rows": int(pc.sum(manifest["n_rows"]).as_py()),

@@ -2072,6 +2072,101 @@ def equidepth_cutpoints(sorted_values: np.ndarray,
                      for i in range(n_ranges - 1)])
 
 
+def footer_equidepth_cutpoints(paths: list[str] | str, column: str,
+                               n_ranges: int,
+                               points_per_group: int = 32) -> np.ndarray:
+    """Approximate equi-depth cutpoints from parquet FOOTERS only — zero
+    data pages read.  Each row group's (min, max, value count) models its
+    values as uniform on [min, max]; ``points_per_group`` synthetic
+    points per group, each weighted count/points, form a weighted
+    empirical CDF whose ``(i+1)/n_ranges`` quantiles become the cuts.
+
+    ONLY for cutpoints whose placement never changes a result (range
+    exchange balance — sorted export, co-partitioned merge joins): where
+    a query's oracle re-derives the cutpoints in SQL, keep the sampled
+    order statistics.  A scan samples the table to estimate a handful of
+    numbers a few-KB footer already carries; at 100 TB that is the
+    difference between megabytes and the whole table.  NUMERIC columns
+    only.  Raises ValueError when any row group lacks min/max statistics
+    — callers fall back to the sampling scan (logged, never silent).
+    INT32/INT64 keys get int64 cuts (exact manifest round-trip); others
+    float64 — either way placement only ever shifts range balance."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(paths)) or [paths]
+    pts, wts = [], []
+    integral = True
+    for path in paths:
+        md = pq.read_metadata(path)
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        if column not in idx:
+            raise ValueError(f"footer_equidepth_cutpoints: {path} has no "
+                             f"column {column!r}")
+        ptype = md.schema.column(idx[column]).physical_type
+        if ptype not in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+            raise ValueError(
+                f"footer_equidepth_cutpoints: {column!r} is {ptype}, not "
+                f"numeric — string min/max may be truncated in footers")
+        integral &= ptype in ("INT32", "INT64")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[column]).statistics
+            if st is None or (not st.has_min_max and st.num_values):
+                raise ValueError(
+                    f"footer_equidepth_cutpoints: {path} row group {rg} "
+                    f"lacks min/max statistics for {column!r}")
+            if not st.num_values:  # all-null group carries no order
+                continue
+            lo, hi = float(st.min), float(st.max)
+            k = min(points_per_group, st.num_values)
+            pts.append(lo + (np.arange(k) + 0.5) / k * (hi - lo))
+            wts.append(np.full(k, st.num_values / k))
+    if not pts:
+        return np.empty(0, np.float64)
+    v = np.concatenate(pts)
+    w = np.concatenate(wts)
+    order = np.argsort(v, kind="stable")
+    v, cw = v[order], np.cumsum(w[order])
+    total = cw[-1]
+    targets = np.array([(i + 1) * total / n_ranges
+                        for i in range(n_ranges - 1)])
+    cuts = v[np.minimum(np.searchsorted(cw, targets), len(v) - 1)]
+    if integral:  # int keys get int cuts (exact dtype round-trip in
+        cuts = np.floor(cuts).astype(np.int64)  # manifests; balance-only)
+    return np.unique(cuts)
+
+
+def _cutpoints_footer_or_sample(sf_dir: str, table: str, key: str, ds,
+                                n_ranges: int, sample_mod: int) -> np.ndarray:
+    """Range-exchange cutpoints for ``ds`` (read from
+    ``{sf_dir}/{table}.parquet``): footer statistics when available (zero
+    data read), else the deterministic id-keyed sampling SCAN as a logged
+    fallback.  Only for cutpoints that never change a result."""
+    import logging
+
+    try:
+        return footer_equidepth_cutpoints(
+            os.path.join(sf_dir, f"{table}.parquet"), key, n_ranges)
+    except (ValueError, OSError) as exc:
+        logging.getLogger("yaschva_ray.ops").warning(
+            "footer cutpoints unavailable for %s.%s (%s) — falling back "
+            "to a sampling scan", table, key, exc)
+
+    def key_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[key].to_numpy(zero_copy_only=False))
+        return pa.table({"k": t[key].filter(
+            pa.array(ids % sample_mod == 0))})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["k"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(ds.map_batches(key_sample,
+                                              batch_format="pyarrow"))
+        if t.num_rows] or [np.empty(0, np.int64)]))
+    return equidepth_cutpoints(sv, n_ranges)
+
+
 def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     """Globally SORTED parquet export: a range exchange on broadcast
     ``cutpoints`` (every row of range i precedes every row of range i+1),
@@ -2476,26 +2571,18 @@ def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner") -> pa.Table
 def q_sorted_merge_join(sf_dir: str, n_ranges: int = 6,
                         sample_mod: int = 17) -> pa.Table:
     """orders ⋈ lineitem with ZERO shuffle at join time: both tables are
-    range-exported sorted by orderkey with the SAME cutpoints (sampled
-    once from orders), then each range pair joins locally — the
-    partitioning is picked once and reused across stages.  Cutpoints
-    never change the result, so the oracle is the plain SQL join."""
+    range-exported sorted by orderkey with the SAME cutpoints, then each
+    range pair joins locally — the partitioning is picked once and reused
+    across stages.  Cutpoints never change the result (so the oracle is
+    the plain SQL join), which lets them come from parquet FOOTER stats
+    (`footer_equidepth_cutpoints` — zero data read) with the sampling
+    scan only as a logged fallback for stat-less files."""
     import hashlib
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-
-    def key_sample(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
-        return pa.table({"k": t["o_orderkey"].filter(
-            pa.array(ids % sample_mod == 0))})
-
-    sv = np.sort(np.concatenate([
-        np.asarray(t["k"].to_numpy(zero_copy_only=False))
-        for t in gather_tables(orders.map_batches(key_sample,
-                                                  batch_format="pyarrow"))
-        if t.num_rows] or [np.empty(0, np.int64)]))
-    cutpoints = equidepth_cutpoints(sv, n_ranges)
+    cutpoints = _cutpoints_footer_or_sample(
+        sf_dir, "orders", "o_orderkey", orders, n_ranges, sample_mod)
     tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
     root = os.path.join("/tmp", "yaschva_sorted_join", tag)
     dir_o = os.path.join(root, "orders")
@@ -2523,22 +2610,15 @@ def q_upsert_orders(sf_dir: str, n_ranges: int = 6,
     input and rewrites a handful of parts); here the changeset is derived
     from the same deterministic predicates the DuckDB oracle mirrors, so
     the final table is hash-exact.  Global max comes from the export's
-    own manifest — no extra scan."""
+    own manifest, and the export cutpoints come from parquet footers
+    (result-neutral; sampling scan only as logged fallback) — no extra
+    scans."""
     import hashlib
     import shutil
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    def key_sample(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
-        return pa.table({"k": t["o_orderkey"].filter(
-            pa.array(ids % sample_mod == 0))})
-
-    sv = np.sort(np.concatenate([
-        np.asarray(t["k"].to_numpy(zero_copy_only=False))
-        for t in gather_tables(orders.map_batches(
-            key_sample, batch_format="pyarrow"))
-        if t.num_rows] or [np.empty(0, np.int64)]))
-    cutpoints = equidepth_cutpoints(sv, n_ranges)
+    cutpoints = _cutpoints_footer_or_sample(
+        sf_dir, "orders", "o_orderkey", orders, n_ranges, sample_mod)
     tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
     out_dir = os.path.join("/tmp", "yaschva_upsert", tag)
     shutil.rmtree(out_dir, ignore_errors=True)  # upsert mutates: fresh run
