@@ -2815,11 +2815,17 @@ def q_recent_orders_lineitems(sf_dir: str) -> pa.Table:
 
     from ..engine.joins import hash_join
 
+    from ..sources import clean_parquet_schema
+
     cutoff = pa.scalar(np.datetime64("2001-07-01", "us"),
                        pa.timestamp("us"))
+    opath = os.path.join(sf_dir, "orders.parquet")
     left = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderdate"],
+        opath, columns=["o_orderkey", "o_orderdate"],
+        # metadata-stripped schema keeps block schemas hashable (same
+        # rationale as _read — raw footers carry unhashable dict metadata
+        # that defeats Ray's schema dedup and warns per block)
+        schema=clean_parquet_schema(opath, ["o_orderkey", "o_orderdate"]),
         filter=(pads.field("o_orderdate") >= cutoff))
     right = _read(sf_dir, "lineitem",
                   ["l_orderkey", "l_quantity", "l_extendedprice"])
