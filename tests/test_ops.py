@@ -350,6 +350,28 @@ def test_stats_state_lifecycle(ray_session, tmp_path):
     assert got.to_pydict()["min_v"] == [-5.0]
 
 
+def test_sorted_export_hot_range_warning(ray_session, tmp_path, caplog):
+    """A range concentrating rows (skewed keys or estimated cutpoints)
+    must log the hot-range warning — one range = one sort+write task, so
+    the hazard has to be observable, never a silent OOM."""
+    import logging
+
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import sorted_export
+
+    n = 200_000
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64))})
+    # 8 ranges whose cutpoints shove ~all rows into the last one (with B
+    # ranges max/mean is bounded by B, so the 4x bar needs B > 4)
+    cuts = np.arange(10, 80, 10, dtype=np.int64)
+    with caplog.at_level(logging.WARNING, logger="yaschva_ray.ops"):
+        sorted_export(ray.data.from_arrow(t).repartition(4), "k",
+                      str(tmp_path / "hot"), cuts)
+    assert any("hottest range" in r.message for r in caplog.records)
+
+
 def test_footer_equidepth_cutpoints(ray_session, tmp_path):
     """Footer-only cutpoints: zero data pages read, near-balanced ranges
     on real testdata, deterministic, and a loud ValueError on stat-less

@@ -2215,6 +2215,20 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     manifest = pa.concat_tables(
         range_exchange(ds, key, cutpoints, write_range,
                        empty_result=empty_t)).combine_chunks()
+    # hot-range observability (the _warn_hot_key rule for ORDERED
+    # exchanges): a range sorts+writes in ONE task, so a skewed key
+    # distribution — or estimated cutpoints, e.g. footer-derived ones on
+    # value-skewed data — concentrating rows must be visible, not an OOM
+    nr = manifest["n_rows"].to_numpy(zero_copy_only=False)
+    if len(nr) > 1 and nr.sum():
+        mx, mean = int(nr.max()), nr.sum() / len(nr)
+        if mx > 4 * mean and mx > 100_000:
+            import logging
+
+            logging.getLogger("yaschva_ray.ops").warning(
+                "sorted_export: hottest range holds %d rows (%.1fx the "
+                "%.0f-row mean) — re-derive cutpoints from a sample or "
+                "raise n_ranges", mx, mx / mean, mean)
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     cuts = [str(c) for c in np.asarray(cutpoints).tolist()]
     with open(tmp, "w") as f:
