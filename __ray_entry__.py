@@ -400,6 +400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SHUFFLE-FREE merge join over two sorted exports sharing
         # cutpoints (pick one partitioning, reuse it across stages)
         "sorted_merge_join": ops.q_sorted_merge_join,
+        # z-order clustered export (Morton over footer-derived ranks) +
+        # manifest-pruned range lookup on either clustered column
+        "zorder_lookup": ops.q_zorder_lookup,
         # CDC merge-apply into a sorted export: delete/update/insert by
         # key, only touched ranges rewritten, manifest commit atomic
         "upsert_orders": ops.q_upsert_orders,
@@ -1725,6 +1728,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice, l_quantity
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             ORDER BY o_orderkey, o_totalprice, l_quantity
+        """,
+        # the z-order layout is result-neutral: pruned lookup == BETWEEN
+        "zorder_lookup": """
+            SELECT event_id, user_id, value FROM events
+            WHERE value BETWEEN 100.0 AND 120.0
+            ORDER BY event_id
         """,
         # incremental==batch: the merged persisted state must equal
         # the SAME full-table stats the scan-based query mirrors

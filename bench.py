@@ -123,6 +123,9 @@ def bench_queries(sf_dir: str) -> dict:
         # shuffle-free merge join (includes both sorted exports each
         # iteration — the honest end-to-end cost)
         "sorted_merge_join",
+        # z-order clustered export + manifest-pruned range lookup
+        # (includes the layout write each iteration)
+        "zorder_lookup",
         # round-4 late additions: CDC upsert into a sorted export (builds
         # the base export + applies the changeset each iteration) + exact
         # per-stratum order-statistic sampling

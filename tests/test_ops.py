@@ -372,6 +372,57 @@ def test_sorted_export_hot_range_warning(ray_session, tmp_path, caplog):
     assert any("hottest range" in r.message for r in caplog.records)
 
 
+def test_zorder_export_lookup(ray_session, tmp_path):
+    """Z-order clustering: lookups on EITHER clustered column return the
+    exact filter result while reading only a strict subset of parts —
+    the property a single-key sorted export provides for one column
+    only.  Nulls and NaNs never match a range probe."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (equidepth_cutpoints,
+                                           zorder_export, zorder_lookup)
+
+    rng = np.random.RandomState(7)
+    n = 40_000
+    a = rng.randint(0, 1000, n).astype(np.int64)
+    b = (rng.rand(n) * 500).round(3)
+    b[5] = float("nan")
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"id": pa.array(ids), "a": pa.array(a),
+                  "b": pa.array(b)})
+    t = t.set_column(1, "a", pa.array(
+        [None if i == 9 else int(x) for i, x in enumerate(a)],
+        pa.int64()))
+    edges = {"a": equidepth_cutpoints(np.sort(a), 257),
+             "b": equidepth_cutpoints(np.sort(b[~np.isnan(b)]), 257)}
+    out = str(tmp_path / "z")
+    manifest = zorder_export(
+        ray.data.from_arrow(t).repartition(8), ["a", "b"], edges, out,
+        n_ranges=16)
+    assert int(pa.compute.sum(manifest["n_rows"]).as_py()) == n
+
+    av = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+    for col, lo, hi, ref in (
+            ("a", 100, 120, ids[(av >= 100) & (av <= 120)]),
+            ("b", 10.0, 25.0, ids[(b >= 10.0) & (b <= 25.0)])):
+        got = zorder_lookup(out, col, lo, hi)
+        assert sorted(got["id"].to_pylist()) == sorted(ref.tolist())
+        m = json.load(open(f"{out}/manifest.json"))
+        files = [r["path"] for r in m["ranges"]
+                 if r["n_rows"] and r[f"min_{col}"] is not None
+                 and r[f"min_{col}"] <= hi and lo <= r[f"max_{col}"]]
+        live = [r for r in m["ranges"] if r["n_rows"]]
+        assert 0 < len(files) < len(live), (col, len(files), len(live))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not a clustered"):
+        zorder_lookup(out, "id", 0, 1)
+
+
 def test_footer_equidepth_cutpoints(ray_session, tmp_path):
     """Footer-only cutpoints: zero data pages read, near-balanced ranges
     on real testdata, deterministic, and a loud ValueError on stat-less

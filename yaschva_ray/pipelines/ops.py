@@ -2515,6 +2515,163 @@ def upsert_sorted(out_dir: str, changes: pa.Table, *,
         [done[rid] for rid in sorted(done)]) if done else pa.table({})
 
 
+def _spread_bits16(x: np.ndarray) -> np.ndarray:
+    """Spread a 16-bit value's bits to the even positions of a 32-bit
+    word (the classic Morton magic-number ladder), vectorized."""
+    x = x.astype(np.uint64)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def _zorder_codes(t: pa.Table, cols: list[str],
+                  edges: dict[str, np.ndarray]) -> np.ndarray:
+    """Morton code per row from TWO columns, each first quantized to its
+    own equi-depth bin rank (``edges[col]`` = sorted bin boundaries, e.g.
+    footer-derived quantiles): rank-space quantization makes the code
+    distribution near-uniform, so equidistant code cutpoints balance the
+    export without sampling the joint distribution.  Nulls and NaNs rank
+    0 (they match no range predicate, so their placement is free)."""
+    qs = []
+    for col in cols:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = np.asarray(arr.is_valid())
+        v = np.asarray(arr.to_numpy(zero_copy_only=False))
+        q = np.zeros(len(v), dtype=np.uint64)
+        nbins = max(len(edges[col]), 1)
+        if valid.any():
+            r = np.searchsorted(edges[col], v[valid],
+                                side="right").astype(np.uint64)
+            # scale the bin rank to fill the 16-bit interleave space —
+            # otherwise every code sits in the low corner and the
+            # equidistant range cutpoints see one bucket
+            r = r * np.uint64(0xFFFF) // np.uint64(nbins)
+            np.minimum(r, np.uint64(0xFFFF), out=r)
+            q[valid] = r
+        # NaN compares false everywhere in searchsorted -> lands at len;
+        # clamp already bounded it, force NaN to 0 with the nulls
+        if v.dtype.kind == "f":
+            q[valid & np.isnan(v)] = 0
+        qs.append(q)
+    return (_spread_bits16(qs[0]) | (_spread_bits16(qs[1]) << np.uint64(1)))
+
+
+def zorder_export(ds, cols: list[str], edges: dict[str, np.ndarray],
+                  out_dir: str, n_ranges: int = 16) -> pa.Table:
+    """Z-ORDER (Morton) clustered parquet export over TWO columns: rows
+    are laid out by interleaved bit order of both columns' equi-depth
+    ranks, so a range predicate on EITHER column concentrates in a few
+    parts — the multi-dimensional sibling of ``sorted_export``, whose
+    single sort key can prune only itself.  One range exchange on the
+    code (equidistant cutpoints — rank quantization makes codes
+    near-uniform); each part records BOTH columns' exact NaN-free
+    min/max in the manifest, so pruning is exact-safe no matter how
+    approximate the quantization edges are.  Layout is result-neutral:
+    every row lands in exactly one part."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..engine.exchange import range_exchange
+
+    if len(cols) != 2:
+        raise ValueError("zorder_export interleaves exactly 2 columns "
+                         f"(got {cols!r})")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_z(t: pa.Table) -> pa.Table:
+        if any(c not in t.column_names for c in cols):
+            return t  # schema-less empty block
+        return t.append_column("__z", pa.array(
+            _zorder_codes(t, cols, edges), pa.uint64()))
+
+    def write_range(bucket_id: int, t: pa.Table) -> pa.Table:
+        if "__z" in t.column_names:
+            t = t.take(pc.sort_indices(
+                t, sort_keys=[("__z", "ascending")]))
+            t = t.drop_columns(["__z"])
+        path = os.path.join(out_dir, f"zpart-{bucket_id:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        row = {"range_id": pa.array([bucket_id], pa.int64()),
+               "n_rows": pa.array([t.num_rows], pa.int64()),
+               "path": pa.array([path], pa.string())}
+        for col in cols:
+            arr = t[col] if col in t.column_names else pa.array([], pa.null())
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_floating(arr.type):
+                arr = arr.filter(pc.invert(pc.is_nan(
+                    pc.fill_null(arr, float("nan")))))
+            mm = (pc.min_max(arr) if len(arr) - arr.null_count
+                  else {"min": pa.scalar(None), "max": pa.scalar(None)})
+            row[f"min_{col}"] = pa.array([mm["min"].as_py()])
+            row[f"max_{col}"] = pa.array([mm["max"].as_py()])
+        return pa.table(row)
+
+    zds = ds.map_batches(add_z, batch_format="pyarrow")
+    # rank-uniform codes -> equidistant cutpoints over the 32-bit cube
+    cutpoints = np.linspace(0, float(1 << 32), n_ranges,
+                            endpoint=False)[1:].astype(np.uint64)
+    s = ds.schema()
+    base = (getattr(s, "base_schema", None) or pa.schema(
+        [(n, ty) for n, ty in zip(s.names, s.types)]))
+    empty_t = base.append(pa.field("__z", pa.uint64())).empty_table()
+    manifest = pa.concat_tables(
+        range_exchange(zds, "__z", cutpoints, write_range,
+                       empty_result=empty_t),
+        promote_options="default").combine_chunks()
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"zorder_cols": cols,
+                   "ranges": manifest.to_pylist()}, f, default=str)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def zorder_lookup(out_dir: str, col: str, lo, hi) -> pa.Table:
+    """Range predicate ``lo <= col <= hi`` over a ``zorder_export``
+    directory: the manifest's per-part [min_col, max_col] prunes to the
+    parts whose interval overlaps the probe (on EITHER clustered column
+    — the point of the layout), then the exact vectorized filter runs
+    inside just those parts.  All-null/NaN parts never match a range
+    probe and are skipped."""
+    import json
+
+    from ..engine.blocks import gather_tables
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    if col not in m["zorder_cols"]:
+        raise ValueError(f"zorder_lookup: {col!r} is not a clustered "
+                         f"column of {out_dir} ({m['zorder_cols']})")
+    files = [r["path"] for r in m["ranges"]
+             if r["n_rows"] and r[f"min_{col}"] is not None
+             and r[f"min_{col}"] <= hi and lo <= r[f"max_{col}"]]
+    if not files:
+        return pa.table({})
+    import ray.data
+
+    def filt(t: pa.Table) -> pa.Table:
+        if col not in t.column_names:
+            return t
+        return t.filter(pc.and_(pc.greater_equal(t[col], lo),
+                                pc.less_equal(t[col], hi)))
+
+    parts = [t for t in gather_tables(
+        ray.data.read_parquet(files).map_batches(filt,
+                                                 batch_format="pyarrow"))
+        if t.num_rows]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts).combine_chunks()
+
+
 def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner") -> pa.Table:
     """SHUFFLE-FREE join of two ``sorted_export`` directories that share
     cutpoints: equal keys provably live in the same range id on both
@@ -2711,6 +2868,36 @@ def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
     manifest = manifest.filter(pc.greater(manifest["n_rows"], 0))
     return manifest.select(["range_id", "n_rows", "min_v", "max_v"]) \
         .sort_by([("range_id", "ascending")])
+
+
+def q_zorder_lookup(sf_dir: str, lo: float = 100.0, hi: float = 120.0,
+                    n_ranges: int = 16) -> pa.Table:
+    """Z-ORDER clustered layout, exercised end-to-end: events exported
+    Morton-interleaved on (user_id, value) — bin edges from parquet
+    FOOTERS, zero extra scans — then a value-range predicate answered by
+    manifest pruning + exact filter inside only the overlapping parts.
+    A single-key sorted export prunes one column; the z-layout prunes
+    range predicates on EITHER clustered column (the multi-dimensional
+    lakehouse clustering pattern).  Layout is result-neutral, so the
+    oracle is the plain SQL BETWEEN."""
+    import hashlib
+    import shutil
+
+    path = os.path.join(sf_dir, "events.parquet")
+    edges = {c: footer_equidepth_cutpoints(path, c, 257)
+             for c in ("user_id", "value")}
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "yaschva_zorder", tag)
+    shutil.rmtree(out, ignore_errors=True)
+    zorder_export(ds, ["user_id", "value"], edges, out, n_ranges=n_ranges)
+    res = zorder_lookup(out, "value", lo, hi)
+    if not res.num_rows:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "user_id": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    return res.select(["event_id", "user_id", "value"]) \
+        .sort_by([("event_id", "ascending")])
 
 
 _GASOF_PURCHASE_EMPTY = pa.table({"event_id": pa.array([], pa.int64()),
