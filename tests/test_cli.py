@@ -357,6 +357,36 @@ def test_cli_ingest_incremental_and_resume(tmp_path):
     assert dups2.to_pydict() == {"doc_id": [20], "dup_of": [11]}
 
 
+def test_cli_cluster(tmp_path):
+    """cluster: z-order export over two columns + pruned range probe —
+    the probe must hit exactly the brute-force rows while reading a
+    strict subset of parts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    n = 20_000
+    a = rng.randint(0, 500, n).astype(np.int64)
+    b = (rng.rand(n) * 100).round(3)
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "a": pa.array(a), "b": pa.array(b)})
+    src = tmp_path / "t.parquet"
+    pq.write_table(t, src)
+
+    out = tmp_path / "zed"
+    r = run_cli("cluster", "--input", str(src), "--cols", "a,b",
+                "--out", str(out), "--ranges", "16",
+                "--probe", "b:10:20", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads([l for l in r.stdout.strip().split("\n")
+                      if l.startswith("{")][-1])
+    assert rep["n_rows"] == n
+    want = int(((b >= 10) & (b <= 20)).sum())
+    assert rep["probe"]["n_hits"] == want
+    assert 0 < rep["probe"]["parts_read"] < rep["probe"]["parts_total"]
+
+
 def test_cli_sort_and_diff(tmp_path):
     """sort: globally ordered parts + manifest; diff: reconciliation
     report between two snapshots."""

@@ -381,6 +381,65 @@ def _cmd_sort(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_cluster(args: argparse.Namespace) -> int:
+    """Z-order clustered export over two numeric columns (Morton
+    interleave of footer-derived equi-depth ranks; see
+    pipelines.ops.zorder_export) + optional pruned range probe."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow.compute as pc
+
+        import ray.data
+
+        from .pipelines.ops import (footer_equidepth_cutpoints,
+                                    zorder_export, zorder_lookup)
+
+        cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+        if len(cols) != 2:
+            print("error: --cols needs exactly two columns",
+                  file=sys.stderr)
+            return 2
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"error: no input files match {args.input!r}",
+                  file=sys.stderr)
+            return 2
+        edges = {c: footer_equidepth_cutpoints(files, c, 257)
+                 for c in cols}
+        manifest = zorder_export(ray.data.read_parquet(files), cols,
+                                 edges, args.out, n_ranges=args.ranges)
+        report = {"cols": cols, "n_parts": manifest.num_rows,
+                  "n_rows": int(pc.sum(manifest["n_rows"]).as_py()),
+                  "out": args.out}
+        if args.probe:
+            col, lo, hi = args.probe.split(":")
+            lo, hi = float(lo), float(hi)
+            got = zorder_lookup(args.out, col, lo, hi)
+            import json as _json
+
+            with open(os.path.join(args.out, "manifest.json")) as f:
+                m = _json.load(f)
+            read = [r for r in m["ranges"]
+                    if r["n_rows"] and r[f"min_{col}"] is not None
+                    and r[f"min_{col}"] <= hi and lo <= r[f"max_{col}"]]
+            report["probe"] = {"col": col, "lo": lo, "hi": hi,
+                               "n_hits": got.num_rows,
+                               "parts_read": len(read),
+                               "parts_total": manifest.num_rows}
+        print(json.dumps(report))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_diff(args: argparse.Namespace) -> int:
     """Row-level snapshot diff by key (added/removed/modified) — the
     migration reconciliation check (pipelines.ops.table_diff)."""
@@ -701,6 +760,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="cutpoint sample values taken per input block")
     so.add_argument("--num-cpus", type=int, default=8)
 
+    cl = sub.add_parser("cluster", help="z-order clustered export over two "
+                                        "columns + optional pruned range "
+                                        "probe")
+    cl.add_argument("--input", required=True, help="parquet glob")
+    cl.add_argument("--cols", required=True,
+                    help="two comma-separated numeric columns, e.g. a,b")
+    cl.add_argument("--out", required=True, help="output directory")
+    cl.add_argument("--ranges", type=int, default=16)
+    cl.add_argument("--probe", default=None,
+                    help="col:lo:hi — run a pruned range lookup after the "
+                         "export and report parts read vs total")
+    cl.add_argument("--num-cpus", type=int, default=8)
+
     df = sub.add_parser("diff", help="row-level snapshot diff by key "
                                      "(added/removed/modified)")
     df.add_argument("--a", required=True, help="snapshot A parquet glob")
@@ -734,6 +806,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_ingest(args)
     if args.cmd == "sort":
         return _cmd_sort(args)
+    if args.cmd == "cluster":
+        return _cmd_cluster(args)
     if args.cmd == "diff":
         return _cmd_diff(args)
     if args.cmd == "curate":
