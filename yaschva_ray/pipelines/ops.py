@@ -2072,70 +2072,109 @@ def equidepth_cutpoints(sorted_values: np.ndarray,
                      for i in range(n_ranges - 1)])
 
 
-def footer_equidepth_cutpoints(paths: list[str] | str, column: str,
-                               n_ranges: int,
-                               points_per_group: int = 32) -> np.ndarray:
-    """Approximate equi-depth cutpoints from parquet FOOTERS only — zero
-    data pages read.  Each row group's (min, max, value count) models its
-    values as uniform on [min, max]; ``points_per_group`` synthetic
-    points per group, each weighted count/points, form a weighted
-    empirical CDF whose ``(i+1)/n_ranges`` quantiles become the cuts.
-
-    ONLY for cutpoints whose placement never changes a result (range
-    exchange balance — sorted export, co-partitioned merge joins): where
-    a query's oracle re-derives the cutpoints in SQL, keep the sampled
-    order statistics.  A scan samples the table to estimate a handful of
-    numbers a few-KB footer already carries; at 100 TB that is the
-    difference between megabytes and the whole table.  NUMERIC columns
-    only.  Raises ValueError when any row group lacks min/max statistics
-    — callers fall back to the sampling scan (logged, never silent).
-    INT32/INT64 keys get int64 cuts (exact manifest round-trip); others
-    float64 — either way placement only ever shifts range balance."""
+def _footer_rowgroup_stats(paths: list[str] | str, columns: list[str]):
+    """(lo, hi, n) per row group for each requested column, from parquet
+    footers — each footer read and decoded ONCE for all columns.
+    Returns ``(stats, integral)``: ``stats[col]`` a list of triples,
+    ``integral[col]`` whether the physical type is INT32/INT64.  Raises
+    ValueError on missing columns, non-numeric PLAIN-int/float storage
+    (timestamps/dates/decimals store as ints but their stats surface as
+    datetime/Decimal objects — logical types other than NONE/INT are
+    rejected so callers fall back to the sampling scan), or any row
+    group lacking min/max statistics."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
     if isinstance(paths, str):
         paths = sorted(_glob.glob(paths)) or [paths]
-    pts, wts = [], []
-    integral = True
+    stats = {c: [] for c in columns}
+    integral = {c: True for c in columns}
     for path in paths:
         md = pq.read_metadata(path)
         idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
-        if column not in idx:
-            raise ValueError(f"footer_equidepth_cutpoints: {path} has no "
-                             f"column {column!r}")
-        ptype = md.schema.column(idx[column]).physical_type
-        if ptype not in ("INT32", "INT64", "FLOAT", "DOUBLE"):
-            raise ValueError(
-                f"footer_equidepth_cutpoints: {column!r} is {ptype}, not "
-                f"numeric — string min/max may be truncated in footers")
-        integral &= ptype in ("INT32", "INT64")
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx[column]).statistics
-            if st is None or (not st.has_min_max and st.num_values):
+        for column in columns:
+            if column not in idx:
+                raise ValueError(f"footer stats: {path} has no column "
+                                 f"{column!r}")
+            col_schema = md.schema.column(idx[column])
+            ptype = col_schema.physical_type
+            ltype = str(col_schema.logical_type.type).upper()
+            if ptype not in ("INT32", "INT64", "FLOAT", "DOUBLE") or \
+                    ltype not in ("NONE", "INT"):
                 raise ValueError(
-                    f"footer_equidepth_cutpoints: {path} row group {rg} "
-                    f"lacks min/max statistics for {column!r}")
-            if not st.num_values:  # all-null group carries no order
-                continue
-            lo, hi = float(st.min), float(st.max)
-            k = min(points_per_group, st.num_values)
+                    f"footer stats: {column!r} is {ptype}/{ltype}, not a "
+                    f"plain numeric — its footer min/max is not a float "
+                    f"(and string stats may be truncated)")
+            integral[column] &= ptype in ("INT32", "INT64")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[column]).statistics
+                if st is None or (not st.has_min_max and st.num_values):
+                    raise ValueError(
+                        f"footer stats: {path} row group {rg} lacks "
+                        f"min/max statistics for {column!r}")
+                if not st.num_values:  # all-null group carries no order
+                    continue
+                stats[column].append(
+                    (float(st.min), float(st.max), st.num_values))
+    return stats, integral
+
+
+def footer_equidepth_cutpoints_multi(paths: list[str] | str,
+                                     columns: list[str], n_ranges: int,
+                                     points_per_group: int = 32
+                                     ) -> dict[str, np.ndarray]:
+    """Approximate equi-depth cutpoints per column from parquet FOOTERS
+    only — zero data pages read, each footer decoded once for ALL
+    columns.  Each row group's (min, max, value count) models its values
+    as uniform on [min, max]; ``points_per_group`` synthetic points per
+    group, each weighted count/points, form a weighted empirical CDF
+    whose ``(i+1)/n_ranges`` quantiles become the cuts.
+
+    ONLY for cutpoints whose placement never changes a result (range
+    exchange balance — sorted export, co-partitioned merge joins,
+    z-order bin edges): where a query's oracle re-derives the cutpoints
+    in SQL, keep the sampled order statistics.  A scan samples the table
+    to estimate a handful of numbers a few-KB footer already carries; at
+    100 TB that is the difference between megabytes and the whole table.
+    PLAIN NUMERIC columns only (timestamp/date/decimal logical types are
+    rejected).  Raises ValueError when stats are missing — callers fall
+    back to the sampling scan (logged, never silent).  INT32/INT64 keys
+    get int64 cuts (exact manifest round-trip); others float64 — either
+    way placement only ever shifts range balance."""
+    stats, integral = _footer_rowgroup_stats(paths, columns)
+    out = {}
+    for column in columns:
+        pts, wts = [], []
+        for lo, hi, n in stats[column]:
+            k = min(points_per_group, n)
             pts.append(lo + (np.arange(k) + 0.5) / k * (hi - lo))
-            wts.append(np.full(k, st.num_values / k))
-    if not pts:
-        return np.empty(0, np.float64)
-    v = np.concatenate(pts)
-    w = np.concatenate(wts)
-    order = np.argsort(v, kind="stable")
-    v, cw = v[order], np.cumsum(w[order])
-    total = cw[-1]
-    targets = np.array([(i + 1) * total / n_ranges
-                        for i in range(n_ranges - 1)])
-    cuts = v[np.minimum(np.searchsorted(cw, targets), len(v) - 1)]
-    if integral:  # int keys get int cuts (exact dtype round-trip in
-        cuts = np.floor(cuts).astype(np.int64)  # manifests; balance-only)
-    return np.unique(cuts)
+            wts.append(np.full(k, n / k))
+        if not pts:
+            out[column] = np.empty(0, np.float64)
+            continue
+        v = np.concatenate(pts)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        v, cw = v[order], np.cumsum(w[order])
+        total = cw[-1]
+        targets = np.array([(i + 1) * total / n_ranges
+                            for i in range(n_ranges - 1)])
+        cuts = v[np.minimum(np.searchsorted(cw, targets), len(v) - 1)]
+        if integral[column]:  # int keys get int cuts (exact dtype
+            cuts = np.floor(cuts).astype(np.int64)  # manifest round-trip)
+        out[column] = np.unique(cuts)
+    return out
+
+
+def footer_equidepth_cutpoints(paths: list[str] | str, column: str,
+                               n_ranges: int,
+                               points_per_group: int = 32) -> np.ndarray:
+    """Single-column form of `footer_equidepth_cutpoints_multi` (see
+    there for the model, the result-neutrality contract and the failure
+    modes)."""
+    return footer_equidepth_cutpoints_multi(
+        paths, [column], n_ranges, points_per_group)[column]
 
 
 def _cutpoints_footer_or_sample(sf_dir: str, table: str, key: str, ds,
@@ -2167,6 +2206,24 @@ def _cutpoints_footer_or_sample(sf_dir: str, table: str, key: str, ds,
     return equidepth_cutpoints(sv, n_ranges)
 
 
+def _warn_hot_ranges(manifest: pa.Table, what: str) -> None:
+    """Hot-range observability (the _warn_hot_key rule for ORDERED
+    exchanges): a range sorts+writes in ONE task, so a skewed key
+    distribution — or estimated cutpoints, e.g. footer-derived ones on
+    value-skewed data — concentrating rows must be visible, not an
+    OOM.  Shared by every export whose manifest carries n_rows."""
+    nr = manifest["n_rows"].to_numpy(zero_copy_only=False)
+    if len(nr) > 1 and nr.sum():
+        mx, mean = int(nr.max()), nr.sum() / len(nr)
+        if mx > 4 * mean and mx > 100_000:
+            import logging
+
+            logging.getLogger("yaschva_ray.ops").warning(
+                "%s: hottest range holds %d rows (%.1fx the %.0f-row "
+                "mean) — re-derive cutpoints from a sample or raise "
+                "n_ranges", what, mx, mx / mean, mean)
+
+
 def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     """Globally SORTED parquet export: a range exchange on broadcast
     ``cutpoints`` (every row of range i precedes every row of range i+1),
@@ -2190,7 +2247,9 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
             t, sort_keys=[(key, "ascending")], null_placement="at_start")
         t = t.take(idx)
         path = os.path.join(out_dir, f"part-{bucket_id:05d}.parquet")
-        tmp = path + ".tmp"
+        # pid-suffixed temp (the _sink_bucket rule): a zombie first
+        # attempt and its retry must never interleave writes in one file
+        tmp = path + f".tmp-{os.getpid()}"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
         arr = t[key]
@@ -2215,20 +2274,7 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     manifest = pa.concat_tables(
         range_exchange(ds, key, cutpoints, write_range,
                        empty_result=empty_t)).combine_chunks()
-    # hot-range observability (the _warn_hot_key rule for ORDERED
-    # exchanges): a range sorts+writes in ONE task, so a skewed key
-    # distribution — or estimated cutpoints, e.g. footer-derived ones on
-    # value-skewed data — concentrating rows must be visible, not an OOM
-    nr = manifest["n_rows"].to_numpy(zero_copy_only=False)
-    if len(nr) > 1 and nr.sum():
-        mx, mean = int(nr.max()), nr.sum() / len(nr)
-        if mx > 4 * mean and mx > 100_000:
-            import logging
-
-            logging.getLogger("yaschva_ray.ops").warning(
-                "sorted_export: hottest range holds %d rows (%.1fx the "
-                "%.0f-row mean) — re-derive cutpoints from a sample or "
-                "raise n_ranges", mx, mx / mean, mean)
+    _warn_hot_ranges(manifest, "sorted_export")
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     cuts = [str(c) for c in np.asarray(cutpoints).tolist()]
     with open(tmp, "w") as f:
@@ -2595,7 +2641,9 @@ def zorder_export(ds, cols: list[str], edges: dict[str, np.ndarray],
                 t, sort_keys=[("__z", "ascending")]))
             t = t.drop_columns(["__z"])
         path = os.path.join(out_dir, f"zpart-{bucket_id:05d}.parquet")
-        tmp = path + ".tmp"
+        # pid-suffixed temp (the _sink_bucket rule): retried tasks must
+        # never interleave writes in one file
+        tmp = path + f".tmp-{os.getpid()}"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
         row = {"range_id": pa.array([bucket_id], pa.int64()),
@@ -2622,16 +2670,41 @@ def zorder_export(ds, cols: list[str], edges: dict[str, np.ndarray],
     base = (getattr(s, "base_schema", None) or pa.schema(
         [(n, ty) for n, ty in zip(s.names, s.types)]))
     empty_t = base.append(pa.field("__z", pa.uint64())).empty_table()
+    import glob as _glob
+
+    before = set(_glob.glob(os.path.join(out_dir, "zpart-*.parquet")))
     manifest = pa.concat_tables(
         range_exchange(zds, "__z", cutpoints, write_range,
                        empty_result=empty_t),
         promote_options="default").combine_chunks()
+    _warn_hot_ranges(manifest, "zorder_export")
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"zorder_cols": cols,
                    "ranges": manifest.to_pylist()}, f, default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    # a re-export with fewer ranges must not leave a previous run's
+    # orphaned parts behind — directory readers would double-count rows
+    # (manifest-driven lookups would not, but the layout must be honest)
+    for stale in before - set(manifest["path"].to_pylist()):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     return manifest
+
+
+def _zorder_lookup_plan(manifest: dict, col: str, lo, hi) -> list[str]:
+    """Parts whose [min_col, max_col] interval can overlap the probe —
+    the manifest as a per-column coarse index (all-null/NaN parts never
+    match a range probe).  Shared by zorder_lookup and the CLI's probe
+    report so the pruning predicate cannot drift."""
+    if col not in manifest["zorder_cols"]:
+        raise ValueError(f"zorder_lookup: {col!r} is not a clustered "
+                         f"column ({manifest['zorder_cols']})")
+    return [r["path"] for r in manifest["ranges"]
+            if r["n_rows"] and r[f"min_{col}"] is not None
+            and r[f"min_{col}"] <= hi and lo <= r[f"max_{col}"]]
 
 
 def zorder_lookup(out_dir: str, col: str, lo, hi) -> pa.Table:
@@ -2647,12 +2720,7 @@ def zorder_lookup(out_dir: str, col: str, lo, hi) -> pa.Table:
 
     with open(os.path.join(out_dir, "manifest.json")) as f:
         m = json.load(f)
-    if col not in m["zorder_cols"]:
-        raise ValueError(f"zorder_lookup: {col!r} is not a clustered "
-                         f"column of {out_dir} ({m['zorder_cols']})")
-    files = [r["path"] for r in m["ranges"]
-             if r["n_rows"] and r[f"min_{col}"] is not None
-             and r[f"min_{col}"] <= hi and lo <= r[f"max_{col}"]]
+    files = _zorder_lookup_plan(m, col, lo, hi)
     if not files:
         return pa.table({})
     import ray.data
@@ -2884,8 +2952,8 @@ def q_zorder_lookup(sf_dir: str, lo: float = 100.0, hi: float = 120.0,
     import shutil
 
     path = os.path.join(sf_dir, "events.parquet")
-    edges = {c: footer_equidepth_cutpoints(path, c, 257)
-             for c in ("user_id", "value")}
+    edges = footer_equidepth_cutpoints_multi(
+        path, ["user_id", "value"], 257)  # one footer decode, both cols
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
     tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
     out = os.path.join("/tmp", "yaschva_zorder", tag)
