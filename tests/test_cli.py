@@ -387,6 +387,44 @@ def test_cli_cluster(tmp_path):
     assert 0 < rep["probe"]["parts_read"] < rep["probe"]["parts_total"]
 
 
+def test_cli_sort_and_cluster_statless_fallback(tmp_path):
+    """Parquet written WITHOUT footer statistics: both sort and cluster
+    must degrade to the sampling scan — loudly (logged reason on
+    stderr), not with a traceback, and with correct output."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    n = 400
+    t = pa.table({"a": pa.array(rng.permutation(n).astype(np.float64)),
+                  "b": pa.array(rng.permutation(n).astype(np.float64))})
+    src = tmp_path / "nostats.parquet"
+    pq.write_table(t, src, write_statistics=False)
+
+    out = tmp_path / "sorted"
+    r = run_cli("sort", "--input", str(src), "--key", "a",
+                "--out", str(out), "--ranges", "3", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    assert "falling back" in r.stderr  # logged, never silent
+    m = json.load(open(out / "manifest.json"))
+    got = pa.concat_tables([pq.read_table(x["path"]) for x in
+                            sorted(m["ranges"],
+                                   key=lambda x: x["range_id"])])
+    assert got["a"].to_pylist() == sorted(t["a"].to_pylist())
+
+    zout = tmp_path / "z"
+    r = run_cli("cluster", "--input", str(src), "--cols", "a,b",
+                "--out", str(zout), "--ranges", "4",
+                "--probe", "b:10:40", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    assert "falling back" in r.stderr
+    rep = json.loads([l for l in r.stdout.strip().split("\n")
+                      if l.startswith("{")][-1])
+    assert rep["n_rows"] == n
+    assert rep["probe"]["n_hits"] == 31  # 10..40 inclusive
+
+
 def test_cli_sort_and_diff(tmp_path):
     """sort: globally ordered parts + manifest; diff: reconciliation
     report between two snapshots."""

@@ -372,6 +372,122 @@ def test_sorted_export_hot_range_warning(ray_session, tmp_path, caplog):
     assert any("hottest range" in r.message for r in caplog.records)
 
 
+def test_sorted_export_reexport_never_overwrites_committed(
+        ray_session, tmp_path):
+    """Re-exporting into a live directory must be crash-safe: the new
+    generation writes to DISJOINT filenames (a committed part is never
+    opened for write), the manifest commit flips snapshots atomically,
+    and only then are the old generation's parts removed."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import sorted_export
+
+    out = str(tmp_path / "sorted")
+    t1 = pa.table({"id": pa.array(list(range(100)), pa.int64()),
+                   "v": pa.array(np.arange(100, dtype=np.float64))})
+    m1 = sorted_export(ray.data.from_arrow(t1).repartition(3), "v", out,
+                       np.array([30.0, 60.0]))
+    old_paths = set(m1["path"].to_pylist())
+    assert json.load(open(f"{out}/manifest.json"))["export_gen"] == 0
+
+    t2 = pa.table({"id": pa.array(list(range(500)), pa.int64()),
+                   "v": pa.array(np.arange(500, 1000, dtype=np.float64))})
+    m2 = sorted_export(ray.data.from_arrow(t2).repartition(4), "v", out,
+                       np.array([600.0, 700.0, 800.0]))
+    new_paths = set(m2["path"].to_pylist())
+    # the crash-safety invariant: generations never share a filename
+    assert not (old_paths & new_paths)
+    assert json.load(open(f"{out}/manifest.json"))["export_gen"] == 1
+    # post-commit cleanup removed the stale generation entirely
+    import glob as _glob
+
+    on_disk = set(_glob.glob(f"{out}/part-*.parquet"))
+    assert on_disk == new_paths
+    got = pa.concat_tables(
+        [pq.read_table(r["path"]) for r in
+         sorted(m2.to_pylist(), key=lambda r: r["range_id"])])
+    assert got["v"].to_pylist() == sorted(t2["v"].to_pylist())
+
+
+def test_export_gen_survives_compaction_and_upsert(ray_session, tmp_path):
+    """compact_sorted / upsert_sorted rewrite the manifest; they must
+    carry export_gen through so a later re-export still picks a
+    generation disjoint from every live part."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (compact_sorted, sorted_export,
+                                           upsert_sorted)
+
+    out = str(tmp_path / "sorted")
+    t = pa.table({"k": pa.array(list(range(200)), pa.int64()),
+                  "p": pa.array(list(range(200)), pa.int64())})
+    sorted_export(ray.data.from_arrow(t).repartition(3), "k", out,
+                  np.array([50, 100, 150], np.int64))
+    sorted_export(ray.data.from_arrow(t).repartition(3), "k", out,
+                  np.array([80, 160], np.int64))  # gen 1
+    compact_sorted(out, target_bytes=1 << 30)
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["export_gen"] == 1  # carried, not dropped
+    ch = pa.table({"k": pa.array([5], pa.int64()),
+                   "p": pa.array([999], pa.int64()),
+                   "op": pa.array(["upsert"], pa.string())})
+    upsert_sorted(out, ch)
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["export_gen"] == 1
+    # a third export over the compacted+upserted dir: gen 2, and the
+    # compact-/upsert- files are gone after its commit
+    m3 = sorted_export(ray.data.from_arrow(t).repartition(2), "k", out,
+                       np.array([100], np.int64))
+    assert json.load(open(f"{out}/manifest.json"))["export_gen"] == 2
+    import glob as _glob
+
+    assert set(_glob.glob(f"{out}/*.parquet")) == \
+        set(m3["path"].to_pylist())
+
+
+def test_zorder_reexport_generation(ray_session, tmp_path):
+    """zorder_export follows the same generation protocol: disjoint
+    filenames across runs, stale parts removed only after the manifest
+    commit, lookups exact over the new snapshot."""
+    import glob as _glob
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import zorder_export, zorder_lookup
+
+    out = str(tmp_path / "z")
+    a = np.arange(1000, dtype=np.float64)
+    b = (np.arange(1000, dtype=np.float64) * 7) % 1000
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    edges = {"a": np.linspace(0, 1000, 17)[1:-1],
+             "b": np.linspace(0, 1000, 17)[1:-1]}
+    m1 = zorder_export(ray.data.from_arrow(t).repartition(4),
+                       ["a", "b"], edges, out, n_ranges=8)
+    p1 = set(m1["path"].to_pylist())
+    t2 = t.slice(0, 400)
+    m2 = zorder_export(ray.data.from_arrow(t2).repartition(3),
+                       ["a", "b"], edges, out, n_ranges=4)
+    p2 = set(m2["path"].to_pylist())
+    assert not (p1 & p2)
+    assert json.load(open(f"{out}/manifest.json"))["export_gen"] == 1
+    assert set(_glob.glob(f"{out}/zpart-*.parquet")) == p2
+    got = zorder_lookup(out, "b", 100.0, 150.0)
+    want = t2.filter(
+        pa.compute.and_(pa.compute.greater_equal(t2["b"], 100.0),
+                        pa.compute.less_equal(t2["b"], 150.0)))
+    assert got.num_rows == want.num_rows
+    assert sorted(got["a"].to_pylist()) == sorted(want["a"].to_pylist())
+
+
 def test_zorder_export_lookup(ray_session, tmp_path):
     """Z-order clustering: lookups on EITHER clustered column return the
     exact filter result while reading only a strict subset of parts —

@@ -321,10 +321,54 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _log_footer_fallback(cmd: str, err: Exception) -> None:
+    """The 'logged fallback, never silent' contract: when parquet
+    footers can't supply cutpoints (no statistics / non-plain-numeric
+    key), the user must see WHY the zero-read path degraded to a
+    sampling scan of the data."""
+    import logging
+
+    logging.getLogger("yaschva_ray.cli").warning(
+        "%s: footer-derived cutpoints unavailable (%s) — falling back "
+        "to a sampling scan", cmd, err)
+
+
+def _sampled_cutpoints(ds, keys: list[str], n_ranges: int,
+                       sample_per_block: int) -> dict:
+    """Equi-depth cutpoints per key from ONE systematic-sample scan of
+    ``ds`` (every key sampled in the same pass).  The fallback when
+    footer statistics are missing; cutpoint placement is result-neutral
+    for exports (it only shifts range balance)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .engine.blocks import gather_tables
+    from .pipelines.ops import equidepth_cutpoints
+
+    def sample(t):
+        present = [k for k in keys if k in t.column_names]
+        if len(present) != len(keys) or not t.num_rows:
+            return t.select([])
+        n = max(1, t.num_rows // max(1, sample_per_block))
+        idx = pa.array(list(range(0, t.num_rows, n)))
+        return pa.table({k: t[k].take(idx) for k in keys})
+
+    parts = [t for t in gather_tables(
+        ds.map_batches(sample, batch_format="pyarrow"))
+        if t.num_rows and all(k in t.column_names for k in keys)]
+    out = {}
+    for k in keys:
+        sv = np.sort(np.concatenate(
+            [t[k].to_numpy(zero_copy_only=False) for t in parts]
+            or [np.empty(0)]))
+        out[k] = equidepth_cutpoints(sv, n_ranges)
+    return out
+
+
 def _cmd_sort(args: argparse.Namespace) -> int:
-    """Globally sorted export: equi-depth cutpoints from an id-keyed
-    systematic sample, range exchange, one sorted parquet part per range
-    + lineage manifest (see pipelines.ops.sorted_export)."""
+    """Globally sorted export: equi-depth cutpoints from parquet footers
+    (sampling-scan fallback, logged), range exchange, one sorted parquet
+    part per range + lineage manifest (see pipelines.ops.sorted_export)."""
     import ray
 
     if not ray.is_initialized():
@@ -335,12 +379,10 @@ def _cmd_sort(args: argparse.Namespace) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     try:
-        import numpy as np
         import pyarrow.compute as pc
 
         import ray.data
 
-        from .engine.blocks import gather_tables
         from .pipelines.ops import sorted_export
 
         files = sorted(glob.glob(args.input))
@@ -351,27 +393,14 @@ def _cmd_sort(args: argparse.Namespace) -> int:
         ds = ray.data.read_parquet(files)
         key = args.key
 
-        from .pipelines.ops import (equidepth_cutpoints,
-                                    footer_equidepth_cutpoints)
+        from .pipelines.ops import footer_equidepth_cutpoints
 
         try:  # cutpoints are result-neutral: footers first (zero data
             cutpoints = footer_equidepth_cutpoints(files, key, args.ranges)
-        except (ValueError, OSError):  # read), sampling scan as fallback
-
-            def sample(t):
-                if key not in t.column_names or not t.num_rows:
-                    return t.select([])
-                n = max(1, t.num_rows // max(1, args.sample_per_block))
-                import pyarrow as pa
-                return pa.table({key: t[key].take(
-                    pa.array(list(range(0, t.num_rows, n))))})
-
-            sv = np.sort(np.concatenate(
-                [t[key].to_numpy(zero_copy_only=False)
-                 for t in gather_tables(ds.map_batches(
-                     sample, batch_format="pyarrow"))
-                 if t.num_rows and key in t.column_names] or [np.empty(0)]))
-            cutpoints = equidepth_cutpoints(sv, args.ranges)
+        except (ValueError, OSError) as e:  # sampling scan as fallback
+            _log_footer_fallback("sort", e)
+            cutpoints = _sampled_cutpoints(
+                ds, [key], args.ranges, args.sample_per_block)[key]
         manifest = sorted_export(ds, key, args.out, cutpoints)
         print(json.dumps({"key": key, "n_ranges": manifest.num_rows,
                           "n_rows": int(pc.sum(manifest["n_rows"]).as_py()),
@@ -399,7 +428,8 @@ def _cmd_cluster(args: argparse.Namespace) -> int:
 
         import ray.data
 
-        from .pipelines.ops import (footer_equidepth_cutpoints,
+        from .pipelines.ops import (_zorder_lookup_plan,
+                                    footer_equidepth_cutpoints_multi,
                                     zorder_export, zorder_lookup)
 
         cols = [c.strip() for c in args.cols.split(",") if c.strip()]
@@ -412,10 +442,15 @@ def _cmd_cluster(args: argparse.Namespace) -> int:
             print(f"error: no input files match {args.input!r}",
                   file=sys.stderr)
             return 2
-        edges = {c: footer_equidepth_cutpoints(files, c, 257)
-                 for c in cols}
-        manifest = zorder_export(ray.data.read_parquet(files), cols,
-                                 edges, args.out, n_ranges=args.ranges)
+        ds = ray.data.read_parquet(files)
+        try:  # one footer decode for both columns; pruning stays exact
+            edges = footer_equidepth_cutpoints_multi(files, cols, 257)
+        except (ValueError, OSError) as e:  # per-part min/max, so edges
+            _log_footer_fallback("cluster", e)  # only shift balance
+            edges = _sampled_cutpoints(ds, cols, 257,
+                                       args.sample_per_block)
+        manifest = zorder_export(ds, cols, edges, args.out,
+                                 n_ranges=args.ranges)
         report = {"cols": cols, "n_parts": manifest.num_rows,
                   "n_rows": int(pc.sum(manifest["n_rows"]).as_py()),
                   "out": args.out}
@@ -427,9 +462,9 @@ def _cmd_cluster(args: argparse.Namespace) -> int:
 
             with open(os.path.join(args.out, "manifest.json")) as f:
                 m = _json.load(f)
-            read = [r for r in m["ranges"]
-                    if r["n_rows"] and r[f"min_{col}"] is not None
-                    and r[f"min_{col}"] <= hi and lo <= r[f"max_{col}"]]
+            # the SAME plan helper zorder_lookup ran — parts_read cannot
+            # drift from the files the lookup actually opened
+            read = _zorder_lookup_plan(m, col, lo, hi)
             report["probe"] = {"col": col, "lo": lo, "hi": hi,
                                "n_hits": got.num_rows,
                                "parts_read": len(read),
@@ -771,6 +806,9 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--probe", default=None,
                     help="col:lo:hi — run a pruned range lookup after the "
                          "export and report parts read vs total")
+    cl.add_argument("--sample-per-block", type=int, default=64,
+                    help="cutpoint sample values per input block (only "
+                         "used when footer statistics are missing)")
     cl.add_argument("--num-cpus", type=int, default=8)
 
     df = sub.add_parser("diff", help="row-level snapshot diff by key "

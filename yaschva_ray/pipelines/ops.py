@@ -2224,6 +2224,43 @@ def _warn_hot_ranges(manifest: pa.Table, what: str) -> None:
                 "n_ranges", what, mx, mx / mean, mean)
 
 
+def _next_export_gen(out_dir: str) -> int:
+    """Write generation for a (re-)export into ``out_dir``: a COMMITTED
+    manifest's ``export_gen`` + 1, else 0.  Generation-tagged part names
+    keep a re-export's writes DISJOINT from the committed snapshot's
+    files — the ``compact_sorted`` protocol (new parts first, manifest
+    commits atomically, unreferenced files removed LAST), so a crash
+    mid-export leaves the previous snapshot fully intact behind its
+    manifest instead of a chimera of old and new parts."""
+    import json
+
+    try:
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            return int(json.load(f).get("export_gen", 0)) + 1
+    except (OSError, ValueError, TypeError):
+        # no/unreadable manifest: nothing committed to protect (a
+        # pre-protocol manifest without export_gen maps to gen 1, whose
+        # g-tagged names are disjoint from the legacy bare names)
+        return 0
+
+
+def _cleanup_unreferenced_parts(out_dir: str, referenced: set[str],
+                                prefixes: tuple[str, ...]) -> None:
+    """AFTER a manifest commit: remove part files the new manifest does
+    not reference (previous generations; a wider earlier run's orphans)
+    so a directory reader never sees rows the manifest does not account
+    for.  Only files matching the export's own prefixes are touched."""
+    import glob as _glob
+
+    for prefix in prefixes:
+        for p in _glob.glob(os.path.join(out_dir, prefix + "*.parquet")):
+            if p not in referenced:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
 def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     """Globally SORTED parquet export: a range exchange on broadcast
     ``cutpoints`` (every row of range i precedes every row of range i+1),
@@ -2233,7 +2270,10 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     ``manifest.json``) one lineage row per range: rows, nulls,
     nulls-ignored min/max, path.  Ranges write in parallel; a duplicate
     cutpoint value yields an empty range (manifest row kept — file
-    boundaries stay honest)."""
+    boundaries stay honest).  Re-exporting into a live directory is
+    crash-safe: parts carry a write generation, so the committed
+    snapshot's files are never overwritten in place (see
+    ``_next_export_gen``)."""
     import json
 
     import pyarrow.parquet as pq
@@ -2241,12 +2281,14 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     from ..engine.exchange import range_exchange
 
     os.makedirs(out_dir, exist_ok=True)
+    gen = _next_export_gen(out_dir)
 
     def write_range(bucket_id: int, t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             t, sort_keys=[(key, "ascending")], null_placement="at_start")
         t = t.take(idx)
-        path = os.path.join(out_dir, f"part-{bucket_id:05d}.parquet")
+        path = os.path.join(out_dir,
+                            f"part-g{gen}-{bucket_id:05d}.parquet")
         # pid-suffixed temp (the _sink_bucket rule): a zombie first
         # attempt and its retry must never interleave writes in one file
         tmp = path + f".tmp-{os.getpid()}"
@@ -2280,9 +2322,14 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     with open(tmp, "w") as f:
         # default=str: timestamp/date min-max values JSON-serialize as
         # their ISO strings (lookups on such keys pass string probes)
-        json.dump({"key": key, "cutpoints": cuts,
+        json.dump({"key": key, "cutpoints": cuts, "export_gen": gen,
                    "ranges": manifest.to_pylist()}, f, default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    # only now: drop the previous generation's (and any compaction's /
+    # upsert's) parts — directory readers must never double-count rows
+    _cleanup_unreferenced_parts(
+        out_dir, set(manifest["path"].to_pylist()),
+        ("part-", "compact-", "upsert-"))
     return manifest
 
 
@@ -2405,8 +2452,12 @@ def compact_sorted(out_dir: str, target_bytes: int = 128 << 20) -> pa.Table:
         new_cuts.append(old_cuts[last])
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
+        # export_gen carried through: a later re-export must keep its
+        # part names disjoint from every still-live generation
         json.dump({"key": key, "cutpoints": new_cuts,
-                   "compaction_gen": gen, "ranges": new_ranges}, f,
+                   "compaction_gen": gen,
+                   "export_gen": int(m.get("export_gen", 0)),
+                   "ranges": new_ranges}, f,
                   default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     for r in ranges:  # old parts now unreferenced
@@ -2546,8 +2597,12 @@ def upsert_sorted(out_dir: str, changes: pa.Table, *,
             new_ranges.append(r)  # untouched: manifest row byte-identical
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
+        # export_gen carried through: a later re-export must keep its
+        # part names disjoint from every still-live generation
         json.dump({"key": key, "cutpoints": m["cutpoints"],
-                   "compaction_gen": gen, "ranges": new_ranges}, f,
+                   "compaction_gen": gen,
+                   "export_gen": int(m.get("export_gen", 0)),
+                   "ranges": new_ranges}, f,
                   default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     for rid in done:  # old touched parts now unreferenced
@@ -2628,6 +2683,7 @@ def zorder_export(ds, cols: list[str], edges: dict[str, np.ndarray],
         raise ValueError("zorder_export interleaves exactly 2 columns "
                          f"(got {cols!r})")
     os.makedirs(out_dir, exist_ok=True)
+    gen = _next_export_gen(out_dir)
 
     def add_z(t: pa.Table) -> pa.Table:
         if any(c not in t.column_names for c in cols):
@@ -2640,7 +2696,8 @@ def zorder_export(ds, cols: list[str], edges: dict[str, np.ndarray],
             t = t.take(pc.sort_indices(
                 t, sort_keys=[("__z", "ascending")]))
             t = t.drop_columns(["__z"])
-        path = os.path.join(out_dir, f"zpart-{bucket_id:05d}.parquet")
+        path = os.path.join(out_dir,
+                            f"zpart-g{gen}-{bucket_id:05d}.parquet")
         # pid-suffixed temp (the _sink_bucket rule): retried tasks must
         # never interleave writes in one file
         tmp = path + f".tmp-{os.getpid()}"
@@ -2670,9 +2727,6 @@ def zorder_export(ds, cols: list[str], edges: dict[str, np.ndarray],
     base = (getattr(s, "base_schema", None) or pa.schema(
         [(n, ty) for n, ty in zip(s.names, s.types)]))
     empty_t = base.append(pa.field("__z", pa.uint64())).empty_table()
-    import glob as _glob
-
-    before = set(_glob.glob(os.path.join(out_dir, "zpart-*.parquet")))
     manifest = pa.concat_tables(
         range_exchange(zds, "__z", cutpoints, write_range,
                        empty_result=empty_t),
@@ -2680,17 +2734,13 @@ def zorder_export(ds, cols: list[str], edges: dict[str, np.ndarray],
     _warn_hot_ranges(manifest, "zorder_export")
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"zorder_cols": cols,
+        json.dump({"zorder_cols": cols, "export_gen": gen,
                    "ranges": manifest.to_pylist()}, f, default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
-    # a re-export with fewer ranges must not leave a previous run's
-    # orphaned parts behind — directory readers would double-count rows
-    # (manifest-driven lookups would not, but the layout must be honest)
-    for stale in before - set(manifest["path"].to_pylist()):
-        try:
-            os.remove(stale)
-        except OSError:
-            pass
+    # only now: drop the previous generation's parts (and a wider earlier
+    # run's orphans) — directory readers must never double-count rows
+    _cleanup_unreferenced_parts(
+        out_dir, set(manifest["path"].to_pylist()), ("zpart-",))
     return manifest
 
 
