@@ -281,7 +281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (referential anti/semi joins stay visible via
         # customers_without_orders + active_customers)
         "snapshot_diff_documents": ops.q_snapshot_diff_documents,
-        "null_counts_documents": ops.q_null_counts_documents,
+        # CDC + incremental re-validation (per-range verdicts reused via
+        # write-generation-tagged part paths; only touched ranges
+        # re-check) takes null_counts_documents' sweep slot — per-column
+        # null counting stays visible in-window via stats_lineitem, and
+        # null_counts keeps its oracle just past the cap
+        "incremental_revalidation": ops.q_incremental_revalidation,
         # exact integer-numerator drift (the north rule's drift-check
         # family, hash-exact); distinct_lang yields its sweep slot — the
         # per-block pc.unique partial pattern it demonstrated is also
@@ -312,6 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stratified sampler; the deterministic systematic-sample + quality
         # feature chain keeps its oracle here and its pytest coverage
         "sample_quality": ops.q_sample_quality,
+        # ceded its in-window slot to incremental_revalidation (see
+        # above); the basic per-column null profile keeps its oracle here
+        "null_counts_documents": ops.q_null_counts_documents,
         # ordered funnel pattern-match (view → click → purchase first-
         # completion per user): later stages depend on the user's GLOBAL
         # earlier-stage minimum, so this is a keyed-exchange operator,
@@ -1722,6 +1730,49 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM ups
                   UNION ALL SELECT * FROM ins)
             ORDER BY o_orderkey
+        """,
+        # per-range verdicts are NOT cutpoint-neutral: the oracle
+        # recomputes the same %97-sampled order-statistic cutpoints, the
+        # same deterministic changeset as upsert_orders (price bump
+        # +300k), and counts price-cap violations per range — the
+        # incremental re-validation's reused+fresh verdict rows must
+        # equal this full recomputation exactly
+        "incremental_revalidation": """
+            WITH s AS (
+                SELECT o_orderkey AS k FROM orders
+                WHERE o_orderkey % 97 = 0
+            ), n AS (SELECT COUNT(*) AS c FROM s),
+            ss AS (
+                SELECT k, row_number() OVER (ORDER BY k) AS rn FROM s
+            ), cuts AS (
+                SELECT ss.k AS cut FROM ss, n
+                WHERE ss.rn IN (SELECT ((g + 1) * c) // 6 + 1
+                                FROM generate_series(0, 4) t(g), n)
+            ), base AS (SELECT o_orderkey, o_totalprice FROM orders),
+            mx AS (SELECT max(o_orderkey) AS m FROM base),
+            merged AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0
+                            THEN o_totalprice + 300000.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM base WHERE o_orderkey % 7 <> 0
+                UNION ALL
+                SELECT m + r.range AS o_orderkey,
+                       1.5 * r.range AS o_totalprice
+                FROM mx, range(1, 51) r
+            ), b AS (
+                SELECT (SELECT COUNT(*) FROM cuts
+                        WHERE cut <= merged.o_orderkey) AS range_id,
+                       o_totalprice
+                FROM merged
+            )
+            SELECT range_id, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_totalprice > 450000.0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violations,
+                   (SUM(CASE WHEN o_totalprice > 450000.0
+                             THEN 1 ELSE 0 END) = 0) AS pass
+            FROM b GROUP BY range_id ORDER BY range_id
         """,
         # cutpoints never change the join result — plain SQL join mirror
         "sorted_merge_join": """

@@ -140,6 +140,9 @@ def bench_queries(sf_dir: str) -> dict:
         # run-length kernel + the deliberately skewed big-big join
         # (every key hot -> hash_join grid split end-to-end)
         "user_rank_windows", "events_type_stats_join",
+        # CDC + incremental re-validation: full export + validate +
+        # changeset + touched-ranges-only recheck, cold each iteration
+        "incremental_revalidation",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

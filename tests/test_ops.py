@@ -452,6 +452,66 @@ def test_export_gen_survives_compaction_and_upsert(ray_session, tmp_path):
         set(m3["path"].to_pylist())
 
 
+def test_incremental_revalidation_equals_full(ray_session, tmp_path):
+    """revalidate_upsert must (a) produce verdicts byte-identical to a
+    full re-validation of the post-CDC table, (b) actually REUSE the
+    untouched ranges' verdicts (the O(changeset) contract), and (c)
+    detect every rewrite through the generation-tagged part path —
+    including a compaction, which renames all parts."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (compact_sorted, sorted_export,
+                                           revalidate_upsert,
+                                           validate_export)
+
+    def too_big(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.fill_null(_pc.greater(t["v"], 80.0), False))
+
+    out = str(tmp_path / "sorted")
+    t = pa.table({"k": pa.array(list(range(100)), pa.int64()),
+                  "v": pa.array(np.arange(100, dtype=np.float64))})
+    sorted_export(ray.data.from_arrow(t).repartition(3), "k", out,
+                  np.array([25, 50, 75], np.int64))
+    v0 = validate_export(out, too_big)
+    # ranges 0-2 clean, range 3 (k 75..99) has v 81..99 -> 19 violations
+    assert v0["n_violations"].to_pylist() == [0, 0, 0, 19]
+    assert v0["pass"].to_pylist() == [True, True, True, False]
+    # violations parquet written next to the failing part only
+    import glob as _glob
+
+    vfiles = _glob.glob(f"{out}/*.violations.parquet")
+    assert len(vfiles) == 1
+
+    # CDC: push k=10 over the cap (range 0 flips to fail), delete k=90
+    ch = pa.table({"k": pa.array([10, 90], pa.int64()),
+                   "v": pa.array([999.0, None], pa.float64()),
+                   "op": pa.array(["upsert", "delete"])})
+    v1 = revalidate_upsert(out, ch, too_big)
+    meta = json.load(open(f"{out}/validation.json"))
+    assert meta["n_revalidated"] == 2 and meta["n_reused"] == 2
+    # incremental == full: force a fresh non-incremental validation
+    v_full = validate_export(out, too_big)
+    assert v1.equals(v_full)
+    assert v1["n_violations"].to_pylist() == [1, 0, 0, 18]
+    assert v1["pass"].to_pylist() == [False, True, True, False]
+
+    # compaction renames every part -> nothing reusable, still correct
+    compact_sorted(out, target_bytes=1 << 30)
+    v2 = validate_export(out, too_big, incremental=True)
+    meta = json.load(open(f"{out}/validation.json"))
+    assert meta["n_reused"] == 0
+    assert int(pa.compute.sum(v2["n_violations"]).as_py()) == 19
+    # the flipped-clean range's old violations file was cleaned up
+    for p in _glob.glob(f"{out}/*.violations.parquet"):
+        live = json.load(open(f"{out}/validation.json"))["verdicts"]
+        assert p in {v["violations_path"] for v in live}
+
+
 def test_zorder_reexport_generation(ray_session, tmp_path):
     """zorder_export follows the same generation protocol: disjoint
     filenames across runs, stale parts removed only after the manifest

@@ -2616,6 +2616,111 @@ def upsert_sorted(out_dir: str, changes: pa.Table, *,
         [done[rid] for rid in sorted(done)]) if done else pa.table({})
 
 
+def validate_export(out_dir: str, violation_fn, *,
+                    incremental: bool = False) -> pa.Table:
+    """Per-range VALIDATION VERDICTS over a ``sorted_export`` directory
+    (the north rule's per-partition pass/fail, attached to the lakehouse
+    layout): one Ray task per range runs ``violation_fn(part_table) ->
+    violation rows``, writes non-empty violations next to the part
+    (``<part>.violations.parquet``, tmp+rename) and the verdict manifest
+    commits atomically as ``validation.json``.
+
+    ``incremental=True`` is the 100 TB re-validation path: a verdict is
+    REUSED when its recorded part path still matches the manifest — and
+    part paths are write-generation-tagged, so ANY rewrite (upsert,
+    compaction, re-export) changes the path and forces re-validation of
+    exactly the touched ranges.  After a CDC changeset, re-validating
+    the table costs O(touched parts), not O(table); reuse counts are
+    logged and persisted (no silent staleness).  Returns one verdict row
+    per range: range_id, n_rows, n_violations, pass."""
+    import json
+    import logging
+
+    import ray
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    vpath = os.path.join(out_dir, "validation.json")
+    prior = {}
+    if incremental and os.path.exists(vpath):
+        with open(vpath) as f:
+            prior = {v["range_id"]: v for v in json.load(f)["verdicts"]}
+
+    @ray.remote
+    def check_part(rid: int, path: str, fn) -> dict:
+        import pyarrow.parquet as pq
+
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        t = pq.read_table(path)
+        vio = fn(t)
+        vio_path = path[: -len(".parquet")] + ".violations.parquet"
+        if vio.num_rows:
+            tmp = vio_path + f".tmp-{os.getpid()}"
+            pq.write_table(vio, tmp)
+            os.replace(tmp, vio_path)
+        else:
+            vio_path = None
+        return {"range_id": rid, "part_path": path,
+                "n_rows": t.num_rows,
+                "n_violations": vio.num_rows,
+                "pass": vio.num_rows == 0,
+                "violations_path": vio_path}
+
+    refs, verdicts = [], []
+    for r in m["ranges"]:
+        pv = prior.get(r["range_id"])
+        if pv is not None and pv["part_path"] == r["path"]:
+            verdicts.append(pv)  # untouched part: verdict carried as-is
+        else:
+            refs.append(check_part.remote(r["range_id"], r["path"],
+                                          violation_fn))
+    verdicts.extend(ray.get(refs))
+    verdicts.sort(key=lambda v: v["range_id"])
+    if incremental:
+        logging.getLogger("yaschva_ray.ops").info(
+            "validate_export: %d ranges re-validated, %d verdicts "
+            "reused", len(refs), len(verdicts) - len(refs))
+    tmp = vpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"verdicts": verdicts, "n_revalidated": len(refs),
+                   "n_reused": len(verdicts) - len(refs)}, f)
+    os.replace(tmp, vpath)
+    # post-commit: drop violations files of rewritten (now unreferenced)
+    # parts — same honest-layout rule as the part cleanup
+    live = {v["violations_path"] for v in verdicts if v["violations_path"]}
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(out_dir, "*.violations.parquet")):
+        if p not in live:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return pa.table({
+        "range_id": pa.array([v["range_id"] for v in verdicts], pa.int64()),
+        "n_rows": pa.array([v["n_rows"] for v in verdicts], pa.int64()),
+        "n_violations": pa.array([v["n_violations"] for v in verdicts],
+                                 pa.int64()),
+        "pass": pa.array([v["pass"] for v in verdicts], pa.bool_()),
+    })
+
+
+def revalidate_upsert(out_dir: str, changes: pa.Table,
+                      violation_fn) -> pa.Table:
+    """CDC-apply + incremental re-validation in one step: merge
+    ``changes`` into the sorted export (``upsert_sorted`` — only touched
+    ranges rewrite), then re-validate ONLY those ranges
+    (``validate_export(incremental=True)`` — path-tagged verdicts reuse
+    everything else).  The post-CDC verdict set is byte-identical to a
+    full re-validation at O(changeset) cost — the only re-validation
+    shape that works when the table is 100 TB and the changeset is a
+    few thousand rows."""
+    upsert_sorted(out_dir, changes)
+    return validate_export(out_dir, violation_fn, incremental=True)
+
+
 def _spread_bits16(x: np.ndarray) -> np.ndarray:
     """Spread a 16-bit value's bits to the even positions of a 32-bit
     word (the classic Morton magic-number ladder), vectorized."""
@@ -2954,6 +3059,91 @@ def q_upsert_orders(sf_dir: str, n_ranges: int = 6,
     out = pa.concat_tables([t for t in tabs if t.num_rows]).combine_chunks()
     # parts in range order ARE the table in key order — no sort needed
     return out.select(["o_orderkey", "o_totalprice"])
+
+
+_REVAL_PRICE_CAP = 450_000.0
+
+
+def _orders_price_violations(t: pa.Table) -> pa.Table:
+    """Constraint mirrored by the incremental_revalidation oracle:
+    o_totalprice must not exceed the cap (vectorized; no nulls in the
+    post-merge table — upserts carry explicit prices, deletes are
+    gone)."""
+    bad = pc.fill_null(
+        pc.greater(t["o_totalprice"], _REVAL_PRICE_CAP), False)
+    return t.filter(bad)
+
+
+def q_incremental_revalidation(sf_dir: str, n_ranges: int = 6,
+                               sample_mod: int = 97,
+                               n_inserts: int = 50) -> pa.Table:
+    """INCREMENTAL RE-VALIDATION after CDC — the north rule's
+    per-partition pass/fail kept current at O(changeset) cost: export
+    orders sorted by key with per-range verdicts (price-cap constraint),
+    merge a deterministic changeset (delete keys %7, re-price keys %5 by
+    +300k — flipping many verdicts — and insert new keys past the max),
+    then ``revalidate_upsert`` re-checks ONLY the rewritten ranges;
+    every other verdict is reused via its write-generation-tagged part
+    path.  The returned verdict rows are byte-identical to a full
+    re-validation (pinned by tests); the oracle recomputes the sampled
+    cutpoints, the changeset and the per-range violation counts in SQL,
+    so the driver check is hash-exact.  Cutpoints come from the same
+    position-independent systematic sample as sorted_export_events
+    (keys %97) — per-range verdicts are NOT cutpoint-neutral, so the
+    footer shortcut does not apply here."""
+    import hashlib
+    import shutil
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"k": t["o_orderkey"].filter(pa.array(ids % sample_mod == 0))})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["k"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(orders.map_batches(
+            sample, batch_format="pyarrow")) if t.num_rows]
+        or [np.empty(0, np.int64)]))
+    cutpoints = equidepth_cutpoints(sv, n_ranges)
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", "yaschva_reval", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)  # CDC mutates: fresh run
+    manifest = sorted_export(orders, "o_orderkey", out_dir, cutpoints)
+    validate_export(out_dir, _orders_price_violations)
+    max_key = pc.max(manifest["max_v"]).as_py()
+
+    def change_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        dels = ids % 7 == 0
+        ups = (ids % 5 == 0) & ~dels
+        dt = t.filter(pa.array(dels))
+        ut = t.filter(pa.array(ups))
+        return pa.concat_tables([
+            pa.table({"o_orderkey": dt["o_orderkey"],
+                      "o_totalprice": pa.nulls(dt.num_rows, pa.float64()),
+                      "op": pa.array(["delete"] * dt.num_rows)}),
+            pa.table({"o_orderkey": ut["o_orderkey"],
+                      "o_totalprice": pc.add(ut["o_totalprice"],
+                                             300_000.0),
+                      "op": pa.array(["upsert"] * ut.num_rows)}),
+        ])
+
+    parts = [t for t in gather_tables(orders.map_batches(
+        change_rows, batch_format="pyarrow")) if t.num_rows]
+    ins = pa.table({
+        "o_orderkey": pa.array(
+            [max_key + i for i in range(1, n_inserts + 1)], pa.int64()),
+        "o_totalprice": pa.array(
+            [1.5 * i for i in range(1, n_inserts + 1)], pa.float64()),
+        "op": pa.array(["upsert"] * n_inserts),
+    })
+    changes = pa.concat_tables(parts + [ins]).combine_chunks()
+    verdicts = revalidate_upsert(out_dir, changes,
+                                 _orders_price_violations)
+    return verdicts.filter(pc.greater(verdicts["n_rows"], 0)) \
+        .sort_by([("range_id", "ascending")])
 
 
 def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
