@@ -474,6 +474,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocab_top_tokens' oracle, the trainer by a brute-force-reference
         # equality test on real corpus counts)
         "bpe_merges": bpe.q_bpe_merges,
+        # tokenizer APPLICATION: train then encode the whole corpus
+        # through the broadcast-merges actor pool (iterative greedy
+        # merge loop — not SQL-expressible; distributed==per-word-
+        # reference equality pinned in tests)
+        "bpe_token_counts": bpe.q_bpe_token_counts,
         # Misra-Gries heavy hitters (approximate by design; the
         # presence/bracket guarantee is pinned vs the exact vocabulary)
         "approx_top_tokens": textops.q_approx_top_tokens,

@@ -180,7 +180,7 @@ def bench_queries(sf_dir: str) -> dict:
         # pruned top-M model + scores, end-to-end per iteration)
         "lm_bigram_score",
     ]
-    bpe_names = ["bpe_merges"]
+    bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}
     from yaschva_ray.pipelines import bpe as bpe_mod
     for mod, group in ((ops, names), (textops, text_names),

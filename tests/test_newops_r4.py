@@ -390,6 +390,49 @@ def test_bpe_distributed_word_counts_and_train(ray_session):
     assert [tuple(r.values()) for r in got.to_pylist()] == ref
 
 
+def test_bpe_distributed_encode_matches_reference(ray_session):
+    """Tokenizer APPLICATION: the actor-pool encode over the corpus must
+    equal the per-word reference bpe_encode doc by doc (any batch/actor
+    split), nulls and empty docs counting zero tokens."""
+    import polars as pl
+    import ray.data
+
+    from yaschva_ray.pipelines.bpe import (BpeEncoder, bpe_encode,
+                                           bpe_train, tokenize_ds,
+                                           word_counts_from_ds)
+    from yaschva_ray.pipelines.textops import TOKEN_RE, _read
+    from yaschva_ray.engine.blocks import gather_tables
+
+    ds = _read(SF_DIR, "documents", ["doc_id", "text"])
+    merges = bpe_train(word_counts_from_ds(ds), n_merges=24)
+    got = pa.concat_tables(
+        [t for t in gather_tables(tokenize_ds(ds, merges,
+                                              batch_size=64))
+         if t.num_rows]).sort_by([("doc_id", "ascending")])
+
+    full = pa.concat_tables(gather_tables(ds)).sort_by(
+        [("doc_id", "ascending")])
+    ranks = {(le, r): i for i, (le, r) in enumerate(
+        zip(merges["left"].to_pylist(), merges["right"].to_pylist()))}
+    wl = pl.Series(full["text"].to_pylist()).fill_null("") \
+        .str.extract_all(TOKEN_RE).to_list()
+    assert got["doc_id"].to_pylist() == full["doc_id"].to_pylist()
+    assert got["n_words"].to_pylist() == [len(w) for w in wl]
+    assert got["n_bpe_tokens"].to_pylist() == [
+        sum(len(bpe_encode(w, ranks)) for w in ws) for ws in wl]
+
+    # nulls/empties count zero; the actor cache stays coherent when one
+    # batch repeats words another batch introduced
+    enc = BpeEncoder(merges)
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["newest widest", None, ""],
+                                   pa.string())})
+    r1 = enc(t)
+    r2 = enc(t)  # second call: all words served from the cache
+    assert r1.equals(r2)
+    assert r1["n_bpe_tokens"].to_pylist()[1:] == [0, 0]
+
+
 def test_running_total_matches_pandas(ray_session):
     import duckdb
 

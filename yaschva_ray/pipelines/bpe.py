@@ -35,7 +35,9 @@ import pyarrow.compute as pc
 
 from .textops import TOKEN_RE, _pl_text, _read
 
-__all__ = ["word_counts_from_ds", "bpe_train", "bpe_encode", "q_bpe_merges"]
+__all__ = ["word_counts_from_ds", "bpe_train", "bpe_encode",
+           "BpeEncoder", "tokenize_ds", "q_bpe_merges",
+           "q_bpe_token_counts"]
 
 
 def word_counts_from_ds(ds, num_buckets: int | None = None) -> pa.Table:
@@ -157,6 +159,92 @@ def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
             break
         parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
     return parts
+
+
+class BpeEncoder:
+    """Actor-pool TOKENIZER APPLICATION — the corpus-sized half of BPE,
+    the other direction from training: merges (a few thousand rows even
+    for big vocabularies) are broadcast ONCE via ``ray.put`` and each
+    actor builds its rank dict in ``__init__``; ``__call__`` encodes a
+    batch by dictionary-encoding the exploded words and running the
+    greedy merge loop ONLY over distinct words not already in the
+    actor's cross-batch cache — per-word Python cost is bounded by the
+    actor's distinct-word vocabulary (Heaps' law), never by corpus
+    rows, and everything row-shaped stays numpy (reduceat per-doc
+    sums)."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        merges = (ray.get(merges_ref)
+                  if not isinstance(merges_ref, pa.Table) else merges_ref)
+        self.ranks = {(lt, rt): i for i, (lt, rt) in enumerate(
+            zip(merges["left"].to_pylist(), merges["right"].to_pylist()))}
+        self._cache: dict[str, int] = {}
+
+    def _segments(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is None:
+            n = len(bpe_encode(word, self.ranks))
+            self._cache[word] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        lists = s.str.extract_all(TOKEN_RE).to_arrow()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        # null text -> null list; count as zero tokens like token_count
+        lists = lists.fill_null([])
+        offsets = np.asarray(lists.offsets)
+        flat = lists.values
+        n_words = np.diff(offsets).astype(np.int64)
+        if len(flat):
+            d = pc.dictionary_encode(flat)
+            words = d.dictionary.to_pylist()
+            seg_per_slot = np.fromiter(
+                (self._segments(w) for w in words), np.int64, len(words))
+            per_word = seg_per_slot[np.asarray(d.indices)]
+            # reduceat needs non-empty slices; add.reduceat over doc
+            # starts miscounts empty docs, so sum via cumsum diffs
+            cum = np.concatenate([[0], np.cumsum(per_word)])
+            n_bpe = cum[offsets[1:]] - cum[offsets[:-1]]
+        else:
+            n_bpe = np.zeros(len(t), np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_words": pa.array(n_words, pa.int64()),
+                         "n_bpe_tokens": pa.array(n_bpe, pa.int64())})
+
+
+def tokenize_ds(ds, merges: pa.Table, *, batch_size: int = 4096,
+                concurrency=(2, 8)):
+    """Distributed BPE application over a (doc_id, text) Dataset: the
+    merges table ships to the object store once (``ray.put``), every
+    actor reads it zero-copy — never re-shipped per batch."""
+    import ray
+
+    return ds.map_batches(
+        BpeEncoder, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_args=(ray.put(merges),),
+        concurrency=concurrency, num_cpus=1)
+
+
+def q_bpe_token_counts(sf_dir: str, n_merges: int = 32) -> pa.Table:
+    """End-to-end tokenizer pipeline: train merges on the corpus, then
+    APPLY them back over every document through the ``BpeEncoder``
+    actor pool — per-doc word and BPE-token counts, the sizing signal a
+    training-data pipeline computes before packing.  Deterministic but
+    iterative (rows-only driver check); encode exactness vs the
+    per-word reference ``bpe_encode`` and the actor cache's coherence
+    are pinned in tests."""
+    from ..engine.blocks import gather_tables
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(word_counts_from_ds(ds), n_merges=n_merges)
+    parts = [t for t in gather_tables(tokenize_ds(ds, merges))
+             if t.num_rows]
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("doc_id", "ascending")])
 
 
 def q_bpe_merges(sf_dir: str, n_merges: int = 32) -> pa.Table:
