@@ -425,6 +425,51 @@ def test_cli_sort_and_cluster_statless_fallback(tmp_path):
     assert rep["probe"]["n_hits"] == 31  # 10..40 inclusive
 
 
+def test_cli_revalidate_full_then_incremental(tmp_path):
+    """revalidate: schema verdicts over a cli-sort export, then a CDC
+    changeset re-validates only the touched ranges (reuse visible in
+    the report)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 200
+    t = pa.table({"k": pa.array(list(range(n)), pa.int64()),
+                  "v": pa.array(np.arange(n, dtype=np.float64))})
+    src = tmp_path / "t.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "sorted"
+    r = run_cli("sort", "--input", str(src), "--key", "k",
+                "--out", str(out), "--ranges", "4", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+
+    schema = tmp_path / "schema.json"
+    schema.write_text('{"k": "any", "v": {"$number": {"max": 150}}}')
+    r = run_cli("revalidate", "--dir", str(out), "--schema", str(schema),
+                "--id-cols", "k", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads([l for l in r.stdout.strip().split("\n")
+                      if l.startswith("{")][-1])
+    # v 151..199 violate -> 49 violations, all in the last range
+    assert rep["n_violations"] == 49 and rep["n_failed_ranges"] == 1
+    assert rep["n_revalidated"] == 4 and rep["n_reused"] == 0
+
+    # CDC: k=0 flips over the cap, k=199 (a violator) is deleted
+    ch = pa.table({"k": pa.array([0, 199], pa.int64()),
+                   "v": pa.array([999.0, None], pa.float64()),
+                   "op": pa.array(["upsert", "delete"])})
+    chp = tmp_path / "ch.parquet"
+    pq.write_table(ch, chp)
+    r = run_cli("revalidate", "--dir", str(out), "--schema", str(schema),
+                "--changes", str(chp), "--id-cols", "k",
+                "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads([l for l in r.stdout.strip().split("\n")
+                      if l.startswith("{")][-1])
+    assert rep["n_revalidated"] == 2 and rep["n_reused"] == 2
+    assert rep["n_violations"] == 49 and rep["n_failed_ranges"] == 2
+
+
 def test_cli_sort_and_diff(tmp_path):
     """sort: globally ordered parts + manifest; diff: reconciliation
     report between two snapshots."""

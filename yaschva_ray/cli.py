@@ -475,6 +475,54 @@ def _cmd_cluster(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_revalidate(args: argparse.Namespace) -> int:
+    """Schema validation verdicts over a sorted-export directory — and,
+    with --changes, the CDC loop: merge the changeset, re-validate ONLY
+    the rewritten ranges (verdicts for untouched parts are reused via
+    their generation-tagged paths; see pipelines.ops.validate_export)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .pipelines.ops import (SchemaViolations, revalidate_upsert,
+                                    validate_export)
+
+        with open(args.schema) as f:
+            schema = json.load(f)
+        idc = tuple(c.strip() for c in (args.id_cols or "").split(",")
+                    if c.strip())
+        fn = SchemaViolations(schema, id_columns=idc)
+        if args.changes:
+            verdicts = revalidate_upsert(
+                args.dir, pq.read_table(args.changes), fn)
+        else:
+            verdicts = validate_export(args.dir, fn,
+                                       incremental=not args.full)
+        with open(os.path.join(args.dir, "validation.json")) as f:
+            meta = json.load(f)
+        print(json.dumps({
+            "dir": args.dir,
+            "n_ranges": verdicts.num_rows,
+            "n_revalidated": meta["n_revalidated"],
+            "n_reused": meta["n_reused"],
+            "n_violations": int(pc.sum(verdicts["n_violations"]).as_py()
+                                or 0),
+            "n_failed_ranges": verdicts["pass"].to_pylist().count(False),
+        }))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_diff(args: argparse.Namespace) -> int:
     """Row-level snapshot diff by key (added/removed/modified) — the
     migration reconciliation check (pipelines.ops.table_diff)."""
@@ -811,6 +859,24 @@ def main(argv: list[str] | None = None) -> int:
                          "used when footer statistics are missing)")
     cl.add_argument("--num-cpus", type=int, default=8)
 
+    rv = sub.add_parser(
+        "revalidate",
+        help="schema validation verdicts over a sorted export; with "
+             "--changes, CDC-merge then re-validate only touched ranges")
+    rv.add_argument("--dir", required=True,
+                    help="sorted_export directory (cli sort output)")
+    rv.add_argument("--schema", required=True,
+                    help="yaschva schema JSON file")
+    rv.add_argument("--changes", default=None,
+                    help="changeset parquet (key + payload + 'op' column "
+                         "of upsert/delete) to merge before re-validating")
+    rv.add_argument("--id-cols", default=None,
+                    help="comma-separated id columns for violation rows")
+    rv.add_argument("--full", action="store_true",
+                    help="ignore existing verdicts and re-validate "
+                         "every range")
+    rv.add_argument("--num-cpus", type=int, default=8)
+
     df = sub.add_parser("diff", help="row-level snapshot diff by key "
                                      "(added/removed/modified)")
     df.add_argument("--a", required=True, help="snapshot A parquet glob")
@@ -846,6 +912,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_sort(args)
     if args.cmd == "cluster":
         return _cmd_cluster(args)
+    if args.cmd == "revalidate":
+        return _cmd_revalidate(args)
     if args.cmd == "diff":
         return _cmd_diff(args)
     if args.cmd == "curate":

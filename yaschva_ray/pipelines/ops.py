@@ -2707,6 +2707,24 @@ def validate_export(out_dir: str, violation_fn, *,
     })
 
 
+class SchemaViolations:
+    """``violation_fn`` built from a declarative yaschva schema — the
+    validate_export/revalidate_upsert adapter for the engine's own
+    validator: vectorized mask first, then the mask-driven exploder over
+    only the failing rows.  Compiled once at construction; the instance
+    ships once per range task like any map_batches stage."""
+
+    def __init__(self, schema, id_columns: tuple[str, ...] = ()):
+        from ..vectorized import TableValidator, ViolationExploder
+
+        self._tv = TableValidator(schema, id_columns=id_columns)
+        self._ex = ViolationExploder(schema, id_columns=id_columns)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        masked = self._tv(t)
+        return self._ex(masked.filter(pc.invert(masked["valid"])))
+
+
 def revalidate_upsert(out_dir: str, changes: pa.Table,
                       violation_fn) -> pa.Table:
     """CDC-apply + incremental re-validation in one step: merge
