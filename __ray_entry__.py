@@ -414,6 +414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC merge-apply into a sorted export: delete/update/insert by
         # key, only touched ranges rewritten, manifest commit atomic
         "upsert_orders": ops.q_upsert_orders,
+        # composite clustering: parts in range order ARE the table in
+        # (l_orderkey, l_linenumber) order — returned with NO re-sort
+        "sorted_export_composite": ops.q_sorted_export_composite,
         # persisted mergeable sketch state: incremental == batch invariant
         # (build on evens, fold odds in, equals full-table SQL stats)
         "stats_incremental_lineitem": ops.q_stats_incremental_lineitem,
@@ -1718,6 +1721,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the upsert's delete/update/insert predicates are deterministic,
         # so the merged table is plain relational algebra over orders
+        # the layout IS the order: the Ray side concatenates parts in
+        # range order with NO re-sort, so matching this two-key ORDER BY
+        # hash-exactly proves the composite clustering
+        "sorted_export_composite": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber
+        """,
         "upsert_orders": """
             WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
             mx AS (SELECT max(o_orderkey) AS m FROM base),

@@ -452,6 +452,54 @@ def test_export_gen_survives_compaction_and_upsert(ray_session, tmp_path):
         set(m3["path"].to_pylist())
 
 
+def test_sorted_export_composite_within_and_upsert(ray_session, tmp_path):
+    """`within` secondary keys: parts in range order must BE the table
+    in full composite order, the manifest must record the contract, and
+    an upsert's rewritten ranges must re-sort with the SAME composite
+    keys (not primary-only)."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import sorted_export, upsert_sorted
+
+    rng = np.random.RandomState(7)
+    k = rng.randint(0, 50, 600)  # duplicate primaries: ties matter
+    sub = rng.permutation(600)
+    t = pa.table({"k": pa.array(k, type=pa.int64()),
+                  "sub": pa.array(sub, type=pa.int64()),
+                  "p": pa.array(np.arange(600, dtype=np.float64))})
+    out = str(tmp_path / "comp")
+    sorted_export(ray.data.from_arrow(t).repartition(4), "k", out,
+                  np.array([15, 30], np.int64), within=["sub"])
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["within"] == ["sub"]
+
+    def read_all():
+        return pa.concat_tables(
+            [pq.read_table(r["path"]) for r in
+             sorted(m["ranges"], key=lambda r: r["range_id"])])
+
+    got = read_all()
+    pairs = list(zip(got["k"].to_pylist(), got["sub"].to_pylist()))
+    assert pairs == sorted(pairs)  # full composite order, no merge
+
+    # upsert a row into the middle range: composite order must survive
+    ch = pa.table({"k": pa.array([20], pa.int64()),
+                   "sub": pa.array([-1], pa.int64()),
+                   "p": pa.array([0.5], pa.float64()),
+                   "op": pa.array(["upsert"])})
+    upsert_sorted(out, ch)
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["within"] == ["sub"]  # carried through the rewrite
+    got = read_all()
+    pairs = list(zip(got["k"].to_pylist(), got["sub"].to_pylist()))
+    assert pairs == sorted(pairs)
+    assert (20, -1) in pairs
+
+
 def test_incremental_revalidation_equals_full(ray_session, tmp_path):
     """revalidate_upsert must (a) produce verdicts byte-identical to a
     full re-validation of the post-CDC table, (b) actually REUSE the

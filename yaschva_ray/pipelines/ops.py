@@ -2261,7 +2261,8 @@ def _cleanup_unreferenced_parts(out_dir: str, referenced: set[str],
                     pass
 
 
-def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
+def sorted_export(ds, key: str, out_dir: str, cutpoints, *,
+                  within: list[str] | None = None) -> pa.Table:
     """Globally SORTED parquet export: a range exchange on broadcast
     ``cutpoints`` (every row of range i precedes every row of range i+1),
     then each range sorts locally (nulls first) and writes its own part
@@ -2273,7 +2274,15 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
     boundaries stay honest).  Re-exporting into a live directory is
     crash-safe: parts carry a write generation, so the committed
     snapshot's files are never overwritten in place (see
-    ``_next_export_gen``)."""
+    ``_next_export_gen``).
+
+    ``within`` adds COMPOSITE clustering: secondary sort keys applied
+    inside each range, so reading parts in range order is the table in
+    full ``(key, *within)`` order — the fact-table layout — at zero
+    extra exchange cost (range assignment stays a pure function of the
+    primary key alone; the manifest, lookups and merge joins are
+    unchanged).  Recorded in the manifest as ``within`` so readers can
+    rely on the composite order."""
     import json
 
     import pyarrow.parquet as pq
@@ -2282,10 +2291,12 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
 
     os.makedirs(out_dir, exist_ok=True)
     gen = _next_export_gen(out_dir)
+    sort_keys = [(key, "ascending")] + \
+        [(w, "ascending") for w in (within or [])]
 
     def write_range(bucket_id: int, t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
-            t, sort_keys=[(key, "ascending")], null_placement="at_start")
+            t, sort_keys=sort_keys, null_placement="at_start")
         t = t.take(idx)
         path = os.path.join(out_dir,
                             f"part-g{gen}-{bucket_id:05d}.parquet")
@@ -2323,6 +2334,7 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints) -> pa.Table:
         # default=str: timestamp/date min-max values JSON-serialize as
         # their ISO strings (lookups on such keys pass string probes)
         json.dump({"key": key, "cutpoints": cuts, "export_gen": gen,
+                   "within": list(within or []),
                    "ranges": manifest.to_pylist()}, f, default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     # only now: drop the previous generation's (and any compaction's /
@@ -2457,6 +2469,7 @@ def compact_sorted(out_dir: str, target_bytes: int = 128 << 20) -> pa.Table:
         json.dump({"key": key, "cutpoints": new_cuts,
                    "compaction_gen": gen,
                    "export_gen": int(m.get("export_gen", 0)),
+                   "within": m.get("within", []),
                    "ranges": new_ranges}, f,
                   default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
@@ -2495,6 +2508,8 @@ def upsert_sorted(out_dir: str, changes: pa.Table, *,
         m = json.load(f)
     key = m["key"]
     ranges = sorted(m["ranges"], key=lambda r: r["range_id"])
+    sort_keys = [(key, "ascending")] + \
+        [(w, "ascending") for w in m.get("within", [])]
     # shared write-generation counter with compact_sorted: ANY rewrite
     # bumps it, so upsert-g*/compact-g* filenames never collide with a
     # live part regardless of op interleaving
@@ -2566,8 +2581,11 @@ def upsert_sorted(out_dir: str, changes: pa.Table, *,
                             pa.nulls(ups.num_rows, t.schema.field(c).type))
                         for c in t.column_names})
         new = pa.concat_tables([kept, ups]).combine_chunks()
+        # re-sort with the export's FULL composite order (manifest
+        # `within`) — a primary-only sort would break the clustering
+        # contract inside rewritten ranges
         new = new.take(pc.sort_indices(
-            new, sort_keys=[(key, "ascending")], null_placement="at_start"))
+            new, sort_keys=sort_keys, null_placement="at_start"))
         tmp = out + ".tmp"
         pq.write_table(new, tmp)
         os.replace(tmp, out)
@@ -2602,6 +2620,7 @@ def upsert_sorted(out_dir: str, changes: pa.Table, *,
         json.dump({"key": key, "cutpoints": m["cutpoints"],
                    "compaction_gen": gen,
                    "export_gen": int(m.get("export_gen", 0)),
+                   "within": m.get("within", []),
                    "ranges": new_ranges}, f,
                   default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
@@ -3162,6 +3181,39 @@ def q_incremental_revalidation(sf_dir: str, n_ranges: int = 6,
                                  _orders_price_violations)
     return verdicts.filter(pc.greater(verdicts["n_rows"], 0)) \
         .sort_by([("range_id", "ascending")])
+
+
+def q_sorted_export_composite(sf_dir: str, n_ranges: int = 8) -> pa.Table:
+    """COMPOSITE-clustered export — the fact-table layout: lineitem
+    range-partitioned on l_orderkey with l_linenumber ordered WITHIN
+    each range, so reading parts in range order is the table in full
+    (l_orderkey, l_linenumber) order.  The result is returned in FILE
+    order with no re-sort — the oracle's ORDER BY two keys matching
+    hash-exactly IS the proof the layout carries the composite order.
+    Cutpoints only shift range balance here (row order is a pure
+    function of the keys), so they come from parquet footers — zero
+    extra scans."""
+    import hashlib
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    cutpoints = _cutpoints_footer_or_sample(
+        sf_dir, "lineitem", "l_orderkey", ds, n_ranges, 97)
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", "yaschva_sorted_comp", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sorted_export(ds, "l_orderkey", out_dir, cutpoints,
+                  within=["l_linenumber"])
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    tabs = [pq.read_table(r["path"])
+            for r in sorted(m["ranges"], key=lambda r: r["range_id"])]
+    return pa.concat_tables(
+        [t for t in tabs if t.num_rows]).combine_chunks()
 
 
 def q_sorted_export_events(sf_dir: str, n_ranges: int = 8,
