@@ -411,6 +411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # z-order clustered export (Morton over footer-derived ranks) +
         # manifest-pruned range lookup on either clustered column
         "zorder_lookup": ops.q_zorder_lookup,
+        # the conjunctive (both-column) probe the Morton layout is FOR
+        "zorder_lookup2": ops.q_zorder_lookup2,
         # CDC merge-apply into a sorted export: delete/update/insert by
         # key, only touched ranges rewritten, manifest commit atomic
         "upsert_orders": ops.q_upsert_orders,
@@ -1797,6 +1799,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderkey, o_totalprice, l_quantity
         """,
         # the z-order layout is result-neutral: pruned lookup == BETWEEN
+        # conjunctive two-column probe: layout result-neutral
+        "zorder_lookup2": """
+            SELECT event_id, user_id, value FROM events
+            WHERE user_id BETWEEN 10 AND 40
+              AND value BETWEEN 100.0 AND 160.0
+            ORDER BY event_id
+        """,
         "zorder_lookup": """
             SELECT event_id, user_id, value FROM events
             WHERE value BETWEEN 100.0 AND 120.0

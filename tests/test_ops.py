@@ -452,6 +452,48 @@ def test_export_gen_survives_compaction_and_upsert(ray_session, tmp_path):
         set(m3["path"].to_pylist())
 
 
+def test_zorder_conjunctive_probe_prunes_product(ray_session, tmp_path):
+    """zorder_lookup_multi: the AND of two range probes must (a) equal
+    the full-table filter exactly and (b) read strictly fewer parts
+    than either single-column plan — the multiplicative pruning the
+    Morton layout exists for."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (_zorder_plan_multi,
+                                           zorder_export,
+                                           zorder_lookup_multi)
+
+    n = 20_000
+    rng = np.random.RandomState(5)
+    a = rng.uniform(0, 1000, n)
+    b = rng.uniform(0, 1000, n)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b),
+                  "i": pa.array(np.arange(n, dtype=np.int64))})
+    edges = {"a": np.linspace(0, 1000, 33)[1:-1],
+             "b": np.linspace(0, 1000, 33)[1:-1]}
+    out = str(tmp_path / "z2")
+    zorder_export(ray.data.from_arrow(t).repartition(4), ["a", "b"],
+                  edges, out, n_ranges=64)
+    with open(f"{out}/manifest.json") as f:
+        m = json.load(f)
+    pa_only = _zorder_plan_multi(m, {"a": (100.0, 200.0)})
+    pb_only = _zorder_plan_multi(m, {"b": (500.0, 600.0)})
+    both = _zorder_plan_multi(m, {"a": (100.0, 200.0),
+                                  "b": (500.0, 600.0)})
+    assert set(both) == set(pa_only) & set(pb_only)
+    assert len(both) < min(len(pa_only), len(pb_only))
+
+    got = zorder_lookup_multi(out, {"a": (100.0, 200.0),
+                                    "b": (500.0, 600.0)})
+    want = ((a >= 100) & (a <= 200) & (b >= 500) & (b <= 600))
+    assert got.num_rows == int(want.sum())
+    assert sorted(got["i"].to_pylist()) == \
+        np.arange(n)[want].tolist()
+
+
 def test_sorted_export_composite_within_and_upsert(ray_session, tmp_path):
     """`within` secondary keys: parts in range order must BE the table
     in full composite order, the manifest must record the contract, and

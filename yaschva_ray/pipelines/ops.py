@@ -2887,41 +2887,65 @@ def zorder_export(ds, cols: list[str], edges: dict[str, np.ndarray],
 
 
 def _zorder_lookup_plan(manifest: dict, col: str, lo, hi) -> list[str]:
-    """Parts whose [min_col, max_col] interval can overlap the probe —
-    the manifest as a per-column coarse index (all-null/NaN parts never
-    match a range probe).  Shared by zorder_lookup and the CLI's probe
-    report so the pruning predicate cannot drift."""
-    if col not in manifest["zorder_cols"]:
-        raise ValueError(f"zorder_lookup: {col!r} is not a clustered "
+    """Single-predicate form of `_zorder_plan_multi` — shared by
+    zorder_lookup and the CLI's probe report so the pruning predicate
+    cannot drift."""
+    return _zorder_plan_multi(manifest, {col: (lo, hi)})
+
+
+def _zorder_plan_multi(manifest: dict, preds: dict) -> list[str]:
+    """Parts whose per-column [min, max] intervals can overlap EVERY
+    probe in ``preds`` (a conjunction: col -> (lo, hi)) — the manifest
+    as a coarse multi-column index.  All-null/NaN parts never match a
+    range probe.  Conjunctive pruning is where the z-layout pays: each
+    predicate cuts the survivor set independently, so an AND of two
+    ranges reads roughly the PRODUCT of the single-column fractions."""
+    bad = [c for c in preds if c not in manifest["zorder_cols"]]
+    if bad:
+        raise ValueError(f"zorder_lookup: {bad} is not a clustered "
                          f"column ({manifest['zorder_cols']})")
     return [r["path"] for r in manifest["ranges"]
-            if r["n_rows"] and r[f"min_{col}"] is not None
-            and r[f"min_{col}"] <= hi and lo <= r[f"max_{col}"]]
+            if r["n_rows"] and all(
+                r[f"min_{c}"] is not None
+                and r[f"min_{c}"] <= hi and lo <= r[f"max_{c}"]
+                for c, (lo, hi) in preds.items())]
 
 
 def zorder_lookup(out_dir: str, col: str, lo, hi) -> pa.Table:
     """Range predicate ``lo <= col <= hi`` over a ``zorder_export``
-    directory: the manifest's per-part [min_col, max_col] prunes to the
-    parts whose interval overlaps the probe (on EITHER clustered column
-    — the point of the layout), then the exact vectorized filter runs
-    inside just those parts.  All-null/NaN parts never match a range
-    probe and are skipped."""
+    directory — see ``zorder_lookup_multi`` (this is the one-predicate
+    form)."""
+    return zorder_lookup_multi(out_dir, {col: (lo, hi)})
+
+
+def zorder_lookup_multi(out_dir: str, preds: dict) -> pa.Table:
+    """CONJUNCTION of range predicates (``col -> (lo, hi)``, ANDed)
+    over a ``zorder_export`` directory: the manifest's per-part
+    [min, max] intervals prune on every probed column at once — the
+    multi-dimensional payoff of the z-layout, where an AND of two
+    ranges reads ~the product of the single-column part fractions —
+    then the exact vectorized filter runs inside just the surviving
+    parts.  All-null/NaN parts never match a range probe."""
     import json
 
     from ..engine.blocks import gather_tables
 
     with open(os.path.join(out_dir, "manifest.json")) as f:
         m = json.load(f)
-    files = _zorder_lookup_plan(m, col, lo, hi)
+    files = _zorder_plan_multi(m, preds)
     if not files:
         return pa.table({})
     import ray.data
 
     def filt(t: pa.Table) -> pa.Table:
-        if col not in t.column_names:
+        if any(c not in t.column_names for c in preds):
             return t
-        return t.filter(pc.and_(pc.greater_equal(t[col], lo),
-                                pc.less_equal(t[col], hi)))
+        mask = None
+        for c, (lo, hi) in preds.items():
+            one = pc.and_(pc.greater_equal(t[c], lo),
+                          pc.less_equal(t[c], hi))
+            mask = one if mask is None else pc.and_(mask, one)
+        return t.filter(mask)
 
     parts = [t for t in gather_tables(
         ray.data.read_parquet(files).map_batches(filt,
@@ -3029,6 +3053,34 @@ def q_sorted_merge_join(sf_dir: str, n_ranges: int = 6,
         .sort_by([("o_orderkey", "ascending"),
                   ("o_totalprice", "ascending"),
                   ("l_quantity", "ascending")])
+
+
+def q_zorder_lookup2(sf_dir: str, n_ranges: int = 64) -> pa.Table:
+    """CONJUNCTIVE two-column probe over the z-layout — the query shape
+    the Morton interleave exists for: ``user_id BETWEEN 10 AND 40 AND
+    value BETWEEN 100 AND 160`` prunes the manifest on BOTH columns'
+    per-part min/max (the survivor set is ~the product of the two
+    single-column fractions), exact filter inside only those parts.
+    Layout result-neutral → plain two-BETWEEN SQL oracle."""
+    import hashlib
+    import shutil
+
+    path = os.path.join(sf_dir, "events.parquet")
+    edges = footer_equidepth_cutpoints_multi(
+        path, ["user_id", "value"], 257)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "yaschva_zorder2", tag)
+    shutil.rmtree(out, ignore_errors=True)
+    zorder_export(ds, ["user_id", "value"], edges, out, n_ranges=n_ranges)
+    res = zorder_lookup_multi(out, {"user_id": (10, 40),
+                                    "value": (100.0, 160.0)})
+    if not res.num_rows:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "user_id": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    return res.select(["event_id", "user_id", "value"]) \
+        .sort_by([("event_id", "ascending")])
 
 
 def q_upsert_orders(sf_dir: str, n_ranges: int = 6,
