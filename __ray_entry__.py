@@ -413,6 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_lookup": ops.q_zorder_lookup,
         # the conjunctive (both-column) probe the Morton layout is FOR
         "zorder_lookup2": ops.q_zorder_lookup2,
+        # the global as-of over the lakehouse layout: shared time
+        # cutpoints, one task per range pair + a one-row boundary carry
+        "events_asof_sorted": ops.q_events_asof_sorted,
         # CDC merge-apply into a sorted export: delete/update/insert by
         # key, only touched ranges rewritten, manifest commit atomic
         "upsert_orders": ops.q_upsert_orders,
@@ -1951,6 +1954,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # keyless as-of: DuckDB's own ASOF JOIN is the oracle (right side
         # pre-aggregated to unique timestamps on both sides identically)
+        # same semantics through the sorted-layout as-of (shuffle-free):
+        # layout result-neutral, so the oracle is the same ASOF JOIN
+        "events_asof_sorted": """
+            WITH r AS (
+                SELECT ts AS rts, MAX(event_id) AS ref_id FROM events
+                WHERE event_type = 'view' GROUP BY ts
+            ), l AS (
+                SELECT event_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id, r.ref_id
+            FROM l ASOF LEFT JOIN r ON l.ts >= r.rts
+            ORDER BY event_id
+        """,
         "events_global_asof": """
             WITH r AS (
                 SELECT ts AS rts, MAX(event_id) AS ref_id FROM events

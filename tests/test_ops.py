@@ -452,6 +452,50 @@ def test_export_gen_survives_compaction_and_upsert(ray_session, tmp_path):
         set(m3["path"].to_pylist())
 
 
+def test_asof_merge_join_sorted_boundaries(ray_session, tmp_path):
+    """Sorted-layout as-of: boundary carry across EMPTY right ranges,
+    left rows before any right row keep typed nulls, and the contracts
+    (duplicate right times, mismatched cutpoints) raise."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (asof_merge_join_sorted,
+                                           sorted_export)
+
+    # right rows only at times 5 and 7: ranges (10,20] and (20,30] are
+    # EMPTY on the right — their lefts must carry from the t=7 row two
+    # ranges back
+    left = pa.table({"lid": pa.array(list(range(8)), pa.int64()),
+                     "t": pa.array([1., 6., 8., 12., 19., 22., 31., 3.])})
+    right = pa.table({"rt": pa.array([5., 7.]),
+                      "ref": pa.array([50, 70], pa.int64())})
+    cuts = np.array([10.0, 20.0, 30.0])
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    sorted_export(ray.data.from_arrow(left).repartition(3), "t", dl, cuts)
+    sorted_export(ray.data.from_arrow(right), "rt", dr, cuts)
+    got = asof_merge_join_sorted(dl, dr).sort_by([("lid", "ascending")])
+    # lid: 0(t=1)->null, 1(6)->50, 2(8)->70, 3(12)->70, 4(19)->70,
+    #      5(22)->70, 6(31)->70, 7(3)->null
+    assert got["ref"].to_pylist() == [None, 50, 70, 70, 70, 70, 70, None]
+
+    # duplicate right timestamps are ambiguous -> loud failure
+    dup = pa.table({"rt": pa.array([5., 5.]),
+                    "ref": pa.array([1, 2], pa.int64())})
+    dd = str(tmp_path / "dup")
+    sorted_export(ray.data.from_arrow(dup), "rt", dd, cuts)
+    with pytest.raises((ValueError, Exception),
+                       match="strictly increasing"):
+        asof_merge_join_sorted(dl, dd)
+
+    # different cutpoints -> refuse instead of mis-aligning
+    d2 = str(tmp_path / "r2")
+    sorted_export(ray.data.from_arrow(right), "rt", d2,
+                  np.array([15.0]))
+    with pytest.raises(ValueError, match="DIFFERENT cutpoints"):
+        asof_merge_join_sorted(dl, d2)
+
+
 def test_zorder_conjunctive_probe_prunes_product(ray_session, tmp_path):
     """zorder_lookup_multi: the AND of two range probes must (a) equal
     the full-table filter exactly and (b) read strictly fewer parts

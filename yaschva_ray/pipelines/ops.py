@@ -3023,6 +3023,115 @@ def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner") -> pa.Table
         .combine_chunks()
 
 
+def asof_merge_join_sorted(dir_left: str, dir_right: str) -> pa.Table:
+    """SHUFFLE-FREE backward AS-OF join of two ``sorted_export``
+    directories sharing TIME cutpoints — the temporal sibling of
+    ``merge_join_sorted``: each left row gets the latest right row at or
+    before its time.  Time-range co-location means a range pair joins
+    locally; the only cross-range dependency is the AS-OF BOUNDARY — a
+    left row earlier than every right row in its range matches the LAST
+    right row of the nearest earlier non-empty range — satisfied by ONE
+    carry row per task, read from only the FINAL row group of that part
+    (a few KB at any scale, never the part).  Contracts: strictly
+    increasing non-null right times (raises — ties would make the match
+    ambiguous), non-null left times, fully disjoint column names.
+    Unmatched left rows keep typed nulls on the right (left-outer as-of,
+    the SQL ASOF LEFT JOIN shape)."""
+    import json
+
+    import ray
+
+    def load(d):
+        with open(os.path.join(d, "manifest.json")) as f:
+            return json.load(f)
+
+    ml, mr = load(dir_left), load(dir_right)
+    if ml["cutpoints"] != mr["cutpoints"]:
+        raise ValueError(
+            "asof_merge_join_sorted: the two exports were partitioned "
+            "with DIFFERENT cutpoints — time ranges are not co-located; "
+            "re-export one side with the other's cutpoints")
+    rl = {r["range_id"]: r for r in ml["ranges"]}
+    rr = {r["range_id"]: r for r in mr["ranges"]}
+    carry: dict[int, str | None] = {}
+    last = None
+    for rid in sorted(rr):
+        carry[rid] = last
+        if rr[rid]["n_rows"]:
+            last = rr[rid]["path"]
+
+    @ray.remote
+    def join_range(lpath: str, rpath: str | None, carry_path: str | None,
+                   kl: str, kr: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        tl = pq.read_table(lpath)
+        parts = []
+        if carry_path is not None:
+            f = pq.ParquetFile(carry_path)
+            tail = f.read_row_group(f.num_row_groups - 1)
+            parts.append(tail.slice(tail.num_rows - 1, 1))
+        if rpath is not None:
+            tr_own = pq.read_table(rpath)
+            if tr_own.num_rows:
+                parts.append(tr_own)
+        tr = (pa.concat_tables(parts).combine_chunks() if parts
+              else None)
+        if tr is not None:
+            shared = set(tl.column_names) & set(tr.column_names)
+            if shared:
+                raise ValueError(
+                    "asof_merge_join_sorted requires disjoint column "
+                    f"names; shared: {sorted(shared)}")
+        rschema = tr.schema if tr is not None else None
+        if not tl.num_rows:
+            return tl  # empty left range: schema restored at concat
+        lt_arr = tl[kl]
+        if lt_arr.null_count:
+            raise ValueError("asof_merge_join_sorted: null left times")
+        lt = np.asarray(lt_arr.to_numpy(zero_copy_only=False))
+        out = {c: tl[c] for c in tl.column_names}
+        if tr is None:
+            return tl  # no right rows at or before this range
+        rt_arr = tr[kr]
+        if rt_arr.null_count:
+            raise ValueError("asof_merge_join_sorted: null right times")
+        rt = np.asarray(rt_arr.to_numpy(zero_copy_only=False))
+        if len(rt) > 1 and not (rt[1:] > rt[:-1]).all():
+            raise ValueError(
+                "asof_merge_join_sorted: right times must be strictly "
+                "increasing (duplicate timestamps make the as-of match "
+                "ambiguous — pre-aggregate the right side)")
+        idx = np.searchsorted(rt, lt, side="right") - 1
+        ok = idx >= 0
+        safe = pa.array(np.where(ok, idx, 0), pa.int64())
+        okm = pa.array(ok)
+        for c in tr.column_names:
+            taken = tr[c].take(safe)
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            out[c] = pc.if_else(okm, taken,
+                                pa.nulls(len(ok), rschema.field(c).type))
+        return pa.table(out)
+
+    missing = sorted(set(rl) - set(rr))
+    if missing:  # equal cutpoints imply equal range ids on both sides
+        raise ValueError(
+            f"asof_merge_join_sorted: ranges {missing} missing from the "
+            "right manifest — manifests disagree")
+    refs = [join_range.remote(rl[i]["path"], rr[i]["path"],
+                              carry.get(i), ml["key"], mr["key"])
+            for i in sorted(rl)]
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default") \
+        .combine_chunks()
+
+
 def q_sorted_merge_join(sf_dir: str, n_ranges: int = 6,
                         sample_mod: int = 17) -> pa.Table:
     """orders ⋈ lineitem with ZERO shuffle at join time: both tables are
@@ -3233,6 +3342,70 @@ def q_incremental_revalidation(sf_dir: str, n_ranges: int = 6,
                                  _orders_price_violations)
     return verdicts.filter(pc.greater(verdicts["n_rows"], 0)) \
         .sort_by([("range_id", "ascending")])
+
+
+def q_events_asof_sorted(sf_dir: str, n_ranges: int = 8,
+                         sample_mod: int = 97) -> pa.Table:
+    """The global as-of expressed over the LAKEHOUSE LAYOUT: purchases
+    and the deduped view-reference series are both range-exported on the
+    SAME sampled time cutpoints, then ``asof_merge_join_sorted`` aligns
+    each purchase to the latest view at or before it with zero shuffle —
+    one task per range pair plus a one-row boundary carry.  Same
+    semantics as events_global_asof (exchange-based), same DuckDB ASOF
+    oracle; the layout is result-neutral, so cutpoint placement never
+    changes a row.  The deduped right side is gathered through bounded
+    per-block partials (distinct view timestamps — sublinear in events)
+    before its export."""
+    import hashlib
+    import shutil
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["event_type"], "purchase")
+        return pa.table({"event_id": t["event_id"].filter(keep),
+                         "ts": t["ts"].filter(keep)})
+
+    def right_partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["event_type"], "view")
+        v = t.filter(keep)
+        g = v.group_by("ts").aggregate([("event_id", "max")])
+        return pa.table({"rts": g["ts"], "ref_id": g["event_id_max"]})
+
+    def ts_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"ts": t["ts"].filter(pa.array(ids % sample_mod == 0))})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["ts"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(events.map_batches(
+            ts_sample, batch_format="pyarrow")) if t.num_rows]
+        or [np.empty(0, "datetime64[us]")]))
+    cuts = equidepth_cutpoints(sv, n_ranges)
+
+    rparts = [t for t in gather_tables(events.map_batches(
+        right_partial, batch_format="pyarrow")) if t.num_rows]
+    rtab = pa.concat_tables(rparts).combine_chunks()
+    g = rtab.group_by("rts").aggregate([("ref_id", "max")])
+    rtab = pa.table({"rts": g["rts"], "ref_id": g["ref_id_max"]})
+
+    import ray.data
+
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join("/tmp", "yaschva_asof_sorted", tag)
+    shutil.rmtree(base, ignore_errors=True)
+    dl, dr = os.path.join(base, "purchases"), os.path.join(base, "views")
+    sorted_export(events.map_batches(left_rows, batch_format="pyarrow"),
+                  "ts", dl, cuts)
+    sorted_export(ray.data.from_arrow(rtab).repartition(4), "rts", dr,
+                  cuts)
+    res = asof_merge_join_sorted(dl, dr)
+    if not res.num_rows:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "ref_id": pa.array([], pa.int64())})
+    return res.select(["event_id", "ref_id"]) \
+        .sort_by([("event_id", "ascending")])
 
 
 def q_sorted_export_composite(sf_dir: str, n_ranges: int = 8) -> pa.Table:
