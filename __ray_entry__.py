@@ -416,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the global as-of over the lakehouse layout: shared time
         # cutpoints, one task per range pair + a one-row boundary carry
         "events_asof_sorted": ops.q_events_asof_sorted,
+        # TTL: whole expired ranges drop manifest-only, one boundary
+        # part rewrites
+        "retention_events": ops.q_retention_events,
         # CDC merge-apply into a sorted export: delete/update/insert by
         # key, only touched ranges rewritten, manifest commit atomic
         "upsert_orders": ops.q_upsert_orders,
@@ -1954,6 +1957,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # keyless as-of: DuckDB's own ASOF JOIN is the oracle (right side
         # pre-aggregated to unique timestamps on both sides identically)
+        # retention: the layout is result-neutral, the delete is WHERE
+        "retention_events": """
+            SELECT event_id, ts FROM events
+            WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+            ORDER BY event_id
+        """,
         # same semantics through the sorted-layout as-of (shuffle-free):
         # layout result-neutral, so the oracle is the same ASOF JOIN
         "events_asof_sorted": """

@@ -452,6 +452,50 @@ def test_export_gen_survives_compaction_and_upsert(ray_session, tmp_path):
         set(m3["path"].to_pylist())
 
 
+def test_retention_delete_manifest_only_drops(ray_session, tmp_path):
+    """retention_delete: wholly-expired ranges drop WITHOUT reading or
+    writing data (all dropped rows share one empty part; live parts'
+    files stay byte-identical), only the straddling range rewrites,
+    null keys expire, and the read-back equals the plain filter."""
+    import json
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import retention_delete, sorted_export
+
+    vals = [None, None] + list(range(100))
+    t = pa.table({"k": pa.array(vals, pa.int64()),
+                  "p": pa.array(list(range(102)), pa.int64())})
+    out = str(tmp_path / "ret")
+    cuts = np.array([25, 50, 75], np.int64)
+    sorted_export(ray.data.from_arrow(t).repartition(4), "k", out, cuts)
+    m0 = {r["range_id"]: r for r in
+          json.load(open(f"{out}/manifest.json"))["ranges"]}
+    live_mtime = _os.path.getmtime(m0[3]["path"])  # k 75..99: untouched
+
+    manifest = retention_delete(out, 60)
+    rows = {r["range_id"]: r for r in manifest.to_pylist()}
+    # ranges 0 (nulls + 0..24) and 1 (25..49) wholly expired -> shared
+    # empty part; range 2 (50..74) straddles -> rewritten; range 3 live
+    assert rows[0]["n_rows"] == 0 and rows[1]["n_rows"] == 0
+    assert rows[0]["path"] == rows[1]["path"]
+    assert rows[0]["path"].endswith("-empty.parquet")
+    assert rows[2]["n_rows"] == 15 and "retain-" in rows[2]["path"]
+    assert rows[3] == {**m0[3], "min_v": str(m0[3]["min_v"]),
+                       "max_v": str(m0[3]["max_v"])}
+    assert _os.path.getmtime(m0[3]["path"]) == live_mtime  # byte-equal
+    got = pa.concat_tables(
+        [pq.read_table(rows[i]["path"]) for i in sorted(rows)
+         if rows[i]["n_rows"]])
+    assert got["k"].to_pylist() == list(range(60, 100))
+    # old parts of dropped/rewritten ranges were removed post-commit
+    for rid in (0, 1, 2):
+        assert not _os.path.exists(m0[rid]["path"])
+
+
 def test_asof_merge_join_sorted_boundaries(ray_session, tmp_path):
     """Sorted-layout as-of: boundary carry across EMPTY right ranges,
     left rows before any right row keep typed nulls, and the contracts

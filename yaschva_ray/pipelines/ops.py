@@ -2726,6 +2726,122 @@ def validate_export(out_dir: str, violation_fn, *,
     })
 
 
+def retention_delete(out_dir: str, cutoff) -> pa.Table:
+    """TTL/retention DELETE over a ``sorted_export`` directory: drop
+    every row with ``key < cutoff``.  The layout makes this almost
+    free — a part whose max_v < cutoff is dropped by MANIFEST EDIT
+    alone (no read, no write: deleting 90% of a 100 TB table costs
+    zero data IO), a part whose min_v >= cutoff is untouched, and only
+    the part(s) STRADDLING the cutoff rewrite (vectorized filter,
+    bumped write generation).  All-null-key rows sort first and count
+    as expired (null < cutoff, matching the export's null placement).
+    Commits follow the house protocol: new parts first, atomic
+    manifest commit, THEN unreferenced files are removed.  Returns the
+    new manifest rows.  Any existing validation.json verdicts stay
+    correct for untouched ranges (paths unchanged) and re-check
+    exactly the rewritten/dropped ones on the next incremental
+    ``validate_export``."""
+    import json
+
+    import ray
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    key = m["key"]
+    ranges = sorted(m["ranges"], key=lambda r: r["range_id"])
+    gen = int(m.get("compaction_gen", 0)) + 1
+
+    # manifest min/max of non-JSON key types (timestamps/dates) arrive
+    # as their ISO strings (default=str at write) — re-type against the
+    # cutoff's domain, the same rule upsert_sorted applies to cutpoints
+    cut_np = np.asarray(cutoff)
+
+    def _typed(v):
+        if v is None:
+            return None
+        return np.array(v, dtype=cut_np.dtype)[()] \
+            if isinstance(v, str) else v
+
+    @ray.remote
+    def trim_range(rid: int, path: str, out: str, cutoff_) -> dict:
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        t = pq.read_table(path)
+        arr = t[key]
+        # nulls expire with the old data (they sort before every value)
+        keep = pc.fill_null(pc.greater_equal(arr, cutoff_), False)
+        new = t.filter(keep)
+        tmp = out + f".tmp-{os.getpid()}"
+        pq.write_table(new, tmp)
+        os.replace(tmp, out)
+        karr = new[key]
+        ktype = new.schema.field(key).type
+        mm = (pc.min_max(karr) if new.num_rows - karr.null_count
+              else {"min": pa.scalar(None, ktype),
+                    "max": pa.scalar(None, ktype)})
+        return {"range_id": rid, "n_rows": new.num_rows,
+                "n_nulls": karr.null_count, "min_v": mm["min"].as_py(),
+                "max_v": mm["max"].as_py(), "path": out}
+
+    # classify; wholly-expired ranges need NO read or write — every one
+    # of them shares a single empty part written once per run (so
+    # manifest paths stay uniform for co-partitioned merge joins)
+    refs, final, dropped, rewritten = {}, [], 0, 0
+    empty_path = None
+    for r in ranges:
+        if r["n_rows"] == 0 or (r["max_v"] is not None
+                                and _typed(r["max_v"]) < cutoff):
+            dropped += 1
+            if empty_path is None:
+                empty_path = os.path.join(
+                    out_dir, f"retain-g{gen}-empty.parquet")
+                empty = pq.read_schema(r["path"]).empty_table()
+                tmp = empty_path + f".tmp-{os.getpid()}"
+                pq.write_table(empty, tmp)
+                os.replace(tmp, empty_path)
+            final.append({**r, "n_rows": 0, "n_nulls": 0, "min_v": None,
+                          "max_v": None, "path": empty_path})
+        elif r["min_v"] is not None and _typed(r["min_v"]) >= cutoff \
+                and r["n_nulls"] == 0:
+            final.append(r)  # wholly live: untouched, byte-equal
+        else:
+            rewritten += 1
+            out = os.path.join(out_dir,
+                               f"retain-g{gen}-{r['range_id']:05d}.parquet")
+            refs[r["range_id"]] = trim_range.remote(
+                r["range_id"], r["path"], out, cutoff)
+            final.append(None)  # placeholder, filled from the task below
+    done = {rid: ray.get(ref) for rid, ref in refs.items()}
+    final = [done[ranges[i]["range_id"]] if f is None else f
+             for i, f in enumerate(final)]
+    import logging
+
+    logging.getLogger("yaschva_ray.ops").info(
+        "retention_delete: %d ranges dropped manifest-only, %d "
+        "rewritten, %d untouched", dropped, rewritten,
+        len(final) - dropped - rewritten)
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "cutpoints": m["cutpoints"],
+                   "compaction_gen": gen,
+                   "export_gen": int(m.get("export_gen", 0)),
+                   "within": m.get("within", []),
+                   "ranges": final}, f, default=str)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    live = {r["path"] for r in final}
+    _cleanup_unreferenced_parts(
+        out_dir, live, ("part-", "compact-", "upsert-", "retain-"))
+    # returned min/max normalize to the manifest's JSON form (strings
+    # for non-JSON key types): untouched rows carry manifest strings,
+    # rewritten rows carry live scalars — unify like default=str does
+    return pa.Table.from_pylist([
+        {**r, "min_v": None if r["min_v"] is None else str(r["min_v"]),
+         "max_v": None if r["max_v"] is None else str(r["max_v"])}
+        for r in final])
+
+
 class SchemaViolations:
     """``violation_fn`` built from a declarative yaschva schema — the
     validate_export/revalidate_upsert adapter for the engine's own
@@ -3342,6 +3458,51 @@ def q_incremental_revalidation(sf_dir: str, n_ranges: int = 6,
                                  _orders_price_violations)
     return verdicts.filter(pc.greater(verdicts["n_rows"], 0)) \
         .sort_by([("range_id", "ascending")])
+
+
+def q_retention_events(sf_dir: str, n_ranges: int = 10,
+                       sample_mod: int = 97) -> pa.Table:
+    """RETENTION over the time-sorted layout: export events ordered by
+    ts, delete everything before 2024-01-22 — wholly-expired ranges
+    drop by manifest edit (zero data IO; at 100 TB deleting most of
+    the table costs one boundary-part rewrite), only the straddling
+    range filters and rewrites.  Read back from the manifest; the
+    oracle is the plain WHERE.  Cutpoints are result-neutral (the
+    survivor set is a pure function of ts), so they come from the
+    deterministic sample only for balance."""
+    import hashlib
+    import shutil
+
+    cutoff = np.datetime64("2024-01-22T00:00:00.000000")
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def ts_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"ts": t["ts"].filter(pa.array(ids % sample_mod == 0))})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["ts"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(ds.map_batches(
+            ts_sample, batch_format="pyarrow")) if t.num_rows]
+        or [np.empty(0, "datetime64[us]")]))
+    cuts = equidepth_cutpoints(sv, n_ranges)
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", "yaschva_retention", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)  # delete mutates: fresh
+    sorted_export(ds, "ts", out_dir, cuts)
+    manifest = retention_delete(out_dir, cutoff)
+
+    import pyarrow.parquet as pq
+
+    tabs = [pq.read_table(r["path"])
+            for r in sorted(manifest.to_pylist(),
+                            key=lambda r: r["range_id"]) if r["n_rows"]]
+    if not tabs:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "ts": pa.array([], pa.timestamp("us"))})
+    return pa.concat_tables(tabs).combine_chunks() \
+        .sort_by([("event_id", "ascending")])
 
 
 def q_events_asof_sorted(sf_dir: str, n_ranges: int = 8,
