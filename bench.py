@@ -143,6 +143,10 @@ def bench_queries(sf_dir: str) -> dict:
         # CDC + incremental re-validation: full export + validate +
         # changeset + touched-ranges-only recheck, cold each iteration
         "incremental_revalidation",
+        # lakehouse-layout family: shuffle-free as-of over shared time
+        # cutpoints (both exports built each iteration) + TTL delete
+        # with manifest-only drops
+        "events_asof_sorted", "retention_events",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

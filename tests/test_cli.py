@@ -470,6 +470,37 @@ def test_cli_revalidate_full_then_incremental(tmp_path):
     assert rep["n_violations"] == 49 and rep["n_failed_ranges"] == 2
 
 
+def test_cli_retain(tmp_path):
+    """retain: TTL delete over a cli-sort export — kept rows equal the
+    plain filter; expired ranges' original files are gone."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 300
+    t = pa.table({"k": pa.array(list(range(n)), pa.int64()),
+                  "v": pa.array(np.arange(n, dtype=np.float64))})
+    src = tmp_path / "t.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "sorted"
+    r = run_cli("sort", "--input", str(src), "--key", "k",
+                "--out", str(out), "--ranges", "5", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+
+    r = run_cli("retain", "--dir", str(out), "--cutoff", "130",
+                "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads([l for l in r.stdout.strip().split("\n")
+                      if l.startswith("{")][-1])
+    assert rep["n_rows_kept"] == n - 130
+    m = json.load(open(out / "manifest.json"))
+    got = pa.concat_tables(
+        [pq.read_table(x["path"]) for x in
+         sorted(m["ranges"], key=lambda x: x["range_id"])
+         if x["n_rows"]])
+    assert got["k"].to_pylist() == list(range(130, n))
+
+
 def test_cli_sort_and_diff(tmp_path):
     """sort: globally ordered parts + manifest; diff: reconciliation
     report between two snapshots."""

@@ -523,6 +523,42 @@ def _cmd_revalidate(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_retain(args: argparse.Namespace) -> int:
+    """TTL delete over a sorted export: ranges wholly below the cutoff
+    drop by manifest edit (zero data IO), only straddling parts
+    rewrite (see pipelines.ops.retention_delete)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from .pipelines.ops import retention_delete
+
+        cutoff = args.cutoff
+        try:  # numeric cutoffs first; anything else is a timestamp
+            cutoff = int(cutoff) if cutoff.lstrip("-").isdigit() \
+                else float(cutoff)
+        except ValueError:
+            cutoff = np.datetime64(cutoff)
+        manifest = retention_delete(args.dir, cutoff)
+        print(json.dumps({
+            "dir": args.dir, "cutoff": str(cutoff),
+            "n_ranges": manifest.num_rows,
+            "n_rows_kept": int(pc.sum(manifest["n_rows"]).as_py() or 0),
+        }))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_diff(args: argparse.Namespace) -> int:
     """Row-level snapshot diff by key (added/removed/modified) — the
     migration reconciliation check (pipelines.ops.table_diff)."""
@@ -877,6 +913,16 @@ def main(argv: list[str] | None = None) -> int:
                          "every range")
     rv.add_argument("--num-cpus", type=int, default=8)
 
+    rt = sub.add_parser(
+        "retain",
+        help="TTL delete over a sorted export: drop key < cutoff "
+             "(whole expired ranges drop manifest-only)")
+    rt.add_argument("--dir", required=True,
+                    help="sorted_export directory (cli sort output)")
+    rt.add_argument("--cutoff", required=True,
+                    help="retention cutoff: number or ISO timestamp")
+    rt.add_argument("--num-cpus", type=int, default=8)
+
     df = sub.add_parser("diff", help="row-level snapshot diff by key "
                                      "(added/removed/modified)")
     df.add_argument("--a", required=True, help="snapshot A parquet glob")
@@ -914,6 +960,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_cluster(args)
     if args.cmd == "revalidate":
         return _cmd_revalidate(args)
+    if args.cmd == "retain":
+        return _cmd_retain(args)
     if args.cmd == "diff":
         return _cmd_diff(args)
     if args.cmd == "curate":
