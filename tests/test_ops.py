@@ -523,6 +523,17 @@ def test_asof_merge_join_sorted_boundaries(ray_session, tmp_path):
     #      5(22)->70, 6(31)->70, 7(3)->null
     assert got["ref"].to_pylist() == [None, 50, 70, 70, 70, 70, 70, None]
 
+    # right export with ZERO rows: lefts keep TYPED null right columns
+    import pyarrow.parquet as pq
+
+    empty_r = right.slice(0, 0)
+    de = str(tmp_path / "rempty")
+    sorted_export(ray.data.from_arrow(empty_r), "rt", de, cuts)
+    got0 = asof_merge_join_sorted(dl, de)
+    assert got0.num_rows == left.num_rows
+    assert got0["ref"].null_count == left.num_rows
+    assert got0.schema.field("ref").type == pa.int64()
+
     # duplicate right timestamps are ambiguous -> loud failure
     dup = pa.table({"rt": pa.array([5., 5.]),
                     "ref": pa.array([1, 2], pa.int64())})
@@ -659,10 +670,10 @@ def test_incremental_revalidation_equals_full(ray_session, tmp_path):
     # ranges 0-2 clean, range 3 (k 75..99) has v 81..99 -> 19 violations
     assert v0["n_violations"].to_pylist() == [0, 0, 0, 19]
     assert v0["pass"].to_pylist() == [True, True, True, False]
-    # violations parquet written next to the failing part only
+    # violations parquet written (sidecar dir) for the failing part only
     import glob as _glob
 
-    vfiles = _glob.glob(f"{out}/*.violations.parquet")
+    vfiles = _glob.glob(f"{out}/violations/*.parquet")
     assert len(vfiles) == 1
 
     # CDC: push k=10 over the cap (range 0 flips to fail), delete k=90
@@ -685,9 +696,21 @@ def test_incremental_revalidation_equals_full(ray_session, tmp_path):
     assert meta["n_reused"] == 0
     assert int(pa.compute.sum(v2["n_violations"]).as_py()) == 19
     # the flipped-clean range's old violations file was cleaned up
-    for p in _glob.glob(f"{out}/*.violations.parquet"):
+    for p in _glob.glob(f"{out}/violations/*.parquet"):
         live = json.load(open(f"{out}/validation.json"))["verdicts"]
         assert p in {v["violations_path"] for v in live}
+
+    # a CHANGED violation_fn discards every verdict (fn_tag mismatch):
+    # reusing schema-A verdicts under schema B would silently lie
+    def stricter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.fill_null(_pc.greater(t["v"], 50.0), False))
+
+    v3 = validate_export(out, stricter, incremental=True)
+    meta = json.load(open(f"{out}/validation.json"))
+    assert meta["n_reused"] == 0  # every range re-validated
+    assert int(pa.compute.sum(v3["n_violations"]).as_py()) > 19
 
 
 def test_zorder_reexport_generation(ray_session, tmp_path):

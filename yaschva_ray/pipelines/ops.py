@@ -2244,17 +2244,26 @@ def _next_export_gen(out_dir: str) -> int:
         return 0
 
 
+# every writer that can rewrite a sorted-export part; shared so no
+# caller's cleanup can drift to a subset and orphan another's files
+_SORTED_PART_PREFIXES = ("part-", "compact-", "upsert-", "retain-")
+
+
 def _cleanup_unreferenced_parts(out_dir: str, referenced: set[str],
                                 prefixes: tuple[str, ...]) -> None:
     """AFTER a manifest commit: remove part files the new manifest does
     not reference (previous generations; a wider earlier run's orphans)
     so a directory reader never sees rows the manifest does not account
-    for.  Only files matching the export's own prefixes are touched."""
+    for.  Only files matching the export's own prefixes are touched.
+    Paths compare by ``realpath`` — the manifest's spelling of out_dir
+    and the caller's (./x vs x vs absolute) must never disagree into
+    deleting a live part."""
     import glob as _glob
 
+    real_refs = {os.path.realpath(p) for p in referenced}
     for prefix in prefixes:
         for p in _glob.glob(os.path.join(out_dir, prefix + "*.parquet")):
-            if p not in referenced:
+            if os.path.realpath(p) not in real_refs:
                 try:
                     os.remove(p)
                 except OSError:
@@ -2337,11 +2346,11 @@ def sorted_export(ds, key: str, out_dir: str, cutpoints, *,
                    "within": list(within or []),
                    "ranges": manifest.to_pylist()}, f, default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
-    # only now: drop the previous generation's (and any compaction's /
-    # upsert's) parts — directory readers must never double-count rows
+    # only now: drop every other writer's unreferenced parts —
+    # directory readers must never double-count rows
     _cleanup_unreferenced_parts(
         out_dir, set(manifest["path"].to_pylist()),
-        ("part-", "compact-", "upsert-"))
+        _SORTED_PART_PREFIXES)
     return manifest
 
 
@@ -2624,9 +2633,13 @@ def upsert_sorted(out_dir: str, changes: pa.Table, *,
                    "ranges": new_ranges}, f,
                   default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
-    for rid in done:  # old touched parts now unreferenced
+    # old touched parts now unreferenced — UNLESS another range still
+    # points at the same file (retention_delete's dropped ranges share
+    # ONE empty part; rewriting one of them must not orphan the rest)
+    still = {os.path.realpath(r["path"]) for r in new_ranges}
+    for rid in done:
         old = by_id[rid]["path"]
-        if old != done[rid]["path"]:
+        if os.path.realpath(old) not in still:
             try:
                 os.remove(old)
             except OSError:
@@ -2648,22 +2661,50 @@ def validate_export(out_dir: str, violation_fn, *,
     REUSED when its recorded part path still matches the manifest — and
     part paths are write-generation-tagged, so ANY rewrite (upsert,
     compaction, re-export) changes the path and forces re-validation of
-    exactly the touched ranges.  After a CDC changeset, re-validating
-    the table costs O(touched parts), not O(table); reuse counts are
-    logged and persisted (no silent staleness).  Returns one verdict row
-    per range: range_id, n_rows, n_violations, pass."""
+    exactly the touched ranges.  Reuse also requires the persisted
+    ``fn_tag`` (a fingerprint of the serialized ``violation_fn``) to
+    match: a changed schema/predicate re-validates EVERYTHING rather
+    than silently mixing verdicts from two rule sets.  After a CDC
+    changeset, re-validating the table costs O(touched parts), not
+    O(table); reuse counts are logged and persisted (no silent
+    staleness).  Violations live under ``<out_dir>/violations/`` — a
+    SIDECAR directory, so ``*.parquet`` directory readers of the export
+    never ingest them as data.  Returns one verdict row per range:
+    range_id, n_rows, n_violations, pass."""
+    import hashlib
     import json
     import logging
 
     import ray
+    from ray import cloudpickle
 
     with open(os.path.join(out_dir, "manifest.json")) as f:
         m = json.load(f)
+    vdir = os.path.join(out_dir, "violations")
+    os.makedirs(vdir, exist_ok=True)
+    # a canonical tag on the fn wins (SchemaViolations derives one from
+    # the declarative schema — stable across processes); pickled bytes
+    # are the fallback for ad-hoc callables (stable within a process,
+    # conservatively different across code changes)
+    fn_tag = getattr(violation_fn, "fn_tag", None) or hashlib.sha256(
+        cloudpickle.dumps(violation_fn)).hexdigest()[:16]
     vpath = os.path.join(out_dir, "validation.json")
-    prior = {}
+    prior, prior_tag = {}, None
     if incremental and os.path.exists(vpath):
         with open(vpath) as f:
-            prior = {v["range_id"]: v for v in json.load(f)["verdicts"]}
+            prev = json.load(f)
+        prior_tag = prev.get("fn_tag")
+        if prior_tag == fn_tag:
+            prior = {v["range_id"]: v for v in prev["verdicts"]}
+        else:
+            logging.getLogger("yaschva_ray.ops").warning(
+                "validate_export: violation_fn changed (tag %s -> %s) "
+                "— prior verdicts discarded, full re-validation",
+                prior_tag, fn_tag)
+
+    # broadcast once: the compiled validator ships to the object store
+    # a single time, not once per range task
+    fn_ref = ray.put(violation_fn)
 
     @ray.remote
     def check_part(rid: int, path: str, fn) -> dict:
@@ -2674,7 +2715,8 @@ def validate_export(out_dir: str, violation_fn, *,
         limit_worker_threads()
         t = pq.read_table(path)
         vio = fn(t)
-        vio_path = path[: -len(".parquet")] + ".violations.parquet"
+        vio_path = os.path.join(
+            os.path.dirname(path), "violations", os.path.basename(path))
         if vio.num_rows:
             tmp = vio_path + f".tmp-{os.getpid()}"
             pq.write_table(vio, tmp)
@@ -2694,7 +2736,7 @@ def validate_export(out_dir: str, violation_fn, *,
             verdicts.append(pv)  # untouched part: verdict carried as-is
         else:
             refs.append(check_part.remote(r["range_id"], r["path"],
-                                          violation_fn))
+                                          fn_ref))
     verdicts.extend(ray.get(refs))
     verdicts.sort(key=lambda v: v["range_id"])
     if incremental:
@@ -2703,16 +2745,19 @@ def validate_export(out_dir: str, violation_fn, *,
             "reused", len(refs), len(verdicts) - len(refs))
     tmp = vpath + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"verdicts": verdicts, "n_revalidated": len(refs),
+        json.dump({"verdicts": verdicts, "fn_tag": fn_tag,
+                   "n_revalidated": len(refs),
                    "n_reused": len(verdicts) - len(refs)}, f)
     os.replace(tmp, vpath)
     # post-commit: drop violations files of rewritten (now unreferenced)
-    # parts — same honest-layout rule as the part cleanup
-    live = {v["violations_path"] for v in verdicts if v["violations_path"]}
+    # parts — same honest-layout rule (and realpath rule) as the part
+    # cleanup
+    live = {os.path.realpath(v["violations_path"]) for v in verdicts
+            if v["violations_path"]}
     import glob as _glob
 
-    for p in _glob.glob(os.path.join(out_dir, "*.violations.parquet")):
-        if p not in live:
+    for p in _glob.glob(os.path.join(vdir, "*.parquet")):
+        if os.path.realpath(p) not in live:
             try:
                 os.remove(p)
             except OSError:
@@ -2831,8 +2876,7 @@ def retention_delete(out_dir: str, cutoff) -> pa.Table:
                    "ranges": final}, f, default=str)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     live = {r["path"] for r in final}
-    _cleanup_unreferenced_parts(
-        out_dir, live, ("part-", "compact-", "upsert-", "retain-"))
+    _cleanup_unreferenced_parts(out_dir, live, _SORTED_PART_PREFIXES)
     # returned min/max normalize to the manifest's JSON form (strings
     # for non-JSON key types): untouched rows carry manifest strings,
     # rewritten rows carry live scalars — unify like default=str does
@@ -2850,10 +2894,19 @@ class SchemaViolations:
     ships once per range task like any map_batches stage."""
 
     def __init__(self, schema, id_columns: tuple[str, ...] = ()):
+        import hashlib
+        import json
+
         from ..vectorized import TableValidator, ViolationExploder
 
         self._tv = TableValidator(schema, id_columns=id_columns)
         self._ex = ViolationExploder(schema, id_columns=id_columns)
+        # canonical rule fingerprint for validate_export's verdict-reuse
+        # gate: derived from the DECLARATIVE schema (sort_keys), stable
+        # across processes where pickled-closure bytes are not
+        self.fn_tag = hashlib.sha256(json.dumps(
+            {"schema": schema, "id": list(id_columns)},
+            sort_keys=True, default=str).encode()).hexdigest()[:16]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         masked = self._tv(t)
@@ -3177,7 +3230,7 @@ def asof_merge_join_sorted(dir_left: str, dir_right: str) -> pa.Table:
             last = rr[rid]["path"]
 
     @ray.remote
-    def join_range(lpath: str, rpath: str | None, carry_path: str | None,
+    def join_range(lpath: str, rpath: str, carry_path: str | None,
                    kl: str, kr: str) -> pa.Table:
         import pyarrow.parquet as pq
 
@@ -3185,33 +3238,35 @@ def asof_merge_join_sorted(dir_left: str, dir_right: str) -> pa.Table:
 
         limit_worker_threads()
         tl = pq.read_table(lpath)
+        # the right SCHEMA comes from the footer even when no right row
+        # exists — unmatched lefts must keep TYPED null right columns
+        rschema = pq.read_schema(rpath)
+        shared = set(tl.column_names) & set(rschema.names)
+        if shared:
+            raise ValueError(
+                "asof_merge_join_sorted requires disjoint column "
+                f"names; shared: {sorted(shared)}")
+        if not tl.num_rows:  # nothing to match: skip ALL right reads
+            return tl  # (schema restored at concat)
         parts = []
         if carry_path is not None:
             f = pq.ParquetFile(carry_path)
             tail = f.read_row_group(f.num_row_groups - 1)
             parts.append(tail.slice(tail.num_rows - 1, 1))
-        if rpath is not None:
-            tr_own = pq.read_table(rpath)
-            if tr_own.num_rows:
-                parts.append(tr_own)
+        tr_own = pq.read_table(rpath)
+        if tr_own.num_rows:
+            parts.append(tr_own)
         tr = (pa.concat_tables(parts).combine_chunks() if parts
               else None)
-        if tr is not None:
-            shared = set(tl.column_names) & set(tr.column_names)
-            if shared:
-                raise ValueError(
-                    "asof_merge_join_sorted requires disjoint column "
-                    f"names; shared: {sorted(shared)}")
-        rschema = tr.schema if tr is not None else None
-        if not tl.num_rows:
-            return tl  # empty left range: schema restored at concat
         lt_arr = tl[kl]
         if lt_arr.null_count:
             raise ValueError("asof_merge_join_sorted: null left times")
         lt = np.asarray(lt_arr.to_numpy(zero_copy_only=False))
         out = {c: tl[c] for c in tl.column_names}
-        if tr is None:
-            return tl  # no right rows at or before this range
+        if tr is None:  # no right rows at or before this range
+            for c in rschema.names:
+                out[c] = pa.nulls(tl.num_rows, rschema.field(c).type)
+            return pa.table(out)
         rt_arr = tr[kr]
         if rt_arr.null_count:
             raise ValueError("asof_merge_join_sorted: null right times")
