@@ -496,6 +496,39 @@ def test_retention_delete_manifest_only_drops(ray_session, tmp_path):
         assert not _os.path.exists(m0[rid]["path"])
 
 
+def test_retention_then_incremental_revalidation(ray_session, tmp_path):
+    """retention_delete composes with validate_export: untouched live
+    ranges reuse their verdicts, dropped/rewritten ranges re-check —
+    and the re-validated verdicts equal a fresh full validation."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import (retention_delete,
+                                           sorted_export, validate_export)
+
+    def too_big(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.fill_null(_pc.greater(t["v"], 90.0), False))
+
+    t = pa.table({"k": pa.array(list(range(100)), pa.int64()),
+                  "v": pa.array(np.arange(100, dtype=np.float64))})
+    out = str(tmp_path / "ret")
+    sorted_export(ray.data.from_arrow(t).repartition(3), "k", out,
+                  np.array([25, 50, 75], np.int64))
+    validate_export(out, too_big)
+
+    retention_delete(out, 30)  # range 0 drops, range 1 trims, 2-3 live
+    v = validate_export(out, too_big, incremental=True)
+    meta = json.load(open(f"{out}/validation.json"))
+    assert meta["n_reused"] == 2 and meta["n_revalidated"] == 2
+    assert v.equals(validate_export(out, too_big))  # fresh full run
+    assert v["n_rows"].to_pylist() == [0, 20, 25, 25]
+    assert v["n_violations"].to_pylist() == [0, 0, 0, 9]
+
+
 def test_asof_merge_join_sorted_boundaries(ray_session, tmp_path):
     """Sorted-layout as-of: boundary carry across EMPTY right ranges,
     left rows before any right row keep typed nulls, and the contracts
