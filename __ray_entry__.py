@@ -464,6 +464,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_documents": ops.q_compact_documents,
         # oracle-backed via literal VALUES (deterministic planted corruption)
         "media_integrity": _media_integrity_smoke,
+        # sweep-line peak concurrency: a GLOBAL running count distributed
+        # as an associative prefix scan (per-range delta sums + local
+        # maxima fold on the driver) — no global sort, no shuffle of the
+        # running state; the window family's interval-overlap sibling
+        "max_concurrent_events": ops.q_max_concurrent_events,
+        # Markov transition counts over each user's ordered stream (the
+        # user-journey aggregate): keyed exchange + dictionary-code pair
+        # counting, ≤ types² partial rows per bucket
+        "user_transitions": ops.q_user_transitions,
+        # exact integer second-moment numerators (corr/covariance/least-
+        # squares family): bounded per-block partials, python-int merge
+        "corr_moments_lineitem": ops.q_corr_moments_lineitem,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1109,6 +1121,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-key LAG: gap since the previous event (exact int64 us) and
         # cent delta vs the previous value, NULL on each user's first row
+        # sweep-line peak concurrency: explicit ROWS frame (RANGE would
+        # give tie groups their end value — the MAX is tie-order
+        # independent either way, see the query docstring); expiry sorts
+        # before arrival at equal t via ORDER BY t, d
+        "max_concurrent_events": """
+            WITH deltas AS (
+                SELECT event_type, ts AS t, 1 AS d
+                FROM events WHERE ts IS NOT NULL
+                UNION ALL
+                SELECT event_type, ts + INTERVAL 10 MINUTE AS t, -1 AS d
+                FROM events WHERE ts IS NOT NULL
+            ), run AS (
+                SELECT event_type,
+                       SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                                    ROWS UNBOUNDED PRECEDING) AS c
+                FROM deltas
+            )
+            SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent
+            FROM run GROUP BY event_type ORDER BY event_type
+        """,
+        # transition existence keys on the lag ROW (lag(event_id) IS NOT
+        # NULL), not the lagged type, so NULL-type transitions count
+        "user_transitions": """
+            WITH seq AS (
+                SELECT event_type,
+                       lag(event_type) OVER w AS prev,
+                       lag(event_id) OVER w AS prev_id
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT prev AS prev_type, event_type AS next_type,
+                   COUNT(*) AS n
+            FROM seq WHERE prev_id IS NOT NULL
+            GROUP BY prev, event_type
+            ORDER BY prev_type, next_type
+        """,
+        "corr_moments_lineitem": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                       CAST(round(l_discount * 100) AS BIGINT) AS dc
+                FROM lineitem
+            )
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(qc) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(dc) AS BIGINT) AS sum_disc_c,
+                   CAST(SUM(qc * qc) AS BIGINT) AS sum_qty_sq,
+                   CAST(SUM(dc * dc) AS BIGINT) AS sum_disc_sq,
+                   CAST(SUM(qc * dc) AS BIGINT) AS sum_qty_disc
+            FROM q GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "user_event_gaps": """
             SELECT event_id, user_id,
                    epoch_us(ts) - lag(epoch_us(ts))

@@ -147,6 +147,12 @@ def bench_queries(sf_dir: str) -> dict:
         # cutpoints (both exports built each iteration) + TTL delete
         # with manifest-only drops
         "events_asof_sorted", "retention_events",
+        # round-4 final additions: sweep-line peak concurrency (associative
+        # prefix scan over a range exchange), Markov transition counts
+        # (keyed exchange + dictionary pair counting), exact correlation
+        # moment numerators (bounded per-block partials, no shuffle)
+        "max_concurrent_events", "user_transitions",
+        "corr_moments_lineitem",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -1507,3 +1507,157 @@ def test_returned_revenue_topk_vs_duckdb(ray_session, tmp_path):
         GROUP BY 1, 2, 3 ORDER BY revenue_c2 DESC, c_custkey LIMIT 20
     """).df()
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def _null_events_fixture(tmp_path) -> str:
+    """Events with null ts / user_id / event_type, exact half-open
+    boundaries, and dense overlaps for the sweep-line + transitions."""
+    import pyarrow.parquet as pq
+
+    M = 60_000_000  # one minute in us
+    rows = [
+        # (event_id, ts_us, user_id, type) — hold window is 10 min
+        (1, 0 * M, 1, "a"),        # a: overlaps 2, 3
+        (2, 5 * M, 1, "a"),
+        (3, 9 * M, 2, "a"),        # a peaks at 3 concurrent
+        (4, 10 * M, 2, "a"),       # exactly at 1's expiry: NOT concurrent
+        #  with 1 (half-open), still with 2, 3
+        (5, 0 * M, 3, "b"),
+        (6, 10 * M, 3, "b"),       # b never overlaps: max 1
+        (7, None, 4, "a"),         # null ts drops from the sweep-line
+        (8, 30 * M, None, None),   # null type group; null user partition
+        (9, 31 * M, None, "a"),    # transition NULL->a inside null user
+        (10, 40 * M, 4, None),     # 4: a(7 null-ts first by NULLS LAST?)
+        (11, 41 * M, 4, "b"),      # transition NULL->b for user 4
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([float(r[0]) for r in rows], pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def _shipped_oracle(name: str, sf_dir: str) -> pd.DataFrame:
+    import glob
+    import os
+
+    import __ray_entry__
+
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        con.execute(f"CREATE VIEW {stem} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(__ray_entry__.oracle_sql()[name]).df()
+
+
+def test_max_concurrent_events_nulls_and_boundaries(ray_session, tmp_path):
+    """Half-open [t, t+hold): an arrival exactly at an expiry is NOT
+    concurrent with it; null ts rows drop; null event_type is one group.
+    Engine vs the SHIPPED oracle SQL and a brute-force simulation."""
+    from yaschva_ray.pipelines.ops import q_max_concurrent_events
+
+    sf = _null_events_fixture(tmp_path)
+    got = q_max_concurrent_events(sf).to_pandas()
+    want = _shipped_oracle("max_concurrent_events", sf)
+    got_m = {r.event_type: r.max_concurrent for r in got.itertuples()}
+    want_m = {(None if pd.isna(r.event_type) else r.event_type):
+              int(r.max_concurrent) for r in want.itertuples()}
+    assert got_m == want_m
+    # brute force: a={0,5,9,31,40?no->a at 40 is event 10 type NULL}
+    # type a deltas: starts 0,5,9,10,31; max overlap = 3 (at t=9: 0,5,9)
+    # and at t=10: {5,9,10} = 3; type b: starts 0,10 never overlap
+    assert got_m["a"] == 3 and got_m["b"] == 1
+    assert got_m[None] == 1  # events 8 and 10 are 10 min apart exactly
+
+
+def test_max_concurrent_events_range_partition_independent(ray_session,
+                                                           tmp_path):
+    """The associative fold is cutpoint-placement independent: forcing
+    many tiny ranges (every range boundary inside overlap clusters)
+    yields the same maxima as few ranges."""
+    from yaschva_ray.pipelines.ops import q_max_concurrent_events
+
+    sf = _null_events_fixture(tmp_path)
+    a = q_max_concurrent_events(sf, n_ranges=2, sample_mod=1).to_pandas()
+    b = q_max_concurrent_events(sf, n_ranges=64, sample_mod=1).to_pandas()
+    assert a.equals(b)
+
+
+def test_user_transitions_null_semantics(ray_session, tmp_path):
+    """Transitions FROM a null event_type count (existence keys on the
+    lag ROW, not the lagged value); null user_id is one partition; null
+    ts sorts last within its user on both engines."""
+    from yaschva_ray.pipelines.ops import q_user_transitions
+
+    sf = _null_events_fixture(tmp_path)
+    got = q_user_transitions(sf).to_pandas()
+    want = _shipped_oracle("user_transitions", sf)
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert norm(got).equals(norm(want))
+    # user 4: ts order is 40(None type), 41(b), then null-ts event 7 (a)
+    # LAST (NULLS LAST) => transitions NULL->b and b->a
+    rows = {(r.prev_type if isinstance(r.prev_type, str) else None,
+             r.next_type if isinstance(r.next_type, str) else None): r.n
+            for r in got.itertuples()}
+    assert rows[(None, "b")] == 1 and rows[("b", "a")] == 1
+    assert rows[(None, "a")] == 1  # null-user partition: 8 -> 9
+
+
+def test_corr_moments_nulls_match_oracle(ray_session, tmp_path):
+    """SUM skips NULLs, COUNT(*) counts all rows, NULL returnflag is one
+    group — engine vs the shipped oracle on a null-carrying lineitem."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_corr_moments_lineitem
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A", "A", None, "B", None], pa.string()),
+        "l_quantity": pa.array([1.0, None, 3.0, 4.0, None], pa.float64()),
+        "l_discount": pa.array([0.05, 0.1, None, 0.0, 0.07], pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    got = q_corr_moments_lineitem(str(d)).to_pandas()
+    want = _shipped_oracle("corr_moments_lineitem", str(d))
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert norm(got).equals(norm(want))
+    a = got[got.l_returnflag == "A"].iloc[0]
+    assert a.n == 2 and a.sum_qty_c == 100 and a.sum_qty_disc == 500
+
+
+def test_corr_moments_per_block_overflow_is_loud(ray_session, tmp_path):
+    """A product that overflows int64 inside a block raises (checked
+    Arrow kernel), never wraps silently."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.ops import q_corr_moments_lineitem
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A"], pa.string()),
+        "l_quantity": pa.array([9.0e16], pa.float64()),
+        "l_discount": pa.array([0.0], pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    with pytest.raises(Exception, match="(?i)overflow"):
+        q_corr_moments_lineitem(str(d))

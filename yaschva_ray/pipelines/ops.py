@@ -4968,3 +4968,241 @@ def q_user_rank_windows(sf_dir: str) -> pa.Table:
         return empty
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("user_id", "ascending"), ("row_num", "ascending")])
+
+
+def q_max_concurrent_events(sf_dir: str, hold_minutes: int = 10,
+                            n_ranges: int = 16,
+                            sample_mod: int = 97) -> pa.Table:
+    """Sweep-line max-concurrency per event type: each event holds a
+    resource for ``hold_minutes``; report the peak number simultaneously
+    held — the classic interval-overlap / peak-load operator
+    (``MAX(SUM(±1) OVER (ORDER BY t))`` in SQL), which needs a GLOBAL
+    running count and therefore cannot be a per-block partial on its own.
+
+    Distributed as an ASSOCIATIVE PREFIX SCAN, not a global sort:
+    events explode into (t, +1)/(t+hold, -1) deltas in one vectorized
+    pass, a range exchange on t (sampled cutpoints — placement is
+    result-neutral, the composition below is associative) co-locates
+    each time slice, and every range task returns only per-type
+    ``(sum of deltas, max of the within-range running count)`` — a few
+    rows per range.  The driver folds ranges IN ORDER:
+    ``global_max = max_r(prefix_before_r + local_max_r)`` with
+    ``prefix_before`` the cumsum of earlier ranges' delta sums — O(ranges
+    × types) driver state at any corpus size, the same scan shape as
+    ``pack_sequences``.  Tie rule pinned on both engines: at equal t an
+    expiry (-1) precedes an arrival (+1) — half-open [t, t+hold) — via
+    ``ORDER BY t, d``; within-tie intermediate orders differ between
+    engines but the MAX is tie-order independent (a +1 run peaks at its
+    end; a -1 run's interior values never exceed the already-attained
+    run start).  NULL ts rows are dropped on both sides; NULL event_type
+    is one group (sorted last, DuckDB's NULLS LAST)."""
+    from ..engine.exchange import range_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    hold_us = hold_minutes * 60_000_000
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"].to_numpy(zero_copy_only=False))
+        keep = pa.array((ids % sample_mod == 0)
+                        & np.asarray(pc.is_valid(t["ts"])
+                                     .to_numpy(zero_copy_only=False)))
+        return pa.table({"t": pc.cast(t["ts"].filter(keep), pa.int64())})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["t"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(ds.map_batches(sample, batch_format="pyarrow"))
+        if t.num_rows] or [np.empty(0, np.int64)]))
+    cutpoints = equidepth_cutpoints(sv, n_ranges)
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        ts_us = pc.cast(t["ts"], pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "event_type": pa.concat_arrays(
+                [t["event_type"].combine_chunks()] * 2),
+            "t": pa.concat_arrays([ts_us.combine_chunks(),
+                                   pc.add(ts_us, hold_us).combine_chunks()]),
+            "d": pa.array(np.concatenate([np.ones(n, np.int64),
+                                          np.full(n, -1, np.int64)])),
+        })
+
+    deltas = ds.map_batches(explode, batch_format="pyarrow")
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "sum_d": pa.array([], pa.int64()),
+                      "local_max": pa.array([], pa.int64())})
+
+    def range_summary(_rid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        order = pc.sort_indices(t, sort_keys=[("event_type", "ascending"),
+                                              ("t", "ascending"),
+                                              ("d", "ascending")])
+        s = t.take(order)
+        new = _seg_new(s["event_type"])
+        d = np.asarray(s["d"].to_numpy(zero_copy_only=False))
+        run = np.cumsum(d)
+        starts = np.nonzero(new)[0]
+        glens = np.diff(np.append(starts, len(d)))
+        # per-type running count = global cumsum minus the prefix before
+        # the type's first row (exclusive), all vectorized
+        base = run[starts] - d[starts]
+        run = run - np.repeat(base, glens)
+        local_max = np.maximum.reduceat(run, starts)
+        sums = np.add.reduceat(d, starts)
+        return pa.table({"event_type": s["event_type"].take(
+                             pa.array(starts, pa.int64())),
+                         "sum_d": pa.array(sums),
+                         "local_max": pa.array(local_max)})
+
+    parts = range_exchange(deltas, "t", cutpoints, range_summary,
+                           empty_result=empty)
+    running: dict = {}
+    best: dict = {}
+    for part in parts:  # index-aligned with range ids: fold IN ORDER
+        for ty, sd, lm in zip(part["event_type"].to_pylist(),
+                              part["sum_d"].to_pylist(),
+                              part["local_max"].to_pylist()):
+            before = running.get(ty, 0)
+            cand = before + lm
+            if ty not in best or cand > best[ty]:
+                best[ty] = cand
+            running[ty] = before + sd
+    if not best:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "max_concurrent": pa.array([], pa.int64())})
+    keys = sorted([k for k in best if k is not None])
+    if None in best:
+        keys.append(None)  # NULLS LAST, DuckDB's ASC default
+    return pa.table({"event_type": pa.array(keys, pa.string()),
+                     "max_concurrent": pa.array([best[k] for k in keys],
+                                                pa.int64())})
+
+
+def q_user_transitions(sf_dir: str) -> pa.Table:
+    """Markov transition counts over each user's ordered event stream:
+    global counts of (previous event_type → event_type) adjacent pairs,
+    the user-journey / n-gram-over-sequences aggregate (feeds transition
+    matrices and next-event models).  Plan: one keyed exchange on
+    user_id, per-bucket vectorized sort ``(user_id, ts NULLS LAST,
+    event_id)`` + dictionary-code pair counting (``np.unique`` over
+    ``prev_code * K + next_code``) — each bucket emits at most types²
+    partial rows, the driver group-sums a few hundred rows.  Pair
+    existence is keyed on the LAG ROW existing (``lag(event_id) IS NOT
+    NULL``), not on the lagged type, so transitions from a NULL
+    event_type still count (one NULL group, SQL semantics); NULL user_id
+    is one partition."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    empty = pa.table({"prev_type": pa.array([], pa.string()),
+                      "next_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        s = t.take(order)
+        first = _seg_new(s["user_id"])
+        enc = s["event_type"].combine_chunks().dictionary_encode()
+        codes = np.asarray(pc.fill_null(enc.indices, -1)
+                           .to_numpy(zero_copy_only=False)).astype(np.int64)
+        if len(codes) < 2:
+            return empty
+        prev, nxt = codes[:-1], codes[1:]
+        keep = ~first[1:]
+        prev, nxt = prev[keep], nxt[keep]
+        if not len(prev):
+            return empty
+        k = int(codes.max()) + 2  # +1 for the -1 null code shift
+        pairs, counts = np.unique((prev + 1) * k + (nxt + 1),
+                                  return_counts=True)
+        pc_, nc = pairs // k - 1, pairs % k - 1
+        dic = enc.dictionary
+
+        def detype(c: np.ndarray) -> pa.Array:
+            out = dic.take(pa.array(np.maximum(c, 0), pa.int64()))
+            return pc.if_else(pa.array(c >= 0), out,
+                              pa.scalar(None, pa.string()))
+
+        return pa.table({"prev_type": detype(pc_), "next_type": detype(nc),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    parts = [p for p in keyed_exchange(ds, "user_id", bucket,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).group_by(
+        ["prev_type", "next_type"]).aggregate([("n", "sum")])
+    merged = merged.rename_columns(["prev_type", "next_type", "n"])
+    return merged.sort_by([("prev_type", "ascending"),
+                           ("next_type", "ascending")])
+
+
+def q_corr_moments_lineitem(sf_dir: str) -> pa.Table:
+    """Exact second-moment numerators for covariance / correlation /
+    least-squares per ``l_returnflag`` over (quantity, discount) cents:
+    ``n, Σx, Σy, Σx², Σy², Σxy`` as int64 — every downstream statistic
+    (corr, slope, R²) is a pure driver-side function of these six, so
+    the DISTRIBUTED part is one bounded per-block partial (flags × 6
+    rows per block, no shuffle) + a python-int driver merge that raises
+    loudly if any total would overflow int64 (qty ≤ 50 ⇒ Σx² grows at
+    2.5e7/row: overflow needs ~3.7e11 rows per flag — log-raise, never
+    silent wrap).  Cents quantization is exact on both engines (the
+    inputs carry ≤2 decimals, so value*100 is integral before rounding;
+    no .5-tie dialect exists).  SUM skips NULLs, COUNT(*) counts all
+    rows, an all-NULL group's sum stays NULL, NULL returnflag is one
+    group."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qc = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)),
+                     pa.int64())
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                     pa.int64())
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "qc": qc, "dc": dc,
+            "qq": pc.multiply_checked(qc, qc),
+            "dd": pc.multiply_checked(dc, dc),
+            "qd": pc.multiply_checked(qc, dc),
+        }).group_by(["l_returnflag"]).aggregate(
+            [("one", "sum"), ("qc", "sum"), ("dc", "sum"),
+             ("qq", "sum"), ("dd", "sum"), ("qd", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "sum_qty_c",
+                                 "sum_disc_c", "sum_qty_sq", "sum_disc_sq",
+                                 "sum_qty_disc"])
+
+    acc: dict = {}
+    cols = ["n", "sum_qty_c", "sum_disc_c", "sum_qty_sq", "sum_disc_sq",
+            "sum_qty_disc"]
+    seen: dict = {}
+    for t in gather_tables(ds.map_batches(partial, batch_format="pyarrow")):
+        for i, flag in enumerate(t["l_returnflag"].to_pylist()):
+            row = acc.setdefault(flag, [0] * 6)
+            srow = seen.setdefault(flag, [False] * 6)
+            for j, c in enumerate(cols):
+                v = t[c][i].as_py()
+                # SUM skips NULLs; an all-NULL group stays NULL (the
+                # partial group sums already carry null for that case)
+                if v is not None:
+                    row[j] += v
+                    srow[j] = True
+    for flag, row in acc.items():
+        for j, v in enumerate(row):
+            if not (-2**63 <= v < 2**63):
+                raise OverflowError(
+                    f"corr moment {cols[j]} for flag {flag!r} exceeds "
+                    f"int64 ({v}); re-quantize or shard the aggregate")
+    keys = sorted([k for k in acc if k is not None])
+    if None in acc:
+        keys.append(None)
+    return pa.table({"l_returnflag": pa.array(keys, pa.string()),
+                     **{c: pa.array(
+                         [acc[k][j] if seen[k][j] else None for k in keys],
+                         pa.int64())
+                        for j, c in enumerate(cols)}})
