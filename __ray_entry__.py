@@ -476,6 +476,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact integer second-moment numerators (corr/covariance/least-
         # squares family): bounded per-block partials, python-int merge
         "corr_moments_lineitem": ops.q_corr_moments_lineitem,
+        # multiset INTERSECT ALL / EXCEPT ALL (set-op multiplicity
+        # semantics, NULL keys EQUAL — the family joins don't cover):
+        # in-batch count partials + one keyed exchange
+        "events_setops": ops.q_events_setops,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1121,6 +1125,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-key LAG: gap since the previous event (exact int64 us) and
         # cent delta vs the previous value, NULL on each user's first row
+        # multiset set ops: INTERSECT ALL = min(c0,c1), EXCEPT ALL =
+        # max(c0-c1,0) per duplicate group; NULLs compare EQUAL (set-op
+        # semantics, unlike joins) — both pinned by the mirror
+        "events_setops": """
+            WITH a AS (SELECT user_id, event_type FROM events
+                       WHERE event_id % 2 = 0),
+                 b AS (SELECT user_id, event_type FROM events
+                       WHERE event_id % 2 = 1),
+                 i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+                 x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            SELECT 'intersect_all' AS op, user_id, event_type,
+                   COUNT(*) AS n FROM i GROUP BY user_id, event_type
+            UNION ALL
+            SELECT 'except_all' AS op, user_id, event_type,
+                   COUNT(*) AS n FROM x GROUP BY user_id, event_type
+            ORDER BY op, user_id, event_type
+        """,
         # sweep-line peak concurrency: explicit ROWS frame (RANGE would
         # give tie groups their end value — the MAX is tie-order
         # independent either way, see the query docstring); expiry sorts

@@ -153,6 +153,9 @@ def bench_queries(sf_dir: str) -> dict:
         # moment numerators (bounded per-block partials, no shuffle)
         "max_concurrent_events", "user_transitions",
         "corr_moments_lineitem",
+        # multiset INTERSECT ALL / EXCEPT ALL (one scan of in-batch
+        # count partials + one keyed exchange)
+        "events_setops",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

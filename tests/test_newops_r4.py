@@ -595,3 +595,32 @@ def test_tdigest_quantiles_accurate(ray_session):
         truth = exact[col][0].as_py()
         assert abs(approx - truth) / max(truth, 1) < 0.01, (p, approx, truth)
     assert td["n_centroids"][0].as_py() < 600
+
+
+def test_events_setops_null_and_multiplicity_semantics(ray_session, tmp_path):
+    """Multiset semantics pinned on a hand-built table: INTERSECT ALL =
+    min of per-side duplicate counts, EXCEPT ALL = clipped difference,
+    and NULL keys (user or type) group as EQUAL values — the set-op
+    contract joins don't have."""
+    from yaschva_ray.pipelines.ops import q_events_setops
+
+    # side = event_id % 2.  Planted groups:
+    #   (1,'a'): 3 on side0, 1 on side1 -> intersect 1, except 2
+    #   (NULL,'x'): 2 each side         -> intersect 2, no except
+    #   (2,NULL): 1 on side0 only       -> except 1
+    #   (3,'b'): 2 on side1 only        -> nothing (a EXCEPT b)
+    rows = [(0, 1, "a"), (2, 1, "a"), (4, 1, "a"), (1, 1, "a"),
+            (6, None, "x"), (8, None, "x"), (3, None, "x"), (5, None, "x"),
+            (10, 2, None), (7, 3, "b"), (9, 3, "b")]
+    t = pa.table({"event_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[2] for r in rows], pa.string())})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+
+    out = q_events_setops(str(tmp_path))
+    got = {(r["op"], r["user_id"], r["event_type"]): r["n"]
+           for r in out.to_pylist()}
+    assert got == {("intersect_all", 1, "a"): 1,
+                   ("intersect_all", None, "x"): 2,
+                   ("except_all", 1, "a"): 2,
+                   ("except_all", 2, None): 1}

@@ -5206,3 +5206,77 @@ def q_corr_moments_lineitem(sf_dir: str) -> pa.Table:
                          [acc[k][j] if seen[k][j] else None for k in keys],
                          pa.int64())
                         for j, c in enumerate(cols)}})
+
+
+def q_events_setops(sf_dir: str) -> pa.Table:
+    """Multiset set operations (``INTERSECT ALL`` / ``EXCEPT ALL``) as a
+    distributed operator — the one relational family the join set does
+    NOT cover: set ops use multiset-MULTIPLICITY semantics (min /
+    clipped difference of duplicate counts) and, unlike every join,
+    treat NULL keys as EQUAL.  Sides: events split by event_id parity
+    (position-independent, mirrored verbatim in SQL); rows are
+    (user_id, event_type) pairs, output is the grouped multiplicity
+    ``n`` per surviving pair under each op.
+
+    Plan: ONE scan tags each row's side in-batch and pre-aggregates to
+    (user_id, event_type, side, cnt) partials (bounded by pairs/block),
+    one keyed exchange on user_id co-locates each pair's counts, and the
+    per-bucket kernel is dictionary-code segment arithmetic —
+    ``intersect = min(c0, c1)``, ``except = max(c0 - c1, 0)`` — with
+    null user/type grouping AS VALUES (set-op semantics; pyarrow's
+    hash join would wrongly drop them, so the kernel never joins)."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    empty = pa.table({"op": pa.array([], pa.string()),
+                      "user_id": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def tag(t: pa.Table) -> pa.Table:
+        side = pc.cast(pc.bit_wise_and(t["event_id"], 1), pa.int64())
+        g = pa.table({"user_id": t["user_id"],
+                      "event_type": t["event_type"],
+                      "side": side,
+                      "one": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by(["user_id", "event_type", "side"]) \
+            .aggregate([("one", "sum")])
+        return g.rename_columns(["user_id", "event_type", "side", "cnt"])
+
+    partials = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("event_type", "ascending"),
+                                              ("side", "ascending")])
+        s = t.take(order)
+        # pair segments, null-safe (null user/type group as one VALUE)
+        nu = _seg_new(s["user_id"])
+        nt = _seg_new(s["event_type"])
+        new = nu | nt
+        starts = np.nonzero(new)[0]
+        side = np.asarray(s["side"].to_numpy(zero_copy_only=False))
+        cnt = np.asarray(s["cnt"].to_numpy(zero_copy_only=False))
+        c0 = np.add.reduceat(np.where(side == 0, cnt, 0), starts)
+        c1 = np.add.reduceat(np.where(side == 1, cnt, 0), starts)
+        inter = np.minimum(c0, c1)
+        exc = np.maximum(c0 - c1, 0)
+        idx = pa.array(starts, pa.int64())
+        uid, ety = s["user_id"].take(idx), s["event_type"].take(idx)
+        out = []
+        for op, n in (("except_all", exc), ("intersect_all", inter)):
+            keep = pa.array(n > 0)
+            out.append(pa.table({
+                "op": pa.array(np.full(int((n > 0).sum()), op)),
+                "user_id": uid.filter(keep),
+                "event_type": ety.filter(keep),
+                "n": pa.array(n[n > 0])}))
+        return pa.concat_tables(out).cast(empty.schema)
+
+    parts = [p for p in keyed_exchange(partials, "user_id", bucket,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("op", "ascending"), ("user_id", "ascending"),
+         ("event_type", "ascending")])
