@@ -480,6 +480,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantics, NULL keys EQUAL — the family joins don't cover):
         # in-batch count partials + one keyed exchange
         "events_setops": ops.q_events_setops,
+        # distributed PageRank over a derived link graph (integer fixed
+        # point -> order-independent arithmetic, hash-exact vs an
+        # unrolled iteration mirror)
+        "pagerank_documents": ops.q_pagerank_documents,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -763,6 +767,39 @@ def _conf_sql(name: str) -> str:
     from yaschva_ray.pipelines import conformance
 
     return getattr(conformance, name)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled PageRank mirror (DuckDB): the same derived 3-out-edge
+    graph (Knuth mix % n over contiguous doc_ids), the same integer
+    fixed-point update — one CTE per iteration instead of a recursive
+    CTE so no aggregate-in-recursive-term support is assumed.  w=0
+    self-edges keep in-edge-less nodes alive (the Ray kernel's zero
+    self-row); SUM is cast back to BIGINT so pandas never sees HUGEINT."""
+    steps = ",\n".join(
+        f"""pr{i} AS (
+            SELECT e.dst AS doc_id,
+                   150000000 + (85 * CAST(SUM((p.rank_fp // 3) * e.w)
+                                          AS BIGINT)) // 100 AS rank_fp
+            FROM pr{i - 1} p JOIN edges e ON e.src = p.doc_id
+            GROUP BY e.dst)"""
+        for i in range(1, iters + 1))
+    return f"""
+        WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+        edges AS (
+            SELECT doc_id AS src,
+                   ((doc_id * 3 + j) * 2654435761 + 13) % 4294967296
+                       % (SELECT c FROM nn) AS dst,
+                   CAST(1 AS BIGINT) AS w
+            FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(j)
+            UNION ALL
+            SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+        ),
+        pr0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rank_fp
+                FROM documents),
+        {steps}
+        SELECT doc_id, rank_fp FROM pr{iters} ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1142,6 +1179,9 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n FROM x GROUP BY user_id, event_type
             ORDER BY op, user_id, event_type
         """,
+        # distributed PageRank: unrolled integer fixed-point mirror over
+        # the same derived Knuth-mix link graph
+        "pagerank_documents": _pagerank_sql(),
         # sweep-line peak concurrency: explicit ROWS frame (RANGE would
         # give tie groups their end value — the MAX is tie-order
         # independent either way, see the query docstring); expiry sorts

@@ -156,6 +156,9 @@ def bench_queries(sf_dir: str) -> dict:
         # multiset INTERSECT ALL / EXCEPT ALL (one scan of in-batch
         # count partials + one keyed exchange)
         "events_setops",
+        # distributed PageRank: 5 chained keyed exchanges over the
+        # derived link graph, integer fixed point
+        "pagerank_documents",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

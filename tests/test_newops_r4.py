@@ -624,3 +624,35 @@ def test_events_setops_null_and_multiplicity_semantics(ray_session, tmp_path):
                    ("intersect_all", None, "x"): 2,
                    ("except_all", 1, "a"): 2,
                    ("except_all", 2, None): 1}
+
+
+def test_pagerank_matches_bruteforce_reference(ray_session, tmp_path):
+    """The distributed integer-fixed-point PageRank equals a sequential
+    numpy reference running the identical update on the identical
+    derived graph — node-for-node, bit-for-bit."""
+    from yaschva_ray.pipelines.ops import (
+        _PR_MULT,
+        _PR_OUT,
+        _PR_R0,
+        _PR_SALT,
+        q_pagerank_documents,
+    )
+
+    n = 50
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["x"] * n)})
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+
+    ranks = np.full(n, _PR_R0, np.int64)
+    for _ in range(5):
+        nxt = np.zeros(n, np.int64)
+        for src in range(n):
+            c = ranks[src] // _PR_OUT
+            for j in range(_PR_OUT):
+                dst = int(((src * _PR_OUT + j) * _PR_MULT + _PR_SALT)
+                          % (1 << 32) % n)
+                nxt[dst] += c
+        ranks = (_PR_R0 * 15) // 100 + (85 * nxt) // 100
+    out = q_pagerank_documents(str(tmp_path))
+    assert out.num_rows == n  # zero self-rows keep every node alive
+    assert out["rank_fp"].to_pylist() == ranks.tolist()

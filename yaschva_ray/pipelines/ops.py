@@ -5280,3 +5280,90 @@ def q_events_setops(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("op", "ascending"), ("user_id", "ascending"),
          ("event_type", "ascending")])
+
+
+_PR_MULT = 2654435761    # Knuth constant shared with train_val_split
+_PR_SALT = 13            # distinct salt: edges independent of split/mix
+_PR_R0 = 1_000_000_000   # fixed-point unit rank
+_PR_OUT = 3              # out-degree of the derived link graph
+
+
+def q_pagerank_documents(sf_dir: str, iters: int = 5) -> pa.Table:
+    """Distributed PageRank over a derived document link graph — the
+    classic web-scale corpus-quality signal (rank pages by incoming
+    links before keeping their text).
+
+    Graph: every doc links to exactly ``_PR_OUT`` pseudo-random docs,
+    ``dst = knuth_mix(doc_id*3 + j) % n`` — the same SQL-expressible mix
+    as train_val_split, so the oracle derives the SAME graph (doc_id is
+    contiguous 0..n-1 in this corpus, making ``% n`` a valid node id).
+    Ranks are INTEGER fixed point (R0 = 1e9): per-edge contribution is
+    ``rank // 3`` and ``new_rank = (15*R0)//100 + (85*sum_in)//100`` —
+    every operation is order-independent int64 arithmetic on
+    non-negative values, so the result is hash-exact against an
+    unrolled DuckDB mirror and bit-identical under any partitioning.
+    (``85*sum_in`` needs ``n * R0 * 85 < 2^63`` ⇒ fine below ~1e8 docs;
+    shrink R0 beyond that.)
+
+    Plan: ranks live in blocks, never on the driver.  Each iteration is
+    ONE pass emitting in-batch pre-aggregated (dst, contrib) partials —
+    plus a zero self-row per node so rank-starved nodes survive, the
+    exact analog of the mirror's w=0 self-edges — and ONE keyed
+    exchange on dst whose buckets group-sum into the next rank table;
+    iterations chain on the exchange's reduce refs (gather=False)."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    from ..engine.exchange import keyed_exchange
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nn = np.uint64(n)
+    teleport = (_PR_R0 * 15) // 100
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "rank_fp": pa.array([], pa.int64())})
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "rank_fp": pa.array(
+                             np.full(t.num_rows, _PR_R0, np.int64))})
+
+    ranks = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        init, batch_format="pyarrow")
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        contrib = (np.asarray(t["rank_fp"].to_numpy(zero_copy_only=False))
+                   // _PR_OUT)
+        dst = [((ids * np.uint64(_PR_OUT) + np.uint64(j))
+                * np.uint64(_PR_MULT) + np.uint64(_PR_SALT))
+               % np.uint64(1 << 32) % nn for j in range(_PR_OUT)]
+        dst.append(ids)  # zero self-row keeps in-edge-less nodes alive
+        cs = [contrib] * _PR_OUT + [np.zeros(len(ids), np.int64)]
+        return pa.table(
+            {"dst": pa.array(np.concatenate(dst).astype(np.int64)),
+             "contrib": pa.array(np.concatenate(cs))}) \
+            .group_by("dst").aggregate([("contrib", "sum")]) \
+            .rename_columns(["dst", "contrib"])
+
+    def new_ranks(t: pa.Table) -> pa.Table:
+        g = t.group_by("dst").aggregate([("contrib", "sum")])
+        s = np.asarray(g["contrib_sum"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": g["dst"],
+                         "rank_fp": pa.array(teleport + (85 * s) // 100)}) \
+            .cast(empty.schema)
+
+    parts: list = []
+    for it in range(iters):
+        contribs = ranks.map_batches(emit, batch_format="pyarrow")
+        out = keyed_exchange(contribs, "dst", new_ranks,
+                             empty_result=empty, gather=it == iters - 1)
+        if it == iters - 1:
+            parts = [p for p in out if p.num_rows]
+        else:
+            ranks = ray.data.from_arrow_refs(out)
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("doc_id", "ascending")])
