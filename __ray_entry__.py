@@ -484,6 +484,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # point -> order-independent arithmetic, hash-exact vs an
         # unrolled iteration mirror)
         "pagerank_documents": ops.q_pagerank_documents,
+        # UNPIVOT/melt (the reshape inverse of events_pivot): pure
+        # per-batch map, no shuffle
+        "lineitem_unpivot": ops.q_lineitem_unpivot,
+        # order-independent whole-table digest (O(1) output, zero
+        # shuffle): count + sum/xor of 63-bit-masked MD5 row hashes
+        "table_checksum_documents": ops.q_table_checksum_documents,
+        # exact median absolute deviation: two counting exchanges, the
+        # pass-1 median broadcast as one closure int
+        "mad_lineitem": ops.q_mad_lineitem,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1182,6 +1191,60 @@ def oracle_sql() -> dict[str, str]:
         # distributed PageRank: unrolled integer fixed-point mirror over
         # the same derived Knuth-mix link graph
         "pagerank_documents": _pagerank_sql(),
+        # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
+        # NOT unique here, so value_cents joins the ORDER BY — remaining
+        # ties are identical rows (any order hashes the same)
+        "lineitem_unpivot": """
+            SELECT * FROM (
+                SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+                       CAST(ROUND(l_quantity * 100) AS BIGINT) AS value_cents
+                FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'extendedprice',
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'discount',
+                       CAST(ROUND(l_discount * 100) AS BIGINT) FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'tax',
+                       CAST(ROUND(l_tax * 100) AS BIGINT) FROM lineitem
+            ) ORDER BY l_orderkey, l_linenumber, measure, value_cents
+        """,
+        # order-independent digest: sum mod 2^63 (HUGEINT accumulate,
+        # BIGINT result) + xor of 63-bit-masked hashes (masking each
+        # operand commutes with XOR); same null-safe row encoding
+        "table_checksum_documents": """
+            WITH s AS (SELECT COALESCE(CAST(doc_id AS VARCHAR) || '|'
+                                       || COALESCE(text, CHR(0)), '') AS r
+                       FROM documents)
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(md5_number_lower(r) AS HUGEINT))
+                        % 9223372036854775808 AS BIGINT) AS sum_lo63,
+                   bit_xor(CAST(md5_number_lower(r) % 9223372036854775808
+                                AS BIGINT)) AS xor_lo63
+            FROM s
+        """,
+        # MAD: median via the pinned rank-floor(q*(n-1)) convention, then
+        # the same rank over absolute deviations; a NULL median nulls
+        # every deviation (ABS(x - NULL)), matching the engine's early out
+        "mad_lineitem": """
+            WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              AS cents FROM lineitem),
+            r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+                  FROM c),
+            m AS (SELECT cents AS med FROM r
+                  WHERE rn = 1 + CAST(FLOOR(0.5 * ((SELECT COUNT(*) FROM c)
+                                                   - 1)) AS BIGINT)),
+            d AS (SELECT ABS(cents - (SELECT med FROM m)) AS dev FROM c),
+            r2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn
+                   FROM d),
+            m2 AS (SELECT dev AS mad FROM r2
+                   WHERE rn = 1 + CAST(FLOOR(0.5 * ((SELECT COUNT(*) FROM d)
+                                                    - 1)) AS BIGINT))
+            SELECT (SELECT med FROM m) AS median_cents,
+                   (SELECT mad FROM m2) AS mad_cents
+        """,
         # sweep-line peak concurrency: explicit ROWS frame (RANGE would
         # give tie groups their end value — the MAX is tie-order
         # independent either way, see the query docstring); expiry sorts

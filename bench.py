@@ -159,6 +159,9 @@ def bench_queries(sf_dir: str) -> dict:
         # distributed PageRank: 5 chained keyed exchanges over the
         # derived link graph, integer fixed point
         "pagerank_documents",
+        # reshape inverse of pivot + O(1)-output table digest + robust
+        # dispersion (two counting exchanges)
+        "lineitem_unpivot", "table_checksum_documents", "mad_lineitem",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -656,3 +657,71 @@ def test_pagerank_matches_bruteforce_reference(ray_session, tmp_path):
     out = q_pagerank_documents(str(tmp_path))
     assert out.num_rows == n  # zero self-rows keep every node alive
     assert out["rank_fp"].to_pylist() == ranks.tolist()
+
+
+def test_table_checksum_order_and_partition_independent(ray_session, tmp_path):
+    """The digest is a pure function of the row MULTISET: permuting row
+    order leaves it unchanged; editing one row changes it."""
+    from yaschva_ray.pipelines.ops import q_table_checksum_documents
+
+    texts = [f"doc number {i} body" for i in range(200)]
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    ids = list(range(200))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    pq.write_table(t, str(a / "documents.parquet"), row_group_size=37)
+    perm = list(reversed(range(200)))
+    pq.write_table(t.take(pa.array(perm)), str(b / "documents.parquet"),
+                   row_group_size=61)
+    ca = q_table_checksum_documents(str(a))
+    cb = q_table_checksum_documents(str(b))
+    assert ca.equals(cb)
+
+    texts[77] = "tampered"
+    c = tmp_path / "c"
+    c.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   str(c / "documents.parquet"))
+    cc = q_table_checksum_documents(str(c))
+    assert cc["n_rows"].equals(ca["n_rows"])
+    assert not cc["sum_lo63"].equals(ca["sum_lo63"])
+    assert not cc["xor_lo63"].equals(ca["xor_lo63"])
+
+
+def test_mad_matches_numpy_convention(ray_session, tmp_path):
+    """MAD on a hand-built table equals the repo's pinned quantile
+    convention (value at rank floor(0.5*(n-1))) applied twice."""
+    from yaschva_ray.pipelines.ops import q_mad_lineitem
+
+    vals = [1.00, 2.00, 4.00, 10.00, 100.00]  # cents 100..10000
+    t = pa.table({"l_extendedprice": pa.array(vals, pa.float64())})
+    pq.write_table(t, os.path.join(tmp_path, "lineitem.parquet"))
+    out = q_mad_lineitem(str(tmp_path))
+    cents = sorted(int(round(v * 100)) for v in vals)
+    med = cents[(len(cents) - 1) // 2]
+    devs = sorted(abs(c - med) for c in cents)
+    assert out["median_cents"][0].as_py() == med == 400
+    assert out["mad_cents"][0].as_py() == devs[(len(devs) - 1) // 2] == 300
+
+
+def test_unpivot_conserves_rows_per_measure(ray_session, tmp_path):
+    from yaschva_ray.pipelines.ops import q_lineitem_unpivot
+
+    t = pa.table({"l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                  "l_linenumber": pa.array([1, 1, 1], pa.int32()),
+                  "l_quantity": pa.array([5.0, 7.0, None]),
+                  "l_extendedprice": pa.array([1.5, 2.5, 3.5]),
+                  "l_discount": pa.array([0.05, 0.1, 0.0]),
+                  "l_tax": pa.array([0.01, 0.02, 0.03])})
+    pq.write_table(t, os.path.join(tmp_path, "lineitem.parquet"))
+    out = q_lineitem_unpivot(str(tmp_path))
+    assert out.num_rows == 12
+    import collections
+    cnt = collections.Counter(out["measure"].to_pylist())
+    assert set(cnt.values()) == {3}
+    # duplicate (orderkey, linenumber) rows order by value within the key
+    q = out.filter(pc.and_(pc.equal(out["measure"], "quantity"),
+                           pc.equal(out["l_orderkey"], 1)))
+    assert q["value_cents"].to_pylist() == [500, 700]

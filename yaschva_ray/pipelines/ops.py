@@ -5367,3 +5367,143 @@ def q_pagerank_documents(sf_dir: str, iters: int = 5) -> pa.Table:
         return empty
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("doc_id", "ascending")])
+
+
+def q_lineitem_unpivot(sf_dir: str) -> pa.Table:
+    """UNPIVOT / melt — the inverse reshape of q_events_pivot: four wide
+    measure columns become (row key, measure, value_cents) long rows.
+    Embarrassingly parallel (a pure per-batch map, no shuffle); cents
+    quantization keeps values hash-stable.  (l_orderkey, l_linenumber)
+    is NOT unique in this corpus, so value_cents joins the sort key:
+    remaining ties are then bit-identical rows and any tie order hashes
+    the same.  NULL measures stay NULL (ROUND(NULL) both sides, sorted
+    last by both engines)."""
+    measures = ["discount", "extendedprice", "quantity", "tax"]
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber"] + [f"l_{m}" for m in measures])
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for m in measures:
+            cents = pc.cast(pc.round(pc.multiply(t[f"l_{m}"], 100.0)),
+                            pa.int64())
+            parts.append(pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "measure": pa.array(np.full(t.num_rows, m)),
+                "value_cents": cents}))
+        return pa.concat_tables(parts)
+
+    tabs = [b for b in gather_tables(
+        ds.map_batches(melt, batch_format="pyarrow")) if b.num_rows]
+    if not tabs:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "l_linenumber": pa.array([], pa.int32()),
+                         "measure": pa.array([], pa.string()),
+                         "value_cents": pa.array([], pa.int64())})
+    return pa.concat_tables(tabs).combine_chunks().sort_by(
+        [("l_orderkey", "ascending"), ("l_linenumber", "ascending"),
+         ("measure", "ascending"), ("value_cents", "ascending")])
+
+
+_CKSUM_MOD = 1 << 63  # both sides mask hashes to 63 bits (BIGINT-safe)
+
+
+def q_table_checksum_documents(sf_dir: str) -> pa.Table:
+    """Order-independent whole-table digest — the cross-replica /
+    post-migration integrity primitive at 100 TB: O(1) output, ZERO
+    shuffle, every byte read exactly once.  Each row canonicalizes to
+    ``doc_id || '|' || text`` (null-safe), hashes through the
+    DuckDB-conformant MD5-lower-64 (pipelines/conformance.py), and the
+    per-block partial is (count, sum mod 2^63, xor of 63-bit-masked
+    hashes) — all three merges are associative + commutative, so the
+    digest is partition- and order-independent by construction.
+    Masking each operand to 63 bits commutes with XOR (bitwise), and the
+    mirror applies the identical mask, so everything stays BIGINT.
+    Production-scale variant would swap MD5 for the vectorized xxhash
+    (the fingerprint_documents split); this is the SQL-checkable
+    conformance surface."""
+    from .conformance import _md5_lower64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        row = pc.fill_null(pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()),
+            pc.fill_null(t["text"], "\x00"), "|"), "")
+        h = _md5_lower64(row.combine_chunks() if isinstance(
+            row, pa.ChunkedArray) else row)
+        lo = h & np.uint64(_CKSUM_MOD - 1)
+        s = int(sum(int(x) for x in lo) % _CKSUM_MOD)
+        x = int(np.bitwise_xor.reduce(lo)) if len(lo) else 0
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([s], pa.int64()),
+                         "x": pa.array([x], pa.int64())})
+
+    parts = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    n = sum(int(p["n"][0].as_py()) for p in parts)
+    s = sum(int(p["s"][0].as_py()) for p in parts) % _CKSUM_MOD
+    x = 0
+    for p in parts:
+        x ^= int(p["x"][0].as_py())
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "sum_lo63": pa.array([s], pa.int64()),
+                     "xor_lo63": pa.array([x], pa.int64())})
+
+
+def _counting_median(blocks: list[pa.Table]) -> int | None:
+    """Median (zero-based rank ⌊0.5·(n−1)⌋, the repo's pinned quantile
+    convention) from gathered (cents, n) counting partials; None when the
+    rank lands in the NULLS-LAST tail or the input is empty."""
+    if not blocks:
+        return None
+    g = (pa.concat_tables(blocks).group_by("cents")
+         .aggregate([("n", "sum")]).sort_by([("cents", "ascending")]))
+    cents, cval = _int_col(g["cents"])
+    cum = np.cumsum(np.asarray(g["n_sum"].to_numpy(zero_copy_only=False)
+                               ).astype(np.int64))
+    n = int(cum[-1])
+    if n == 0:
+        return None
+    pos = int(np.searchsorted(cum, int(np.floor(0.5 * (n - 1))) + 1))
+    return int(cents[pos]) if cval[pos] else None
+
+
+def q_mad_lineitem(sf_dir: str) -> pa.Table:
+    """Median absolute deviation of l_extendedprice cents — the robust
+    dispersion statistic, EXACT and distributed: two counting exchanges
+    (per-block (cents, count) partials, bounded by distinct values per
+    block, driver rank pick — the events_value_quantiles machinery),
+    with the pass-1 median broadcast into pass 2 as one closure int.
+    NULL prices sort into the quantile tail on both sides (row_number
+    NULLS LAST ≡ the null-group-last partial sort)."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"cents": cents}).group_by("cents").aggregate(
+            [([], "count_all")])
+        return pa.table({"cents": g["cents"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    med = _counting_median([b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows])
+    if med is None:
+        return pa.table({"median_cents": pa.array([None], pa.int64()),
+                         "mad_cents": pa.array([None], pa.int64())})
+
+    def dev_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        dev = pc.abs(pc.subtract(cents, med))
+        g = pa.table({"cents": dev}).group_by("cents").aggregate(
+            [([], "count_all")])
+        return pa.table({"cents": g["cents"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    mad = _counting_median([b for b in gather_tables(
+        ds.map_batches(dev_partial, batch_format="pyarrow")) if b.num_rows])
+    return pa.table({"median_cents": pa.array([med], pa.int64()),
+                     "mad_cents": pa.array([mad], pa.int64())})
