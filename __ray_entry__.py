@@ -493,6 +493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact median absolute deviation: two counting exchanges, the
         # pass-1 median broadcast as one closure int
         "mad_lineitem": ops.q_mad_lineitem,
+        # distributed triangle counting (node-iterator, two exchanges,
+        # vectorized wedge generation) over the derived link graph
+        "triangle_count": ops.q_triangle_count,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1224,6 +1227,24 @@ def oracle_sql() -> dict[str, str]:
                    bit_xor(CAST(md5_number_lower(r) % 9223372036854775808
                                 AS BIGINT)) AS xor_lo63
             FROM s
+        """,
+        # triangle counting over the same derived graph: canonical
+        # distinct undirected edges, each triangle a<b<c counted once
+        # via the e1=(a,b), e2=(a,c>b), e3=(b,c) three-way self-join
+        "triangle_count": """
+            WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+            raw AS (
+                SELECT doc_id AS src,
+                       ((doc_id * 3 + j) * 2654435761 + 13) % 4294967296
+                           % (SELECT c FROM nn) AS dst
+                FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(j)),
+            e AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                  GREATEST(src, dst) AS b
+                  FROM raw WHERE src <> dst)
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         # MAD: median via the pinned rank-floor(q*(n-1)) convention, then
         # the same rank over absolute deviations; a NULL median nulls

@@ -162,6 +162,8 @@ def bench_queries(sf_dir: str) -> dict:
         # reshape inverse of pivot + O(1)-output table digest + robust
         # dispersion (two counting exchanges)
         "lineitem_unpivot", "table_checksum_documents", "mad_lineitem",
+        # triangle counting: two exchanges, vectorized wedge generation
+        "triangle_count",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -725,3 +725,30 @@ def test_unpivot_conserves_rows_per_measure(ray_session, tmp_path):
     q = out.filter(pc.and_(pc.equal(out["measure"], "quantity"),
                            pc.equal(out["l_orderkey"], 1)))
     assert q["value_cents"].to_pylist() == [500, 700]
+
+
+def test_triangle_count_matches_bruteforce(ray_session, tmp_path):
+    """Distributed count equals an adjacency-set brute force on the same
+    derived graph (n=60 keeps the brute force instant)."""
+    from yaschva_ray.pipelines.ops import (
+        _PR_MULT,
+        _PR_OUT,
+        _PR_SALT,
+        q_triangle_count,
+    )
+
+    n = 60
+    pq.write_table(pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                             "text": pa.array(["x"] * n)}),
+                   os.path.join(tmp_path, "documents.parquet"))
+    adj = {i: set() for i in range(n)}
+    for s in range(n):
+        for j in range(_PR_OUT):
+            d = int(((s * _PR_OUT + j) * _PR_MULT + _PR_SALT)
+                    % (1 << 32) % n)
+            if d != s:
+                adj[min(s, d)].add(max(s, d))
+    want = sum(1 for a in range(n) for b in sorted(adj[a])
+               for c in sorted(adj[a]) if b < c and c in adj.get(b, ()))
+    got = q_triangle_count(str(tmp_path))["n_triangles"][0].as_py()
+    assert got == want and want > 0

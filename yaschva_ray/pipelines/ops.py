@@ -5507,3 +5507,97 @@ def q_mad_lineitem(sf_dir: str) -> pa.Table:
         ds.map_batches(dev_partial, batch_format="pyarrow")) if b.num_rows])
     return pa.table({"median_cents": pa.array([med], pa.int64()),
                      "mad_cents": pa.array([mad], pa.int64())})
+
+
+def q_triangle_count(sf_dir: str) -> pa.Table:
+    """Distributed triangle counting over the derived link graph —
+    completing the graph family next to PageRank and connected
+    components.  Graph: the same Knuth-mix 3-out-edge derivation as
+    q_pagerank_documents, canonicalized to DISTINCT undirected edges
+    (lo < hi, self-loops dropped) so the count is well-defined.
+
+    Plan (node-iterator, two keyed exchanges, count-only output):
+    exchange 1 co-locates every edge by its LO endpoint ``a`` — the
+    bucket dedups globally (all (a, *) rows are co-located) and emits
+    each node's wedge candidates (b, c) with b < c from its sorted
+    neighbor list via vectorized segment-combination indexing (no
+    per-group Python; pairs per node = deg²/2, bounded by the derived
+    graph's ~Poisson(6) degrees — a hub-heavy real graph would reuse
+    the joins' grid split).  Exchange 2 co-locates wedges with the
+    edge that would close them (both keyed by the candidate edge's lo
+    endpoint); the bucket counts wedges whose (b, c) is present via
+    int64 pair-key searchsorted membership.  Each triangle a<b<c is
+    counted exactly once (at its smallest vertex)."""
+    import pyarrow.parquet as pq
+
+    from ..engine.exchange import keyed_exchange
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nn = np.uint64(n)
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        src = np.concatenate([ids] * _PR_OUT)
+        dst = np.concatenate(
+            [((ids * np.uint64(_PR_OUT) + np.uint64(j))
+              * np.uint64(_PR_MULT) + np.uint64(_PR_SALT))
+             % np.uint64(1 << 32) % nn for j in range(_PR_OUT)])
+        a = np.minimum(src, dst).astype(np.int64)
+        b = np.maximum(src, dst).astype(np.int64)
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])}) \
+            .group_by(["a", "b"]).aggregate([])  # block-level distinct
+
+    mixed = pa.table({"k": pa.array([], pa.int64()),
+                      "o": pa.array([], pa.int64()),
+                      "kind": pa.array([], pa.int8())})
+
+    def wedge_bucket(t: pa.Table) -> pa.Table:
+        # global distinct (all (a, *) co-located here), sorted adjacency
+        d = t.group_by(["a", "b"]).aggregate([]).sort_by(
+            [("a", "ascending"), ("b", "ascending")])
+        a = np.asarray(d["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(d["b"].to_numpy(zero_copy_only=False))
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = a[1:] != a[:-1]
+        starts = np.nonzero(new)[0]
+        gstart = np.repeat(starts, np.diff(np.append(starts, len(a))))
+        j = np.arange(len(a)) - gstart          # in-group offset
+        second = np.repeat(np.arange(len(a)), j)
+        run_start = np.cumsum(j) - j
+        pos = np.arange(int(j.sum())) - np.repeat(run_start, j)
+        first = np.repeat(gstart, j) + pos      # all (first < second) pairs
+        wedge = pa.table({"k": pa.array(b[first]),
+                          "o": pa.array(b[second]),
+                          "kind": pa.array(np.full(len(first), 1, np.int8))})
+        edge = pa.table({"k": d["a"], "o": d["b"],
+                         "kind": pa.array(np.zeros(len(a), np.int8))})
+        return pa.concat_tables([edge, wedge]).cast(mixed.schema)
+
+    stage1 = keyed_exchange(
+        ds.map_batches(edges, batch_format="pyarrow"), "a", wedge_bucket,
+        empty_result=mixed, gather=False)
+    import ray.data
+
+    one = pa.table({"n_triangles": pa.array([], pa.int64())})
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        kind = np.asarray(t["kind"].to_numpy(zero_copy_only=False))
+        key = (np.asarray(t["k"].to_numpy(zero_copy_only=False))
+               * np.int64(n)
+               + np.asarray(t["o"].to_numpy(zero_copy_only=False)))
+        ek = np.sort(key[kind == 0])
+        wk = key[kind == 1]
+        idx = np.searchsorted(ek, wk)
+        idx[idx == len(ek)] = 0 if len(ek) else 0
+        hit = len(ek) and int(np.count_nonzero(ek[np.minimum(
+            idx, len(ek) - 1)] == wk))
+        return pa.table({"n_triangles": pa.array([int(hit)], pa.int64())})
+
+    parts = keyed_exchange(ray.data.from_arrow_refs(stage1), "k",
+                           count_bucket, empty_result=one)
+    total = sum(int(p["n_triangles"][0].as_py()) for p in parts)
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})
