@@ -505,6 +505,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": textops.q_simhash_documents,
         "ann_lsh": textops.q_ann_lsh,
         "fingerprint_documents": textops.q_fingerprint_documents,
+        # zlib entropy-proxy quality signal (deterministic, not
+        # SQL-expressible: rows-only, pinned by tests)
+        "compression_ratio": textops.q_compression_ratio,
         "ann_ivf": textops.q_ann_ivf,
         "ann_ivf_partitioned": textops.q_ann_ivf_partitioned,
         "media_features": _media_features_smoke,

@@ -182,6 +182,8 @@ def bench_queries(sf_dir: str) -> dict:
         "token_stats",
         # round-4 late additions: repetition quality signals + passage dedup
         "repetition_signals", "passage_dedup",
+        # zlib entropy-proxy quality signal (per-doc C kernel)
+        "compression_ratio",
         # round-4 late additions: distributed k-means + SemDeDup
         "kmeans_embeddings", "semantic_dedup",
         # round-4 late additions: partitioned inverted-index retrieval

@@ -752,3 +752,24 @@ def test_triangle_count_matches_bruteforce(ray_session, tmp_path):
                for c in sorted(adj[a]) if b < c and c in adj.get(b, ()))
     got = q_triangle_count(str(tmp_path))["n_triangles"][0].as_py()
     assert got == want and want > 0
+
+
+def test_compression_ratio_signal(ray_session, tmp_path):
+    """Deterministic across runs; repetitive text compresses well below
+    high-entropy text; null/empty docs get 0 bytes."""
+    from yaschva_ray.pipelines.textops import q_compression_ratio
+
+    import random
+    rnd = random.Random(3)
+    texts = ["spam " * 200,                        # highly repetitive
+             "".join(chr(rnd.randrange(33, 1000)) for _ in range(1000)),
+             "", None]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    out = q_compression_ratio(str(tmp_path))
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[0]["n_zlib_bytes"] * 20 < rows[0]["n_bytes"]  # compresses hard
+    assert rows[1]["n_zlib_bytes"] * 2 > rows[1]["n_bytes"]   # barely
+    assert rows[2]["n_bytes"] == 0 and rows[3]["n_bytes"] == 0
+    assert out.equals(q_compression_ratio(str(tmp_path)))     # deterministic

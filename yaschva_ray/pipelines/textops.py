@@ -3771,3 +3771,33 @@ def q_vocab_fuzzy_pairs(sf_dir: str,
     return (pa.concat_tables(parts).group_by(["tok_a", "tok_b"])
             .aggregate([]).sort_by([("tok_a", "ascending"),
                                     ("tok_b", "ascending")]))
+
+
+def q_compression_ratio(sf_dir: str) -> pa.Table:
+    """Per-doc zlib compression signal — the entropy-proxy quality
+    feature several public curation stacks ship (highly repetitive or
+    degenerate text compresses far below natural prose): exact integers
+    ``n_bytes`` (UTF-8) and ``n_zlib_bytes`` (level 6, raw
+    ``zlib.compress``), ratio left to the consumer so no float crosses
+    the wire.  Deterministic for a fixed zlib (RFC 1950 stream, level
+    pinned), but NOT SQL-expressible — rows-only by design, pinned by
+    determinism + discrimination tests.
+
+    A pure per-batch map (no shuffle).  The per-doc loop is one C call
+    per document — compression is inherently per-document work; the
+    batch stays the unit of scheduling and the UTF-8 byte lengths come
+    from the Arrow kernel, not Python."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def comp(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        n_bytes = pc.binary_length(txt.cast(pa.binary())).cast(pa.int64())
+        zl = [len(zlib.compress(s.encode("utf-8"), 6))
+              for s in txt.to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "n_bytes": n_bytes,
+                         "n_zlib_bytes": pa.array(zl, pa.int64())})
+
+    return _gather(ds.map_batches(comp, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")])
