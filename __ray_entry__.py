@@ -311,6 +311,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f0_partition_verdicts": _f0_partition_verdicts,
         "flagship_lineage": _flagship_lineage,
         "f0_span_dedup": textops.q_f0_span_dedup,
+        # span-offset CONTIGUITY over the interleaved table: the
+        # adjacent-element structural invariant (spans tile the doc) the
+        # per-span schema rules can't express; catches neg_offset /
+        # empty_text / NULL-text-length planted classes
+        "f0_offset_check": textops.q_f0_offset_check,
         # --- past the 50-entry window: every remaining oracle-backed
         # query first (a larger cap checks them all), rows-only last ---
         # sample_quality (oracle-backed) ceded its sweep slot to the exact
@@ -452,6 +457,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": ops.q_grouped_quantiles,
         "running_total_user": ops.q_running_total_user,
         "user_event_gaps": ops.q_user_event_gaps,
+        # gaps-and-islands: maximal consecutive-active-day runs per user;
+        # map-side DISTINCT (user, day) partials bound the exchange by
+        # users × days, not event rows
+        "user_islands": ops.q_user_islands,
+        # ordered STRING_AGG — intra-group-order-dependent aggregate, so
+        # no commutative partial exists: keyed exchange + one vectorized
+        # ListArray/binary_join per bucket
+        "user_event_paths": ops.q_user_event_paths,
+        # Tukey-fence outlier check per type: exact discrete quartiles
+        # (counting partials) + broadcast integer fences, doubled-cents
+        # arithmetic so 1.5·IQR never leaves int64
+        "iqr_outliers_events": ops.q_iqr_outliers_events,
         "ship_before_order": ops.q_ship_before_order,
         "validate_quarantine": ops.q_validate_quarantine,
         "events_pivot": ops.q_events_pivot,
@@ -1095,6 +1112,77 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id) AS event_seq
             FROM events
             ORDER BY user_id, event_seq
+        """,
+        # day - row_number() is constant within a consecutive run (the
+        # classic islands anchor); NULL ts dropped both sides, NULL
+        # user_id one partition
+        "user_islands": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events WHERE ts IS NOT NULL
+            ), g AS (
+                SELECT user_id, day,
+                       day - CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY day
+                       ) AS INTEGER) AS anchor
+                FROM d
+            )
+            SELECT user_id, MIN(day) AS island_start,
+                   MAX(day) AS island_end, COUNT(*) AS n_days
+            FROM g GROUP BY user_id, anchor
+            ORDER BY user_id, island_start
+        """,
+        # NULL types skipped (no step, no separator), all-null group →
+        # NULL path, NULL ts sorts LAST, NULL user_ids one group
+        "user_event_paths": """
+            SELECT user_id,
+                   STRING_AGG(event_type, '>' ORDER BY ts, event_id)
+                       AS path,
+                   COUNT(event_type) AS n_steps
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # quartiles by the zero-based floor(q·(n-1)) rank (row_number
+        # NULLS LAST); fences compared in doubled cents so 1.5·IQR stays
+        # integer; IS NOT DISTINCT FROM keeps the NULL-type group joined
+        "iqr_outliers_events": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), r AS (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents NULLS LAST) - 1
+                           AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            ), qq AS (
+                SELECT event_type,
+                       MAX(CASE WHEN rn = CAST(FLOOR(0.25 * (n - 1))
+                                          AS BIGINT)
+                                THEN cents END) AS q1_cents,
+                       MAX(CASE WHEN rn = CAST(FLOOR(0.75 * (n - 1))
+                                          AS BIGINT)
+                                THEN cents END) AS q3_cents
+                FROM r GROUP BY event_type
+            )
+            SELECT qq.event_type, qq.q1_cents, qq.q3_cents,
+                   COUNT(*) FILTER (
+                       WHERE 2 * c.cents <
+                                 2 * q1_cents - 3 * (q3_cents - q1_cents)
+                          OR 2 * c.cents >
+                                 2 * q3_cents + 3 * (q3_cents - q1_cents)
+                   ) AS n_outliers,
+                   COALESCE(SUM(c.event_id) FILTER (
+                       WHERE 2 * c.cents <
+                                 2 * q1_cents - 3 * (q3_cents - q1_cents)
+                          OR 2 * c.cents >
+                                 2 * q3_cents + 3 * (q3_cents - q1_cents)
+                   ), 0) AS outlier_id_sum
+            FROM qq LEFT JOIN c
+                 ON qq.event_type IS NOT DISTINCT FROM c.event_type
+            GROUP BY qq.event_type, qq.q1_cents, qq.q3_cents
+            ORDER BY qq.event_type
         """,
         # the real flagship's lineage manifest vs a recount of its own
         # written input shards (filename=true maps rows to shards; the
@@ -2412,5 +2500,44 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY span_key) AS rn
                 FROM txt
             ) WHERE rn > 1 ORDER BY span_key
+        """,
+        # file_row_number is the LAG partition: doc_id is NOT a key (the
+        # dup_doc_id class is planted), so adjacency must be computed
+        # within the physical row's span list, exactly like the Ray side's
+        # parent-index explode
+        "f0_offset_check": """
+            WITH f0 AS (
+                SELECT file_row_number AS rid, doc_id, spans
+                FROM read_parquet('/tmp/yaschva_oracle/f0_docs.parquet',
+                                  file_row_number=true)
+            ), sp AS (
+                SELECT rid, doc_id, unnest(spans) AS s,
+                       CAST(generate_subscripts(spans, 1) - 1 AS BIGINT) AS k
+                FROM f0
+            ), e AS (
+                SELECT rid, doc_id, k,
+                       CAST(s."offset" AS BIGINT) AS off,
+                       CASE WHEN s.kind IN ('image', 'audio', 'video')
+                            THEN 1024 ELSE LENGTH(s.text) END AS explen,
+                       (s.kind NOT IN ('image', 'audio', 'video')
+                        AND s.text IS NULL) AS no_len
+                FROM sp
+            ), w AS (
+                SELECT rid, doc_id, k, off, no_len,
+                       LAG(off) OVER win AS poff,
+                       LAG(explen) OVER win AS plen
+                FROM e WINDOW win AS (PARTITION BY rid ORDER BY k)
+            )
+            SELECT doc_id, span_idx, class FROM (
+                SELECT doc_id, k AS span_idx,
+                       'first_offset_nonzero' AS class
+                FROM w WHERE k = 0 AND off <> 0
+                UNION ALL
+                SELECT doc_id, k, 'unknown_length' FROM w WHERE no_len
+                UNION ALL
+                SELECT doc_id, k, 'gap_or_overlap'
+                FROM w WHERE k > 0 AND plen IS NOT NULL
+                      AND off <> poff + plen
+            ) ORDER BY doc_id, span_idx, class
         """,
     }

@@ -1,0 +1,146 @@
+"""Round-4 continuation operators: F0 span-offset contiguity, user
+activity islands, ordered event-path string-agg, IQR outlier check.
+
+Each test pins the Ray pipeline against the SHIPPED DuckDB oracle SQL
+(the driver's own comparison), not a re-derivation — so a semantics
+drift in either side fails here first.
+"""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import __ray_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+HOUR = 3_600_000_000  # us
+
+
+def _oracle(name: str, sf_dir: str = SF_DIR) -> pa.Table:
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(entry.oracle_sql()[name]).arrow()
+
+
+def _write_null_events(tmp_path) -> str:
+    """Null ts / null user / null type / null value / pre-epoch rows —
+    the paths the sf fixtures (no nulls) never exercise."""
+    day = 24 * HOUR
+    rows = [
+        # (event_id, ts_us, user_id, value, type)
+        (1, 1 * day, 1, 1.0, "view"),        # user 1: days 1,2,4 → two
+        (2, 2 * day + 5, 1, None, "click"),  # islands (1-2) and (4)
+        (3, 4 * day, 1, 2.0, None),          # null type: skipped in path
+        (4, None, 1, 3.0, "purchase"),       # null ts: dropped from
+        (5, -1, 2, -500.0, "view"),          # islands, LAST in path order
+        (6, -2 * day - 5, 2, 0.5, "view"),   # user 2: pre-epoch days
+        (7, 0, None, 2.0, "view"),           # null user: one group
+        (8, 1 * day, None, None, "click"),
+        (9, None, 3, 1.0, None),             # user 3: all-null type →
+        (10, None, 3, None, None),           # NULL path, zero steps
+        # enough normal 'view' values that Tukey fences EXCLUDE -500.0
+        (11, 5 * day, 1, 1.2, "view"),
+        (12, 5 * day + 1, 2, 1.5, "view"),
+        (13, 5 * day + 2, 2, 1.1, "view"),
+        (14, 5 * day + 3, 2, 0.9, "view"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "event_type": pa.array([r[4] for r in rows], pa.string()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_f0_offset_check_matches_oracle(ray_session):
+    """Span-offset contiguity over the interleaved table: hash-exact vs
+    the shipped SQL (file_row_number partitions, NULL-length skips), and
+    all three planted violation classes are actually represented."""
+    out = entry.queries()["f0_offset_check"](SF_DIR)
+    ora = _oracle("f0_offset_check")
+    assert out.num_rows == ora.num_rows
+    assert out.cast(ora.schema).equals(ora)
+    classes = set(out["class"].to_pylist())
+    assert classes == {"first_offset_nonzero", "unknown_length",
+                       "gap_or_overlap"}
+    # determinism
+    assert entry.queries()["f0_offset_check"](SF_DIR).equals(out)
+
+
+def _events_parity(name: str, sf_dir: str) -> tuple[pa.Table, pa.Table]:
+    out = entry.queries()[name](sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    ora = con.execute(entry.oracle_sql()[name]).arrow()
+    return out, ora
+
+
+def test_user_islands_matches_oracle(ray_session):
+    out, ora = _events_parity("user_islands", SF_DIR)
+    assert out.num_rows == ora.num_rows > 0
+    assert out.cast(ora.schema).equals(ora)
+
+
+def test_user_islands_nulls_and_preepoch(ray_session, tmp_path):
+    """Null ts dropped, null user one partition, pre-epoch days FLOOR
+    (CAST(ts AS DATE) semantics, not int truncation)."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("user_islands", sf)
+    assert out.cast(ora.schema).equals(ora)
+    d = {(r["user_id"], str(r["island_start"])): r["n_days"]
+         for r in out.to_pylist()}
+    # user 1: consecutive days 1-2 then 4-5; null-ts row gone
+    assert d[(1, "1970-01-02")] == 2 and d[(1, "1970-01-05")] == 2
+    # user 2: -1us floors to 1969-12-31, -2d-5us floors to 1969-12-29
+    assert (2, "1969-12-31") in d and (2, "1969-12-29") in d
+    # null user: days 0 and 1 form ONE island of 2
+    assert d[(None, "1970-01-01")] == 2
+    # user 3 (only null-ts rows) has no islands at all
+    assert not any(u == 3 for u, _ in d)
+
+
+def test_user_event_paths_matches_oracle(ray_session):
+    out, ora = _events_parity("user_event_paths", SF_DIR)
+    assert out.num_rows == ora.num_rows > 0
+    assert out.cast(ora.schema).equals(ora)
+
+
+def test_user_event_paths_null_semantics(ray_session, tmp_path):
+    """Null types skipped (no separator), all-null group → NULL path,
+    null ts sorts LAST, null user one group — vs the SHIPPED oracle."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("user_event_paths", sf)
+    assert out.cast(ora.schema).equals(ora)
+    d = {r["user_id"]: (r["path"], r["n_steps"]) for r in out.to_pylist()}
+    # user 1: null type (id 3) skipped, null-ts purchase (id 4) LAST
+    assert d[1] == ("view>click>view>purchase", 4)
+    assert d[3] == (None, 0)          # all-null types → NULL path
+    assert d[None] == ("view>click", 2)
+
+
+def test_iqr_outliers_matches_oracle(ray_session):
+    out, ora = _events_parity("iqr_outliers_events", SF_DIR)
+    assert out.num_rows == ora.num_rows > 0
+    assert out.cast(ora.schema).equals(ora)
+
+
+def test_iqr_outliers_nulls_and_planted_outlier(ray_session, tmp_path):
+    """NULL values never outliers; the planted -500.0 'view' IS one; the
+    all-NULL-value... (null cents land in the quantile tail only when the
+    rank reaches them) — vs the SHIPPED oracle on the null fixture."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("iqr_outliers_events", sf)
+    assert out.cast(ora.schema).equals(ora)
+    d = {r["event_type"]: r for r in out.to_pylist()}
+    assert d["view"]["n_outliers"] == 1          # the -500.0 row
+    assert d["view"]["outlier_id_sum"] == 5

@@ -4054,6 +4054,142 @@ def q_grouped_quantiles(sf_dir: str) -> pa.Table:
         [("event_type", "ascending")])
 
 
+def q_iqr_outliers_events(sf_dir: str) -> pa.Table:
+    """IQR-fence outlier detection per group — the robust statistical
+    data-quality check (Tukey fences): an event is an outlier when its
+    cent value lies outside ``[q1 - 1.5·IQR, q3 + 1.5·IQR]`` of its
+    event_type's EXACT discrete quartiles.  All arithmetic is INTEGER
+    (the 1.5 factor becomes the doubled comparison ``2·c < 2·q1 - 3·IQR``)
+    so the SQL mirror is bit-exact with no float fences.
+
+    Two bounded scans, no row shuffle:
+    - pass 1: per-block (type, cents, count) histogram partials
+      (cardinality bounded by types × distinct cents, not rows), driver
+      rank-pick of q1/q3 per type — the ``grouped_quantiles`` machinery
+      and the same zero-based ``floor(q·(n-1))`` rank convention;
+    - pass 2: the tiny per-type fence table is BROADCAST into a second
+      map over events; each block counts outliers and sums their
+      event_ids (a checksum the driver can hash) per type; the driver
+      group-sums the partials.
+
+    NULL semantics pinned: NULL values are never outliers (NULL
+    comparisons), a quartile landing in the null tail makes the type's
+    fences NULL → zero outliers, NULL event_type is its own group (the
+    mirror joins with IS NOT DISTINCT FROM)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "cents": cents}) \
+            .group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "cents": g["cents"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "q1_cents": pa.array([], pa.int64()),
+                      "q3_cents": pa.array([], pa.int64()),
+                      "n_outliers": pa.array([], pa.int64()),
+                      "outlier_id_sum": pa.array([], pa.int64())})
+    if not blocks:
+        return empty
+    g = (pa.concat_tables(blocks).group_by(["event_type", "cents"])
+         .aggregate([("cnt", "sum")])
+         .sort_by([("event_type", "ascending"), ("cents", "ascending")]))
+    new = _seg_new(g["event_type"])
+    cents, cval = _int_col(g["cents"])
+    counts = np.asarray(g["cnt_sum"].to_numpy(zero_copy_only=False)
+                        ).astype(np.int64)
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], len(new))
+    ea = g["event_type"]
+    if isinstance(ea, pa.ChunkedArray):
+        ea = ea.combine_chunks()
+    types = ea.take(pa.array(starts))
+    q1s, q3s = [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(counts[s:e])
+        n = int(cum[-1])
+        row = []
+        for q in (0.25, 0.75):
+            idx = int(np.floor(q * (n - 1)))
+            pos = s + int(np.searchsorted(cum, idx + 1))
+            row.append(int(cents[pos]) if cval[pos] else None)
+        q1s.append(row[0])
+        q3s.append(row[1])
+
+    # pass 2: broadcast fences (a handful of types), count per block
+    fence = {}  # type (or None) -> (lo2, hi2) in doubled cents
+    for ty, q1, q3 in zip(types.to_pylist(), q1s, q3s):
+        if q1 is not None and q3 is not None:
+            iqr = q3 - q1
+            fence[ty] = (2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr)
+
+    def count_outliers(t: pa.Table) -> pa.Table:
+        cents2 = pc.multiply(
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            pa.scalar(2, pa.int64()))
+        c2, c2v = _int_col(cents2)
+        tcol = t["event_type"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        # fence lookup per DISTINCT type (a handful), gathered to rows by
+        # dictionary codes — no per-row Python on the full-scan path
+        enc = tcol.dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        dlo = np.array([fence.get(v, (0, 0))[0] for v in dvals], np.int64)
+        dhi = np.array([fence.get(v, (0, 0))[1] for v in dvals], np.int64)
+        dhas = np.array([v in fence for v in dvals], bool)
+        codes = np.asarray(pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        null_has = None in fence
+        null_lo, null_hi = fence.get(None, (0, 0))
+        isnull = codes < 0
+        safe = np.where(isnull, 0, codes)
+        lo = np.where(isnull, null_lo, dlo[safe]) if len(dvals) else \
+            np.full(len(codes), null_lo, np.int64)
+        hi = np.where(isnull, null_hi, dhi[safe]) if len(dvals) else \
+            np.full(len(codes), null_hi, np.int64)
+        has = np.where(isnull, null_has, dhas[safe]) if len(dvals) else \
+            np.full(len(codes), null_has, bool)
+        out = has & c2v & ((c2 < lo) | (c2 > hi))
+        ids, _ = _int_col(t["event_id"])
+        gp = pa.table({
+            "event_type": tcol,
+            "n_outliers": pa.array(out.astype(np.int64)),
+            "outlier_id_sum": pa.array(np.where(out, ids, 0)),
+        }).group_by("event_type").aggregate([("n_outliers", "sum"),
+                                             ("outlier_id_sum", "sum")])
+        return pa.table({"event_type": gp["event_type"],
+                         "n_outliers": gp["n_outliers_sum"],
+                         "outlier_id_sum": gp["outlier_id_sum_sum"]})
+
+    parts = [b for b in gather_tables(
+        ds.map_batches(count_outliers, batch_format="pyarrow"))
+        if b.num_rows]
+    agg = (pa.concat_tables(parts).group_by("event_type")
+           .aggregate([("n_outliers", "sum"), ("outlier_id_sum", "sum")]))
+    qt = pa.table({"event_type": types,
+                   "q1_cents": pa.array(q1s, pa.int64()),
+                   "q3_cents": pa.array(q3s, pa.int64())})
+    # small driver-side merge: every type present in pass 1 by
+    # construction appears in pass 2's group output too (same scan)
+    amap = {ty: (no, sm) for ty, no, sm in zip(
+        agg["event_type"].to_pylist(),
+        agg["n_outliers_sum"].to_pylist(),
+        agg["outlier_id_sum_sum"].to_pylist())}
+    nos = [amap.get(ty, (0, 0))[0] for ty in types.to_pylist()]
+    sms = [amap.get(ty, (0, 0))[1] for ty in types.to_pylist()]
+    return pa.table({
+        "event_type": qt["event_type"],
+        "q1_cents": qt["q1_cents"],
+        "q3_cents": qt["q3_cents"],
+        "n_outliers": pa.array(nos, pa.int64()),
+        "outlier_id_sum": pa.array(sms, pa.int64()),
+    }).sort_by([("event_type", "ascending")])
+
+
 def q_infer_schema(sf_dir: str) -> pa.Table:
     """Schema INFERENCE from data (the type emitter's inverse,
     typegen.arrow_to_validation): base types come from the parquet file
@@ -4228,6 +4364,142 @@ def q_running_total_user(sf_dir: str) -> pa.Table:
         return empty
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("user_id", "ascending"), ("event_seq", "ascending")])
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q_user_islands(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    days (an island = dates with ≥1 event and no missing day inside).
+    The classic sessionization-by-calendar pattern SQL solves with the
+    ``day - row_number()`` anchor trick; here it is one keyed exchange:
+
+    - map side: per-block DISTINCT (user_id, day) pairs — the partial is
+      bounded by users × days, NOT by event rows, so the exchange moves
+      a tiny fraction of the input (the same pre-aggregation contract as
+      the uniqueness checks);
+    - reduce side: re-distinct across blocks, one vectorized sort, then
+      island boundaries = new-user flags OR day-diff ≠ 1, and per-island
+      (start, end, n_days) via reduceat-style segment indexing.
+
+    Day = floor(ts / 86400s) — numpy floor division is calendar-correct
+    for PRE-EPOCH timestamps (matches ``CAST(ts AS DATE)``, which floors,
+    unlike int truncation).  NULL ts rows are dropped on both sides (a
+    NULL day can't be adjacent to anything); NULL user_ids form one
+    partition (house PARTITION BY rule)."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "island_start": pa.array([], pa.date32()),
+                      "island_end": pa.array([], pa.date32()),
+                      "n_days": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        if not t.num_rows:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int32())})
+        us = np.asarray(pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        day = (us // _US_PER_DAY).astype(np.int32)
+        return pa.table({"user_id": t["user_id"],
+                         "day": pa.array(day)}).group_by(
+            ["user_id", "day"]).aggregate([])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("day", "ascending")])
+        s = t.take(order)
+        days = np.asarray(s["day"].to_numpy(zero_copy_only=False)
+                          ).astype(np.int64)
+        new = _seg_new(s["user_id"])
+        n = len(new)
+        brk = new.copy()
+        if n > 1:
+            brk[1:] |= days[1:] != days[:-1] + 1
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            "user_id": s["user_id"].take(pa.array(starts)),
+            "island_start": pa.array(days[starts].astype(np.int32)).cast(
+                pa.date32()),
+            "island_end": pa.array(days[ends].astype(np.int32)).cast(
+                pa.date32()),
+            "n_days": pa.array((ends - starts + 1).astype(np.int64)),
+        })
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    parts = keyed_exchange(pre, "user_id", bucket, empty_result=empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("user_id", "ascending"), ("island_start", "ascending")])
+
+
+def q_user_event_paths(sf_dir: str) -> pa.Table:
+    """ORDERED grouped string aggregation — SQL's ``STRING_AGG(x, sep
+    ORDER BY ...)``, the one aggregate whose result depends on intra-group
+    ORDER, so it cannot be a commutative partial/final pair: each user's
+    event types joined with '>' in (ts, event_id) order.  One keyed
+    exchange on user_id co-locates each user's history; the per-bucket
+    kernel is fully vectorized — one sort, per-group offsets from
+    segment-start indexing, and ONE `ListArray.from_arrays` +
+    `pc.binary_join` call that concatenates every group in the bucket
+    simultaneously (no per-group Python joins).
+
+    SQL semantics pinned: NULL event_types are SKIPPED (they contribute
+    neither a step nor a separator), a user whose types are ALL null gets
+    a NULL path (string_agg over zero values), NULL ts sorts LAST
+    (DuckDB's default null order), and NULL user_ids form one group."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "path": pa.array([], pa.string()),
+                      "n_steps": pa.array([], pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        s = t.take(order)
+        types = s["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        valid = np.asarray(pc.is_valid(types).to_numpy(
+            zero_copy_only=False))
+        new = _seg_new(s["user_id"])
+        starts = np.nonzero(new)[0]
+        # per-group count of non-null types (order preserved under the
+        # stable filter below)
+        nval = np.add.reduceat(valid.astype(np.int64), starts) \
+            if len(starts) else np.array([], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(nval)]).astype(np.int32)
+        vals = types.filter(pa.array(valid))
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        joined = pc.binary_join(lists, ">")
+        # string_agg over zero values is NULL, not ''
+        path = pc.if_else(pa.array(nval > 0), joined,
+                          pa.scalar(None, pa.string()))
+        return pa.table({
+            "user_id": s["user_id"].take(pa.array(starts)),
+            "path": path,
+            "n_steps": pa.array(nval),
+        })
+
+    parts = keyed_exchange(ds, "user_id", bucket, empty_result=empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("user_id", "ascending")])
 
 
 def q_user_event_gaps(sf_dir: str) -> pa.Table:

@@ -2701,6 +2701,116 @@ def q_f0_span_dedup(sf_dir: str) -> pa.Table:
     return pa.table({"span_key": dup["doc_id"]})
 
 
+_MEDIA_KINDS = ("image", "audio", "video")
+_MEDIA_SPAN_LEN = 1024  # fixed payload length the generator assigns media spans
+
+
+def q_f0_offset_check(sf_dir: str) -> pa.Table:
+    """Span-offset CONTIGUITY validation over the interleaved F0 table —
+    the north-rule invariant that spans TILE the document: span 0 starts
+    at offset 0 and every later span starts exactly where the previous
+    one ended (text spans occupy ``length(text)`` units, media spans a
+    fixed 1024).  This is the structural check the per-span schema rules
+    can't express (it relates ADJACENT list elements), and it catches
+    three planted violation classes: ``neg_offset`` (first offset ≠ 0,
+    which also breaks the next adjacency), ``empty_text`` (the stored
+    text shrank but the successor's offset didn't move → gap), and
+    ``bad_media_ref``/``dangling_media_ref`` (kind='text' with NULL text
+    → length unknowable).
+
+    Violation classes emitted per (doc_id, span_idx):
+      - ``first_offset_nonzero``: span 0's offset ≠ 0
+      - ``unknown_length``: a non-media span with NULL text (length
+        indeterminable; the NEXT adjacency is skipped, not flagged —
+        SQL NULL-comparison semantics)
+      - ``gap_or_overlap``: offset[k] ≠ offset[k-1] + len(span k-1)
+
+    Fully vectorized: one flatten + numpy shifted-compare per batch, no
+    per-row Python; parent/within indices via repeat/cumsum (the
+    q_f0_span_dedup explode skeleton).  The seeded input is WRITTEN to
+    the shared oracle path (identical generator args to the sibling f0
+    queries, so any execution order produces the same bytes) and the
+    DuckDB mirror unnests with ``file_row_number`` as the row identity —
+    doc_id alone is NOT a key (the dup_doc_id class is planted), so the
+    LAG partition must be the physical row."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .datagen import make_docs_batch
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    table = make_docs_batch(np.arange(n), seed=42)
+    os.makedirs("/tmp/yaschva_oracle", exist_ok=True)
+    pq.write_table(table, "/tmp/yaschva_oracle/f0_docs.parquet")
+    k = 8
+    ds = ray.data.from_arrow([table.slice(i * len(table) // k,
+                                          (i + 1) * len(table) // k
+                                          - i * len(table) // k)
+                              for i in range(k)])
+
+    def check(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = pc.list_value_length(spans).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = spans.flatten()
+        kinds = pc.struct_field(flat, "kind")
+        texts = pc.struct_field(flat, "text")
+        offs = np.asarray(pc.fill_null(
+            pc.cast(pc.struct_field(flat, "offset"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)).astype(np.int64)
+        parents = np.repeat(np.arange(len(t)), lengths)
+        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+        total = int(lengths.sum())
+        within = np.arange(total) - np.repeat(starts, lengths)
+
+        is_media = np.asarray(pc.is_in(
+            kinds, value_set=pa.array(_MEDIA_KINDS)
+        ).to_numpy(zero_copy_only=False))
+        tlen = pc.utf8_length(texts)
+        tlen_valid = np.asarray(pc.is_valid(tlen).to_numpy(
+            zero_copy_only=False))
+        tlen_np = np.asarray(pc.fill_null(tlen, 0).to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        explen = np.where(is_media, _MEDIA_SPAN_LEN, tlen_np)
+        len_known = is_media | tlen_valid
+
+        first = within == 0
+        v_first = first & (offs != 0)
+        v_nolen = ~is_media & ~tlen_valid
+        # adjacency: same parent as predecessor, predecessor length known
+        adj = np.zeros(total, dtype=bool)
+        if total > 1:
+            adj[1:] = (parents[1:] == parents[:-1]) & len_known[:-1] & (
+                offs[1:] != offs[:-1] + explen[:-1])
+
+        doc_ids = t["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        flat_docs = doc_ids.take(pa.array(parents))
+        outs = []
+        for mask, cls in ((v_first, "first_offset_nonzero"),
+                          (v_nolen, "unknown_length"),
+                          (adj, "gap_or_overlap")):
+            ix = np.nonzero(mask)[0]
+            if len(ix):
+                outs.append(pa.table({
+                    "doc_id": flat_docs.take(pa.array(ix)),
+                    "span_idx": pa.array(within[ix].astype(np.int64)),
+                    "class": pa.array([cls] * len(ix), pa.string()),
+                }))
+        if not outs:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "span_idx": pa.array([], pa.int64()),
+                             "class": pa.array([], pa.string())})
+        return pa.concat_tables(outs)
+
+    out = _gather(ds.map_batches(check, batch_format="pyarrow"))
+    return out.sort_by([("doc_id", "ascending"), ("span_idx", "ascending"),
+                        ("class", "ascending")])
+
+
 def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
     """Rolling-hash (winnowing) fingerprints per document: fingerprint
     count plus an order-independent XOR digest of the selected hashes.
