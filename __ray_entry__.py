@@ -469,6 +469,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (counting partials) + broadcast integer fences, doubled-cents
         # arithmetic so 1.5·IQR never leaves int64
         "iqr_outliers_events": ops.q_iqr_outliers_events,
+        # rolling COUNT(DISTINCT): DAU + trailing-7-day AU per day via a
+        # user-keyed 7-way window explode with LOCAL (user, window-day)
+        # dedup — no per-day distinct shuffle, reduce output days × 7
+        "rolling_active_users": ops.q_rolling_active_users,
+        # grouped MODE, deterministic tie-break (count desc, value asc):
+        # counting partials + per-segment argmax
+        "mode_event_value": ops.q_mode_event_value,
         "ship_before_order": ops.q_ship_before_order,
         "validate_quarantine": ops.q_validate_quarantine,
         "events_pivot": ops.q_events_pivot,
@@ -1183,6 +1190,45 @@ def oracle_sql() -> dict[str, str]:
                  ON qq.event_type IS NOT DISTINCT FROM c.event_type
             GROUP BY qq.event_type, qq.q1_cents, qq.q3_cents
             ORDER BY qq.event_type
+        """,
+        # the rolling COUNT(DISTINCT) self-join mirror: every active day
+        # joins the distinct (user, day) pairs in its trailing week; DAU
+        # recomputed in the same pass via the CASE inside the DISTINCT
+        "rolling_active_users": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), act AS (
+                SELECT DISTINCT day FROM d
+            )
+            SELECT a.day,
+                   COUNT(DISTINCT CASE WHEN d.day = a.day
+                                       THEN user_id END) AS dau,
+                   COUNT(DISTINCT user_id) AS wau7
+            FROM act a JOIN d
+                 ON d.day BETWEEN a.day - 6 AND a.day
+            GROUP BY a.day ORDER BY a.day
+        """,
+        # mode = row_number 1 under (count DESC, value ASC); NULL values
+        # excluded, NULL event_type its own group
+        "mode_event_value": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE value IS NOT NULL
+            ), g AS (
+                SELECT event_type, cents, COUNT(*) AS n
+                FROM c GROUP BY event_type, cents
+            ), r AS (
+                SELECT event_type, cents, n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY n DESC, cents ASC)
+                           AS rn
+                FROM g
+            )
+            SELECT event_type, cents AS mode_cents, n AS mode_count
+            FROM r WHERE rn = 1 ORDER BY event_type
         """,
         # the real flagship's lineage manifest vs a recount of its own
         # written input shards (filename=true maps rows to shards; the

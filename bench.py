@@ -164,6 +164,13 @@ def bench_queries(sf_dir: str) -> dict:
         "lineitem_unpivot", "table_checksum_documents", "mad_lineitem",
         # triangle counting: two exchanges, vectorized wedge generation
         "triangle_count",
+        # continuation additions: interleaved span-offset contiguity,
+        # gaps-and-islands, ordered STRING_AGG, Tukey-fence outliers
+        "f0_offset_check", "user_islands", "user_event_paths",
+        "iqr_outliers_events",
+        # rolling COUNT(DISTINCT) without a per-day distinct shuffle +
+        # grouped mode from counting partials
+        "rolling_active_users", "mode_event_value",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

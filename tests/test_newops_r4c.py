@@ -128,6 +128,53 @@ def test_user_event_paths_null_semantics(ray_session, tmp_path):
     assert d[None] == ("view>click", 2)
 
 
+def test_rolling_active_users_matches_oracle(ray_session):
+    out, ora = _events_parity("rolling_active_users", SF_DIR)
+    assert out.num_rows == ora.num_rows > 0
+    assert out.cast(ora.schema).equals(ora)
+    # wau7 is a superset count of dau on every day
+    for r in out.to_pylist():
+        assert r["wau7"] >= r["dau"] >= 1
+
+
+def test_rolling_active_users_nulls_and_windows(ray_session, tmp_path):
+    """Null user / null ts excluded; a user active on two nearby days
+    counts ONCE in an overlapping window; pre-epoch days window
+    correctly — vs the SHIPPED oracle."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("rolling_active_users", sf)
+    assert out.cast(ora.schema).equals(ora)
+    d = {str(r["day"]): (r["dau"], r["wau7"]) for r in out.to_pylist()}
+    # user 1 active days 1,2 and 4,5; user 2 active 1969-12-29/31 and
+    # day 5; null-user rows (days 0,1) EXCLUDED entirely
+    # day 1: user 1 on-day; user 2's pre-epoch days (12-29, 12-31) fall
+    # inside the trailing week [12-27 .. 01-02] → wau7 = 2
+    assert d["1970-01-02"] == (1, 2)
+    # day 5: users 1 and 2 on-day; trailing week covers both users'
+    # earlier days but each counts once
+    assert d["1970-01-06"] == (2, 2)
+    assert d["1969-12-31"] == (1, 1)            # pre-epoch active day
+
+
+def test_mode_event_value_matches_oracle(ray_session):
+    out, ora = _events_parity("mode_event_value", SF_DIR)
+    assert out.num_rows == ora.num_rows > 0
+    assert out.cast(ora.schema).equals(ora)
+
+
+def test_mode_event_value_tie_break(ray_session, tmp_path):
+    """Ties break to the SMALLEST cent value; NULL values excluded; the
+    all-null-value slice contributes nothing."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("mode_event_value", sf)
+    assert out.cast(ora.schema).equals(ora)
+    d = {r["event_type"]: (r["mode_cents"], r["mode_count"])
+         for r in out.to_pylist()}
+    # 'view' values: 1.0, -500.0, 0.5, 2.0, 1.2, 1.5, 1.1, 0.9 — all
+    # distinct → tie at count 1 → smallest cents wins (-50000)
+    assert d["view"] == (-50000, 1)
+
+
 def test_iqr_outliers_matches_oracle(ray_session):
     out, ora = _events_parity("iqr_outliers_events", SF_DIR)
     assert out.num_rows == ora.num_rows > 0

@@ -4440,6 +4440,136 @@ def q_user_islands(sf_dir: str) -> pa.Table:
         [("user_id", "ascending"), ("island_start", "ascending")])
 
 
+def q_rolling_active_users(sf_dir: str) -> pa.Table:
+    """DAU + trailing-7-day active users per calendar day — the rolling
+    COUNT(DISTINCT) that SQL can only express as a self-join (DISTINCT
+    is not decomposable over a sliding frame).  Distributed without any
+    per-day distinct shuffle:
+
+    - map: per-block DISTINCT (user_id, day) partials (bounded by
+      users × days);
+    - exchange on user_id: all of a user's days are co-located, so the
+      bucket's 7-way window explode — (user, day) contributes to window
+      days day..day+6 — can be deduped LOCALLY per (user, window-day)
+      and is then globally distinct; the bucket emits per-window-day
+      COUNTS (user dropped), so reduce output is bounded by days × 7;
+    - driver: sum the tiny per-day count partials; a day is reported iff
+      some user was active ON it (window offset 0).
+
+    NULL ts and NULL user_id rows are excluded on both sides (SQL
+    COUNT(DISTINCT user_id) skips NULLs; a NULL day has no calendar
+    neighbors)."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pa.table({"day": pa.array([], pa.int32()),
+                      "dau": pa.array([], pa.int64()),
+                      "wau7": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["ts"]),
+                             pc.is_valid(t["user_id"])))
+        if not t.num_rows:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int32())})
+        us = np.asarray(pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        day = (us // _US_PER_DAY).astype(np.int32)
+        return pa.table({"user_id": t["user_id"],
+                         "day": pa.array(day)}).group_by(
+            ["user_id", "day"]).aggregate([])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        if not t.num_rows:
+            return empty
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False)
+                         ).astype(np.int64)
+        day = np.asarray(t["day"].to_numpy(zero_copy_only=False)
+                         ).astype(np.int64)
+        n = len(uid)
+        k = np.tile(np.arange(7, dtype=np.int64), n)
+        wday = np.repeat(day, 7) + k
+        wuid = np.repeat(uid, 7)
+        # dedup (user, window-day): a user active on days 3 AND 5 counts
+        # once toward window-day 5..9's overlap — encode pairs, keep one
+        # row per pair with the MINIMAL k (so a day the user was active
+        # ON — k=0 — never loses its DAU flag to a neighbor's window)
+        pair = wuid * np.int64(1 << 20) + (wday & ((1 << 20) - 1))
+        # collision-free only if days fit 20 bits — epoch days do (<2^20
+        # until year 4840); negative pre-epoch days mask to the same
+        # 20-bit space injectively because & is bijective on [-2^19,2^19)
+        order = np.lexsort((k, pair))
+        ps, ks, wd = pair[order], k[order], wday[order]
+        newp = np.ones(len(ps), bool)
+        newp[1:] = ps[1:] != ps[:-1]
+        first = np.nonzero(newp)[0]
+        wday_u = wd[first]
+        is_on_day = (ks[first] == 0).astype(np.int64)
+        g = pa.table({"day": pa.array(wday_u.astype(np.int32)),
+                      "contrib": pa.array(np.ones(len(first), np.int64)),
+                      "on_day": pa.array(is_on_day)}).group_by(
+            "day").aggregate([("contrib", "sum"), ("on_day", "sum")])
+        return pa.table({"day": g["day"], "dau": g["on_day_sum"],
+                         "wau7": g["contrib_sum"]})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    parts = [p for p in keyed_exchange(pre, "user_id", bucket,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return pa.table({"day": pa.array([], pa.date32()),
+                         "dau": pa.array([], pa.int64()),
+                         "wau7": pa.array([], pa.int64())})
+    g = (pa.concat_tables(parts).group_by("day")
+         .aggregate([("dau", "sum"), ("wau7", "sum")]))
+    g = g.filter(pc.greater(g["dau_sum"], 0))  # report only ACTIVE days
+    return pa.table({
+        "day": g["day"].combine_chunks().cast(pa.date32()),
+        "dau": g["dau_sum"],
+        "wau7": g["wau7_sum"],
+    }).sort_by([("day", "ascending")])
+
+
+def q_mode_event_value(sf_dir: str) -> pa.Table:
+    """Grouped MODE with a deterministic tie-break (highest count, then
+    smallest value): the most frequent cent value per event_type.  Pure
+    counting partials — per-block (type, cents, count), cardinality
+    bounded by types × distinct cents, never by rows — then one small
+    driver merge + vectorized per-segment argmax (sort by (type, -count,
+    cents), keep each segment's first row).  NULL values are excluded
+    (SQL's mode/count convention); NULL event_type is its own group."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "cents": cents}) \
+            .group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "cents": g["cents"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "mode_cents": pa.array([], pa.int64()),
+                      "mode_count": pa.array([], pa.int64())})
+    if not blocks:
+        return empty
+    g = pa.concat_tables(blocks).group_by(["event_type", "cents"]) \
+        .aggregate([("cnt", "sum")])
+    order = pc.sort_indices(g, sort_keys=[("event_type", "ascending"),
+                                          ("cnt_sum", "descending"),
+                                          ("cents", "ascending")])
+    s = g.take(order)
+    starts = np.nonzero(_seg_new(s["event_type"]))[0]
+    take = pa.array(starts)
+    return pa.table({
+        "event_type": s["event_type"].take(take),
+        "mode_cents": s["cents"].take(take),
+        "mode_count": s["cnt_sum"].take(take),
+    }).sort_by([("event_type", "ascending")])
+
+
 def q_user_event_paths(sf_dir: str) -> pa.Table:
     """ORDERED grouped string aggregation — SQL's ``STRING_AGG(x, sep
     ORDER BY ...)``, the one aggregate whose result depends on intra-group
