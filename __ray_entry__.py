@@ -476,6 +476,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped MODE, deterministic tie-break (count desc, value asc):
         # counting partials + per-segment argmax
         "mode_event_value": ops.q_mode_event_value,
+        # Benford leading-digit profile (fraud/synthetic-data check):
+        # string-sliced first digit, counting partials, 2 cols × 9 digits
+        "benford_lineitem": ops.q_benford_lineitem,
+        # SCD2 run-length history: consecutive same-type runs → validity
+        # intervals with next-run end; one keyed exchange, null-safe
+        # dictionary-code run detection
+        "user_type_history": ops.q_user_type_history,
+        # lower weighted median per flag (2·cum ≥ tot in int64) from the
+        # counting-exchange machinery
+        "weighted_median_lineitem": ops.q_weighted_median_lineitem,
         "ship_before_order": ops.q_ship_before_order,
         "validate_quarantine": ops.q_validate_quarantine,
         "events_pivot": ops.q_events_pivot,
@@ -1229,6 +1239,86 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, cents AS mode_cents, n AS mode_count
             FROM r WHERE rn = 1 ORDER BY event_type
+        """,
+        # leading digit by string slice of |cents| (no float log10);
+        # zeros and NULLs excluded — Benford is defined on nonzero
+        # magnitudes
+        "benford_lineitem": """
+            WITH src AS (
+                SELECT 'l_extendedprice' AS "column",
+                       ABS(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS cents
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity',
+                       ABS(CAST(round(l_quantity * 100) AS BIGINT))
+                FROM lineitem
+            )
+            SELECT "column",
+                   CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   COUNT(*) AS n
+            FROM src WHERE cents IS NOT NULL AND cents <> 0
+            GROUP BY "column", digit
+            ORDER BY "column", digit
+        """,
+        # run change = type IS DISTINCT FROM LAG (NULL-safe: a NULL-type
+        # run continues through NULLs) OR first row; seg = running chg
+        # sum (1-based); start_ts = MIN(ts) ≡ first row's ts under NULLS
+        # LAST; end_ts = next run's start
+        "user_type_history": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN row_number() OVER w = 1
+                              OR event_type IS DISTINCT FROM
+                                 LAG(event_type) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+                SELECT user_id, event_type, ts,
+                       SUM(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS seg
+                FROM o
+            ), s AS (
+                SELECT user_id, seg, ANY_VALUE(event_type) AS event_type,
+                       MIN(ts) AS start_ts, COUNT(*) AS n_events
+                FROM g GROUP BY user_id, seg
+            )
+            SELECT user_id, CAST(seg AS BIGINT) AS seg, event_type,
+                   start_ts,
+                   LEAD(start_ts) OVER (PARTITION BY user_id
+                                        ORDER BY seg) AS end_ts,
+                   n_events
+            FROM s ORDER BY user_id, seg
+        """,
+        # lower weighted median: smallest cents whose doubled cumulative
+        # quantity reaches the flag's total; NULL price/quantity excluded
+        "weighted_median_lineitem": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS cents,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_quantity IS NOT NULL
+            ), g AS (
+                SELECT l_returnflag, cents, SUM(w) AS w
+                FROM c GROUP BY l_returnflag, cents
+            ), cw AS (
+                SELECT l_returnflag, cents,
+                       SUM(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY cents
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+                FROM g
+            )
+            SELECT l_returnflag, MIN(cents) AS wmedian_cents,
+                   ANY_VALUE(tot) AS total_weight
+            FROM cw WHERE 2 * cum >= tot
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # the real flagship's lineage manifest vs a recount of its own
         # written input shards (filename=true maps rows to shards; the

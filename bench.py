@@ -171,6 +171,10 @@ def bench_queries(sf_dir: str) -> dict:
         # rolling COUNT(DISTINCT) without a per-day distinct shuffle +
         # grouped mode from counting partials
         "rolling_active_users", "mode_event_value",
+        # Benford digit profile, SCD2 run-length history, grouped lower
+        # weighted median
+        "benford_lineitem", "user_type_history",
+        "weighted_median_lineitem",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -175,6 +175,74 @@ def test_mode_event_value_tie_break(ray_session, tmp_path):
     assert d["view"] == (-50000, 1)
 
 
+def _lineitem_parity(name: str, sf_dir: str = SF_DIR):
+    out = entry.queries()[name](sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    ora = con.execute(entry.oracle_sql()[name]).arrow()
+    return out, ora
+
+
+def test_benford_lineitem_matches_oracle(ray_session):
+    out, ora = _lineitem_parity("benford_lineitem")
+    assert out.num_rows == ora.num_rows > 0
+    assert out.cast(ora.schema).equals(ora)
+    d = {(r["column"], r["digit"]): r["n"] for r in out.to_pylist()}
+    # all 9 digits present for the price column; digit extraction is
+    # string-based so every count is a positive integer
+    assert all((("l_extendedprice", k) in d) for k in range(1, 10))
+    assert all(v > 0 for v in d.values())
+
+
+def test_user_type_history_matches_oracle(ray_session):
+    out, ora = _events_parity("user_type_history", SF_DIR)
+    assert out.num_rows == ora.num_rows > 0
+    assert out.cast(ora.schema).equals(ora)
+    # run-length conservation: segment lengths sum to the event count
+    import pyarrow.parquet as _pq
+    n_events = _pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
+    assert sum(out["n_events"].to_pylist()) == n_events
+
+
+def test_user_type_history_null_runs(ray_session, tmp_path):
+    """NULL types form runs (IS DISTINCT FROM semantics), null-ts rows
+    sort LAST and open-ended final runs get NULL end_ts."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("user_type_history", sf)
+    assert out.cast(ora.schema).equals(ora)
+    rows = [r for r in out.to_pylist() if r["user_id"] == 3]
+    # user 3: two all-null-ts rows, both NULL type → ONE run of 2
+    assert len(rows) == 1 and rows[0]["n_events"] == 2
+    assert rows[0]["event_type"] is None and rows[0]["end_ts"] is None
+    # every user's last run is open-ended
+    last = {}
+    for r in out.to_pylist():
+        last[r["user_id"]] = r
+    assert all(r["end_ts"] is None for r in last.values())
+
+
+def test_weighted_median_matches_oracle(ray_session):
+    out, ora = _lineitem_parity("weighted_median_lineitem")
+    assert out.num_rows == ora.num_rows == 3
+    assert out.cast(ora.schema).equals(ora)
+    # the weighted median must be an actual data value near the middle
+    import numpy as np
+    import pyarrow.parquet as _pq
+    li = _pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_returnflag", "l_extendedprice",
+                                 "l_quantity"]).to_pandas()
+    for r in out.to_pylist():
+        sub = li[li.l_returnflag == r["l_returnflag"]]
+        cents = np.round(sub.l_extendedprice * 100).astype("int64")
+        w = sub.l_quantity.astype("int64")
+        order = np.argsort(cents.values, kind="stable")
+        cum = np.cumsum(w.values[order])
+        tot = int(cum[-1])
+        lo = cents.values[order][np.searchsorted(2 * cum, tot)]
+        assert r["wmedian_cents"] == lo and r["total_weight"] == tot
+
+
 def test_iqr_outliers_matches_oracle(ray_session):
     out, ora = _events_parity("iqr_outliers_events", SF_DIR)
     assert out.num_rows == ora.num_rows > 0

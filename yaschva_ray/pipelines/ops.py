@@ -4530,6 +4530,187 @@ def q_rolling_active_users(sf_dir: str) -> pa.Table:
     }).sort_by([("day", "ascending")])
 
 
+def q_benford_lineitem(sf_dir: str) -> pa.Table:
+    """Benford's-law leading-digit profile — the fraud/synthetic-data
+    quality check: observed counts of the first significant digit of
+    |cents| for two lineitem measures, one scan, per-block counting
+    partials (bounded at 2 columns × 9 digits) + a driver sum.  The
+    digit is extracted by STRING slicing on the integer cents (no float
+    log10 — exact at every power-of-ten boundary, where ``10^k · (1-ε)``
+    float tricks misclassify).  Zero and NULL values are excluded
+    (Benford is defined on nonzero magnitudes)."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for col in ("l_extendedprice", "l_quantity"):
+            cents = pc.cast(pc.round(pc.multiply(t[col], 100.0)), pa.int64())
+            cents = pc.abs(cents)
+            mask = pc.and_(pc.is_valid(cents), pc.not_equal(cents, 0))
+            nz = pc.filter(cents, mask)
+            digit = pc.cast(pc.utf8_slice_codeunits(
+                pc.cast(nz, pa.string()), 0, 1), pa.int64())
+            g = pa.table({"digit": digit}).group_by("digit").aggregate(
+                [([], "count_all")])
+            outs.append(pa.table({
+                "column": pa.array([col] * g.num_rows, pa.string()),
+                "digit": g["digit"],
+                "n": g["count_all"].cast(pa.int64())}))
+        return pa.concat_tables(outs)
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    if not blocks:
+        return pa.table({"column": pa.array([], pa.string()),
+                         "digit": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    g = (pa.concat_tables(blocks).group_by(["column", "digit"])
+         .aggregate([("n", "sum")]))
+    return pa.table({"column": g["column"], "digit": g["digit"],
+                     "n": g["n_sum"]}).sort_by(
+        [("column", "ascending"), ("digit", "ascending")])
+
+
+def q_user_type_history(sf_dir: str) -> pa.Table:
+    """SCD2-style run-length history: consecutive same-type events per
+    user collapse into validity intervals ``[start_ts, end_ts)`` where
+    end_ts is the NEXT run's start (NULL on the open last run) — the
+    change-tracking compression every slowly-changing-dimension build
+    needs.  One keyed exchange on user_id; the bucket kernel is one
+    vectorized sort + null-safe consecutive-type compare (dictionary
+    codes, so NULL type == NULL type continues a run) + segment
+    boundary indexing for ALL users at once.
+
+    start_ts is the run's FIRST row's ts under (ts NULLS LAST,
+    event_id) order — equal to SQL's MIN(ts) per run because nulls sort
+    last; seg is the 1-based run index per user so both engines order
+    output identically even when consecutive runs tie on start_ts."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "seg": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "start_ts": pa.array([], pa.timestamp("us")),
+                      "end_ts": pa.array([], pa.timestamp("us")),
+                      "n_events": pa.array([], pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        s = t.take(order)
+        new_user = _seg_new(s["user_id"])
+        types = s["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        tcodes = np.asarray(pc.fill_null(
+            types.dictionary_encode().indices, -1
+        ).to_numpy(zero_copy_only=False)).astype(np.int64)
+        n = len(tcodes)
+        chg = new_user.copy()
+        if n > 1:
+            chg[1:] |= tcodes[1:] != tcodes[:-1]
+        starts = np.nonzero(chg)[0]
+        runlen = np.diff(np.append(starts, n))
+        # 1-based run index per user: cumulative runs minus the count
+        # before each user's first run
+        ustarts = np.nonzero(new_user[starts])[0]  # runs starting a user
+        runs_before = np.zeros(len(starts), np.int64)
+        seg = np.arange(len(starts), dtype=np.int64)
+        runs_before = np.repeat(seg[ustarts],
+                                np.diff(np.append(ustarts, len(starts))))
+        seg = seg - runs_before + 1
+        ts_col = s["ts"]
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        start_ts = ts_col.take(pa.array(starts))
+        # end_ts = next run's start_ts within the same user
+        same_user_next = np.zeros(len(starts), bool)
+        if len(starts) > 1:
+            same_user_next[:-1] = ~new_user[starts[1:]]
+        nxt = np.roll(starts, -1)
+        end_idx = np.where(same_user_next, nxt, 0)
+        end_ts = pc.if_else(pa.array(same_user_next),
+                            ts_col.take(pa.array(end_idx)),
+                            pa.scalar(None, ts_col.type))
+        return pa.table({
+            "user_id": s["user_id"].take(pa.array(starts)),
+            "seg": pa.array(seg),
+            "event_type": types.take(pa.array(starts)),
+            "start_ts": start_ts,
+            "end_ts": end_ts,
+            "n_events": pa.array(runlen.astype(np.int64)),
+        })
+
+    parts = [p for p in keyed_exchange(ds, "user_id", bucket,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("user_id", "ascending"), ("seg", "ascending")])
+
+
+def q_weighted_median_lineitem(sf_dir: str) -> pa.Table:
+    """Weighted median per group — l_extendedprice cents weighted by
+    integer l_quantity, per l_returnflag: the LOWER weighted median
+    (smallest value whose cumulative weight reaches half the total,
+    ``2·cum ≥ tot`` in pure int64).  Same counting-exchange shape as the
+    exact quantiles: per-block (flag, cents, Σweight) partials bounded
+    by flags × distinct cents, driver merge + one cumsum rank pick per
+    flag.  NULL price or quantity rows are excluded on both sides."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice",
+                                    "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t["l_extendedprice"]),
+                       pc.is_valid(t["l_quantity"]))
+        t = t.filter(mask)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        w = pc.cast(t["l_quantity"], pa.int64())
+        g = pa.table({"flag": t["l_returnflag"], "cents": cents,
+                      "w": w}).group_by(["flag", "cents"]).aggregate(
+            [("w", "sum")])
+        return pa.table({"flag": g["flag"], "cents": g["cents"],
+                         "w": g["w_sum"]})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                      "wmedian_cents": pa.array([], pa.int64()),
+                      "total_weight": pa.array([], pa.int64())})
+    if not blocks:
+        return empty
+    g = (pa.concat_tables(blocks).group_by(["flag", "cents"])
+         .aggregate([("w", "sum")])
+         .sort_by([("flag", "ascending"), ("cents", "ascending")]))
+    new = _seg_new(g["flag"])
+    cents = np.asarray(g["cents"].to_numpy(zero_copy_only=False)
+                       ).astype(np.int64)
+    w = np.asarray(g["w_sum"].to_numpy(zero_copy_only=False)
+                   ).astype(np.int64)
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], len(new))
+    fa = g["flag"]
+    if isinstance(fa, pa.ChunkedArray):
+        fa = fa.combine_chunks()
+    meds, tots = [], []
+    for s, e in zip(starts, ends):  # per FLAG (a handful)
+        cum = np.cumsum(w[s:e])
+        tot = int(cum[-1])
+        pos = int(np.searchsorted(2 * cum, tot))
+        meds.append(int(cents[s + pos]))
+        tots.append(tot)
+    return pa.table({"l_returnflag": fa.take(pa.array(starts)),
+                     "wmedian_cents": pa.array(meds, pa.int64()),
+                     "total_weight": pa.array(tots, pa.int64())}).sort_by(
+        [("l_returnflag", "ascending")])
+
+
 def q_mode_event_value(sf_dir: str) -> pa.Table:
     """Grouped MODE with a deterministic tie-break (highest count, then
     smallest value): the most frequent cent value per event_type.  Pure
