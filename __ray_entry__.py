@@ -479,6 +479,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Benford leading-digit profile (fraud/synthetic-data check):
         # string-sliced first digit, counting partials, 2 cols × 9 digits
         "benford_lineitem": ops.q_benford_lineitem,
+        # cross-field conditional business rules (the constraint layer
+        # above per-field schema checks): 4 rules, one vectorized scan,
+        # violation rows out
+        "conditional_rules_events": ops.q_conditional_rules_events,
+        # PERCENTILE_CONT as exact rational numerators (den 2 and 10) —
+        # interpolation without floats; NULLs ignored per the SQL
+        # standard (vs the row_number NULLS LAST rank family)
+        "interp_quantiles_events": ops.q_interp_quantiles_events,
         # SCD2 run-length history: consecutive same-type runs → validity
         # intervals with next-run end; one keyed exchange, null-safe
         # dictionary-code run detection
@@ -1261,6 +1269,64 @@ def oracle_sql() -> dict[str, str]:
             FROM src WHERE cents IS NOT NULL AND cents <> 0
             GROUP BY "column", digit
             ORDER BY "column", digit
+        """,
+        # conditional requiredness: NULL value on a purchase violates;
+        # NULL value elsewhere never does; quiet-hours rule needs a
+        # non-NULL ts (missing ts is its own rule)
+        "conditional_rules_events": """
+            SELECT rule, event_id FROM (
+                SELECT 'value_above_cap' AS rule, event_id
+                FROM events WHERE value > 400.0
+                UNION ALL
+                SELECT 'purchase_below_min', event_id
+                FROM events WHERE event_type = 'purchase'
+                  AND (value IS NULL OR value < 1.0)
+                UNION ALL
+                SELECT 'error_in_quiet_hours', event_id
+                FROM events WHERE event_type = 'error'
+                  AND ts IS NOT NULL AND EXTRACT(HOUR FROM ts) < 6
+                UNION ALL
+                SELECT 'missing_required', event_id
+                FROM events WHERE ts IS NULL OR user_id IS NULL
+            ) ORDER BY rule, event_id
+        """,
+        # exact-rational PERCENTILE_CONT: lo/hi picked at integer ranks
+        # floor((n-1)·a/b) over NON-NULL values, numerator assembled in
+        # int64; the COALESCE'd hi term is multiplied by rem = 0 when
+        # the position is exact
+        "interp_quantiles_events": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE value IS NOT NULL
+            ), r AS (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents) - 1 AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            )
+            , k AS (
+                SELECT event_type,
+                       MAX(CASE WHEN rn = (n - 1) // 2
+                                THEN cents END) AS lo50,
+                       MAX(CASE WHEN rn = (n - 1) // 2 + 1
+                                THEN cents END) AS hi50,
+                       MAX(CASE WHEN rn = (9 * (n - 1)) // 10
+                                THEN cents END) AS lo90,
+                       MAX(CASE WHEN rn = (9 * (n - 1)) // 10 + 1
+                                THEN cents END) AS hi90,
+                       ANY_VALUE(n) AS n
+                FROM r GROUP BY event_type
+            )
+            SELECT event_type,
+                   lo50 * (2 - (n - 1) % 2)
+                       + COALESCE(hi50, 0) * ((n - 1) % 2) AS p50_num2,
+                   lo90 * (10 - (9 * (n - 1)) % 10)
+                       + COALESCE(hi90, 0) * ((9 * (n - 1)) % 10)
+                       AS p90_num10,
+                   n AS n_values
+            FROM k ORDER BY event_type
         """,
         # run change = type IS DISTINCT FROM LAG (NULL-safe: a NULL-type
         # run continues through NULLs) OR first row; seg = running chg

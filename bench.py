@@ -175,6 +175,8 @@ def bench_queries(sf_dir: str) -> dict:
         # weighted median
         "benford_lineitem", "user_type_history",
         "weighted_median_lineitem",
+        # cross-field conditional rules + exact-rational PERCENTILE_CONT
+        "conditional_rules_events", "interp_quantiles_events",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -4530,6 +4530,141 @@ def q_rolling_active_users(sf_dir: str) -> pa.Table:
     }).sort_by([("day", "ascending")])
 
 
+_US_PER_HOUR = 3_600_000_000
+
+
+def q_conditional_rules_events(sf_dir: str) -> pa.Table:
+    """Declarative CONDITIONAL business-rule validation — the cross-field
+    constraint layer on top of the per-field schema checks (the north
+    rule's 'constraint validation engine' applied to row-level business
+    invariants).  Four rules in ONE vectorized scan, violations emitted
+    as (rule, event_id) rows exactly like the schema violation queries:
+
+      - value_above_cap:      value > 400.00 (NULL is not a violation)
+      - purchase_below_min:   purchase events must have value ≥ 1.00
+                              (NULL value on a purchase IS a violation —
+                              conditional requiredness)
+      - error_in_quiet_hours: 'error' events must not occur 00:00-05:59
+                              UTC (hour by floor division — calendar-
+                              correct pre-epoch)
+      - missing_required:     ts and user_id are unconditionally required
+
+    Stateless map_batches, no shuffle; output is the violation multiset
+    ordered by (rule, event_id)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    empty = pa.table({"rule": pa.array([], pa.string()),
+                      "event_id": pa.array([], pa.int64())})
+
+    def check(t: pa.Table) -> pa.Table:
+        val = t["value"]
+        vvalid = np.asarray(pc.is_valid(val).to_numpy(zero_copy_only=False))
+        v = np.asarray(pc.fill_null(val, 0.0).to_numpy(zero_copy_only=False))
+        ty = t["event_type"]
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        is_purchase = np.asarray(pc.fill_null(
+            pc.equal(ty, "purchase"), False).to_numpy(zero_copy_only=False))
+        is_error = np.asarray(pc.fill_null(
+            pc.equal(ty, "error"), False).to_numpy(zero_copy_only=False))
+        tsv = np.asarray(pc.is_valid(t["ts"]).to_numpy(zero_copy_only=False))
+        us = np.asarray(pc.fill_null(pc.cast(t["ts"], pa.int64()), 0)
+                        .to_numpy(zero_copy_only=False)).astype(np.int64)
+        hour = (us // _US_PER_HOUR) % 24  # floor + nonneg mod: pre-epoch ok
+        uvalid = np.asarray(pc.is_valid(t["user_id"]).to_numpy(
+            zero_copy_only=False))
+        masks = (
+            ("error_in_quiet_hours", is_error & tsv & (hour < 6)),
+            ("missing_required", ~tsv | ~uvalid),
+            ("purchase_below_min", is_purchase & (~vvalid | (v < 1.0))),
+            ("value_above_cap", vvalid & (v > 400.0)),
+        )
+        ids = t["event_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        outs = []
+        for rule, m in masks:
+            ix = np.nonzero(m)[0]
+            if len(ix):
+                outs.append(pa.table({
+                    "rule": pa.array([rule] * len(ix), pa.string()),
+                    "event_id": ids.take(pa.array(ix))}))
+        return pa.concat_tables(outs) if outs else empty
+
+    parts = [b for b in gather_tables(
+        ds.map_batches(check, batch_format="pyarrow")) if b.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("rule", "ascending"), ("event_id", "ascending")])
+
+
+def q_interp_quantiles_events(sf_dir: str) -> pa.Table:
+    """PERCENTILE_CONT as an EXACT RATIONAL — the interpolated-quantile
+    convention (SQL standard PERCENTILE_CONT / numpy 'linear'), which a
+    float pipeline can't hash-match, made bit-exact by returning integer
+    NUMERATORS over fixed denominators: for p = a/b at position
+    (n-1)·a/b the result is (lo·(b-rem) + hi·rem)/b with
+    rem = ((n-1)·a) mod b.  p50 is num/2, p90 is num/10.
+
+    Distributed exactly like the discrete quantiles: per-block (type,
+    cents, count) histogram partials over NON-NULL values only
+    (PERCENTILE_CONT ignores NULLs — a different convention from the
+    row_number NULLS LAST rank family, deliberately both represented),
+    driver merge, two vectorized rank picks per type."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "cents": cents}) \
+            .group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "cents": g["cents"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    blocks = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "p50_num2": pa.array([], pa.int64()),
+                      "p90_num10": pa.array([], pa.int64()),
+                      "n_values": pa.array([], pa.int64())})
+    if not blocks:
+        return empty
+    g = (pa.concat_tables(blocks).group_by(["event_type", "cents"])
+         .aggregate([("cnt", "sum")])
+         .sort_by([("event_type", "ascending"), ("cents", "ascending")]))
+    new = _seg_new(g["event_type"])
+    cents = np.asarray(g["cents"].to_numpy(zero_copy_only=False)
+                       ).astype(np.int64)
+    counts = np.asarray(g["cnt_sum"].to_numpy(zero_copy_only=False)
+                        ).astype(np.int64)
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], len(new))
+    ea = g["event_type"]
+    if isinstance(ea, pa.ChunkedArray):
+        ea = ea.combine_chunks()
+    p50s, p90s, ns = [], [], []
+    for s, e in zip(starts, ends):  # per TYPE (a handful)
+        cum = np.cumsum(counts[s:e])
+        n = int(cum[-1])
+        row = []
+        for a, b in ((1, 2), (9, 10)):
+            t_ = (n - 1) * a
+            k, rem = divmod(t_, b)
+            lo = int(cents[s + int(np.searchsorted(cum, k + 1))])
+            hi = int(cents[s + int(np.searchsorted(cum, k + 2))]) \
+                if rem else 0
+            row.append(lo * (b - rem) + hi * rem)
+        p50s.append(row[0])
+        p90s.append(row[1])
+        ns.append(n)
+    return pa.table({"event_type": ea.take(pa.array(starts)),
+                     "p50_num2": pa.array(p50s, pa.int64()),
+                     "p90_num10": pa.array(p90s, pa.int64()),
+                     "n_values": pa.array(ns, pa.int64())}).sort_by(
+        [("event_type", "ascending")])
+
+
 def q_benford_lineitem(sf_dir: str) -> pa.Table:
     """Benford's-law leading-digit profile — the fraud/synthetic-data
     quality check: observed counts of the first significant digit of
