@@ -483,6 +483,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # above per-field schema checks): 4 rules, one vectorized scan,
         # violation rows out
         "conditional_rules_events": ops.q_conditional_rules_events,
+        # time-RANGE window frame (INTERVAL 1 HOUR PRECEDING): composite-
+        # key two-pointer, one searchsorted pair for every row in a
+        # bucket, SQL peer/NULL-group semantics probe-pinned
+        "user_trailing_hour_sum": ops.q_user_trailing_hour_sum,
         # PERCENTILE_CONT as exact rational numerators (den 2 and 10) —
         # interpolation without floats; NULLs ignored per the SQL
         # standard (vs the row_number NULLS LAST rank family)
@@ -1289,6 +1293,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'missing_required', event_id
                 FROM events WHERE ts IS NULL OR user_id IS NULL
             ) ORDER BY rule, event_id
+        """,
+        # RANGE frame: peers (equal ts) included both ways; NULL-ts rows
+        # are each other's peers; all-NULL-value frames sum to NULL
+        "user_trailing_hour_sum": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                             AND CURRENT ROW) AS trail_cents
+            FROM events ORDER BY event_id
         """,
         # exact-rational PERCENTILE_CONT: lo/hi picked at integer ranks
         # floor((n-1)·a/b) over NON-NULL values, numerator assembled in

@@ -177,6 +177,9 @@ def bench_queries(sf_dir: str) -> dict:
         "weighted_median_lineitem",
         # cross-field conditional rules + exact-rational PERCENTILE_CONT
         "conditional_rules_events", "interp_quantiles_events",
+        # time-RANGE window frame (trailing hour, composite-key
+        # two-pointer)
+        "user_trailing_hour_sum",
     ]
     # training-data operators (added round 2 — round-1 totals covered only
     # the ops queries; the per-query keys keep rounds comparable)

@@ -289,7 +289,26 @@ def test_interp_quantiles_matches_oracle(ray_session):
         assert r["n_values"] == len(cents)
 
 
-def test_iqr_outliers_matches_oracle(ray_session):
+def test_trailing_hour_sum_matches_oracle(ray_session):
+    out, ora = _events_parity("user_trailing_hour_sum", SF_DIR)
+    assert out.num_rows == ora.num_rows > 0
+    assert out.cast(ora.schema).equals(ora)
+
+
+def test_trailing_hour_sum_null_peers(ray_session, tmp_path):
+    """NULL-ts rows are each other's peers (frame = the user's NULL
+    group); all-NULL-value frames are NULL; pre-epoch timestamps work."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("user_trailing_hour_sum", sf)
+    assert out.cast(ora.schema).equals(ora)
+    d = {r["event_id"]: r["trail_cents"] for r in out.to_pylist()}
+    # user 3's two null-ts rows: values 1.0 and NULL → both frames = 100
+    assert d[9] == 100 and d[10] == 100
+    # user 1's null-ts purchase: frame = its own null group (value 3.0)
+    assert d[4] == 300
+    # event 2 (day 2 + 5us, value NULL): nothing within the trailing
+    # hour has a value → NULL
+    assert d[2] is None
     out, ora = _events_parity("iqr_outliers_events", SF_DIR)
     assert out.num_rows == ora.num_rows > 0
     assert out.cast(ora.schema).equals(ora)

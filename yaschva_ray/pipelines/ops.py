@@ -4533,6 +4533,99 @@ def q_rolling_active_users(sf_dir: str) -> pa.Table:
 _US_PER_HOUR = 3_600_000_000
 
 
+def q_user_trailing_hour_sum(sf_dir: str) -> pa.Table:
+    """Time-RANGE window frame — ``SUM(cents) OVER (PARTITION BY user
+    ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW)`` — completing the window family next to the ROWS frame
+    (user_moving_sum) and the fixed grids (sliding/tumbling): each
+    event's trailing-hour value total, peers (equal ts) INCLUDED in each
+    other's frames per the SQL RANGE rule.
+
+    Per-bucket kernel is a fully vectorized two-pointer: rows sort by
+    (user, ts); a composite key ``user_rank · SPAN + (ts - min_ts + 1h)``
+    makes ONE pair of np.searchsorted calls resolve every row's frame
+    bounds at once with no per-user loop — the +1h shift keeps the lower
+    target inside the user's span, so frames never leak across users
+    (guarded: raises if users × span would overflow int64, with the
+    bucket count as the remedy).  SQL NULL semantics pinned by probe:
+    NULL-ts rows are each other's peers (their frame is exactly the
+    user's NULL group), and a frame whose values are all NULL sums to
+    NULL."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "trail_cents": pa.array([], pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        order = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending")])
+        s = t.take(order)
+        n = s.num_rows
+        cents, cvalid = _int_col(
+            pc.cast(pc.round(pc.multiply(s["value"], 100.0)), pa.int64()))
+        ts_us, ts_valid = _int_col(pc.cast(s["ts"], pa.int64()))
+        new = _seg_new(s["user_id"])
+        urank = np.cumsum(new) - 1  # 0-based user index within bucket
+        # prefix sums over value cents and validity (frame sums/counts)
+        csum = np.concatenate([[0], np.cumsum(np.where(cvalid, cents, 0))])
+        vsum = np.concatenate([[0], np.cumsum(cvalid.astype(np.int64))])
+        lo_idx = np.zeros(n, np.int64)
+        hi_idx = np.zeros(n, np.int64)
+        valid_rows = np.nonzero(ts_valid)[0]
+        if len(valid_rows):
+            tmin = int(ts_us[valid_rows].min())
+            tmax = int(ts_us[valid_rows].max())
+            span = (tmax - tmin) + 2 * _US_PER_HOUR + 2
+            n_users = int(urank[-1]) + 1
+            if n_users > (2**62) // span:
+                raise ValueError(
+                    "trailing-window composite key would overflow int64 "
+                    f"(users={n_users}, span={span}); raise num_buckets")
+            off = ts_us - tmin + _US_PER_HOUR
+            key = urank * span + np.where(ts_valid, off, 0)
+            kv = key[valid_rows]
+            # sorted within user by construction; NULL-ts rows sit at the
+            # END of each user segment (Arrow sorts nulls last), so the
+            # valid-row subsequence is itself sorted
+            lo_idx[valid_rows] = valid_rows[np.searchsorted(
+                kv, key[valid_rows] - _US_PER_HOUR, side="left")]
+            # exclusive upper bound = one past the LAST included valid
+            # row (never the next valid row's index — that would swallow
+            # interleaved null-ts rows into the prefix difference); the
+            # row itself always matches, so hi_pos ≥ 1
+            hi_pos = np.searchsorted(kv, key[valid_rows], side="right")
+            hi_idx[valid_rows] = valid_rows[hi_pos - 1] + 1
+        # NULL-ts peer groups: contiguous null tail per user segment
+        null_rows = np.nonzero(~ts_valid)[0]
+        if len(null_rows):
+            # group nulls by user: boundaries where user changes
+            nr_new = np.ones(len(null_rows), bool)
+            nr_new[1:] = urank[null_rows][1:] != urank[null_rows][:-1]
+            gstart = np.nonzero(nr_new)[0]
+            glen = np.diff(np.append(gstart, len(null_rows)))
+            first = null_rows[gstart]
+            lo_idx[null_rows] = np.repeat(first, glen)
+            hi_idx[null_rows] = np.repeat(first + glen, glen)
+        fsum = csum[hi_idx] - csum[lo_idx]
+        fval = vsum[hi_idx] - vsum[lo_idx]
+        return pa.table({
+            "event_id": s["event_id"],
+            "user_id": s["user_id"],
+            "trail_cents": pa.array(fsum, mask=fval == 0),
+        })
+
+    parts = [p for p in keyed_exchange(ds, "user_id", bucket,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("event_id", "ascending")])
+
+
 def q_conditional_rules_events(sf_dir: str) -> pa.Table:
     """Declarative CONDITIONAL business-rule validation — the cross-field
     constraint layer on top of the per-field schema checks (the north
