@@ -556,6 +556,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": textops.q_compression_ratio,
         "ann_ivf": textops.q_ann_ivf,
         "ann_ivf_partitioned": textops.q_ann_ivf_partitioned,
+        # PQ ANN: 32x-compressed uint8 codes + per-query ADC lookup
+        # tables, exact rerank of the top candidates inside each batch
+        "ann_pq": textops.q_ann_pq,
         "media_features": _media_features_smoke,
         "kmeans_embeddings": textops.q_kmeans_embeddings,
         "drift_events_value": ops.q_drift_events_value,

@@ -186,6 +186,8 @@ def bench_queries(sf_dir: str) -> dict:
     text_names = [
         "dedup_exact_documents", "minhash_candidates_documents",
         "minhash_verified_pairs", "simhash_documents", "ann_bruteforce",
+        # PQ ANN: 32x-compressed codes + ADC scoring, in-batch rerank
+        "ann_pq",
         "langid_documents", "quality_documents", "winnow_fingerprints",
         "vocab_top_tokens",
         # round-4 additions: full dedup chain (candidates -> verify ->

@@ -324,3 +324,33 @@ def test_iqr_outliers_nulls_and_planted_outlier(ray_session, tmp_path):
     d = {r["event_type"]: r for r in out.to_pylist()}
     assert d["view"]["n_outliers"] == 1          # the -500.0 row
     assert d["view"]["outlier_id_sum"] == 5
+
+
+def test_ann_pq_recall_and_compression(ray_session):
+    """PQ ANN: recall vs brute force on the real embeddings, codebook
+    shape (uint8-codeable, m_sub bytes/vector), determinism."""
+    import numpy as np
+
+    from yaschva_ray.pipelines.textops import (_read, q_ann_bruteforce,
+                                               q_ann_pq,
+                                               train_pq_codebooks)
+
+    sf = "/root/testdata/sf0.01"
+    bf = q_ann_bruteforce(sf).to_pylist()
+    pq_ = q_ann_pq(sf).to_pylist()
+    bf_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pq_sets: dict = {}
+    for r in pq_:
+        pq_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    assert np.mean(recalls) >= 0.5, recalls
+    # the query's own vector is its best match and must survive PQ+rerank
+    assert all(q in pq_sets.get(q, set()) for q in bf_sets)
+    assert q_ann_pq(sf).equals(q_ann_pq(sf))
+    # codebooks: (m_sub, ksub, dsub) with ksub ≤ 256 → one uint8/subspace
+    books = train_pq_codebooks(_read(sf, "embeddings",
+                                     ["vec_id", "embedding"]))
+    assert books.shape == (8, 16, 8)

@@ -1852,6 +1852,116 @@ def ivf_search(index_dir: str, queries: np.ndarray, q_ids: list,
                                 preserve_index=False)
 
 
+def train_pq_codebooks(emb_ds, m_sub: int = 8, ksub: int = 16,
+                       iters: int = 8) -> np.ndarray:
+    """Product-quantization codebooks from the deterministic 512-row
+    sample (the IVF trainer's seed/sample discipline): the d-dim space
+    splits into ``m_sub`` contiguous subspaces, each with its own
+    ``ksub``-centroid L2 k-means run on the sample's normalized
+    subvectors.  Returns (m_sub, ksub, d // m_sub) float64.  Seeded
+    RandomState per subspace — no global RNG, byte-identical across
+    runs/partitionings (the sample is id-sorted)."""
+    sample = _gather(emb_ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 512)),
+        batch_format="pyarrow")).sort_by([("vec_id", "ascending")])
+    sm = _embeddings_matrix(sample)
+    sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-12)
+    d = sm.shape[1]
+    if d % m_sub:
+        raise ValueError(f"PQ: dim {d} not divisible by m_sub={m_sub}")
+    dsub = d // m_sub
+    books = np.empty((m_sub, ksub, dsub))
+    for m in range(m_sub):
+        sub = sm[:, m * dsub:(m + 1) * dsub]
+        rng = np.random.RandomState(11 + m)
+        cb = sub[rng.choice(len(sub), size=min(ksub, len(sub)),
+                            replace=False)].copy()
+        for _ in range(iters):  # Lloyd, L2 metric on subvectors
+            d2 = (sub @ cb.T) - 0.5 * (cb * cb).sum(axis=1)
+            assign = np.argmax(d2, axis=1)
+            for c in range(len(cb)):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[m, :len(cb)] = cb
+        if len(cb) < ksub:  # degenerate tiny sample: repeat last centroid
+            books[m, len(cb):] = cb[-1]
+    return books
+
+
+def q_ann_pq(sf_dir: str, k: int = 10, n_queries: int = 5,
+             m_sub: int = 8, ksub: int = 16, rerank: int = 4) -> pa.Table:
+    """Product-quantization ANN (the memory-compression scale path next
+    to IVF's I/O pruning): vectors encode to ``m_sub`` uint8 codes —
+    64-dim float32 → 8 bytes, 32× smaller, the representation that keeps
+    a 10^12-vector index in cluster RAM — and queries score candidates
+    via ADC (asymmetric distance computation): one (m_sub × ksub) lookup
+    table of query-subvector · codebook dot products per query, then the
+    approximate score of a row is ``Σ_m LUT[m, code_m]`` — a pure gather
+    + sum, no float multiply per candidate.
+
+    Per batch: encode (argmax of sub @ cb.T − ½‖cb‖², the L2 assignment),
+    ADC-score all rows for all queries in one vectorized gather, keep the
+    top ``rerank·k`` per query, EXACT-rescore only those with the true
+    vectors (still in hand per batch), emit top-k.  The driver merges
+    nq × k × n_batches exact-scored rows.  Approximate by construction →
+    rows-only driver check; recall vs brute force + determinism are
+    pinned in tests."""
+    import ray
+
+    emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = _gather(emb_ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow")).sort_by([("vec_id", "ascending")])
+    qn = _embeddings_matrix(head)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    q_ids = head["vec_id"].to_pylist()
+    books = train_pq_codebooks(emb_ds, m_sub=m_sub, ksub=ksub)
+    dsub = books.shape[2]
+    # per-query ADC tables: lut[q, m, j] = q_sub(m) · books[m, j]
+    lut = np.einsum("qmd,mjd->qmj",
+                    qn.reshape(len(qn), m_sub, dsub), books)
+    bcast = ray.put((q_ids, qn, books, lut))
+
+    def probe(t: pa.Table) -> pa.Table:
+        q_ids_, qn_, books_, lut_ = ray.get(bcast)
+        m = _embeddings_matrix(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        n, d = mn.shape
+        sub = mn.reshape(n, m_sub, dsub)
+        # encode: L2 assignment per subspace, all subspaces at once
+        scores_sub = np.einsum("nmd,mjd->nmj", sub, books_) \
+            - 0.5 * (books_ * books_).sum(axis=2)[None, :, :]
+        codes = np.argmax(scores_sub, axis=2)  # (n, m_sub)
+        vec_ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+        out_q, out_v, out_s = [], [], []
+        marange = np.arange(m_sub)
+        for qi in range(len(q_ids_)):  # queries are a handful
+            approx = lut_[qi][marange[None, :], codes].sum(axis=1)
+            cand = min(rerank * k, n)
+            top = np.argpartition(-approx, cand - 1)[:cand]
+            exact = mn[top] @ qn_[qi]
+            kk = min(k, cand)
+            best = np.argpartition(-exact, kk - 1)[:kk]
+            out_q.extend([q_ids_[qi]] * kk)
+            out_v.extend(vec_ids[top][best].tolist())
+            out_s.extend(exact[best].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partials = _gather(emb_ds.map_batches(probe, batch_format="pyarrow"))
+    import pandas as pd
+
+    df = partials.to_pandas()
+    df = (df.sort_values(["query_id", "score", "vec_id"],
+                         ascending=[True, False, True])
+            .groupby("query_id", sort=True).head(k))
+    df = df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df[["query_id", "vec_id"]],
+                                preserve_index=False)
+
+
 def q_ann_ivf_partitioned(sf_dir: str, k: int = 10, n_queries: int = 5,
                           n_lists: int = 16, n_probe: int = 4) -> pa.Table:
     """IVF with PARTITION-PRUNED I/O: build (or reuse) the hive-partitioned
