@@ -487,6 +487,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # key two-pointer, one searchsorted pair for every row in a
         # bucket, SQL peer/NULL-group semantics probe-pinned
         "user_trailing_hour_sum": ops.q_user_trailing_hour_sum,
+        # sorted-neighborhood near-dup (6th blocking family): range
+        # exchange on a 7-byte prefix int, O(n·w) window compares,
+        # cross-cut pairs recovered from head/tail strips — the first
+        # near-dup member whose FULL pipeline has a SQL mirror
+        "snm_neardup": textops.q_snm_neardup,
         # PERCENTILE_CONT as exact rational numerators (den 2 and 10) —
         # interpolation without floats; NULLs ignored per the SQL
         # standard (vs the row_number NULLS LAST rank family)
@@ -1159,8 +1164,9 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INTEGER) AS anchor
                 FROM d
             )
-            SELECT user_id, MIN(day) AS island_start,
-                   MAX(day) AS island_end, COUNT(*) AS n_days
+            SELECT user_id, CAST(MIN(day) AS TIMESTAMP) AS island_start,
+                   CAST(MAX(day) AS TIMESTAMP) AS island_end,
+                   COUNT(*) AS n_days
             FROM g GROUP BY user_id, anchor
             ORDER BY user_id, island_start
         """,
@@ -1205,12 +1211,12 @@ def oracle_sql() -> dict[str, str]:
                           OR 2 * c.cents >
                                  2 * q3_cents + 3 * (q3_cents - q1_cents)
                    ) AS n_outliers,
-                   COALESCE(SUM(c.event_id) FILTER (
+                   CAST(COALESCE(SUM(c.event_id) FILTER (
                        WHERE 2 * c.cents <
                                  2 * q1_cents - 3 * (q3_cents - q1_cents)
                           OR 2 * c.cents >
                                  2 * q3_cents + 3 * (q3_cents - q1_cents)
-                   ), 0) AS outlier_id_sum
+                   ), 0) AS BIGINT) AS outlier_id_sum
             FROM qq LEFT JOIN c
                  ON qq.event_type IS NOT DISTINCT FROM c.event_type
             GROUP BY qq.event_type, qq.q1_cents, qq.q3_cents
@@ -1227,7 +1233,7 @@ def oracle_sql() -> dict[str, str]:
             ), act AS (
                 SELECT DISTINCT day FROM d
             )
-            SELECT a.day,
+            SELECT CAST(a.day AS TIMESTAMP) AS day,
                    COUNT(DISTINCT CASE WHEN d.day = a.day
                                        THEN user_id END) AS dau,
                    COUNT(DISTINCT user_id) AS wau7
@@ -1297,14 +1303,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE ts IS NULL OR user_id IS NULL
             ) ORDER BY rule, event_id
         """,
+        # full SNM semantics: row_number over (16-char lowered prefix,
+        # doc_id), self-join on rank distance ≤ 3, the jaccard_pairs
+        # shingle CTE, J ≥ 0.5 as the integer compare 2·inter ≥ union
+        "snm_neardup": r"""
+            WITH r AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       SUBSTR(LOWER(coalesce(text, '')), 1, 16) AS sortkey
+                FROM documents
+            ), rnk AS (
+                SELECT doc_id, text,
+                       row_number() OVER (ORDER BY sortkey, doc_id) AS rn
+                FROM r
+            ), toks AS (
+                SELECT doc_id, rn, regexp_extract_all(text, '\S+') AS t
+                FROM rnk
+            ), sh AS (
+                SELECT doc_id, rn,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct(list_transform(
+                                   range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' '
+                                        || t[i+2]))
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM toks
+            ), cand AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib,
+                       CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+                           AS n_inter,
+                       CAST(len(list_distinct(list_concat(a.s, b.s)))
+                            AS BIGINT) AS n_union
+                FROM sh a JOIN sh b ON b.rn - a.rn BETWEEN 1 AND 3
+            )
+            SELECT LEAST(ia, ib) AS doc_a, GREATEST(ia, ib) AS doc_b,
+                   n_inter, n_union
+            FROM cand WHERE 2 * n_inter >= n_union
+            ORDER BY doc_a, doc_b
+        """,
         # RANGE frame: peers (equal ts) included both ways; NULL-ts rows
         # are each other's peers; all-NULL-value frames sum to NULL
         "user_trailing_hour_sum": """
             SELECT event_id, user_id,
-                   SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL '1 hour' PRECEDING
-                             AND CURRENT ROW) AS trail_cents
+                             AND CURRENT ROW) AS BIGINT) AS trail_cents
             FROM events ORDER BY event_id
         """,
         # exact-rational PERCENTILE_CONT: lo/hi picked at integer ranks
@@ -1399,7 +1442,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT l_returnflag, MIN(cents) AS wmedian_cents,
-                   ANY_VALUE(tot) AS total_weight
+                   CAST(ANY_VALUE(tot) AS BIGINT) AS total_weight
             FROM cw WHERE 2 * cum >= tot
             GROUP BY l_returnflag ORDER BY l_returnflag
         """,

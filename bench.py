@@ -188,6 +188,8 @@ def bench_queries(sf_dir: str) -> dict:
         "minhash_verified_pairs", "simhash_documents", "ann_bruteforce",
         # PQ ANN: 32x-compressed codes + ADC scoring, in-batch rerank
         "ann_pq",
+        # sorted-neighborhood near-dup (range exchange + window compare)
+        "snm_neardup",
         "langid_documents", "quality_documents", "winnow_fingerprints",
         "vocab_top_tokens",
         # round-4 additions: full dedup chain (candidates -> verify ->

@@ -4391,9 +4391,12 @@ def q_user_islands(sf_dir: str) -> pa.Table:
     from ..engine.exchange import keyed_exchange
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    # midnight timestamps, not date32: DATE→pandas is dtype 'object'
+    # (datetime.date) while the oracle's comes back datetime64 — the
+    # arrow values hash equal but the dtype-kind gate would trip
     empty = pa.table({"user_id": pa.array([], pa.int64()),
-                      "island_start": pa.array([], pa.date32()),
-                      "island_end": pa.array([], pa.date32()),
+                      "island_start": pa.array([], pa.timestamp("us")),
+                      "island_end": pa.array([], pa.timestamp("us")),
                       "n_days": pa.array([], pa.int64())})
 
     def partial(t: pa.Table) -> pa.Table:
@@ -4424,10 +4427,10 @@ def q_user_islands(sf_dir: str) -> pa.Table:
         ends = np.append(starts[1:], n) - 1
         return pa.table({
             "user_id": s["user_id"].take(pa.array(starts)),
-            "island_start": pa.array(days[starts].astype(np.int32)).cast(
-                pa.date32()),
-            "island_end": pa.array(days[ends].astype(np.int32)).cast(
-                pa.date32()),
+            "island_start": pa.array(
+                days[starts] * _US_PER_DAY).cast(pa.timestamp("us")),
+            "island_end": pa.array(
+                days[ends] * _US_PER_DAY).cast(pa.timestamp("us")),
             "n_days": pa.array((ends - starts + 1).astype(np.int64)),
         })
 
@@ -4517,14 +4520,18 @@ def q_rolling_active_users(sf_dir: str) -> pa.Table:
     parts = [p for p in keyed_exchange(pre, "user_id", bucket,
                                        empty_result=empty) if p.num_rows]
     if not parts:
-        return pa.table({"day": pa.array([], pa.date32()),
+        return pa.table({"day": pa.array([], pa.timestamp("us")),
                          "dau": pa.array([], pa.int64()),
                          "wau7": pa.array([], pa.int64())})
     g = (pa.concat_tables(parts).group_by("day")
          .aggregate([("dau", "sum"), ("wau7", "sum")]))
     g = g.filter(pc.greater(g["dau_sum"], 0))  # report only ACTIVE days
+    # midnight timestamps (not date32) so pandas dtype kinds match the
+    # oracle's datetime64 — see q_user_islands
+    day_us = pc.multiply(pc.cast(g["day"].combine_chunks(), pa.int64()),
+                         pa.scalar(_US_PER_DAY, pa.int64()))
     return pa.table({
-        "day": g["day"].combine_chunks().cast(pa.date32()),
+        "day": day_us.cast(pa.timestamp("us")),
         "dau": g["dau_sum"],
         "wau7": g["wau7_sum"],
     }).sort_by([("day", "ascending")])

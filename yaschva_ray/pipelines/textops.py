@@ -1077,6 +1077,205 @@ def jaccard_hash_sets(ua: np.ndarray, ub: np.ndarray) -> float:
     return inter / max(union, 1)
 
 
+_SNM_WINDOW = 4      # compare each row to the next w-1 in sort order
+_SNM_PREFIX = 16     # sort key = first 16 chars of lower(text)
+
+
+def _snm_sortkey(texts) -> pa.Array:
+    return pc.utf8_slice_codeunits(
+        pc.utf8_lower(pc.fill_null(texts, "")), 0, _SNM_PREFIX)
+
+
+def _prefix7_int(key) -> np.ndarray:
+    """Order-preserving int64 of each string's first 7 UTF-8 BYTES
+    (big-endian, zero-padded) — fully vectorized via the binary array's
+    offset/data buffers, no per-row Python.  Byte-wise order equals
+    UTF-8 codepoint order, so ranges cut on this int are compatible with
+    the full string sort (ties refine inside a bucket, never across)."""
+    b7 = pc.binary_slice(pc.cast(key, pa.binary()), 0, 7)
+    if isinstance(b7, pa.ChunkedArray):
+        b7 = b7.combine_chunks()
+    off = np.frombuffer(b7.buffers()[1], np.int32)[
+        b7.offset:b7.offset + len(b7) + 1]
+    data = np.frombuffer(b7.buffers()[2], np.uint8)
+    lens = np.diff(off)
+    n = len(b7)
+    mat = np.zeros((n, 7), np.uint8)
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(int(lens.sum())) - np.repeat(off[:-1] - off[0], lens)
+    mat[rows, cols] = data[off[0]:off[-1]]
+    pw = (256 ** np.arange(6, -1, -1)).astype(np.int64)
+    return mat.astype(np.int64) @ pw
+
+
+def _snm_verified_pairs(ids: np.ndarray, texts: list, cand: list
+                        ) -> pa.Table:
+    """Verify candidate index pairs with the family's shingle-hash
+    Jaccard (each DISTINCT text hashed once); keep J ≥ 0.5 via the
+    integer compare 2·inter ≥ union."""
+    sets = _shingle_hash_sets(texts)
+    out_a, out_b, out_i, out_u = [], [], [], []
+    for i, j in cand:
+        inter, union = jaccard_hash_rationals(sets[i], sets[j])
+        if 2 * inter >= union:
+            a, b = int(ids[i]), int(ids[j])
+            if a > b:
+                a, b = b, a
+            out_a.append(a)
+            out_b.append(b)
+            out_i.append(inter)
+            out_u.append(union)
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "n_inter": pa.array(out_i, pa.int64()),
+                     "n_union": pa.array(out_u, pa.int64())})
+
+
+def q_snm_neardup(sf_dir: str) -> pa.Table:
+    """Sorted-neighborhood near-dup detection — the SIXTH blocking family
+    (after exact / MinHash-LSH / SimHash / embedding-LSH / SemDeDup):
+    sort the corpus by a cheap key (first 16 chars of lowercased text),
+    compare each row only to its next ``w-1 = 3`` neighbors, verify
+    survivors with the family's shingle-hash Jaccard at ``2·inter ≥
+    union`` (J ≥ 0.5).  Classic SNM finds prefix-clustered near-dups LSH
+    banding can miss at low signature budgets, for O(n·w) comparisons.
+
+    Distributed as a RANGE exchange (the sorted-export primitive, not a
+    hash shuffle — SNM needs GLOBAL order): cutpoints come from an
+    equi-depth sample of the first-7-byte integer key (order-compatible
+    with the string sort: equal-int rows never straddle a cut, and the
+    full (sortkey, doc_id) sort inside a bucket refines the int order).
+    Window pairs that SPAN bucket cuts are recovered exactly on the
+    driver from each bucket's head/tail strips (≤ 2(w-1) rows + a row
+    count per bucket — positions reconstruct global adjacency even
+    through buckets smaller than the window), and only cross-bucket
+    pairs are counted there, so nothing is double-counted.  The SQL
+    mirror is the full semantics (row_number self-join + the
+    jaccard_pairs shingle CTE), making this the first near-dup family
+    member whose ENTIRE pipeline is oracle-checked, not just planted
+    copies."""
+    import ray.data
+
+    from ..engine.exchange import range_exchange
+    from ..engine.joins import _auto_buckets
+    from .ops import equidepth_cutpoints
+
+    w = _SNM_WINDOW
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sample_keys(t: pa.Table) -> pa.Table:
+        vals = np.sort(_prefix7_int(_snm_sortkey(t["text"])))
+        step = max(1, len(vals) // 32)
+        return pa.table({"k": pa.array(vals[::step])})
+
+    sample = _gather(ds.map_batches(sample_keys, batch_format="pyarrow"))
+    nb = _auto_buckets(ds)
+    cuts = equidepth_cutpoints(
+        np.sort(np.asarray(sample["k"].to_numpy(zero_copy_only=False))), nb)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = _snm_sortkey(t["text"])
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "sortkey": key, "k": pa.array(_prefix7_int(key))})
+
+    empty = pa.table({
+        "kind": pa.array([], pa.string()),
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "n_inter": pa.array([], pa.int64()),
+        "n_union": pa.array([], pa.int64()),
+        "ord": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    })
+
+    def bucket(bucket_id: int, t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        order = pc.sort_indices(t, sort_keys=[("sortkey", "ascending"),
+                                              ("doc_id", "ascending")])
+        s = t.take(order)
+        ids = np.asarray(s["doc_id"].to_numpy(zero_copy_only=False))
+        txt = s["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        texts = txt.to_pylist()
+        n = len(ids)
+        cand = [(i, i + d) for d in range(1, w) for i in range(n - d)]
+        pairs = _snm_verified_pairs(ids, texts, cand)
+        nulls = pa.nulls  # strip rows: head/tail (all rows when small)
+        strip_ix = sorted(set(range(min(w - 1, n)))
+                          | set(range(max(0, n - (w - 1)), n)))
+        strip = pa.table({
+            "kind": pa.array(["strip"] * len(strip_ix), pa.string()),
+            "doc_a": nulls(len(strip_ix), pa.int64()),
+            "doc_b": nulls(len(strip_ix), pa.int64()),
+            "n_inter": nulls(len(strip_ix), pa.int64()),
+            "n_union": nulls(len(strip_ix), pa.int64()),
+            "ord": pa.array([bucket_id * (1 << 40) + i for i in strip_ix],
+                            pa.int64()),
+            "doc_id": pa.array([int(ids[i]) for i in strip_ix], pa.int64()),
+            "text": pa.array([texts[i] for i in strip_ix], pa.string()),
+        })
+        count = pa.table({
+            "kind": pa.array(["count"], pa.string()),
+            "doc_a": nulls(1, pa.int64()),
+            "doc_b": nulls(1, pa.int64()),
+            "n_inter": nulls(1, pa.int64()),
+            "n_union": nulls(1, pa.int64()),
+            "ord": pa.array([bucket_id * (1 << 40) + n], pa.int64()),
+            "doc_id": nulls(1, pa.int64()),
+            "text": nulls(1, pa.string()),
+        })
+        pr = pa.table({
+            "kind": pa.array(["pair"] * pairs.num_rows, pa.string()),
+            "doc_a": pairs["doc_a"], "doc_b": pairs["doc_b"],
+            "n_inter": pairs["n_inter"], "n_union": pairs["n_union"],
+            "ord": pa.nulls(pairs.num_rows, pa.int64()),
+            "doc_id": pa.nulls(pairs.num_rows, pa.int64()),
+            "text": pa.nulls(pairs.num_rows, pa.string()),
+        })
+        return pa.concat_tables([pr, strip, count])
+
+    parts = range_exchange(ds.map_batches(add_key, batch_format="pyarrow"),
+                           "k", cuts, bucket, empty_result=empty)
+    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    if not allp.num_rows:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "n_inter": pa.array([], pa.int64()),
+                         "n_union": pa.array([], pa.int64())})
+    pair_rows = allp.filter(pc.equal(allp["kind"], "pair"))
+    # --- cross-cut pairs from the strip chain (driver-side, tiny) ---
+    counts = allp.filter(pc.equal(allp["kind"], "count"))
+    n_by_bucket = {int(o) >> 40: int(o) & ((1 << 40) - 1)
+                   for o in counts["ord"].to_pylist()}
+    offsets, acc = {}, 0
+    for b in sorted(n_by_bucket):
+        offsets[b] = acc
+        acc += n_by_bucket[b]
+    strips = allp.filter(pc.equal(allp["kind"], "strip"))
+    srows = sorted(
+        ((int(o) >> 40, int(o) & ((1 << 40) - 1), d, x)
+         for o, d, x in zip(strips["ord"].to_pylist(),
+                            strips["doc_id"].to_pylist(),
+                            strips["text"].to_pylist())),
+    )
+    gpos = np.array([offsets[b] + i for b, i, _, _ in srows], np.int64)
+    gbuk = np.array([b for b, _, _, _ in srows], np.int64)
+    gids = np.array([d for _, _, d, _ in srows], np.int64)
+    gtexts = [x for _, _, _, x in srows]
+    cross = [(i, j)
+             for i in range(len(srows))
+             for j in range(i + 1, len(srows))
+             if gpos[j] - gpos[i] <= w - 1 and gbuk[i] != gbuk[j]]
+    xp = _snm_verified_pairs(gids, gtexts, cross)
+    out = pa.concat_tables([
+        pair_rows.select(["doc_a", "doc_b", "n_inter", "n_union"]), xp])
+    return out.combine_chunks().sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def _plant_copies(ds, id_col: str, text_cols: list[str], n_plant: int,
                   offset: int):
     """Append EXACT copies of rows with ``id_col < n_plant`` (new id =
