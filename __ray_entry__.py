@@ -492,6 +492,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-cut pairs recovered from head/tail strips — the first
         # near-dup member whose FULL pipeline has a SQL mirror
         "snm_neardup": textops.q_snm_neardup,
+        # information-extraction table: every regex match as a row with
+        # its occurrence index; pure map, vectorized explode
+        "regex_extract_documents": textops.q_regex_extract_documents,
         # PERCENTILE_CONT as exact rational numerators (den 2 and 10) —
         # interpolation without floats; NULLs ignored per the SQL
         # standard (vs the row_number NULLS LAST rank family)
@@ -1302,6 +1305,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'missing_required', event_id
                 FROM events WHERE ts IS NULL OR user_id IS NULL
             ) ORDER BY rule, event_id
+        """,
+        # occurrence index via generate_subscripts over extract_all's
+        # list — leftmost-greedy matches agree across RE2/rust-regex for
+        # this class-only pattern
+        "regex_extract_documents": """
+            WITH m AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), 's[a-z]+')
+                           AS hits
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(hits, 1) AS BIGINT) AS idx,
+                   unnest(hits) AS hit
+            FROM m ORDER BY doc_id, idx
         """,
         # full SNM semantics: row_number over (16-char lowered prefix,
         # doc_id), self-join on rank distance ≤ 3, the jaccard_pairs

@@ -4033,6 +4033,53 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     return merged.sort_by([("label", "ascending"), ("dim", "ascending")])
 
 
+def q_regex_extract_documents(sf_dir: str,
+                              pattern: str = "s[a-z]+") -> pa.Table:
+    """Information-extraction TABLE: every regex match in every document
+    as its own row with a 1-based occurrence index — the pattern-mining
+    shape (entity/URL/ID extraction) the scalar regex checks don't
+    cover.  Pure per-batch map, no shuffle: one polars ``extract_all``
+    call per batch (Rust regex — leftmost greedy, same matches as
+    DuckDB's RE2 for this class-only pattern, the TOKEN_RE dialect note
+    applies), then the list array explodes to rows with vectorized
+    repeat/cumsum occurrence indices.  Output grows with matches — at
+    scale this is the operator you'd follow with a partitioned write,
+    like the unpivot."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        s = pl.from_arrow(pc.fill_null(txt, ""))
+        lists = s.str.extract_all(pattern).to_arrow()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = pc.list_value_length(lists).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten()
+        parents = np.repeat(np.arange(len(t)), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        idx = np.arange(int(lens.sum())) - np.repeat(starts, lens) + 1
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            "doc_id": ids.take(pa.array(parents)),
+            "idx": pa.array(idx.astype(np.int64)),
+            "hit": flat,
+        })
+
+    out = _gather(ds.map_batches(extract, batch_format="pyarrow"))
+    if not out.num_rows:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "idx": pa.array([], pa.int64()),
+                         "hit": pa.array([], pa.string())})
+    return out.sort_by([("doc_id", "ascending"), ("idx", "ascending")])
+
+
 def q_normalize_text(sf_dir: str) -> pa.Table:
     """Text normalization as a curation stage: unicode lowercase,
     collapse every whitespace run to one space, trim — all Arrow
