@@ -550,6 +550,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed triangle counting (node-iterator, two exchanges,
         # vectorized wedge generation) over the derived link graph
         "triangle_count": ops.q_triangle_count,
+        # per-doc top-k TF-IDF terms (relevance weighting): df exchange
+        # broadcast once + ONE scoring scan; rank key is a single IEEE
+        # division (correctly rounded) so the hash is dialect-free
+        "tfidf_top_terms": textops.q_tfidf_top_terms,
+        # weighted systematic sampling by token count (the data-mixing
+        # draw): integer tick arithmetic over a range exchange, no RNG
+        "weighted_sample_documents": textops.q_weighted_sample_documents,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1616,6 +1623,56 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        # TF-IDF top-3 terms per doc: the rank key tf/df is ONE IEEE
+        # double division (correctly rounded on both engines), ties by
+        # binary term collation; output is integers + strings only
+        "tfidf_top_terms": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term
+            ), dft AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY term
+            ), ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY CAST(tf.tf AS DOUBLE) / dft.df DESC,
+                                    tf.term ASC) AS rnk
+                FROM tf JOIN dft USING (term)
+            )
+            SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+            FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        # weighted systematic sample: tick i at cumulative weight
+        # (2i+1)·W/(2n) in doc_id order, multiplicity by the all-integer
+        # ceil-division formula — no float, no RNG on either engine
+        "weighted_sample_documents": r"""
+            WITH wt AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS w
+                FROM documents
+            ), c AS (
+                SELECT doc_id, w,
+                       sum(w) OVER (ORDER BY doc_id) AS cum_w,
+                       (SELECT sum(w) FROM wt) AS tot_w
+                FROM wt
+            )
+            SELECT doc_id, w, CAST(cum_w AS BIGINT) AS cum_w,
+                   CAST(((2*25*cum_w + tot_w - 1) // (2*tot_w))
+                        - ((2*25*(cum_w - w) + tot_w - 1) // (2*tot_w))
+                        AS BIGINT) AS m
+            FROM c
+            WHERE ((2*25*cum_w + tot_w - 1) // (2*tot_w))
+                  - ((2*25*(cum_w - w) + tot_w - 1) // (2*tot_w)) >= 1
+            ORDER BY doc_id
         """,
         # MAD: median via the pinned rank-floor(q*(n-1)) convention, then
         # the same rank over absolute deviations; a NULL median nulls

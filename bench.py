@@ -222,6 +222,12 @@ def bench_queries(sf_dir: str) -> dict:
         # round-4 final addition: bigram-LM fluency scoring (trains the
         # pruned top-M model + scores, end-to-end per iteration)
         "lm_bigram_score",
+        # regex information-extraction table (RE2 Arrow kernels)
+        "regex_extract_documents",
+        # TF-IDF top terms (df exchange broadcast + one scoring scan)
+        "tfidf_top_terms",
+        # integer-exact weighted systematic sample (range exchange)
+        "weighted_sample_documents",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

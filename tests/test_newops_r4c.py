@@ -355,3 +355,31 @@ def test_ann_pq_recall_and_compression(ray_session):
     books = train_pq_codebooks(_read(sf, "embeddings",
                                      ["vec_id", "embedding"]))
     assert books.shape == (8, 16, 8)
+
+
+def test_tfidf_top_terms_matches_oracle(ray_session):
+    """Per-doc top-3 TF-IDF vs the shipped DuckDB mirror: the rank key
+    tf/df is one correctly-rounded IEEE division on both engines, so
+    parity is exact, not approximate."""
+    out = entry.queries()["tfidf_top_terms"](SF_DIR)
+    ora = _oracle("tfidf_top_terms")
+    assert out.equals(ora.cast(out.schema))
+    # structural: ranks are 1..k per doc, never more than k rows/doc
+    import collections
+    per = collections.Counter(out["doc_id"].to_pylist())
+    assert max(per.values()) <= 3
+    rnk = out["rnk"].to_pylist()
+    assert set(rnk) <= {1, 2, 3}
+
+
+def test_weighted_sample_matches_oracle_and_mass(ray_session):
+    """Integer systematic weighted sample vs the shipped mirror; the
+    multiplicities must sum to exactly n=25 draws (a partition of the
+    tick set), every doc drawn has w >= 1."""
+    out = entry.queries()["weighted_sample_documents"](SF_DIR)
+    ora = _oracle("weighted_sample_documents")
+    assert out.equals(ora.cast(out.schema))
+    assert sum(out["m"].to_pylist()) == 25
+    assert min(out["w"].to_pylist()) >= 1
+    # deterministic: same input -> identical table
+    assert entry.queries()["weighted_sample_documents"](SF_DIR).equals(out)

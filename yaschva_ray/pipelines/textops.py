@@ -4267,3 +4267,257 @@ def q_compression_ratio(sf_dir: str) -> pa.Table:
 
     return _gather(ds.map_batches(comp, batch_format="pyarrow")).sort_by(
         [("doc_id", "ascending")])
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms (relevance weighting without floats crossing the hash)
+# --------------------------------------------------------------------------
+
+
+def doc_freq_from_ds(ds, num_buckets: int | None = None) -> pa.Table:
+    """Document frequency per corpus token (#docs containing it — the
+    idf denominator): per-block PER-DOC-DISTINCT partials (a doc is one
+    row, so in-batch distinct-per-doc is exact) → keyed exchange
+    group-sum.  One row per distinct token — broadcastable by the same
+    Heaps'-law argument as ``vocab_counts_from_ds``."""
+    from ..engine.exchange import keyed_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        lists = s.str.extract_all(TOKEN_RE).to_arrow()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lists = lists.fill_null([])
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten()
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        parents = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        d = pc.dictionary_encode(flat)
+        tid = np.asarray(d.indices.to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        # distinct (doc, token) pairs, then count docs per token
+        order = np.lexsort((tid, parents))
+        p_s, t_s = parents[order], tid[order]
+        first = np.ones(len(p_s), dtype=bool)
+        first[1:] = (p_s[1:] != p_s[:-1]) | (t_s[1:] != t_s[:-1])
+        uniq_tid = t_s[first]
+        dfp = np.bincount(uniq_tid, minlength=len(d.dictionary))
+        return pa.table({"token": d.dictionary,
+                         "df": pa.array(dfp.astype(np.int64))})
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("df", "sum")])
+        return pa.table({"token": g["token"],
+                         "df": g["df_sum"].cast(pa.int64())})
+
+    parts = keyed_exchange(ds.map_batches(partial, batch_format="pyarrow"),
+                           "token", sum_bucket, num_buckets=num_buckets,
+                           empty_result=empty)
+    return (pa.concat_tables(parts).combine_chunks() if parts else empty)
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-document top-k TF-IDF terms — the classic relevance-weighting
+    extractor (Spärck Jones 1972 idf) as two bounded passes: the df
+    exchange above (broadcast once via ``ray.put``), then ONE scoring
+    scan ranking each doc's distinct terms by ``tf/df``.
+
+    Exactness contract: with N fixed per query, ranking by
+    ``tf·ln(N/df)`` equals ranking by ``tf/df`` ... NOT in general — so
+    this query's DEFINITION is the raw ratio weighting ``tf · (N/df)``
+    (the log-free idf variant, also in Spärck Jones's original note):
+    within a doc the N factor is constant, so the rank order is the
+    exact rational ``tf/df``, computed as ONE IEEE double division —
+    division is correctly rounded (unlike ``ln``), so numpy and DuckDB
+    produce bit-identical keys and the tie-break (term ascending, byte
+    collation) fires identically.  Output columns are integers+strings
+    only; no float crosses the driver's hash.
+
+    Per-batch kernel: tokenize → dictionary-encode → one ``lexsort``
+    for per-(doc, term) tf → broadcast-df gather → one ``lexsort`` for
+    per-doc top-k.  No Python loop; the df side never reships per batch."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df_tab = doc_freq_from_ds(ds)
+    dfc = df_tab["token"].combine_chunks() if isinstance(
+        df_tab["token"], pa.ChunkedArray) else df_tab["token"]
+    bref = ray.put((dfc, df_tab["df"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)))
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "df": pa.array([], pa.int64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_tokens, vocab_df = ray.get(bref)
+        s = _pl_text(t["text"])
+        lists = s.str.extract_all(TOKEN_RE).to_arrow()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lists = lists.fill_null([])
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten()
+        if not len(flat):
+            return empty
+        parents = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        d = pc.dictionary_encode(flat)
+        tid = np.asarray(d.indices.to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((tid, parents))
+        p_s, t_s = parents[order], tid[order]
+        first = np.ones(len(p_s), dtype=bool)
+        first[1:] = (p_s[1:] != p_s[:-1]) | (t_s[1:] != t_s[:-1])
+        starts = np.nonzero(first)[0]
+        tf = np.diff(np.append(starts, len(p_s))).astype(np.int64)
+        gp, gt = p_s[starts], t_s[starts]
+        # df per dictionary slot (every batch token exists in the global
+        # df table by construction)
+        slot_df = vocab_df[np.asarray(
+            pc.index_in(d.dictionary, value_set=vocab_tokens)
+            .to_numpy(zero_copy_only=False), dtype=np.int64)]
+        dfv = slot_df[gt]
+        scorev = tf.astype(np.float64) / dfv  # correctly-rounded IEEE op
+        # term tie-break via byte-collation ranks of the batch dictionary
+        # (Arrow sort = binary collation = DuckDB's, no Python compares)
+        t_order = np.asarray(pc.sort_indices(d.dictionary)
+                             .to_numpy(zero_copy_only=False), dtype=np.int64)
+        t_rank = np.empty(len(t_order), dtype=np.int64)
+        t_rank[t_order] = np.arange(len(t_order), dtype=np.int64)
+        ordk = np.lexsort((t_rank[gt], -scorev, gp))
+        gp2 = gp[ordk]
+        new2 = np.ones(len(gp2), dtype=bool)
+        new2[1:] = gp2[1:] != gp2[:-1]
+        grp_starts = np.nonzero(new2)[0]
+        glens = np.diff(np.append(grp_starts, len(gp2)))
+        pos = np.arange(len(gp2)) - np.repeat(grp_starts, glens)
+        keep = pos < k
+        sel = ordk[keep]
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            "doc_id": ids.take(pa.array(gp[sel])),
+            "rnk": pa.array((pos[keep] + 1).astype(np.int64)),
+            "term": d.dictionary.take(pa.array(gt[sel])),
+            "tf": pa.array(tf[sel]),
+            "df": pa.array(dfv[sel]),
+        })
+
+    out = _gather(ds.map_batches(score, batch_format="pyarrow"))
+    if not out.num_rows:
+        return empty
+    return out.sort_by([("doc_id", "ascending"), ("rnk", "ascending")])
+
+
+# --------------------------------------------------------------------------
+# weighted systematic sampling (data mixing without floats)
+# --------------------------------------------------------------------------
+
+
+def q_weighted_sample_documents(sf_dir: str, n: int = 25,
+                                n_ranges: int = 16,
+                                sample_mod: int = 17) -> pa.Table:
+    """Deterministic WEIGHTED sample of ``n`` draws by token count — the
+    data-mixing primitive (sample documents proportional to length /
+    domain weight) as SYSTEMATIC sampling over cumulative weight: tick i
+    sits at cumulative weight ``(2i+1)·W/(2n)`` (i = 0..n-1) in doc_id
+    order, and a doc is drawn once per tick inside its weight interval
+    — multiplicity ``m = f(cum) - f(cum - w)`` with
+    ``f(x) = (2n·x + W - 1) // (2W)``, ALL INTEGER (ticks are exact
+    rationals; no float, no RNG — the particle-filter systematic
+    resampler with a fixed phase).
+
+    Distributed as the house prefix-scan shape: ONE tokenize scan
+    projects (doc_id, w) — the corpus-sized text never moves — then a
+    range exchange on doc_id yields per-range totals (tiny), the driver
+    folds offsets, and a second pass over the SAME materialized
+    projection computes local cumsum + offset and emits only docs with
+    m ≥ 1 (≤ n rows).  int64 envelope guarded: 2n·W must fit; raises
+    loudly past it (n·W < 2^62 — at 100 TB pick ticks per shard)."""
+    from ..engine.exchange import range_exchange
+    from ..engine.blocks import gather_tables
+    from .ops import equidepth_cutpoints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        w = pc.fill_null(pc.count_substring_regex(
+            t["text"], TOKEN_RE), 0).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "w": w})
+
+    # small integer projection (16 B/row): materialized ONCE, scanned
+    # twice — the text column is tokenized exactly once
+    wds = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def sample_ids(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids[ids % sample_mod == 0])})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(
+            wds.map_batches(sample_ids, batch_format="pyarrow"))
+        if t.num_rows] or [np.empty(0, np.int64)]))
+    cuts = equidepth_cutpoints(sv, n_ranges)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64()),
+                      "cum_w": pa.array([], pa.int64()),
+                      "m": pa.array([], pa.int64())})
+
+    def totals(bid: int, t: pa.Table) -> pa.Table:
+        return pa.table({"bid": pa.array([bid], pa.int64()),
+                         "tot": pa.array(
+                             [int(pc.sum(t["w"]).as_py() or 0)
+                              if t.num_rows else 0], pa.int64())})
+
+    tot_parts = range_exchange(wds, "doc_id", cuts, totals,
+                               empty_result=empty)
+    tots = np.zeros(len(cuts) + 1, dtype=np.int64)
+    for p in tot_parts:
+        tots[int(p["bid"][0].as_py())] = int(p["tot"][0].as_py())
+    offsets = np.concatenate([[0], np.cumsum(tots)[:-1]])
+    W = int(tots.sum())
+    if W <= 0:
+        return empty
+    if 2 * n * W > np.iinfo(np.int64).max:
+        raise ValueError(
+            f"weighted sample tick arithmetic exceeds int64: "
+            f"2*{n}*{W} — shard the tick space (n·W < 2^62)")
+
+    def select(bid: int, t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        s = t.sort_by([("doc_id", "ascending")])
+        w = np.asarray(s["w"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cum = int(offsets[bid]) + np.cumsum(w)
+        prev = cum - w
+        f_hi = (2 * n * cum + W - 1) // (2 * W)
+        f_lo = (2 * n * prev + W - 1) // (2 * W)
+        m = f_hi - f_lo
+        keep = m >= 1
+        return pa.table({
+            "doc_id": s["doc_id"].filter(pa.array(keep)),
+            "w": pa.array(w[keep]),
+            "cum_w": pa.array(cum[keep]),
+            "m": pa.array(m[keep]),
+        })
+
+    parts = [p for p in range_exchange(wds, "doc_id", cuts, select,
+                                       empty_result=empty) if p.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("doc_id", "ascending")])
