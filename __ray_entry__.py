@@ -557,6 +557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted systematic sampling by token count (the data-mixing
         # draw): integer tick arithmetic over a range exchange, no RNG
         "weighted_sample_documents": textops.q_weighted_sample_documents,
+        # overlapping context-window chunking (long doc -> training
+        # contexts): pure per-batch map, one vectorized gather per batch
+        "chunk_documents": textops.q_chunk_documents,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1673,6 +1676,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((2*25*cum_w + tot_w - 1) // (2*tot_w))
                   - ((2*25*(cum_w - w) + tot_w - 1) // (2*tot_w)) >= 1
             ORDER BY doc_id
+        """,
+        # overlapping token-window chunks: chunk i covers tokens
+        # [i*48, min(i*48+64, n)); generation stops once a window reaches
+        # the doc end; text re-joined with single spaces on both engines
+        "chunk_documents": r"""
+            WITH tok AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+                       len(regexp_extract_all(text, '\S+')) AS n
+                FROM documents
+            ), g AS (
+                SELECT doc_id, toks, n, unnest(generate_series(0,
+                    CASE WHEN n <= 64 THEN 0
+                         ELSE (n - 64 + 47) // 48 END)) AS i
+                FROM tok WHERE n > 0
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   CAST(i*48 AS BIGINT) AS start_tok,
+                   CAST(LEAST(i*48+64, n) - i*48 AS BIGINT) AS n_tok,
+                   array_to_string(toks[i*48+1 : LEAST(i*48+64, n)],
+                                   ' ') AS chunk_text
+            FROM g ORDER BY doc_id, chunk_id
         """,
         # MAD: median via the pinned rank-floor(q*(n-1)) convention, then
         # the same rank over absolute deviations; a NULL median nulls

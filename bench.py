@@ -228,6 +228,8 @@ def bench_queries(sf_dir: str) -> dict:
         "tfidf_top_terms",
         # integer-exact weighted systematic sample (range exchange)
         "weighted_sample_documents",
+        # overlapping context-window chunking (pure map, no shuffle)
+        "chunk_documents",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

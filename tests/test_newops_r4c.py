@@ -383,3 +383,25 @@ def test_weighted_sample_matches_oracle_and_mass(ray_session):
     assert min(out["w"].to_pylist()) >= 1
     # deterministic: same input -> identical table
     assert entry.queries()["weighted_sample_documents"](SF_DIR).equals(out)
+
+
+def test_chunk_documents_matches_oracle(ray_session):
+    """Token-window chunking vs the shipped mirror, plus the coverage
+    invariants: chunks tile every doc (first starts at 0, last reaches
+    n), consecutive starts differ by exactly the stride, and no chunk
+    is wholly contained in its predecessor."""
+    out = entry.queries()["chunk_documents"](SF_DIR)
+    ora = _oracle("chunk_documents")
+    assert out.equals(ora.cast(out.schema))
+    rows = out.to_pylist()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        assert chunks[0]["start_tok"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] - a["start_tok"] == 48
+            # successor extends past the predecessor's window end
+            assert b["start_tok"] + b["n_tok"] > a["start_tok"] + a["n_tok"]
+        last = chunks[-1]
+        assert len(last["chunk_text"].split(" ")) == last["n_tok"]

@@ -4521,3 +4521,82 @@ def q_weighted_sample_documents(sf_dir: str, n: int = 25,
         return empty
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("doc_id", "ascending")])
+
+
+# --------------------------------------------------------------------------
+# context-window chunking (long-doc -> training-context segmentation)
+# --------------------------------------------------------------------------
+
+
+def q_chunk_documents(sf_dir: str, size: int = 64,
+                      stride: int = 48) -> pa.Table:
+    """Split each document into overlapping token-window chunks — the
+    training-data segmentation primitive (context-length packing's
+    upstream: long docs become ``size``-token windows every ``stride``
+    tokens, overlap ``size - stride``).  Chunk i covers tokens
+    ``[i*stride, min(i*stride+size, n))``; generation stops once a
+    window reaches the end (``n_chunks = 1`` if ``n <= size`` else
+    ``ceil((n-size)/stride) + 1``), so no emitted chunk is wholly
+    contained in its predecessor.  Chunk text is the window's tokens
+    re-joined with single spaces (canonical whitespace — the same
+    convention both engines compute, so parity is exact).
+
+    Pure per-batch map — NO shuffle, the embarrassingly parallel shape:
+    tokenize → flat token buffer + offsets → one vectorized gather
+    index build (arange - repeat(cumsum) + repeat(starts)) → one
+    ``ListArray.from_arrays`` + ``pc.binary_join``.  No Python loop;
+    output rows ≈ input tokens / stride, each task's output bounded by
+    its batch."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_id": pa.array([], pa.int64()),
+                      "start_tok": pa.array([], pa.int64()),
+                      "n_tok": pa.array([], pa.int64()),
+                      "chunk_text": pa.array([], pa.string())})
+
+    def chunk(t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        lists = s.str.extract_all(TOKEN_RE).to_arrow()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lists = lists.fill_null([])
+        n = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten()
+        doc_off = np.concatenate([[0], np.cumsum(n)])[:-1]
+        # chunks per doc: 0 for empty, 1 if n<=size, else the stop rule
+        n_chunks = np.where(n == 0, 0, np.where(
+            n <= size, 1, (n - size + stride - 1) // stride + 1))
+        total = int(n_chunks.sum())
+        if not total:
+            return empty
+        chunk_doc = np.repeat(np.arange(len(t), dtype=np.int64), n_chunks)
+        first = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        chunk_id = np.arange(total, dtype=np.int64) - first[chunk_doc]
+        start = chunk_id * stride
+        end = np.minimum(start + size, n[chunk_doc])
+        clen = end - start
+        # gather indices for every chunk's tokens, one arange trick
+        coff = np.concatenate([[0], np.cumsum(clen)])
+        gidx = (np.arange(int(coff[-1]), dtype=np.int64)
+                - np.repeat(coff[:-1], clen)
+                + np.repeat(doc_off[chunk_doc] + start, clen))
+        # binary_join's kernel wants matching string widths; a batch's
+        # token count is far below 2^31, so int32-offset list<string>
+        vals = flat.take(pa.array(gidx)).cast(pa.string())
+        chunks = pa.ListArray.from_arrays(pa.array(coff, pa.int32()), vals)
+        txt = pc.binary_join(chunks, " ")
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(pa.array(chunk_doc)),
+                         "chunk_id": pa.array(chunk_id),
+                         "start_tok": pa.array(start),
+                         "n_tok": pa.array(clen),
+                         "chunk_text": txt})
+
+    out = _gather(ds.map_batches(chunk, batch_format="pyarrow"))
+    if not out.num_rows:
+        return empty
+    return out.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
