@@ -560,6 +560,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # overlapping context-window chunking (long doc -> training
         # contexts): pure per-batch map, one vectorized gather per batch
         "chunk_documents": textops.q_chunk_documents,
+        # skyline / Pareto frontier (preference query): per-block local
+        # skylines merge exactly by the union property; driver state
+        # O(blocks x staircase height), never O(rows)
+        "pareto_lineitem": ops.q_pareto_lineitem,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1676,6 +1680,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((2*25*cum_w + tot_w - 1) // (2*tot_w))
                   - ((2*25*(cum_w - w) + tot_w - 1) // (2*tot_w)) >= 1
             ORDER BY doc_id
+        """,
+        # skyline: distinct (quantity, price) pairs not dominated under
+        # (maximize quantity, minimize price); NOT EXISTS is the
+        # textbook dominance mirror
+        "pareto_lineitem": """
+            WITH p AS (
+                SELECT CAST(ROUND(l_quantity*100) AS BIGINT) AS q,
+                       CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+                FROM lineitem
+            ), d AS (SELECT q, c, count(*) AS n FROM p GROUP BY q, c)
+            SELECT a.q AS quantity, a.c AS price_cents,
+                   CAST(a.n AS BIGINT) AS n_rows
+            FROM d a
+            WHERE NOT EXISTS (SELECT 1 FROM d b
+                              WHERE b.q >= a.q AND b.c <= a.c
+                                AND (b.q > a.q OR b.c < a.c))
+            ORDER BY quantity
         """,
         # overlapping token-window chunks: chunk i covers tokens
         # [i*48, min(i*48+64, n)); generation stops once a window reaches

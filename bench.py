@@ -230,6 +230,8 @@ def bench_queries(sf_dir: str) -> dict:
         "weighted_sample_documents",
         # overlapping context-window chunking (pure map, no shuffle)
         "chunk_documents",
+        # skyline / Pareto frontier (bounded per-block partials)
+        "pareto_lineitem",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -405,3 +405,40 @@ def test_chunk_documents_matches_oracle(ray_session):
             assert b["start_tok"] + b["n_tok"] > a["start_tok"] + a["n_tok"]
         last = chunks[-1]
         assert len(last["chunk_text"].split(" ")) == last["n_tok"]
+
+
+def test_pareto_lineitem_matches_oracle(ray_session):
+    """Distributed skyline vs the NOT EXISTS dominance mirror, plus the
+    frontier invariants: strictly increasing in both quantity and price
+    (a staircase), and no member dominates another."""
+    out = entry.queries()["pareto_lineitem"](SF_DIR)
+    ora = _oracle("pareto_lineitem")
+    assert out.equals(ora.cast(out.schema))
+    q = out["quantity"].to_pylist()
+    c = out["price_cents"].to_pylist()
+    assert q == sorted(q) and len(set(q)) == len(q)
+    assert c == sorted(c) and len(set(c)) == len(c)
+
+
+def test_pareto_partition_independence(ray_session):
+    """The union-property merge must give the same frontier regardless
+    of how rows are split into blocks: compare against a single-block
+    brute-force dominance filter."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT CAST(ROUND(l_quantity*100) AS BIGINT) q, "
+        f"CAST(ROUND(l_extendedprice*100) AS BIGINT) c FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')").fetch_arrow_table()
+    q = np.asarray(t["q"].to_numpy(), dtype=np.int64)
+    c = np.asarray(t["c"].to_numpy(), dtype=np.int64)
+    pairs = sorted(set(zip(q.tolist(), c.tolist())))
+    sky = [(a, b) for (a, b) in pairs
+           if not any((x >= a and y <= b and (x > a or y < b))
+                      for (x, y) in pairs)]
+    out = entry.queries()["pareto_lineitem"](SF_DIR)
+    got = list(zip(out["quantity"].to_pylist(),
+                   out["price_cents"].to_pylist()))
+    assert sorted(got) == sorted(sky)

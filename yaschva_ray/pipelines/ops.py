@@ -6419,3 +6419,76 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
                            count_bucket, empty_result=one)
     total = sum(int(p["n_triangles"][0].as_py()) for p in parts)
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def q_pareto_lineitem(sf_dir: str) -> pa.Table:
+    """Skyline (Pareto-dominance) query: the distinct (quantity,
+    price_cents) pairs not dominated by any other — dominate = quantity
+    ≥ AND price ≤ with one strict (maximize quantity, minimize price:
+    the classic preference frontier, Börzsönyi et al. 2001).  Emits the
+    frontier with each pair's corpus-wide row count.
+
+    Distribution uses the skyline union property: the GLOBAL skyline is
+    a subset of the union of per-block LOCAL skylines, and any
+    occurrence of a globally non-dominated pair survives its local
+    skyline (a local dominator would be a global one) — so per-block
+    partials carry exact counts and the driver merge is exact.  Each
+    partial is bounded by the block's distinct quantity values (≤ the
+    staircase height, ~50 for TPC-H quantities), so driver state is
+    O(blocks × distinct-q), never O(rows).
+
+    Per-block kernel: group distinct pairs (Arrow group_by) → lexsort
+    (price asc, quantity desc) → one running-max staircase pass —
+    vectorized, no Python loop over rows."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    empty = pa.table({"quantity": pa.array([], pa.int64()),
+                      "price_cents": pa.array([], pa.int64()),
+                      "n_rows": pa.array([], pa.int64())})
+
+    def _staircase(q: np.ndarray, c: np.ndarray, n: np.ndarray):
+        # keep pairs where quantity strictly exceeds every pair with
+        # lower-or-equal price (ties in price: only the max q survives)
+        order = np.lexsort((-q, c))
+        qs, cs, ns = q[order], c[order], n[order]
+        runmax = np.maximum.accumulate(qs)
+        # survivor: first occurrence of each new running max AND the max
+        # q within its own price level (lexsort put it first per price)
+        new_high = np.ones(len(qs), dtype=bool)
+        new_high[1:] = qs[1:] > runmax[:-1]
+        return qs[new_high], cs[new_high], ns[new_high]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        qc = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)),
+                     pa.int64())
+        cc = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                     pa.int64())
+        g = pa.table({"q": qc, "c": cc}).group_by(["q", "c"]).aggregate(
+            [([], "count_all")])
+        q = np.asarray(g["q"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        c = np.asarray(g["c"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = np.asarray(g["count_all"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        qs, cs, ns = _staircase(q, c, n)
+        return pa.table({"quantity": pa.array(qs),
+                         "price_cents": pa.array(cs),
+                         "n_rows": pa.array(ns)})
+
+    parts = [t for t in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if t.num_rows]
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).group_by(
+        ["quantity", "price_cents"]).aggregate([("n_rows", "sum")])
+    q = np.asarray(merged["quantity"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    c = np.asarray(merged["price_cents"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    n = np.asarray(merged["n_rows_sum"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    qs, cs, ns = _staircase(q, c, n)
+    out = pa.table({"quantity": pa.array(qs), "price_cents": pa.array(cs),
+                    "n_rows": pa.array(ns)})
+    return out.sort_by([("quantity", "ascending")])
