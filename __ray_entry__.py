@@ -564,6 +564,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # skylines merge exactly by the union property; driver state
         # O(blocks x staircase height), never O(rows)
         "pareto_lineitem": ops.q_pareto_lineitem,
+        # cohort retention matrix (first-activity-week cohorts x distinct
+        # active users per week offset): one keyed exchange, map-side
+        # (user, week) distinct, driver merge <= weeks^2 rows
+        "cohort_retention": ops.q_cohort_retention,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1680,6 +1684,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((2*25*cum_w + tot_w - 1) // (2*tot_w))
                   - ((2*25*(cum_w - w) + tot_w - 1) // (2*tot_w)) >= 1
             ORDER BY doc_id
+        """,
+        # cohort retention: FLOOR-division week index (explicit FLOOR —
+        # DuckDB's BIGINT // truncates toward zero, the engine floors);
+        # NULL ts / NULL user excluded (a cohort needs both)
+        "cohort_retention": """
+            WITH wk AS (
+                SELECT DISTINCT user_id,
+                       CAST(FLOOR(epoch_us(ts) / 604800000000.0)
+                            AS BIGINT) AS week
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), f AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM wk GROUP BY user_id
+            )
+            SELECT f.cohort_week, wk.week - f.cohort_week AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM wk JOIN f USING (user_id)
+            GROUP BY f.cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
         """,
         # skyline: distinct (quantity, price) pairs not dominated under
         # (maximize quantity, minimize price); NOT EXISTS is the

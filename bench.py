@@ -232,6 +232,8 @@ def bench_queries(sf_dir: str) -> dict:
         "chunk_documents",
         # skyline / Pareto frontier (bounded per-block partials)
         "pareto_lineitem",
+        # cohort retention matrix (one keyed exchange)
+        "cohort_retention",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -442,3 +442,26 @@ def test_pareto_partition_independence(ray_session):
     got = list(zip(out["quantity"].to_pylist(),
                    out["price_cents"].to_pylist()))
     assert sorted(got) == sorted(sky)
+
+
+def test_cohort_retention_matches_oracle(ray_session):
+    """Cohort matrix vs the shipped mirror; offset 0 must exist for
+    every cohort (the first week IS an active week) and counts at
+    offset 0 equal the cohort's size."""
+    out = entry.queries()["cohort_retention"](SF_DIR)
+    ora = _oracle("cohort_retention")
+    assert out.equals(ora.cast(out.schema))
+    rows = out.to_pylist()
+    cohorts = {r["cohort_week"] for r in rows}
+    zero = {r["cohort_week"] for r in rows if r["week_offset"] == 0}
+    assert cohorts == zero and len(rows) >= 1
+
+
+def test_cohort_retention_nulls_and_pre_epoch(ray_session, tmp_path):
+    """NULL ts / NULL user rows are excluded on both engines; pre-epoch
+    events land in FLOOR-division negative weeks identically."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("cohort_retention", sf)
+    assert out.equals(ora.cast(out.schema))
+    # user 2's pre-epoch first event puts a cohort in a negative week
+    assert min(out["cohort_week"].to_pylist()) < 0

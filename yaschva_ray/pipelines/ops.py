@@ -6492,3 +6492,83 @@ def q_pareto_lineitem(sf_dir: str) -> pa.Table:
     out = pa.table({"quantity": pa.array(qs), "price_cents": pa.array(cs),
                     "n_rows": pa.array(ns)})
     return out.sort_by([("quantity", "ascending")])
+
+
+def q_cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix — users grouped by first-activity week
+    (the cohort), counted distinct per week offset since that first
+    week: the product-analytics staple behind every retention curve.
+    NULL ts / NULL user_id rows are excluded (a cohort needs both).
+
+    ONE keyed exchange on user_id: the map side projects and
+    block-DISTINCTs (user, week) pairs (idempotent, shrinks the
+    exchange to ≤ users × weeks rows); each reduce bucket owns all of a
+    user's weeks, so the per-user MIN (cohort) and the distinct offsets
+    are bucket-local and exact; buckets emit (cohort_week, week_offset,
+    n_users) partials — each user counted in exactly one bucket — and
+    the driver group-sums ≤ weeks² rows."""
+    from ..engine.exchange import keyed_exchange
+
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                      "week_offset": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64())})
+
+    def project(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"]))
+        t = t.filter(mask)
+        if not t.num_rows:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "week": pa.array([], pa.int64())})
+        # FLOOR-division week index (pre-epoch ts land in negative
+        # weeks, mirrored by FLOOR() in the SQL — DuckDB's BIGINT //
+        # truncates toward zero, so the mirror floors explicitly)
+        us = np.asarray(pc.cast(t["ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        week = us // WEEK_US
+        return pa.table({"user_id": t["user_id"],
+                         "week": pa.array(week)}) \
+            .group_by(["user_id", "week"]).aggregate([])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        u = np.asarray(t["user_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        w = np.asarray(t["week"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        newu = np.ones(len(u), dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        # distinct (user, week) after the map-side distinct may still
+        # repeat across blocks — dedupe again (cheap on sorted arrays)
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w, newu = u[keep], w[keep], newu[keep]
+        cohort = w[np.maximum.accumulate(
+            np.where(newu, np.arange(len(u)), 0))]
+        off = w - cohort
+        g = pa.table({"cohort_week": pa.array(cohort),
+                      "week_offset": pa.array(off)}) \
+            .group_by(["cohort_week", "week_offset"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"cohort_week": g["cohort_week"],
+                         "week_offset": g["week_offset"],
+                         "n_users": g["count_all"].cast(pa.int64())})
+
+    parts = keyed_exchange(ds.map_batches(project, batch_format="pyarrow"),
+                           "user_id", bucket, empty_result=empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).group_by(
+        ["cohort_week", "week_offset"]).aggregate([("n_users", "sum")])
+    return pa.table({
+        "cohort_week": merged["cohort_week"],
+        "week_offset": merged["week_offset"],
+        "n_users": merged["n_users_sum"].cast(pa.int64()),
+    }).sort_by([("cohort_week", "ascending"), ("week_offset", "ascending")])
