@@ -568,6 +568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # active users per week offset): one keyed exchange, map-side
         # (user, week) distinct, driver merge <= weeks^2 rows
         "cohort_retention": ops.q_cohort_retention,
+        # market-basket co-occurrence top-k: per-ORDER pair generation
+        # (never a global part x part product), two bounded exchanges
+        "copurchase_pairs": ops.q_copurchase_pairs,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1703,6 +1706,19 @@ def oracle_sql() -> dict[str, str]:
             FROM wk JOIN f USING (user_id)
             GROUP BY f.cohort_week, week_offset
             ORDER BY cohort_week, week_offset
+        """,
+        # market-basket 2-itemsets: pairs within a basket (distinct
+        # parts per order), exact counts, deterministic tie-break
+        "copurchase_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+                  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                                    AND a.l_partkey < b.l_partkey),
+            c AS (SELECT part_a, part_b, count(*) AS n
+                  FROM p GROUP BY part_a, part_b)
+            SELECT part_a, part_b, CAST(n AS BIGINT) AS n_orders
+            FROM c ORDER BY n DESC, part_a, part_b LIMIT 10
         """,
         # skyline: distinct (quantity, price) pairs not dominated under
         # (maximize quantity, minimize price); NOT EXISTS is the

@@ -234,6 +234,8 @@ def bench_queries(sf_dir: str) -> dict:
         "pareto_lineitem",
         # cohort retention matrix (one keyed exchange)
         "cohort_retention",
+        # market-basket co-occurrence top-k (two bounded exchanges)
+        "copurchase_pairs",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -465,3 +465,36 @@ def test_cohort_retention_nulls_and_pre_epoch(ray_session, tmp_path):
     assert out.equals(ora.cast(out.schema))
     # user 2's pre-epoch first event puts a cohort in a negative week
     assert min(out["cohort_week"].to_pylist()) < 0
+
+
+def test_copurchase_pairs_matches_oracle(ray_session):
+    """Top-k co-purchased part pairs vs the self-join mirror; pair
+    invariants: part_a < part_b, counts non-increasing."""
+    out = entry.queries()["copurchase_pairs"](SF_DIR)
+    ora = _oracle("copurchase_pairs")
+    assert out.equals(ora.cast(out.schema))
+    a = out["part_a"].to_pylist()
+    b = out["part_b"].to_pylist()
+    n = out["n_orders"].to_pylist()
+    assert all(x < y for x, y in zip(a, b))
+    assert n == sorted(n, reverse=True)
+
+
+def test_copurchase_pairs_within_basket_semantics(ray_session, tmp_path):
+    """Hand basket: duplicate part in one order counts once; pairs
+    never cross orders; tie-break is (count desc, part_a, part_b)."""
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "l_partkey": pa.array([10, 20, 20, 30, 10, 20, 10, 20],
+                              pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    out = entry.queries()["copurchase_pairs"](str(d))
+    rows = [(r["part_a"], r["part_b"], r["n_orders"])
+            for r in out.to_pylist()]
+    # (10,20) in orders 1,2,3; (10,30) and (20,30) only in order 1
+    assert rows == [(10, 20, 3), (10, 30, 1), (20, 30, 1)]

@@ -6572,3 +6572,93 @@ def q_cohort_retention(sf_dir: str) -> pa.Table:
         "week_offset": merged["week_offset"],
         "n_users": merged["n_users_sum"].cast(pa.int64()),
     }).sort_by([("cohort_week", "ascending"), ("week_offset", "ascending")])
+
+
+def q_copurchase_pairs(sf_dir: str, k: int = 10) -> pa.Table:
+    """Market-basket co-occurrence: the top-k part pairs appearing in
+    the most orders together (frequent-itemset mining's 2-itemset
+    core).  The quadratic self-join explosion is managed structurally:
+    pairs generate per-ORDER (basket sizes are small — pairs per basket
+    = g(g-1)/2), never as a global part x part product.
+
+    Two bounded exchanges: (1) keyed on l_orderkey — per-bucket
+    vectorized pair generation (sorted groups + repeat/arange index
+    arithmetic, no Python loop) with local (pair, count) partials;
+    (2) keyed on the packed ``part_a << 32 | part_b`` pair key —
+    per-bucket exact group-sum + a local top-k cut, exact globally
+    because a pair's total lives in exactly one bucket; the driver
+    merges only buckets x k candidate rows.  Ties: count desc,
+    part_a asc, part_b asc."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    pair_empty = pa.table({"pair": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+
+    def gen_pairs(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pair_empty
+        o = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        p = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        # distinct (order, part): a part twice in one basket counts once
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        starts = np.nonzero(new)[0]
+        g = np.diff(np.append(starts, len(o)))
+        pos = np.arange(len(o)) - np.repeat(starts, g)
+        # element at in-group position q pairs with the (g-1-q) elements
+        # after it: a_idx repeats each element that many times, b_idx
+        # walks forward from a_idx+1
+        reps = (g[np.repeat(np.arange(len(g)), g)] - 1 - pos)
+        a_idx = np.repeat(np.arange(len(o)), reps)
+        off = np.concatenate([[0], np.cumsum(reps)])
+        b_idx = (np.arange(int(off[-1]), dtype=np.int64)
+                 - np.repeat(off[:-1], reps) + a_idx + 1)
+        if not len(a_idx):
+            return pair_empty
+        pair = (p[a_idx] << np.int64(32)) | p[b_idx]
+        gr = pa.table({"pair": pa.array(pair)}).group_by("pair") \
+            .aggregate([([], "count_all")])
+        return pa.table({"pair": gr["pair"],
+                         "n": gr["count_all"].cast(pa.int64())})
+
+    parts1 = keyed_exchange(ds, "l_orderkey", gen_pairs,
+                            empty_result=pair_empty)
+    parts1 = [t for t in parts1 if t.num_rows]
+    if not parts1:
+        return pa.table({"part_a": pa.array([], pa.int64()),
+                         "part_b": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64())})
+    import ray.data as rd
+    pair_ds = rd.from_arrow(parts1)
+
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by("pair").aggregate([("n", "sum")])
+        pairv = np.asarray(g["pair"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        n = np.asarray(g["n_sum"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        sel = np.lexsort((pairv, -n))[:k]
+        return pa.table({"pair": pa.array(pairv[sel]),
+                         "n": pa.array(n[sel])})
+
+    parts2 = keyed_exchange(pair_ds, "pair", topk_bucket,
+                            empty_result=pair_empty)
+    cand = pa.concat_tables([t for t in parts2 if t.num_rows])
+    pairv = np.asarray(cand["pair"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    n = np.asarray(cand["n"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    sel = np.lexsort((pairv, -n))[:k]
+    pairv, n = pairv[sel], n[sel]
+    return pa.table({"part_a": pa.array(pairv >> np.int64(32)),
+                     "part_b": pa.array(pairv & np.int64(0xFFFFFFFF)),
+                     "n_orders": pa.array(n)})
