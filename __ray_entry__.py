@@ -571,6 +571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # market-basket co-occurrence top-k: per-ORDER pair generation
         # (never a global part x part product), two bounded exchanges
         "copurchase_pairs": ops.q_copurchase_pairs,
+        # CUSUM change-point per type (sequential anomaly family):
+        # integer-exact |N*cum - t*S| via the two-pass prefix scan
+        "cusum_changepoint_events": ops.q_cusum_changepoint_events,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1706,6 +1709,37 @@ def oracle_sql() -> dict[str, str]:
             FROM wk JOIN f USING (user_id)
             GROUP BY f.cohort_week, week_offset
             ORDER BY cohort_week, week_offset
+        """,
+        # CUSUM change-point: the rational mean scaled out so the
+        # deviation |N*cum - t*S| stays integer; ties to earliest t
+        "cusum_changepoint_events": """
+            WITH e AS (
+                SELECT event_type, ts, event_id,
+                       CAST(ROUND(value*100) AS BIGINT) AS cents
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL
+            ), s AS (
+                SELECT event_type, event_id,
+                       sum(cents) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS cum,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS t,
+                       sum(cents) OVER (PARTITION BY event_type) AS stot,
+                       count(*) OVER (PARTITION BY event_type) AS ntot
+                FROM e
+            ), d AS (
+                SELECT event_type, event_id, t,
+                       ABS(ntot*cum - t*stot) AS dev,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ABS(ntot*cum - t*stot) DESC,
+                                    t ASC) AS rn
+                FROM s
+            )
+            SELECT event_type, CAST(t AS BIGINT) AS change_t, event_id,
+                   CAST(dev AS BIGINT) AS max_dev
+            FROM d WHERE rn = 1 ORDER BY event_type
         """,
         # market-basket 2-itemsets: pairs within a basket (distinct
         # parts per order), exact counts, deterministic tie-break

@@ -236,6 +236,8 @@ def bench_queries(sf_dir: str) -> dict:
         "cohort_retention",
         # market-basket co-occurrence top-k (two bounded exchanges)
         "copurchase_pairs",
+        # CUSUM change-point (two-pass distributed prefix scan)
+        "cusum_changepoint_events",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

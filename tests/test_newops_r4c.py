@@ -498,3 +498,45 @@ def test_copurchase_pairs_within_basket_semantics(ray_session, tmp_path):
             for r in out.to_pylist()]
     # (10,20) in orders 1,2,3; (10,30) and (20,30) only in order 1
     assert rows == [(10, 20, 3), (10, 30, 1), (20, 30, 1)]
+
+
+def test_cusum_changepoint_matches_oracle(ray_session):
+    """Integer-exact CUSUM argmax vs the shipped window mirror; one row
+    per type, deviation positive on real data."""
+    out = entry.queries()["cusum_changepoint_events"](SF_DIR)
+    ora = _oracle("cusum_changepoint_events")
+    assert out.equals(ora.cast(out.schema))
+    assert out.num_rows == len(set(out["event_type"].to_pylist()))
+    assert min(out["max_dev"].to_pylist()) > 0
+
+
+def test_cusum_changepoint_nulls_and_step(ray_session, tmp_path):
+    """NULL ts/value/type rows excluded on both engines; a planted step
+    in a clean series puts the change-point AT the step."""
+    import pyarrow.parquet as pq
+
+    day = 24 * HOUR
+    n = 40
+    rows = []
+    for i in range(n):
+        # flat 1.00 for 20 rows, then 9.00: change-point at t=20
+        rows.append((i + 1, (i + 1) * day, 1,
+                     1.0 if i < 20 else 9.0, "view"))
+    rows += [(100, None, 1, 5.0, "view"),     # null ts: excluded
+             (101, 50 * day, 1, None, "view"),  # null value: excluded
+             (102, 51 * day, 1, 5.0, None)]     # null type: excluded
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "event_type": pa.array([r[4] for r in rows], pa.string()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out, ora = _events_parity("cusum_changepoint_events", str(d))
+    assert out.equals(ora.cast(out.schema))
+    row = out.to_pylist()[0]
+    assert row["change_t"] == 20 and row["event_id"] == 20

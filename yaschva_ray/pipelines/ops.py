@@ -6662,3 +6662,173 @@ def q_copurchase_pairs(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.table({"part_a": pa.array(pairv >> np.int64(32)),
                      "part_b": pa.array(pairv & np.int64(0xFFFFFFFF)),
                      "n_orders": pa.array(n)})
+
+
+def q_cusum_changepoint_events(sf_dir: str, n_ranges: int = 16,
+                               sample_mod: int = 17) -> pa.Table:
+    """CUSUM change-point per event type — the sequential-anomaly
+    primitive (Page 1954): the time index where the cumulative sum of
+    cent values deviates most from the type's overall trend.  The
+    deviation is kept EXACT by scaling out the rational mean: at row t
+    (1-based, (ts, event_id) order), ``dev = |N·cum_t − t·S|`` where S,
+    N are the type's total and count — all int64 (envelope guarded:
+    N·S must fit; raises loudly past it).  Ties break to the earliest t.
+    NULL ts / value / type rows are excluded.
+
+    Distributed as the house two-pass prefix scan (the weighted-sample
+    shape): ONE projection scan (type, ts_us, event_id, cents —
+    materialized, 32 B/row), a ts range exchange folding per-(range,
+    type) count/sum offsets on the driver (ranges × 5 rows), then a
+    second pass computing local cumsum + offset and each range's
+    argmax per type; the driver reduces ranges × types candidate rows.
+    Rows with equal ts land in one range by construction, so the
+    (ts, event_id) order is globally consistent."""
+    from ..engine.blocks import gather_tables
+    from ..engine.exchange import range_exchange
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.and_(pc.is_valid(t["event_type"]),
+                               pc.is_valid(t["ts"])),
+                       pc.is_valid(t["value"]))
+        t = t.filter(mask)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_id": t["event_id"], "cents": cents})
+
+    pds = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def sample_ts(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["ts_us"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({"ts_us": pa.array(v[v % sample_mod == 0])})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["ts_us"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(
+            pds.map_batches(sample_ts, batch_format="pyarrow"))
+        if t.num_rows] or [np.empty(0, np.int64)]))
+    cuts = equidepth_cutpoints(sv, n_ranges)
+
+    stat_empty = pa.table({"bid": pa.array([], pa.int64()),
+                           "event_type": pa.array([], pa.string()),
+                           "n": pa.array([], pa.int64()),
+                           "s": pa.array([], pa.int64())})
+
+    def _per_type(t: pa.Table):
+        """sorted (type_codes, ts, id, cents) + segment starts."""
+        et = pc.dictionary_encode(t["event_type"].combine_chunks()
+                                  if isinstance(t["event_type"],
+                                                pa.ChunkedArray)
+                                  else t["event_type"])
+        code = np.asarray(et.indices.to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        ts = np.asarray(t["ts_us"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        eid = np.asarray(t["event_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        cents = np.asarray(t["cents"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        order = np.lexsort((eid, ts, code))
+        return et.dictionary, code[order], ts[order], eid[order], \
+            cents[order]
+
+    def stats(bid: int, t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return stat_empty
+        vocab, code, _, _, cents = _per_type(t)
+        # int64-exact segment sums (bincount's float weights would
+        # round past 2^53): code-sorted already, so reduceat per segment
+        starts = np.nonzero(np.concatenate(
+            [[True], code[1:] != code[:-1]]))[0]
+        seg_code = code[starts]
+        n = np.zeros(len(vocab), dtype=np.int64)
+        s = np.zeros(len(vocab), dtype=np.int64)
+        n[seg_code] = np.diff(np.append(starts, len(code)))
+        s[seg_code] = np.add.reduceat(cents, starts)
+        return pa.table({"bid": pa.array(np.full(len(vocab), bid)),
+                         "event_type": vocab.cast(pa.string()),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    stat_parts = [p for p in range_exchange(pds, "ts_us", cuts, stats,
+                                            empty_result=stat_empty)
+                  if p.num_rows]
+    if not stat_parts:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "change_t": pa.array([], pa.int64()),
+                         "event_id": pa.array([], pa.int64()),
+                         "max_dev": pa.array([], pa.int64())})
+    stat = pa.concat_tables(stat_parts)
+    types = sorted(set(stat["event_type"].to_pylist()))
+    tindex = {ty: i for i, ty in enumerate(types)}
+    nb = len(cuts) + 1
+    N_off = np.zeros((nb, len(types)), dtype=np.int64)
+    S_off = np.zeros((nb, len(types)), dtype=np.int64)
+    for bid, ty, n, s in zip(stat["bid"].to_pylist(),
+                             stat["event_type"].to_pylist(),
+                             stat["n"].to_pylist(),
+                             stat["s"].to_pylist()):
+        N_off[bid, tindex[ty]] = n
+        S_off[bid, tindex[ty]] = s
+    N_tot = N_off.sum(axis=0)
+    S_tot = S_off.sum(axis=0)
+    if np.any(np.abs(N_tot.astype(object) * S_tot.astype(object))
+              >= 2**62):
+        raise ValueError(
+            "cusum deviation arithmetic exceeds int64 (N*S too large) — "
+            "shard the scan per type or rescale cents")
+    N_pre = np.cumsum(N_off, axis=0) - N_off   # exclusive prefixes
+    S_pre = np.cumsum(S_off, axis=0) - S_off
+
+    cand_empty = pa.table({"event_type": pa.array([], pa.string()),
+                           "change_t": pa.array([], pa.int64()),
+                           "event_id": pa.array([], pa.int64()),
+                           "max_dev": pa.array([], pa.int64())})
+
+    def argmax_local(bid: int, t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return cand_empty
+        vocab, code, _, eid, cents = _per_type(t)
+        out_ty, out_t, out_id, out_dev = [], [], [], []
+        starts = np.nonzero(np.concatenate(
+            [[True], code[1:] != code[:-1]]))[0]
+        bounds = np.append(starts, len(code))
+        for si, sj in zip(bounds[:-1], bounds[1:]):
+            ty = vocab[code[si]].as_py()
+            gi = tindex[ty]
+            cum = S_pre[bid, gi] + np.cumsum(cents[si:sj])
+            tt = N_pre[bid, gi] + np.arange(1, sj - si + 1,
+                                            dtype=np.int64)
+            dev = np.abs(N_tot[gi] * cum - tt * S_tot[gi])
+            j = int(np.argmax(dev))  # first max = earliest t (tie rule)
+            out_ty.append(ty)
+            out_t.append(int(tt[j]))
+            out_id.append(int(eid[si + j]))
+            out_dev.append(int(dev[j]))
+        return pa.table({"event_type": pa.array(out_ty, pa.string()),
+                         "change_t": pa.array(out_t, pa.int64()),
+                         "event_id": pa.array(out_id, pa.int64()),
+                         "max_dev": pa.array(out_dev, pa.int64())})
+
+    cand = pa.concat_tables(
+        [p for p in range_exchange(pds, "ts_us", cuts, argmax_local,
+                                   empty_result=cand_empty)
+         if p.num_rows])
+    rows = sorted(cand.to_pylist(),
+                  key=lambda r: (r["event_type"], -r["max_dev"],
+                                 r["change_t"]))
+    best, seen = [], set()
+    for r in rows:
+        if r["event_type"] not in seen:
+            seen.add(r["event_type"])
+            best.append(r)
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in best],
+                               pa.string()),
+        "change_t": pa.array([r["change_t"] for r in best], pa.int64()),
+        "event_id": pa.array([r["event_id"] for r in best], pa.int64()),
+        "max_dev": pa.array([r["max_dev"] for r in best], pa.int64()),
+    })
