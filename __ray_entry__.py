@@ -574,6 +574,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUSUM change-point per type (sequential anomaly family):
         # integer-exact |N*cum - t*S| via the two-pass prefix scan
         "cusum_changepoint_events": ops.q_cusum_changepoint_events,
+        # k-anonymity audit (privacy gate): bounded QI-domain partials,
+        # no shuffle
+        "kanonymity_customer": ops.q_kanonymity_customer,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1709,6 +1712,16 @@ def oracle_sql() -> dict[str, str]:
             FROM wk JOIN f USING (user_id)
             GROUP BY f.cohort_week, week_offset
             ORDER BY cohort_week, week_offset
+        """,
+        # k-anonymity: quasi-identifier groups smaller than k are
+        # re-identification risks
+        "kanonymity_customer": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS group_size
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+            HAVING count(*) < 10
+            ORDER BY c_nationkey, c_mktsegment
         """,
         # CUSUM change-point: the rational mean scaled out so the
         # deviation |N*cum - t*S| stays integer; ties to earliest t

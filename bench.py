@@ -238,6 +238,8 @@ def bench_queries(sf_dir: str) -> dict:
         "copurchase_pairs",
         # CUSUM change-point (two-pass distributed prefix scan)
         "cusum_changepoint_events",
+        # k-anonymity privacy audit (bounded partials, no shuffle)
+        "kanonymity_customer",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

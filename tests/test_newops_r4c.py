@@ -540,3 +540,16 @@ def test_cusum_changepoint_nulls_and_step(ray_session, tmp_path):
     assert out.equals(ora.cast(out.schema))
     row = out.to_pylist()[0]
     assert row["change_t"] == 20 and row["event_id"] == 20
+
+
+def test_kanonymity_matches_oracle(ray_session):
+    """Privacy audit vs the HAVING mirror; every reported group is
+    genuinely below the k=10 floor and nonempty."""
+    out = entry.queries()["kanonymity_customer"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/customer.parquet')")
+    ora = con.execute(entry.oracle_sql()["kanonymity_customer"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    sizes = out["group_size"].to_pylist()
+    assert all(1 <= s < 10 for s in sizes)

@@ -6832,3 +6832,41 @@ def q_cusum_changepoint_events(sf_dir: str, n_ranges: int = 16,
         "event_id": pa.array([r["event_id"] for r in best], pa.int64()),
         "max_dev": pa.array([r["max_dev"] for r in best], pa.int64()),
     })
+
+
+def q_kanonymity_customer(sf_dir: str, k: int = 10) -> pa.Table:
+    """k-anonymity audit over the (c_nationkey, c_mktsegment)
+    quasi-identifier: every combination shared by fewer than ``k``
+    customers is a re-identification risk (Sweeney 2002) — the privacy
+    gate a training-data pipeline runs before release.  Emits the
+    violating groups with their sizes plus the anonymity floor.
+
+    Per-block partial counts (bounded by the QI domain, nations ×
+    segments) → one driver group-sum — the pricing_summary shape; no
+    shuffle, no row ever leaves its scan task."""
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_nationkey", "c_mktsegment"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "c_nationkey": g["c_nationkey"].cast(pa.int64()),
+            "c_mktsegment": g["c_mktsegment"],
+            "n": g["count_all"].cast(pa.int64())})
+
+    parts = [t for t in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if t.num_rows]
+    if not parts:
+        return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                         "c_mktsegment": pa.array([], pa.string()),
+                         "group_size": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts).group_by(
+        ["c_nationkey", "c_mktsegment"]).aggregate([("n", "sum")])
+    mask = pc.less(merged["n_sum"], k)
+    bad = merged.filter(mask)
+    return pa.table({
+        "c_nationkey": bad["c_nationkey"],
+        "c_mktsegment": bad["c_mktsegment"],
+        "group_size": bad["n_sum"].cast(pa.int64()),
+    }).sort_by([("c_nationkey", "ascending"),
+                ("c_mktsegment", "ascending")])
