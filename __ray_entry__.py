@@ -577,6 +577,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-anonymity audit (privacy gate): bounded QI-domain partials,
         # no shuffle
         "kanonymity_customer": ops.q_kanonymity_customer,
+        # Misra-Gries phi-heavy-hitter tokens: zero-shuffle sketch
+        # candidates (<= phi_den rows per block regardless of vocabulary
+        # width) + exact broadcast-count verify — output exact, so the
+        # HAVING mirror is hash-checkable
+        "heavy_hitter_tokens": textops.q_heavy_hitter_tokens,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1722,6 +1727,20 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_nationkey, c_mktsegment
             HAVING count(*) < 10
             ORDER BY c_nationkey, c_mktsegment
+        """,
+        # phi-heavy-hitter tokens (phi = 1/400): strict-majority-style
+        # threshold count(*)·400 > total — integer-exact, same tokenizer
+        # mirror as vocab_top_tokens
+        "heavy_hitter_tokens": r"""
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+'))
+                    AS token
+                FROM documents
+            ), tot AS (SELECT count(*) AS n_total FROM tok)
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY token
+            HAVING count(*) * 400 > (SELECT n_total FROM tot)
+            ORDER BY n DESC, token
         """,
         # CUSUM change-point: the rational mean scaled out so the
         # deviation |N*cum - t*S| stays integer; ties to earliest t

@@ -240,6 +240,9 @@ def bench_queries(sf_dir: str) -> dict:
         "cusum_changepoint_events",
         # k-anonymity privacy audit (bounded partials, no shuffle)
         "kanonymity_customer",
+        # Misra-Gries phi-heavy-hitter tokens (zero-shuffle sketch +
+        # exact broadcast-count verify)
+        "heavy_hitter_tokens",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}
@@ -247,9 +250,17 @@ def bench_queries(sf_dir: str) -> dict:
     for mod, group in ((ops, names), (textops, text_names),
                        (bpe_mod, bpe_names)):
         for name in group:
-            fn = getattr(mod, f"q_{name}", None)
+            # resolve across all pipeline modules: a key listed next to
+            # its family but implemented elsewhere must still run (five
+            # ops-module keys sat in text_names and were silently
+            # skipped by the old single-module getattr — no silent caps)
+            fn = None
+            for m in (mod, ops, textops, bpe_mod):
+                fn = getattr(m, f"q_{name}", None)
+                if fn is not None:
+                    break
             if fn is None:
-                continue
+                raise KeyError(f"bench key {name!r} has no q_ function")
             best = None
             for _ in range(2):  # best-of-2: host co-tenant noise spikes
                 if name == "validate_quarantine":  # cold sink each time

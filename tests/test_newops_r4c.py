@@ -553,3 +553,40 @@ def test_kanonymity_matches_oracle(ray_session):
     assert out.equals(ora.cast(out.schema))
     sizes = out["group_size"].to_pylist()
     assert all(1 <= s < 10 for s in sizes)
+
+
+def test_heavy_hitter_tokens_matches_oracle(ray_session):
+    """Misra-Gries + exact verify vs the HAVING mirror (the shipped
+    oracle SQL), and every reported token genuinely clears the phi bar."""
+    out = entry.queries()["heavy_hitter_tokens"](SF_DIR)
+    ora = _oracle("heavy_hitter_tokens")
+    assert out.equals(ora.cast(out.schema))
+    assert out.num_rows > 0
+
+
+def test_heavy_hitter_mg_guarantee_wide_vocab(ray_session, tmp_path):
+    """Vocabulary >> cap forces real MG compression in every block AND in
+    the driver fold: 20k distinct one-off tokens + one planted heavy
+    token must still be found exactly, and the fold order must not
+    matter (mergeability: fold_chunk=1 == fold_chunk=64)."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import heavy_hitter_tokens_from_ds
+
+    # 20_000 singleton tokens (unique per doc) + 'HEAVY' planted 600x:
+    # total = 20_600 tokens, phi_den=30 -> threshold 686.66 -> only
+    # tokens with n*30 > 20_600 i.e. n >= 687 ... so plant 800.
+    docs = [{"doc_id": i, "text": f"u{i}a u{i}b u{i}c u{i}d"}
+            for i in range(5000)]
+    docs += [{"doc_id": 5000 + i, "text": "HEAVY HEAVY HEAVY HEAVY"}
+             for i in range(200)]
+    # totals: 20_000 singletons + 800 HEAVY = 20_800; threshold n > 693.3
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pylist(docs), p)
+    ds = ray.data.read_parquet(p, override_num_blocks=16)
+    out = heavy_hitter_tokens_from_ds(ds, phi_den=30)
+    assert out.to_pydict() == {"token": ["HEAVY"], "n": [800]}
+
+    ds2 = ray.data.read_parquet(p, override_num_blocks=16)
+    out2 = heavy_hitter_tokens_from_ds(ds2, phi_den=30, fold_chunk=1)
+    assert out2.equals(out)

@@ -4600,3 +4600,132 @@ def q_chunk_documents(sf_dir: str, size: int = 64,
     if not out.num_rows:
         return empty
     return out.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries phi-heavy-hitter tokens (zero-shuffle sketch + exact verify)
+# --------------------------------------------------------------------------
+
+
+def heavy_hitter_tokens_from_ds(ds, phi_den: int = 400,
+                                fold_chunk: int = 64) -> pa.Table:
+    """phi-heavy-hitter tokens (phi = 1/``phi_den``): every token whose
+    corpus frequency strictly exceeds total_tokens/phi_den, found with
+    ZERO shuffle and bounded memory — the sketch-family contrast to
+    ``vocab_top_tokens_from_ds``'s keyed exchange.  The exchange moves one
+    row per DISTINCT token; this moves at most phi_den+1 rows per block
+    no matter how wide the vocabulary is — the frequent-token path at
+    100 TB, where the vocabulary itself is too wide to exchange just to
+    find the head of the Zipf curve.
+
+    Pass 1 (candidates): per block, exact ``value_counts`` compressed to
+    a Misra-Gries summary of <= phi_den counters — subtract the
+    (phi_den+1)-th largest count from all, drop the non-positive (Misra &
+    Gries 1982).  The driver folds summaries ``fold_chunk`` tables at a
+    time with re-compression, so live driver state is O(fold_chunk *
+    phi_den) rows, never O(blocks * phi_den).  MG summaries are one-way
+    mergeable with TOTAL undercount <= n/(phi_den+1) < phi*n regardless
+    of merge order (Agarwal et al., PODS 2012), so every true phi-heavy
+    token survives the fold among the <= phi_den candidates.
+
+    Pass 2 (exact): the candidate list (<= phi_den strings) broadcasts
+    via ``ray.put``; each block counts ONLY candidate tokens (<= phi_den
+    rows out per block); driver group-sum; emit n * phi_den > n_total.
+    The sketch only PRUNES, never decides — the output is exact, which is
+    what makes the DuckDB HAVING mirror hash-exact rather than
+    approximate.
+
+    Each block's exact token total rides along as one sentinel row
+    (token = NULL; the tokenizer never yields NULL), so pass 1 also
+    yields the exact global denominator in the same scan.
+    """
+    import ray
+
+    cap = int(phi_den)
+    if cap < 1:
+        raise ValueError("phi_den must be >= 1")
+
+    def _mg_compress(tok: pa.Array, n: np.ndarray):
+        if len(n) > cap:
+            # (cap+1)-th largest = ascending index len-cap-1; subtracting
+            # it zeroes everything <= it, so at most cap survive (ties
+            # with the threshold drop too — strictly-greater keeps only).
+            sub = int(np.partition(n, len(n) - cap - 1)[len(n) - cap - 1])
+            keep = n > sub
+            tok = tok.filter(pa.array(keep))
+            n = n[keep] - sub
+        return tok, n
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        flat = (s.str.extract_all(TOKEN_RE)
+                .explode(empty_as_null=True).drop_nulls())
+        total = len(flat)
+        vc = flat.value_counts().to_arrow()
+        tok = vc["t"].cast(pa.string()).combine_chunks()
+        n = vc["count"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tok, n = _mg_compress(tok, n.astype(np.int64))
+        return pa.table({
+            "token": pa.concat_arrays(
+                [tok, pa.array([None], pa.string())]),
+            "n": pa.array(np.concatenate([n, [total]]), pa.int64())})
+
+    from ..engine.blocks import gather_tables
+
+    parts = [p for p in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if p.num_rows]
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+
+    n_total = 0
+    acc = empty
+    for i in range(0, len(parts), fold_chunk):
+        t = pa.concat_tables([acc] + parts[i:i + fold_chunk])
+        is_tok = pc.is_valid(t["token"])
+        sent = pc.sum(t.filter(pc.invert(is_tok))["n"]).as_py()
+        n_total += int(sent or 0)
+        g = (t.filter(is_tok).group_by("token")
+             .aggregate([("n", "sum")]))
+        tok = g["token"].combine_chunks()
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok, n = _mg_compress(tok, n)
+        acc = pa.table({"token": tok, "n": pa.array(n, pa.int64())})
+
+    if not acc.num_rows or not n_total:
+        return empty
+
+    cand_ref = ray.put(acc["token"].combine_chunks())
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        s = _pl_text(t["text"])
+        flat = (s.str.extract_all(TOKEN_RE)
+                .explode(empty_as_null=True).drop_nulls())
+        vc = flat.value_counts().to_arrow()
+        tok = vc["t"].cast(pa.string()).combine_chunks()
+        n = vc["count"].cast(pa.int64())
+        keep = pc.is_in(tok, value_set=cset)
+        return pa.table({"token": tok.filter(keep),
+                         "n": n.combine_chunks().filter(keep)})
+
+    exact = [p for p in gather_tables(
+        ds.map_batches(exact_counts, batch_format="pyarrow")) if p.num_rows]
+    if not exact:
+        return empty
+    g = (pa.concat_tables(exact).group_by("token")
+         .aggregate([("n", "sum")]))
+    n = g["n_sum"].cast(pa.int64())
+    heavy = pc.greater(pc.multiply_checked(n, pa.scalar(cap, pa.int64())),
+                       pa.scalar(n_total, pa.int64()))
+    out = pa.table({"token": g["token"], "n": n}).filter(heavy)
+    order = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+    return out.take(order)
+
+
+def q_heavy_hitter_tokens(sf_dir: str, phi_den: int = 400) -> pa.Table:
+    return heavy_hitter_tokens_from_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]), phi_den=phi_den)
