@@ -582,6 +582,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # width) + exact broadcast-count verify — output exact, so the
         # HAVING mirror is hash-checkable
         "heavy_hitter_tokens": textops.q_heavy_hitter_tokens,
+        # ROLLUP subtotal hierarchy: finest-grain bounded partials; the
+        # coarser levels derive from them exactly (integer cents) —
+        # subtotals cost zero extra scan; lvl mirrors SQL GROUPING()
+        "orders_rollup": ops.q_orders_rollup,
+        # exact distributed NTILE(4) per event type: per-row global rank
+        # via the two-pass cents range-exchange prefix scan
+        "events_value_ntile": ops.q_events_value_ntile,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1741,6 +1748,31 @@ def oracle_sql() -> dict[str, str]:
             FROM tok GROUP BY token
             HAVING count(*) * 400 > (SELECT n_total FROM tot)
             ORDER BY n DESC, token
+        """,
+        # ROLLUP hierarchy; GROUPING() = lvl disambiguates rollup NULLs
+        # from data NULLs (a null o_orderdate stays at lvl 0)
+        "orders_rollup": """
+            SELECT CAST(GROUPING(y, m) AS BIGINT) AS lvl,
+                   y AS o_year, m AS o_month,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                  FROM orders)
+            GROUP BY ROLLUP (y, m)
+            ORDER BY lvl, o_year NULLS LAST, o_month NULLS LAST
+        """,
+        # NTILE over a TOTAL order (cents, event_id) so tie assignment
+        # is engine-independent; WHERE matches the Ray-side null filter
+        "events_value_ntile": """
+            SELECT event_id, event_type,
+                   CAST(NTILE(4) OVER (PARTITION BY event_type
+                        ORDER BY CAST(round(value*100) AS BIGINT),
+                                 event_id) AS BIGINT) AS tile
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+              AND event_id IS NOT NULL
+            ORDER BY event_id
         """,
         # CUSUM change-point: the rational mean scaled out so the
         # deviation |N*cum - t*S| stays integer; ties to earliest t

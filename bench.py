@@ -243,6 +243,10 @@ def bench_queries(sf_dir: str) -> dict:
         # Misra-Gries phi-heavy-hitter tokens (zero-shuffle sketch +
         # exact broadcast-count verify)
         "heavy_hitter_tokens",
+        # ROLLUP subtotal hierarchy (bounded finest-grain partials)
+        "orders_rollup",
+        # exact distributed NTILE(4) (two-pass range-exchange rank)
+        "events_value_ntile",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -590,3 +590,70 @@ def test_heavy_hitter_mg_guarantee_wide_vocab(ray_session, tmp_path):
     ds2 = ray.data.read_parquet(p, override_num_blocks=16)
     out2 = heavy_hitter_tokens_from_ds(ds2, phi_den=30, fold_chunk=1)
     assert out2.equals(out)
+
+
+def test_orders_rollup_matches_oracle(ray_session):
+    """ROLLUP hierarchy vs GROUP BY ROLLUP + GROUPING(); the three
+    levels reconcile exactly (finest == year subtotals == grand)."""
+    out = entry.queries()["orders_rollup"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/orders.parquet')")
+    ora = con.execute(entry.oracle_sql()["orders_rollup"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    import pyarrow.compute as pc
+    lv = out.column("lvl").to_pylist()
+    cents = out.column("revenue_cents").to_pylist()
+    grand = [c for l, c in zip(lv, cents) if l == 3]
+    assert sum(c for l, c in zip(lv, cents) if l == 0) == grand[0]
+    assert sum(c for l, c in zip(lv, cents) if l == 1) == grand[0]
+
+
+def test_events_value_ntile_matches_oracle(ray_session):
+    out = entry.queries()["events_value_ntile"](SF_DIR)
+    ora = _oracle("events_value_ntile")
+    assert out.equals(ora.cast(out.schema))
+    assert set(out.column("tile").to_pylist()) == {1, 2, 3, 4}
+
+
+def test_events_value_ntile_nulls_and_fill_rule(ray_session, tmp_path):
+    """Null type/value/id rows drop like the mirror's WHERE, and the
+    SQL fill rule holds when n < k and when n mod k != 0 (first n mod k
+    tiles get ceil(n/k) rows)."""
+    sf = _write_null_events(tmp_path)
+    from yaschva_ray.pipelines.ops import q_events_value_ntile
+
+    out = q_events_value_ntile(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    ora = con.execute(entry.oracle_sql()["events_value_ntile"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    # 'view' has 8 valid rows -> NTILE(4) sizes 2,2,2,2; 'purchase' has
+    # one (null ts is NOT filtered) -> tile 1 (n < k branch); 'click'
+    # rows all have null value -> dropped entirely
+    from collections import Counter
+
+    rows = out.to_pylist()
+    views = [r for r in rows if r["event_type"] == "view"]
+    assert sorted(Counter(v["tile"] for v in views).items()) == [
+        (1, 2), (2, 2), (3, 2), (4, 2)]
+    assert [r["tile"] for r in rows if r["event_type"] == "purchase"] \
+        == [1]
+    assert not any(r["event_type"] == "click" for r in rows)
+    # uneven fill (n mod k != 0): NTILE(3) over the 8 views -> 3,3,2,
+    # checked against DuckDB's NTILE(3) on the same fixture
+    out3 = q_events_value_ntile(sf, tiles=3)
+    ora3 = con.execute("""
+        SELECT event_id, event_type,
+               CAST(NTILE(3) OVER (PARTITION BY event_type
+                    ORDER BY CAST(round(value*100) AS BIGINT),
+                             event_id) AS BIGINT) AS tile
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+          AND event_id IS NOT NULL
+        ORDER BY event_id""").arrow()
+    assert out3.equals(ora3.cast(out3.schema))
+    v3 = [r for r in out3.to_pylist() if r["event_type"] == "view"]
+    assert sorted(Counter(v["tile"] for v in v3).items()) == [
+        (1, 3), (2, 3), (3, 2)]

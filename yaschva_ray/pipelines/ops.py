@@ -6870,3 +6870,209 @@ def q_kanonymity_customer(sf_dir: str, k: int = 10) -> pa.Table:
         "group_size": bad["n_sum"].cast(pa.int64()),
     }).sort_by([("c_nationkey", "ascending"),
                 ("c_mktsegment", "ascending")])
+
+
+def q_orders_rollup(sf_dir: str) -> pa.Table:
+    """Hierarchical ROLLUP revenue report over orders: (year, month)
+    subtotals, per-year subtotals, and the grand total in one result —
+    the OLAP reshape of the plain groupby family.  Distribution is the
+    pricing_summary shape: per-block partial aggregates at the FINEST
+    grain only (bounded by the date domain, ~7 years x 12 months), one
+    driver group-sum, then the coarser levels derive from the finest
+    partials EXACTLY (integer cents) — subtotals cost zero extra scan
+    and zero shuffle.
+
+    ``lvl`` mirrors SQL ``GROUPING(y, m)`` (one bit per rolled-up
+    column: 0 = finest, 1 = year subtotal, 3 = grand total), which is
+    what disambiguates a ROLLUP null from a DATA null: a null
+    o_orderdate groups at lvl 0 with null year/month, never conflated
+    with the rolled-up rows."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({
+            "y": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "m": pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+            "cents": cents,
+        }).group_by(["y", "m"]).aggregate([("cents", "sum"),
+                                           ([], "count_all")])
+        return pa.table({"y": g["y"], "m": g["m"],
+                         "cents": g["cents_sum"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    parts = [p for p in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if p.num_rows]
+    empty = pa.table({"lvl": pa.array([], pa.int64()),
+                      "o_year": pa.array([], pa.int64()),
+                      "o_month": pa.array([], pa.int64()),
+                      "revenue_cents": pa.array([], pa.int64()),
+                      "n_orders": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    finest = (pa.concat_tables(parts).group_by(["y", "m"])
+              .aggregate([("cents", "sum"), ("n", "sum")]))
+    by_year = finest.group_by("y").aggregate([("cents_sum", "sum"),
+                                              ("n_sum", "sum")])
+    grand_c = pc.sum(finest["cents_sum"]).as_py() or 0
+    grand_n = pc.sum(finest["n_sum"]).as_py() or 0
+
+    def level(lvl: int, y, m, c, n) -> pa.Table:
+        k = len(c)
+        return pa.table({
+            "lvl": pa.array([lvl] * k, pa.int64()),
+            "o_year": (y if y is not None
+                       else pa.array([None] * k, pa.int64())),
+            "o_month": (m if m is not None
+                        else pa.array([None] * k, pa.int64())),
+            "revenue_cents": pa.array(c, pa.int64())
+            if isinstance(c, list) else c.cast(pa.int64()),
+            "n_orders": pa.array(n, pa.int64())
+            if isinstance(n, list) else n.cast(pa.int64())})
+
+    out = pa.concat_tables([
+        level(0, finest["y"], finest["m"], finest["cents_sum"],
+              finest["n_sum"]),
+        level(1, by_year["y"], None, by_year["cents_sum_sum"],
+              by_year["n_sum_sum"]),
+        level(3, None, None, [grand_c], [grand_n]),
+    ])
+    # NULLS LAST on every sort key (Arrow default at_end == the mirror's
+    # explicit NULLS LAST): data-null year/month rows inside lvl 0 land
+    # after the dated ones, deterministically
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("lvl", "ascending"), ("o_year", "ascending"),
+                        ("o_month", "ascending")]))
+
+
+def q_events_value_ntile(sf_dir: str, tiles: int = 4,
+                         n_ranges: int = 16,
+                         sample_mod: int = 17) -> pa.Table:
+    """Exact distributed NTILE(``tiles``) OVER (PARTITION BY event_type
+    ORDER BY cents, event_id) — the quantile-bucket window that needs a
+    per-row GLOBAL rank, not just boundaries.  The rank comes from the
+    house two-pass prefix scan (the cusum shape): one projection scan,
+    a cents range exchange folding per-(range, type) counts on the
+    driver (ranges x types rows) into exclusive offsets + per-type
+    totals, then a second pass that sorts each range by (type, cents,
+    event_id) and adds the offset.  Equal cents land in one range by
+    construction, so the (cents, event_id) tie order is globally
+    consistent.  The NTILE fill rule is pinned to SQL: with n rows and
+    k tiles the first n mod k tiles get ceil(n/k) rows.  NULL
+    type/value/id rows are excluded, matching the mirror's WHERE."""
+    from ..engine.exchange import range_exchange
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.and_(pc.is_valid(t["event_type"]),
+                               pc.is_valid(t["value"])),
+                       pc.is_valid(t["event_id"]))
+        t = t.filter(mask)
+        return pa.table({
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    pds = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def sample_cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["cents"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({"cents": pa.array(v[v % sample_mod == 0])})
+
+    sv = np.sort(np.concatenate([
+        np.asarray(t["cents"].to_numpy(zero_copy_only=False))
+        for t in gather_tables(
+            pds.map_batches(sample_cents, batch_format="pyarrow"))
+        if t.num_rows] or [np.empty(0, np.int64)]))
+    cuts = equidepth_cutpoints(sv, n_ranges)
+
+    def _sorted_cols(t: pa.Table):
+        et = pc.dictionary_encode(
+            t["event_type"].combine_chunks()
+            if isinstance(t["event_type"], pa.ChunkedArray)
+            else t["event_type"])
+        code = np.asarray(et.indices.to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        cents = np.asarray(t["cents"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        eid = np.asarray(t["event_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((eid, cents, code))
+        return et.dictionary, code[order], cents[order], eid[order]
+
+    stat_empty = pa.table({"bid": pa.array([], pa.int64()),
+                           "event_type": pa.array([], pa.string()),
+                           "n": pa.array([], pa.int64())})
+
+    def stats(bid: int, t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return stat_empty
+        vocab, code, _, _ = _sorted_cols(t)
+        starts = np.nonzero(np.concatenate(
+            [[True], code[1:] != code[:-1]]))[0]
+        bounds = np.append(starts, len(code))
+        return pa.table({
+            "bid": pa.array(np.full(len(starts), bid, np.int64)),
+            "event_type": vocab.take(pa.array(code[starts])),
+            "n": pa.array(np.diff(bounds).astype(np.int64))})
+
+    stat_parts = [p for p in range_exchange(pds, "cents", cuts, stats,
+                                            empty_result=stat_empty)
+                  if p.num_rows]
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "tile": pa.array([], pa.int64())})
+    if not stat_parts:
+        return empty
+    st = pa.concat_tables(stat_parts)
+    types = sorted(set(st["event_type"].to_pylist()))
+    tindex = {ty: i for i, ty in enumerate(types)}
+    n_rng = len(cuts) + 1
+    counts = np.zeros((n_rng, len(types)), np.int64)
+    for b, ty, n in zip(st["bid"].to_pylist(),
+                        st["event_type"].to_pylist(),
+                        st["n"].to_pylist()):
+        counts[b, tindex[ty]] = n
+    offsets = np.cumsum(counts, axis=0) - counts  # exclusive over ranges
+    totals = counts.sum(axis=0)
+
+    k = int(tiles)
+    q_, rem_ = totals // k, totals % k  # per-type fill rule inputs
+
+    def assign(bid: int, t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        vocab, code, _, eid = _sorted_cols(t)
+        starts = np.nonzero(np.concatenate(
+            [[True], code[1:] != code[:-1]]))[0]
+        bounds = np.append(starts, len(code))
+        local = np.arange(len(code), dtype=np.int64) - np.repeat(
+            bounds[:-1], np.diff(bounds))
+        gi = np.array([tindex[vocab[c].as_py()] for c in code[starts]],
+                      dtype=np.int64)
+        gidx = np.repeat(gi, np.diff(bounds))
+        r = offsets[bid, gidx] + local
+        qv, rv = q_[gidx], rem_[gidx]
+        head = rv * (qv + 1)
+        # SQL NTILE: first (n mod k) tiles take ceil(n/k) rows each
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                r < head, r // (qv + 1),
+                rv + np.where(qv > 0, (r - head) // np.maximum(qv, 1),
+                              0)) + 1
+        return pa.table({
+            "event_id": pa.array(eid),
+            "event_type": vocab.take(pa.array(code)).cast(pa.string()),
+            "tile": pa.array(tile.astype(np.int64))})
+
+    out_parts = [p for p in range_exchange(pds, "cents", cuts, assign,
+                                           empty_result=empty)
+                 if p.num_rows]
+    if not out_parts:
+        return empty
+    return (pa.concat_tables(out_parts).combine_chunks()
+            .sort_by([("event_id", "ascending")]))
