@@ -589,6 +589,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed NTILE(4) per event type: per-row global rank
         # via the two-pass cents range-exchange prefix scan
         "events_value_ntile": ops.q_events_value_ntile,
+        # multi-source BFS hop distance to the nearest seed over the
+        # derived link graph: frontier min-merge rounds chained on
+        # exchange reduce refs (the pagerank shape)
+        "bfs_hops": ops.q_bfs_hops,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -910,6 +914,36 @@ def _pagerank_sql(iters: int = 5) -> str:
                 FROM documents),
         {steps}
         SELECT doc_id, rank_fp FROM pr{iters} ORDER BY doc_id
+    """
+
+
+def _bfs_sql(seed_mod: int = 97, max_hops: int = 6) -> str:
+    """Unrolled multi-source BFS mirror: the pagerank-derived edge set,
+    seeds at doc_id % seed_mod == 0, one min-merge CTE per hop (the
+    frontier filter p.hops = i-1 matches the Ray kernel's emission; the
+    min-merge makes any re-emission idempotent either way)."""
+    steps = ",\n".join(
+        f"""d{i} AS (
+            SELECT doc_id, CAST(MIN(h) AS BIGINT) AS hops FROM (
+                SELECT doc_id, hops AS h FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS doc_id, p.hops + 1 AS h
+                FROM d{i - 1} p
+                JOIN edges e ON e.src = p.doc_id AND p.hops = {i - 1}
+            ) GROUP BY doc_id)"""
+        for i in range(1, max_hops + 1))
+    return f"""
+        WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+        edges AS (
+            SELECT doc_id AS src,
+                   ((doc_id * 3 + j) * 2654435761 + 13) % 4294967296
+                       % (SELECT c FROM nn) AS dst
+            FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(j)
+        ),
+        d0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS hops FROM documents
+               WHERE doc_id % {seed_mod} = 0),
+        {steps}
+        SELECT doc_id, hops FROM d{max_hops} ORDER BY doc_id
     """
 
 
@@ -1604,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         # distributed PageRank: unrolled integer fixed-point mirror over
         # the same derived Knuth-mix link graph
         "pagerank_documents": _pagerank_sql(),
+        "bfs_hops": _bfs_sql(),
         # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
         # NOT unique here, so value_cents joins the ORDER BY — remaining
         # ties are identical rows (any order hashes the same)

@@ -247,6 +247,8 @@ def bench_queries(sf_dir: str) -> dict:
         "orders_rollup",
         # exact distributed NTILE(4) (two-pass range-exchange rank)
         "events_value_ntile",
+        # multi-source BFS hop distances (chained frontier min-merge)
+        "bfs_hops",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

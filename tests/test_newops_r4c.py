@@ -657,3 +657,18 @@ def test_events_value_ntile_nulls_and_fill_rule(ray_session, tmp_path):
     v3 = [r for r in out3.to_pylist() if r["event_type"] == "view"]
     assert sorted(Counter(v["tile"] for v in v3).items()) == [
         (1, 3), (2, 3), (3, 2)]
+
+
+def test_bfs_hops_matches_oracle(ray_session):
+    """Multi-source BFS vs the unrolled min-merge mirror; seeds at 0,
+    everything else >= 1, and the cap excludes unreached docs on both
+    sides identically."""
+    out = entry.queries()["bfs_hops"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["bfs_hops"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    for r in out.to_pylist():
+        assert (r["hops"] == 0) == (r["doc_id"] % 97 == 0)
+        assert 0 <= r["hops"] <= 6

@@ -7076,3 +7076,81 @@ def q_events_value_ntile(sf_dir: str, tiles: int = 4,
         return empty
     return (pa.concat_tables(out_parts).combine_chunks()
             .sort_by([("event_id", "ascending")]))
+
+
+def q_bfs_hops(sf_dir: str, seed_mod: int = 97,
+               max_hops: int = 6) -> pa.Table:
+    """Multi-source BFS over the derived 3-out link graph (the
+    q_pagerank_documents graph): hop distance from every document to its
+    NEAREST seed (doc_id % ``seed_mod`` == 0) capped at ``max_hops`` —
+    the influence/propagation primitive (label spreading, crawl-depth
+    audits, seed-proximity corpus filters).
+
+    State = the REACHED (doc_id, hops) rows, living in blocks, never on
+    the driver.  Round i: every reached row re-emits itself and the
+    FRONTIER (hops == i-1) additionally emits (dst, i) along its three
+    derived edges — in-block pre-min, then ONE keyed exchange on doc_id
+    whose buckets group-min into the next state.  Distances only
+    decrease, so the synchronous min-merge rounds equal true BFS layers
+    capped at max_hops (nodes first reached at hop h are emitted at
+    round h and never improved).  Iterations chain on the exchange's
+    reduce refs (``gather=False``), so nothing materializes between
+    rounds — the q_pagerank_documents shape.  All arithmetic is int64
+    (same envelope note as PageRank), hash-exact vs the unrolled DuckDB
+    min-merge mirror."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..engine.exchange import keyed_exchange
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nn = np.uint64(n)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "hops": pa.array([], pa.int64())})
+
+    def init(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        seeds = ids[ids % seed_mod == 0]
+        return pa.table({"doc_id": pa.array(seeds),
+                         "hops": pa.array(np.zeros(len(seeds), np.int64))})
+
+    state = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        init, batch_format="pyarrow")
+
+    def min_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("hops", "min")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "hops": g["hops_min"]}).cast(empty.schema)
+
+    parts: list = []
+    for it in range(1, max_hops + 1):
+        def emit(t: pa.Table, _h: int = it) -> pa.Table:
+            ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            hops = np.asarray(t["hops"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+            fids = ids[hops == _h - 1].astype(np.uint64)
+            dst = [((fids * np.uint64(_PR_OUT) + np.uint64(j))
+                    * np.uint64(_PR_MULT) + np.uint64(_PR_SALT))
+                   % np.uint64(1 << 32) % nn
+                   for j in range(_PR_OUT)]
+            out = pa.table({
+                "doc_id": pa.array(np.concatenate(
+                    [ids] + [d.astype(np.int64) for d in dst])),
+                "hops": pa.array(np.concatenate(
+                    [hops] + [np.full(len(fids), _h, np.int64)]
+                    * _PR_OUT))})
+            return min_merge(out)  # in-block pre-min (the combiner)
+
+        ex = keyed_exchange(state.map_batches(emit, batch_format="pyarrow"),
+                            "doc_id", min_merge, empty_result=empty,
+                            gather=it == max_hops)
+        if it == max_hops:
+            parts = [p for p in ex if p.num_rows]
+        else:
+            state = ray.data.from_arrow_refs(ex)
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("doc_id", "ascending")])
