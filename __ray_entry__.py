@@ -593,6 +593,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # derived link graph: frontier min-merge rounds chained on
         # exchange reduce refs (the pagerank shape)
         "bfs_hops": ops.q_bfs_hops,
+        # prefix-filter set-similarity self-join (PPJoin family): the
+        # EXACT non-LSH near-dup — df-rank prefixes prune, minimal-
+        # common-rank ownership dedups, presorted-hash intersect verifies
+        "setsim_join": textops.q_setsim_join,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1639,6 +1643,40 @@ def oracle_sql() -> dict[str, str]:
         # the same derived Knuth-mix link graph
         "pagerank_documents": _pagerank_sql(),
         "bfs_hops": _bfs_sql(),
+        # exact set-similarity join: all-pairs mirror over the augmented
+        # corpus (8 planted near-copies with novel-token suffixes), the
+        # jaccard_pairs shingle dialect, integer cross-multiply threshold
+        "setsim_join": r"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 30000000,
+                       text || ' zq0 zq1 zq2 zq3 zq4 zq5'
+                FROM documents WHERE doc_id < 8
+            ), toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\S+') AS t
+                FROM aug
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct(list_transform(
+                                   range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' '
+                                        || t[i+2]))
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM toks
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s)) AS i,
+                       len(list_distinct(list_concat(a.s, b.s))) AS u
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_inter,
+                   CAST(u AS BIGINT) AS n_union
+            FROM pairs WHERE u > 0 AND i * 10 >= u * 6
+            ORDER BY doc_a, doc_b
+        """,
         # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
         # NOT unique here, so value_cents joins the ORDER BY — remaining
         # ties are identical rows (any order hashes the same)

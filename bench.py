@@ -243,6 +243,8 @@ def bench_queries(sf_dir: str) -> dict:
         # Misra-Gries phi-heavy-hitter tokens (zero-shuffle sketch +
         # exact broadcast-count verify)
         "heavy_hitter_tokens",
+        # prefix-filter set-similarity join (exact non-LSH near-dup)
+        "setsim_join",
         # ROLLUP subtotal hierarchy (bounded finest-grain partials)
         "orders_rollup",
         # exact distributed NTILE(4) (two-pass range-exchange rank)

@@ -672,3 +672,28 @@ def test_bfs_hops_matches_oracle(ray_session):
     for r in out.to_pylist():
         assert (r["hops"] == 0) == (r["doc_id"] % 97 == 0)
         assert 0 <= r["hops"] <= 6
+
+
+def test_setsim_join_matches_oracle(ray_session):
+    """Prefix-filter set-similarity join vs the all-pairs mirror: every
+    planted near-copy pair found (recall 1.0 on the plants) plus the
+    corpus's organic J>=0.6 pairs, all with exact integer counts."""
+    out = entry.queries()["setsim_join"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["setsim_join"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.to_pylist()}
+    for i in range(8):
+        assert (i, i + 30_000_000) in pairs
+    for r in out.to_pylist():  # every emitted pair genuinely clears t
+        assert r["n_inter"] * 10 >= r["n_union"] * 6 > 0
+
+
+def test_setsim_ownership_no_duplicates(ray_session):
+    """The minimal-common-prefix-rank ownership rule emits each pair
+    exactly once even though qualifying pairs share MANY prefix ranks."""
+    out = entry.queries()["setsim_join"](SF_DIR)
+    pairs = [(r["doc_a"], r["doc_b"]) for r in out.to_pylist()]
+    assert len(pairs) == len(set(pairs))

@@ -4729,3 +4729,223 @@ def heavy_hitter_tokens_from_ds(ds, phi_den: int = 400,
 def q_heavy_hitter_tokens(sf_dir: str, phi_den: int = 400) -> pa.Table:
     return heavy_hitter_tokens_from_ds(
         _read(sf_dir, "documents", ["doc_id", "text"]), phi_den=phi_den)
+
+
+# --------------------------------------------------------------------------
+# Prefix-filter set-similarity self-join (the exact, non-LSH near-dup)
+# --------------------------------------------------------------------------
+
+_SETSIM_PLANT_TOKENS = "zq0 zq1 zq2 zq3 zq4 zq5"  # absent from the corpus
+
+
+def setsim_join_from_ds(ds, num: int = 6, den: int = 10,
+                        seed: int = 7777,
+                        num_buckets: int | None = None) -> pa.Table:
+    """EXACT shingle-set similarity self-join (Jaccard >= num/den) via
+    prefix filtering (PPJoin family, Chaudhuri/Xiao et al.) — the
+    deterministic, recall-1.0 counterpart to the MinHash/SimHash LSH
+    near-dups: no probabilistic candidate loss, the filter only PRUNES.
+
+    Filter: order every doc's DISTINCT 3-gram shingles by global rarity
+    (document frequency asc, hash asc — one bounded df exchange, the
+    vocabulary is a documented broadcastable small side); a doc of s
+    distinct shingles emits its first ``p = s - ceil(t*s) + 1`` rarest
+    as prefix keys.  Two sets with J >= t MUST share a prefix element
+    under any one global order (the prefix-filter lemma), so grouping
+    by prefix rank finds every qualifying pair; each pair is verified
+    ONLY in the group of its minimal common prefix rank (ownership —
+    no duplicate work, no post-dedup).  Verification is exact set
+    intersection on presorted int64 hash arrays (np.intersect1d — the
+    vectorized-kernel style the minhash verify uses), with the integer
+    cross-multiply ``inter * den >= union * num`` deciding.
+
+    Shingle dialect == ``jaccard_pairs`` (whose DuckDB mirror is
+    hash-exact), incl. the short-doc whole-text fallback; 64-bit shingle
+    hashing is exact on this fixture (~1e5 distinct shingles — the
+    decontaminate argument).  Rarity-ordered prefixes keep groups small
+    (a prefix shingle is among its doc's rarest 40%); a degenerate
+    boilerplate corpus can still form a hot group, which is logged
+    (never silently capped — the operator is exact, so it processes
+    the group anyway)."""
+    from ..engine.exchange import keyed_exchange
+
+    t_num, t_den = int(num), int(den)
+
+    def doc_sets(t: pa.Table):
+        """per-doc DISTINCT shingle hashes (int64, ascending) + doc ids"""
+        th, offsets, lens = _token_hash_segments(t["text"], seed)
+        sh, s_off = _batch_shingle_hashes(th, offsets, lens)
+        n_docs = len(lens)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64),
+                        np.diff(s_off))
+        order = np.lexsort((sh, seg))
+        sh_s, seg_s = sh[order], seg[order]
+        first = np.concatenate([[True], (seg_s[1:] != seg_s[:-1])
+                                | (sh_s[1:] != sh_s[:-1])])
+        dh = sh_s[first].astype(np.int64)
+        dseg = seg_s[first]
+        dlens = np.bincount(dseg, minlength=n_docs).astype(np.int64)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return ids, dh, dlens
+
+    # ---- pass 1: global shingle document frequency (bounded exchange:
+    # one row per DISTINCT shingle; the vocabulary-sized small side) ----
+    def df_partial(t: pa.Table) -> pa.Table:
+        _, dh, _ = doc_sets(t)
+        u, c = np.unique(dh, return_counts=True)
+        return pa.table({"h": pa.array(u), "df": pa.array(c.astype(np.int64))})
+
+    df_empty = pa.table({"h": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64())})
+
+    def df_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("h").aggregate([("df", "sum")])
+        return pa.table({"h": g["h"], "df": g["df_sum"]}).cast(df_empty.schema)
+
+    df_parts = keyed_exchange(ds.map_batches(df_partial,
+                                             batch_format="pyarrow"),
+                              "h", df_sum, num_buckets=num_buckets,
+                              empty_result=df_empty)
+    out_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "n_inter": pa.array([], pa.int64()),
+                          "n_union": pa.array([], pa.int64())})
+    if not df_parts:
+        return out_empty
+    df_all = pa.concat_tables(df_parts).combine_chunks()
+    h = np.asarray(df_all["h"].to_numpy(zero_copy_only=False), np.int64)
+    dfc = np.asarray(df_all["df"].to_numpy(zero_copy_only=False), np.int64)
+    # rank = position in (df asc, hash asc): rarest shingles first
+    order = np.lexsort((h, dfc))
+    h_by_hash = h[order][np.argsort(h[order], kind="stable")]
+    # searchsorted lookup table: hashes ascending -> rank
+    rank_of = np.empty(len(h), np.int64)
+    rank_of[np.argsort(h[order], kind="stable")] = np.arange(len(h))
+    import ray
+    lut_ref = ray.put((np.sort(h), rank_of))
+
+    # ---- pass 2: prefix emission + ownership-grouped exact verify ----
+    def emit(t: pa.Table) -> pa.Table:
+        hs, ranks = ray.get(lut_ref)
+        ids, dh, dlens = doc_sets(t)
+        n_docs = len(ids)
+        s_off = np.concatenate([[0], np.cumsum(dlens)])
+        r = ranks[np.searchsorted(hs, dh)]
+        # per-doc rank order (prefix = lowest ranks = rarest shingles)
+        dseg = np.repeat(np.arange(n_docs, dtype=np.int64), dlens)
+        ro = np.lexsort((r, dseg))
+        r_sorted = r[ro]
+        p = dlens - (t_num * dlens + t_den - 1) // t_den + 1
+        p = np.maximum(np.minimum(p, dlens), 0)
+        rows = int(p.sum())
+        if not rows:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "set": pa.array([], pa.list_(pa.int64())),
+                             "prefix": pa.array([], pa.list_(pa.int64()))})
+        rdoc = np.repeat(np.arange(n_docs, dtype=np.int64), p)
+        p_off = np.concatenate([[0], np.cumsum(p)])
+        within = np.arange(rows, dtype=np.int64) - p_off[rdoc]
+        key = r_sorted[s_off[rdoc] + within]
+        # gather each emission row's full set / prefix slice
+        set_len, pre_len = dlens[rdoc], p[rdoc]
+        so = np.concatenate([[0], np.cumsum(set_len)])
+        po = np.concatenate([[0], np.cumsum(pre_len)])
+        gset = (np.arange(int(so[-1]), dtype=np.int64)
+                - np.repeat(so[:-1], set_len)
+                + np.repeat(s_off[rdoc], set_len))
+        gpre = (np.arange(int(po[-1]), dtype=np.int64)
+                - np.repeat(po[:-1], pre_len)
+                + np.repeat(s_off[rdoc], pre_len))
+        sets = pa.ListArray.from_arrays(
+            pa.array(so, pa.int32()), pa.array(dh[gset]))
+        # prefix ranks, ascending within each row (rank-sorted source)
+        prefs = pa.ListArray.from_arrays(
+            pa.array(po, pa.int32()), pa.array(r_sorted[gpre]))
+        return pa.table({"key": pa.array(key),
+                         "doc_id": pa.array(ids[rdoc]),
+                         "set": sets, "prefix": prefs})
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_empty
+        t = t.sort_by([("key", "ascending"), ("doc_id", "ascending")])
+        key = np.asarray(t["key"].to_numpy(zero_copy_only=False), np.int64)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        sets = t["set"].combine_chunks()
+        prefs = t["prefix"].combine_chunks()
+        sv = np.asarray(sets.flatten().to_numpy(zero_copy_only=False),
+                        np.int64)
+        soff = np.asarray(sets.offsets.to_numpy(zero_copy_only=False),
+                          np.int64)
+        pv = np.asarray(prefs.flatten().to_numpy(zero_copy_only=False),
+                        np.int64)
+        poff = np.asarray(prefs.offsets.to_numpy(zero_copy_only=False),
+                          np.int64)
+        starts = np.nonzero(np.concatenate(
+            [[True], key[1:] != key[:-1]]))[0]
+        bounds = np.append(starts, len(key))
+        oa, ob, oi, ou = [], [], [], []
+        for si, sj in zip(bounds[:-1], bounds[1:]):
+            g = sj - si
+            if g < 2:
+                continue
+            if g > _MAX_BUCKET_ROWS:
+                _LOG.warning(
+                    "setsim prefix group for rank %d holds %d docs "
+                    "(boilerplate-degenerate); exact join processes it "
+                    "quadratically", int(key[si]), int(g))
+            k = key[si]
+            for x in range(si, sj):
+                ax = sv[soff[x]:soff[x + 1]]
+                px = pv[poff[x]:poff[x + 1]]
+                for y in range(x + 1, sj):
+                    # ownership: verify only in the minimal common
+                    # prefix-rank group (both arrays ascending)
+                    pyr = pv[poff[y]:poff[y + 1]]
+                    common = np.intersect1d(px, pyr, assume_unique=True)
+                    if not len(common) or common[0] != k:
+                        continue
+                    by = sv[soff[y]:soff[y + 1]]
+                    inter = len(np.intersect1d(ax, by,
+                                               assume_unique=True))
+                    union = len(ax) + len(by) - inter
+                    if union > 0 and inter * t_den >= union * t_num:
+                        a, b = ids[x], ids[y]
+                        if a > b:
+                            a, b = b, a
+                        oa.append(int(a)); ob.append(int(b))
+                        oi.append(int(inter)); ou.append(int(union))
+        return pa.table({"doc_a": pa.array(oa, pa.int64()),
+                         "doc_b": pa.array(ob, pa.int64()),
+                         "n_inter": pa.array(oi, pa.int64()),
+                         "n_union": pa.array(ou, pa.int64())})
+
+    parts = keyed_exchange(ds.map_batches(emit, batch_format="pyarrow"),
+                           "key", verify_bucket, num_buckets=num_buckets,
+                           empty_result=out_empty)
+    if not parts:
+        return out_empty
+    return (pa.concat_tables(parts).combine_chunks()
+            .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]))
+
+
+def q_setsim_join(sf_dir: str) -> pa.Table:
+    """setsim over the corpus augmented with 8 planted near-copies
+    (novel-token suffix => J ~ 0.95 vs the original — the
+    embedding_neardup planted-oracle pattern, making the full
+    prefix-filter path hash-checkable against the all-pairs mirror)."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    head = _gather(ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 8)),
+        batch_format="pyarrow")).sort_by([("doc_id", "ascending")])
+    planted = pa.table({
+        "doc_id": pa.array([i + 30_000_000 for i in
+                            head["doc_id"].to_pylist()], pa.int64()),
+        "text": pa.array([f"{t} {_SETSIM_PLANT_TOKENS}" for t in
+                          head["text"].to_pylist()], pa.string())})
+    return setsim_join_from_ds(ds.union(ray.data.from_arrow(planted)))
