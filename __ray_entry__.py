@@ -597,6 +597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXACT non-LSH near-dup — df-rank prefixes prune, minimal-
         # common-rank ownership dedups, presorted-hash intersect verifies
         "setsim_join": textops.q_setsim_join,
+        # exact equi-width histogram: integer bin rule over exact global
+        # [min,max] cents; two bounded-partial passes, zero shuffle
+        "value_histogram_events": ops.q_value_histogram_events,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1676,6 +1679,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(u AS BIGINT) AS n_union
             FROM pairs WHERE u > 0 AND i * 10 >= u * 6
             ORDER BY doc_a, doc_b
+        """,
+        # exact equi-width histogram: the same integer bin rule
+        # (c-lo)*20 // (hi-lo+1); nulls reported as bin -1 so the
+        # histogram reconciles to count(*)
+        "value_histogram_events": """
+            WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events),
+            den AS (SELECT MIN(cents) AS lo,
+                           MAX(cents) - MIN(cents) + 1 AS d FROM c),
+            bins AS (SELECT (cents - lo) * 20 // d AS bin
+                     FROM c, den WHERE cents IS NOT NULL),
+            agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                    FROM bins GROUP BY bin)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(lo + (bin * d + 19) // 20 AS BIGINT) AS lo_cents,
+                   CAST(lo + ((bin + 1) * d - 1) // 20 AS BIGINT)
+                       AS hi_cents,
+                   n
+            FROM agg, den
+            UNION ALL
+            SELECT -1, NULL, NULL, CAST(count(*) AS BIGINT)
+            FROM c WHERE cents IS NULL HAVING count(*) > 0
+            ORDER BY bin
         """,
         # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
         # NOT unique here, so value_cents joins the ORDER BY — remaining

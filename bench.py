@@ -251,6 +251,8 @@ def bench_queries(sf_dir: str) -> dict:
         "events_value_ntile",
         # multi-source BFS hop distances (chained frontier min-merge)
         "bfs_hops",
+        # exact equi-width histogram (two bounded-partial passes)
+        "value_histogram_events",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

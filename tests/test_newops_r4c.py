@@ -697,3 +697,29 @@ def test_setsim_ownership_no_duplicates(ray_session):
     out = entry.queries()["setsim_join"](SF_DIR)
     pairs = [(r["doc_a"], r["doc_b"]) for r in out.to_pylist()]
     assert len(pairs) == len(set(pairs))
+
+
+def test_value_histogram_matches_oracle(ray_session):
+    """Histogram vs the integer-bin mirror; bins tile [min,max] cents
+    and counts reconcile to the non-null total."""
+    out = entry.queries()["value_histogram_events"](SF_DIR)
+    out_ora, ora = _events_parity("value_histogram_events", SF_DIR)
+    assert out_ora.equals(ora.cast(out_ora.schema))
+    rows = [r for r in out.to_pylist() if r["bin"] >= 0]
+    assert all(r["lo_cents"] <= r["hi_cents"] for r in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/events.parquet')")
+    total = con.execute(
+        "SELECT count(value) FROM events").fetchone()[0]
+    assert sum(r["n"] for r in rows) == total
+
+
+def test_value_histogram_null_bin(ray_session, tmp_path):
+    """Null values land in the bin=-1 row on BOTH sides; negative cents
+    (pre-zero values) bin exactly like the mirror's floor division."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("value_histogram_events", sf)
+    assert out.equals(ora.cast(out.schema))
+    d = {r["bin"]: r["n"] for r in out.to_pylist()}
+    assert d[-1] == 3  # events 2, 8, 10 carry null values

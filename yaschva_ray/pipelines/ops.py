@@ -7154,3 +7154,76 @@ def q_bfs_hops(sf_dir: str, seed_mod: int = 97,
         return empty
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("doc_id", "ascending")])
+
+
+def q_value_histogram_events(sf_dir: str, n_bins: int = 20) -> pa.Table:
+    """EXACT equi-width histogram of events.value — the reporting
+    aggregate behind every profiling UI, kept integer-exact: bin edges
+    derive from the exact global [min, max] in cents and
+    ``bin = (c - min) * n_bins // (max - min + 1)`` is pure int64, so
+    the result is hash-identical under any partitioning (no float bin
+    boundaries to disagree about).  Two bounded passes, zero shuffle:
+    per-block (min, max, n) partials, then per-block bincount partials
+    (n_bins ints each) — the pricing_summary / kanonymity shape.  NULL
+    values are excluded and reported in their own row (bin = -1), so
+    the histogram still reconciles to count(*)."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"lo": pa.array([pc.min(c).as_py()], pa.int64()),
+                         "hi": pa.array([pc.max(c).as_py()], pa.int64()),
+                         "nn": pa.array([t.num_rows - c.null_count],
+                                        pa.int64()),
+                         "nu": pa.array([c.null_count], pa.int64())})
+
+    parts = [p for p in gather_tables(
+        ds.map_batches(mm, batch_format="pyarrow")) if p.num_rows]
+    empty = pa.table({"bin": pa.array([], pa.int64()),
+                      "lo_cents": pa.array([], pa.int64()),
+                      "hi_cents": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    s = pa.concat_tables(parts)
+    los = [v for v in s["lo"].to_pylist() if v is not None]
+    n_null = sum(s["nu"].to_pylist())
+    if not los:
+        return (pa.table({"bin": pa.array([-1], pa.int64()),
+                          "lo_cents": pa.array([None], pa.int64()),
+                          "hi_cents": pa.array([None], pa.int64()),
+                          "n": pa.array([n_null], pa.int64())})
+                if n_null else empty)
+    lo = min(los)
+    hi = max(v for v in s["hi"].to_pylist() if v is not None)
+    width_den = hi - lo + 1  # integer bin rule: (c-lo)*n_bins // den
+
+    def counts(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        v = np.asarray(c.drop_null().to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = (v - lo) * n_bins // width_den
+        return pa.table({"bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                         "n": pa.array(np.bincount(b, minlength=n_bins)
+                                       .astype(np.int64))})
+
+    cparts = [p for p in gather_tables(
+        ds.map_batches(counts, batch_format="pyarrow")) if p.num_rows]
+    g = pa.concat_tables(cparts).group_by("bin").aggregate([("n", "sum")])
+    gs = g.sort_by([("bin", "ascending")])
+    b = np.asarray(gs["bin"].to_numpy(zero_copy_only=False), np.int64)
+    n = np.asarray(gs["n_sum"].to_numpy(zero_copy_only=False), np.int64)
+    keep = n > 0
+    b, n = b[keep], n[keep]
+    # integer bin edges: bin k covers cents c with (c-lo)*n_bins//den == k
+    lo_edge = lo + (b * width_den + n_bins - 1) // n_bins
+    hi_edge = lo + ((b + 1) * width_den - 1) // n_bins
+    out = pa.table({"bin": pa.array(b), "lo_cents": pa.array(lo_edge),
+                    "hi_cents": pa.array(hi_edge), "n": pa.array(n)})
+    if n_null:
+        out = pa.concat_tables([pa.table({
+            "bin": pa.array([-1], pa.int64()),
+            "lo_cents": pa.array([None], pa.int64()),
+            "hi_cents": pa.array([None], pa.int64()),
+            "n": pa.array([n_null], pa.int64())}), out])
+    return out
