@@ -1,5 +1,9 @@
-"""Round-4 continuation operators: F0 span-offset contiguity, user
-activity islands, ordered event-path string-agg, IQR outlier check.
+"""Round-4 continuation operators: F0 span-offset contiguity, activity
+islands, ordered event-path string-agg, IQR outliers, rolling distinct
+actives, grouped mode, Benford, SCD2, CUSUM, skyline, cohort retention,
+market basket, k-anonymity, Misra-Gries heavy hitters, ROLLUP, NTILE,
+multi-source BFS, prefix-filter set-similarity join, equi-width
+histogram, and their null/pre-epoch fixtures.
 
 Each test pins the Ray pipeline against the SHIPPED DuckDB oracle SQL
 (the driver's own comparison), not a re-derivation — so a semantics
