@@ -600,6 +600,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact equi-width histogram: integer bin rule over exact global
         # [min,max] cents; two bounded-partial passes, zero shuffle
         "value_histogram_events": ops.q_value_histogram_events,
+        # functional-dependency audit: LHS values violating the claimed
+        # o_custkey -> o_orderpriority FD; map-side distinct pairs bound
+        # the exchange at distinct-pair count
+        "fd_violations": ops.q_fd_violations,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1702,6 +1706,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT -1, NULL, NULL, CAST(count(*) AS BIGINT)
             FROM c WHERE cents IS NULL HAVING count(*) > 0
             ORDER BY bin
+        """,
+        # FD audit: COUNT(DISTINCT rhs) with NULL as a distinct value
+        # (coalesce sentinel — matches the engine's group-on-null)
+        "fd_violations": """
+            SELECT o_custkey,
+                   CAST(COUNT(DISTINCT coalesce(o_orderpriority,
+                                                '<null>')) AS BIGINT)
+                       AS n_distinct_rhs,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY o_custkey
+            HAVING COUNT(DISTINCT coalesce(o_orderpriority, '<null>')) > 1
+            ORDER BY o_custkey
         """,
         # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
         # NOT unique here, so value_cents joins the ORDER BY — remaining

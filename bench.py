@@ -253,6 +253,8 @@ def bench_queries(sf_dir: str) -> dict:
         "bfs_hops",
         # exact equi-width histogram (two bounded-partial passes)
         "value_histogram_events",
+        # functional-dependency audit (map-side distinct-pair exchange)
+        "fd_violations",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -727,3 +727,37 @@ def test_value_histogram_null_bin(ray_session, tmp_path):
     assert out.equals(ora.cast(out.schema))
     d = {r["bin"]: r["n"] for r in out.to_pylist()}
     assert d[-1] == 3  # events 2, 8, 10 carry null values
+
+
+def test_fd_violations_matches_oracle(ray_session):
+    out = entry.queries()["fd_violations"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/orders.parquet')")
+    ora = con.execute(entry.oracle_sql()["fd_violations"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    for r in out.to_pylist():
+        assert r["n_distinct_rhs"] > 1 and r["n_rows"] >= r["n_distinct_rhs"]
+
+
+def test_fd_violations_mostly_held_fixture(ray_session, tmp_path):
+    """A mostly-HELD dependency: only the planted conflicts (incl. a
+    NULL-vs-value conflict, which must count as a violation) report."""
+    import ray.data
+
+    from yaschva_ray.engine.exchange import keyed_exchange  # noqa: F401
+    from yaschva_ray.pipelines import ops as _ops
+
+    rows = []
+    for k in range(50):  # held: every custkey maps to ONE priority
+        for _ in range(3):
+            rows.append({"o_custkey": k, "o_orderpriority": f"P{k % 4}"})
+    rows.append({"o_custkey": 7, "o_orderpriority": "CONFLICT"})
+    rows.append({"o_custkey": 9, "o_orderpriority": None})  # null vs P1
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "orders.parquet"))
+    out = _ops.q_fd_violations(str(d))
+    got = {r["o_custkey"]: (r["n_distinct_rhs"], r["n_rows"])
+           for r in out.to_pylist()}
+    assert got == {7: (2, 4), 9: (2, 4)}

@@ -7227,3 +7227,52 @@ def q_value_histogram_events(sf_dir: str, n_bins: int = 20) -> pa.Table:
             "hi_cents": pa.array([None], pa.int64()),
             "n": pa.array([n_null], pa.int64())}), out])
     return out
+
+
+def q_fd_violations(sf_dir: str) -> pa.Table:
+    """Functional-dependency audit (the profiling/constraint-discovery
+    check, Papenbrock et al.'s violation form): report every LHS value
+    of the CLAIMED dependency o_custkey → o_orderpriority that maps to
+    more than one RHS value, with its distinct-RHS count and row count —
+    the per-key evidence a data steward needs to accept or reject the
+    dependency.
+
+    Scale shape: per-block DISTINCT (lhs, rhs) pair partials plus
+    per-block (lhs, rows) counts — the map-side distinct bounds the
+    exchange at the distinct-pair count, never the row count — then one
+    keyed exchange on lhs whose buckets count distinct RHS per LHS
+    exactly (a key's pairs are co-located).  NULL RHS counts as a value
+    of its own (two customers differing only by a NULL priority still
+    violate); NULL LHS rows group together, SQL-style."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"lhs": t["o_custkey"], "rhs": t["o_orderpriority"]})
+             .group_by(["lhs", "rhs"]).aggregate([([], "count_all")]))
+        return pa.table({"lhs": g["lhs"], "rhs": g["rhs"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                      "n_distinct_rhs": pa.array([], pa.int64()),
+                      "n_rows": pa.array([], pa.int64())})
+
+    def audit(t: pa.Table) -> pa.Table:
+        # collapse per-block partials, then count distinct RHS per LHS
+        g = t.group_by(["lhs", "rhs"]).aggregate([("n", "sum")])
+        a = (g.group_by("lhs")
+             .aggregate([([], "count_all"), ("n_sum", "sum")]))
+        mask = pc.greater(a["count_all"], 1)
+        bad = a.filter(mask)
+        return pa.table({
+            "o_custkey": bad["lhs"].cast(pa.int64()),
+            "n_distinct_rhs": bad["count_all"].cast(pa.int64()),
+            "n_rows": bad["n_sum_sum"].cast(pa.int64())})
+
+    parts = keyed_exchange(ds.map_batches(partial, batch_format="pyarrow"),
+                           "lhs", audit, empty_result=empty)
+    if not parts:
+        return empty
+    return (pa.concat_tables(parts).combine_chunks()
+            .sort_by([("o_custkey", "ascending")]))
