@@ -604,6 +604,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # o_custkey -> o_orderpriority FD; map-side distinct pairs bound
         # the exchange at distinct-pair count
         "fd_violations": ops.q_fd_violations,
+        # ORDER-dependency audit: ship dates non-decreasing in line
+        # number within an order (total window order, shipdate tiebreak)
+        "od_violations": ops.q_od_violations,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1718,6 +1721,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey
             HAVING COUNT(DISTINCT coalesce(o_orderpriority, '<null>')) > 1
             ORDER BY o_custkey
+        """,
+        # OD audit: LAG over the TOTAL order (linenumber, shipdate) —
+        # equal-key ties sort by date so they never violate each other
+        "od_violations": """
+            WITH w AS (
+                SELECT l_orderkey,
+                       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                       l_shipdate,
+                       LAG(l_shipdate) OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_shipdate)
+                           AS prev_shipdate
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber, l_shipdate, prev_shipdate
+            FROM w WHERE l_shipdate < prev_shipdate
+            ORDER BY l_orderkey, l_linenumber, l_shipdate
         """,
         # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
         # NOT unique here, so value_cents joins the ORDER BY — remaining

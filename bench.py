@@ -255,6 +255,8 @@ def bench_queries(sf_dir: str) -> dict:
         "value_histogram_events",
         # functional-dependency audit (map-side distinct-pair exchange)
         "fd_violations",
+        # order-dependency audit (keyed exchange + shifted compare)
+        "od_violations",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

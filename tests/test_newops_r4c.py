@@ -761,3 +761,55 @@ def test_fd_violations_mostly_held_fixture(ray_session, tmp_path):
     got = {r["o_custkey"]: (r["n_distinct_rhs"], r["n_rows"])
            for r in out.to_pylist()}
     assert got == {7: (2, 4), 9: (2, 4)}
+
+
+def test_od_violations_matches_oracle(ray_session):
+    out = entry.queries()["od_violations"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/lineitem.parquet')")
+    ora = con.execute(entry.oracle_sql()["od_violations"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    for r in out.to_pylist():
+        assert r["l_shipdate"] < r["prev_shipdate"]
+
+
+def test_od_violations_null_semantics(ray_session, tmp_path):
+    """Null shipdates never compare (neither as cur nor prev across
+    them... LAG takes the sorted predecessor, so a null-date row IS the
+    predecessor of the row after it — both engines must agree); null
+    linenumbers sort LAST; equal (ln, date) ties never violate."""
+    import pyarrow.parquet as _pq
+
+    from yaschva_ray.pipelines import ops as _ops
+
+    us = 1_000_000
+    rows = [
+        # order 1: ln1 @t100, ln2 @t50 -> ONE violation
+        (1, 1, 100 * us), (1, 2, 50 * us),
+        # order 2: null date between t10 and t5: LAG chain is
+        # t10 -> NULL -> t5; NULL < t10 is NULL (no row), t5 < NULL is
+        # NULL (no row) -> NO violations in order 2
+        (2, 1, 10 * us), (2, 2, None), (2, 3, 5 * us),
+        # order 3: duplicate (ln, date) ties -> no violation
+        (3, 1, 7 * us), (3, 1, 7 * us),
+        # order 4: null linenumber sorts LAST; its date t1 < prev t9
+        # -> violation attributed to the null-ln row
+        (4, 1, 9 * us), (4, None, 1 * us),
+    ]
+    t = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+        "l_shipdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    _pq.write_table(t, str(d / "lineitem.parquet"))
+    out = _ops.q_od_violations(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{d}/lineitem.parquet')")
+    ora = con.execute(entry.oracle_sql()["od_violations"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    got = {(r["l_orderkey"], r["l_linenumber"]) for r in out.to_pylist()}
+    assert got == {(1, 2), (4, None)}

@@ -7276,3 +7276,71 @@ def q_fd_violations(sf_dir: str) -> pa.Table:
         return empty
     return (pa.concat_tables(parts).combine_chunks()
             .sort_by([("o_custkey", "ascending")]))
+
+
+def q_od_violations(sf_dir: str) -> pa.Table:
+    """ORDER-dependency audit (Szlichta et al.): within each order, ship
+    dates must be non-decreasing in line number — every row that ships
+    EARLIER than its predecessor is a violation, reported with both
+    dates (the sequential-constraint sibling of the FD audit).
+
+    (l_orderkey, l_linenumber) is NOT unique in this corpus, so the
+    window order is made TOTAL with l_shipdate as tiebreak — equal-key
+    rows sort by date and thus never violate each other, and the one
+    boundary comparison a tie group makes is deterministic; NULLs sort
+    last (DuckDB window-ORDER semantics) and null dates never compare.
+    One keyed exchange on l_orderkey (a key's lines co-locate),
+    bucket-local vectorized lexsort + shifted compare."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate"])
+    empty = pa.table({
+        "l_orderkey": pa.array([], pa.int64()),
+        "l_linenumber": pa.array([], pa.int64()),
+        "l_shipdate": pa.array([], pa.timestamp("us")),
+        "prev_shipdate": pa.array([], pa.timestamp("us"))})
+    BIG = np.iinfo(np.int64).max
+
+    def audit(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ln_col = t["l_linenumber"].combine_chunks() \
+            if isinstance(t["l_linenumber"], pa.ChunkedArray) \
+            else t["l_linenumber"]
+        ln_valid = np.asarray(ln_col.is_valid())
+        ln = np.where(ln_valid, np.asarray(
+            ln_col.to_numpy(zero_copy_only=False), dtype=np.float64),
+            np.inf).astype(np.float64)
+        sd_col = t["l_shipdate"].combine_chunks() \
+            if isinstance(t["l_shipdate"], pa.ChunkedArray) \
+            else t["l_shipdate"]
+        sd_valid = np.asarray(sd_col.is_valid())
+        sd = np.asarray(sd_col.cast(pa.int64()).to_numpy(
+            zero_copy_only=False))
+        sd = np.where(sd_valid, sd, BIG)  # NULLS LAST in the tiebreak
+        order = np.lexsort((sd, ln, ok))
+        oks, sds, vs = ok[order], sd[order], sd_valid[order]
+        same = np.concatenate([[False], oks[1:] == oks[:-1]])
+        prev_sd = np.concatenate([[0], sds[:-1]])
+        prev_v = np.concatenate([[False], vs[:-1]])
+        bad = same & vs & prev_v & (sds < prev_sd)
+        if not bad.any():
+            return empty
+        idx = order[bad]
+        return pa.table({
+            "l_orderkey": pa.array(ok[idx]),
+            "l_linenumber": ln_col.take(pa.array(idx)).cast(pa.int64()),
+            "l_shipdate": sd_col.take(pa.array(idx)).cast(
+                pa.timestamp("us")),
+            "prev_shipdate": pa.array(prev_sd[bad],
+                                      pa.timestamp("us"))}) \
+            .cast(empty.schema)
+
+    parts = keyed_exchange(ds, "l_orderkey", audit, empty_result=empty)
+    if not parts:
+        return empty
+    return (pa.concat_tables(parts).combine_chunks()
+            .sort_by([("l_orderkey", "ascending"),
+                      ("l_linenumber", "ascending"),
+                      ("l_shipdate", "ascending")]))
