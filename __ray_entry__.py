@@ -607,6 +607,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ORDER-dependency audit: ship dates non-decreasing in line
         # number within an order (total window order, shipdate tiebreak)
         "od_violations": ops.q_od_violations,
+        # TPC-H Q3-shaped COMPOSED pipeline: broadcast semi-filter ->
+        # in-scan partial aggregate -> hash join with group-sum + local
+        # top-k pushed into the join reduce; integer cent-x-percent
+        "shipping_priority": ops.q_shipping_priority,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1737,6 +1741,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_shipdate, prev_shipdate
             FROM w WHERE l_shipdate < prev_shipdate
             ORDER BY l_orderkey, l_linenumber, l_shipdate
+        """,
+        # Q3-shaped composition: integer cent-x-percent revenue
+        "shipping_priority": """
+            SELECT o.o_orderkey, o.o_orderdate,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount*100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_cp
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_cp DESC, o_orderdate, o_orderkey
+            LIMIT 10
         """,
         # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
         # NOT unique here, so value_cents joins the ORDER BY — remaining

@@ -257,6 +257,8 @@ def bench_queries(sf_dir: str) -> dict:
         "fd_violations",
         # order-dependency audit (keyed exchange + shifted compare)
         "od_violations",
+        # composed Q3 (broadcast semi + join-reduce top-k)
+        "shipping_priority",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

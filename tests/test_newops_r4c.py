@@ -813,3 +813,17 @@ def test_od_violations_null_semantics(ray_session, tmp_path):
     assert out.equals(ora.cast(out.schema))
     got = {(r["l_orderkey"], r["l_linenumber"]) for r in out.to_pylist()}
     assert got == {(1, 2), (4, None)}
+
+
+def test_shipping_priority_matches_oracle(ray_session):
+    """Composed Q3: broadcast semi + in-scan partials + join-reduce
+    top-k equals the three-table SQL; exactly k rows, descending."""
+    out = entry.queries()["shipping_priority"](SF_DIR)
+    con = duckdb.connect()
+    for tb in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{tb}.parquet')")
+    ora = con.execute(entry.oracle_sql()["shipping_priority"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    rev = out["revenue_cp"].to_pylist()
+    assert rev == sorted(rev, reverse=True) and len(rev) <= 10

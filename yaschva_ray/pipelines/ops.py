@@ -7344,3 +7344,90 @@ def q_od_violations(sf_dir: str) -> pa.Table:
             .sort_by([("l_orderkey", "ascending"),
                       ("l_linenumber", "ascending"),
                       ("l_shipdate", "ascending")]))
+
+
+def q_shipping_priority(sf_dir: str, k: int = 10) -> pa.Table:
+    """TPC-H Q3-shaped COMPOSED pipeline (shipping priority): top-k
+    unshipped-revenue orders for one market segment — the demo that the
+    engine's primitives compose into a real multi-table query rather
+    than standing alone.  Revenue stays integer end-to-end in
+    cent-x-percent units: ep_cents * (100 - disc_pct).
+
+    Composition: (1) the small dimension filter broadcasts BUILDING
+    custkeys via ray.put (no dimension shuffle); (2) orders filter
+    date + semi-filter by the broadcast set at the scan; (3) lineitem
+    pre-aggregates revenue per orderkey IN the scan block (the
+    combiner); (4) one big-big hash_join on orderkey with the group-sum
+    AND local top-k pushed into the join reduce via bucket_fn — an
+    orderkey's partials co-locate, so per-bucket totals are complete
+    and the local top-k is globally sound (the vocab_top_tokens cut
+    argument); the driver merges <= buckets x k rows."""
+    import ray
+
+    from ..engine.joins import hash_join
+
+    cut = pa.scalar(np.datetime64("1998-01-01", "us"),
+                    pa.timestamp("us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = gather_tables(cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]), batch_format="pyarrow"))
+    keyset = pa.concat_tables([t for t in keys if t.num_rows])
+    kref = ray.put(keyset["c_custkey"].combine_chunks())
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        cset = ray.get(kref)
+        m = pc.and_(pc.less(t["o_orderdate"], cut),
+                    pc.is_in(t["o_custkey"], value_set=cset))
+        f = t.filter(m)
+        return pa.table({"o_orderkey": f["o_orderkey"],
+                         "o_orderdate": f["o_orderdate"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["l_shipdate"], cut))
+        ep = pc.cast(pc.round(pc.multiply(f["l_extendedprice"], 100.0)),
+                     pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(f["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply_checked(
+            ep, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (pa.table({"l_orderkey": f["l_orderkey"], "rev": rev})
+             .group_by("l_orderkey").aggregate([("rev", "sum")]))
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev": g["rev_sum"]})
+
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        # Arrow's inner join coalesces the key: the joined slice keeps
+        # only the LEFT key column (l_orderkey)
+        g = (t.group_by(["l_orderkey", "o_orderdate"])
+             .aggregate([("rev", "sum")]))
+        out = pa.table({"o_orderkey": g["l_orderkey"],
+                        "o_orderdate": g["o_orderdate"],
+                        "revenue_cp": g["rev_sum"].cast(pa.int64())})
+        order = pc.sort_indices(
+            out, sort_keys=[("revenue_cp", "descending"),
+                            ("o_orderdate", "ascending"),
+                            ("o_orderkey", "ascending")])
+        return out.take(order.slice(0, min(k, len(order))))
+
+    joined = hash_join(
+        li.map_batches(l_partial, batch_format="pyarrow"),
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        left_key="l_orderkey", right_key="o_orderkey",
+        bucket_fn=topk_bucket)
+    if not joined.num_rows:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us")),
+                         "revenue_cp": pa.array([], pa.int64())})
+    order = pc.sort_indices(
+        joined, sort_keys=[("revenue_cp", "descending"),
+                           ("o_orderdate", "ascending"),
+                           ("o_orderkey", "ascending")])
+    return joined.take(order.slice(0, min(k, len(order))))
