@@ -611,6 +611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-scan partial aggregate -> hash join with group-sum + local
         # top-k pushed into the join reduce; integer cent-x-percent
         "shipping_priority": ops.q_shipping_priority,
+        # Q5-shaped CHAINED joins: orders⋈customer feeds lineitem⋈ on
+        # orderkey; supplier lookup + local-supplier + ASIA filters +
+        # per-nation partials inside the second join reduce
+        "local_supplier_volume": ops.q_local_supplier_volume,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1758,6 +1762,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate
             ORDER BY revenue_cp DESC, o_orderdate, o_orderkey
             LIMIT 10
+        """,
+        # Q5-shaped chained joins, integer cent-x-percent revenue
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount*100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_cp
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue_cp DESC, n_name
         """,
         # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
         # NOT unique here, so value_cents joins the ORDER BY — remaining

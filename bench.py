@@ -259,6 +259,8 @@ def bench_queries(sf_dir: str) -> dict:
         "od_violations",
         # composed Q3 (broadcast semi + join-reduce top-k)
         "shipping_priority",
+        # composed Q5 (chained big-big joins + in-reduce lookups)
+        "local_supplier_volume",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

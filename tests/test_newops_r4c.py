@@ -827,3 +827,26 @@ def test_shipping_priority_matches_oracle(ray_session):
     assert out.equals(ora.cast(out.schema))
     rev = out["revenue_cp"].to_pylist()
     assert rev == sorted(rev, reverse=True) and len(rev) <= 10
+
+
+def test_local_supplier_volume_matches_oracle(ray_session):
+    """Chained-join Q5 vs the six-table SQL; the local-supplier
+    constraint genuinely bites (revenue < the unconstrained total)."""
+    out = entry.queries()["local_supplier_volume"](SF_DIR)
+    con = duckdb.connect()
+    for tb in ("customer", "orders", "lineitem", "supplier",
+               "nation", "region"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{tb}.parquet')")
+    ora = con.execute(entry.oracle_sql()["local_supplier_volume"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    loose = con.execute("""
+        SELECT CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+               AS BIGINT)
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'""").fetchone()[0]
+    assert sum(out["revenue_cp"].to_pylist()) < loose

@@ -7431,3 +7431,131 @@ def q_shipping_priority(sf_dir: str, k: int = 10) -> pa.Table:
                            ("o_orderdate", "ascending"),
                            ("o_orderkey", "ascending")])
     return joined.take(order.slice(0, min(k, len(order))))
+
+
+def q_local_supplier_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-shaped CHAINED-join pipeline (local supplier volume):
+    1996 revenue by supplier nation in ASIA, counting only orders whose
+    customer and supplier share a nation — the demo that big-big
+    hash_joins CHAIN (Q3 shows one; this pipes the output of one into
+    the left of the next) and that the cross-table equality
+    (c_nationkey = s_nationkey) composes from a join plus an in-reduce
+    broadcast lookup.
+
+    Plan: orders(1996) ⋈ customer on custkey (hash exchange; bucket_fn
+    projects to (o_orderkey, c_nationkey) so only 12 bytes/row leave
+    the reduce) → its table feeds the right side of lineitem-partials ⋈
+    on orderkey, whose bucket_fn does the supplier nationkey lookup
+    (suppkey → nationkey broadcast via ray.put: supplier is 1/10,000 of
+    lineitem in TPC-H — switch to a third hash_join if it outgrows
+    broadcast), the local-supplier filter, the ASIA filter, and a
+    per-nation partial sum — so each join reduce emits ≤ 25 rows.
+    Revenue is integer cent×percent throughout."""
+    import ray
+
+    from ..engine.joins import hash_join
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    def _all(ds) -> pa.Table:
+        ts = [t for t in gather_tables(ds) if t.num_rows]
+        return pa.concat_tables(ts).combine_chunks()
+
+    # tiny dimensions: ASIA nation keys + names
+    nation = _all(_read(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"]))
+    region = _all(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))
+    nat = nation.filter(pc.is_in(nation["n_regionkey"],
+                                 value_set=asia_rk["r_regionkey"]
+                                 .combine_chunks()))
+    asia_keys = np.sort(np.asarray(
+        nat["n_nationkey"].to_numpy(zero_copy_only=False), np.int64))
+    names = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+
+    supp = _all(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    sk = np.asarray(supp["s_suppkey"].to_numpy(zero_copy_only=False),
+                    np.int64)
+    sn = np.asarray(supp["s_nationkey"].to_numpy(zero_copy_only=False),
+                    np.int64)
+    so = np.argsort(sk)
+    supp_ref = ray.put((sk[so], sn[so], asia_keys))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({"o_orderkey": f["o_orderkey"],
+                         "o_custkey": f["o_custkey"]})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def proj1(t: pa.Table) -> pa.Table:
+        # joined slice keeps the coalesced left key (o_custkey)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_nationkey": t["c_nationkey"]})
+
+    j1 = hash_join(orders.map_batches(o_filter, batch_format="pyarrow"),
+                   cust, left_key="o_custkey", right_key="c_custkey",
+                   bucket_fn=proj1)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                     pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply_checked(
+            ep, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (pa.table({"l_orderkey": t["l_orderkey"],
+                       "l_suppkey": t["l_suppkey"], "rev": rev})
+             .group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("rev", "sum")]))
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "rev": g["rev_sum"]})
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        skx, snx, asia = ray.get(supp_ref)
+        suppk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                           np.int64)
+        cnat = np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        rev = np.asarray(t["rev"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        pos = np.searchsorted(skx, suppk)
+        pos = np.clip(pos, 0, len(skx) - 1)
+        snat = snx[pos]
+        keep = (skx[pos] == suppk) & (snat == cnat) \
+            & np.isin(snat, asia)
+        g = (pa.table({"n_nationkey": pa.array(snat[keep]),
+                       "rev": pa.array(rev[keep])})
+             .group_by("n_nationkey").aggregate([("rev", "sum")]))
+        return pa.table({"n_nationkey": g["n_nationkey"],
+                         "rev": g["rev_sum"]})
+
+    import ray.data
+
+    j2 = hash_join(li.map_batches(l_partial, batch_format="pyarrow"),
+                   ray.data.from_arrow(j1),
+                   left_key="l_orderkey", right_key="o_orderkey",
+                   bucket_fn=nation_partial)
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "revenue_cp": pa.array([], pa.int64())})
+    if not j2.num_rows:
+        return empty
+    g = j2.group_by("n_nationkey").aggregate([("rev", "sum")])
+    out = pa.table({
+        "n_name": pa.array([names[k] for k in
+                            g["n_nationkey"].to_pylist()], pa.string()),
+        "revenue_cp": g["rev_sum"].cast(pa.int64())})
+    order = pc.sort_indices(out, sort_keys=[("revenue_cp", "descending"),
+                                            ("n_name", "ascending")])
+    return out.take(order)
