@@ -615,6 +615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # orderkey; supplier lookup + local-supplier + ASIA filters +
         # per-nation partials inside the second join reduce
         "local_supplier_volume": ops.q_local_supplier_volume,
+        # stream-stream (interval) self-join: same-user event pairs
+        # within 10 min — keyed exchange + vectorized window sweep
+        "event_pairs_within": ops.q_event_pairs_within,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1782,6 +1785,20 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
             ORDER BY revenue_cp DESC, n_name
+        """,
+        # interval self-join: unordered same-user pairs within 10 min,
+        # canonicalized (least, greatest); exact int64 gap
+        "event_pairs_within": """
+            SELECT a.user_id AS user_id,
+                   LEAST(a.event_id, b.event_id) AS event_a,
+                   GREATEST(a.event_id, b.event_id) AS event_b,
+                   CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS BIGINT)
+                       AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+            WHERE a.ts IS NOT NULL AND b.ts IS NOT NULL
+            ORDER BY a.user_id, event_a, event_b
         """,
         # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
         # NOT unique here, so value_cents joins the ORDER BY — remaining

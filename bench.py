@@ -261,6 +261,8 @@ def bench_queries(sf_dir: str) -> dict:
         "shipping_priority",
         # composed Q5 (chained big-big joins + in-reduce lookups)
         "local_supplier_volume",
+        # stream-stream interval self-join (vectorized window sweep)
+        "event_pairs_within",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

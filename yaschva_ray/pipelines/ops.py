@@ -7559,3 +7559,79 @@ def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     order = pc.sort_indices(out, sort_keys=[("revenue_cp", "descending"),
                                             ("n_name", "ascending")])
     return out.take(order)
+
+
+def q_event_pairs_within(sf_dir: str, window_s: int = 600) -> pa.Table:
+    """Stream-stream (interval) SELF-join: every unordered pair of one
+    user's events within ``window_s`` seconds — the bounded-lateness
+    join a streaming engine runs with watermarks, expressed batch-side:
+    one keyed exchange on user_id co-locates each user's history, then
+    a per-bucket vectorized sweep (sort by (ts, event_id), searchsorted
+    window end, repeat/arange pair generation — the copurchase trick;
+    no Python loop) emits each pair once in time order.  A burst of B
+    events inside one window genuinely has B(B-1)/2 pairs — output
+    equals the data's truth; the per-key-fits-bucket assumption is the
+    documented session-windows one.  NULL user/ts rows drop, matching
+    the mirror's WHERE; gap_us is the exact int64 timestamp delta."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    win_us = int(window_s) * 1_000_000
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "event_a": pa.array([], pa.int64()),
+                      "event_b": pa.array([], pa.int64()),
+                      "gap_us": pa.array([], pa.int64())})
+
+    def project(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"]))
+        f = t.filter(m)
+        return pa.table({"user_id": f["user_id"],
+                         "event_id": f["event_id"],
+                         "ts_us": pc.cast(f["ts"], pa.int64())})
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        u = np.asarray(t["user_id"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        ts = np.asarray(t["ts_us"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        eid = np.asarray(t["event_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        # ts is sorted only WITHIN a user segment — shift each segment
+        # by (range + window + 1) so the concatenation is globally
+        # ascending and a window query can never cross a segment
+        is_start = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_id = np.cumsum(is_start) - 1
+        rng = int(ts.max() - ts.min()) + win_us + 1
+        if seg_id[-1] and rng > (2**62) // int(seg_id[-1]):
+            raise ValueError("event_pairs_within: segment-offset "
+                             "composite exceeds int64 — shard the "
+                             "bucket or shrink the window")
+        ts_adj = (ts - ts.min()) + seg_id * rng
+        j = np.searchsorted(ts_adj, ts_adj + win_us, side="right")
+        cnt = np.maximum(j - np.arange(len(u)) - 1, 0)
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        left = np.repeat(np.arange(len(u), dtype=np.int64), cnt)
+        off = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        right = left + (np.arange(total, dtype=np.int64)
+                        - off[left]) + 1
+        ea = np.minimum(eid[left], eid[right])
+        eb = np.maximum(eid[left], eid[right])
+        return pa.table({"user_id": pa.array(u[left]),
+                         "event_a": pa.array(ea),
+                         "event_b": pa.array(eb),
+                         "gap_us": pa.array(ts[right] - ts[left])})
+
+    parts = keyed_exchange(
+        ds.map_batches(project, batch_format="pyarrow"),
+        "user_id", pairs_bucket, empty_result=empty)
+    if not parts:
+        return empty
+    return (pa.concat_tables(parts).combine_chunks()
+            .sort_by([("user_id", "ascending"), ("event_a", "ascending"),
+                      ("event_b", "ascending")]))
