@@ -218,7 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     siblings that stay in the sweep (ann_bruteforce is hash-checked for
     ANN, fingerprint_md5 for fingerprints, media plumbing and drift's
     sketches have their own tests) — each keeps its pytest coverage."""
-    from yaschva_ray.pipelines import bpe, conformance, ops, textops
+    from yaschva_ray.pipelines import bpe, conformance, ops, textops, tpch
 
     return {
         # --- oracle-checked (hash-exact vs DuckDB) ---
@@ -618,6 +618,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-stream (interval) self-join: same-user event pairs
         # within 10 min — keyed exchange + vectorized window sweep
         "event_pairs_within": ops.q_event_pairs_within,
+        # Q4-shaped: EXISTS-semi (late shipment) evaluated inside the
+        # join reduce; <=5-row priority partial per bucket
+        "order_priority_exists": tpch.q_order_priority_exists,
+        # Q13-shaped: zero-preserving LEFT-JOIN group-size histogram in
+        # ONE union-tagged exchange; driver state = histogram width
+        "customer_distribution": tpch.q_customer_distribution,
+        # Q14-shaped: conditional ratio over a big-big join, emitted as
+        # the integer (promo_cp, total_cp) pair so the hash stays exact
+        "promo_revenue": tpch.q_promo_revenue,
+        # Q15-shaped: argmax-WITH-TIES over a distributed aggregate;
+        # buckets emit only local-max ties, driver compares <=n_buckets
+        "top_supplier": tpch.q_top_supplier,
+        # Q17-shaped: correlated per-part 0.2x-avg filter, integer-exact
+        # (5*qty*n < sum) in ONE union-tagged exchange on partkey
+        "small_qty_revenue": tpch.q_small_qty_revenue,
+        # Q18-shaped: HAVING join-back — heavy orders found by exchange,
+        # broadcast back into pruned orders/customer scans for enrich
+        "large_orders": tpch.q_large_orders,
+        # Q19-shaped: OR-of-conjunctions predicate that constrains BOTH
+        # sides — evaluated inside the join reduce
+        "disjunctive_revenue": tpch.q_disjunctive_revenue,
+        # Q21-shaped: multi-EXISTS per-order audit (only late supplier
+        # on a multi-supplier order) via distinct-pair segment kernels
+        "waiting_suppliers": tpch.q_waiting_suppliers,
+        # Q2-flavored: argmin JOIN-BACK with ties (min-price supplier
+        # per filtered part); two pruned scans, zero shuffles
+        "min_cost_parts": tpch.q_min_cost_parts,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1799,6 +1826,169 @@ def oracle_sql() -> dict[str, str]:
              AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
             WHERE a.ts IS NOT NULL AND b.ts IS NOT NULL
             ORDER BY a.user_id, event_a, event_b
+        """,
+        # Q4-shaped: EXISTS late-shipment semi, exact us timestamp math
+        "order_priority_exists": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        # Q13-shaped: zero-preserving group-size histogram
+        "customer_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # Q14-shaped: integer numerator/denominator pair
+        "promo_revenue": """
+            SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN rev ELSE 0 END) AS BIGINT)
+                       AS promo_cp,
+                   CAST(SUM(rev) AS BIGINT) AS total_cp
+            FROM (
+                SELECT l_partkey,
+                       CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                           AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate < TIMESTAMP '1996-10-01') l
+            JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        # Q15-shaped: argmax with ties over the supplier revenue agg
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                                * (100 - CAST(round(l_discount*100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS total_cp
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_cp
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_cp = (SELECT MAX(total_cp) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        # Q17-shaped: integer-exact 0.2x-avg correlated filter
+        # (qty < 0.2*avg  <=>  5*qty_c*n < sum_c)
+        "small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity*100) AS BIGINT) AS qc,
+                       CAST(round(l_extendedprice*100) AS BIGINT) AS ec
+                FROM lineitem WHERE l_quantity IS NOT NULL),
+            ag AS (
+                SELECT l_partkey, SUM(qc) AS s, COUNT(*) AS n
+                FROM li JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23'
+                GROUP BY l_partkey)
+            SELECT CAST(SUM(ec) AS BIGINT) AS small_qty_revenue_cents
+            FROM li JOIN ag USING (l_partkey)
+            WHERE 5 * qc * ag.n < ag.s
+        """,
+        # Q18-shaped: HAVING join-back, quantity threshold 300 units
+        "large_orders": """
+            WITH heavy AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT))
+                            AS BIGINT) AS sum_qty_cents
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(round(l_quantity*100) AS BIGINT))
+                       > 30000)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice*100) AS BIGINT)
+                       AS total_cents,
+                   h.sum_qty_cents
+            FROM heavy h
+            JOIN orders o ON h.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY total_cents DESC, o_orderdate, o_orderkey
+            LIMIT 100
+        """,
+        # Q19-shaped: OR-of-conjunctions join predicate
+        "disjunctive_revenue": """
+            SELECT CAST(SUM(
+                CAST(round(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                AS BIGINT) AS revenue_cp
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12'
+                   AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23'
+                   AND p.p_size BETWEEN 1 AND 20
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3'
+                   AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        # Q21-shaped: only-late-supplier on finished multi-supplier
+        # orders; "late" = shipped >60 days after order date
+        "waiting_suppliers": """
+            WITH pairs AS (
+                SELECT DISTINCT l.l_orderkey, l.l_suppkey
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'),
+            late AS (
+                SELECT DISTINCT l.l_orderkey, l.l_suppkey
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+            n_supp AS (
+                SELECT l_orderkey, COUNT(*) AS n
+                FROM pairs GROUP BY l_orderkey),
+            n_late AS (
+                SELECT l_orderkey, COUNT(*) AS n,
+                       MIN(l_suppkey) AS only_supp
+                FROM late GROUP BY l_orderkey)
+            SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM n_late jl
+            JOIN n_supp js ON jl.l_orderkey = js.l_orderkey
+            JOIN supplier s ON s.s_suppkey = jl.only_supp
+            WHERE jl.n = 1 AND js.n > 1
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        # Q2-flavored: argmin join-back with ties over filtered parts
+        "min_cost_parts": """
+            WITH pp AS (
+                SELECT p_partkey FROM part
+                WHERE p_type = 'STANDARD'
+                  AND p_size BETWEEN 10 AND 15),
+            li AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice*100) AS BIGINT) AS c
+                FROM lineitem JOIN pp ON l_partkey = p_partkey
+                WHERE l_extendedprice IS NOT NULL),
+            mn AS (
+                SELECT l_partkey, MIN(c) AS mpc
+                FROM li GROUP BY l_partkey)
+            SELECT DISTINCT li.l_partkey AS p_partkey,
+                   mn.mpc AS min_price_cents,
+                   li.l_suppkey AS s_suppkey, s.s_name
+            FROM li
+            JOIN mn ON li.l_partkey = mn.l_partkey AND li.c = mn.mpc
+            JOIN supplier s ON li.l_suppkey = s.s_suppkey
+            ORDER BY p_partkey, s_suppkey
         """,
         # UNPIVOT as portable UNION ALL; (l_orderkey, l_linenumber) is
         # NOT unique here, so value_cents joins the ORDER BY — remaining

@@ -263,10 +263,29 @@ def bench_queries(sf_dir: str) -> dict:
         "local_supplier_volume",
         # stream-stream interval self-join (vectorized window sweep)
         "event_pairs_within",
+        # composed Q4 (EXISTS semi inside the join reduce)
+        "order_priority_exists",
+        # composed Q13 (zero-preserving group-size histogram, 1 exchange)
+        "customer_distribution",
+        # composed Q14 (conditional integer-ratio pair over a join)
+        "promo_revenue",
+        # composed Q15 (argmax-with-ties over a distributed aggregate)
+        "top_supplier",
+        # composed Q17 (correlated 0.2x-avg filter, 1 exchange)
+        "small_qty_revenue",
+        # composed Q18 (HAVING join-back + broadcast enrichment)
+        "large_orders",
+        # composed Q19 (OR-of-conjunctions join predicate)
+        "disjunctive_revenue",
+        # composed Q21 (multi-EXISTS only-late-supplier audit)
+        "waiting_suppliers",
+        # composed Q2' (argmin join-back with ties)
+        "min_cost_parts",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}
     from yaschva_ray.pipelines import bpe as bpe_mod
+    from yaschva_ray.pipelines import tpch as tpch_mod
     for mod, group in ((ops, names), (textops, text_names),
                        (bpe_mod, bpe_names)):
         for name in group:
@@ -275,7 +294,7 @@ def bench_queries(sf_dir: str) -> dict:
             # ops-module keys sat in text_names and were silently
             # skipped by the old single-module getattr — no silent caps)
             fn = None
-            for m in (mod, ops, textops, bpe_mod):
+            for m in (mod, ops, textops, bpe_mod, tpch_mod):
                 fn = getattr(m, f"q_{name}", None)
                 if fn is not None:
                     break

@@ -1,0 +1,186 @@
+"""Composed TPC-H-shaped pipelines (pipelines/tpch.py): each test pins
+the Ray pipeline against the SHIPPED DuckDB oracle SQL (the driver's own
+comparison), plus planted fixtures for the semantics the sf corpus can't
+exercise: zero-order customers in the Q13 histogram, the Q21 only-late
+predicate, and the Q17 integer 0.2x-avg boundary."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import __ray_entry__ as entry
+from yaschva_ray.pipelines import tpch
+
+SF_DIR = "/root/testdata/sf0.001"
+_TABLES = ("customer", "orders", "lineitem", "part", "supplier")
+
+
+def _oracle(name: str, sf_dir: str = SF_DIR) -> pa.Table:
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(entry.oracle_sql()[name]).arrow()
+
+
+def _check(name: str, out: pa.Table):
+    ora = _oracle(name)
+    assert out.equals(ora.cast(out.schema)), \
+        f"{name}: Ray != oracle\nray={out.to_pydict()}\n" \
+        f"ora={ora.to_pydict()}"
+
+
+def test_order_priority_exists_matches_oracle(ray_session):
+    out = entry.queries()["order_priority_exists"](SF_DIR)
+    _check("order_priority_exists", out)
+    # all five priorities appear and counts are positive
+    assert out.num_rows == 5
+    assert min(out["order_count"].to_pylist()) > 0
+
+
+def test_customer_distribution_matches_oracle(ray_session):
+    out = entry.queries()["customer_distribution"](SF_DIR)
+    _check("customer_distribution", out)
+    # total custdist equals the customer count (every customer binned)
+    n_cust = pq.ParquetFile(f"{SF_DIR}/customer.parquet") \
+        .metadata.num_rows
+    assert sum(out["custdist"].to_pylist()) == n_cust
+
+
+def test_customer_distribution_zero_preserved(ray_session, tmp_path):
+    """Customers with NO orders land in the c_count=0 bin (the LEFT
+    JOIN semantics a naive inner-join plan silently loses)."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 3, None], pa.int64())}),
+        str(d / "orders.parquet"))
+    out = tpch.q_customer_distribution(str(d))
+    got = dict(zip(out["c_count"].to_pylist(),
+                   out["custdist"].to_pylist()))
+    # cust 1 -> 2 orders, cust 3 -> 1, custs 2 & 4 -> 0 (null custkey
+    # order matches nobody)
+    assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_promo_revenue_matches_oracle(ray_session):
+    out = entry.queries()["promo_revenue"](SF_DIR)
+    _check("promo_revenue", out)
+    p, t = out["promo_cp"][0].as_py(), out["total_cp"][0].as_py()
+    assert 0 < p < t  # PROMO is 1 of 6 types: strictly between
+
+
+def test_top_supplier_matches_oracle(ray_session):
+    out = entry.queries()["top_supplier"](SF_DIR)
+    _check("top_supplier", out)
+    assert out.num_rows >= 1
+    # all returned rows tie at the same (maximal) revenue
+    assert len(set(out["total_cp"].to_pylist())) == 1
+
+
+def test_small_qty_revenue_matches_oracle(ray_session):
+    out = entry.queries()["small_qty_revenue"](SF_DIR)
+    _check("small_qty_revenue", out)
+
+
+def test_small_qty_boundary(ray_session, tmp_path):
+    """The integer predicate 5*qc*n < s is STRICT: a quantity exactly at
+    0.2x the average is excluded (matching SQL's <)."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([7, 8], pa.int64()),
+        "p_brand": pa.array(["Brand#23", "Brand#1"], pa.string())}),
+        str(d / "part.parquet"))
+    # part 7: quantities [1, 9] -> avg 5, 0.2*avg = 1 -> qty 1 is NOT
+    # below (strict), nothing qualifies; part 8 is the wrong brand
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([7, 7, 8], pa.int64()),
+        "l_quantity": pa.array([1.0, 9.0, 0.1], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 5.0], pa.float64())}),
+        str(d / "lineitem.parquet"))
+    out = tpch.q_small_qty_revenue(str(d))
+    assert out["small_qty_revenue_cents"][0].as_py() is None
+    # shrink part 7's small quantity to 0.99 -> strictly below 0.2*avg
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([7, 7], pa.int64()),
+        "l_quantity": pa.array([0.99, 9.01], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20.0], pa.float64())}),
+        str(d / "lineitem.parquet"))
+    out = tpch.q_small_qty_revenue(str(d))
+    assert out["small_qty_revenue_cents"][0].as_py() == 1000
+
+
+def test_large_orders_matches_oracle(ray_session):
+    out = entry.queries()["large_orders"](SF_DIR)
+    _check("large_orders", out)
+    # every reported order clears the 300-unit threshold
+    assert all(v > 30_000 for v in out["sum_qty_cents"].to_pylist())
+
+
+def test_disjunctive_revenue_matches_oracle(ray_session):
+    out = entry.queries()["disjunctive_revenue"](SF_DIR)
+    _check("disjunctive_revenue", out)
+
+
+def test_waiting_suppliers_matches_oracle(ray_session):
+    out = entry.queries()["waiting_suppliers"](SF_DIR)
+    _check("waiting_suppliers", out)
+    assert out.num_rows >= 1
+
+
+def test_waiting_suppliers_only_late_logic(ray_session, tmp_path):
+    """Planted per-order casework: a supplier counts only when the
+    order is finished, multi-supplier, and they are the SOLE late
+    shipper."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    day = np.timedelta64(86_400_000_000, "us")
+    t0 = np.datetime64("2000-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"], pa.string()),
+        "o_orderdate": pa.array([t0] * 4, pa.timestamp("us"))}),
+        str(d / "orders.parquet"))
+    late, ok = t0 + 61 * day, t0 + 10 * day
+    rows = [
+        (1, 10, late), (1, 11, ok),    # order 1: supp 10 sole late -> counts
+        (2, 10, late), (2, 11, late),  # order 2: two late -> nobody
+        (3, 12, late),                 # order 3: single-supplier -> no
+        (4, 10, late), (4, 11, ok),    # order 4: status O -> excluded
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_shipdate": pa.array([r[2] for r in rows],
+                               pa.timestamp("us"))}),
+        str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "s_name": pa.array(["S10", "S11", "S12"], pa.string())}),
+        str(d / "supplier.parquet"))
+    out = tpch.q_waiting_suppliers(str(d))
+    assert out.to_pydict() == {"s_name": ["S10"], "numwait": [1]}
+    # the shipped oracle agrees on the same planted table
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    ora = con.execute(
+        entry.oracle_sql()["waiting_suppliers"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+
+
+def test_min_cost_parts_matches_oracle(ray_session):
+    out = entry.queries()["min_cost_parts"](SF_DIR)
+    _check("min_cost_parts", out)
+    # per part, every reported supplier ties the part's minimum
+    per_part = {}
+    for r in out.to_pylist():
+        per_part.setdefault(r["p_partkey"], set()).add(
+            r["min_price_cents"])
+    assert all(len(v) == 1 for v in per_part.values())
