@@ -645,6 +645,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q2-flavored: argmin JOIN-BACK with ties (min-price supplier
         # per filtered part); two pruned scans, zero shuffles
         "min_cost_parts": tpch.q_min_cost_parts,
+        # cross-document duplicate-SPAN removal (ExactSubstr-style,
+        # Lee et al. 2022): gram exchange keyed on the 8-gram STRING ->
+        # marks -> doc exchange rebuilds with a difference-array mask
+        "dedup_spans": textops.q_dedup_spans,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1967,6 +1971,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        # cross-doc duplicate-span removal: every 8-token window whose
+        # exact text appears in >=2 DISTINCT docs is removed from all;
+        # output text whitespace-normalized (string_agg ' ')
+        "dedup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\S+')
+                           AS tl
+                FROM documents),
+            pos AS (
+                SELECT doc_id, unnest(tl) AS tok,
+                       unnest(range(1, len(tl) + 1)) AS i
+                FROM toks),
+            grams AS (
+                SELECT doc_id, i AS s,
+                       array_to_string(list_slice(tl, i, i + 7), ' ')
+                           AS gram
+                FROM (SELECT doc_id, tl,
+                             unnest(range(1, len(tl) - 6)) AS i
+                      FROM toks)),
+            dup AS (
+                SELECT gram FROM grams GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+            marks AS (
+                SELECT DISTINCT g.doc_id, g.s + x.x AS p
+                FROM grams g JOIN dup USING (gram),
+                     (SELECT unnest(range(0, 8)) AS x) x),
+            clean AS (
+                SELECT p.doc_id,
+                       coalesce(string_agg(p.tok, ' ' ORDER BY p.i)
+                                FILTER (WHERE m.p IS NULL), '')
+                           AS clean_text,
+                       CAST(COUNT(m.p) AS BIGINT) AS n_removed_tokens
+                FROM pos p LEFT JOIN marks m
+                  ON p.doc_id = m.doc_id AND p.i = m.p
+                GROUP BY p.doc_id)
+            SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+                   coalesce(c.n_removed_tokens, 0) AS n_removed_tokens
+            FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
+            ORDER BY d.doc_id
         """,
         # Q2-flavored: argmin join-back with ties over filtered parts
         "min_cost_parts": """

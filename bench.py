@@ -202,6 +202,9 @@ def bench_queries(sf_dir: str) -> dict:
         "token_stats",
         # round-4 late additions: repetition quality signals + passage dedup
         "repetition_signals", "passage_dedup",
+        # cross-doc duplicate-SPAN removal (ExactSubstr-style 8-gram
+        # exchange + difference-array rebuild)
+        "dedup_spans",
         # zlib entropy-proxy quality signal (per-doc C kernel)
         "compression_ratio",
         # round-4 late additions: distributed k-means + SemDeDup

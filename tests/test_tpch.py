@@ -184,3 +184,50 @@ def test_min_cost_parts_matches_oracle(ray_session):
         per_part.setdefault(r["p_partkey"], set()).add(
             r["min_price_cents"])
     assert all(len(v) == 1 for v in per_part.values())
+
+
+# --- dedup_spans (textops; tested here to reuse the oracle helper) ----
+
+def test_dedup_spans_matches_oracle(ray_session):
+    out = __import__("__ray_entry__").queries()["dedup_spans"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["dedup_spans"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    # the corpus genuinely shares 8-grams: something was removed
+    assert sum(out["n_removed_tokens"].to_pylist()) > 0
+
+
+def test_dedup_spans_overlap_and_within_doc(ray_session, tmp_path):
+    """Overlapping duplicate windows merge into one contiguous removed
+    span; repetition WITHIN a single doc is NOT removed (min_docs
+    counts distinct documents)."""
+    from yaschva_ray.pipelines import textops
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9"  # 9 tokens -> two 8-windows
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"a {shared} b",
+            f"x {shared}",
+            # doc 3 repeats ITS OWN 8-gram twice; no other doc has it
+            "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8",
+        ], pa.string())}),
+        str(d / "documents.parquet"))
+    out = textops.q_dedup_spans(str(d))
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+           for r in out.to_pylist()}
+    # the two overlapping windows merged: all 9 shared tokens removed
+    assert got[1] == ("a b", 9)
+    assert got[2] == ("x", 9)
+    # within-doc repetition untouched
+    assert got[3][1] == 0 and got[3][0].startswith("r1 r2")
+    # the shipped oracle agrees on the planted table
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["dedup_spans"]).arrow()
+    assert out.equals(ora.cast(out.schema))

@@ -4949,3 +4949,170 @@ def q_setsim_join(sf_dir: str) -> pa.Table:
         "text": pa.array([f"{t} {_SETSIM_PLANT_TOKENS}" for t in
                           head["text"].to_pylist()], pa.string())})
     return setsim_join_from_ds(ds.union(ray.data.from_arrow(planted)))
+
+
+def dedup_spans_from_ds(ds, k: int = 8, min_docs: int = 2) -> pa.Table:
+    """Cross-document duplicate-SPAN removal (the ExactSubstr idea of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", expressed as two bounded exchanges instead of a suffix
+    array): every k-token window whose exact text occurs in >=
+    ``min_docs`` DISTINCT documents is removed from ALL of them, and
+    each document's surviving tokens are re-joined — the span-level
+    counterpart to the doc-level (dedup_exact) and passage-level
+    (passage_dedup) dedups.
+
+    Plan: (1) gram exchange — each block tokenizes (the vocab_top_tokens
+    polars dialect), builds every k-gram string with ONE
+    binary_join_element_wise over k shifted takes (no Python loop), and
+    emits (gram, doc_id, start); the exchange keys on the GRAM STRING so
+    equality is exact at every scale (production swap: a 128-bit
+    fingerprint key drops the string payload; collision odds ~2^-128 —
+    the fingerprint_documents/fingerprint_md5 split's documented trade).
+    The bucket keeps occurrences of grams with >= min_docs distinct
+    docs.  (2) doc exchange — marks and full docs union-tag on doc_id;
+    the bucket replays tokenization, turns [start, start+k) marks into a
+    removal mask via the difference-array trick (add.at +1/-1, cumsum),
+    and rebuilds each doc with ListArray offsets + binary_join.  Output
+    text is whitespace-NORMALIZED (single spaces), matching the mirror's
+    string_agg(tok, ' ').
+
+    Scale: exchange 1 ships one row per token window — O(corpus tokens),
+    the honest cost of EXACT substring dedup (suffix-array engines pay
+    the same asymptotics in sort volume); the approximate pre-filters
+    (winnowing, minhash) are the cheaper screens when exactness isn't
+    required.  Self-repetition within one doc is NOT removed
+    (min_docs counts DISTINCT documents)."""
+    import polars as pl  # noqa: F401
+
+    from ..engine.exchange import keyed_exchange
+
+    def emit_grams(t: pa.Table) -> pa.Table:
+        s = _pl_text(t["text"])
+        toks = s.str.extract_all(TOKEN_RE)
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls().to_arrow()
+        flat = pa.array(flat, pa.string()) if not isinstance(
+            flat, pa.Array) else flat.cast(pa.string())
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        n_win = np.maximum(lens - k + 1, 0)
+        total = int(n_win.sum())
+        if not total:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "start": pa.array([], pa.int64())})
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_win)
+        woff = np.concatenate([[0], np.cumsum(n_win)])[:-1]
+        within = np.arange(total, dtype=np.int64) - woff[doc_idx]
+        ws = offsets[doc_idx] + within
+        cols = [flat.take(pa.array(ws + j)) for j in range(k)]
+        gram = pc.binary_join_element_wise(*cols, " ")
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        return pa.table({"gram": gram,
+                         "doc_id": pa.array(ids[doc_idx]),
+                         "start": pa.array(within)})
+
+    mark_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "start": pa.array([], pa.int64())})
+
+    def dup_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return mark_empty
+        g = t.group_by("gram").aggregate([("doc_id", "count_distinct")])
+        dup = g.filter(pc.greater_equal(
+            g["doc_id_count_distinct"],
+            pa.scalar(min_docs, pa.int64())))["gram"].combine_chunks()
+        if not len(dup):
+            return mark_empty
+        f = t.filter(pc.is_in(t["gram"], value_set=dup))
+        return pa.table({"doc_id": f["doc_id"], "start": f["start"]})
+
+    marks_parts = keyed_exchange(
+        ds.map_batches(emit_grams, batch_format="pyarrow"),
+        "gram", dup_bucket, empty_result=mark_empty, gather=False)
+
+    import ray.data
+
+    marks_ds = ray.data.from_arrow_refs(marks_parts)
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "text": pc.fill_null(t["text"], ""),
+            "start": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def mark_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "text": pa.array([""] * t.num_rows, pa.string()),
+            "start": t["start"].cast(pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, np.int8))})
+
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "clean_text": pa.array([], pa.string()),
+                          "n_removed_tokens": pa.array([], pa.int64())})
+
+    def rebuild_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_empty
+        side = np.asarray(t["side"].to_numpy(zero_copy_only=False))
+        docs = t.filter(pa.array(side == 0))
+        if not docs.num_rows:
+            return out_empty
+        ids = np.asarray(docs["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        s = _pl_text(docs["text"])
+        toks = s.str.extract_all(TOKEN_RE)
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls().to_arrow()
+        flat = pa.array(flat, pa.string()) if not isinstance(
+            flat, pa.Array) else flat.cast(pa.string())
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        total = int(offsets[-1])
+        removed = np.zeros(total, bool)
+        mrows = t.filter(pa.array(side == 1))
+        if mrows.num_rows:
+            mid = np.asarray(
+                mrows["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+            mst = np.asarray(
+                mrows["start"].to_numpy(zero_copy_only=False), np.int64)
+            order = np.argsort(ids)
+            pos = order[np.searchsorted(ids[order], mid)]
+            gs = offsets[pos] + mst  # windows always fit their doc
+            delta = np.zeros(total + 1, np.int64)
+            np.add.at(delta, gs, 1)
+            np.add.at(delta, gs + k, -1)
+            removed = np.cumsum(delta[:-1]) > 0
+        keep = ~removed
+        doc_of_tok = np.repeat(np.arange(len(lens), dtype=np.int64),
+                               lens)
+        kept_per_doc = np.zeros(len(lens), np.int64)
+        np.add.at(kept_per_doc, doc_of_tok[keep], 1)
+        kept_off = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(kept_off, pa.int32()),
+            flat.filter(pa.array(keep)))
+        clean = pc.binary_join(kept_list, " ")
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "clean_text": pc.fill_null(clean.cast(pa.string()), ""),
+            "n_removed_tokens": pa.array(lens - kept_per_doc)})
+
+    def dproj(t: pa.Table) -> pa.Table:
+        return doc_side(t)
+
+    parts = keyed_exchange(
+        ds.map_batches(dproj, batch_format="pyarrow").union(
+            marks_ds.map_batches(mark_side, batch_format="pyarrow")),
+        "doc_id", rebuild_bucket, empty_result=out_empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return out_empty
+    return (pa.concat_tables(parts).combine_chunks()
+            .sort_by([("doc_id", "ascending")]))
+
+
+def q_dedup_spans(sf_dir: str) -> pa.Table:
+    return dedup_spans_from_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
