@@ -649,6 +649,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lee et al. 2022): gram exchange keyed on the 8-gram STRING ->
         # marks -> doc exchange rebuilds with a difference-array mask
         "dedup_spans": textops.q_dedup_spans,
+        # Q22-shaped: exact-rational global-average scalar broadcast +
+        # anti-join + segment groups in one union-tagged exchange
+        "sales_opportunity": tpch.q_sales_opportunity,
+        # Q7-shaped: symmetric nation-pair predicate inside the second
+        # join reduce; chained hash joins, per-(pair, year) partials
+        "nation_pair_volume": tpch.q_nation_pair_volume,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1971,6 +1977,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        # Q22-shaped: strict above-average (exact rational) + NOT EXISTS
+        "sales_opportunity": """
+            WITH avgbal AS (
+                SELECT CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT))
+                            AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM customer WHERE c_acctbal > 0)
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(round(c.c_acctbal*100) AS BIGINT))
+                        AS BIGINT) AS totacctbal_cents
+            FROM customer c, avgbal
+            WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * avgbal.n
+                  > avgbal.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c.c_mktsegment
+            ORDER BY c.c_mktsegment
+        """,
+        # Q7-shaped: symmetric nation-pair volume by ship year
+        "nation_pair_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+                       AS l_year,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount*100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_cp
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         # cross-doc duplicate-span removal: every 8-token window whose
         # exact text appears in >=2 DISTINCT docs is removed from all;

@@ -284,6 +284,10 @@ def bench_queries(sf_dir: str) -> dict:
         "waiting_suppliers",
         # composed Q2' (argmin join-back with ties)
         "min_cost_parts",
+        # composed Q22 (rational scalar broadcast + anti + groups)
+        "sales_opportunity",
+        # composed Q7 (symmetric nation-pair predicate in the reduce)
+        "nation_pair_volume",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -231,3 +231,56 @@ def test_dedup_spans_overlap_and_within_doc(ray_session, tmp_path):
                 f"read_parquet('{d}/documents.parquet')")
     ora = con.execute(entry.oracle_sql()["dedup_spans"]).arrow()
     assert out.equals(ora.cast(out.schema))
+
+
+def test_sales_opportunity_matches_oracle(ray_session):
+    out = entry.queries()["sales_opportunity"](SF_DIR)
+    _check("sales_opportunity", out)
+    assert out.num_rows >= 1
+
+
+def test_sales_opportunity_strict_and_anti(ray_session, tmp_path):
+    """Strictly-above-average (exact rational, no float div) and the
+    date-windowed NOT EXISTS both bite."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        # positive balances: 10, 20, 30 -> avg 20; cust 4 negative
+        "c_acctbal": pa.array([10.0, 20.0, 30.0, -5.0], pa.float64()),
+        "c_mktsegment": pa.array(["A", "A", "B", "B"], pa.string())}),
+        str(d / "customer.parquet"))
+    t_new = np.datetime64("2000-06-01", "us")
+    t_old = np.datetime64("1998-06-01", "us")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([3, 1], pa.int64()),
+        # cust 3 has a RECENT order -> excluded; cust 1's is old
+        "o_orderdate": pa.array([t_new, t_old], pa.timestamp("us"))}),
+        str(d / "orders.parquet"))
+    out = tpch.q_sales_opportunity(str(d))
+    # cust 2 is exactly AT the average (20) -> excluded (strict >);
+    # cust 3 above avg but recently active -> excluded; nobody remains
+    assert out.num_rows == 0
+    # raise cust 2 above the average -> the only qualifying customer
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_acctbal": pa.array([10.0, 20.01, 30.0, -5.0], pa.float64()),
+        "c_mktsegment": pa.array(["A", "A", "B", "B"], pa.string())}),
+        str(d / "customer.parquet"))
+    out = tpch.q_sales_opportunity(str(d))
+    assert out.to_pydict() == {"c_mktsegment": ["A"], "numcust": [1],
+                               "totacctbal_cents": [2001]}
+
+
+def test_nation_pair_volume_matches_oracle(ray_session):
+    # sf0.001 has zero qualifying rows; sf0.01 exercises both pair
+    # directions, so pin the oracle there
+    sf = "/root/testdata/sf0.01"
+    out = entry.queries()["nation_pair_volume"](sf)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    ora = con.execute(entry.oracle_sql()["nation_pair_volume"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    assert out.num_rows >= 2  # both directions x two ship years

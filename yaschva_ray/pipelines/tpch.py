@@ -671,3 +671,209 @@ def q_min_cost_parts(sf_dir: str) -> pa.Table:
                     "s_name": j["s_name"]})
     return out.sort_by([("p_partkey", "ascending"),
                         ("s_suppkey", "ascending")])
+
+
+def q_sales_opportunity(sf_dir: str) -> pa.Table:
+    """TPC-H Q22-shaped: per market segment, customers whose account
+    balance is STRICTLY above the global positive-balance average and
+    who placed NO order since 1999 — the global-scalar broadcast + ANTI
+    join composition.  The average stays exact as the rational
+    (sum_cents, n) pair (bal_c * n > sum_c, no float division); phase 2
+    is ONE union-tagged exchange on custkey (customer rows side 0,
+    per-block DISTINCT recent-order custkeys side 1) whose bucket
+    applies scalar filter + anti-membership and emits per-segment
+    partials, so nothing bigger than (segments x buckets) rows reaches
+    the driver."""
+    from ..engine.exchange import keyed_exchange
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        c = _cents(f["c_acctbal"])
+        return pa.table({"s": pa.array([int(pc.sum(c).as_py() or 0)],
+                                       pa.int64()),
+                         "n": pa.array([f.num_rows], pa.int64())})
+
+    bal = _all(cust.map_batches(bal_partial, batch_format="pyarrow"))
+    s_tot = int(pc.sum(bal["s"]).as_py() or 0)
+    n_tot = int(pc.sum(bal["n"]).as_py() or 0)
+
+    cut = pa.scalar(np.datetime64("1999-01-01", "us"), pa.timestamp("us"))
+
+    def c_side(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["c_custkey"].cast(pa.int64()),
+                         "bal": _cents(t["c_acctbal"]),
+                         "seg": t["c_mktsegment"],
+                         "side": pa.array(
+                             np.zeros(t.num_rows, np.int8))})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def o_side(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], cut),
+                             pc.is_valid(t["o_custkey"])))
+        g = f.group_by("o_custkey").aggregate([])  # block distinct
+        return pa.table({"k": g["o_custkey"].cast(pa.int64()),
+                         "bal": pa.array(
+                             np.zeros(g.num_rows, np.int64)),
+                         "seg": pa.array([""] * g.num_rows,
+                                         pa.string()),
+                         "side": pa.array(
+                             np.ones(g.num_rows, np.int8))})
+
+    empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                      "numcust": pa.array([], pa.int64()),
+                      "tot": pa.array([], pa.int64())})
+
+    def seg_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        side = np.asarray(t["side"].to_numpy(zero_copy_only=False))
+        k = np.asarray(t["k"].to_numpy(zero_copy_only=False), np.int64)
+        ok = np.unique(k[side == 1])
+        c = t.filter(pa.array(side == 0))
+        bal = np.asarray(c["bal"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        ck = np.asarray(c["k"].to_numpy(zero_copy_only=False), np.int64)
+        keep = (bal * n_tot > s_tot) & ~np.isin(ck, ok)
+        f = c.filter(pa.array(keep))
+        if not f.num_rows:
+            return empty
+        g = f.group_by("seg").aggregate([([], "count_all"),
+                                         ("bal", "sum")])
+        return pa.table({"c_mktsegment": g["seg"],
+                         "numcust": g["count_all"].cast(pa.int64()),
+                         "tot": g["bal_sum"].cast(pa.int64())})
+
+    parts = keyed_exchange(
+        cust.map_batches(c_side, batch_format="pyarrow").union(
+            orders.map_batches(o_side, batch_format="pyarrow")),
+        "k", seg_bucket, empty_result=empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                         "numcust": pa.array([], pa.int64()),
+                         "totacctbal_cents": pa.array([], pa.int64())})
+    g = (pa.concat_tables(parts).group_by("c_mktsegment")
+         .aggregate([("numcust", "sum"), ("tot", "sum")]))
+    return pa.table({
+        "c_mktsegment": g["c_mktsegment"],
+        "numcust": g["numcust_sum"].cast(pa.int64()),
+        "totacctbal_cents": g["tot_sum"].cast(pa.int64()),
+    }).sort_by([("c_mktsegment", "ascending")])
+
+
+def q_nation_pair_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q7-shaped: 1996-97 revenue between the SYMMETRIC nation
+    pair (NATION_1, NATION_2) x ship year — the cross-table pair
+    predicate: supplier nation comes from a broadcast lookup, customer
+    nation rides the first join, and the (s_nat, c_nat) IN
+    {(1,2),(2,1)} filter runs inside the second join reduce where both
+    are co-located.  Chained hash joins as in Q5; the customer side is
+    pre-filtered to the two nations at the scan so join 1 carries only
+    relevant orders."""
+    import ray
+    import ray.data
+
+    from ..engine.joins import hash_join
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    nation = _all(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    names = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    keyof = {v: k for k, v in names.items()}
+    k1, k2 = keyof["NATION_1"], keyof["NATION_2"]
+
+    supp = _all(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    sk = np.asarray(supp["s_suppkey"].to_numpy(zero_copy_only=False),
+                    np.int64)
+    sn = np.asarray(supp["s_nationkey"].to_numpy(zero_copy_only=False),
+                    np.int64)
+    so = np.argsort(sk)
+    supp_ref = ray.put((sk[so], sn[so]))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def c_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_nationkey"],
+                                 value_set=pa.array([k1, k2],
+                                                    pa.int64())))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def proj1(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_nationkey": t["c_nationkey"]})
+
+    j1 = hash_join(orders, cust.map_batches(c_filter,
+                                            batch_format="pyarrow"),
+                   left_key="o_custkey", right_key="c_custkey",
+                   bucket_fn=proj1)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        rev = pc.multiply_checked(
+            _cents(f["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _cents(f["l_discount"])))
+        yr = pc.cast(pc.year(f["l_shipdate"]), pa.int64())
+        g = (pa.table({"l_orderkey": f["l_orderkey"],
+                       "l_suppkey": f["l_suppkey"], "l_year": yr,
+                       "rev": rev})
+             .group_by(["l_orderkey", "l_suppkey", "l_year"])
+             .aggregate([("rev", "sum")]))
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "l_year": g["l_year"], "rev": g["rev_sum"]})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        skx, snx = ray.get(supp_ref)
+        suppk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                           np.int64)
+        cnat = np.asarray(
+            t["c_nationkey"].to_numpy(zero_copy_only=False), np.int64)
+        pos = np.searchsorted(skx, suppk)
+        pos = np.clip(pos, 0, max(len(skx) - 1, 0))
+        snat = snx[pos] if len(skx) else np.zeros(0, np.int64)
+        found = skx[pos] == suppk if len(skx) else np.zeros(0, bool)
+        keep = found & (((snat == k1) & (cnat == k2))
+                        | ((snat == k2) & (cnat == k1)))
+        f = t.filter(pa.array(keep))
+        g = (pa.table({"s_nat": pa.array(snat[keep]),
+                       "c_nat": pa.array(cnat[keep]),
+                       "l_year": f["l_year"], "rev": f["rev"]})
+             .group_by(["s_nat", "c_nat", "l_year"])
+             .aggregate([("rev", "sum")]))
+        return pa.table({"s_nat": g["s_nat"], "c_nat": g["c_nat"],
+                         "l_year": g["l_year"], "rev": g["rev_sum"]})
+
+    j2 = hash_join(li.map_batches(l_partial, batch_format="pyarrow"),
+                   ray.data.from_arrow(j1),
+                   left_key="l_orderkey", right_key="o_orderkey",
+                   bucket_fn=pair_partial)
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue_cp": pa.array([], pa.int64())})
+    if not j2.num_rows:
+        return empty
+    g = (j2.group_by(["s_nat", "c_nat", "l_year"])
+         .aggregate([("rev", "sum")]))
+    return pa.table({
+        "supp_nation": pa.array([names[k] for k in
+                                 g["s_nat"].to_pylist()], pa.string()),
+        "cust_nation": pa.array([names[k] for k in
+                                 g["c_nat"].to_pylist()], pa.string()),
+        "l_year": g["l_year"].cast(pa.int64()),
+        "revenue_cp": g["rev_sum"].cast(pa.int64()),
+    }).sort_by([("supp_nation", "ascending"),
+                ("cust_nation", "ascending"), ("l_year", "ascending")])
