@@ -276,13 +276,17 @@ def q_top_supplier(sf_dir: str) -> pa.Table:
     order = np.argsort(nk)
     wk = np.asarray(win["l_suppkey"].to_numpy(zero_copy_only=False),
                     np.int64)
-    pos = order[np.searchsorted(nk[order], wk)]
+    # inner-join semantics: a dangling l_suppkey (no supplier row)
+    # drops, matching the mirror's JOIN
+    ins = np.clip(np.searchsorted(nk[order], wk), 0, len(nk) - 1)
+    found = nk[order][ins] == wk
+    pos = order[ins[found]]
     out = pa.table({
-        "s_suppkey": pa.array(wk),
+        "s_suppkey": pa.array(wk[found]),
         "s_name": pa.array(np.asarray(names["s_name"].to_pylist(),
                                       object)[pos].tolist(),
                            pa.string()),
-        "total_cp": win["total_cp"]})
+        "total_cp": win["total_cp"].filter(pa.array(found))})
     return out.sort_by([("s_suppkey", "ascending")])
 
 
