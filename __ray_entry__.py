@@ -659,6 +659,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q7-shaped: symmetric nation-pair predicate inside the second
         # join reduce; chained hash joins, per-(pair, year) partials
         "nation_pair_volume": tpch.q_nation_pair_volume,
+        # Merkle-style range-digest diff: localize WHERE two snapshots
+        # diverge in O(ranges) driver state, zero shuffle (the targeted
+        # complement to table_checksum / snapshot_diff)
+        "merkle_diff_documents": ops.q_merkle_diff_documents,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1981,6 +1985,54 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        # Merkle range-digest diff: ranges where the evolved snapshot
+        # (the snapshot_diff twin) disagrees on (count, sum, xor) of the
+        # table_checksum row digest; doc_id // 256 range rule
+        "merkle_diff_documents": """
+            WITH b0 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 103 = 0 THEN 'MODIFIED'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 101 <> 0
+            ), bt AS (
+                SELECT * FROM b0
+                UNION ALL
+                SELECT doc_id + 50000000, text FROM b0 WHERE doc_id < 10
+            ), ad AS (
+                SELECT doc_id // 256 AS range_id,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(md5_number_lower(
+                                COALESCE(CAST(doc_id AS VARCHAR) || '|'
+                                         || COALESCE(text, CHR(0)), ''))
+                                AS HUGEINT) % 9223372036854775808)
+                            % 9223372036854775808 AS BIGINT) AS s,
+                       bit_xor(CAST(md5_number_lower(
+                                COALESCE(CAST(doc_id AS VARCHAR) || '|'
+                                         || COALESCE(text, CHR(0)), ''))
+                                % 9223372036854775808 AS BIGINT)) AS x
+                FROM documents GROUP BY 1
+            ), bd AS (
+                SELECT doc_id // 256 AS range_id,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(md5_number_lower(
+                                COALESCE(CAST(doc_id AS VARCHAR) || '|'
+                                         || COALESCE(text, CHR(0)), ''))
+                                AS HUGEINT) % 9223372036854775808)
+                            % 9223372036854775808 AS BIGINT) AS s,
+                       bit_xor(CAST(md5_number_lower(
+                                COALESCE(CAST(doc_id AS VARCHAR) || '|'
+                                         || COALESCE(text, CHR(0)), ''))
+                                % 9223372036854775808 AS BIGINT)) AS x
+                FROM bt GROUP BY 1
+            )
+            SELECT COALESCE(a.range_id, b.range_id) AS range_id,
+                   a.n AS n_a, b.n AS n_b, a.s AS sum_a, b.s AS sum_b,
+                   a.x AS xor_a, b.x AS xor_b
+            FROM ad a FULL OUTER JOIN bd b ON a.range_id = b.range_id
+            WHERE a.range_id IS NULL OR b.range_id IS NULL
+               OR a.n <> b.n OR a.s <> b.s OR a.x <> b.x
+            ORDER BY range_id
         """,
         # Q22-shaped: strict above-average (exact rational) + NOT EXISTS
         "sales_opportunity": """

@@ -288,6 +288,8 @@ def bench_queries(sf_dir: str) -> dict:
         "sales_opportunity",
         # composed Q7 (symmetric nation-pair predicate in the reduce)
         "nation_pair_volume",
+        # Merkle range-digest diff (zero-shuffle divergence localization)
+        "merkle_diff_documents",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -284,3 +284,30 @@ def test_nation_pair_volume_matches_oracle(ray_session):
     ora = con.execute(entry.oracle_sql()["nation_pair_volume"]).arrow()
     assert out.equals(ora.cast(out.schema))
     assert out.num_rows >= 2  # both directions x two ship years
+
+
+# --- merkle_diff (ops; divergence localization) ------------------------
+
+def test_merkle_diff_matches_oracle(ray_session):
+    out = entry.queries()["merkle_diff_documents"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    ora = con.execute(
+        entry.oracle_sql()["merkle_diff_documents"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    assert out.num_rows >= 1  # the evolution genuinely diverges
+
+
+def test_merkle_diff_localizes(ray_session):
+    """Every range the row-level snapshot_diff touches is reported, and
+    no clean range is — the digest table is a sound and exact index for
+    a targeted repair re-scan."""
+    from yaschva_ray.pipelines import ops as _ops
+
+    sf = SF_DIR
+    ranges = set(entry.queries()["merkle_diff_documents"](sf)
+                 ["range_id"].to_pylist())
+    diff = _ops.q_snapshot_diff_documents(sf)
+    touched = {i // 256 for i in diff["doc_id"].to_pylist()}
+    assert ranges == touched

@@ -7635,3 +7635,110 @@ def q_event_pairs_within(sf_dir: str, window_s: int = 600) -> pa.Table:
     return (pa.concat_tables(parts).combine_chunks()
             .sort_by([("user_id", "ascending"), ("event_a", "ascending"),
                       ("event_b", "ascending")]))
+
+
+def _evolved_documents(ds):
+    """The deterministic snapshot twin shared by snapshot_diff and
+    merkle_diff: every 101st doc deleted, every 103rd survivor's text
+    replaced, copies of the first 10 docs appended at +50M."""
+    def evolve(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(ids % 101 != 0))
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        txt = pc.if_else(pa.array(ids % 103 == 0),
+                         pa.scalar("MODIFIED", pa.string()), t["text"])
+        t = t.set_column(t.schema.get_field_index("text"),
+                         pa.field("text", pa.string()), txt)
+        extra = t.filter(pc.less(t["doc_id"], 10))
+        extra = extra.set_column(
+            0, pa.field("doc_id", pa.int64()),
+            pc.add(extra["doc_id"], pa.scalar(50_000_000, pa.int64())))
+        return pa.concat_tables([t, extra])
+
+    return ds.map_batches(evolve, batch_format="pyarrow")
+
+
+def q_merkle_diff_documents(sf_dir: str, range_width: int = 256) -> pa.Table:
+    """Merkle-style RANGE-digest diff: localize WHERE two table versions
+    diverge in O(ranges) driver state with ZERO shuffle — the
+    at-100-TB complement to table_checksum (one digest: "are they
+    equal?") and snapshot_diff (row-level: "which rows differ?", a full
+    co-partition).  Each side is scanned once; per-block partials fold
+    (range_id = doc_id // width) -> (count, sum, xor) of the
+    table_checksum row digest (md5-lower-64 masked to 63 bits), and the
+    driver compares two range-indexed digest tables, emitting only the
+    ranges that disagree — the ranges a targeted snapshot_diff / repair
+    re-scan would then touch.
+
+    Exactness of the modular sum under vectorized uint64 accumulation:
+    2^64 ≡ 0 (mod 2^63), so natural uint64 wraparound followed by a
+    63-bit mask IS the true sum mod 2^63 — no multiprecision needed.
+    B-side evolution is the snapshot_diff twin (SQL-mirrored)."""
+    from .conformance import _md5_lower64
+
+    mask = np.uint64(_CKSUM_MOD - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        row = pc.fill_null(pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()),
+            pc.fill_null(t["text"], "\x00"), "|"), "")
+        h = _md5_lower64(row.combine_chunks() if isinstance(
+            row, pa.ChunkedArray) else row) & mask
+        rid = ids // range_width
+        ur, inv = np.unique(rid, return_inverse=True)
+        n = np.zeros(len(ur), np.int64)
+        s = np.zeros(len(ur), np.uint64)
+        x = np.zeros(len(ur), np.uint64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, h)          # uint64 wraparound ≡ mod 2^63 ok
+        np.bitwise_xor.at(x, inv, h)
+        return pa.table({"range_id": pa.array(ur),
+                         "n": pa.array(n),
+                         "s": pa.array((s & mask).astype(np.int64)),
+                         "x": pa.array(x.astype(np.int64))})
+
+    def digest(ds) -> dict[int, tuple[int, int, int]]:
+        parts = [b for b in gather_tables(
+            ds.map_batches(partial, batch_format="pyarrow"))
+            if b.num_rows]
+        out: dict[int, list] = {}
+        for p in parts:
+            rid = np.asarray(p["range_id"].to_numpy(
+                zero_copy_only=False), np.int64)
+            n = np.asarray(p["n"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            s = np.asarray(p["s"].to_numpy(zero_copy_only=False),
+                           np.int64).astype(np.uint64)
+            x = np.asarray(p["x"].to_numpy(zero_copy_only=False),
+                           np.int64).astype(np.uint64)
+            for i in range(len(rid)):  # O(ranges), never O(rows)
+                a = out.setdefault(int(rid[i]), [0, np.uint64(0),
+                                                 np.uint64(0)])
+                a[0] += int(n[i])
+                a[1] = np.uint64(a[1] + s[i])  # wraps mod 2^64
+                a[2] = np.uint64(a[2] ^ x[i])
+        return {k: (v[0], int(v[1] & mask), int(v[2]))
+                for k, v in out.items()}
+
+    cols = ["doc_id", "text"]
+    da = digest(_read(sf_dir, "documents", cols))
+    db = digest(_evolved_documents(_read(sf_dir, "documents", cols)))
+
+    rows = []
+    for rid in sorted(set(da) | set(db)):
+        a, b = da.get(rid), db.get(rid)
+        if a != b:
+            rows.append((rid,
+                         a[0] if a else None, b[0] if b else None,
+                         a[1] if a else None, b[1] if b else None,
+                         a[2] if a else None, b[2] if b else None))
+    return pa.table({
+        "range_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_a": pa.array([r[1] for r in rows], pa.int64()),
+        "n_b": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_a": pa.array([r[3] for r in rows], pa.int64()),
+        "sum_b": pa.array([r[4] for r in rows], pa.int64()),
+        "xor_a": pa.array([r[5] for r in rows], pa.int64()),
+        "xor_b": pa.array([r[6] for r in rows], pa.int64())})
