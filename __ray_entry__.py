@@ -663,6 +663,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # diverge in O(ranges) driver state, zero shuffle (the targeted
         # complement to table_checksum / snapshot_diff)
         "merkle_diff_documents": ops.q_merkle_diff_documents,
+        # full CUBE over (status, priority): all four grouping sets
+        # derived exactly from one scan's finest partials, zero shuffle
+        "orders_cube": ops.q_orders_cube,
+        # per-user time-weighted value average as the exact integer
+        # (sum value*dt, sum dt) pair; one keyed exchange
+        "time_weighted_value": ops.q_time_weighted_value,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1985,6 +1991,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        # full CUBE: GROUPING(s, p) bits disambiguate rolled-up NULLs
+        "orders_cube": """
+            SELECT CAST(GROUPING(s, p) AS BIGINT) AS lvl,
+                   s AS o_orderstatus, p AS o_orderpriority,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM (SELECT o_orderstatus AS s, o_orderpriority AS p,
+                         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                  FROM orders)
+            GROUP BY CUBE (s, p)
+            ORDER BY lvl, o_orderstatus NULLS LAST,
+                     o_orderpriority NULLS LAST
+        """,
+        # per-user time-weighted average as the exact integer pair
+        # (right-open intervals; single-reading users drop via HAVING)
+        "time_weighted_value": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tu,
+                       CAST(round(value*100) AS BIGINT) AS vc
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL),
+            w AS (
+                SELECT user_id, vc, tu,
+                       LEAD(tu) OVER (PARTITION BY user_id
+                                      ORDER BY tu, event_id) AS nxt
+                FROM e)
+            SELECT user_id,
+                   CAST(SUM(vc * (nxt - tu)) AS BIGINT) AS num_cvus,
+                   CAST(SUM(nxt - tu) AS BIGINT) AS den_us
+            FROM w WHERE nxt IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(*) > 0
+            ORDER BY user_id
         """,
         # Merkle range-digest diff: ranges where the evolved snapshot
         # (the snapshot_diff twin) disagrees on (count, sum, xor) of the

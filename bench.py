@@ -290,6 +290,10 @@ def bench_queries(sf_dir: str) -> dict:
         "nation_pair_volume",
         # Merkle range-digest diff (zero-shuffle divergence localization)
         "merkle_diff_documents",
+        # full CUBE grouping sets from one scan's finest partials
+        "orders_cube",
+        # per-user time-weighted average (exact integer pair)
+        "time_weighted_value",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -311,3 +311,66 @@ def test_merkle_diff_localizes(ray_session):
     diff = _ops.q_snapshot_diff_documents(sf)
     touched = {i // 256 for i in diff["doc_id"].to_pylist()}
     assert ranges == touched
+
+
+# --- CUBE + time-weighted average --------------------------------------
+
+def test_orders_cube_matches_oracle(ray_session):
+    out = entry.queries()["orders_cube"](SF_DIR)
+    _check("orders_cube", out)
+    # the four grouping sets reconcile: each level sums to the grand
+    lv = {}
+    for r in out.to_pylist():
+        lv.setdefault(r["lvl"], 0)
+        lv[r["lvl"]] += r["revenue_cents"]
+    assert lv[0] == lv[1] == lv[2] == lv[3]
+
+
+def test_time_weighted_value_matches_oracle(ray_session):
+    out = entry.queries()["time_weighted_value"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/events.parquet')")
+    ora = con.execute(
+        entry.oracle_sql()["time_weighted_value"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    assert out.num_rows >= 1
+
+
+def test_time_weighted_value_semantics(ray_session, tmp_path):
+    """Hand-computed intervals: right-open holds, tie order by
+    event_id, single-reading users drop, nulls filtered."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    us = 1_000_000
+    rows = [
+        # user 1: v=2.00 for 10s, then v=4.00 for 5s, then ends
+        (1, 1, 0 * us, 2.0),
+        (2, 1, 10 * us, 4.0),
+        (3, 1, 15 * us, 9.0),     # terminal reading: no interval
+        # user 2: single reading -> drops
+        (4, 2, 0 * us, 1.0),
+        # user 3: tie at t=0 ordered by event_id (5 before 6)
+        (5, 3, 0 * us, 1.0),
+        (6, 3, 0 * us, 3.0),      # zero-length interval contributes 0
+        (7, 3, 4 * us, 5.0),
+        # nulls everywhere -> filtered
+        (8, None, 0 * us, 1.0),
+        (9, 4, None, 1.0),
+        (10, 4, 0 * us, None),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64())}),
+        str(d / "events.parquet"))
+    from yaschva_ray.pipelines import ops as _ops
+    out = _ops.q_time_weighted_value(str(d))
+    got = {r["user_id"]: (r["num_cvus"], r["den_us"])
+           for r in out.to_pylist()}
+    # user 1: 200c*10s + 400c*5s = 4_000_000_000 cvus over 15s
+    assert got[1] == (200 * 10 * us + 400 * 5 * us, 15 * us)
+    # user 3: 100c*0 + 300c*4s over 4s
+    assert got[3] == (300 * 4 * us, 4 * us)
+    assert set(got) == {1, 3}

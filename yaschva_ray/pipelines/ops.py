@@ -7742,3 +7742,142 @@ def q_merkle_diff_documents(sf_dir: str, range_width: int = 256) -> pa.Table:
         "sum_b": pa.array([r[4] for r in rows], pa.int64()),
         "xor_a": pa.array([r[5] for r in rows], pa.int64()),
         "xor_b": pa.array([r[6] for r in rows], pa.int64())})
+
+
+def q_orders_cube(sf_dir: str) -> pa.Table:
+    """Full CUBE over (o_orderstatus, o_orderpriority): all FOUR grouping
+    sets in one result — the generalization of q_orders_rollup's linear
+    hierarchy (ROLLUP omits the priority-only set, lvl 2, which CUBE
+    adds).  Same distribution: per-block partials at the finest grain
+    only (bounded by the 3x5 status x priority domain), one driver
+    group-sum, every coarser set derived EXACTLY from the finest
+    partials — four grouping sets for the price of one scan, zero
+    shuffle.  ``lvl`` mirrors SQL GROUPING(s, p): bit 1 = status rolled
+    up, bit 0 = priority rolled up."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"s": t["o_orderstatus"],
+                      "p": t["o_orderpriority"], "cents": cents}) \
+            .group_by(["s", "p"]).aggregate([("cents", "sum"),
+                                             ([], "count_all")])
+        return pa.table({"s": g["s"], "p": g["p"],
+                         "cents": g["cents_sum"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    parts = [p for p in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if p.num_rows]
+    empty = pa.table({"lvl": pa.array([], pa.int64()),
+                      "o_orderstatus": pa.array([], pa.string()),
+                      "o_orderpriority": pa.array([], pa.string()),
+                      "revenue_cents": pa.array([], pa.int64()),
+                      "n_orders": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    finest = (pa.concat_tables(parts).group_by(["s", "p"])
+              .aggregate([("cents", "sum"), ("n", "sum")]))
+    by_s = finest.group_by("s").aggregate([("cents_sum", "sum"),
+                                           ("n_sum", "sum")])
+    by_p = finest.group_by("p").aggregate([("cents_sum", "sum"),
+                                           ("n_sum", "sum")])
+    grand_c = pc.sum(finest["cents_sum"]).as_py() or 0
+    grand_n = pc.sum(finest["n_sum"]).as_py() or 0
+
+    def level(lvl, s, p, c, n, k):
+        nulls = pa.array([None] * k, pa.string())
+        return pa.table({
+            "lvl": pa.array([lvl] * k, pa.int64()),
+            "o_orderstatus": s if s is not None else nulls,
+            "o_orderpriority": p if p is not None else nulls,
+            "revenue_cents": (pa.array(c, pa.int64())
+                              if isinstance(c, list)
+                              else c.cast(pa.int64())),
+            "n_orders": (pa.array(n, pa.int64())
+                         if isinstance(n, list)
+                         else n.cast(pa.int64()))})
+
+    out = pa.concat_tables([
+        level(0, finest["s"], finest["p"], finest["cents_sum"],
+              finest["n_sum"], finest.num_rows),
+        level(1, by_s["s"], None, by_s["cents_sum_sum"],
+              by_s["n_sum_sum"], by_s.num_rows),
+        level(2, None, by_p["p"], by_p["cents_sum_sum"],
+              by_p["n_sum_sum"], by_p.num_rows),
+        level(3, None, None, [grand_c], [grand_n], 1)])
+    return out.sort_by([("lvl", "ascending"),
+                        ("o_orderstatus", "ascending"),
+                        ("o_orderpriority", "ascending")])
+
+
+def q_time_weighted_value(sf_dir: str) -> pa.Table:
+    """Per-user TIME-WEIGHTED value average — the streaming/ops metric
+    where each reading holds until the next one (right-open intervals):
+    emitted as the exact integer pair (num_cvus = Σ value_cents·Δt_us,
+    den_us = Σ Δt_us) so no float division enters the hash.  One keyed
+    exchange on user_id; the bucket lexsorts each user's readings by
+    (ts, event_id) and diffs within segments (vectorized shift +
+    segment-boundary mask).  Users with a single reading have no
+    interval and drop, matching the mirror's HAVING.  Overflow envelope:
+    value_cents · user_time_span_us must fit int64 — true by orders of
+    magnitude for this corpus (≤6·10^4 cents · ≤3·10^12 us ≈ 2·10^17),
+    checked with multiply_checked at runtime."""
+    from ..engine.exchange import keyed_exchange
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "num_cvus": pa.array([], pa.int64()),
+                      "den_us": pa.array([], pa.int64())})
+
+    def project(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(t["user_id"]),
+                            pc.is_valid(t["ts"])),
+                    pc.is_valid(t["value"]))
+        f = t.filter(m)
+        return pa.table({
+            "user_id": f["user_id"].cast(pa.int64()),
+            "event_id": f["event_id"].cast(pa.int64()),
+            "tu": pc.cast(f["ts"], pa.int64()),
+            "vc": pc.cast(pc.round(pc.multiply(f["value"], 100.0)),
+                          pa.int64())})
+
+    def twa_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        u = np.asarray(t["user_id"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        tu = np.asarray(t["tu"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        eid = np.asarray(t["event_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        vc = np.asarray(t["vc"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        order = np.lexsort((eid, tu, u))
+        u, tu, vc = u[order], tu[order], vc[order]
+        if len(u) < 2:
+            return empty
+        same = u[1:] == u[:-1]  # interval stays within one user
+        dt = (tu[1:] - tu[:-1])[same]
+        vv = vc[:-1][same]
+        uu = u[:-1][same]
+        if not len(uu):
+            return empty
+        num = pc.multiply_checked(pa.array(vv), pa.array(dt))
+        g = (pa.table({"user_id": pa.array(uu), "num": num,
+                       "den": pa.array(dt)})
+             .group_by("user_id").aggregate([("num", "sum"),
+                                             ("den", "sum")]))
+        return pa.table({"user_id": g["user_id"],
+                         "num_cvus": g["num_sum"].cast(pa.int64()),
+                         "den_us": g["den_sum"].cast(pa.int64())})
+
+    parts = keyed_exchange(
+        ds.map_batches(project, batch_format="pyarrow"),
+        "user_id", twa_bucket, empty_result=empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    return (pa.concat_tables(parts).combine_chunks()
+            .sort_by([("user_id", "ascending")]))
