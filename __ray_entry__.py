@@ -669,6 +669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user time-weighted value average as the exact integer
         # (sum value*dt, sum dt) pair; one keyed exchange
         "time_weighted_value": ops.q_time_weighted_value,
+        # span-KIND-sequence (caption grammar) check over interleaved F0
+        # docs: the regular-language constraint on adjacent span kinds
+        "f0_span_grammar": textops.q_f0_span_grammar,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1991,6 +1994,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        # caption-grammar over the shared written F0 table: LEAD window
+        # partitioned by PHYSICAL row (dup_doc_id is planted)
+        "f0_span_grammar": """
+            WITH f0 AS (
+                SELECT file_row_number AS rid, doc_id, spans
+                FROM read_parquet('/tmp/yaschva_oracle/f0_docs.parquet',
+                                  file_row_number=true)
+            ), sp AS (
+                SELECT rid, doc_id, unnest(spans) AS s,
+                       CAST(generate_subscripts(spans, 1) - 1 AS BIGINT)
+                           AS k
+                FROM f0
+            ), e AS (
+                SELECT rid, doc_id, k, s.kind AS kind,
+                       s.kind IN ('image', 'audio', 'video') AS media
+                FROM sp
+            ), w AS (
+                SELECT rid, doc_id, k, kind, media,
+                       LEAD(media) OVER win AS nmedia
+                FROM e WINDOW win AS (PARTITION BY rid ORDER BY k)
+            )
+            SELECT doc_id, span_idx, class FROM (
+                SELECT doc_id, k AS span_idx, 'first_not_text' AS class
+                FROM w WHERE k = 0 AND kind <> 'text'
+                UNION ALL
+                SELECT doc_id, k, 'uncaptioned_media'
+                FROM w WHERE media AND nmedia
+                UNION ALL
+                SELECT doc_id, k, 'trailing_media'
+                FROM w WHERE media AND nmedia IS NULL
+            ) ORDER BY doc_id, span_idx, class
         """,
         # full CUBE: GROUPING(s, p) bits disambiguate rolled-up NULLs
         "orders_cube": """

@@ -166,7 +166,8 @@ def bench_queries(sf_dir: str) -> dict:
         "triangle_count",
         # continuation additions: interleaved span-offset contiguity,
         # gaps-and-islands, ordered STRING_AGG, Tukey-fence outliers
-        "f0_offset_check", "user_islands", "user_event_paths",
+        "f0_offset_check", "f0_span_grammar",
+        "user_islands", "user_event_paths",
         "iqr_outliers_events",
         # rolling COUNT(DISTINCT) without a per-day distinct shuffle +
         # grouped mode from counting partials

@@ -374,3 +374,14 @@ def test_time_weighted_value_semantics(ray_session, tmp_path):
     # user 3: 100c*0 + 300c*4s over 4s
     assert got[3] == (300 * 4 * us, 4 * us)
     assert set(got) == {1, 3}
+
+
+def test_f0_span_grammar_matches_oracle(ray_session):
+    """Caption-grammar violations over the interleaved F0 table equal
+    the LEAD-window mirror, and the organic classes all appear."""
+    out = entry.queries()["f0_span_grammar"](SF_DIR)
+    con = duckdb.connect()
+    ora = con.execute(entry.oracle_sql()["f0_span_grammar"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    classes = set(out["class"].to_pylist())
+    assert {"uncaptioned_media", "trailing_media"} <= classes

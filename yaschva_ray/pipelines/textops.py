@@ -5116,3 +5116,96 @@ def dedup_spans_from_ds(ds, k: int = 8, min_docs: int = 2) -> pa.Table:
 def q_dedup_spans(sf_dir: str) -> pa.Table:
     return dedup_spans_from_ds(
         _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_f0_span_grammar(sf_dir: str) -> pa.Table:
+    """Span-KIND-sequence (caption grammar) validation over the
+    interleaved F0 table — the REGULAR-LANGUAGE constraint on each
+    document's span sequence that per-span schema rules can't express
+    (it relates ADJACENT kinds, the north rule's span-sequence
+    semantics): documents must start with text, and every media span
+    needs a text caption after it.
+
+    Violation classes per (doc_id, span_idx):
+      - ``first_not_text``: span 0 isn't a text span
+      - ``uncaptioned_media``: a media span immediately followed by
+        another media span (no caption between)
+      - ``trailing_media``: the document's LAST span is media
+
+    Same explode skeleton as q_f0_offset_check (repeat/cumsum parent
+    indices, one shifted compare — no per-row Python); the generator's
+    random kinds make all-media adjacencies genuinely frequent, so the
+    check bites on organic data, not only plants.  doc_id is NOT a key
+    (dup_doc_id is planted) so adjacency is by PHYSICAL row (parents),
+    and the DuckDB mirror partitions its LEAD window by
+    file_row_number over the shared written oracle table."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .datagen import make_docs_batch
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    table = make_docs_batch(np.arange(n), seed=42)
+    os.makedirs("/tmp/yaschva_oracle", exist_ok=True)
+    pq.write_table(table, "/tmp/yaschva_oracle/f0_docs.parquet")
+    k = 8
+    ds = ray.data.from_arrow([table.slice(i * len(table) // k,
+                                          (i + 1) * len(table) // k
+                                          - i * len(table) // k)
+                              for i in range(k)])
+
+    def check(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = pc.list_value_length(spans).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = spans.flatten()
+        kinds = pc.struct_field(flat, "kind")
+        parents = np.repeat(np.arange(len(t)), lengths)
+        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+        total = int(lengths.sum())
+        within = np.arange(total) - np.repeat(starts, lengths)
+
+        is_media = np.asarray(pc.is_in(
+            kinds, value_set=pa.array(_MEDIA_KINDS)
+        ).to_numpy(zero_copy_only=False))
+        is_text = np.asarray(pc.equal(kinds, "text").to_numpy(
+            zero_copy_only=False))
+
+        first = within == 0
+        last = np.zeros(total, dtype=bool)
+        if total:
+            last[:-1] = parents[1:] != parents[:-1]
+            last[-1] = True
+        v_first = first & ~is_text
+        nxt_media = np.zeros(total, dtype=bool)
+        if total > 1:
+            nxt_media[:-1] = is_media[1:] & (parents[1:] == parents[:-1])
+        v_uncap = is_media & nxt_media
+        v_trail = is_media & last
+
+        doc_ids = t["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        flat_docs = doc_ids.take(pa.array(parents))
+        outs = []
+        for mask, cls in ((v_first, "first_not_text"),
+                          (v_uncap, "uncaptioned_media"),
+                          (v_trail, "trailing_media")):
+            ix = np.nonzero(mask)[0]
+            if len(ix):
+                outs.append(pa.table({
+                    "doc_id": flat_docs.take(pa.array(ix)),
+                    "span_idx": pa.array(within[ix].astype(np.int64)),
+                    "class": pa.array([cls] * len(ix), pa.string())}))
+        if not outs:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "span_idx": pa.array([], pa.int64()),
+                             "class": pa.array([], pa.string())})
+        return pa.concat_tables(outs)
+
+    out = _gather(ds.map_batches(check, batch_format="pyarrow"))
+    return out.sort_by([("doc_id", "ascending"),
+                        ("span_idx", "ascending"),
+                        ("class", "ascending")])
