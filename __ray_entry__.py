@@ -672,6 +672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span-KIND-sequence (caption grammar) check over interleaved F0
         # docs: the regular-language constraint on adjacent span kinds
         "f0_span_grammar": textops.q_f0_span_grammar,
+        # expectation-suite report card: a named check battery in ONE
+        # fused scan + the uniqueness exchange; (name, violations, pass)
+        "expectation_suite_lineitem": ops.q_expectation_suite_lineitem,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1994,6 +1997,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        # expectation suite: NULL fails an expectation (count(*) minus
+        # count passing); uniqueness counts extra rows beyond the first
+        "expectation_suite_lineitem": """
+            WITH t AS (SELECT COUNT(*) AS n FROM lineitem)
+            SELECT check_name, n_violations, n_violations = 0 AS passed
+            FROM (
+                SELECT 'discount_between_0_and_1' AS check_name,
+                       (SELECT n FROM t) - COUNT(*) FILTER (
+                           WHERE l_discount BETWEEN 0 AND 1)
+                           AS n_violations
+                FROM lineitem
+                UNION ALL
+                SELECT 'extendedprice_positive',
+                       (SELECT n FROM t) - COUNT(*) FILTER (
+                           WHERE l_extendedprice > 0)
+                FROM lineitem
+                UNION ALL
+                SELECT 'quantity_not_null',
+                       COUNT(*) FILTER (WHERE l_quantity IS NULL)
+                FROM lineitem
+                UNION ALL
+                SELECT 'returnflag_in_enum',
+                       (SELECT n FROM t) - COUNT(*) FILTER (
+                           WHERE l_returnflag IN ('A', 'N', 'R'))
+                FROM lineitem
+                UNION ALL
+                SELECT 'row_count_at_least_1000',
+                       CASE WHEN (SELECT n FROM t) >= 1000
+                            THEN 0 ELSE 1 END
+                UNION ALL
+                SELECT 'shipdate_after_1995',
+                       (SELECT n FROM t) - COUNT(*) FILTER (
+                           WHERE l_shipdate >= TIMESTAMP '1995-01-01')
+                FROM lineitem
+                UNION ALL
+                SELECT 'unique_orderkey_linenumber',
+                       COALESCE((SELECT CAST(SUM(c - 1) AS BIGINT)
+                                 FROM (SELECT COUNT(*) AS c
+                                       FROM lineitem
+                                       GROUP BY l_orderkey, l_linenumber)
+                                 WHERE c > 1), 0)
+            )
+            ORDER BY check_name
         """,
         # caption-grammar over the shared written F0 table: LEAD window
         # partitioned by PHYSICAL row (dup_doc_id is planted)

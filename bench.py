@@ -295,6 +295,8 @@ def bench_queries(sf_dir: str) -> dict:
         "orders_cube",
         # per-user time-weighted average (exact integer pair)
         "time_weighted_value",
+        # expectation-suite report card (one fused scan + uniqueness)
+        "expectation_suite_lineitem",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -385,3 +385,15 @@ def test_f0_span_grammar_matches_oracle(ray_session):
     assert out.equals(ora.cast(out.schema))
     classes = set(out["class"].to_pylist())
     assert {"uncaptioned_media", "trailing_media"} <= classes
+
+
+def test_expectation_suite_matches_oracle(ray_session):
+    out = entry.queries()["expectation_suite_lineitem"](SF_DIR)
+    _check("expectation_suite_lineitem", out)
+    got = {r["check_name"]: (r["n_violations"], r["passed"])
+           for r in out.to_pylist()}
+    # the composite key is genuinely non-unique here: a real failure
+    assert got["unique_orderkey_linenumber"][0] > 0
+    assert not got["unique_orderkey_linenumber"][1]
+    # and the clean expectations genuinely pass
+    assert got["returnflag_in_enum"] == (0, True)

@@ -7881,3 +7881,88 @@ def q_time_weighted_value(sf_dir: str) -> pa.Table:
         return empty
     return (pa.concat_tables(parts).combine_chunks()
             .sort_by([("user_id", "ascending")]))
+
+
+def q_expectation_suite_lineitem(sf_dir: str) -> pa.Table:
+    """Expectation-suite REPORT CARD over lineitem — the
+    Great-Expectations-style surface a validation engine owes its
+    users: a named battery of table expectations evaluated in ONE fused
+    scan (every countable check folds per block in the same pass —
+    the flagship's fused-scan design exposed as a standalone operator)
+    plus the one check that genuinely needs a shuffle (composite-key
+    uniqueness via the bounded raw-task exchange, keys packed
+    orderkey*8+linenumber — linenumber is 1..7 here; the pack is
+    range-asserted).  Output: (check_name, n_violations, passed), where
+    uniqueness counts EXTRA rows beyond each key's first.  The
+    (l_orderkey, l_linenumber) pair is genuinely non-unique in this
+    corpus, so the suite reports a real failure, not a formality."""
+    from ..engine.checks import uniqueness_violations
+
+    cut = pa.scalar(np.datetime64("1995-01-01", "us"),
+                    pa.timestamp("us"))
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_discount", "l_returnflag", "l_extendedprice",
+                "l_shipdate"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        def bad(ok_mask) -> int:
+            # violations = rows NOT passing (NULL fails an expectation)
+            return t.num_rows - int(
+                pc.sum(pc.cast(pc.fill_null(ok_mask, False),
+                               pa.int64())).as_py() or 0)
+
+        vals = {
+            "n": t.num_rows,
+            "null_qty": int(pc.sum(pc.cast(
+                pc.is_null(t["l_quantity"]), pa.int64())).as_py() or 0),
+            "disc": bad(pc.and_(
+                pc.greater_equal(t["l_discount"], 0.0),
+                pc.less_equal(t["l_discount"], 1.0))),
+            "enum": bad(pc.is_in(
+                t["l_returnflag"],
+                value_set=pa.array(["A", "N", "R"]))),
+            "pos": bad(pc.greater(t["l_extendedprice"], 0.0)),
+            "ship": bad(pc.greater_equal(t["l_shipdate"], cut)),
+        }
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in vals.items()})
+
+    parts = [p for p in gather_tables(
+        ds.map_batches(counts, batch_format="pyarrow")) if p.num_rows]
+    tot = {k: sum(int(p[k][0].as_py()) for p in parts)
+           for k in ("n", "null_qty", "disc", "enum", "pos", "ship")}
+
+    keyed = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        ln = pc.cast(t["l_linenumber"], pa.int64())
+        if int(pc.max(ln).as_py() or 0) > 7 or \
+                int(pc.min(ln).as_py() or 1) < 1:
+            raise ValueError("expectation_suite: linenumber outside "
+                             "1..7 — widen the key pack")
+        return pa.table({"k": pc.add(
+            pc.multiply_checked(pc.cast(t["l_orderkey"], pa.int64()),
+                                pa.scalar(8, pa.int64())), ln)})
+
+    dup = uniqueness_violations(
+        keyed.map_batches(pack, batch_format="pyarrow"), "k")
+    n_extra = 0
+    if dup.num_rows:
+        n_extra = int(pc.sum(pc.subtract(
+            dup["n_docs"].cast(pa.int64()),
+            pa.scalar(1, pa.int64()))).as_py() or 0)
+
+    rows = [
+        ("discount_between_0_and_1", tot["disc"]),
+        ("extendedprice_positive", tot["pos"]),
+        ("quantity_not_null", tot["null_qty"]),
+        ("returnflag_in_enum", tot["enum"]),
+        ("row_count_at_least_1000", 0 if tot["n"] >= 1000 else 1),
+        ("shipdate_after_1995", tot["ship"]),
+        ("unique_orderkey_linenumber", n_extra),
+    ]
+    return pa.table({
+        "check_name": pa.array([r[0] for r in rows], pa.string()),
+        "n_violations": pa.array([r[1] for r in rows], pa.int64()),
+        "passed": pa.array([r[1] == 0 for r in rows], pa.bool_())})
