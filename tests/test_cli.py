@@ -603,3 +603,36 @@ def test_cli_ingest_near_mode(tmp_path):
     pairs2 = pq.read_table(str(out / "t2" / "duplicates.parquet"))
     assert (101, 200) in set(zip(pairs2["doc_a"].to_pylist(),
                                  pairs2["doc_b"].to_pylist()))
+
+
+def test_rangediff_localizes(tmp_path):
+    """rangediff reports exactly the ranges where the snapshots differ:
+    one modified row, one appended row -> two diverging ranges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = pa.table({
+        "doc_id": pa.array(range(1000), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(1000)], pa.string())})
+    b0 = a.set_column(1, "text", pa.array(
+        [("CHANGED" if i == 700 else f"t{i}") for i in range(1000)],
+        pa.string()))
+    extra = pa.table({"doc_id": pa.array([5000], pa.int64()),
+                      "text": pa.array(["new"], pa.string())})
+    pq.write_table(a, str(tmp_path / "a.parquet"))
+    pq.write_table(pa.concat_tables([b0, extra]),
+                   str(tmp_path / "b.parquet"))
+    out = tmp_path / "rd.parquet"
+    r = run_cli("rangediff", "--a", str(tmp_path / "a.parquet"),
+                "--b", str(tmp_path / "b.parquet"), "--key", "doc_id",
+                "--content", "text", "--width", "256",
+                "--out", str(out), "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_diverging_ranges"] == 2
+    assert rep["ranges"] == [700 // 256, 5000 // 256]
+    t = pq.read_table(str(out))
+    row = {k: v[0] for k, v in
+           t.filter(pa.compute.equal(t["range_id"], 19))
+           .to_pydict().items()}
+    assert row["n_a"] is None and row["n_b"] == 1  # append-only range

@@ -596,6 +596,46 @@ def _cmd_diff(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_rangediff(args: argparse.Namespace) -> int:
+    """Merkle range-digest diff of two snapshots: emit only disagreeing
+    ranges (pipelines.ops.merkle_diff) — the O(ranges) pre-pass that
+    tells `diff` / a repair job which key ranges to re-scan."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from .pipelines.ops import merkle_diff
+
+        fa = sorted(glob.glob(args.a))
+        fb = sorted(glob.glob(args.b))
+        if not fa or not fb:
+            print("error: empty input glob", file=sys.stderr)
+            return 2
+        out = merkle_diff(ray.data.read_parquet(fa),
+                          ray.data.read_parquet(fb),
+                          key=args.key,
+                          content=args.content.split(","),
+                          range_width=args.width)
+        if args.out:
+            pq.write_table(out, args.out)
+        print(json.dumps({"n_diverging_ranges": out.num_rows,
+                          "range_width": args.width,
+                          "ranges": out["range_id"].to_pylist()[:64]}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_curate(args: argparse.Namespace) -> int:
     """Resumable end-to-end corpus curation (the north-rule pipeline
     shape): phase A runs the fused clean+decontaminate stage PER SHARD
@@ -931,6 +971,20 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--out", required=True, help="output parquet file")
     df.add_argument("--num-cpus", type=int, default=8)
 
+    rd = sub.add_parser("rangediff", help="Merkle range-digest diff: "
+                        "localize WHERE two snapshots diverge in "
+                        "O(ranges) output, zero shuffle")
+    rd.add_argument("--a", required=True, help="snapshot A parquet glob")
+    rd.add_argument("--b", required=True, help="snapshot B parquet glob")
+    rd.add_argument("--key", required=True, help="int64 range key column")
+    rd.add_argument("--content", required=True,
+                    help="comma-separated content columns to digest")
+    rd.add_argument("--width", type=int, default=256,
+                    help="rows per range: range_id = key // width")
+    rd.add_argument("--out", default=None,
+                    help="optional output parquet (default: print)")
+    rd.add_argument("--num-cpus", type=int, default=8)
+
     v = sub.add_parser("validate", help="run the full table-validation pipeline")
     v.add_argument("--schema", required=True)
     v.add_argument("--input", required=True, help="parquet glob")
@@ -964,6 +1018,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_retain(args)
     if args.cmd == "diff":
         return _cmd_diff(args)
+    if args.cmd == "rangediff":
+        return _cmd_rangediff(args)
     if args.cmd == "curate":
         return _cmd_curate(args)
     if args.cmd == "vocab":

@@ -7674,16 +7674,32 @@ def q_merkle_diff_documents(sf_dir: str, range_width: int = 256) -> pa.Table:
     2^64 ≡ 0 (mod 2^63), so natural uint64 wraparound followed by a
     63-bit mask IS the true sum mod 2^63 — no multiprecision needed.
     B-side evolution is the snapshot_diff twin (SQL-mirrored)."""
+    cols = ["doc_id", "text"]
+    return merkle_diff(_read(sf_dir, "documents", cols),
+                       _evolved_documents(_read(sf_dir, "documents",
+                                                cols)),
+                       key="doc_id", content=["text"],
+                       range_width=range_width)
+
+
+def merkle_range_digest(ds, key: str, content: list[str],
+                        range_width: int) -> dict[int, tuple[int, int, int]]:
+    """Per-range (count, sum mod 2^63, xor) of the table_checksum row
+    digest over ``key // range_width`` — O(ranges) driver state, zero
+    shuffle.  Row canonicalization: key|col1|col2... with NULL cells as
+    CHR(0) (the table_checksum dialect)."""
     from .conformance import _md5_lower64
 
     mask = np.uint64(_CKSUM_MOD - 1)
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+        ids = np.asarray(t[key].to_numpy(zero_copy_only=False),
                          np.int64)
-        row = pc.fill_null(pc.binary_join_element_wise(
-            pc.cast(t["doc_id"], pa.string()),
-            pc.fill_null(t["text"], "\x00"), "|"), "")
+        parts = [pc.cast(t[key], pa.string())] + [
+            pc.fill_null(pc.cast(t[c], pa.string()), "\x00")
+            for c in content]
+        row = pc.fill_null(
+            pc.binary_join_element_wise(*parts, "|"), "")
         h = _md5_lower64(row.combine_chunks() if isinstance(
             row, pa.ChunkedArray) else row) & mask
         rid = ids // range_width
@@ -7699,32 +7715,35 @@ def q_merkle_diff_documents(sf_dir: str, range_width: int = 256) -> pa.Table:
                          "s": pa.array((s & mask).astype(np.int64)),
                          "x": pa.array(x.astype(np.int64))})
 
-    def digest(ds) -> dict[int, tuple[int, int, int]]:
-        parts = [b for b in gather_tables(
-            ds.map_batches(partial, batch_format="pyarrow"))
-            if b.num_rows]
-        out: dict[int, list] = {}
-        for p in parts:
-            rid = np.asarray(p["range_id"].to_numpy(
-                zero_copy_only=False), np.int64)
-            n = np.asarray(p["n"].to_numpy(zero_copy_only=False),
-                           np.int64)
-            s = np.asarray(p["s"].to_numpy(zero_copy_only=False),
-                           np.int64).astype(np.uint64)
-            x = np.asarray(p["x"].to_numpy(zero_copy_only=False),
-                           np.int64).astype(np.uint64)
-            for i in range(len(rid)):  # O(ranges), never O(rows)
-                a = out.setdefault(int(rid[i]), [0, np.uint64(0),
-                                                 np.uint64(0)])
-                a[0] += int(n[i])
-                a[1] = np.uint64(a[1] + s[i])  # wraps mod 2^64
-                a[2] = np.uint64(a[2] ^ x[i])
-        return {k: (v[0], int(v[1] & mask), int(v[2]))
-                for k, v in out.items()}
+    parts = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    mask_i = np.uint64(_CKSUM_MOD - 1)
+    out: dict[int, list] = {}
+    for p in parts:
+        rid = np.asarray(p["range_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        n = np.asarray(p["n"].to_numpy(zero_copy_only=False), np.int64)
+        s = np.asarray(p["s"].to_numpy(zero_copy_only=False),
+                       np.int64).astype(np.uint64)
+        x = np.asarray(p["x"].to_numpy(zero_copy_only=False),
+                       np.int64).astype(np.uint64)
+        for i in range(len(rid)):  # O(ranges), never O(rows)
+            a = out.setdefault(int(rid[i]), [0, np.uint64(0),
+                                             np.uint64(0)])
+            a[0] += int(n[i])
+            a[1] = np.uint64(a[1] + s[i])  # wraps mod 2^64
+            a[2] = np.uint64(a[2] ^ x[i])
+    return {k: (v[0], int(v[1] & mask_i), int(v[2]))
+            for k, v in out.items()}
 
-    cols = ["doc_id", "text"]
-    da = digest(_read(sf_dir, "documents", cols))
-    db = digest(_evolved_documents(_read(sf_dir, "documents", cols)))
+
+def merkle_diff(ds_a, ds_b, *, key: str, content: list[str],
+                range_width: int = 256) -> pa.Table:
+    """Compare two datasets' range digests; emit only disagreeing
+    ranges (the ranges a targeted row-level diff / repair re-scan
+    would then touch)."""
+    da = merkle_range_digest(ds_a, key, content, range_width)
+    db = merkle_range_digest(ds_b, key, content, range_width)
 
     rows = []
     for rid in sorted(set(da) | set(db)):
