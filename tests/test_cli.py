@@ -636,3 +636,76 @@ def test_rangediff_localizes(tmp_path):
            t.filter(pa.compute.equal(t["range_id"], 19))
            .to_pydict().items()}
     assert row["n_a"] is None and row["n_b"] == 1  # append-only range
+
+
+def test_cli_validate_sigkill_resume(tmp_path):
+    """REAL crash resume: SIGKILL the validate pipeline mid-run (after
+    at least one wave committed its manifest line), rerun, and the
+    final report + per-partition digests equal a clean run's — with the
+    pre-crash partitions genuinely NOT redone (files untouched)."""
+    import glob as _glob
+    import os
+    import signal
+    import time
+
+    from yaschva_ray.pipelines.datagen import write_f0_dataset
+    from yaschva_ray.pipelines.flagship import FLAGSHIP_SCHEMA
+
+    write_f0_dataset(16_000, str(tmp_path / "f0"), seed=7,
+                     rows_per_file=2000)
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps(FLAGSHIP_SCHEMA))
+    args = ["validate", "--schema", str(schema),
+            "--input", str(tmp_path / "f0" / "part-*.parquet"),
+            "--num-cpus", "2", "--shards", "8", "--wave-size", "1",
+            "--catalog", str(tmp_path / "f0" / "media_catalog.parquet")]
+
+    # clean reference run
+    clean_out = tmp_path / "clean"
+    r = run_cli(*args, "--out", str(clean_out))
+    assert r.returncode == 1, r.stderr  # corrupted docs exist by design
+    clean = json.loads(r.stdout[r.stdout.index("{"):])
+
+    # crashed run: SIGKILL once >=1 wave has committed, before all 8
+    crash_out = tmp_path / "crash"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "yaschva_ray.cli", *args,
+         "--out", str(crash_out)],
+        cwd="/root/repo", stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE)
+    manifest = crash_out / "_manifest.jsonl"
+    deadline = time.time() + 180
+    killed = False
+    while time.time() < deadline and proc.poll() is None:
+        if manifest.exists():
+            n = sum(1 for ln in open(manifest) if ln.strip())
+            if n >= 1:
+                proc.send_signal(signal.SIGKILL)
+                killed = True
+                break
+        time.sleep(0.02)
+    proc.wait(timeout=60)
+    assert killed, "pipeline finished before the kill - grow the input"
+    n_before = sum(1 for ln in open(manifest) if ln.strip())
+    assert n_before < 8, "all waves finished before the kill landed"
+    done_parts = sorted(_glob.glob(str(crash_out / "part-*")))
+    committed = done_parts[:n_before]
+    mtimes = {p: {os.path.join(dp, f): os.path.getmtime(
+                      os.path.join(dp, f))
+                  for dp, _, fs in os.walk(p) for f in fs}
+              for p in committed}
+
+    # resume to completion
+    r2 = run_cli(*args, "--out", str(crash_out))
+    assert r2.returncode == 1, r2.stderr
+    resumed = json.loads(r2.stdout[r2.stdout.index("{"):])
+    clean.pop("uniqueness_tail_s", None)
+    resumed.pop("uniqueness_tail_s", None)
+    assert resumed == clean
+    # committed partitions were skipped, not rewritten
+    for p, files_m in mtimes.items():
+        for f, mt in files_m.items():
+            found = {os.path.join(dp, fn): os.path.getmtime(
+                os.path.join(dp, fn))
+                for dp, _, fs in os.walk(p) for fn in fs}
+            assert found[f] == mt, f"resume rewrote {f} in {p}"
