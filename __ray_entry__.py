@@ -675,6 +675,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # expectation-suite report card: a named check battery in ONE
         # fused scan + the uniqueness exchange; (name, violations, pass)
         "expectation_suite_lineitem": ops.q_expectation_suite_lineitem,
+        # weighted Bellman-Ford shortest paths (<=4 relaxation rounds,
+        # NO frontier cut - weighted distances improve after discovery)
+        "sssp_weighted": ops.q_sssp_weighted,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1026,6 +1029,38 @@ def _bfs_sql(seed_mod: int = 97, max_hops: int = 6) -> str:
                WHERE doc_id % {seed_mod} = 0),
         {steps}
         SELECT doc_id, hops FROM d{max_hops} ORDER BY doc_id
+    """
+
+
+def _sssp_sql(seed_mod: int = 97, rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford mirror: NO frontier filter (weighted
+    distances can improve after first discovery), one relaxation CTE per
+    round over the pagerank-derived weighted edge set."""
+    steps = ",\n".join(
+        f"""d{i} AS (
+            SELECT doc_id, CAST(MIN(d) AS BIGINT) AS dist FROM (
+                SELECT doc_id, dist AS d FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS doc_id, p.dist + e.w AS d
+                FROM d{i - 1} p JOIN edges e ON e.src = p.doc_id
+            ) GROUP BY doc_id)"""
+        for i in range(1, rounds + 1))
+    return f"""
+        WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+        edges AS (
+            SELECT src, dst,
+                   ((src * 131 + dst) * 2654435761 + 7) % 97 + 1 AS w
+            FROM (
+                SELECT doc_id AS src,
+                       ((doc_id * 3 + j) * 2654435761 + 13)
+                           % 4294967296 % (SELECT c FROM nn) AS dst
+                FROM documents
+                CROSS JOIN (VALUES (0), (1), (2)) AS t(j))
+        ),
+        d0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS dist FROM documents
+               WHERE doc_id % {seed_mod} = 0),
+        {steps}
+        SELECT doc_id, dist FROM d{rounds} ORDER BY doc_id
     """
 
 
@@ -1721,6 +1756,8 @@ def oracle_sql() -> dict[str, str]:
         # the same derived Knuth-mix link graph
         "pagerank_documents": _pagerank_sql(),
         "bfs_hops": _bfs_sql(),
+        # weighted Bellman-Ford (<=4-edge shortest distances)
+        "sssp_weighted": _sssp_sql(),
         # exact set-similarity join: all-pairs mirror over the augmented
         # corpus (8 planted near-copies with novel-token suffixes), the
         # jaccard_pairs shingle dialect, integer cross-multiply threshold

@@ -297,6 +297,8 @@ def bench_queries(sf_dir: str) -> dict:
         "time_weighted_value",
         # expectation-suite report card (one fused scan + uniqueness)
         "expectation_suite_lineitem",
+        # weighted Bellman-Ford shortest paths (4 chained exchanges)
+        "sssp_weighted",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

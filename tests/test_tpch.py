@@ -397,3 +397,20 @@ def test_expectation_suite_matches_oracle(ray_session):
     assert not got["unique_orderkey_linenumber"][1]
     # and the clean expectations genuinely pass
     assert got["returnflag_in_enum"] == (0, True)
+
+
+def test_sssp_weighted_matches_oracle(ray_session):
+    out = entry.queries()["sssp_weighted"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["sssp_weighted"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    # weighted != hop-count: some node's weighted dist must beat a
+    # 1-edge-per-hop lower bound only loosely — check a node improved
+    # after first discovery is POSSIBLE in this graph by asserting the
+    # set of reached nodes matches BFS reachability at the same rounds
+    from yaschva_ray.pipelines import ops as _ops
+    bfs = _ops.q_bfs_hops(SF_DIR, max_hops=4)
+    assert set(out["doc_id"].to_pylist()) == \
+        set(bfs["doc_id"].to_pylist())

@@ -7985,3 +7985,88 @@ def q_expectation_suite_lineitem(sf_dir: str) -> pa.Table:
         "check_name": pa.array([r[0] for r in rows], pa.string()),
         "n_violations": pa.array([r[1] for r in rows], pa.int64()),
         "passed": pa.array([r[1] == 0 for r in rows], pa.bool_())})
+
+
+_SSSP_WMULT = 2654435761
+_SSSP_WSALT = 7
+_SSSP_WMOD = 97
+
+
+def q_sssp_weighted(sf_dir: str, seed_mod: int = 97,
+                    rounds: int = 4) -> pa.Table:
+    """Multi-source WEIGHTED shortest paths (Bellman-Ford, ``rounds``
+    synchronous relaxation rounds ⇒ exact shortest distance using ≤
+    ``rounds`` edges) over the pagerank-derived 3-out graph with
+    deterministic integer edge weights w(src, dst) =
+    ((src·131 + dst)·2654435761 + 7) % 97 + 1 — the weighted completion
+    of the graph family next to BFS hops (min-hop), PageRank, triangles
+    and components.
+
+    Unlike BFS, a weighted distance CAN improve after first discovery,
+    so there is NO frontier filter: every current row re-relaxes each
+    round (the Bellman-Ford invariant; BFS's frontier cut is the
+    unweighted special case).  Each round: in-block pre-min combiner →
+    ONE keyed exchange group-min, rounds chained on reduce refs
+    (gather=False) so nothing materializes between rounds.  Envelope:
+    (src·131+dst)·WMULT stays < 2^64 up to ~10^11 docs, so numpy uint64
+    equals the mirror's HUGEINT arithmetic; past that, reduce src
+    mod-WMOD first on BOTH sides."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..engine.exchange import keyed_exchange
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nn = np.uint64(n)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+
+    def init(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        seeds = ids[ids % seed_mod == 0]
+        return pa.table({"doc_id": pa.array(seeds),
+                         "dist": pa.array(
+                             np.zeros(len(seeds), np.int64))})
+
+    state = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        init, batch_format="pyarrow")
+
+    def min_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("dist", "min")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "dist": g["dist_min"]}).cast(empty.schema)
+
+    def relax(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64).astype(np.uint64)
+        dist = np.asarray(t["dist"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        outs = [pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                          "dist": pa.array(dist)})]
+        for j in range(_PR_OUT):
+            dst = ((ids * np.uint64(_PR_OUT) + np.uint64(j))
+                   * np.uint64(_PR_MULT) + np.uint64(_PR_SALT)) \
+                % np.uint64(1 << 32) % nn
+            w = ((ids * np.uint64(131) + dst)
+                 * np.uint64(_SSSP_WMULT) + np.uint64(_SSSP_WSALT)) \
+                % np.uint64(_SSSP_WMOD) + np.uint64(1)
+            outs.append(pa.table({
+                "doc_id": pa.array(dst.astype(np.int64)),
+                "dist": pa.array(dist + w.astype(np.int64))}))
+        return min_merge(pa.concat_tables(outs))
+
+    parts: list = []
+    for it in range(1, rounds + 1):
+        ex = keyed_exchange(
+            state.map_batches(relax, batch_format="pyarrow"),
+            "doc_id", min_merge, empty_result=empty,
+            gather=it == rounds)
+        if it == rounds:
+            parts = [p for p in ex if p.num_rows]
+        else:
+            state = ray.data.from_arrow_refs(ex)
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("doc_id", "ascending")])
