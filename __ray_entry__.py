@@ -678,6 +678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted Bellman-Ford shortest paths (<=4 relaxation rounds,
         # NO frontier cut - weighted distances improve after discovery)
         "sssp_weighted": ops.q_sssp_weighted,
+        # schema-driven REPAIR (fix-instead-of-drop): clamp/default per
+        # the check schema; report counts + repaired-content digest
+        "repair_lineitem": ops.q_repair_lineitem,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1758,6 +1761,56 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": _bfs_sql(),
         # weighted Bellman-Ford (<=4-edge shortest distances)
         "sssp_weighted": _sssp_sql(),
+        # repair report: CASE-repaired rows, counts + content digest
+        "repair_lineitem": """
+            WITH r AS (
+                SELECT l_orderkey, l_linenumber,
+                       LEAST(GREATEST(l_quantity, 1.0), 25.0) AS q_rep,
+                       LEAST(GREATEST(l_discount, 0.0), 0.05) AS d_rep,
+                       CASE WHEN l_returnflag IN ('A', 'N')
+                                 OR l_returnflag IS NULL
+                            THEN l_returnflag ELSE 'N' END AS f_rep,
+                       (l_quantity IS NOT NULL AND
+                        (l_quantity < 1.0 OR l_quantity > 25.0)) AS cq,
+                       (l_discount IS NOT NULL AND
+                        (l_discount < 0.0 OR l_discount > 0.05)) AS cd,
+                       (l_returnflag IS NOT NULL AND
+                        l_returnflag NOT IN ('A', 'N')) AS cf
+                FROM lineitem),
+            d AS (
+                SELECT COALESCE(
+                    CAST(l_orderkey AS VARCHAR) || '|'
+                    || CAST(l_linenumber AS VARCHAR) || '|'
+                    || COALESCE(CAST(CAST(round(q_rep*100) AS BIGINT)
+                                     AS VARCHAR), CHR(0)) || '|'
+                    || COALESCE(CAST(CAST(round(d_rep*100) AS BIGINT)
+                                     AS VARCHAR), CHR(0)) || '|'
+                    || COALESCE(f_rep, CHR(0)), '') AS row_s
+                FROM r)
+            SELECT metric, value FROM (
+                SELECT 'n_clamped_discount' AS metric,
+                       CAST(COUNT(*) FILTER (WHERE cd) AS BIGINT)
+                           AS value FROM r
+                UNION ALL
+                SELECT 'n_clamped_quantity',
+                       CAST(COUNT(*) FILTER (WHERE cq) AS BIGINT) FROM r
+                UNION ALL
+                SELECT 'n_defaulted_returnflag',
+                       CAST(COUNT(*) FILTER (WHERE cf) AS BIGINT) FROM r
+                UNION ALL
+                SELECT 'n_rows', CAST(COUNT(*) AS BIGINT) FROM r
+                UNION ALL
+                SELECT 'repaired_sum_lo63',
+                       CAST(SUM(CAST(md5_number_lower(row_s) AS HUGEINT)
+                                % 9223372036854775808)
+                            % 9223372036854775808 AS BIGINT) FROM d
+                UNION ALL
+                SELECT 'repaired_xor_lo63',
+                       bit_xor(CAST(md5_number_lower(row_s)
+                                    % 9223372036854775808 AS BIGINT))
+                FROM d
+            ) ORDER BY metric
+        """,
         # exact set-similarity join: all-pairs mirror over the augmented
         # corpus (8 planted near-copies with novel-token suffixes), the
         # jaccard_pairs shingle dialect, integer cross-multiply threshold

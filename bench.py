@@ -299,6 +299,8 @@ def bench_queries(sf_dir: str) -> dict:
         "expectation_suite_lineitem",
         # weighted Bellman-Ford shortest paths (4 chained exchanges)
         "sssp_weighted",
+        # schema-driven repair report (one fused scan, content digest)
+        "repair_lineitem",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -414,3 +414,41 @@ def test_sssp_weighted_matches_oracle(ray_session):
     bfs = _ops.q_bfs_hops(SF_DIR, max_hops=4)
     assert set(out["doc_id"].to_pylist()) == \
         set(bfs["doc_id"].to_pylist())
+
+
+def test_repair_lineitem_matches_oracle(ray_session):
+    """Repair report (counts + repaired-content digest) equals the
+    CASE-repair mirror; all three rules bite organically."""
+    out = entry.queries()["repair_lineitem"](SF_DIR)
+    _check("repair_lineitem", out)
+    got = dict(zip(out["metric"].to_pylist(),
+                   out["value"].to_pylist()))
+    assert got["n_clamped_quantity"] > 0
+    assert got["n_clamped_discount"] > 0
+    assert got["n_defaulted_returnflag"] > 0
+
+
+def test_repair_preserves_nulls(ray_session, tmp_path):
+    """Repair never invents data: NULL quantity/discount/flag pass
+    through unrepaired and uncounted."""
+    from yaschva_ray.pipelines import ops as _ops
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_linenumber": pa.array([1, 1], pa.int32()),
+        "l_quantity": pa.array([None, 99.0], pa.float64()),
+        "l_discount": pa.array([None, 0.5], pa.float64()),
+        "l_returnflag": pa.array([None, "X"], pa.string())}),
+        str(d / "lineitem.parquet"))
+    out = _ops.q_repair_lineitem(str(d))
+    got = dict(zip(out["metric"].to_pylist(), out["value"].to_pylist()))
+    assert got["n_clamped_quantity"] == 1
+    assert got["n_clamped_discount"] == 1
+    assert got["n_defaulted_returnflag"] == 1
+    # the shipped oracle agrees on the same planted table
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{d}/lineitem.parquet')")
+    ora = con.execute(entry.oracle_sql()["repair_lineitem"]).arrow()
+    assert out.equals(ora.cast(out.schema))

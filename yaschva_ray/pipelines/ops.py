@@ -8070,3 +8070,77 @@ def q_sssp_weighted(sf_dir: str, seed_mod: int = 97,
         return empty
     return pa.concat_tables(parts).combine_chunks().sort_by(
         [("doc_id", "ascending")])
+
+
+def q_repair_lineitem(sf_dir: str) -> pa.Table:
+    """Schema-driven data REPAIR — the fix-instead-of-drop sibling of
+    validate_quarantine, applying LINEITEM_CHECK_SCHEMA's own rules as
+    repairs: quantity clamps into [1, 25], discount into [0, 0.05],
+    out-of-enum returnflag defaults to 'N' (NULLs pass through
+    unrepaired — repair never invents data).  ONE fused scan emits
+    per-block (repair counts + content digest partials) — the report
+    proves the repaired CONTENT, not just the counts: (sum, xor) of the
+    md5-lower-64 over the canonical repaired row
+    key|line|qty_cents|disc_cents|flag, merged with the merkle/checksum
+    wraparound-exact modular sum.  Zero shuffle, O(1) output."""
+    from .conformance import _md5_lower64
+
+    mask = np.uint64(_CKSUM_MOD - 1)
+    ds = _read(sf_dir, "lineitem", LINEITEM_COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty, disc, flag = t["l_quantity"], t["l_discount"], \
+            t["l_returnflag"]
+        q_rep = pc.min_element_wise(pc.max_element_wise(qty, 1.0), 25.0)
+        d_rep = pc.min_element_wise(pc.max_element_wise(disc, 0.0),
+                                    0.05)
+        # Arrow's is_in maps NULL -> False (not NULL): gate on validity
+        # explicitly so NULL flags pass through unrepaired
+        f_bad = pc.and_(pc.is_valid(flag),
+                        pc.invert(pc.fill_null(pc.is_in(
+                            flag, value_set=pa.array(["A", "N"])),
+                            False)))
+        f_rep = pc.if_else(f_bad, pa.scalar("N", pa.string()), flag)
+        n_q = int(pc.sum(pc.cast(pc.fill_null(pc.not_equal(
+            qty, q_rep), False), pa.int64())).as_py() or 0)
+        n_d = int(pc.sum(pc.cast(pc.fill_null(pc.not_equal(
+            disc, d_rep), False), pa.int64())).as_py() or 0)
+        n_f = int(pc.sum(pc.cast(f_bad, pa.int64())).as_py() or 0)
+        row = pc.fill_null(pc.binary_join_element_wise(
+            pc.cast(t["l_orderkey"], pa.string()),
+            pc.cast(t["l_linenumber"], pa.string()),
+            pc.fill_null(pc.cast(pc.cast(pc.round(pc.multiply(
+                q_rep, 100.0)), pa.int64()), pa.string()), "\x00"),
+            pc.fill_null(pc.cast(pc.cast(pc.round(pc.multiply(
+                d_rep, 100.0)), pa.int64()), pa.string()), "\x00"),
+            pc.fill_null(f_rep, "\x00"), "|"), "")
+        h = _md5_lower64(row.combine_chunks() if isinstance(
+            row, pa.ChunkedArray) else row) & mask
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "n_clamped_quantity": pa.array([n_q], pa.int64()),
+            "n_clamped_discount": pa.array([n_d], pa.int64()),
+            "n_defaulted_returnflag": pa.array([n_f], pa.int64()),
+            "s": pa.array([int(np.uint64(h.sum()) & mask)], pa.int64()),
+            "x": pa.array([int(np.bitwise_xor.reduce(h))
+                           if len(h) else 0], pa.int64())})
+
+    parts = [p for p in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if p.num_rows]
+    tot = {k: sum(int(p[k][0].as_py()) for p in parts)
+           for k in ("n_rows", "n_clamped_quantity",
+                     "n_clamped_discount", "n_defaulted_returnflag")}
+    s = np.uint64(0)
+    x = np.uint64(0)
+    for p in parts:
+        s = np.uint64(s + np.uint64(int(p["s"][0].as_py())))
+        x = np.uint64(x ^ np.uint64(int(p["x"][0].as_py())))
+    rows = [("n_clamped_discount", tot["n_clamped_discount"]),
+            ("n_clamped_quantity", tot["n_clamped_quantity"]),
+            ("n_defaulted_returnflag", tot["n_defaulted_returnflag"]),
+            ("n_rows", tot["n_rows"]),
+            ("repaired_sum_lo63", int(s & mask)),
+            ("repaired_xor_lo63", int(x))]
+    return pa.table({
+        "metric": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.int64())})
