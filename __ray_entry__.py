@@ -681,6 +681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # schema-driven REPAIR (fix-instead-of-drop): clamp/default per
         # the check schema; report counts + repaired-content digest
         "repair_lineitem": ops.q_repair_lineitem,
+        # right-to-be-forgotten keyed delete: targeted range rewrite via
+        # the upsert delete path; report re-scans the rewritten export
+        "forget_user_events": ops.q_forget_user_events,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1761,6 +1764,29 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": _bfs_sql(),
         # weighted Bellman-Ford (<=4-edge shortest distances)
         "sssp_weighted": _sssp_sql(),
+        # forget-user: engine counts come from RE-SCANNING the rewritten
+        # export; the mirror derives them arithmetically - a rewrite bug
+        # (row lost / row kept) breaks the hash
+        "forget_user_events": """
+            WITH u AS (SELECT MIN(user_id) AS m FROM events
+                       WHERE user_id IS NOT NULL),
+            c AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+            f AS (SELECT CAST(COUNT(*) AS BIGINT) AS nf
+                  FROM events, u WHERE user_id = u.m)
+            SELECT metric, value FROM (
+                SELECT 'n_after_total' AS metric,
+                       (SELECT total FROM c) - (SELECT nf FROM f)
+                           AS value
+                UNION ALL
+                SELECT 'n_before_total', (SELECT total FROM c)
+                UNION ALL
+                SELECT 'n_forgotten', (SELECT nf FROM f)
+                UNION ALL
+                SELECT 'n_user_after', 0
+                UNION ALL
+                SELECT 'target_user', (SELECT m FROM u)
+            ) ORDER BY metric
+        """,
         # repair report: CASE-repaired rows, counts + content digest
         "repair_lineitem": """
             WITH r AS (

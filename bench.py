@@ -301,6 +301,8 @@ def bench_queries(sf_dir: str) -> dict:
         "sssp_weighted",
         # schema-driven repair report (one fused scan, content digest)
         "repair_lineitem",
+        # right-to-be-forgotten keyed delete (targeted range rewrite)
+        "forget_user_events",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

@@ -452,3 +452,17 @@ def test_repair_preserves_nulls(ray_session, tmp_path):
                 f"read_parquet('{d}/lineitem.parquet')")
     ora = con.execute(entry.oracle_sql()["repair_lineitem"]).arrow()
     assert out.equals(ora.cast(out.schema))
+
+
+def test_forget_user_matches_oracle(ray_session):
+    """Keyed right-to-be-forgotten delete: report equals the arithmetic
+    mirror, with the after-counts measured from the rewritten export."""
+    out = entry.queries()["forget_user_events"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/events.parquet')")
+    ora = con.execute(
+        entry.oracle_sql()["forget_user_events"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    got = dict(zip(out["metric"].to_pylist(), out["value"].to_pylist()))
+    assert got["n_forgotten"] > 0 and got["n_user_after"] == 0

@@ -8144,3 +8144,87 @@ def q_repair_lineitem(sf_dir: str) -> pa.Table:
     return pa.table({
         "metric": pa.array([r[0] for r in rows], pa.string()),
         "value": pa.array([r[1] for r in rows], pa.int64())})
+
+
+def q_forget_user_events(sf_dir: str, n_ranges: int = 6,
+                         sample_mod: int = 17) -> pa.Table:
+    """Right-to-be-forgotten KEYED delete — the compliance primitive
+    next to retention_delete's range TTL: erase every event of one user
+    (here the smallest user_id, so the target exists at every scale)
+    from a sorted export by feeding their event keys as a delete
+    changeset through ``upsert_sorted`` — only the ranges containing
+    the user's keys rewrite; untouched parts stay byte-identical.
+
+    The report carries the PROOF, not just the plan: ``n_after_total``
+    and ``n_user_after`` are counted by RE-SCANNING the rewritten
+    export's files, while the mirror derives them arithmetically — a
+    rewrite bug (row lost, row kept) breaks the hash match."""
+    import hashlib
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    events = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    # target: smallest non-null user_id (per-block min partials)
+    def min_user(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_valid(t["user_id"]))
+        if not f.num_rows:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array(
+            [int(pc.min(f["user_id"]).as_py())], pa.int64())})
+
+    mins = [p for p in gather_tables(events.map_batches(
+        min_user, batch_format="pyarrow")) if p.num_rows]
+    out_schema = pa.table({"metric": pa.array([], pa.string()),
+                           "value": pa.array([], pa.int64())})
+    if not mins:
+        return out_schema
+    target = min(int(pc.min(p["m"]).as_py()) for p in mins)
+
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", "yaschva_forget", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)  # mutating op: fresh run
+    cutpoints = _cutpoints_footer_or_sample(
+        sf_dir, "events", "event_id", events, n_ranges, sample_mod)
+    sorted_export(events, "event_id", out_dir, cutpoints)
+
+    keys = _sorted_table(events.map_batches(
+        lambda t: t.filter(pc.equal(t["user_id"], target))
+        .select(["event_id"]), batch_format="pyarrow"), ["event_id"])
+    n_forgotten = keys.num_rows
+    if n_forgotten:
+        upsert_sorted(out_dir, pa.table({
+            "event_id": keys["event_id"],
+            "user_id": pa.nulls(n_forgotten, pa.int64()),
+            "op": pa.array(["delete"] * n_forgotten, pa.string())}))
+
+    # absence PROOF: re-scan the rewritten export itself
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    files = [r["path"] for r in m["ranges"]
+             if os.path.exists(r["path"])]
+    import ray.data
+
+    after = ray.data.read_parquet(files, columns=["user_id"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        n_user = int(pc.sum(pc.cast(pc.fill_null(pc.equal(
+            t["user_id"], target), False), pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "nu": pa.array([n_user], pa.int64())})
+
+    cparts = [p for p in gather_tables(after.map_batches(
+        counts, batch_format="pyarrow")) if p.num_rows]
+    n_after = sum(int(p["n"][0].as_py()) for p in cparts)
+    n_user_after = sum(int(p["nu"][0].as_py()) for p in cparts)
+
+    rows = [("n_after_total", n_after),
+            ("n_before_total", n_after + n_forgotten),
+            ("n_forgotten", n_forgotten),
+            ("n_user_after", n_user_after),
+            ("target_user", target)]
+    return pa.table({
+        "metric": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.int64())})
