@@ -1791,8 +1791,12 @@ def oracle_sql() -> dict[str, str]:
         "repair_lineitem": """
             WITH r AS (
                 SELECT l_orderkey, l_linenumber,
-                       LEAST(GREATEST(l_quantity, 1.0), 25.0) AS q_rep,
-                       LEAST(GREATEST(l_discount, 0.0), 0.05) AS d_rep,
+                       CASE WHEN l_quantity IS NULL THEN NULL
+                            ELSE LEAST(GREATEST(l_quantity, 1.0), 25.0)
+                       END AS q_rep,
+                       CASE WHEN l_discount IS NULL THEN NULL
+                            ELSE LEAST(GREATEST(l_discount, 0.0), 0.05)
+                       END AS d_rep,
                        CASE WHEN l_returnflag IN ('A', 'N')
                                  OR l_returnflag IS NULL
                             THEN l_returnflag ELSE 'N' END AS f_rep,
@@ -2011,7 +2015,9 @@ def oracle_sql() -> dict[str, str]:
                            AS rev
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1996-09-01'
-                  AND l_shipdate < TIMESTAMP '1996-10-01') l
+                  AND l_shipdate < TIMESTAMP '1996-10-01'
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL) l
             JOIN part p ON l.l_partkey = p.p_partkey
         """,
         # Q15-shaped: argmax with ties over the supplier revenue agg

@@ -57,7 +57,8 @@ def test_customer_distribution_zero_preserved(ray_session, tmp_path):
         "c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
         str(d / "customer.parquet"))
     pq.write_table(pa.table({
-        "o_custkey": pa.array([1, 1, 3, None], pa.int64())}),
+        "o_custkey": pa.array([1, 1, 3, None], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12, 13], pa.int64())}),
         str(d / "orders.parquet"))
     out = tpch.q_customer_distribution(str(d))
     got = dict(zip(out["c_count"].to_pylist(),
@@ -466,3 +467,79 @@ def test_forget_user_matches_oracle(ray_session):
     assert out.equals(ora.cast(out.schema))
     got = dict(zip(out["metric"].to_pylist(), out["value"].to_pylist()))
     assert got["n_forgotten"] > 0 and got["n_user_after"] == 0
+
+
+def test_promo_revenue_null_safety(ray_session, tmp_path):
+    """NULL price/discount rows are skipped like the mirror's SUM; NULL
+    p_type is not PROMO — pinned against the shipped oracle on a
+    null-heavy planted table (the NaN->int64 poison regression)."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    t0 = np.datetime64("1996-09-15", "us")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_extendedprice": pa.array([10.0, None, 20.0, 30.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, None, 0.1], pa.float64()),
+        "l_shipdate": pa.array([t0] * 4, pa.timestamp("us"))}),
+        str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO", None], pa.string())}),
+        str(d / "part.parquet"))
+    out = tpch.q_promo_revenue(str(d))
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    ora = con.execute(entry.oracle_sql()["promo_revenue"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    # row 1 only for promo (1000c*100); row 4 only for the null-type part
+    assert out.to_pydict() == {"promo_cp": [100000],
+                               "total_cp": [100000 + 3000 * 90]}
+
+
+def test_customer_distribution_null_orderkey(ray_session, tmp_path):
+    """A valid-custkey order with NULL o_orderkey does NOT count
+    (COUNT(o.o_orderkey) semantics): its customer bins at zero."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64())}),
+        str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderkey": pa.array([100, None], pa.int64())}),
+        str(d / "orders.parquet"))
+    out = tpch.q_customer_distribution(str(d))
+    got = dict(zip(out["c_count"].to_pylist(),
+                   out["custdist"].to_pylist()))
+    assert got == {0: 1, 1: 1}
+
+
+def test_time_weighted_null_event_id_tiebreak(ray_session, tmp_path):
+    """NULL event_id sorts LAST among equal timestamps (mirror's ORDER
+    BY NULLS LAST), so the null row's value is the one held after the
+    tie — pinned against the shipped oracle."""
+    from yaschva_ray.pipelines import ops as _ops
+    d = tmp_path / "sf"
+    d.mkdir()
+    us = 1_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array([None, 5, 7], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([0, 0, 10 * us], pa.timestamp("us")),
+        "value": pa.array([9.0, 2.0, 1.0], pa.float64())}),
+        str(d / "events.parquet"))
+    out = _ops.q_time_weighted_value(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    ora = con.execute(
+        entry.oracle_sql()["time_weighted_value"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    # held value over [0, 10s) is the NULL-id row's 9.00 (sorts last at
+    # ts=0); the id=5 row's interval is zero-length
+    assert out.to_pydict() == {"user_id": [1],
+                               "num_cvus": [900 * 10 * us],
+                               "den_us": [10 * us]}

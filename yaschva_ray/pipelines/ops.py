@@ -925,23 +925,7 @@ def q_snapshot_diff_documents(sf_dir: str) -> pa.Table:
     predicates SQL-expressible, so the row-level diff is hash-exact."""
     docs = _read(sf_dir, "documents",
                  ["doc_id", "text", "lang", "source", "n_chars"])
-
-    def evolve(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
-        t = t.filter(pa.array(ids % 101 != 0))
-        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
-        txt = pc.if_else(pa.array(ids % 103 == 0),
-                         pa.scalar("MODIFIED", pa.string()), t["text"])
-        t = t.set_column(t.schema.get_field_index("text"),
-                         pa.field("text", pa.string()), txt)
-        extra = t.filter(pc.less(t["doc_id"], 10))
-        extra = extra.set_column(
-            0, pa.field("doc_id", pa.int64()),
-            pc.add(extra["doc_id"], pa.scalar(50_000_000, pa.int64())))
-        return pa.concat_tables([t, extra])
-
-    out = table_diff(docs, docs.map_batches(evolve, batch_format="pyarrow"),
-                     "doc_id")
+    out = table_diff(docs, _evolved_documents(docs), "doc_id")
     return pa.table({"doc_id": out["key"], "change": out["change"]})
 
 
@@ -7857,7 +7841,11 @@ def q_time_weighted_value(sf_dir: str) -> pa.Table:
         f = t.filter(m)
         return pa.table({
             "user_id": f["user_id"].cast(pa.int64()),
-            "event_id": f["event_id"].cast(pa.int64()),
+            # NULL event_id sorts LAST among equal timestamps (the
+            # mirror's ORDER BY tu, event_id) - a NaN->INT_MIN cast
+            # would sort it FIRST (reviewed)
+            "event_id": pc.fill_null(f["event_id"].cast(pa.int64()),
+                                     (1 << 63) - 1),
             "tu": pc.cast(f["ts"], pa.int64()),
             "vc": pc.cast(pc.round(pc.multiply(f["value"], 100.0)),
                           pa.int64())})
@@ -8007,10 +7995,10 @@ def q_sssp_weighted(sf_dir: str, seed_mod: int = 97,
     round (the Bellman-Ford invariant; BFS's frontier cut is the
     unweighted special case).  Each round: in-block pre-min combiner →
     ONE keyed exchange group-min, rounds chained on reduce refs
-    (gather=False) so nothing materializes between rounds.  Envelope:
-    (src·131+dst)·WMULT stays < 2^64 up to ~10^11 docs, so numpy uint64
-    equals the mirror's HUGEINT arithmetic; past that, reduce src
-    mod-WMOD first on BOTH sides."""
+    (gather=False) so nothing materializes between rounds.  Weight
+    arithmetic reduces mod WMOD BEFORE the multiplier ((a·M+S)%W ≡
+    ((a%W)·(M%W)+S)%W), so uint64 equals the mirror's HUGEINT math up
+    to ~1.4·10^17 docs (the naive product wraps at ~5·10^7)."""
     import pyarrow.parquet as pq
     import ray.data
 
@@ -8048,8 +8036,14 @@ def q_sssp_weighted(sf_dir: str, seed_mod: int = 97,
             dst = ((ids * np.uint64(_PR_OUT) + np.uint64(j))
                    * np.uint64(_PR_MULT) + np.uint64(_PR_SALT)) \
                 % np.uint64(1 << 32) % nn
-            w = ((ids * np.uint64(131) + dst)
-                 * np.uint64(_SSSP_WMULT) + np.uint64(_SSSP_WSALT)) \
+            # reduce mod WMOD BEFORE the big multiply: (a*M+S)%W ==
+            # ((a%W)*(M%W)+S)%W, and a = ids*131+dst stays exact in
+            # uint64 up to ~1.4e17 docs - the naive product would wrap
+            # (and silently diverge from the HUGEINT mirror) past
+            # ~5e7 docs (reviewed)
+            w = ((ids * np.uint64(131) + dst) % np.uint64(_SSSP_WMOD)
+                 * (np.uint64(_SSSP_WMULT) % np.uint64(_SSSP_WMOD))
+                 + np.uint64(_SSSP_WSALT)) \
                 % np.uint64(_SSSP_WMOD) + np.uint64(1)
             outs.append(pa.table({
                 "doc_id": pa.array(dst.astype(np.int64)),
@@ -8091,9 +8085,17 @@ def q_repair_lineitem(sf_dir: str) -> pa.Table:
     def partial(t: pa.Table) -> pa.Table:
         qty, disc, flag = t["l_quantity"], t["l_discount"], \
             t["l_returnflag"]
-        q_rep = pc.min_element_wise(pc.max_element_wise(qty, 1.0), 25.0)
-        d_rep = pc.min_element_wise(pc.max_element_wise(disc, 0.0),
-                                    0.05)
+        # min/max_element_wise SKIP nulls (null -> the bound): gate on
+        # validity so a NULL digests as the NULL sentinel, never as an
+        # invented 1.0/0.0 (reviewed)
+        q_rep = pc.if_else(
+            pc.is_valid(qty),
+            pc.min_element_wise(pc.max_element_wise(qty, 1.0), 25.0),
+            qty)
+        d_rep = pc.if_else(
+            pc.is_valid(disc),
+            pc.min_element_wise(pc.max_element_wise(disc, 0.0), 0.05),
+            disc)
         # Arrow's is_in maps NULL -> False (not NULL): gate on validity
         # explicitly so NULL flags pass through unrepaired
         f_bad = pc.and_(pc.is_valid(flag),

@@ -17,8 +17,13 @@ Patterns covered here:
 
 Scale notes: every big-big pairing goes through the bounded hash
 exchange (``engine.joins.hash_join`` / ``engine.exchange.keyed_exchange``);
-small sides broadcast as value sets; every scan prunes columns; all
-driver-side state is bounded (histograms, winners, heavy groups).
+small sides broadcast as value sets; every scan prunes columns; driver
+state is bounded (histograms, winners, heavy groups) with ONE named
+exception: the chained joins (Q7 here, Q5 in ops.py) materialize join
+1's projected output (orderkey + one dim attr for a 2-of-25-nations
+slice) on the driver before feeding join 2 - bounded by selectivity,
+not by a constant; at 100 TB route it through hash_join's ``out_dir``
+per-bucket parquet sinks instead (same contract as asof_join).
 """
 
 from __future__ import annotations
@@ -112,13 +117,15 @@ def q_customer_distribution(sf_dir: str) -> pa.Table:
                          "n": pa.array(np.zeros(t.num_rows, np.int64)),
                          "side": pa.array(np.zeros(t.num_rows, np.int8))})
 
-    orders = _read(sf_dir, "orders", ["o_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
 
     def o_side(t: pa.Table) -> pa.Table:
         f = t.filter(pc.is_valid(t["o_custkey"]))
-        g = f.group_by("o_custkey").aggregate([([], "count_all")])
+        # COUNT(o.o_orderkey) counts NON-NULL orderkeys (Arrow "count"
+        # ditto) - a null-orderkey row must bin its customer at 0
+        g = f.group_by("o_custkey").aggregate([("o_orderkey", "count")])
         return pa.table({"k": g["o_custkey"].cast(pa.int64()),
-                         "n": g["count_all"].cast(pa.int64()),
+                         "n": g["o_orderkey_count"].cast(pa.int64()),
                          "side": pa.array(
                              np.ones(g.num_rows, np.int8))})
 
@@ -174,8 +181,13 @@ def q_promo_revenue(sf_dir: str) -> pa.Table:
                 "l_shipdate"])
 
     def l_proj(t: pa.Table) -> pa.Table:
-        f = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
-                             pc.less(t["l_shipdate"], hi)))
+        # NULL price/discount makes rev NULL; the mirror's SUM skips it
+        # (a NaN->int64 cast would silently poison the sums: reviewed)
+        f = t.filter(pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.is_valid(t["l_extendedprice"]),
+                    pc.is_valid(t["l_discount"]))))
         rev = pc.multiply_checked(
             _cents(f["l_extendedprice"]),
             pc.subtract(pa.scalar(100, pa.int64()),
@@ -187,9 +199,11 @@ def q_promo_revenue(sf_dir: str) -> pa.Table:
     def pair_partial(t: pa.Table) -> pa.Table:
         rev = np.asarray(t["rev"].to_numpy(zero_copy_only=False),
                          np.int64)
-        promo = np.asarray(
-            pc.equal(t["p_type"], "PROMO").to_numpy(
-                zero_copy_only=False))
+        # NULL p_type -> not PROMO (CASE WHEN NULL -> ELSE), never a
+        # None in the mask
+        promo = np.asarray(pc.fill_null(
+            pc.equal(t["p_type"], "PROMO"), False).to_numpy(
+            zero_copy_only=False))
         return pa.table({
             "promo_cp": pa.array([int(rev[promo].sum())], pa.int64()),
             "total_cp": pa.array([int(rev.sum())], pa.int64()),
@@ -309,6 +323,7 @@ def q_small_qty_revenue(sf_dir: str) -> pa.Table:
         z = np.zeros(f.num_rows, np.int64)
         return pa.table({"k": f["p_partkey"].cast(pa.int64()),
                          "qc": pa.array(z), "ec": pa.array(z),
+                         "ecv": pa.array(np.ones(f.num_rows, bool)),
                          "side": pa.array(z.astype(np.int8))})
 
     li = _read(sf_dir, "lineitem",
@@ -316,9 +331,13 @@ def q_small_qty_revenue(sf_dir: str) -> pa.Table:
 
     def l_side(t: pa.Table) -> pa.Table:
         f = t.filter(pc.is_valid(t["l_quantity"]))
+        # ec stays NULLABLE: a null price keeps its row in the per-part
+        # (sum, count) average but contributes nothing to SUM(ec) - the
+        # mirror's exact semantics (no NaN->int64 poison: reviewed)
         return pa.table({"k": f["l_partkey"].cast(pa.int64()),
                          "qc": _cents(f["l_quantity"]),
                          "ec": _cents(f["l_extendedprice"]),
+                         "ecv": pc.is_valid(f["l_extendedprice"]),
                          "side": pa.array(
                              np.ones(f.num_rows, np.int8))})
 
@@ -336,19 +355,22 @@ def q_small_qty_revenue(sf_dir: str) -> pa.Table:
         lk = k[side == 1]
         qc = np.asarray(t["qc"].to_numpy(zero_copy_only=False),
                         np.int64)[side == 1]
-        ec = np.asarray(t["ec"].to_numpy(zero_copy_only=False),
-                        np.int64)[side == 1]
+        ec = np.asarray(pc.fill_null(t["ec"], 0).to_numpy(
+            zero_copy_only=False), np.int64)[side == 1]
+        ecv = np.asarray(pc.fill_null(t["ecv"], False).to_numpy(
+            zero_copy_only=False))[side == 1]
         pos = np.searchsorted(pk, lk)
         hit = pos < len(pk)
         hit[hit] &= pk[pos[hit]] == lk[hit]
-        lk, qc, ec, pos = lk[hit], qc[hit], ec[hit], pos[hit]
+        lk, qc, ec, ecv, pos = \
+            lk[hit], qc[hit], ec[hit], ecv[hit], pos[hit]
         if not len(lk):
             return empty
         s = np.zeros(len(pk), np.int64)
         n = np.zeros(len(pk), np.int64)
         np.add.at(s, pos, qc)
         np.add.at(n, pos, 1)
-        small = 5 * qc * n[pos] < s[pos]
+        small = (5 * qc * n[pos] < s[pos]) & ecv
         return pa.table({
             "rev": pa.array([int(ec[small].sum())], pa.int64()),
             "n": pa.array([int(small.sum())], pa.int64())})
@@ -482,9 +504,13 @@ def q_disjunctive_revenue(sf_dir: str) -> pa.Table:
                 pc.and_(pc.greater_equal(qty, qlo),
                         pc.less_equal(qty, qhi)))
 
-        m = pc.or_(pc.or_(clause("Brand#12", 15, 1, 11),
+        # NULL attrs make the predicate NULL -> excluded (fill False);
+        # NULL rev rows are excluded like the mirror's SUM skip
+        m = pc.and_(pc.fill_null(
+            pc.or_(pc.or_(clause("Brand#12", 15, 1, 11),
                           clause("Brand#23", 20, 10, 20)),
-                   clause("Brand#3", 25, 20, 30))
+                   clause("Brand#3", 25, 20, 30)), False),
+            pc.is_valid(t["rev"]))
         f = t.filter(m)
         rev = np.asarray(f["rev"].to_numpy(zero_copy_only=False),
                          np.int64)
@@ -707,11 +733,14 @@ def q_sales_opportunity(sf_dir: str) -> pa.Table:
     cut = pa.scalar(np.datetime64("1999-01-01", "us"), pa.timestamp("us"))
 
     def c_side(t: pa.Table) -> pa.Table:
-        return pa.table({"k": t["c_custkey"].cast(pa.int64()),
-                         "bal": _cents(t["c_acctbal"]),
-                         "seg": t["c_mktsegment"],
+        # NULL balance: bal*n > s is NULL in the mirror -> excluded;
+        # filtering here avoids the NaN->int64 poison (reviewed)
+        f = t.filter(pc.is_valid(t["c_acctbal"]))
+        return pa.table({"k": f["c_custkey"].cast(pa.int64()),
+                         "bal": _cents(f["c_acctbal"]),
+                         "seg": f["c_mktsegment"],
                          "side": pa.array(
-                             np.zeros(t.num_rows, np.int8))})
+                             np.zeros(f.num_rows, np.int8))})
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
@@ -841,6 +870,11 @@ def q_nation_pair_volume(sf_dir: str) -> pa.Table:
 
     def pair_partial(t: pa.Table) -> pa.Table:
         skx, snx = ray.get(supp_ref)
+        if not len(skx) or not t.num_rows:  # no suppliers -> inner join is empty
+            return pa.table({"s_nat": pa.array([], pa.int64()),
+                             "c_nat": pa.array([], pa.int64()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
         suppk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
                            np.int64)
         cnat = np.asarray(
