@@ -684,6 +684,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # right-to-be-forgotten keyed delete: targeted range rewrite via
         # the upsert delete path; report re-scans the rewritten export
         "forget_user_events": ops.q_forget_user_events,
+        # Q6-shaped: pure predicate scan-aggregate, zero joins
+        "forecast_revenue_change": tpch.q_forecast_revenue_change,
+        # Q8-shaped: grouped conditional-ratio pair over chained joins
+        "market_share": tpch.q_market_share,
+        # Q9-shaped (margin proxy): multi-table computed measure
+        "nation_margin": tpch.q_nation_margin,
+        # Q11-shaped: grouped HAVING against a global scalar, in-bucket
+        "important_parts": tpch.q_important_parts,
+        # Q16-shaped: grouped COUNT(DISTINCT) with a NOT-IN blocklist
+        "supplier_part_types": tpch.q_supplier_part_types,
+        # Q20-shaped: nested-aggregate semi (rational 2x-average filter)
+        "excess_suppliers": tpch.q_excess_suppliers,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1764,6 +1776,127 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": _bfs_sql(),
         # weighted Bellman-Ford (<=4-edge shortest distances)
         "sssp_weighted": _sssp_sql(),
+        # Q6-shaped: no-join predicate aggregate, cent*percent exact
+        "forecast_revenue_change": """
+            SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                            * CAST(round(l_discount*100) AS BIGINT))
+                        AS BIGINT) AS revenue_cc
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        # Q8-shaped: per-year integer (nation, total) revenue pair
+        "market_share": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                           AS rev
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL)
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                                 THEN l.rev ELSE 0 END) AS BIGINT)
+                       AS nation_cp,
+                   CAST(SUM(l.rev) AS BIGINT) AS total_cp
+            FROM l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                          AND cn.n_regionkey = 0
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q9-shaped margin proxy: rev(cent*percent) - retail_c*qty_c
+        # (both terms in the same x10^4 scale, one exact integer)
+        "nation_margin": """
+            WITH l AS (
+                SELECT l_orderkey, l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                           AS rev,
+                       CAST(round(l_quantity*100) AS BIGINT) AS qc
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+                  AND l_quantity IS NOT NULL)
+            SELECT n.n_name,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(SUM(l.rev
+                            - CAST(round(p.p_retailprice*100) AS BIGINT)
+                              * l.qc) AS BIGINT) AS margin_cp
+            FROM l
+            JOIN part p ON l.l_partkey = p.p_partkey
+                       AND p.p_retailprice IS NOT NULL
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Q11-shaped: HAVING against the global total, integer-exact
+        "important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity*100) AS BIGINT)
+                       * CAST(round(l_extendedprice*100) AS BIGINT)
+                           AS v
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL),
+            t AS (SELECT CAST(SUM(v) AS BIGINT) AS grand FROM v,
+                         (SELECT 1)),
+            np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part)
+            SELECT l_partkey, CAST(SUM(v) AS BIGINT) AS value_qp
+            FROM v, t, np
+            GROUP BY l_partkey, t.grand, np.n
+            HAVING SUM(v) * np.n * 10 > 13 * t.grand
+            ORDER BY value_qp DESC, l_partkey
+        """,
+        # Q16-shaped: COUNT(DISTINCT) per attrs, NOT-IN blocklist
+        "supplier_part_types": """
+            SELECT p.p_brand, p.p_type,
+                   CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size IN (10, 20, 30)
+              AND l.l_suppkey IS NOT NULL
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier
+                  WHERE s_name LIKE '%7')
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # Q20-shaped: rational 2x-average nested-aggregate semi
+        "excess_suppliers": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_type = 'PROMO'),
+            t AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT))
+                            AS BIGINT) AS qc
+                FROM lineitem JOIN pk ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_quantity IS NOT NULL
+                  AND l_suppkey IS NOT NULL
+                GROUP BY l_suppkey),
+            a AS (SELECT CAST(SUM(qc) AS BIGINT) AS s,
+                         CAST(COUNT(*) AS BIGINT) AS n FROM t)
+            SELECT s2.s_suppkey, s2.s_name, t.qc AS qty_cents
+            FROM t, a, supplier s2
+            WHERE t.l_suppkey = s2.s_suppkey
+              AND t.qc * a.n * 4 > 5 * a.s
+            ORDER BY s2.s_suppkey
+        """,
         # forget-user: engine counts come from RE-SCANNING the rewritten
         # export; the mirror derives them arithmetically - a rewrite bug
         # (row lost / row kept) breaks the hash

@@ -303,6 +303,11 @@ def bench_queries(sf_dir: str) -> dict:
         "repair_lineitem",
         # right-to-be-forgotten keyed delete (targeted range rewrite)
         "forget_user_events",
+        # the remaining TPC-H shapes: Q6 scan-agg, Q8 grouped ratio
+        # pair, Q9' computed measure, Q11' HAVING-vs-global, Q16'
+        # grouped count-distinct + NOT IN, Q20' nested-agg semi
+        "forecast_revenue_change", "market_share", "nation_margin",
+        "important_parts", "supplier_part_types", "excess_suppliers",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

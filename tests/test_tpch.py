@@ -543,3 +543,56 @@ def test_time_weighted_null_event_id_tiebreak(ray_session, tmp_path):
     assert out.to_pydict() == {"user_id": [1],
                                "num_cvus": [900 * 10 * us],
                                "den_us": [10 * us]}
+
+
+# --- completing the TPC-H shape family (Q6/Q8/Q9'/Q11'/Q16'/Q20') ------
+
+_SIX_TABLES = ("lineitem", "orders", "customer", "supplier", "nation",
+               "part")
+
+
+def _check6(name: str, out: pa.Table, sf: str = SF_DIR) -> pa.Table:
+    con = duckdb.connect()
+    for t in _SIX_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    ora = con.execute(entry.oracle_sql()[name]).arrow()
+    assert out.equals(ora.cast(out.schema)), name
+    return out
+
+
+def test_forecast_revenue_change_matches_oracle(ray_session):
+    out = _check6("forecast_revenue_change",
+                  entry.queries()["forecast_revenue_change"](SF_DIR))
+    assert out["revenue_cc"][0].as_py() > 0
+
+
+def test_market_share_matches_oracle(ray_session):
+    out = _check6("market_share",
+                  entry.queries()["market_share"](SF_DIR))
+    for r in out.to_pylist():
+        assert 0 <= r["nation_cp"] <= r["total_cp"]
+
+
+def test_nation_margin_matches_oracle(ray_session):
+    out = _check6("nation_margin",
+                  entry.queries()["nation_margin"](SF_DIR))
+    assert out.num_rows >= 25  # every nation x several years
+
+
+def test_important_parts_matches_oracle(ray_session):
+    out = _check6("important_parts",
+                  entry.queries()["important_parts"](SF_DIR))
+    assert 0 < out.num_rows < 200  # the 1.3x-avg bar genuinely cuts
+
+
+def test_supplier_part_types_matches_oracle(ray_session):
+    out = _check6("supplier_part_types",
+                  entry.queries()["supplier_part_types"](SF_DIR))
+    assert out.num_rows > 0
+
+
+def test_excess_suppliers_matches_oracle(ray_session):
+    out = _check6("excess_suppliers",
+                  entry.queries()["excess_suppliers"](SF_DIR))
+    assert out.num_rows >= 1  # the 1.25x-avg bar keeps a real tail

@@ -915,3 +915,488 @@ def q_nation_pair_volume(sf_dir: str) -> pa.Table:
         "revenue_cp": g["rev_sum"].cast(pa.int64()),
     }).sort_by([("supp_nation", "ascending"),
                 ("cust_nation", "ascending"), ("l_year", "ascending")])
+
+
+def q_forecast_revenue_change(sf_dir: str) -> pa.Table:
+    """TPC-H Q6-shaped: 1996 revenue delta from dropping small-quantity
+    discounts — the pure predicate scan-aggregate (no join at all): a
+    single column-pruned pass, per-block one-row partials, the shape
+    whose 100 TB win is PRUNING (columns= at the read; the
+    violations_lineitem_pruned footer machinery can skip provably-clean
+    row groups for the same predicate class).  NULL predicate columns
+    excluded like the mirror's WHERE."""
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_quantity",
+                "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_c = _cents(t["l_discount"])
+        m = pc.fill_null(pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.and_(pc.greater_equal(disc_c, 5),
+                            pc.less_equal(disc_c, 7)),
+                    pc.less(t["l_quantity"], 24.0))), False)
+        f = t.filter(pc.and_(m, pc.is_valid(t["l_extendedprice"])))
+        rev = pc.multiply_checked(_cents(f["l_extendedprice"]),
+                                  _cents(f["l_discount"]))
+        return pa.table({
+            "rev": pa.array([int(pc.sum(rev).as_py() or 0)], pa.int64()),
+            "n": pa.array([f.num_rows], pa.int64())})
+
+    parts = [p for p in gather_tables(li.map_batches(
+        partial, batch_format="pyarrow")) if p.num_rows]
+    n = sum(int(p["n"][0].as_py()) for p in parts)
+    if not n:
+        return pa.table({"revenue_cc": pa.array([None], pa.int64())})
+    return pa.table({"revenue_cc": pa.array(
+        [sum(int(p["rev"][0].as_py()) for p in parts)], pa.int64())})
+
+
+def q_market_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q8-shaped: NATION_3's share of region-0 import revenue per
+    order year — the grouped conditional-ratio pair: the same chained
+    joins as Q5/Q7 (orders⋈customer feeding lineitem⋈ on orderkey, with
+    customer pre-filtered to region 0's nations at the scan and the
+    supplier-nation broadcast lookup in the second reduce), but the
+    reduce emits per-year (nation_cp, total_cp) integer pairs — share =
+    nation_cp / total_cp left to the reader so the hash stays exact."""
+    import ray
+    import ray.data
+
+    from ..engine.joins import hash_join
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    nation = _all(_read(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"]))
+    r0 = nation.filter(pc.equal(nation["n_regionkey"], 0))
+    r0_keys = pa.array(sorted(r0["n_nationkey"].to_pylist()),
+                       pa.int64())
+    target = {v: k for k, v in zip(
+        nation["n_nationkey"].to_pylist(),
+        nation["n_name"].to_pylist())}["NATION_3"]
+
+    supp = _all(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    sk = np.asarray(supp["s_suppkey"].to_numpy(zero_copy_only=False),
+                    np.int64)
+    sn = np.asarray(supp["s_nationkey"].to_numpy(zero_copy_only=False),
+                    np.int64)
+    so = np.argsort(sk)
+    supp_ref = ray.put((sk[so], sn[so]))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({"o_orderkey": f["o_orderkey"],
+                         "o_custkey": f["o_custkey"],
+                         "o_year": pc.cast(pc.year(f["o_orderdate"]),
+                                           pa.int64())})
+
+    def proj1(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": t["o_year"]})
+
+    j1 = hash_join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        cust.map_batches(
+            lambda t: t.filter(pc.is_in(t["c_nationkey"],
+                                        value_set=r0_keys))
+            .select(["c_custkey"]), batch_format="pyarrow"),
+        left_key="o_custkey", right_key="c_custkey", bucket_fn=proj1)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(pc.is_valid(t["l_extendedprice"]),
+                             pc.is_valid(t["l_discount"])))
+        rev = pc.multiply_checked(
+            _cents(f["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _cents(f["l_discount"])))
+        g = (pa.table({"l_orderkey": f["l_orderkey"],
+                       "l_suppkey": f["l_suppkey"], "rev": rev})
+             .group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("rev", "sum")]))
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "rev": g["rev_sum"]})
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_year": pa.array([], pa.int64()),
+                          "nat": pa.array([], pa.int64()),
+                          "tot": pa.array([], pa.int64())})
+        skx, snx = ray.get(supp_ref)
+        if not len(skx) or not t.num_rows:
+            return empty
+        suppk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                           np.int64)
+        pos = np.clip(np.searchsorted(skx, suppk), 0, len(skx) - 1)
+        found = skx[pos] == suppk
+        if not found.any():
+            return empty
+        f = t.filter(pa.array(found))
+        snat = snx[pos[found]]
+        rev = np.asarray(f["rev"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        yr = np.asarray(f["o_year"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        is_t = (snat == target).astype(np.int64)
+        g = (pa.table({"o_year": pa.array(yr),
+                       "nat": pa.array(rev * is_t),
+                       "tot": pa.array(rev)})
+             .group_by("o_year").aggregate([("nat", "sum"),
+                                            ("tot", "sum")]))
+        return pa.table({"o_year": g["o_year"],
+                         "nat": g["nat_sum"], "tot": g["tot_sum"]})
+
+    j2 = hash_join(li.map_batches(l_partial, batch_format="pyarrow"),
+                   ray.data.from_arrow(j1),
+                   left_key="l_orderkey", right_key="o_orderkey",
+                   bucket_fn=share_partial)
+    empty = pa.table({"o_year": pa.array([], pa.int64()),
+                      "nation_cp": pa.array([], pa.int64()),
+                      "total_cp": pa.array([], pa.int64())})
+    if not j2.num_rows:
+        return empty
+    g = j2.group_by("o_year").aggregate([("nat", "sum"), ("tot", "sum")])
+    return pa.table({
+        "o_year": g["o_year"],
+        "nation_cp": g["nat_sum"].cast(pa.int64()),
+        "total_cp": g["tot_sum"].cast(pa.int64()),
+    }).sort_by([("o_year", "ascending")])
+
+
+def q_nation_margin(sf_dir: str) -> pa.Table:
+    """TPC-H Q9-shaped (no partsupp ⇒ margin proxy): per supplier
+    nation × order year, revenue minus retail cost (p_retailprice ×
+    quantity) — the multi-table COMPUTED-measure aggregate: lineitem ⋈
+    part on partkey carries the retail price into the per-(order)
+    partial, the orders join attaches the year, and the supplier-nation
+    broadcast resolves the group key in the final reduce; margin stays
+    integer cent×percent minus cent×qty_cents/... — both terms scale to
+    cent·percent units (×100) so one integer column carries the
+    difference exactly."""
+    import ray
+    import ray.data
+
+    from ..engine.joins import hash_join
+
+    nation = _all(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    names = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    supp = _all(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    sk = np.asarray(supp["s_suppkey"].to_numpy(zero_copy_only=False),
+                    np.int64)
+    sn = np.asarray(supp["s_nationkey"].to_numpy(zero_copy_only=False),
+                    np.int64)
+    so = np.argsort(sk)
+    supp_ref = ray.put((sk[so], sn[so]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def l_proj(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(
+            pc.and_(pc.is_valid(t["l_extendedprice"]),
+                    pc.is_valid(t["l_discount"])),
+            pc.is_valid(t["l_quantity"])))
+        rev = pc.multiply_checked(
+            _cents(f["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _cents(f["l_discount"])))
+        return pa.table({"l_partkey": f["l_partkey"],
+                         "l_orderkey": f["l_orderkey"],
+                         "l_suppkey": f["l_suppkey"],
+                         "qc": _cents(f["l_quantity"]), "rev": rev})
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def cost_partial(t: pa.Table) -> pa.Table:
+        # cost in cent-x-percent: retail_cents * qty_cents => cents^2;
+        # normalize both terms to cent*percent: rev is cents*percent,
+        # cost = retail_cents * qc (cents*cents).  qc is quantity*100
+        # and percent is discount*100 — SAME scale, so rev - retail*qc
+        # is exact in one integer unit (documented in the mirror too)
+        f = t.filter(pc.is_valid(t["p_retailprice"]))
+        cost = pc.multiply_checked(_cents(f["p_retailprice"]), f["qc"])
+        margin = pc.subtract(f["rev"].cast(pa.int64()), cost)
+        return pa.table({"l_orderkey": f["l_orderkey"],
+                         "l_suppkey": f["l_suppkey"],
+                         "margin": margin})
+
+    j1 = hash_join(li.map_batches(l_proj, batch_format="pyarrow"),
+                   part, left_key="l_partkey", right_key="p_partkey",
+                   bucket_fn=cost_partial)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_key": pa.array([], pa.int64()),
+                          "o_year": pa.array([], pa.int64()),
+                          "margin": pa.array([], pa.int64())})
+        skx, snx = ray.get(supp_ref)
+        if not len(skx) or not t.num_rows:
+            return empty
+        suppk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                           np.int64)
+        pos = np.clip(np.searchsorted(skx, suppk), 0, len(skx) - 1)
+        found = skx[pos] == suppk
+        if not found.any():
+            return empty
+        f = t.filter(pa.array(found))
+        g = (pa.table({"n_key": pa.array(snx[pos[found]]),
+                       "o_year": f["o_year"],
+                       "margin": f["margin"]})
+             .group_by(["n_key", "o_year"])
+             .aggregate([("margin", "sum")]))
+        return pa.table({"n_key": g["n_key"], "o_year": g["o_year"],
+                         "margin": g["margin_sum"]})
+
+    j2 = hash_join(ray.data.from_arrow(j1),
+                   orders.map_batches(o_proj, batch_format="pyarrow"),
+                   left_key="l_orderkey", right_key="o_orderkey",
+                   bucket_fn=nation_partial)
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "o_year": pa.array([], pa.int64()),
+                      "margin_cp": pa.array([], pa.int64())})
+    if not j2.num_rows:
+        return empty
+    g = j2.group_by(["n_key", "o_year"]).aggregate([("margin", "sum")])
+    # inner-join semantics: a nationkey with no nation row drops
+    known = pa.array([k in names for k in g["n_key"].to_pylist()])
+    g = g.filter(known)
+    return pa.table({
+        "n_name": pa.array([names[k] for k in
+                            g["n_key"].to_pylist()], pa.string()),
+        "o_year": g["o_year"].cast(pa.int64()),
+        "margin_cp": g["margin_sum"].cast(pa.int64()),
+    }).sort_by([("n_name", "ascending"), ("o_year", "ascending")])
+
+
+def q_important_parts(sf_dir: str) -> pa.Table:
+    """TPC-H Q11-shaped (no partsupp ⇒ lineitem inventory proxy): parts
+    whose total traded value (qty_cents × price_cents summed over
+    lineitem) exceeds 1.3× the average per catalog part (value ·
+    n_parts · 10 > 13 · grand, exact rational — a FIXED fraction is
+    all-or-none on this uniform corpus) — grouped filter against global
+    scalars: pass 1 folds one-row per-block totals (n_parts is the
+    part table's O(1) footer row count); pass 2 re-aggregates per part
+    and filters against the broadcast scalars inside the exchange
+    bucket, so only qualifying parts leave.  Two scans, one bounded
+    exchange — the HAVING-against-global shape (Q11's nested
+    aggregate) without any driver-side per-part state."""
+    import pyarrow.parquet as pq
+
+    from ..engine.exchange import keyed_exchange
+
+    n_parts = pq.ParquetFile(f"{sf_dir}/part.parquet") \
+        .metadata.num_rows
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def val_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(pc.is_valid(t["l_quantity"]),
+                             pc.is_valid(t["l_extendedprice"])))
+        v = pc.multiply_checked(_cents(f["l_quantity"]),
+                                _cents(f["l_extendedprice"]))
+        return pa.table({"l_partkey": f["l_partkey"].cast(pa.int64()),
+                         "v": v})
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array(
+            [int(pc.sum(t["v"]).as_py() or 0)], pa.int64())})
+
+    totals = [p for p in gather_tables(
+        li.map_batches(val_rows, batch_format="pyarrow").map_batches(
+            tot_partial, batch_format="pyarrow")) if p.num_rows]
+    grand = sum(int(p["s"][0].as_py()) for p in totals)
+    empty = pa.table({"l_partkey": pa.array([], pa.int64()),
+                      "value_qp": pa.array([], pa.int64())})
+    if not grand:
+        return empty
+
+    def heavy_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        g = t.group_by("l_partkey").aggregate([("v", "sum")])
+        tot = g["v_sum"].cast(pa.int64())
+        # value*n_parts*10 > 13*grand  <=>  value > 1.3*avg, exact
+        keep = pc.greater(pc.multiply_checked(
+            tot, pa.scalar(n_parts * 10, pa.int64())),
+            pa.scalar(13 * grand, pa.int64()))
+        return pa.table({"l_partkey": g["l_partkey"].cast(pa.int64()),
+                         "value_qp": tot}).filter(keep)
+
+    parts = keyed_exchange(
+        li.map_batches(val_rows, batch_format="pyarrow"),
+        "l_partkey", heavy_bucket, empty_result=empty)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    return (pa.concat_tables(parts).combine_chunks()
+            .sort_by([("value_qp", "descending"),
+                      ("l_partkey", "ascending")]))
+
+
+def q_supplier_part_types(sf_dir: str) -> pa.Table:
+    """TPC-H Q16-shaped: DISTINCT supplier count per (brand, type, size)
+    for size ∈ {10, 20, 30}, EXCLUDING a supplier blocklist (names
+    ending '7' — Q16's complaint-suppliers NOT IN) — grouped
+    COUNT(DISTINCT) over a join with an anti-set: the blocklist
+    broadcasts as a key set (it is output-sized, not table-sized),
+    lineitem ⋈ part on partkey emits DISTINCT (attrs, suppkey) pairs
+    from each reduce (the map-side distinct bounds the exchange), and
+    the driver's final distinct-count collapses ≤ groups × suppliers
+    rows."""
+    import ray
+
+    from ..engine.joins import hash_join
+
+    supp = _all(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    bad = supp.filter(pc.match_substring_regex(
+        pc.fill_null(supp["s_name"], ""), "7$"))
+    bad_keys = bad["s_suppkey"].combine_chunks()
+    bref = ray.put(bad_keys)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+
+    def p_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["p_size"], value_set=pa.array(
+            [10, 20, 30], t["p_size"].type)))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        blk = ray.get(bref)
+        f = t.filter(pc.and_(
+            pc.invert(pc.fill_null(pc.is_in(
+                t["l_suppkey"], value_set=blk), False)),
+            pc.is_valid(t["l_suppkey"])))
+        return (pa.table({"p_brand": f["p_brand"],
+                          "p_type": f["p_type"],
+                          "p_size": pc.cast(f["p_size"], pa.int64()),
+                          "s": f["l_suppkey"].cast(pa.int64())})
+                .group_by(["p_brand", "p_type", "p_size", "s"])
+                .aggregate([]))
+
+    pairs = hash_join(li, part.map_batches(p_filter,
+                                           batch_format="pyarrow"),
+                      left_key="l_partkey", right_key="p_partkey",
+                      bucket_fn=pair_partial)
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "p_type": pa.array([], pa.string()),
+                      "p_size": pa.array([], pa.int64()),
+                      "supplier_cnt": pa.array([], pa.int64())})
+    if not pairs.num_rows:
+        return empty
+    d = pairs.group_by(["p_brand", "p_type", "p_size", "s"]).aggregate([])
+    g = (d.group_by(["p_brand", "p_type", "p_size"])
+         .aggregate([([], "count_all")]))
+    return pa.table({
+        "p_brand": g["p_brand"], "p_type": g["p_type"],
+        "p_size": g["p_size"].cast(pa.int64()),
+        "supplier_cnt": g["count_all"].cast(pa.int64()),
+    }).sort_by([("supplier_cnt", "descending"),
+                ("p_brand", "ascending"), ("p_type", "ascending"),
+                ("p_size", "ascending")])
+
+
+def q_excess_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H Q20-shaped: suppliers who shipped MORE than 1.25x the
+    average per-supplier volume of PROMO parts in 1996 (qc·4n > 5·sum,
+    exact rational — 2x is a >3σ bar on this uniform corpus and
+    matches nobody) — the nested-aggregate semi (Q20's fraction-of-sum
+    subquery, inverted to a supplier filter): one keyed exchange on
+    suppkey totals each supplier's PROMO-part 1996 quantity (the part
+    filter broadcasts as a key set), bucket emits (suppkey, qty)
+    totals, the driver computes the exact rational average (sum, n)
+    and keeps the over-average suppliers, then name-enriches the
+    winners via a key-set-filtered supplier scan."""
+    import ray
+
+    from ..engine.exchange import keyed_exchange
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    pk = _all(part.map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], "PROMO"))
+        .select(["p_partkey"]), batch_format="pyarrow"))
+    out_empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                          "s_name": pa.array([], pa.string()),
+                          "qty_cents": pa.array([], pa.int64())})
+    if not pk.num_rows:
+        return out_empty
+    pref = ray.put(pk["p_partkey"].combine_chunks())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(pref)
+        f = t.filter(pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.is_in(t["l_partkey"], value_set=ks),
+                    pc.and_(pc.is_valid(t["l_quantity"]),
+                            pc.is_valid(t["l_suppkey"])))))
+        g = (pa.table({"l_suppkey": f["l_suppkey"].cast(pa.int64()),
+                       "qc": _cents(f["l_quantity"])})
+             .group_by("l_suppkey").aggregate([("qc", "sum")]))
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "qc": g["qc_sum"]})
+
+    empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                      "qc": pa.array([], pa.int64())})
+
+    def tot_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        g = t.group_by("l_suppkey").aggregate([("qc", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"].cast(pa.int64()),
+                         "qc": g["qc_sum"].cast(pa.int64())})
+
+    parts = [p for p in keyed_exchange(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "l_suppkey", tot_bucket, empty_result=empty) if p.num_rows]
+    if not parts:
+        return out_empty
+    tot = pa.concat_tables(parts).combine_chunks()
+    qc = np.asarray(tot["qc"].to_numpy(zero_copy_only=False), np.int64)
+    n = len(qc)
+    s = int(qc.sum())
+    keep = qc * n * 4 > 5 * s  # qty > 1.25*avg, exact rational
+    win = tot.filter(pa.array(keep))
+    if not win.num_rows:
+        return out_empty
+    keys = win["l_suppkey"].combine_chunks()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    names = _all(supp.map_batches(
+        lambda t: t.filter(pc.is_in(t["s_suppkey"], value_set=keys)),
+        batch_format="pyarrow"))
+    j = win.join(names, keys="l_suppkey", right_keys="s_suppkey",
+                 join_type="inner")
+    out = pa.table({"s_suppkey": j["l_suppkey"].cast(pa.int64()),
+                    "s_name": j["s_name"],
+                    "qty_cents": j["qc"].cast(pa.int64())})
+    return out.sort_by([("s_suppkey", "ascending")])
