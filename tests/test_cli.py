@@ -709,3 +709,48 @@ def test_cli_validate_sigkill_resume(tmp_path):
                 os.path.join(dp, fn))
                 for dp, _, fs in os.walk(p) for fn in fs}
             assert found[f] == mt, f"resume rewrote {f} in {p}"
+
+
+def test_expect_generic_suite(tmp_path):
+    """Generic expectation runner: counts match DuckDB on the same
+    spec, exit code is the CI gate (1 on any failure, 0 when clean)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    spec = tmp_path / "spec.json"
+    spec.write_text(json.dumps({
+        "columns": {"l_quantity": {"not_null": True, "min": 1,
+                                   "max": 25},
+                    "l_returnflag": {"enum": ["A", "N"]}},
+        "unique": ["l_orderkey", "l_linenumber"],
+        "min_rows": 1000}))
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    out = tmp_path / "report.parquet"
+    r = run_cli("expect", "--input", src, "--spec", str(spec),
+                "--out", str(out), "--num-cpus", "2")
+    assert r.returncode == 1  # the corpus genuinely violates the spec
+    rep = json.loads(r.stdout.strip().splitlines()[-1])["report"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW l AS SELECT * FROM read_parquet('{src}')")
+    exp_max = con.execute(
+        "SELECT COUNT(*) - COUNT(*) FILTER (WHERE l_quantity <= 25) "
+        "FROM l").fetchone()[0]
+    exp_enum = con.execute(
+        "SELECT COUNT(*) - COUNT(*) FILTER "
+        "(WHERE l_returnflag IN ('A','N')) FROM l").fetchone()[0]
+    exp_dup = con.execute(
+        "SELECT COALESCE(SUM(c-1),0) FROM (SELECT COUNT(*) c FROM l "
+        "GROUP BY l_orderkey, l_linenumber) WHERE c > 1").fetchone()[0]
+    assert rep["l_quantity_max"] == exp_max
+    assert rep["l_returnflag_enum"] == exp_enum
+    assert rep["unique_l_orderkey_l_linenumber"] == exp_dup
+    assert rep["l_quantity_not_null"] == 0 and rep["min_rows"] == 0
+    t = pq.read_table(str(out))
+    assert set(t.column_names) == {"check_name", "n_violations",
+                                   "passed"}
+    # a clean spec exits 0
+    spec.write_text(json.dumps({
+        "columns": {"l_quantity": {"not_null": True}}}))
+    r2 = run_cli("expect", "--input", src, "--spec", str(spec),
+                 "--num-cpus", "2")
+    assert r2.returncode == 0

@@ -596,6 +596,47 @@ def _cmd_diff(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_expect(args: argparse.Namespace) -> int:
+    """Generic expectation suite (expectations.py) over a parquet glob:
+    one fused scan for the countable checks + the uniqueness exchange;
+    exit 1 when any expectation fails (the CI-gate contract)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from .expectations import expectations_report, spec_columns
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print("error: empty input glob", file=sys.stderr)
+            return 2
+        ds = ray.data.read_parquet(files, columns=spec_columns(spec))
+        out = expectations_report(ds, spec)
+        if args.out:
+            pq.write_table(out, args.out)
+        print(json.dumps({
+            "checks": out.num_rows,
+            "failed": [r["check_name"] for r in out.to_pylist()
+                       if not r["passed"]],
+            "report": {r["check_name"]: r["n_violations"]
+                       for r in out.to_pylist()}}))
+        return 0 if all(out["passed"].to_pylist()) else 1
+    finally:
+        ray.shutdown()
+
+
 def _cmd_rangediff(args: argparse.Namespace) -> int:
     """Merkle range-digest diff of two snapshots: emit only disagreeing
     ranges (pipelines.ops.merkle_diff) — the O(ranges) pre-pass that
@@ -971,6 +1012,14 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--out", required=True, help="output parquet file")
     df.add_argument("--num-cpus", type=int, default=8)
 
+    ex = sub.add_parser("expect", help="run a JSON expectation-suite "
+                        "spec over a parquet table; print the report")
+    ex.add_argument("--input", required=True, help="parquet glob")
+    ex.add_argument("--spec", required=True, help="spec JSON file")
+    ex.add_argument("--out", default=None,
+                    help="optional report parquet (default: print)")
+    ex.add_argument("--num-cpus", type=int, default=8)
+
     rd = sub.add_parser("rangediff", help="Merkle range-digest diff: "
                         "localize WHERE two snapshots diverge in "
                         "O(ranges) output, zero shuffle")
@@ -1020,6 +1069,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_diff(args)
     if args.cmd == "rangediff":
         return _cmd_rangediff(args)
+    if args.cmd == "expect":
+        return _cmd_expect(args)
     if args.cmd == "curate":
         return _cmd_curate(args)
     if args.cmd == "vocab":
