@@ -754,3 +754,38 @@ def test_expect_generic_suite(tmp_path):
     r2 = run_cli("expect", "--input", src, "--spec", str(spec),
                  "--num-cpus", "2")
     assert r2.returncode == 0
+
+
+def test_suggest_then_expect_loop(tmp_path):
+    """The profiling loop closes: a suggested spec passes BY
+    CONSTRUCTION on its own table, and a drifted table fails it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "t.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 15.0], pa.float64()),
+        "s": pa.array(["a", "b", "a", "b"], pa.string())}), str(src))
+    spec = tmp_path / "spec.json"
+    r = run_cli("suggest", "--input", str(src), "--out", str(spec),
+                "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    sp = json.loads(spec.read_text())
+    assert sp["columns"]["v"] == {"max": 30.0, "min": 10.0,
+                                 "not_null": True}
+    assert sp["columns"]["s"]["enum"] == ["a", "b"]
+    r2 = run_cli("expect", "--input", str(src), "--spec", str(spec),
+                 "--num-cpus", "2")
+    assert r2.returncode == 0, r2.stdout
+    # drift: out-of-range value + novel enum member -> gate trips
+    pq.write_table(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "v": pa.array([99.0], pa.float64()),
+        "s": pa.array(["zzz"], pa.string())}), str(src))
+    r3 = run_cli("expect", "--input", str(src), "--spec", str(spec),
+                 "--num-cpus", "2")
+    assert r3.returncode == 1
+    failed = set(json.loads(
+        r3.stdout.strip().splitlines()[-1])["failed"])
+    assert {"v_max", "s_enum", "min_rows"} <= failed

@@ -596,6 +596,38 @@ def _cmd_diff(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_suggest(args: argparse.Namespace) -> int:
+    """Profile -> candidate spec (expectations.suggest_spec); the loop
+    closes with `expect`: the suggested spec passes on its own table."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import ray.data
+
+        from .expectations import suggest_spec
+
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print("error: empty input glob", file=sys.stderr)
+            return 2
+        spec = suggest_spec(ray.data.read_parquet(files))
+        text = json.dumps(spec, indent=2, sort_keys=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text + "\n")
+        print(text)
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_expect(args: argparse.Namespace) -> int:
     """Generic expectation suite (expectations.py) over a parquet glob:
     one fused scan for the countable checks + the uniqueness exchange;
@@ -1012,6 +1044,13 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--out", required=True, help="output parquet file")
     df.add_argument("--num-cpus", type=int, default=8)
 
+    sg = sub.add_parser("suggest", help="profile a table and emit a "
+                        "candidate expectation-suite spec JSON")
+    sg.add_argument("--input", required=True, help="parquet glob")
+    sg.add_argument("--out", default=None,
+                    help="optional spec file (default: print)")
+    sg.add_argument("--num-cpus", type=int, default=8)
+
     ex = sub.add_parser("expect", help="run a JSON expectation-suite "
                         "spec over a parquet table; print the report")
     ex.add_argument("--input", required=True, help="parquet glob")
@@ -1071,6 +1110,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_rangediff(args)
     if args.cmd == "expect":
         return _cmd_expect(args)
+    if args.cmd == "suggest":
+        return _cmd_suggest(args)
     if args.cmd == "curate":
         return _cmd_curate(args)
     if args.cmd == "vocab":

@@ -116,3 +116,80 @@ def spec_columns(spec: dict) -> list[str]:
     cols = set(spec.get("columns", {}))
     cols.update(spec.get("unique") or [])
     return sorted(cols)
+
+
+def suggest_spec(ds, *, enum_cap: int = 16,
+                 distinct_cap: int = 64) -> dict:
+    """Profile a table and EMIT a candidate expectation spec — the
+    loop-closer: ``suggest_spec`` output fed to ``expectations_report``
+    passes BY CONSTRUCTION on the profiled table (observed min/max
+    bounds, not_null where no nulls were seen, enum where the observed
+    distinct set stayed under ``enum_cap``).
+
+    One fused scan: per-block partials carry (n, nulls, min, max) per
+    column plus a CAPPED distinct sample (pc.unique per block, merged
+    with the cap re-applied — a column exceeding ``distinct_cap``
+    distincts abandons its enum candidacy, so driver state stays
+    O(columns × cap), never O(rows))."""
+    import pyarrow.types as pat
+
+    from .engine.blocks import gather_tables
+
+    schema = ds.schema()
+    names = list(schema.names)
+    types = {n: t for n, t in zip(schema.names, schema.types)}
+    num_cols = [n for n in names if pat.is_integer(types[n])
+                or pat.is_floating(types[n])]
+    str_cols = [n for n in names if pat.is_string(types[n])
+                or pat.is_large_string(types[n])]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols: dict = {"__n": pa.array([t.num_rows], pa.int64())}
+        for c in names:
+            cols[f"{c}__nulls"] = pa.array(
+                [t[c].null_count], pa.int64())
+        for c in num_cols:
+            cols[f"{c}__min"] = pa.array(
+                [pc.min(t[c]).as_py()], pa.float64())
+            cols[f"{c}__max"] = pa.array(
+                [pc.max(t[c]).as_py()], pa.float64())
+        for c in str_cols:
+            u = pc.unique(t[c].combine_chunks())
+            vals = ([] if len(u) > distinct_cap
+                    else [v for v in u.to_pylist() if v is not None])
+            over = len(u) > distinct_cap
+            cols[f"{c}__distinct"] = pa.array(
+                [vals], pa.list_(pa.string()))
+            cols[f"{c}__over"] = pa.array([over], pa.bool_())
+        return pa.table(cols)
+
+    parts = [p for p in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if p.num_rows]
+    if not parts:
+        return {"columns": {}}
+    n = sum(int(p["__n"][0].as_py()) for p in parts)
+    spec: dict = {"columns": {}, "min_rows": max(1, n // 2)}
+    for c in names:
+        rules: dict = {}
+        nulls = sum(int(p[f"{c}__nulls"][0].as_py()) for p in parts)
+        if nulls == 0 and n > 0:
+            rules["not_null"] = True
+        if c in num_cols:
+            mins = [p[f"{c}__min"][0].as_py() for p in parts]
+            maxs = [p[f"{c}__max"][0].as_py() for p in parts]
+            mins = [v for v in mins if v is not None]
+            maxs = [v for v in maxs if v is not None]
+            if mins:
+                rules["min"] = min(mins)
+                rules["max"] = max(maxs)
+        if c in str_cols:
+            over = any(p[f"{c}__over"][0].as_py() for p in parts)
+            if not over:
+                seen: set = set()
+                for p in parts:
+                    seen.update(p[f"{c}__distinct"][0].as_py())
+                if seen and len(seen) <= enum_cap:
+                    rules["enum"] = sorted(seen)
+        if rules:
+            spec["columns"][c] = rules
+    return spec
