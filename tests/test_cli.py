@@ -789,3 +789,41 @@ def test_suggest_then_expect_loop(tmp_path):
     failed = set(json.loads(
         r3.stdout.strip().splitlines()[-1])["failed"])
     assert {"v_max", "s_enum", "min_rows"} <= failed
+
+
+def test_repair_generic_spec(tmp_path):
+    """suggest -> repair closes the remediation loop: clamps land ON
+    the bound, out-of-enum/regex values NULL out (never invented),
+    valid cells and NULLs pass through untouched — and the repaired
+    table then PASSES the repairable subset of the spec."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "t.parquet"
+    pq.write_table(pa.table({
+        "v": pa.array([5.0, 50.0, None, -1.0], pa.float64()),
+        "s": pa.array(["a", "zzz", "b", None], pa.string())}),
+        str(src))
+    spec = tmp_path / "spec.json"
+    spec.write_text(json.dumps({
+        "columns": {"v": {"min": 0, "max": 30},
+                    "s": {"enum": ["a", "b"]}}}))
+    out = tmp_path / "fixed"
+    r = run_cli("repair", "--input", str(src), "--spec", str(spec),
+                "--out", str(out), "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["repairs"] == {"s_nulled": 1, "v_clamped": 2}
+    import glob as _glob
+    t = pa.concat_tables([pq.read_table(f) for f in
+                          _glob.glob(str(out / "*.parquet"))])
+    rows = sorted(zip(t["v"].to_pylist(), t["s"].to_pylist()),
+                  key=str)
+    assert rows == sorted([(5.0, "a"), (30.0, None), (None, "b"),
+                           (0.0, None)], key=str)
+    # repaired output passes the repairable rules
+    r2 = run_cli("expect", "--input", str(out / "*.parquet"),
+                 "--spec", str(spec), "--num-cpus", "2")
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])["report"]
+    assert rep2["v_min"] == 1 and rep2["v_max"] == 1  # the NULLs only
+    assert rep2["s_enum"] == 2  # NULL fails enum-expectations, by spec

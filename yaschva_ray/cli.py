@@ -669,6 +669,42 @@ def _cmd_expect(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_repair(args: argparse.Namespace) -> int:
+    """Generic spec-driven repair (expectations._repair_batch): clamp
+    min/max violations, NULL out out-of-enum / regex-failing values
+    (never inventing data), stream the repaired table to parquet, and
+    report per-rule repair counts from a separate counting pass."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import ray.data
+
+        from .expectations import _repair_batch, repair_counts
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print("error: empty input glob", file=sys.stderr)
+            return 2
+        counts = repair_counts(ray.data.read_parquet(files), spec)
+        ray.data.read_parquet(files).map_batches(
+            lambda t: _repair_batch(t, spec),
+            batch_format="pyarrow").write_parquet(args.out)
+        print(json.dumps({"out": args.out, "repairs": counts,
+                          "n_repaired_cells": sum(counts.values())}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def _cmd_rangediff(args: argparse.Namespace) -> int:
     """Merkle range-digest diff of two snapshots: emit only disagreeing
     ranges (pipelines.ops.merkle_diff) — the O(ranges) pre-pass that
@@ -1059,6 +1095,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional report parquet (default: print)")
     ex.add_argument("--num-cpus", type=int, default=8)
 
+    rp = sub.add_parser("repair", help="apply a spec's repairable "
+                        "rules (clamp min/max, null out-of-enum/regex) "
+                        "and write the repaired table")
+    rp.add_argument("--input", required=True, help="parquet glob")
+    rp.add_argument("--spec", required=True, help="spec JSON file")
+    rp.add_argument("--out", required=True, help="output directory")
+    rp.add_argument("--num-cpus", type=int, default=8)
+
     rd = sub.add_parser("rangediff", help="Merkle range-digest diff: "
                         "localize WHERE two snapshots diverge in "
                         "O(ranges) output, zero shuffle")
@@ -1112,6 +1156,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_expect(args)
     if args.cmd == "suggest":
         return _cmd_suggest(args)
+    if args.cmd == "repair":
+        return _cmd_repair(args)
     if args.cmd == "curate":
         return _cmd_curate(args)
     if args.cmd == "vocab":

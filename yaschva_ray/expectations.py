@@ -193,3 +193,68 @@ def suggest_spec(ds, *, enum_cap: int = 16,
         if rules:
             spec["columns"][c] = rules
     return spec
+
+
+def _repair_batch(t: pa.Table, spec: dict,
+                  count: bool = False) -> pa.Table:
+    """Apply ``spec``'s repairable rules to one batch: min/max CLAMP
+    (null-preserving), out-of-enum and regex-failing values NULL OUT
+    (repair never invents data; ``not_null`` is not repairable).  With
+    ``count=True`` returns a one-row per-rule repair-count partial
+    instead of the repaired rows."""
+    counts: dict = {}
+    out = t
+    for col, rules in sorted(spec.get("columns", {}).items()):
+        c = out[col]
+        valid = pc.is_valid(c)
+        if "min" in rules or "max" in rules:
+            rep = c
+            if "min" in rules:
+                rep = pc.if_else(pc.fill_null(
+                    pc.less(rep, rules["min"]), False),
+                    pa.scalar(rules["min"], c.type), rep)
+            if "max" in rules:
+                rep = pc.if_else(pc.fill_null(
+                    pc.greater(rep, rules["max"]), False),
+                    pa.scalar(rules["max"], c.type), rep)
+            if count:
+                counts[f"{col}_clamped"] = int(pc.sum(pc.cast(
+                    pc.and_(valid, pc.invert(pc.fill_null(pc.equal(
+                        c, rep), True))), pa.int64())).as_py() or 0)
+            c = rep
+        bad = None
+        if "enum" in rules:
+            bad = pc.and_(valid, pc.invert(pc.fill_null(pc.is_in(
+                c, value_set=pa.array(rules["enum"])), False)))
+        if "regex" in rules:
+            rbad = pc.and_(valid, pc.invert(pc.fill_null(
+                pc.match_substring_regex(c, rules["regex"]), False)))
+            bad = rbad if bad is None else pc.or_(bad, rbad)
+        if bad is not None:
+            if count:
+                counts[f"{col}_nulled"] = int(pc.sum(pc.cast(
+                    bad, pa.int64())).as_py() or 0)
+            c = pc.if_else(bad, pa.scalar(None, c.type), c)
+        if not count:
+            i = out.schema.get_field_index(col)
+            ca = c.combine_chunks() if isinstance(
+                c, pa.ChunkedArray) else c
+            out = out.set_column(i, pa.field(col, ca.type), ca)
+    if count:
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in sorted(counts.items())})
+    return out
+
+
+def repair_counts(ds, spec: dict) -> dict:
+    """Streaming count pass: per-rule repair counts (driver state =
+    one int per rule)."""
+    from .engine.blocks import gather_tables
+
+    parts = [p for p in gather_tables(ds.map_batches(
+        lambda t: _repair_batch(t, spec, count=True),
+        batch_format="pyarrow")) if p.num_rows]
+    if not parts:
+        return {}
+    return {k: sum(int(p[k][0].as_py()) for p in parts)
+            for k in parts[0].column_names}
