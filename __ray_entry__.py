@@ -696,6 +696,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_types": tpch.q_supplier_part_types,
         # Q20-shaped: nested-aggregate semi (rational 2x-average filter)
         "excess_suppliers": tpch.q_excess_suppliers,
+        # exact equi-depth histogram: NTILE(k) semantics derived purely
+        # from the counting distribution - zero per-row work
+        "equidepth_events": ops.q_equidepth_events,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
@@ -1874,6 +1877,20 @@ def oracle_sql() -> dict[str, str]:
                   WHERE s_name LIKE '%7')
             GROUP BY 1, 2, 3
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # equi-depth histogram: NTILE over the total order, per tile
+        "equidepth_events": """
+            WITH r AS (
+                SELECT CAST(round(value*100) AS BIGINT) AS cents,
+                       NTILE(10) OVER (
+                           ORDER BY CAST(round(value*100) AS BIGINT),
+                                    event_id) AS tile
+                FROM events WHERE value IS NOT NULL)
+            SELECT CAST(tile AS BIGINT) AS tile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(cents) AS BIGINT) AS lo_cents,
+                   CAST(MAX(cents) AS BIGINT) AS hi_cents
+            FROM r GROUP BY tile ORDER BY tile
         """,
         # Q20-shaped: rational 2x-average nested-aggregate semi
         "excess_suppliers": """

@@ -308,6 +308,8 @@ def bench_queries(sf_dir: str) -> dict:
         # grouped count-distinct + NOT IN, Q20' nested-agg semi
         "forecast_revenue_change", "market_share", "nation_margin",
         "important_parts", "supplier_part_types", "excess_suppliers",
+        # exact equi-depth histogram (rank arithmetic, zero per-row)
+        "equidepth_events",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
     out = {}

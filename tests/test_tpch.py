@@ -596,3 +596,45 @@ def test_excess_suppliers_matches_oracle(ray_session):
     out = _check6("excess_suppliers",
                   entry.queries()["excess_suppliers"](SF_DIR))
     assert out.num_rows >= 1  # the 1.25x-avg bar keeps a real tail
+
+
+def test_equidepth_events_matches_oracle(ray_session):
+    """Equi-depth histogram: rank arithmetic over the counting
+    distribution equals row-level NTILE; tile sizes differ by <=1 and
+    bounds are monotone."""
+    out = entry.queries()["equidepth_events"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/events.parquet')")
+    ora = con.execute(entry.oracle_sql()["equidepth_events"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    ns = out["n"].to_pylist()
+    assert max(ns) - min(ns) <= 1
+    los, his = out["lo_cents"].to_pylist(), out["hi_cents"].to_pylist()
+    assert all(lo <= hi for lo, hi in zip(los, his))
+    assert his == sorted(his) and los == sorted(los)
+
+
+def test_equidepth_tie_straddle(ray_session, tmp_path):
+    """A single massive tie straddles tile boundaries: every tile's
+    bounds collapse onto the tied value exactly as row-level NTILE
+    assigns them."""
+    from yaschva_ray.pipelines import ops as _ops
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(25), pa.int64()),
+        "value": pa.array([7.0] * 23 + [1.0, 9.0], pa.float64())}),
+        str(d / "events.parquet"))
+    out = _ops.q_equidepth_events(str(d), k=10)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    ora = con.execute(entry.oracle_sql()["equidepth_events"]).arrow()
+    assert out.equals(ora.cast(out.schema))
+    # 25 rows / 10 tiles: first 5 tiles of 3, last 5 of 2; tile 1 holds
+    # the 1.0 minimum, the last holds the 9.0 maximum, middles all 700
+    assert out["n"].to_pylist() == [3] * 5 + [2] * 5
+    assert out["lo_cents"][0].as_py() == 100
+    assert out["hi_cents"][9].as_py() == 900
+    assert set(out["lo_cents"].to_pylist()[1:9]) == {700}

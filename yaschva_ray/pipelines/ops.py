@@ -8230,3 +8230,63 @@ def q_forget_user_events(sf_dir: str, n_ranges: int = 6,
     return pa.table({
         "metric": pa.array([r[0] for r in rows], pa.string()),
         "value": pa.array([r[1] for r in rows], pa.int64())})
+
+
+def q_equidepth_events(sf_dir: str, k: int = 10) -> pa.Table:
+    """EXACT equi-depth (quantile) histogram of events.value — the
+    profiling twin of the equi-width q_value_histogram_events: k bins
+    of (as close as possible to) equal COUNT, defined as NTILE(k) over
+    the total order (cents, event_id) and reported per tile as
+    (n, lo_cents, hi_cents).  Computed with ZERO per-row work: the
+    counting exchange's (cents, count) partials (bounded by distinct
+    cents, never rows) merge on the driver, and every tile's count and
+    value bounds fall out of the cumulative distribution by rank
+    arithmetic — NTILE's fill rule (first n mod k tiles take one extra
+    row) is pure arithmetic on ranks, and a distinct value straddling a
+    tile boundary contributes its value to both tiles' bounds exactly
+    as the row-level NTILE would."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_valid(t["value"]))
+        cents = pc.cast(pc.round(pc.multiply(f["value"], 100.0)),
+                        pa.int64())
+        g = pa.table({"cents": cents}).group_by("cents").aggregate(
+            [([], "count_all")])
+        return pa.table({"cents": g["cents"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    parts = [b for b in gather_tables(
+        ds.map_batches(partial, batch_format="pyarrow")) if b.num_rows]
+    empty = pa.table({"tile": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "lo_cents": pa.array([], pa.int64()),
+                      "hi_cents": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    g = (pa.concat_tables(parts).group_by("cents")
+         .aggregate([("n", "sum")]).sort_by([("cents", "ascending")]))
+    cents = np.asarray(g["cents"].to_numpy(zero_copy_only=False),
+                       np.int64)
+    cnt = np.asarray(g["n_sum"].to_numpy(zero_copy_only=False),
+                     np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    if n == 0:
+        return empty
+    base, extra = divmod(n, k)
+    # tile i (1-based) covers ranks [start_i, end_i): the first `extra`
+    # tiles take base+1 rows (SQL NTILE's fill rule)
+    sizes = np.full(k, base, np.int64)
+    sizes[:extra] += 1
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    occupied = sizes > 0  # n < k leaves trailing empty tiles -> omitted
+    # value at rank r = cents[searchsorted(cum, r+1)]
+    lo = cents[np.searchsorted(cum, starts[occupied] + 1)]
+    hi = cents[np.searchsorted(cum, ends[occupied])]
+    tiles = (np.arange(k, dtype=np.int64) + 1)[occupied]
+    return pa.table({"tile": pa.array(tiles),
+                     "n": pa.array(sizes[occupied]),
+                     "lo_cents": pa.array(lo),
+                     "hi_cents": pa.array(hi)})
