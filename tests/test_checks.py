@@ -112,3 +112,46 @@ def test_chained_phase2_sentinels(ray_session):
     assert got.to_pylist() == [1, 2, 3]
     outs = _uniq_verify_blobs_task("doc_id", 4, None)          # sentinel
     assert all(o.num_rows == 0 for o in outs)
+
+
+def test_uniqueness_after_schema_changing_map_with_empty_blocks(ray_session):
+    """Empty blocks downstream of a schema-CHANGING map_batches keep the
+    SOURCE schema (Ray Data skips the UDF on zero-row blocks) — the map
+    half of the uniqueness exchange must treat a block without the key
+    column as zero keys, not KeyError (round-4 ADVICE, ops.py:7955 /
+    expectations.py:98 composition)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from yaschva_ray.engine.checks import uniqueness_violations
+
+    src = pa.table({"a": pa.array([1, 1, 2, 3], pa.int64()),
+                    "b": pa.array(["x", "x", "y", "z"])})
+    # 8 blocks from 4 rows → at least 4 empty blocks with schema (a, b)
+    ds = ray.data.from_arrow(src).repartition(8)
+
+    def pack(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(t["a"], pa.string())})
+
+    dup = uniqueness_violations(ds.map_batches(pack, batch_format="pyarrow"),
+                                "k")
+    assert dup.num_rows == 1
+    assert dup["k"].to_pylist() == ["1"]
+    assert dup["n_docs"].to_pylist() == [2]
+
+
+def test_uniqueness_all_blocks_empty(ray_session):
+    import pyarrow.compute as pc
+    import ray.data
+
+    from yaschva_ray.engine.checks import uniqueness_violations
+
+    src = pa.table({"a": pa.array([], pa.int64())})
+    ds = ray.data.from_arrow(src).repartition(4)
+
+    def pack(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(t["a"], pa.string())})
+
+    dup = uniqueness_violations(ds.map_batches(pack, batch_format="pyarrow"),
+                                "k")
+    assert dup.num_rows == 0

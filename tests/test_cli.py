@@ -827,3 +827,25 @@ def test_repair_generic_spec(tmp_path):
     rep2 = json.loads(r2.stdout.strip().splitlines()[-1])["report"]
     assert rep2["v_min"] == 1 and rep2["v_max"] == 1  # the NULLs only
     assert rep2["s_enum"] == 2  # NULL fails enum-expectations, by spec
+
+
+def test_repair_fractional_bound_on_integer_column():
+    """A fractional min/max on an INTEGER column must clamp toward the
+    interior (ceil for min, floor for max) — pa.scalar(1.5, int64)
+    truncation would leave a repaired value of 1 that still violates
+    min=1.5, so `repair` -> `expect` would re-fail silently (round-4
+    ADVICE, expectations.py:215)."""
+    import pyarrow as pa
+
+    from yaschva_ray.expectations import _repair_batch
+
+    t = pa.table({"v": pa.array([-2, 1, 2, 9, None], pa.int64())})
+    out = _repair_batch(t, {"columns": {"v": {"min": 1.5, "max": 7.5}}})
+    # -2 and 1 clamp UP to ceil(1.5)=2; 9 clamps DOWN to floor(7.5)=7
+    assert out["v"].to_pylist() == [2, 2, 2, 7, None]
+    # every repaired non-null value now satisfies the rule
+    assert all(1.5 <= x <= 7.5 for x in out["v"].to_pylist()
+               if x is not None)
+    # integral fractional bound (2.0) keeps exact-bound clamping
+    out2 = _repair_batch(t, {"columns": {"v": {"min": 2.0}}})
+    assert out2["v"].to_pylist() == [2, 2, 2, 9, None]

@@ -42,6 +42,17 @@ def uniqueness_violations(ds: "ray.data.Dataset", key: str,
             from .sketches import limit_worker_threads
 
             limit_worker_threads()
+            if block.num_rows == 0 or key_ not in block.column_names:
+                # Ray Data never runs a map_batches UDF on zero-row
+                # blocks, so an empty block downstream of a
+                # schema-CHANGING transform still carries the SOURCE
+                # schema — the key column may be absent.  No rows means
+                # no keys; emit empty slices (combine/reduce filter
+                # empties before any concat, so the placeholder type is
+                # never unified against real slices).
+                empty = pa.table({key_: pa.array([], _key_type(key_)),
+                                  "partial_n": pa.array([], pa.int64())})
+                return [empty] * nb if nb > 1 else empty
             out = _bucket_partial_slices(block.select([key_]), key_, nb)
             return out if nb > 1 else out[0]
 

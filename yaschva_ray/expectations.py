@@ -195,6 +195,24 @@ def suggest_spec(ds, *, enum_cap: int = 16,
     return spec
 
 
+def _clamp_scalar(bound, typ: pa.DataType, *, is_min: bool) -> pa.Scalar:
+    """Replacement scalar for a min/max clamp.  On INTEGRAL columns a
+    fractional bound is rounded toward the INTERIOR of the valid range
+    (ceil for min, floor for max): ``pa.scalar(1.5, int64)`` truncates
+    to 1, so a -2 clamped by min=1.5 would come back as 1 — still
+    violating the rule, and ``repair`` → ``expect`` would re-fail with
+    no explanation.  The comparison itself still uses the raw fractional
+    bound (int 1 < 1.5 clamps, int 2 doesn't), so only the replacement
+    value changes."""
+    if pa.types.is_integer(typ) and isinstance(bound, float) \
+            and not float(bound).is_integer():
+        import math
+
+        return pa.scalar(math.ceil(bound) if is_min else math.floor(bound),
+                         typ)
+    return pa.scalar(bound, typ)
+
+
 def _repair_batch(t: pa.Table, spec: dict,
                   count: bool = False) -> pa.Table:
     """Apply ``spec``'s repairable rules to one batch: min/max CLAMP
@@ -212,11 +230,11 @@ def _repair_batch(t: pa.Table, spec: dict,
             if "min" in rules:
                 rep = pc.if_else(pc.fill_null(
                     pc.less(rep, rules["min"]), False),
-                    pa.scalar(rules["min"], c.type), rep)
+                    _clamp_scalar(rules["min"], c.type, is_min=True), rep)
             if "max" in rules:
                 rep = pc.if_else(pc.fill_null(
                     pc.greater(rep, rules["max"]), False),
-                    pa.scalar(rules["max"], c.type), rep)
+                    _clamp_scalar(rules["max"], c.type, is_min=False), rep)
             if count:
                 counts[f"{col}_clamped"] = int(pc.sum(pc.cast(
                     pc.and_(valid, pc.invert(pc.fill_null(pc.equal(

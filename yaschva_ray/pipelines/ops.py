@@ -7712,12 +7712,15 @@ def merkle_range_digest(ds, key: str, content: list[str],
         x = np.asarray(p["x"].to_numpy(zero_copy_only=False),
                        np.int64).astype(np.uint64)
         for i in range(len(rid)):  # O(ranges), never O(rows)
-            a = out.setdefault(int(rid[i]), [0, np.uint64(0),
-                                             np.uint64(0)])
+            a = out.setdefault(int(rid[i]), [0, 0, 0])
             a[0] += int(n[i])
-            a[1] = np.uint64(a[1] + s[i])  # wraps mod 2^64
-            a[2] = np.uint64(a[2] ^ x[i])
-    return {k: (v[0], int(v[1] & mask_i), int(v[2]))
+            # plain-int accumulation masked to 2^64 — intentional
+            # wraparound without numpy's scalar-overflow RuntimeWarning
+            # (and safe under np.seterr(over='raise')); O(ranges) loop,
+            # so scalar Python arithmetic costs nothing
+            a[1] = (a[1] + int(s[i])) & 0xFFFFFFFFFFFFFFFF
+            a[2] ^= int(x[i])
+    return {k: (v[0], v[1] & int(mask_i), v[2])
             for k, v in out.items()}
 
 
@@ -7944,10 +7947,18 @@ def q_expectation_suite_lineitem(sf_dir: str) -> pa.Table:
 
     def pack(t: pa.Table) -> pa.Table:
         ln = pc.cast(t["l_linenumber"], pa.int64())
-        if int(pc.max(ln).as_py() or 0) > 7 or \
-                int(pc.min(ln).as_py() or 1) < 1:
-            raise ValueError("expectation_suite: linenumber outside "
-                             "1..7 — widen the key pack")
+        # explicit None checks: `or`-coercion would swallow a falsy 0
+        # minimum, and a NULL linenumber would pack to a NULL key that
+        # collapses (orderkey, NULL) across DIFFERENT orderkeys — both
+        # diverge silently from the mirror's GROUP BY pair, so refuse.
+        lo, hi = pc.min(ln).as_py(), pc.max(ln).as_py()
+        if t.num_rows and (
+                lo is None or int(pc.sum(pc.cast(
+                    pc.is_null(ln), pa.int64())).as_py() or 0) > 0
+                or lo < 1 or hi > 7):
+            raise ValueError("expectation_suite: NULL linenumber or value "
+                             "outside 1..7 — widen the key pack or fall "
+                             "back to the string-concat canonical key")
         return pa.table({"k": pc.add(
             pc.multiply_checked(pc.cast(t["l_orderkey"], pa.int64()),
                                 pa.scalar(8, pa.int64())), ln)})
@@ -8132,17 +8143,19 @@ def q_repair_lineitem(sf_dir: str) -> pa.Table:
     tot = {k: sum(int(p[k][0].as_py()) for p in parts)
            for k in ("n_rows", "n_clamped_quantity",
                      "n_clamped_discount", "n_defaulted_returnflag")}
-    s = np.uint64(0)
-    x = np.uint64(0)
+    # plain-int merge masked to 2^64 (intentional wraparound without
+    # numpy scalar-overflow warnings); O(parts) driver loop
+    s = 0
+    x = 0
     for p in parts:
-        s = np.uint64(s + np.uint64(int(p["s"][0].as_py())))
-        x = np.uint64(x ^ np.uint64(int(p["x"][0].as_py())))
+        s = (s + int(p["s"][0].as_py())) & 0xFFFFFFFFFFFFFFFF
+        x ^= int(p["x"][0].as_py())
     rows = [("n_clamped_discount", tot["n_clamped_discount"]),
             ("n_clamped_quantity", tot["n_clamped_quantity"]),
             ("n_defaulted_returnflag", tot["n_defaulted_returnflag"]),
             ("n_rows", tot["n_rows"]),
-            ("repaired_sum_lo63", int(s & mask)),
-            ("repaired_xor_lo63", int(x))]
+            ("repaired_sum_lo63", s & int(mask)),
+            ("repaired_xor_lo63", x)]
     return pa.table({
         "metric": pa.array([r[0] for r in rows], pa.string()),
         "value": pa.array([r[1] for r in rows], pa.int64())})

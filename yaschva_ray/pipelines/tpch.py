@@ -18,12 +18,16 @@ Patterns covered here:
 Scale notes: every big-big pairing goes through the bounded hash
 exchange (``engine.joins.hash_join`` / ``engine.exchange.keyed_exchange``);
 small sides broadcast as value sets; every scan prunes columns; driver
-state is bounded (histograms, winners, heavy groups) with ONE named
-exception: the chained joins (Q7 here, Q5 in ops.py) materialize join
-1's projected output (orderkey + one dim attr for a 2-of-25-nations
+state is bounded (histograms, winners, heavy groups) with TWO named
+exceptions: (a) the chained joins (Q7 here, Q5 in ops.py) materialize
+join 1's projected output (orderkey + one dim attr for a 2-of-25-nations
 slice) on the driver before feeding join 2 - bounded by selectivity,
-not by a constant; at 100 TB route it through hash_join's ``out_dir``
-per-bucket parquet sinks instead (same contract as asof_join).
+not by a constant; (b) Q9 (q_nation_margin) materializes join 1 at the
+(orderkey, suppkey) margin grain - pre-aggregated inside the bucket
+task, but still O(distinct order-supplier pairs), i.e. proportional to
+lineitem on a TPC-H-shaped corpus.  At 100 TB route BOTH through
+hash_join's ``out_dir`` per-bucket parquet sinks instead (same contract
+as asof_join), re-reading the bucket files as the next join's input.
 """
 
 from __future__ import annotations
@@ -1132,9 +1136,18 @@ def q_nation_margin(sf_dir: str) -> pa.Table:
         f = t.filter(pc.is_valid(t["p_retailprice"]))
         cost = pc.multiply_checked(_cents(f["p_retailprice"]), f["qc"])
         margin = pc.subtract(f["rev"].cast(pa.int64()), cost)
-        return pa.table({"l_orderkey": f["l_orderkey"],
-                         "l_suppkey": f["l_suppkey"],
-                         "margin": margin})
+        # pre-aggregate to the (orderkey, suppkey) grain INSIDE the
+        # bucket task — downstream only needs margin at that grain, and
+        # emitting one row per joined lineitem would put the full fact
+        # table on the driver between join 1 and join 2 (round-4 ADVICE)
+        g = (pa.table({"l_orderkey": f["l_orderkey"],
+                       "l_suppkey": f["l_suppkey"],
+                       "margin": margin})
+             .group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("margin", "sum")]))
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "margin": g["margin_sum"]})
 
     j1 = hash_join(li.map_batches(l_proj, batch_format="pyarrow"),
                    part, left_key="l_partkey", right_key="p_partkey",
