@@ -51,7 +51,7 @@ HLL_P = 14
 HLL_M = 1 << HLL_P
 
 
-def _hash64(arr: pa.Array) -> np.ndarray:
+def _hash64(arr: pa.Array, seed: int = 0) -> np.ndarray:
     """Vectorized 64-bit hash of an Arrow array's values.
 
     LENGTH-PRESERVING: output has exactly ``len(arr)`` entries so callers may
@@ -59,6 +59,10 @@ def _hash64(arr: pa.Array) -> np.ndarray:
     uniqueness partials).  Null slots hash to a fixed deterministic value
     (polars hashes nulls; the numpy fallback hashes the NaN bit pattern).
     Callers that want nulls excluded (e.g. HLL distinct) drop them first.
+    ``seed`` selects an INDEPENDENT hash family — callers that need >64
+    collision bits (e.g. the 128-bit span-dedup fingerprints) combine two
+    seeds instead of deriving the second hash from the first (a derived
+    hash collides whenever the base does, so it adds zero bits).
     """
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64)
@@ -66,9 +70,9 @@ def _hash64(arr: pa.Array) -> np.ndarray:
         s = pl.from_arrow(arr)
         if not isinstance(s, pl.Series):  # pragma: no cover
             s = s.to_series()
-        return s.hash(seed=0).to_numpy().astype(np.uint64)
+        return s.hash(seed=seed).to_numpy().astype(np.uint64)
     v = np.asarray(arr.cast(pa.float64()).to_numpy(zero_copy_only=False)).view(np.uint64)
-    z = v * np.uint64(0x9E3779B97F4A7C15)
+    z = (v + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
     z ^= z >> np.uint64(29)
     return z
 
