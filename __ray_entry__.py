@@ -218,7 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     siblings that stay in the sweep (ann_bruteforce is hash-checked for
     ANN, fingerprint_md5 for fingerprints, media plumbing and drift's
     sketches have their own tests) — each keeps its pytest coverage."""
-    from yaschva_ray.pipelines import bpe, conformance, ops, textops, tpch
+    from yaschva_ray.pipelines import (bpe, conformance, inference, ops,
+                                       textops, tpch)
 
     return {
         # --- oracle-checked (hash-exact vs DuckDB) ---
@@ -245,12 +246,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_export_events": ops.q_sorted_export_events,
         "pack_sequences": ops.q_pack_sequences,
         "events_hourly_window": ops.q_events_hourly_window,
-        # the KEYLESS global-time as-of (ordered co-partition + boundary
-        # carry, DuckDB-ASOF oracle) takes events_sliding_window's sweep
-        # slot — a new operator CLASS beats a second window variant
-        # (tumbling + sessions keep the window family sweep-visible;
-        # sliding stays oracle-backed past the cap)
-        "events_global_asof": ops.q_events_global_asof,
+        # learned-model inference takes the global-asof sweep slot (the
+        # keyed as-of sibling events_asof_orders keeps the family
+        # visible; global asof stays oracle-backed past the cap): a
+        # trained+quantized logistic-regression quality classifier run
+        # as an actor-pool forward pass — the round-4 review's top
+        # missing component, hash-exact vs a weights-inlined SQL mirror
+        "model_quality_scores": inference.q_model_quality_scores,
+        # and the embed → integer-dot-product top-k chain (embedding
+        # model inference + broadcast-query similarity search) takes
+        # active_customers' slot (referential family stays visible via
+        # customers_without_orders; active_customers keeps its oracle
+        # past the cap)
+        "embed_similarity_topk": inference.q_embed_similarity_topk,
         "events_asof_orders": ops.q_events_asof_orders,
         "events_sessions": ops.q_events_sessions,
         # duplicate-SPAN removal takes jaccard_pairs' sweep slot: a new
@@ -281,7 +289,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_events_props": ops.q_check_events_props,
         "uniqueness_events_user": ops.q_uniqueness_events_user,
         "customers_without_orders": ops.q_customers_without_orders,
-        "active_customers": ops.q_active_customers,
         # row-level snapshot diff takes dangling_lineitem_parts' slot
         # (referential anti/semi joins stay visible via
         # customers_without_orders + active_customers)
@@ -323,6 +330,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f0_offset_check": textops.q_f0_offset_check,
         # --- past the 50-entry window: every remaining oracle-backed
         # query first (a larger cap checks them all), rows-only last ---
+        # ceded their in-window slots to the model-inference pair (see
+        # above); both keep their oracles here
+        "events_global_asof": ops.q_events_global_asof,
+        "active_customers": ops.q_active_customers,
+        # the standalone embedding-model stage (e0..e7 exact int64
+        # columns — the corpus-wide forward pass the top-k chain reuses)
+        "embed_documents": inference.q_embed_documents,
         # sample_quality (oracle-backed) ceded its sweep slot to the exact
         # stratified sampler; the deterministic systematic-sample + quality
         # feature chain keeps its oracle here and its pytest coverage
@@ -1086,7 +1100,15 @@ def _sssp_sql(seed_mod: int = 97, rounds: int = 4) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from yaschva_ray.pipelines import inference
+
     return {
+        # learned-model inference mirrors are GENERATED: the pinned
+        # integer artifact / projection matrix is inlined into the SQL,
+        # so the oracle recomputes the identical forward pass
+        "model_quality_scores": inference.quality_scores_oracle_sql(),
+        "embed_similarity_topk": inference.embed_similarity_oracle_sql(),
+        "embed_documents": inference.embed_documents_oracle_sql(),
         "dedup_exact_documents": """
             SELECT doc_id FROM (
                 SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

