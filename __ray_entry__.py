@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # above); both keep their oracles here
         "events_global_asof": ops.q_events_global_asof,
         "active_customers": ops.q_active_customers,
+        # $unique array-set constraint (the reference's own future-work
+        # item, README.md:174-178 — an extension BEYOND parity) over
+        # the embeddings table, planted-oracle checked
+        "unique_check_embeddings": ops.q_unique_check_embeddings,
         # the standalone embedding-model stage (e0..e7 exact int64
         # columns — the corpus-wide forward pass the top-k chain reuses)
         "embed_documents": inference.q_embed_documents,
@@ -1109,6 +1113,21 @@ def oracle_sql() -> dict[str, str]:
         "model_quality_scores": inference.quality_scores_oracle_sql(),
         "embed_similarity_topk": inference.embed_similarity_oracle_sql(),
         "embed_documents": inference.embed_documents_oracle_sql(),
+        # $unique set-constraint check with planted duplicates (element
+        # 2 := element 1 on the vec_id<8 copies; 1-based list indexing)
+        "unique_check_embeddings": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 40000000 AS vec_id,
+                       list_value(embedding[1], embedding[1])
+                           || embedding[3:] AS embedding
+                FROM embeddings WHERE vec_id < 8
+            )
+            SELECT vec_id,
+                   len(list_distinct(embedding)) = len(embedding) AS valid
+            FROM aug ORDER BY vec_id
+        """,
         "dedup_exact_documents": """
             SELECT doc_id FROM (
                 SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

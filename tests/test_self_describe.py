@@ -45,12 +45,18 @@ SELF_SCHEMA = {
             "\\$number": {"min": ["?", "number"], "max": ["?", "number"],
                           "step": ["?", "number"]},
             "postfix": ["?", "string"], **_META},
+        # "$unique" is the ENGINE EXTENSION (oracle.py E_NOT_UNIQUE_*,
+        # implementing the reference's own future-work constraint,
+        # README.md:174-178) — the self-description admits it so
+        # extension-using schemas still self-validate
         "$specArray": {"\\$array": "$validation",
                        "minLength": ["?", "number"],
-                       "maxLength": ["?", "number"], **_META},
+                       "maxLength": ["?", "number"],
+                       "\\$unique": ["?", "boolean"], **_META},
         "$specMap": {"\\$map": "$validation", "regex": ["?", "string"],
                      "minLength": ["?", "number"],
-                     "maxLength": ["?", "number"], **_META},
+                     "maxLength": ["?", "number"],
+                     "\\$unique": ["?", "boolean"], **_META},
         "$specAnd": {"\\$and": {"$array": ["$objectSchema", "string"]}, **_META},
         "$specMeta": {"\\$type": "$validation", **_META},
     },

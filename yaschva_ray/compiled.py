@@ -103,15 +103,22 @@ def _compile(node: Any, custom: dict, cache: dict) -> Fn:
         mx = node.get("maxLength") or MAX_SAFE_INTEGER
         mn = node.get("minLength") or 0
         len_err = O.array_length_error(mn, mx)
+        unique = bool(node.get("$unique"))  # engine extension (oracle.py)
 
         def array(v: Any) -> dict:
             if not isinstance(v, list):
                 return _fail(O.E_NOT_ARRAY, v)
             if len(v) < mn or len(v) > mx:
                 return _fail(len_err, len(v))
+            dup = O._dup_mask(v) if unique else None
             flat: list = []
             fail = False
-            for x in v:
+            for i, x in enumerate(v):
+                if dup is not None and dup[i]:
+                    fail = True
+                    flat.append({"error": O.E_NOT_UNIQUE_ARRAY,
+                                 "value": x})
+                    continue
                 r = elem(x)
                 if r["result"] == "fail":
                     fail = True
@@ -147,6 +154,7 @@ def _compile(node: Any, custom: dict, cache: dict) -> Fn:
         mn = node.get("minLength") or 0
         cnt_err = O.map_count_error(mn, mx)
         rx = compile_js(node["regex"]) if node.get("regex") else None
+        unique = bool(node.get("$unique"))  # engine extension (oracle.py)
 
         def map_(v: Any) -> dict:
             if not isinstance(v, (dict, list)):
@@ -154,15 +162,22 @@ def _compile(node: Any, custom: dict, cache: dict) -> Fn:
             keys = [str(i) for i in range(len(v))] if isinstance(v, list) else list(v.keys())
             if len(keys) < mn or len(keys) > mx:
                 return _fail(cnt_err, len(keys))
+            items = [v[int(k)] if isinstance(v, list) else v[k]
+                     for k in keys]
+            dup = O._dup_mask(items) if unique else None
             fail = False
             output: dict = {}
-            for k in keys:
+            for ki, k in enumerate(keys):
                 if rx is not None and rx.search(k) is None:
                     fail = True
                     output[k] = {"error": O.E_REGEX, "value": v}
                     continue
-                item = v[int(k)] if isinstance(v, list) else v[k]
-                r = val_fn(item)
+                if dup is not None and dup[ki]:
+                    fail = True
+                    output[k] = {"error": O.E_NOT_UNIQUE_MAP,
+                                 "value": items[ki]}
+                    continue
+                r = val_fn(items[ki])
                 if r["result"] == "fail":
                     fail = True
                 output[k] = r["output"]

@@ -78,6 +78,39 @@ def _simple_generation(t: str, options: Options, rng: random.Random) -> Any:
     raise S.unknown_validator_error(t)
 
 
+def _dedup_to_min(items: list, child_schema: Any, gen, mn,
+                  attempts: int = 200) -> list:
+    """Drop deep-equal repeats (first occurrence wins) and regenerate
+    until ``mn`` distinct values exist — the ``$unique`` engine
+    extension's generator side (oracle.py documents the equality).
+    Raises SchemaError when the child value space can't supply enough
+    distinct values (e.g. a 1-value $enum with minLength 2)."""
+    from .oracle import canonical_value_key
+
+    out: list = []
+    seen: set = set()
+
+    def push(x):
+        k = canonical_value_key(x)
+        if k not in seen:
+            seen.add(k)
+            out.append(x)
+
+    for x in items:
+        push(x)
+    tries = 0
+    while len(out) < mn:
+        tries += 1
+        if tries > attempts:
+            raise S.SchemaError(
+                "$unique: cannot generate enough distinct values "
+                f"(need {mn}, found {len(out)} in {attempts} attempts)")
+        x = gen(child_schema, True)
+        if x is not UNDEFINED:
+            push(x)
+    return out
+
+
 def _apply_preference(branches: list, options: Options) -> list:
     # generate.ts:51-59
     if options.prefer == "defined":
@@ -134,7 +167,10 @@ def _generate_internal(
         mn = t["minLength"] if isinstance(t.get("minLength"), (int, float)) and not isinstance(t.get("minLength"), bool) else options.arrayMin
         mx = t["maxLength"] if isinstance(t.get("maxLength"), (int, float)) and not isinstance(t.get("maxLength"), bool) else options.arrayMax
         items = [gen(t["$array"], True) for _ in range(random_number(rng, True, mn, mx))]
-        return [x for x in items if x is not UNDEFINED]
+        items = [x for x in items if x is not UNDEFINED]
+        if t.get("$unique"):  # engine extension (oracle.py): emit a SET
+            items = _dedup_to_min(items, t["$array"], gen, mn)
+        return items
 
     if S.is_enum(t):
         return t["$enum"][random_number(rng, True, 0, len(t["$enum"]) - 1)]
@@ -158,6 +194,29 @@ def _generate_internal(
         for _ in range(count):
             key = rand_from_regex(t["regex"], rng) if t.get("regex") else _simple_generation("string", options, rng)
             out[key] = gen(t["$map"], True)
+        if t.get("$unique"):  # engine extension: values must form a set
+            from .oracle import canonical_value_key
+
+            uniq_vals = _dedup_to_min(list(out.values()), t["$map"],
+                                      gen, mn)
+            keep = {}
+            seen: set = set()
+            for k, v in out.items():
+                ck = canonical_value_key(v)
+                if ck not in seen:
+                    seen.add(ck)
+                    keep[k] = v
+            # uniq_vals[:len(keep)] are exactly keep's values (same
+            # first-occurrence order); the tail is the minLength top-up
+            for v in uniq_vals[len(keep):]:
+                for _ in range(100):  # fresh non-colliding key
+                    key = (rand_from_regex(t["regex"], rng)
+                           if t.get("regex")
+                           else _simple_generation("string", options, rng))
+                    if key not in keep:
+                        break
+                keep[key] = v
+            out = keep
         return out
 
     if S.is_number(t):

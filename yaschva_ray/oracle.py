@@ -51,6 +51,35 @@ E_NOT_ARRAY = "Value is not an Array"
 E_NOT_OBJECT = "Value is not an Object"
 E_UNKNOWN_KEY = "Key does not exist on validator"
 E_AND_SCHEMA = "SCHEMA error: $and must only contain objects"
+# ENGINE EXTENSION (reference README.md:174-178 lists "Array to be
+# unique set" / "Map to be a unique set" as unimplemented future work;
+# neither side of the differential implements it in the parity surface,
+# and the fuzz generator never emits $unique): `"$unique": true` on an
+# $array / $map node fails any element (map: value) that DEEP-equals an
+# earlier one — equality is order-insensitive canonical JSON (object
+# key order ignored; 1 and 1.0 equal; true distinct from 1).
+E_NOT_UNIQUE_ARRAY = "Array contains duplicate values"
+E_NOT_UNIQUE_MAP = "Map contains duplicate values"
+
+
+def canonical_value_key(value: Any) -> str:
+    """Order-insensitive deep-equality key: canonical JSON with sorted
+    object keys and integral floats normalized to ints (bools stay
+    bools — JSON spells them 'true'/'false', never 1/0)."""
+    import json
+
+    def norm(v):
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        return v
+
+    return json.dumps(norm(value), sort_keys=True, separators=(",", ":"))
 
 
 def enum_error(enums: list[str]) -> str:
@@ -182,6 +211,17 @@ def _validate_one_of(value: Any, branches: list, validate_fn) -> dict:
     return _fail(E_ONEOF, value, errors)
 
 
+def _dup_mask(values: list) -> list[bool]:
+    """True at each position whose value deep-equals an EARLIER one."""
+    seen: set = set()
+    out = []
+    for v in values:
+        k = canonical_value_key(v)
+        out.append(k in seen)
+        seen.add(k)
+    return out
+
+
 def _validate_array(value: Any, node: dict, validate_fn) -> dict:
     # validate.ts:106-126
     if isinstance(value, list):
@@ -189,9 +229,18 @@ def _validate_array(value: Any, node: dict, validate_fn) -> dict:
         min_len = node.get("minLength") or 0
         if len(value) < min_len or len(value) > max_len:
             return _fail(array_length_error(min_len, max_len), len(value))
+        dup = _dup_mask(value) if node.get("$unique") else None
         result_array: list = []
         fail = False
-        for x in value:
+        for i, x in enumerate(value):
+            if dup is not None and dup[i]:
+                # $unique extension: a repeat of an earlier element is
+                # its own error (element validation is moot — the set
+                # constraint already failed here)
+                fail = True
+                result_array.append({"error": E_NOT_UNIQUE_ARRAY,
+                                     "value": x})
+                continue
             res = validate_fn(node["$array"], x)
             if res["result"] == FAIL:
                 fail = True
@@ -252,13 +301,22 @@ def _validate_map(value: Any, node: dict, validate_fn) -> dict:
     min_len = node.get("minLength") or 0
     if key_count < min_len or key_count > max_len:
         return _fail(map_count_error(min_len, max_len), key_count)
-    for key in keys:
+    dup = (_dup_mask([_get(value, k) for k in keys])
+           if node.get("$unique") else None)
+    for ki, key in enumerate(keys):
         if node.get("regex"):
             if not js_test(node["regex"], key):
                 fail = True
                 # value echoes the WHOLE map (validate.ts:181-184)
                 output[key] = {"error": E_REGEX, "value": value}
                 continue
+        if dup is not None and dup[ki]:
+            # $unique extension: a later key whose VALUE deep-equals an
+            # earlier key's value fails the unique-set constraint
+            fail = True
+            output[key] = {"error": E_NOT_UNIQUE_MAP,
+                           "value": _get(value, key)}
+            continue
         res = validate_fn(node["$map"], _get(value, key))
         if res["result"] == FAIL:
             fail = True

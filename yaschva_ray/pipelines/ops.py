@@ -211,6 +211,51 @@ def q_check_events_props(sf_dir: str) -> pa.Table:
     return _sorted_table(ds.map_batches(check, batch_format="pyarrow"), ["event_id"])
 
 
+def q_unique_check_embeddings(sf_dir: str) -> pa.Table:
+    """$unique set-constraint validation over the embeddings table —
+    the ENGINE EXTENSION implementing the reference's own declared
+    future work ("Array to be unique set", /root/reference/README.md:
+    174-178; implemented by neither side of the differential): each
+    embedding vector must contain no deep-equal repeated element,
+    evaluated by the vectorized TableValidator's hash-prescreen +
+    exact-verify kernel (vectorized.py _segment_dup_any).  Random
+    float vectors never collide, so 8 violating rows are PLANTED
+    (vec_id+40M, element 2 overwritten with element 1 — the
+    setsim_join planted-oracle pattern) and the DuckDB mirror
+    replicates the plant with list arithmetic.  Output: (vec_id,
+    valid) for every row of the augmented table."""
+    import ray.data
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = gather_tables(ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 8)),
+        batch_format="pyarrow"))
+    head = pa.concat_tables([t for t in head if t.num_rows]) \
+        .sort_by([("vec_id", "ascending")])
+    planted_rows = []
+    for r in head.to_pylist():
+        emb = list(r["embedding"])
+        emb[1] = emb[0]  # exact duplicate of element 1
+        planted_rows.append({"vec_id": r["vec_id"] + 40_000_000,
+                             "embedding": emb})
+    planted = pa.Table.from_pylist(planted_rows, schema=pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32()))]))
+
+    schema = {"vec_id": "number",
+              "embedding": {"$array": "number", "$unique": True}}
+    tv = TableValidator(schema)
+
+    def check(t: pa.Table) -> pa.Table:
+        out = tv(t)
+        return pa.table({"vec_id": out["vec_id"].cast(pa.int64()),
+                         "valid": out["valid"]})
+
+    aug = ds.union(ray.data.from_arrow(planted))
+    return _sorted_table(aug.map_batches(check, batch_format="pyarrow"),
+                         ["vec_id"])
+
+
 # --- uniqueness / referential ----------------------------------------------
 
 

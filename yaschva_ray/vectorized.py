@@ -122,6 +122,43 @@ def _segmented_any(child_fail: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return (cs[offsets[1:]] - cs[offsets[:-1]]) > 0
 
 
+def _segment_dup_any(values: pa.Array, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment True iff any value deep-equals another within the
+    segment (the ``$unique`` engine extension, oracle.py): a vectorized
+    64-bit hash prescreen (sort by (row, hash), adjacent-equal within a
+    row) flags CANDIDATE rows; only those rows get the exact Python
+    canonical-JSON verify — false hash positives are filtered, and
+    false negatives can't occur because physically-equal Arrow values
+    hash equal.  Unsupported dtypes fall back to exact-verifying every
+    multi-element row."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=bool)
+    if not int(offsets[-1]):
+        return out
+    lengths = np.diff(offsets)
+    vals = values.combine_chunks() if isinstance(
+        values, pa.ChunkedArray) else values
+    try:
+        from .engine.sketches import _hash64
+
+        h = _hash64(vals)
+        row = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        order = np.lexsort((h, row))
+        hs, rs = h[order], row[order]
+        same = (hs[1:] == hs[:-1]) & (rs[1:] == rs[:-1])
+        cand = np.unique(rs[1:][same])
+    except Exception:
+        cand = np.arange(n)[lengths > 1]
+    if len(cand):
+        from .oracle import canonical_value_key
+
+        for r in cand:
+            seg = vals.slice(int(offsets[r]), int(lengths[r])).to_pylist()
+            ks = [canonical_value_key(v) for v in seg]
+            out[int(r)] = len(set(ks)) < len(ks)
+    return out
+
+
 def _list_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
     """(lengths, flat values, offsets-normalized) for a List/LargeList array,
     treating null lists as length 0 and excluding their elements."""
@@ -319,6 +356,8 @@ def _eval_array(node, arr, defined, n, custom, seen) -> np.ndarray:
     u, jn = _child_env(values, node["$array"], custom)
     child_fail = eval_node(node["$array"], values, u, jn, len(values), custom, seen)
     elem_fail = _segmented_any(child_fail, offsets)
+    if node.get("$unique"):  # engine extension (oracle.py)
+        elem_fail = elem_fail | _segment_dup_any(values, offsets)
     return ~defined | (defined & (len_fail | elem_fail))
 
 
@@ -384,6 +423,8 @@ def _eval_map(node, arr, defined, n, custom, seen) -> np.ndarray:
     u, jn = _child_env(items, node["$map"], custom)
     per_entry_fail |= eval_node(node["$map"], items, u, jn, len(items), custom, seen)
     entry_fail = _segmented_any(per_entry_fail, rel) & ~nulls
+    if node.get("$unique"):  # engine extension (oracle.py)
+        entry_fail = entry_fail | (_segment_dup_any(items, rel) & ~nulls)
     return ~defined | (defined & (count_fail | entry_fail))
 
 
