@@ -209,14 +209,14 @@ def test_asof_bucket_schemaless_first_right_part():
     })
     # schema-less first part + real rows later: restoration must still see
     # the right schema (date32 back from datetime64, int32 back from float)
-    out = _asof_bucket(1, "k", "k2", "t", "t2", 0, None,
+    out = _asof_bucket(1, "k", "k2", "t", "t2", 0, None, False,
                        left, pa.table({}), right)
     assert out.schema.field("t2").type == pa.date32()
     assert out.schema.field("rv").type == pa.int32()
     assert out["rv"].to_pylist() == [7, 7]
     # schema-less first part + a typed ZERO-ROW part: left rows join typed
     # nulls with the real right schema, not a column-less table
-    out2 = _asof_bucket(1, "k", "k2", "t", "t2", 0, None,
+    out2 = _asof_bucket(1, "k", "k2", "t", "t2", 0, None, False,
                         left, pa.table({}), right.slice(0, 0))
     assert out2.num_rows == 2
     assert out2.schema.field("t2").type == pa.date32()
@@ -228,7 +228,7 @@ def test_asof_bucket_schemaless_first_right_part():
                                          pa.date32()),
                           "lid": pa.array([9], pa.int64())})
     with pytest.raises(ValueError, match="disjoint"):
-        _asof_bucket(1, "k", "k2", "t", "t2", 0, None,
+        _asof_bucket(1, "k", "k2", "t", "t2", 0, None, False,
                      left, pa.table({}), bad_right)
 
 
@@ -1078,3 +1078,110 @@ def test_hash_join_skew_left_outer_right_hot_only_noop(ray_session):
     base = run()
     split = run(skew_split=True, max_key_rows=100)
     pd.testing.assert_frame_equal(split[base.columns.tolist()], base)
+
+
+def test_asof_skew_split_equals_plain_on_hot_key(ray_session, caplog):
+    """skew_split time-bands a hot key across reduce tasks and restores
+    exactness via boundary carry — output must EQUAL the plain path on
+    data with unique timestamps (the tie-free contract)."""
+    import logging
+
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    # hot key 99: 4000 left + 3000 right rows; plus 30 normal keys;
+    # all timestamps unique per side (permutations) so ties can't
+    # make the two paths pick different-but-equally-correct rows
+    n_hot_l, n_hot_r, n_cold = 4000, 3000, 600
+    lts = rng.permutation(50_000)[:n_hot_l + n_cold]
+    rts = rng.permutation(50_000)[:n_hot_r + n_cold] + 100_000
+    # interleave right ts below/above left range so carries matter:
+    # half the right rows sit early, half late
+    rts = np.concatenate([rts[: (n_hot_r + n_cold) // 2] - 100_000 - 60_000,
+                          rts[(n_hot_r + n_cold) // 2:]])
+    lkeys = np.concatenate([np.full(n_hot_l, 99),
+                            rng.randint(0, 30, n_cold)])
+    rkeys = np.concatenate([np.full(n_hot_r, 99),
+                            rng.randint(0, 30, n_cold)])
+    left = pa.table({"lid": pa.array(np.arange(len(lkeys)), pa.int64()),
+                     "k": pa.array(lkeys, pa.int64()),
+                     "t": pa.array(lts, pa.int64())})
+    right = pa.table({"k2": pa.array(rkeys, pa.int64()),
+                      "t2": pa.array(rts[:len(rkeys)], pa.int64()),
+                      "v": pa.array(np.arange(len(rkeys)), pa.int64())})
+
+    def run(**kw):
+        out = asof_join(
+            ray.data.from_arrow(left).repartition(8),
+            ray.data.from_arrow(right).repartition(8),
+            left_key="k", right_key="k2", left_ts="t", right_ts="t2",
+            num_buckets=4, **kw)
+        return out.sort_by([("lid", "ascending")])
+
+    plain = run()
+    with caplog.at_level(logging.WARNING):
+        banded = run(skew_split=True, max_key_rows=500, max_bands=8)
+    assert any("time-banding" in r.message for r in caplog.records)
+    assert banded.column_names == plain.column_names
+    assert banded.equals(plain)
+    # sanity: the hot key genuinely matched across band boundaries
+    hot = banded.filter(pa.compute.equal(banded["k"], 99))
+    assert hot.num_rows == n_hot_l
+    assert pa.compute.sum(pa.compute.cast(
+        pa.compute.is_valid(hot["t2"]), pa.int64())).as_py() > 0
+
+
+def test_asof_skew_split_null_semantics_match_plain(ray_session):
+    """NULL keys/timestamps keep the pinned three-valued semantics under
+    banding (null-left emits typed-null right; null-right drops)."""
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    n = 1500
+    lts = rng.permutation(40_000)[:n].astype("int64")
+    rts = rng.permutation(40_000)[:n].astype("int64")
+    lt = pa.array([None if i % 97 == 0 else int(v)
+                   for i, v in enumerate(lts)], pa.int64())
+    lk = pa.array([None if i % 101 == 0 else 7 for i in range(n)],
+                  pa.int64())
+    rt = pa.array([None if i % 89 == 0 else int(v)
+                   for i, v in enumerate(rts)], pa.int64())
+    left = pa.table({"lid": pa.array(np.arange(n), pa.int64()),
+                     "k": lk, "t": lt})
+    right = pa.table({"k2": pa.array(np.full(n, 7), pa.int64()),
+                      "t2": rt,
+                      "v": pa.array(np.arange(n), pa.int64())})
+
+    def run(**kw):
+        return asof_join(
+            ray.data.from_arrow(left).repartition(6),
+            ray.data.from_arrow(right).repartition(6),
+            left_key="k", right_key="k2", left_ts="t", right_ts="t2",
+            num_buckets=3, **kw).sort_by([("lid", "ascending")])
+
+    plain = run()
+    banded = run(skew_split=True, max_key_rows=200, max_bands=6)
+    assert banded.equals(plain)
+
+
+def test_asof_skew_split_no_hot_keys_falls_back(ray_session):
+    """With every key under the threshold the skew plan degrades to the
+    plain exchange over the same snapshotted refs (no banding)."""
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    n = 400
+    left = pa.table({"lid": pa.array(np.arange(n), pa.int64()),
+                     "k": pa.array(rng.randint(0, 50, n), pa.int64()),
+                     "t": pa.array(rng.permutation(9000)[:n], pa.int64())})
+    right = pa.table({"k2": pa.array(rng.randint(0, 50, n), pa.int64()),
+                      "t2": pa.array(rng.permutation(9000)[:n], pa.int64()),
+                      "v": pa.array(np.arange(n), pa.int64())})
+
+    def run(**kw):
+        return asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_key="k", right_key="k2", left_ts="t", right_ts="t2",
+            num_buckets=4, **kw).sort_by([("lid", "ascending")])
+
+    assert run(skew_split=True, max_key_rows=1000).equals(run())

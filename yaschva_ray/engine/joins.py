@@ -5,9 +5,11 @@ As-of join: for each left row, the latest right row with the same key and
 with the same raw-task ``num_returns`` exchange the uniqueness check uses
 (fixed bucket count, one shuffle each side); each bucket task runs a
 vectorized ``pandas.merge_asof`` over its co-located key groups.  The
-partitioning assumption: a key's rows fit one bucket task — keys are
-customers/users, so a single key's history is small; bucket COUNT handles
-total volume.
+default partitioning assumption: a key's rows fit one bucket task — keys
+are customers/users, so a single key's history is small; bucket COUNT
+handles total volume.  ``skew_split=True`` lifts the assumption by
+time-banding hot keys with boundary-carry exactness (asof_join
+docstring).
 
 Bucket sizing: when the caller doesn't pass ``num_buckets``, it is derived
 from the datasets' estimated in-memory bytes so a bucket's reduce input
@@ -31,12 +33,15 @@ import pyarrow.compute as pc
 _TARGET_BUCKET_BYTES = 64 << 20  # reduce-task input target
 _MIN_BUCKETS, _MAX_BUCKETS = 8, 512
 
-# The as-of join and session windows assume ONE key's rows fit one bucket
-# task (keys are users/customers; bucket COUNT handles volume).  Nothing
-# used to detect a violation — a hot key at scale OOMed the bucket with no
-# warning.  Each bucket now logs its max single-key row count when it
-# crosses this threshold (house no-silent-caps rule; observability only,
-# semantics unchanged).
+# The default as-of path and session windows assume ONE key's rows fit
+# one bucket task (keys are users/customers; bucket COUNT handles
+# volume).  Each bucket logs its max single-key row count when it
+# crosses this threshold (house no-silent-caps rule).  asof_join now
+# also offers ``skew_split=True`` — time-banded hot keys with boundary
+# carry (see asof_join's docstring) — which REMOVES the assumption for
+# as-of; session windows keep it (a session chain can cross any time
+# cut, so banding would need iterative chain merging — documented
+# limitation, warning stands).
 _HOT_KEY_WARN_ROWS = 1_000_000
 
 # hash_join skew split: per-block heavy-hitter partial size and the
@@ -44,6 +49,10 @@ _HOT_KEY_WARN_ROWS = 1_000_000
 # gets grid-split across reduce tasks) — helpers live below hash_join
 _SKEW_TOPK = 4096
 _SKEW_MAX_KEY_ROWS = 1_000_000
+
+# asof_join skew split: reserved time-band column (the equi-join grid's
+# "__cell" sibling) — helpers live below the hash_join skew section
+_BAND_COL = "__band"
 
 
 def _warn_hot_key(t: pa.Table, key: str, op: str, bucket_id: int) -> None:
@@ -153,7 +162,8 @@ def _map_block(block: pa.Table, key: str, num_buckets: int):
 
 def _asof_bucket(n_left: int, left_key: str, right_key: str,
                  left_ts: str, right_ts: str, bucket_id: int,
-                 out_dir: str | None, *parts: pa.Table) -> pa.Table:
+                 out_dir: str | None, use_band: bool,
+                 *parts: pa.Table) -> pa.Table:
     import pandas as pd  # noqa: F401
 
     from .sketches import limit_worker_threads
@@ -168,7 +178,8 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
     # first part that actually carries one — rall[0] may not.
     right_schema = next((p.schema for p in rall if p.num_columns), None)
     if lparts and right_schema is not None:
-        shared = set(lparts[0].column_names) & set(right_schema.names)
+        shared = (set(lparts[0].column_names) & set(right_schema.names)) \
+            - ({_BAND_COL} if use_band else set())
         if shared:
             # pandas would suffix _x/_y, the empty-right path would not —
             # two bucket schemas that cannot concat; demand disjoint names
@@ -219,8 +230,11 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
 
             left_t, l_orig = _key_compat(left_valid_t, left_ts)
             right_t, _ = _key_compat(right_all, right_ts)
-            _warn_hot_key(left_t, left_key, "asof_join(left)", bucket_id)
-            _warn_hot_key(right_t, right_key, "asof_join(right)", bucket_id)
+            if not use_band:
+                _warn_hot_key(left_t, left_key, "asof_join(left)",
+                              bucket_id)
+                _warn_hot_key(right_t, right_key, "asof_join(right)",
+                              bucket_id)
             left = left_t.to_pandas()
             left = left.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
             right = right_t.to_pandas()
@@ -228,9 +242,14 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
             # takes the LAST — callers should select tie-independent
             # output columns
             right = right.sort_values(right_ts, kind="mergesort").reset_index(drop=True)
+            # band mode (skew_split): hot keys were time-banded at the
+            # map; the (key, band) composite co-locates each band with
+            # its carry-in right row, so the per-band merge is exact
+            lby = [left_key, _BAND_COL] if use_band else left_key
+            rby = [right_key, _BAND_COL] if use_band else right_key
             merged = pd.merge_asof(left, right, left_on=left_ts,
                                    right_on=right_ts,
-                                   left_by=left_key, right_by=right_key,
+                                   left_by=lby, right_by=rby,
                                    direction="backward")
             merged_t = pa.Table.from_pandas(merged, preserve_index=False)
             # restore right-side columns' ORIGINAL arrow types: merge_asof
@@ -259,12 +278,18 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
                 merged_t = merged_t.set_column(
                     i, pa.field(left_ts, l_orig),
                     merged_t[left_ts].cast(l_orig))
+            if use_band and _BAND_COL in merged_t.column_names:
+                merged_t = merged_t.drop_columns([_BAND_COL])
             pieces.append(merged_t)
         if left_null_t.num_rows:
             order = pc.sort_indices(left_null_t,
                                     sort_keys=[(left_ts, "ascending")])
             lt = left_null_t.take(order)
+            if use_band and _BAND_COL in lt.column_names:
+                lt = lt.drop_columns([_BAND_COL])
             for f in (right_schema or []):
+                if use_band and f.name == _BAND_COL:
+                    continue
                 lt = lt.append_column(
                     pa.field(f.name, f.type), pa.nulls(lt.num_rows, f.type))
             pieces.append(lt)
@@ -277,7 +302,9 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
 
 def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_ts: str, right_ts: str, num_buckets: int | None = None,
-              out_dir: str | None = None) -> pa.Table:
+              out_dir: str | None = None, skew_split: bool = False,
+              max_key_rows: int = _SKEW_MAX_KEY_ROWS,
+              max_bands: int = 64) -> pa.Table:
     """Backward as-of join (latest right row at or before each left row's
     timestamp, per key).  ``num_buckets=None`` derives B from the inputs'
     estimated bytes (per-bucket target ``_TARGET_BUCKET_BYTES``).  With
@@ -290,7 +317,26 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     a NULL key or timestamp on the right matches nothing and drops.
     (DuckDB's own ASOF operator leaks its sort order here — its keyed
     path treats NULL ts as +inf and can even match a NULL right ts —
-    so the engine pins the principled rule instead of the quirk.)"""
+    so the engine pins the principled rule instead of the quirk.)
+
+    ``skew_split=True`` removes the one-key-fits-one-bucket-task
+    assumption: a heavy-hitter counting pre-pass over snapshotted block
+    refs finds keys whose row count exceeds ``max_key_rows`` on either
+    side; a second sampling pre-pass over the SAME pinned refs draws
+    their timestamp distribution and cuts each hot key into up to
+    ``max_bands`` TIME BANDS (equi-depth on the sampled ts).  Rows
+    route on the (key, band) composite, so a hot key's history spreads
+    across reduce tasks.  Exactness is restored by BOUNDARY CARRY: the
+    right side's map tasks emit each block's latest right row per
+    (hot key, band); a tree-combine reduces these to the global latest
+    per band, and the driver ships each band b the latest right row
+    over bands < b as one extra co-located right row — a left row in
+    band b either matches inside its band or falls through to exactly
+    that carry row (every lower-band right ts precedes band b's left
+    ts by construction of the shared cutpoints).  Driver state is
+    O(hot keys × bands).  Tie caveat: among EQUAL right timestamps the
+    plain path and the banded path may pick different rows (the
+    documented caller contract — select tie-independent columns)."""
     import ray
 
     from .exchange import bounded_map_entries
@@ -310,12 +356,25 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
             .remote(ref, key, num_buckets),
             num_buckets)
 
-    lmap = _mapped(left_ds, left_key)
-    rmap = _mapped(right_ds, right_key)
+    if skew_split:
+        # returns plain-mapped entries over the SAME snapshotted refs
+        # (carry_slices None) when no key crosses the hot threshold —
+        # never re-executes the upstream datasets
+        lmap, rmap, carry_slices = _asof_skew_plan(
+            left_ds, right_ds, left_key, right_key, left_ts, right_ts,
+            num_buckets, max_key_rows, max_bands)
+    else:
+        carry_slices = None
+        lmap = _mapped(left_ds, left_key)
+        rmap = _mapped(right_ds, right_key)
+    use_band = carry_slices is not None
     joined = [
         _REDUCE_REMOTE.remote(len(lmap), left_key, right_key, left_ts,
-                              right_ts, b, out_dir, *[m[b] for m in lmap],
-                              *[m[b] for m in rmap])
+                              right_ts, b, out_dir, use_band,
+                              *[m[b] for m in lmap],
+                              *[m[b] for m in rmap],
+                              *([] if carry_slices is None
+                                else [carry_slices[b]]))
         for b in range(num_buckets)
     ]
     tables = [t for t in ray.get(joined) if t.num_rows]
@@ -867,6 +926,332 @@ def _vkey_bucket(vkeys: np.ndarray, num_buckets: int) -> np.ndarray:
     z *= np.uint64(0xBF58476D1CE4E5B9)
     z ^= z >> np.uint64(27)
     return (z % np.uint64(num_buckets)).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# As-of skew split: TIME-BAND partition hot keys, boundary-carry exactness
+# --------------------------------------------------------------------------
+
+_ASOF_SAMPLE_REMOTE = None
+_ASOF_SAMPLE_COMBINE_REMOTE = None
+_ASOF_SKEW_MAP_REMOTE = None
+_ASOF_BOUND_COMBINE_REMOTE = None
+
+
+def _asof_ts_sample(block: pa.Table, key: str, ts: str, hot_keys,
+                    per_key: int) -> pa.Table:
+    """Per-block timestamp sample for HOT keys: up to ``per_key`` strided
+    ts values per hot key (deterministic; no RNG)."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    if key not in block.column_names or ts not in block.column_names \
+            or not block.num_rows:
+        return pa.table({})
+    karr = block[key]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    tarr = block[ts]
+    if isinstance(tarr, pa.ChunkedArray):
+        tarr = tarr.combine_chunks()
+    idx = pc.fill_null(pc.index_in(karr, value_set=hot_keys), -1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    m = (idx >= 0) & np.asarray(pc.is_valid(tarr))
+    if not m.any():
+        return pa.table({})
+    rows = np.nonzero(m)[0]
+    kidx = idx[rows]
+    order = np.argsort(kidx, kind="stable")
+    rows, kidx = rows[order], kidx[order]
+    seg = np.searchsorted(kidx, np.arange(int(kidx[-1]) + 2))
+    take = []
+    for i in range(len(seg) - 1):
+        s, e = int(seg[i]), int(seg[i + 1])
+        if e > s:
+            take.append(rows[s:e:max(1, (e - s) // per_key)])
+    sel = np.concatenate(take)
+    sel_sorted = np.sort(sel)
+    return pa.table({"kidx": pa.array(idx[sel_sorted]),
+                     "ts": tarr.take(pa.array(sel_sorted))})
+
+
+def _asof_sample_combine(per_key_cap: int, *parts: pa.Table) -> pa.Table:
+    """Tree-combine of ts samples: concat and re-stride each key's
+    ts-sorted sample back under ``per_key_cap`` (keeps every combine
+    level and the final driver gather O(hot keys × cap))."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table({})
+    t = pa.concat_tables(nonempty).combine_chunks()
+    kidx = np.asarray(t["kidx"].to_numpy(zero_copy_only=False), np.int64)
+    tv = t["ts"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((tv, kidx))
+    kidx, keep_rows = kidx[order], order
+    seg = np.searchsorted(kidx, np.arange(int(kidx[-1]) + 2)) \
+        if len(kidx) else np.array([0])
+    take = []
+    for i in range(len(seg) - 1):
+        s, e = int(seg[i]), int(seg[i + 1])
+        if e > s:
+            take.append(keep_rows[s:e:max(1, (e - s) // per_key_cap)])
+    sel = np.concatenate(take)
+    return pa.table({"kidx": t["kidx"].take(pa.array(sel)),
+                     "ts": t["ts"].take(pa.array(sel))})
+
+
+def _asof_skew_map_block(block: pa.Table, key: str, ts: str,
+                         num_buckets: int, hot_ref, emit_bounds: bool):
+    """Map half of the banded as-of exchange: every row gains its hot
+    key's time band (non-hot / null-ts rows: band 0) and routes on the
+    (key, band) composite via the shared ``_vkey_bucket`` mix.  With
+    ``emit_bounds`` (the RIGHT side) one extra output carries the
+    block-local latest right row per (hot key, band) — the boundary
+    side-channel the driver turns into carry rows."""
+    from .sketches import _hash64, limit_worker_threads
+
+    limit_worker_threads()
+    n_out = num_buckets + (1 if emit_bounds else 0)
+    empty = [pa.table({})] * n_out
+    if key not in block.column_names or ts not in block.column_names \
+            or not block.num_rows:
+        return empty if n_out > 1 else empty[0]
+    if _BAND_COL in block.column_names:
+        raise ValueError(
+            "asof_join(skew_split=True) reserves the column name "
+            "'__band' for its time bands; rename the input column")
+    hot_keys, cuts = hot_ref
+    karr = block[key]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    tarr = block[ts]
+    if isinstance(tarr, pa.ChunkedArray):
+        tarr = tarr.combine_chunks()
+    h = _hash64(karr)
+    idx = pc.fill_null(pc.index_in(karr, value_set=hot_keys), -1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    validts = np.asarray(pc.is_valid(tarr))
+    tv = tarr.to_numpy(zero_copy_only=False)
+    band = np.zeros(len(idx), np.int64)
+    for i in np.unique(idx[idx >= 0]):
+        rows = (idx == i) & validts
+        if rows.any():
+            band[rows] = np.searchsorted(cuts[int(i)], tv[rows],
+                                         side="right")
+    st = block.append_column(_BAND_COL, pa.array(band))
+    with np.errstate(over="ignore"):
+        v = h + band.astype(np.uint64)
+    buckets = _vkey_bucket(v, num_buckets)
+    order = np.argsort(buckets, kind="stable")
+    sliced = st.take(pa.array(order))
+    sb = buckets[order]
+    bnds = np.searchsorted(sb, np.arange(num_buckets + 1))
+    out = [sliced.slice(bnds[b], bnds[b + 1] - bnds[b])
+           for b in range(num_buckets)]
+    if emit_bounds:
+        sel = np.nonzero((idx >= 0) & validts)[0]
+        if len(sel):
+            # last-of-(key, band) group under a (key, band, ts) lexsort
+            # = the block-local latest right row per band
+            o = np.lexsort((tv[sel], band[sel], idx[sel]))
+            s = sel[o]
+            # last-of-(key, band) group == the block-local max ts
+            # (groups are ts-ascending under the lexsort)
+            last = np.ones(len(s), bool)
+            last[:-1] = (idx[s][1:] != idx[s][:-1]) | \
+                        (band[s][1:] != band[s][:-1])
+            out.append(st.take(pa.array(s[np.nonzero(last)[0]])))
+        else:
+            out.append(pa.table({}))
+    return out if n_out > 1 else out[0]
+
+
+def _asof_bound_combine(key: str, ts: str, *parts: pa.Table) -> pa.Table:
+    """Reduce boundary candidates to the global latest right row per
+    (key, band) — tables here are O(hot keys × bands), tiny."""
+    from .sketches import limit_worker_threads
+
+    limit_worker_threads()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table({})
+    t = pa.concat_tables(nonempty).combine_chunks() \
+        .sort_by([(key, "ascending"), (_BAND_COL, "ascending"),
+                  (ts, "ascending")])
+    kk = t[key].to_pylist()
+    bb = t[_BAND_COL].to_pylist()
+    keep = [i for i in range(t.num_rows)
+            if i + 1 == t.num_rows or kk[i + 1] != kk[i]
+            or bb[i + 1] != bb[i]]
+    return t.take(pa.array(keep, pa.int64()))
+
+
+def _asof_skew_plan(left_ds, right_ds, left_key: str, right_key: str,
+                    left_ts: str, right_ts: str, num_buckets: int,
+                    max_key_rows: int, max_bands: int):
+    """Pre-passes + banded map launch for ``asof_join(skew_split=True)``.
+    Returns ``(lmap, rmap, carry_slices)``; ``carry_slices`` is None when
+    no key crosses the hot threshold (the maps are then the PLAIN
+    exchange over the same snapshotted refs — upstream never re-runs)."""
+    import ray
+
+    from .blocks import iter_block_refs
+    from .exchange import bounded_map_refs
+
+    global _HH_PARTIAL, _ASOF_SAMPLE_REMOTE, _ASOF_SAMPLE_COMBINE_REMOTE
+    global _ASOF_SKEW_MAP_REMOTE, _ASOF_BOUND_COMBINE_REMOTE, _MAP_REMOTE
+    if _HH_PARTIAL is None:
+        _HH_PARTIAL = ray.remote(_hh_partial)
+    if _ASOF_SAMPLE_REMOTE is None:
+        _ASOF_SAMPLE_REMOTE = ray.remote(_asof_ts_sample)
+    if _ASOF_SAMPLE_COMBINE_REMOTE is None:
+        _ASOF_SAMPLE_COMBINE_REMOTE = ray.remote(_asof_sample_combine)
+    if _ASOF_SKEW_MAP_REMOTE is None:
+        _ASOF_SKEW_MAP_REMOTE = ray.remote(_asof_skew_map_block)
+    if _ASOF_BOUND_COMBINE_REMOTE is None:
+        _ASOF_BOUND_COMBINE_REMOTE = ray.remote(_asof_bound_combine)
+
+    # snapshot refs once; counting overlaps the scans
+    lrefs, rrefs, lcnt, rcnt = [], [], [], []
+    for r in iter_block_refs(left_ds):
+        lrefs.append(r)
+        lcnt.append(_HH_PARTIAL.remote(r, left_key, _SKEW_TOPK))
+    for r in iter_block_refs(right_ds):
+        rrefs.append(r)
+        rcnt.append(_HH_PARTIAL.remote(r, right_key, _SKEW_TOPK))
+    lhot_t = ray.get(_hh_tree(lcnt, _SKEW_TOPK)) if lcnt else pa.table({})
+    rhot_t = ray.get(_hh_tree(rcnt, _SKEW_TOPK)) if rcnt else pa.table({})
+    lcounts = (dict(zip(lhot_t["k"].to_pylist(), lhot_t["n"].to_pylist()))
+               if lhot_t.num_rows else {})
+    rcounts = (dict(zip(rhot_t["k"].to_pylist(), rhot_t["n"].to_pylist()))
+               if rhot_t.num_rows else {})
+    key_type = (lhot_t["k"].type if lhot_t.num_rows
+                else (rhot_t["k"].type if rhot_t.num_rows else None))
+    hot = []
+    for k in set(lcounts) | set(rcounts):
+        c = max(lcounts.get(k, 0), rcounts.get(k, 0))
+        if c > max_key_rows:
+            hot.append((k, min(max_bands, -(-c // max_key_rows))))
+
+    def _plain():
+        lm = bounded_map_refs(
+            lrefs, lambda ref: _MAP_REMOTE
+            .options(num_returns=num_buckets)
+            .remote(ref, left_key, num_buckets), num_buckets)
+        rm = bounded_map_refs(
+            rrefs, lambda ref: _MAP_REMOTE
+            .options(num_returns=num_buckets)
+            .remote(ref, right_key, num_buckets), num_buckets)
+        return lm, rm, None
+
+    if not hot:
+        return _plain()
+
+    hot_keys = pa.array([k for k, _ in hot], type=key_type)
+    hk_ref = ray.put(hot_keys)
+    samp = [_ASOF_SAMPLE_REMOTE.remote(r, left_key, left_ts, hk_ref, 256)
+            for r in lrefs]
+    samp += [_ASOF_SAMPLE_REMOTE.remote(r, right_key, right_ts, hk_ref,
+                                        256) for r in rrefs]
+    while len(samp) > 1:
+        samp = [_ASOF_SAMPLE_COMBINE_REMOTE.remote(4096, *samp[i:i + 64])
+                for i in range(0, len(samp), 64)]
+    st = ray.get(samp[0]) if samp else pa.table({})
+    cuts, kept = [], []
+    if st.num_rows:
+        skidx = np.asarray(st["kidx"].to_numpy(zero_copy_only=False),
+                           np.int64)
+        stv = st["ts"].to_numpy(zero_copy_only=False)
+        for i, (k, nb_i) in enumerate(hot):
+            sv = np.sort(stv[skidx == i])
+            if not len(sv) or nb_i < 2:
+                continue
+            pos = [len(sv) * j // nb_i for j in range(1, nb_i)]
+            c = np.unique(sv[pos])
+            if len(c):
+                kept.append(k)
+                cuts.append(c)
+    if not kept:
+        _LOG.warning(
+            "asof_join(skew): %d hot key(s) found but no usable time "
+            "cutpoints (constant timestamps?) — falling back to the "
+            "plain exchange; the one-key-per-task warning stands",
+            len(hot))
+        return _plain()
+    _LOG.warning(
+        "asof_join(skew): time-banding %d hot key(s) over "
+        "max_key_rows=%d: %s", len(kept), max_key_rows,
+        [(k, len(c) + 1) for k, c in list(zip(kept, cuts))[:8]])
+    hot_keys = pa.array(kept, type=key_type)
+    hot_ref = ray.put((hot_keys, cuts))
+
+    bound_refs: list = []
+
+    def launch_l(ref):
+        return _ASOF_SKEW_MAP_REMOTE.options(num_returns=num_buckets) \
+            .remote(ref, left_key, left_ts, num_buckets, hot_ref, False)
+
+    def launch_r(ref):
+        outs = _ASOF_SKEW_MAP_REMOTE.options(
+            num_returns=num_buckets + 1).remote(
+            ref, right_key, right_ts, num_buckets, hot_ref, True)
+        bound_refs.append(outs[-1])
+        return outs[0] if num_buckets == 1 else list(outs[:-1])
+
+    lmap = bounded_map_refs(lrefs, launch_l, num_buckets)
+    rmap = bounded_map_refs(rrefs, launch_r, num_buckets)
+
+    refs = list(bound_refs)
+    while len(refs) > 1:
+        refs = [_ASOF_BOUND_COMBINE_REMOTE.remote(
+            right_key, right_ts, *refs[i:i + 64])
+            for i in range(0, len(refs), 64)]
+    bt = ray.get(refs[0]) if refs else pa.table({})
+
+    from .sketches import _hash64
+    carry_rows, carry_bands = [], []
+    if bt.num_rows:
+        bk = bt[right_key].to_pylist()
+        bb = bt[_BAND_COL].to_pylist()
+        btv = bt[right_ts].to_numpy(zero_copy_only=False)
+        n_bands = {k: len(c) + 1 for k, c in zip(kept, cuts)}
+        by_key: dict = {}
+        for i in range(bt.num_rows):
+            by_key.setdefault(bk[i], []).append(i)
+        for k, rows in by_key.items():
+            rows.sort(key=lambda i: bb[i])
+            best = None  # running latest right row over bands < b
+            ri = 0
+            for b in range(1, n_bands.get(k, 0)):
+                while ri < len(rows) and bb[rows[ri]] < b:
+                    i = rows[ri]
+                    if best is None or btv[i] >= btv[best]:
+                        best = i
+                    ri += 1
+                if best is not None:
+                    carry_rows.append(best)
+                    carry_bands.append(b)
+    if carry_rows:
+        ct = bt.take(pa.array(carry_rows, pa.int64()))
+        ct = ct.set_column(ct.schema.get_field_index(_BAND_COL),
+                           pa.field(_BAND_COL, pa.int64()),
+                           pa.array(carry_bands, pa.int64()))
+        with np.errstate(over="ignore"):
+            v = _hash64(ct[right_key].combine_chunks()) + \
+                np.asarray(carry_bands, np.uint64)
+        cb = _vkey_bucket(v, num_buckets)
+        order = np.argsort(cb, kind="stable")
+        cts = ct.take(pa.array(order))
+        scb = cb[order]
+        bnds = np.searchsorted(scb, np.arange(num_buckets + 1))
+        carry_slices = [cts.slice(bnds[b], bnds[b + 1] - bnds[b])
+                        for b in range(num_buckets)]
+    else:
+        empty = bt.slice(0, 0) if bt.num_columns else pa.table({})
+        carry_slices = [empty] * num_buckets
+    return lmap, rmap, carry_slices
 
 
 def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
