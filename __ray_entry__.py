@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # item, README.md:174-178 — an extension BEYOND parity) over
         # the embeddings table, planted-oracle checked
         "unique_check_embeddings": ops.q_unique_check_embeddings,
+        # skewed as-of: 1/3 of all rows collapsed onto ONE key, forcing
+        # the time-band + boundary-carry skew path (engine/joins.py)
+        "events_asof_hotkey": ops.q_events_asof_hotkey,
         # the standalone embedding-model stage (e0..e7 exact int64
         # columns — the corpus-wide forward pass the top-k chain reuses)
         "embed_documents": inference.q_embed_documents,
@@ -3288,6 +3291,24 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_orders": """
             SELECT e.event_id, o.o_orderdate AS asof_date
             FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
+        """,
+        # the skewed variant: user_id % 3 == 0 collapses to key -1 on
+        # BOTH sides (one pathological hot key), same as-of semantics
+        "events_asof_hotkey": """
+            WITH e AS (
+                SELECT event_id,
+                       CASE WHEN user_id % 3 = 0 THEN -1
+                            ELSE user_id END AS user_id, ts
+                FROM events
+            ), o AS (
+                SELECT CASE WHEN o_custkey % 3 = 0 THEN -1
+                            ELSE o_custkey END AS o_custkey, o_orderdate
+                FROM orders
+            )
+            SELECT e.event_id, o.o_orderdate AS asof_date
+            FROM e ASOF LEFT JOIN o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id
         """,

@@ -1185,3 +1185,21 @@ def test_asof_skew_split_no_hot_keys_falls_back(ray_session):
             num_buckets=4, **kw).sort_by([("lid", "ascending")])
 
     assert run(skew_split=True, max_key_rows=1000).equals(run())
+
+
+def test_events_asof_hotkey_query_matches_duckdb(ray_session):
+    """The sweep query that drives skew_split end-to-end: 1/3 of events
+    collapse onto key -1, the banded path activates (3+ bands), and the
+    result hash-matches DuckDB's ASOF on the same key collapse."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    out = entry.queries()["events_asof_hotkey"](sf)
+    con = duckdb.connect()
+    for tbl in ("events", "orders"):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{tbl}.parquet')")
+    ora = con.execute(entry.oracle_sql()["events_asof_hotkey"]).arrow()
+    assert out.equals(ora.cast(out.schema))

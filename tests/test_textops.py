@@ -1504,3 +1504,70 @@ def test_vocab_fuzzy_pairs_hub_cap(ray_session, tmp_path):
     # sub-cap all-pairs among the same-length tokens must NOT all appear
     # (the cap traded completeness for boundedness on this hub)
     assert ("a", "b") not in star
+
+
+def test_kmeans_sample_mod_deterministic_and_separates_blobs(ray_session):
+    """sample_mod trains centroids on the 1/m systematic sample only —
+    deterministic, partition-independent, and still able to separate
+    planted blob structure (the 100 TB never-materialize-the-corpus
+    configuration; on UNSTRUCTURED data sampled and full Lloyd runs
+    legitimately converge to different local optima, so closeness is
+    asserted on structured data where the optimum is unambiguous)."""
+    import ray.data
+
+    from yaschva_ray.pipelines.textops import (_gather, assign_clusters,
+                                               kmeans_embeddings)
+
+    rng = np.random.RandomState(3)
+    centers = np.eye(3, 16) * 10.0
+    mats, truth = [], []
+    for b in range(3):
+        mats.append(centers[b] + rng.randn(60, 16) * 0.1)
+        truth += [b] * 60
+    mat = np.vstack(mats)
+    ds = ray.data.from_arrow(_emb_table(mat, list(range(len(mat)))))
+    s1 = kmeans_embeddings(ds, k=3, iters=6, sample_mod=3)
+    s2 = kmeans_embeddings(ds.repartition(5), k=3, iters=6, sample_mod=3)
+    assert (s1 == s2).all()           # partition-independent
+    # sampled centroids still separate the blobs perfectly
+    tagged = _gather(assign_clusters(ds, s1)).sort_by(
+        [("vec_id", "ascending")])
+    cl = np.asarray(tagged["cluster"].to_numpy(zero_copy_only=False))
+    blob_clusters = [set(cl[np.array(truth) == b]) for b in range(3)]
+    assert all(len(s) == 1 for s in blob_clusters)
+    assert len(set.union(*blob_clusters)) == 3
+
+
+def test_semantic_dedup_sample_mod_keeps_exact_copy_contract(ray_session):
+    """With sampled centroid training the exact-copy drops are UNCHANGED
+    (identical rows get identical argmax under any centroids)."""
+    import ray.data
+
+    from yaschva_ray.pipelines.ops import _read
+    from yaschva_ray.pipelines.textops import semantic_dedup_from_ds
+
+    sf = "/root/testdata/sf0.001"
+
+    def plant(t):
+        import pyarrow.compute as pc
+        sel = t.filter(pc.less(t["vec_id"], 8))
+        if not sel.num_rows:
+            return t
+        copy = pa.table({
+            "vec_id": pc.add(sel["vec_id"],
+                             pa.scalar(10_000_000, pa.int64())),
+            "embedding": sel["embedding"]})
+        return pa.concat_tables([t.select(["vec_id", "embedding"]), copy])
+
+    def run(**kw):
+        return semantic_dedup_from_ds(
+            _read(sf, "embeddings", ["vec_id", "embedding"])
+            .map_batches(plant, batch_format="pyarrow"),
+            threshold=1 - 1e-9, **kw)
+
+    base = run()
+    sampled = run(sample_mod=3)
+    assert sampled.equals(base)
+    assert sampled.num_rows == 8
+    assert all(v >= 10_000_000 for v in
+               sampled["dropped_vec"].to_pylist())

@@ -1452,6 +1452,45 @@ def q_events_asof_orders(sf_dir: str) -> pa.Table:
     return out.combine_chunks().sort_by([("event_id", "ascending")])
 
 
+def q_events_asof_hotkey(sf_dir: str) -> pa.Table:
+    """SKEWED as-of join exercising ``asof_join(skew_split=True)`` end
+    to end: every user_id divisible by 3 collapses to ONE key (-1) on
+    both sides (~1/3 of all rows — a single pathological key), and
+    ``max_key_rows=200`` forces the time-band + boundary-carry path at
+    every test scale.  Output keeps only tie-independent columns (the
+    matched order DATE — equal-date ties all yield the same value), so
+    the banded result is hash-exact against DuckDB's ASOF mirror with
+    the same key collapse."""
+    from ..engine.joins import asof_join
+
+    def hotify(t: pa.Table, col: str) -> pa.Table:
+        k = pc.cast(t[col], pa.int64())
+        hot = pc.equal(pc.subtract(k, pc.multiply(
+            pc.divide(k, pa.scalar(3, pa.int64())),
+            pa.scalar(3, pa.int64()))), pa.scalar(0, pa.int64()))
+        i = t.schema.get_field_index(col)
+        return t.set_column(i, pa.field(col, pa.int64()),
+                            pc.if_else(pc.fill_null(hot, False),
+                                       pa.scalar(-1, pa.int64()), k))
+
+    joined = asof_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(lambda t: hotify(t, "user_id"),
+                     batch_format="pyarrow"),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(lambda t: hotify(t, "o_custkey"),
+                     batch_format="pyarrow"),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        skew_split=True, max_key_rows=200)
+    if not joined.num_rows or "event_id" not in joined.column_names:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "asof_date": pa.array([], pa.date32())})
+    out = pa.table({"event_id": joined["event_id"],
+                    "asof_date": joined["o_orderdate"]})
+    return out.combine_chunks().sort_by([("event_id", "ascending")])
+
+
 # --- sliding-window aggregate (1 h windows, 30 min hop) ---------------------
 
 

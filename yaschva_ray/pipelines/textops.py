@@ -3514,7 +3514,8 @@ def _km_block_partial(c: np.ndarray, *blocks) -> tuple:
     return tot, cnt
 
 
-def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8) -> np.ndarray:
+def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8,
+                      sample_mod: int | None = None) -> np.ndarray:
     """Distributed spherical k-means over the FULL dataset (the IVF coarse
     quantizer trains on a 512-row sample; this is the corpus-scale Lloyd
     loop): each iteration broadcasts the centroid matrix (``ray.put``
@@ -3533,13 +3534,33 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 8) -> np.ndarray:
 
     Init: the k lowest-id vectors (deterministic, no RNG).  Empty
     clusters keep their previous centroid.  Returns normalized (k, d)
-    float64 centroids."""
+    float64 centroids.
+
+    ``sample_mod=m`` is the 100 TB path: centroids train on the
+    deterministic 1/m systematic sample (rows with vec_id % m == 0), so
+    only the SAMPLE is cached across Lloyd iterations — the full corpus
+    is never materialized (SemDeDup itself trains its quantizer on a
+    sample at billion-doc scale).  The sample must still hold >= k
+    rows; the returned centroids approximate the full-data Lloyd fixed
+    point and downstream EXACT-copy dedup semantics are unaffected
+    (identical rows get identical argmax under ANY centroid set)."""
     import ray
+
+    if sample_mod is not None and sample_mod > 1:
+        _m = int(sample_mod)
+
+        def _systematic(t: pa.Table) -> pa.Table:
+            vid = np.asarray(pc.cast(t["vec_id"], pa.int64())
+                             .to_numpy(zero_copy_only=False), np.int64)
+            return t.filter(pa.array(vid % _m == 0))
+
+        emb_ds = emb_ds.map_batches(_systematic, batch_format="pyarrow")
 
     # Lloyd re-reads the input every iteration: cache the decoded blocks
     # in the object store once (spills to disk past capacity) instead of
     # re-scanning parquet ``iters`` times — the standard iterative-
     # algorithm trade; callers doing a single pass never materialize.
+    # (In sample mode only the sample caches — the point of the knob.)
     emb_ds = emb_ds.materialize()
 
     # init = the k GLOBALLY-smallest vec_ids (deterministic, no RNG):
@@ -3641,7 +3662,8 @@ def assign_clusters(emb_ds, centroids: np.ndarray):
 
 def semantic_dedup_from_ds(emb_ds, threshold: float = 0.95, k: int = 16,
                            iters: int = 8,
-                           max_pairwise: int = _MAX_BUCKET_ROWS) -> pa.Table:
+                           max_pairwise: int = _MAX_BUCKET_ROWS,
+                           sample_mod: int | None = None) -> pa.Table:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
     embeddings, then WITHIN each cluster drop every vector whose cosine to
     a LOWER-id cluster member reaches ``threshold`` (keep-first, the house
@@ -3659,16 +3681,41 @@ def semantic_dedup_from_ds(emb_ds, threshold: float = 0.95, k: int = 16,
     k ≈ n_vectors / max_pairwise so expected cluster sizes stay under
     the quadratic cap (SemDeDup uses k in the tens of thousands at
     billion-doc scale); the default suits the test tables.  Returns
-    dropped vec_ids, ascending."""
+    dropped vec_ids, ascending.
+
+    ``sample_mod=m`` is the 100 TB configuration: centroid training
+    caches only the 1/m systematic sample (see ``kmeans_embeddings``)
+    and the FULL corpus is never materialized — it streams twice (once
+    through the sampling scan, once through assignment+dedup) instead
+    of being cached whole in the object store.  Exact-copy semantics
+    (τ≈1) are unchanged under any centroids; near-dup recall depends
+    on sampled-centroid quality like any quantizer-on-a-sample."""
     from ..engine.exchange import keyed_exchange
 
-    # materialize HERE so the Lloyd loop and the assignment pass share one
-    # cached copy (materialize() on a MaterializedDataset is a no-op)
-    emb_ds = emb_ds.materialize()
     empty = pa.table({"dropped_vec": pa.array([], pa.int64())})
-    if not emb_ds.count():  # metadata lookup on a materialized dataset
-        return empty
-    centroids = kmeans_embeddings(emb_ds, k=k, iters=iters)
+    if sample_mod is not None and sample_mod > 1:
+        try:
+            centroids = kmeans_embeddings(emb_ds, k=k, iters=iters,
+                                          sample_mod=sample_mod)
+        except ValueError:
+            # empty sample — either an empty input (return the empty
+            # result) or a too-sparse sample (caller picks a smaller m)
+            cnt_probe = _gather(emb_ds.map_batches(
+                lambda t: pa.table({"n": pa.array([t.num_rows],
+                                                  pa.int64())}),
+                batch_format="pyarrow"))
+            if not cnt_probe.num_rows or not sum(
+                    cnt_probe["n"].to_pylist()):
+                return empty
+            raise
+    else:
+        # materialize HERE so the Lloyd loop and the assignment pass
+        # share one cached copy (materialize() on a MaterializedDataset
+        # is a no-op)
+        emb_ds = emb_ds.materialize()
+        if not emb_ds.count():  # metadata lookup, materialized
+            return empty
+        centroids = kmeans_embeddings(emb_ds, k=k, iters=iters)
     tagged = assign_clusters(emb_ds, centroids)
 
     def dedup_bucket(t: pa.Table) -> pa.Table:
