@@ -1203,3 +1203,65 @@ def test_events_asof_hotkey_query_matches_duckdb(ray_session):
                     f"read_parquet('{sf}/{tbl}.parquet')")
     ora = con.execute(entry.oracle_sql()["events_asof_hotkey"]).arrow()
     assert out.equals(ora.cast(out.schema))
+
+
+def test_session_windows_skew_split_equals_plain(ray_session, caplog):
+    """Banded sessionization + driver chain merge must equal the plain
+    path exactly — including cross-band session stitching and the
+    first-null-row attach rule."""
+    import datetime
+    import logging
+
+    import ray.data
+
+    from yaschva_ray.engine.windows import session_windows
+
+    rng = np.random.RandomState(13)
+    base = datetime.datetime(2024, 1, 1)
+    # hot user 5: 3000 events in bursts (sessions span band cuts);
+    # 25 cold users; some null timestamps on the hot user
+    rows_u, rows_t = [], []
+    t = 0
+    for i in range(3000):
+        # bursts of ~20 events 10s apart, then a 3600s jump
+        t += 10 if i % 20 else 3600
+        rows_u.append(5)
+        rows_t.append(base + datetime.timedelta(seconds=t))
+    for i in range(500):
+        rows_u.append(int(rng.randint(100, 125)))
+        rows_t.append(base + datetime.timedelta(
+            seconds=int(rng.randint(0, 200_000))))
+    # null timestamps: 3 on the hot user, 2 on a cold user
+    rows_u += [5, 5, 5, 101, 101]
+    rows_t += [None] * 5
+    events = pa.table({
+        "user_id": pa.array(rows_u, pa.int64()),
+        "ts": pa.array(rows_t, pa.timestamp("us"))})
+
+    def run(**kw):
+        return session_windows(
+            ray.data.from_arrow(events).repartition(8),
+            key="user_id", ts="ts", gap_s=600, num_buckets=4, **kw)
+
+    plain = run()
+    with caplog.at_level(logging.WARNING):
+        banded = run(skew_split=True, max_key_rows=400, max_bands=8)
+    assert any("time-banding" in r.message for r in caplog.records)
+    assert banded.equals(plain)
+    # the hot user really produced multiple sessions
+    hot = plain.filter(pa.compute.equal(plain["user_id"], 5))
+    assert hot.num_rows > 100
+
+
+def test_session_windows_skew_split_rejects_out_dir(ray_session, tmp_path):
+    import ray.data
+
+    from yaschva_ray.engine.windows import session_windows
+
+    events = pa.table({"user_id": pa.array([1], pa.int64()),
+                       "ts": pa.array([0], pa.int64()).cast(
+                           pa.timestamp("us"))})
+    with pytest.raises(ValueError, match="skew_split"):
+        session_windows(ray.data.from_arrow(events), key="user_id",
+                        ts="ts", gap_s=60, skew_split=True,
+                        out_dir=str(tmp_path))

@@ -33,15 +33,14 @@ import pyarrow.compute as pc
 _TARGET_BUCKET_BYTES = 64 << 20  # reduce-task input target
 _MIN_BUCKETS, _MAX_BUCKETS = 8, 512
 
-# The default as-of path and session windows assume ONE key's rows fit
+# The DEFAULT as-of path and session windows assume ONE key's rows fit
 # one bucket task (keys are users/customers; bucket COUNT handles
 # volume).  Each bucket logs its max single-key row count when it
-# crosses this threshold (house no-silent-caps rule).  asof_join now
-# also offers ``skew_split=True`` — time-banded hot keys with boundary
-# carry (see asof_join's docstring) — which REMOVES the assumption for
-# as-of; session windows keep it (a session chain can cross any time
-# cut, so banding would need iterative chain merging — documented
-# limitation, warning stands).
+# crosses this threshold (house no-silent-caps rule).  Both operators
+# now also offer ``skew_split=True``, which REMOVES the assumption:
+# asof_join time-bands hot keys with boundary-carry right rows
+# (asof_join docstring); session_windows time-bands and chain-merges
+# band-edge sessions on the driver (windows.session_windows docstring).
 _HOT_KEY_WARN_ROWS = 1_000_000
 
 # hash_join skew split: per-block heavy-hitter partial size and the
@@ -1003,13 +1002,19 @@ def _asof_sample_combine(per_key_cap: int, *parts: pa.Table) -> pa.Table:
 
 
 def _asof_skew_map_block(block: pa.Table, key: str, ts: str,
-                         num_buckets: int, hot_ref, emit_bounds: bool):
-    """Map half of the banded as-of exchange: every row gains its hot
-    key's time band (non-hot / null-ts rows: band 0) and routes on the
-    (key, band) composite via the shared ``_vkey_bucket`` mix.  With
-    ``emit_bounds`` (the RIGHT side) one extra output carries the
-    block-local latest right row per (hot key, band) — the boundary
-    side-channel the driver turns into carry rows."""
+                         num_buckets: int, hot_ref, emit_bounds: bool,
+                         nulls_past_end: bool = False):
+    """Map half of the banded time exchange (shared by the as-of join
+    and session windows): every row gains its hot key's time band
+    (non-hot rows: band 0) and routes on the (key, band) composite via
+    the shared ``_vkey_bucket`` mix.  With ``emit_bounds`` (the as-of
+    RIGHT side) one extra output carries the block-local latest right
+    row per (hot key, band) — the boundary side-channel the driver
+    turns into carry rows.  ``nulls_past_end`` routes a hot key's
+    NULL-ts rows to band n_bands (past every cut) instead of band 0 —
+    session semantics sort null timestamps LAST within a key, so they
+    must land after the final time band; the as-of join keeps them at
+    band 0 (its null path ignores the band entirely)."""
     from .sketches import _hash64, limit_worker_threads
 
     limit_worker_threads()
@@ -1040,6 +1045,10 @@ def _asof_skew_map_block(block: pa.Table, key: str, ts: str,
         if rows.any():
             band[rows] = np.searchsorted(cuts[int(i)], tv[rows],
                                          side="right")
+        if nulls_past_end:
+            nullrows = (idx == i) & ~validts
+            if nullrows.any():
+                band[nullrows] = len(cuts[int(i)]) + 1
     st = block.append_column(_BAND_COL, pa.array(band))
     with np.errstate(over="ignore"):
         v = h + band.astype(np.uint64)
@@ -1252,6 +1261,95 @@ def _asof_skew_plan(left_ds, right_ds, left_key: str, right_key: str,
         empty = bt.slice(0, 0) if bt.num_columns else pa.table({})
         carry_slices = [empty] * num_buckets
     return lmap, rmap, carry_slices
+
+
+def _session_skew_plan(ds, key: str, ts: str, num_buckets: int,
+                       max_key_rows: int, max_bands: int):
+    """Pre-passes + banded map launch for
+    ``session_windows(skew_split=True)`` — the single-dataset sibling of
+    ``_asof_skew_plan`` (same heavy-hitter counts, same ts sampling,
+    same banded map; no boundary side-channel — sessions stitch across
+    band edges with the driver chain merge instead of carry rows).
+    Returns ``(map_out, hot_keys)``; ``hot_keys`` is None when nothing
+    crossed the threshold (map_out is then the plain exchange over the
+    same snapshotted refs)."""
+    import ray
+
+    from .blocks import iter_block_refs
+    from .exchange import bounded_map_refs
+
+    global _HH_PARTIAL, _ASOF_SAMPLE_REMOTE, _ASOF_SAMPLE_COMBINE_REMOTE
+    global _ASOF_SKEW_MAP_REMOTE, _MAP_REMOTE
+    if _HH_PARTIAL is None:
+        _HH_PARTIAL = ray.remote(_hh_partial)
+    if _ASOF_SAMPLE_REMOTE is None:
+        _ASOF_SAMPLE_REMOTE = ray.remote(_asof_ts_sample)
+    if _ASOF_SAMPLE_COMBINE_REMOTE is None:
+        _ASOF_SAMPLE_COMBINE_REMOTE = ray.remote(_asof_sample_combine)
+    if _ASOF_SKEW_MAP_REMOTE is None:
+        _ASOF_SKEW_MAP_REMOTE = ray.remote(_asof_skew_map_block)
+    if _MAP_REMOTE is None:
+        _MAP_REMOTE = ray.remote(_map_block)
+
+    refs, cnt = [], []
+    for r in iter_block_refs(ds):
+        refs.append(r)
+        cnt.append(_HH_PARTIAL.remote(r, key, _SKEW_TOPK))
+    hot_t = ray.get(_hh_tree(cnt, _SKEW_TOPK)) if cnt else pa.table({})
+    counts = (dict(zip(hot_t["k"].to_pylist(), hot_t["n"].to_pylist()))
+              if hot_t.num_rows else {})
+    hot = [(k, min(max_bands, -(-c // max_key_rows)))
+           for k, c in counts.items() if c > max_key_rows]
+
+    def _plain():
+        return bounded_map_refs(
+            refs, lambda ref: _MAP_REMOTE
+            .options(num_returns=num_buckets)
+            .remote(ref, key, num_buckets), num_buckets), None
+
+    if not hot:
+        return _plain()
+    key_type = hot_t["k"].type
+    hot_keys = pa.array([k for k, _ in hot], type=key_type)
+    hk_ref = ray.put(hot_keys)
+    samp = [_ASOF_SAMPLE_REMOTE.remote(r, key, ts, hk_ref, 256)
+            for r in refs]
+    while len(samp) > 1:
+        samp = [_ASOF_SAMPLE_COMBINE_REMOTE.remote(4096, *samp[i:i + 64])
+                for i in range(0, len(samp), 64)]
+    st = ray.get(samp[0]) if samp else pa.table({})
+    cuts, kept = [], []
+    if st.num_rows:
+        skidx = np.asarray(st["kidx"].to_numpy(zero_copy_only=False),
+                           np.int64)
+        stv = st["ts"].to_numpy(zero_copy_only=False)
+        for i, (k, nb_i) in enumerate(hot):
+            sv = np.sort(stv[skidx == i])
+            if not len(sv) or nb_i < 2:
+                continue
+            pos = [len(sv) * j // nb_i for j in range(1, nb_i)]
+            c = np.unique(sv[pos])
+            if len(c):
+                kept.append(k)
+                cuts.append(c)
+    if not kept:
+        _LOG.warning(
+            "session_windows(skew): %d hot key(s) but no usable time "
+            "cutpoints — plain exchange; the one-key-per-task warning "
+            "stands", len(hot))
+        return _plain()
+    _LOG.warning(
+        "session_windows(skew): time-banding %d hot key(s) over "
+        "max_key_rows=%d: %s", len(kept), max_key_rows,
+        [(k, len(c) + 1) for k, c in list(zip(kept, cuts))[:8]])
+    final_hot = pa.array(kept, type=key_type)
+    hot_ref = ray.put((final_hot, cuts))
+    map_out = bounded_map_refs(
+        refs, lambda ref: _ASOF_SKEW_MAP_REMOTE
+        .options(num_returns=num_buckets)
+        .remote(ref, key, ts, num_buckets, hot_ref, False, True),
+        num_buckets)
+    return map_out, final_hot
 
 
 def _band_slices(t: pa.Table, val_col: str, width: float, eps: float,
