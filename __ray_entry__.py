@@ -341,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # skewed as-of: 1/3 of all rows collapsed onto ONE key, forcing
         # the time-band + boundary-carry skew path (engine/joins.py)
         "events_asof_hotkey": ops.q_events_asof_hotkey,
+        # model-in-the-loop curation: the learned classifier gate
+        # composed into the score → dedup-canonical → split chain
+        "curate_with_model": inference.q_curate_with_model,
         # the standalone embedding-model stage (e0..e7 exact int64
         # columns — the corpus-wide forward pass the top-k chain reuses)
         "embed_documents": inference.q_embed_documents,
@@ -1116,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "model_quality_scores": inference.quality_scores_oracle_sql(),
         "embed_similarity_topk": inference.embed_similarity_oracle_sql(),
         "embed_documents": inference.embed_documents_oracle_sql(),
+        "curate_with_model": inference.curate_with_model_oracle_sql(),
         # $unique set-constraint check with planted duplicates (element
         # 2 := element 1 on the vec_id<8 copies; 1-based list indexing)
         "unique_check_embeddings": """

@@ -849,3 +849,57 @@ def test_repair_fractional_bound_on_integer_column():
     # integral fractional bound (2.0) keeps exact-bound clamping
     out2 = _repair_batch(t, {"columns": {"v": {"min": 2.0}}})
     assert out2["v"].to_pylist() == [2, 2, 2, 9, None]
+
+
+def test_score_cli_matches_library(tmp_path):
+    """`score` runs the pinned quality classifier end-to-end: parquet
+    out + keep/drop summary; values equal the library query's."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.inference import QUALITY_MODEL
+
+    src = tmp_path / "docs.parquet"
+    texts = ["the cat sat on it and that is that " * (i + 1)
+             for i in range(6)] + ["xx", ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}), str(src))
+    out = tmp_path / "scored.parquet"
+    r = run_cli("score", "--input", str(src), "--out", str(out),
+                "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    t = pq.read_table(str(out))
+    assert rep["n_rows"] == len(texts)
+    assert rep["n_keep"] + rep["n_drop"] == len(texts)
+    assert t.column_names == ["doc_id", "logit_fp", "pred_keep"]
+    # recompute one row's logit with the pinned artifact
+    from yaschva_ray.pipelines.inference import feature_matrix
+    F = feature_matrix(pa.array([texts[0]], pa.string()))
+    want = int((F @ np.array(QUALITY_MODEL["weights"], np.int64))[0]
+               + QUALITY_MODEL["bias"])
+    assert t["logit_fp"][0].as_py() == want
+
+
+def test_score_cli_custom_model(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aaa", "bbbb bb"], pa.string())}), str(src))
+    model = tmp_path / "m.json"
+    # keep iff n_chars > 4 (weights: [1,0,0,0,0,0], bias -4)
+    model.write_text(json.dumps({
+        "feature_names": ["n_chars", "n_tokens", "n_digits", "n_punct",
+                          "n_stop", "n_upper"],
+        "weights": [1, 0, 0, 0, 0, 0], "bias": -4, "scale": 1}))
+    out = tmp_path / "scored.parquet"
+    r = run_cli("score", "--input", str(src), "--out", str(out),
+                "--model", str(model), "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    t = pq.read_table(str(out))
+    assert t["pred_keep"].to_pylist() == [False, True]  # 3 vs 7 chars

@@ -104,3 +104,22 @@ def test_embed_projection_deterministic():
     assert (a == b).all()
     assert a.shape == (26, 8)
     assert a.min() >= -9 and a.max() <= 9
+
+
+def test_curate_with_model_matches_oracle(ray_session, con):
+    out = inference.q_curate_with_model(SF_DIR)
+    ora = con.execute(inference.curate_with_model_oracle_sql()).arrow()
+    assert out.equals(ora.cast(out.schema))
+    assert out.num_rows > 0
+    # the gate genuinely filtered something and every kept logit > 0
+    assert out.num_rows < 500
+    assert all(v > 0 for v in out["logit_fp"].to_pylist())
+    assert set(out["split"].to_pylist()) <= {"train", "val"}
+
+
+def test_feature_matrix_null_text_scores_as_empty():
+    import pyarrow as pa
+
+    F = inference.feature_matrix(pa.array([None, ""], pa.string()))
+    assert (F[0] == F[1]).all()
+    assert (F[0] == 0).all()

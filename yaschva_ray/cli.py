@@ -929,9 +929,69 @@ def _cmd_vocab(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_score(args: argparse.Namespace) -> int:
+    """Model-inference scoring loop: run the pinned quality classifier
+    (pipelines.inference.QualityScorerStage — artifact loaded once per
+    actor, int64 matvec per batch) over any read_docs-readable
+    (doc_id, text) table, write the scored rows to parquet, and print a
+    keep/drop summary.  ``--model`` points at a JSON artifact (the
+    ``python -m yaschva_ray.pipelines.inference`` trainer output) to
+    score with custom weights."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .pipelines.inference import (QUALITY_MODEL,
+                                          QualityScorerStage)
+        from .pipelines.textops import _gather
+        from .sources import read_docs
+
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"error: no input files match {args.input!r}",
+                  file=sys.stderr)
+            return 2
+        model = QUALITY_MODEL
+        if args.model:
+            with open(args.model) as f:
+                model = json.load(f)
+        ref = ray.put(model)
+        ds = read_docs(files, columns=["doc_id", "text"])
+        out = _gather(ds.map_batches(
+            QualityScorerStage, fn_constructor_kwargs={"model_ref": ref},
+            batch_format="pyarrow", concurrency=(1, 4))).sort_by(
+            [("doc_id", "ascending")])
+        pq.write_table(out, args.out)
+        kept = int(pa.compute.sum(pa.compute.cast(
+            out["pred_keep"], pa.int64())).as_py() or 0)
+        print(json.dumps({"n_rows": out.num_rows, "n_keep": kept,
+                          "n_drop": out.num_rows - kept,
+                          "out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="yaschva_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    sc = sub.add_parser("score", help="score documents with the pinned "
+                        "quality classifier (actor-pool inference)")
+    sc.add_argument("--input", required=True, help="parquet/jsonl/csv glob")
+    sc.add_argument("--out", required=True, help="output parquet file")
+    sc.add_argument("--model", help="JSON model artifact (default: the "
+                    "pinned QUALITY_MODEL)")
+    sc.add_argument("--num-cpus", type=int, default=8)
 
     c = sub.add_parser("check", help="validate one JSON value against a schema")
     c.add_argument("--schema", required=True)
@@ -1160,6 +1220,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_repair(args)
     if args.cmd == "curate":
         return _cmd_curate(args)
+    if args.cmd == "score":
+        return _cmd_score(args)
     if args.cmd == "vocab":
         return _cmd_vocab(args)
     if args.cmd == "compact":

@@ -61,23 +61,29 @@ from .textops import _STOP_RE, TOKEN_RE, _gather, _read
 FEATURE_NAMES = ["n_chars", "n_tokens", "n_digits", "n_punct",
                  "n_stop", "n_upper"]
 
+# NULL text scores as the empty string on BOTH sides (coalesce here,
+# fill_null in feature_matrix) — a null doc gets the bias-only logit
+_T = "coalesce(text, '')"
 _QUALITY_FEATURES_SQL = [
-    ("n_chars", "CAST(length(text) AS BIGINT)"),
-    ("n_tokens", r"CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)"),
+    ("n_chars", f"CAST(length({_T}) AS BIGINT)"),
+    ("n_tokens",
+     rf"CAST(length(regexp_extract_all({_T}, '\S+')) AS BIGINT)"),
     ("n_digits",
-     "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT)"),
+     f"CAST(length(regexp_extract_all({_T}, '[0-9]')) AS BIGINT)"),
     ("n_punct",
-     r"CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)"),
-    ("n_stop", r"CAST(length(regexp_extract_all(text, "
+     rf"CAST(length(regexp_extract_all({_T}, '[^\w\s]')) AS BIGINT)"),
+    ("n_stop", rf"CAST(length(regexp_extract_all({_T}, "
                r"'(?i)\b(?:the|and|of|to|a|in|is|it|that)\b')) AS BIGINT)"),
     ("n_upper",
-     "CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT)"),
+     f"CAST(length(regexp_extract_all({_T}, '[A-Z]')) AS BIGINT)"),
 ]
 
 
 def feature_matrix(txt) -> np.ndarray:
     """(n, 6) int64 feature matrix — Arrow RE2 count kernels only (the
-    exact regex dialect DuckDB's regexp_extract_all mirrors)."""
+    exact regex dialect DuckDB's regexp_extract_all mirrors).  NULL
+    text counts as the empty string (the mirror coalesces)."""
+    txt = pc.fill_null(txt, "")
     cols = [
         pc.utf8_length(txt).cast(pa.int64()),
         pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64()),
@@ -248,7 +254,9 @@ def embed_projection() -> np.ndarray:
 def letter_counts(txt) -> np.ndarray:
     """(n, 26) int64 — per-lowercase-letter occurrence counts
     (case-sensitive; ``pc.count_substring`` == DuckDB's
-    length(text)-length(replace(text, ch, '')))."""
+    length(text)-length(replace(text, ch, ''))).  NULL text counts as
+    empty (the mirror coalesces)."""
+    txt = pc.fill_null(txt, "")
     return np.stack(
         [np.asarray(pc.count_substring(txt, ch).cast(pa.int64())
                     .to_numpy(zero_copy_only=False), np.int64)
@@ -348,7 +356,8 @@ def embed_similarity_oracle_sql(query_doc: int = 0, k: int = 10) -> str:
     26×8 projection spelled out as one SUM expression per dim, exact
     integer dot product, same (score DESC, doc_id ASC) top-k."""
     R = embed_projection()
-    cnt = {ch: f"(length(text) - length(replace(text, '{ch}', '')))"
+    cnt = {ch: "(length(coalesce(text, '')) - length(replace("
+               f"coalesce(text, ''), '{ch}', '')))"
            for ch in EMBED_LETTERS}
     dims = []
     for j in range(EMBED_DIM):
@@ -369,7 +378,8 @@ def embed_similarity_oracle_sql(query_doc: int = 0, k: int = 10) -> str:
 
 def embed_documents_oracle_sql() -> str:
     R = embed_projection()
-    cnt = {ch: f"(length(text) - length(replace(text, '{ch}', '')))"
+    cnt = {ch: "(length(coalesce(text, '')) - length(replace("
+               f"coalesce(text, ''), '{ch}', '')))"
            for ch in EMBED_LETTERS}
     dims = []
     for j in range(EMBED_DIM):
@@ -379,6 +389,92 @@ def embed_documents_oracle_sql() -> str:
         dims.append(f"CAST({terms} AS BIGINT) AS e{j}")
     return (f"SELECT doc_id, {', '.join(dims)} FROM documents "
             f"ORDER BY doc_id")
+
+
+# --------------------------------------------------------------------------
+# Model-in-the-loop curation (classifier gate composed into the chain)
+# --------------------------------------------------------------------------
+
+def q_curate_with_model(sf_dir: str, train_pct: int = 95,
+                        salt: int = 7) -> pa.Table:
+    """Classifier-gated curation — the model-in-the-loop composition a
+    production pipeline runs once a quality classifier exists: the
+    learned gate REPLACES the hand-written C4 rules of curate_corpus.
+    Chain: actor-pool score+filter (only pred_keep rows leave the
+    stage, carrying their logit) → exact-dedup keep-canonical (min
+    doc_id per text, one keyed exchange — the only wide step, moving
+    only surviving text) → deterministic train/val split (pure map).
+    Output: (doc_id, logit_fp, split), hash-exact vs the single SQL
+    statement that inlines the pinned weights."""
+    import ray
+
+    from ..engine.exchange import keyed_exchange
+    from .textops import split_labels
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ray.put(QUALITY_MODEL)
+
+    class GateStage(QualityScorerStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            scored = super().__call__(batch)
+            out = pa.table({
+                "doc_id": scored["doc_id"],
+                "text": pc.fill_null(batch["text"], ""),
+                "logit_fp": scored["logit_fp"]})
+            return out.filter(scored["pred_keep"])
+
+    filtered = ds.map_batches(
+        GateStage, fn_constructor_kwargs={"model_ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def canonical(t: pa.Table) -> pa.Table:
+        keep = t.group_by("text").aggregate([("doc_id", "min")])
+        j = t.join(keep, keys=["text"])
+        win = j.filter(pc.equal(j["doc_id"], j["doc_id_min"]))
+        return win.select(["doc_id", "logit_fp"])
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "logit_fp": pa.array([], pa.int64()),
+                      "split": pa.array([], pa.string())})
+    tables = keyed_exchange(filtered, "text", canonical,
+                            empty_result=empty.select(
+                                ["doc_id", "logit_fp"]))
+    if not tables:
+        return empty
+    out = pa.concat_tables(tables).combine_chunks()
+    ids = np.asarray(out["doc_id"].to_numpy(zero_copy_only=False))
+    return out.append_column(
+        "split", split_labels(ids, train_pct=train_pct,
+                              salt=salt)).sort_by(
+        [("doc_id", "ascending")])
+
+
+def curate_with_model_oracle_sql(train_pct: int = 95,
+                                 salt: int = 7) -> str:
+    from .textops import _SPLIT_MULT
+
+    terms = " + ".join(
+        f"({w} * {expr})" for w, (_, expr)
+        in zip(QUALITY_MODEL["weights"], _QUALITY_FEATURES_SQL))
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, coalesce(text, '') AS text,
+                   CAST({QUALITY_MODEL['bias']} + {terms} AS BIGINT)
+                       AS logit_fp
+            FROM documents
+        ), kept AS (
+            SELECT * FROM scored WHERE logit_fp > 0
+        ), dedup AS (
+            SELECT *, row_number() OVER (PARTITION BY text
+                                         ORDER BY doc_id) AS rn
+            FROM kept
+        )
+        SELECT doc_id, logit_fp,
+               CASE WHEN (doc_id * {_SPLIT_MULT} + {salt})
+                         % 4294967296 % 100 < {train_pct}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM dedup WHERE rn = 1 ORDER BY doc_id
+    """
 
 
 if __name__ == "__main__":  # pragma: no cover — artifact regeneration
