@@ -177,3 +177,87 @@ def test_unique_check_embeddings_matches_oracle(ray_session):
     bad = out.filter(pa.compute.invert(out["valid"]))
     assert bad.num_rows == 8
     assert all(v >= 40_000_000 for v in bad["vec_id"].to_pylist())
+
+
+def test_canonical_key_properties_hypothesis():
+    """canonical_value_key is a true deep-equality witness: equal keys
+    iff the normalized structures are equal; permuting dict key order
+    never changes the key; int/integral-float identification holds
+    recursively."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-2**40, max_value=2**40),
+        st.floats(min_value=-1e9, max_value=1e9,
+                  allow_nan=False, allow_infinity=False),
+        st.text(max_size=8))
+    values = st.recursive(
+        scalars,
+        lambda ch: st.one_of(
+            st.lists(ch, max_size=4),
+            st.dictionaries(st.text(max_size=4), ch, max_size=4)),
+        max_leaves=12)
+
+    def norm(v):
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, float) and v.is_integer():
+            return ("n", int(v))
+        if isinstance(v, int):
+            return ("n", v)
+        if isinstance(v, dict):
+            return ("d", tuple(sorted((k, norm(x))
+                                      for k, x in v.items())))
+        if isinstance(v, list):
+            return ("l", tuple(norm(x) for x in v))
+        if isinstance(v, float):
+            return ("n", v)  # non-integral float
+        return ("s", v) if isinstance(v, str) else ("z",)
+
+    @given(values, values)
+    @settings(max_examples=300, deadline=None)
+    def check(a, b):
+        ka, kb = canonical_value_key(a), canonical_value_key(b)
+        assert (ka == kb) == (norm(a) == norm(b)), (a, b)
+
+    check()
+
+    @given(st.dictionaries(st.text(max_size=4), scalars, max_size=6))
+    @settings(max_examples=100, deadline=None)
+    def key_order_invariant(d):
+        import random as _r
+        items = list(d.items())
+        _r.Random(0).shuffle(items)
+        assert canonical_value_key(dict(items)) == canonical_value_key(d)
+
+    key_order_invariant()
+
+
+def test_vectorized_unique_agrees_with_oracle_hypothesis(ray_session):
+    """Property: for random integer-list columns the vectorized
+    $unique fail mask equals the row oracle's verdict on every row."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from yaschva_ray.vectorized import TableValidator
+
+    schema = {"doc_id": "number",
+              "xs": {"$array": "number", "$unique": True}}
+    tv = TableValidator(schema)
+
+    @given(st.lists(st.lists(st.integers(min_value=0, max_value=5),
+                             max_size=6), min_size=1, max_size=8))
+    @settings(max_examples=80, deadline=None)
+    def check(rows):
+        t = pa.table({
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "xs": pa.array(rows, pa.list_(pa.int64()))})
+        out = tv(t)
+        for i, r in enumerate(rows):
+            want = validate(schema, {"doc_id": i, "xs": r})["result"]
+            got = "pass" if out["valid"][i].as_py() else "fail"
+            assert got == want, (i, r)
+
+    check()
