@@ -245,7 +245,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle_documents remains oracle-backed past the cap)
         "sorted_export_events": ops.q_sorted_export_events,
         "pack_sequences": ops.q_pack_sequences,
-        "events_hourly_window": ops.q_events_hourly_window,
+        # the $unique set-constraint extension (the reference's own
+        # future-work item, README.md:174-178) takes the tumbling-window
+        # sweep slot — a conformance-surface EXTENSION beyond parity
+        # beats a second window variant (sessions keeps the window
+        # family sweep-visible; hourly stays oracle-backed past the cap)
+        "unique_check_embeddings": ops.q_unique_check_embeddings,
         # learned-model inference takes the global-asof sweep slot (the
         # keyed as-of sibling events_asof_orders keeps the family
         # visible; global asof stays oracle-backed past the cap): a
@@ -334,10 +339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # above); both keep their oracles here
         "events_global_asof": ops.q_events_global_asof,
         "active_customers": ops.q_active_customers,
-        # $unique array-set constraint (the reference's own future-work
-        # item, README.md:174-178 — an extension BEYOND parity) over
-        # the embeddings table, planted-oracle checked
-        "unique_check_embeddings": ops.q_unique_check_embeddings,
+        # ceded its in-window slot to unique_check_embeddings (see
+        # above); the tumbling window keeps its oracle here
+        "events_hourly_window": ops.q_events_hourly_window,
         # skewed as-of: 1/3 of all rows collapsed onto ONE key, forcing
         # the time-band + boundary-carry skew path (engine/joins.py)
         "events_asof_hotkey": ops.q_events_asof_hotkey,
