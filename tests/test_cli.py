@@ -903,3 +903,43 @@ def test_score_cli_custom_model(tmp_path):
     assert r.returncode == 0, r.stderr
     t = pq.read_table(str(out))
     assert t["pred_keep"].to_pylist() == [False, True]  # 3 vs 7 chars
+
+
+def test_sessionize_cli_plain_and_skew_agree(tmp_path):
+    """`sessionize` end-to-end: session rows out; --skew-split on a
+    planted hot key produces the identical table."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1)
+    us, ts = [], []
+    t = 0
+    for i in range(1200):  # hot user: bursts with 1-hour gaps
+        t += 10 if i % 15 else 3600
+        us.append(1)
+        ts.append(base + datetime.timedelta(seconds=t))
+    for i in range(200):
+        us.append(50 + i % 7)
+        ts.append(base + datetime.timedelta(seconds=i * 97))
+    src = tmp_path / "events.parquet"
+    pq.write_table(pa.table({
+        "user_id": pa.array(us, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us"))}), str(src))
+
+    out1 = tmp_path / "plain.parquet"
+    r1 = run_cli("sessionize", "--input", str(src), "--key", "user_id",
+                 "--ts", "ts", "--gap-s", "600", "--out", str(out1),
+                 "--num-cpus", "2")
+    assert r1.returncode == 0, r1.stderr
+    out2 = tmp_path / "skew.parquet"
+    r2 = run_cli("sessionize", "--input", str(src), "--key", "user_id",
+                 "--ts", "ts", "--gap-s", "600", "--out", str(out2),
+                 "--skew-split", "--max-key-rows", "300",
+                 "--num-cpus", "2")
+    assert r2.returncode == 0, r2.stderr
+    a, b = pq.read_table(str(out1)), pq.read_table(str(out2))
+    assert a.equals(b)
+    n1 = json.loads(r1.stdout.strip().splitlines()[-1])["n_sessions"]
+    assert n1 == a.num_rows and n1 > 50

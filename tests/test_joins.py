@@ -1265,3 +1265,36 @@ def test_session_windows_skew_split_rejects_out_dir(ray_session, tmp_path):
         session_windows(ray.data.from_arrow(events), key="user_id",
                         ts="ts", gap_s=60, skew_split=True,
                         out_dir=str(tmp_path))
+
+
+def test_asof_skew_split_with_out_dir_sinks(ray_session, tmp_path):
+    """The banded path composes with per-bucket parquet sinks: band
+    columns never reach the files and the union of parts equals the
+    gathered banded result."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    n = 1200
+    left = pa.table({"lid": pa.array(np.arange(n), pa.int64()),
+                     "k": pa.array(np.full(n, 1), pa.int64()),
+                     "t": pa.array(rng.permutation(30_000)[:n], pa.int64())})
+    right = pa.table({"k2": pa.array(np.full(n, 1), pa.int64()),
+                      "t2": pa.array(rng.permutation(30_000)[:n],
+                                     pa.int64()),
+                      "v": pa.array(np.arange(n), pa.int64())})
+
+    def run(**kw):
+        return asof_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(4),
+            left_key="k", right_key="k2", left_ts="t", right_ts="t2",
+            num_buckets=3, skew_split=True, max_key_rows=200, **kw)
+
+    gathered = run().sort_by([("lid", "ascending")])
+    manifest = run(out_dir=str(tmp_path))
+    # readers follow the manifest and skip zero-row parts (schema-less)
+    files = [r["path"] for r in manifest.to_pylist() if r["n_rows"]]
+    parts = pa.concat_tables([pq.read_table(f) for f in files])
+    assert "__band" not in parts.column_names
+    assert parts.sort_by([("lid", "ascending")]).equals(gathered)

@@ -655,3 +655,33 @@ def test_dedup_spans_fingerprint_matches_string_mode(ray_session):
         key_mode="string")
     assert fp.equals(st)
     assert sum(fp["n_removed_tokens"].to_pylist()) > 0
+
+
+def test_dedup_spans_fingerprint_parity_nasty_inputs(ray_session):
+    """Fingerprint vs string key parity on adversarial shapes: empty
+    texts, NULL text, single-token docs, unicode tokens, within-doc
+    repetition, exact multi-doc duplication."""
+    import ray.data
+
+    from yaschva_ray.pipelines import textops
+
+    texts = [
+        "", None, "one",
+        "ünïcode tökens ünïcode tökens ünïcode tökens ünïcode tökens x",
+        "a b c d e f g h i j",            # shared 8-gram base
+        "z a b c d e f g h i j",          # shares the window
+        "r r r r r r r r r r r r r r r",  # within-doc repetition only
+        "a b c d e f g h i j",            # exact duplicate of idx 4
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def run(mode):
+        return textops.dedup_spans_from_ds(
+            ray.data.from_arrow(t).repartition(3), key_mode=mode)
+
+    fp, st = run("fingerprint"), run("string")
+    assert fp.equals(st)
+    got = {r["doc_id"]: r["n_removed_tokens"] for r in fp.to_pylist()}
+    assert got[4] == 10 and got[5] == 10 and got[7] == 10  # shared run
+    assert got[6] == 0                                     # within-doc only

@@ -981,9 +981,60 @@ def _cmd_score(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_sessionize(args: argparse.Namespace) -> int:
+    """Gap-based sessionization over any parquet table with a key and a
+    timestamp column (engine.windows.session_windows); ``--skew-split``
+    lifts the one-key-per-task assumption via time banding + the driver
+    chain merge (hot keys detected automatically)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from .engine.windows import session_windows
+
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"error: no input files match {args.input!r}",
+                  file=sys.stderr)
+            return 2
+        ds = ray.data.read_parquet(files, columns=[args.key, args.ts])
+        out = session_windows(
+            ds, key=args.key, ts=args.ts, gap_s=args.gap_s,
+            skew_split=args.skew_split,
+            max_key_rows=args.max_key_rows)
+        pq.write_table(out, args.out)
+        print(json.dumps({"n_sessions": out.num_rows, "out": args.out,
+                          "skew_split": bool(args.skew_split)}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="yaschva_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    se = sub.add_parser("sessionize", help="gap-based session windows "
+                        "over a (key, timestamp) table")
+    se.add_argument("--input", required=True, help="parquet glob")
+    se.add_argument("--key", required=True)
+    se.add_argument("--ts", required=True)
+    se.add_argument("--gap-s", type=float, default=1800.0)
+    se.add_argument("--out", required=True, help="output parquet file")
+    se.add_argument("--skew-split", action="store_true",
+                    help="time-band hot keys (exact; driver chain merge)")
+    se.add_argument("--max-key-rows", type=int, default=None,
+                    help="hot-key threshold for --skew-split")
+    se.add_argument("--num-cpus", type=int, default=8)
 
     sc = sub.add_parser("score", help="score documents with the pinned "
                         "quality classifier (actor-pool inference)")
@@ -1222,6 +1273,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_curate(args)
     if args.cmd == "score":
         return _cmd_score(args)
+    if args.cmd == "sessionize":
+        return _cmd_sessionize(args)
     if args.cmd == "vocab":
         return _cmd_vocab(args)
     if args.cmd == "compact":
