@@ -939,22 +939,22 @@ def test_hash_join_skew_noop_without_hot_keys(ray_session):
     assert "__cell" not in split.column_names
 
 
-def test_hash_join_skew_full_outer_refused(ray_session):
-    """Full outer + skew_split raises (either side's replication would
-    duplicate its unmatched rows)."""
-    import pytest as _pytest
+def test_hash_join_skew_full_outer_now_supported(ray_session):
+    """Full outer + skew_split no longer refuses (round 5): the
+    null-drop ownership rule makes replication safe; on a tiny
+    no-hot-key input the skew plan degrades to the plain exchange."""
     import ray.data
 
     from yaschva_ray.engine.joins import hash_join
 
-    t = pa.table({"k": pa.array([1], pa.int64()),
-                  "lv": pa.array([1], pa.int64())})
-    r = pa.table({"rk": pa.array([1], pa.int64()),
-                  "rv": pa.array([1], pa.int64())})
-    with _pytest.raises(ValueError, match="skew_split"):
-        hash_join(ray.data.from_arrow(t), ray.data.from_arrow(r),
-                  left_key="k", right_key="rk", how="full outer",
-                  skew_split=True)
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "lv": pa.array([1, 2], pa.int64())})
+    r = pa.table({"rk": pa.array([1, 3], pa.int64()),
+                  "rv": pa.array([10, 30], pa.int64())})
+    out = hash_join(ray.data.from_arrow(t), ray.data.from_arrow(r),
+                    left_key="k", right_key="rk", how="full outer",
+                    skew_split=True, num_buckets=2)
+    assert out.num_rows == 3  # matched 1, unmatched-left 2, unmatched-right 3
 
 
 def test_hh_detection_lower_bound(ray_session):
@@ -1298,3 +1298,87 @@ def test_asof_skew_split_with_out_dir_sinks(ray_session, tmp_path):
     parts = pa.concat_tables([pq.read_table(f) for f in files])
     assert "__band" not in parts.column_names
     assert parts.sort_by([("lid", "ascending")]).equals(gathered)
+
+
+def _hashjoin_case(rng, n_hot_l, n_hot_r, n_cold):
+    """(left, right) with one both-sides-hot key 7 and cold keys; some
+    cold keys exist on only one side so outer joins emit real
+    null-extended rows."""
+    lkeys = np.concatenate([np.full(n_hot_l, 7),
+                            rng.randint(100, 140, n_cold)])
+    rkeys = np.concatenate([np.full(n_hot_r, 7),
+                            rng.randint(120, 160, n_cold)])
+    left = pa.table({"lid": pa.array(np.arange(len(lkeys)), pa.int64()),
+                     "k": pa.array(lkeys, pa.int64())})
+    right = pa.table({"k2": pa.array(rkeys, pa.int64()),
+                      "rv": pa.array(np.arange(len(rkeys)), pa.int64())})
+    return left, right
+
+
+def _run_hashjoin(left, right, how, **kw):
+    import ray.data
+
+    from yaschva_ray.engine.joins import hash_join
+
+    out = hash_join(ray.data.from_arrow(left).repartition(6),
+                    ray.data.from_arrow(right).repartition(6),
+                    left_key="k", right_key="k2", how=how,
+                    num_buckets=4, **kw)
+    if not out.num_rows:
+        return out
+    return out.sort_by([(c, "ascending") for c in out.column_names])
+
+
+def test_hash_join_left_outer_right_hot_split_equals_plain(ray_session):
+    """Right-side splitting under LEFT OUTER is now allowed: the
+    null-drop ownership rule removes the cell-level artifacts, so the
+    split result equals the plain path exactly."""
+    rng = np.random.RandomState(17)
+    left, right = _hashjoin_case(rng, n_hot_l=50, n_hot_r=3000,
+                                 n_cold=400)
+    plain = _run_hashjoin(left, right, "left outer")
+    split = _run_hashjoin(left, right, "left outer",
+                          skew_split=True, max_key_rows=500)
+    assert split.equals(plain)
+    # unmatched-left rows (keys 100..119 absent on the right) survived
+    import pyarrow.compute as pc
+    n_null = plain.num_rows - int(pc.sum(pc.cast(pc.is_valid(
+        plain["rv"]), pa.int64())).as_py())
+    assert n_null > 0
+
+
+def test_hash_join_full_outer_both_hot_split_equals_plain(ray_session):
+    """FULL OUTER with a key hot on BOTH sides splits on both axes; the
+    two null-drop rules keep exactly the genuinely-unmatched rows."""
+    rng = np.random.RandomState(19)
+    left, right = _hashjoin_case(rng, n_hot_l=2000, n_hot_r=2500,
+                                 n_cold=400)
+    plain = _run_hashjoin(left, right, "full outer")
+    split = _run_hashjoin(left, right, "full outer",
+                          skew_split=True, max_key_rows=400)
+    assert split.equals(plain)
+    import pyarrow.compute as pc
+    # both directions of unmatched rows exist in the expected output
+    assert plain.filter(pc.is_null(plain["rv"])).num_rows > 0
+    assert plain.filter(pc.is_null(plain["lid"])).num_rows > 0
+
+
+def test_hash_join_full_outer_left_hot_no_right_rows(ray_session):
+    """A key hot on the LEFT with ZERO right rows: its lefts are
+    genuinely unmatched and must all survive the split (the drop rule
+    only fires for keys in the OTHER side's split set)."""
+    rng = np.random.RandomState(23)
+    n = 1500
+    left = pa.table({"lid": pa.array(np.arange(n), pa.int64()),
+                     "k": pa.array(np.full(n, 9), pa.int64())})
+    right = pa.table({"k2": pa.array(rng.randint(100, 120, 200),
+                                     pa.int64()),
+                      "rv": pa.array(np.arange(200), pa.int64())})
+    plain = _run_hashjoin(left, right, "full outer")
+    split = _run_hashjoin(left, right, "full outer",
+                          skew_split=True, max_key_rows=300)
+    assert split.equals(plain)
+    import pyarrow.compute as pc
+    hot = plain.filter(pc.fill_null(pc.equal(plain["k"], 9), False))
+    assert hot.num_rows == n
+    assert all(v is None for v in hot["rv"].to_pylist())

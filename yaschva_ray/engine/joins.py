@@ -385,6 +385,7 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
 def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
                  schema_hints: tuple, bucket_id: int,
                  out_dir: str | None, bucket_fn, use_cell: bool,
+                 split_sets: tuple,
                  *parts: pa.Table) -> pa.Table:
     from .sketches import limit_worker_threads
 
@@ -436,8 +437,43 @@ def _equi_bucket(n_left: int, left_key: str, right_key: str, how: str,
                                                          pa.int64()))
             join_l.append("__cell")
             join_r.append("__cell")
+        lsplit, rsplit = split_sets
+        # match markers for the null-drop ownership rule: pyarrow
+        # COALESCES the key columns, so a null marker — not a null key —
+        # is the reliable "this side had no partner in this cell" signal
+        need_r_drop = how in ("left outer", "full outer") \
+            and rsplit is not None
+        need_l_drop = how == "full outer" and lsplit is not None
+        if (need_r_drop or need_l_drop) and (
+                "__rmark" in rt.column_names
+                or "__lmark" in lt.column_names):
+            raise ValueError(
+                "hash_join(skew_split=True) reserves '__rmark'/'__lmark' "
+                "for outer-join match markers; rename the input column")
+        if need_r_drop:
+            rt = rt.append_column(
+                "__rmark", pa.array(np.ones(rt.num_rows, np.int8)))
+        if need_l_drop:
+            lt = lt.append_column(
+                "__lmark", pa.array(np.ones(lt.num_rows, np.int8)))
         merged = lt.join(rt, keys=join_l, right_keys=join_r,
                          join_type=how)
+        if need_r_drop and merged.num_rows:
+            # cell-level unmatched LEFT rows of a right-split key: the
+            # matched copy lives in the cell holding a right partner
+            artifact = pc.and_(
+                pc.is_null(merged["__rmark"]),
+                pc.fill_null(pc.is_in(merged[left_key],
+                                      value_set=rsplit), False))
+            merged = merged.filter(pc.invert(artifact))
+        if need_l_drop and merged.num_rows:
+            artifact = pc.and_(
+                pc.is_null(merged["__lmark"]),
+                pc.fill_null(pc.is_in(merged[left_key],
+                                      value_set=lsplit), False))
+            merged = merged.filter(pc.invert(artifact))
+        merged = merged.drop_columns(
+            [c for c in ("__rmark", "__lmark") if c in merged.column_names])
         if use_cell and "__cell" in merged.column_names:
             merged = merged.drop_columns(["__cell"])
     if bucket_fn is not None and merged.num_rows:
@@ -598,20 +634,21 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     in exactly one cell), so one hot key can no longer concentrate in
     one reduce task.  The merged counts are LOWER bounds, so detection
     is conservative-correct; evaders still hit the loud _warn_hot_key.
-    "left outer" splits only the LEFT side (splitting the right would
-    duplicate unmatched-left rows); "full outer" refuses (either side's
-    split would duplicate its unmatched rows)."""
+
+    OUTER joins split safely via the NULL-DROP OWNERSHIP rule: a key
+    split on one side provably HAS rows on that side (its count crossed
+    the threshold), so the OTHER side's rows with that key can never be
+    globally unmatched — each reduce drops its cell-level null-extended
+    rows for such keys (replication guarantees the genuinely-matched
+    copy exists in whichever cell holds a partner).  Keys outside the
+    split sets keep ordinary outer semantics: their counterpart side is
+    never split, so cell-level unmatched equals global unmatched."""
     import ray
 
     from .exchange import bounded_map_entries
 
     if how not in ("inner", "left outer", "full outer"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
-    if skew_split and how == "full outer":
-        raise ValueError(
-            "skew_split cannot protect a full outer join: replicating "
-            "either side duplicates its unmatched rows; use the default "
-            "path (hot keys are logged) or pre-aggregate the hot keys")
     if bloom_right_by_left:
         if how == "full outer":
             raise ValueError(
@@ -691,13 +728,6 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
                 continue
             s_l = max(1, -(-cl // max_key_rows))
             s_r = max(1, -(-cr // max_key_rows))
-            if how == "left outer" and s_r > 1:
-                s_r = 1  # right split would duplicate unmatched-left rows
-                if cr > max_key_rows:
-                    _LOG.warning(
-                        "hash_join(skew): key %r has ~%d right rows under "
-                        "a left outer join — only the left side splits; "
-                        "the right side rides whole per cell", k, cr)
             if s_l == 1 and s_r == 1:
                 continue  # a 1x1 "split" is the plain path — skip it
             hot.append((k, s_l, s_r))
@@ -733,9 +763,21 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
         lmap = _mapped(left_ds, left_key)
         rmap = _mapped(right_ds, right_key)
     use_cell = bool(skew_split and hot)
+    # the null-drop ownership sets (outer joins only): keys split on a
+    # side have guaranteed rows there, so the other side's cell-level
+    # null-extended rows for them are replication artifacts — dropped in
+    # the reduce (docstring).  Tiny (≤ heavy-hitter topk); shipped by arg.
+    split_sets = (None, None)
+    if use_cell and how != "inner":
+        lsplit = [k for k, sl, _ in hot if sl > 1]
+        rsplit = [k for k, _, sr in hot if sr > 1]
+        split_sets = (
+            pa.array(lsplit, type=key_type) if lsplit else None,
+            pa.array(rsplit, type=key_type) if rsplit else None)
     joined = [
         _EQUI_REDUCE.remote(len(lmap), left_key, right_key, how,
                             schema_hints, b, out_dir, bucket_fn, use_cell,
+                            split_sets,
                             *[m[b] for m in lmap], *[m[b] for m in rmap])
         for b in range(num_buckets)
     ]
