@@ -729,6 +729,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_events": ops.q_equidepth_events,
         # --- rows-only from here down (approximate / model-like /
         # engine-generated — every oracle-backed query sits above) ---
+        # DISTRIBUTED training loop (per-block gradient partials over a
+        # materialized compact feature table; int64-exact moments) —
+        # iterative optimization is not SQL-expressible; pytest pins
+        # quantized parity with the driver-local trainer and the pinned
+        # deployed artifact
+        "model_train_report": inference.q_model_train_report,
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
         "winnow_fingerprints": textops.q_winnow_fingerprints,
         "approx_distinct_users": ops.q_approx_distinct_users,

@@ -123,3 +123,40 @@ def test_feature_matrix_null_text_scores_as_empty():
     F = inference.feature_matrix(pa.array([None, ""], pa.string()))
     assert (F[0] == F[1]).all()
     assert (F[0] == 0).all()
+
+
+def test_distributed_trainer_matches_local_quantized(ray_session):
+    """The distributed GD loop (per-block gradient partials) reproduces
+    the driver-local trainer: float weights to ~1 ulp and the QUANTIZED
+    artifact exactly — including under a different partitioning (the
+    int64 moment partials are partition-independent; the float gradient
+    merge differs only in last-ulp association)."""
+    from yaschva_ray.pipelines.textops import _gather, _read
+
+    t = _gather(_read(SF_DIR, "documents", ["doc_id", "text"]))
+    F = inference.feature_matrix(t["text"])
+    local = inference.train_quality_classifier(
+        F, inference.c4_teacher_labels(F))
+    ql = inference.quantize_model(local)
+    for reparts in (None, 7):
+        ds = _read(SF_DIR, "documents", ["doc_id", "text"])
+        if reparts:
+            ds = ds.repartition(reparts)
+        dist = inference.train_quality_classifier_distributed(ds)
+        assert np.allclose(dist["w"], local["w"], rtol=1e-8)
+        qd = inference.quantize_model(dist)
+        assert qd["weights"] == ql["weights"]
+        assert qd["bias"] == ql["bias"]
+    # and the pinned deployed artifact is what this corpus trains to
+    assert ql["weights"] == inference.QUALITY_MODEL["weights"]
+
+
+def test_model_train_report_query(ray_session):
+    rep = inference.q_model_train_report(SF_DIR)
+    vals = dict(zip(rep["param"].to_pylist(), rep["value"].to_pylist()))
+    assert vals["n_rows"] == 500
+    assert vals["n_teacher_agree"] >= 400      # >= 80% agreement
+    assert vals["bias"] == inference.QUALITY_MODEL["bias"]
+    for n, w in zip(inference.FEATURE_NAMES,
+                    inference.QUALITY_MODEL["weights"]):
+        assert vals[f"w_{n}"] == w

@@ -392,6 +392,151 @@ def embed_documents_oracle_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# Distributed training (full-batch GD with per-block gradient partials)
+# --------------------------------------------------------------------------
+
+_GRAD_REMOTE = None
+_MOM_REMOTE = None
+
+
+def _feat_moment_partial(*blocks: pa.Table):
+    """Per-chunk INT64-exact feature moments (n, Σf, Σf²) + label sum —
+    integer sums are associative, so standardization is bit-identical
+    under any partitioning (the k-means fixed-point argument)."""
+    from ..engine.sketches import limit_worker_threads
+
+    limit_worker_threads()
+    n = 0
+    s = np.zeros(len(FEATURE_NAMES), np.int64)
+    ss = np.zeros(len(FEATURE_NAMES), np.int64)
+    for b in blocks:
+        if not b.num_rows:
+            continue
+        F = np.stack([np.asarray(b[f].to_numpy(zero_copy_only=False),
+                                 np.int64) for f in FEATURE_NAMES],
+                     axis=1)
+        n += len(F)
+        s += F.sum(axis=0)
+        ss += (F * F).sum(axis=0)
+    return n, s, ss
+
+
+def _grad_partial(params, *blocks: pa.Table):
+    """Per-chunk logistic gradient partial given (w, b, mu, sigma) —
+    shipped BY VALUE (O(features) bytes; a ray.put broadcast would buy
+    nothing at this size): returns (Z^T g, Σg, n) in float64."""
+    from ..engine.sketches import limit_worker_threads
+
+    limit_worker_threads()
+    w, b, mu, sigma = params
+    G = np.zeros(len(w))
+    sg = 0.0
+    n = 0
+    for blk in blocks:
+        if not blk.num_rows:
+            continue
+        F = np.stack([np.asarray(blk[f].to_numpy(zero_copy_only=False),
+                                 np.int64) for f in FEATURE_NAMES],
+                     axis=1).astype(np.float64)
+        Z = (F - mu) / sigma
+        y = np.asarray(blk["y"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        p = 1.0 / (1.0 + np.exp(-(Z @ w + b)))
+        g = p - y
+        G += Z.T @ g
+        sg += float(g.sum())
+        n += len(g)
+    return G, sg, n
+
+
+def train_quality_classifier_distributed(ds, lr: float = 0.5,
+                                         iters: int = 400) -> dict:
+    """Distributed full-batch logistic regression — the iterative
+    model-TRAINING loop (k-means' optimization sibling): ONE feature
+    extraction pass materializes a compact (features, label) table (7
+    int64 columns — the raw text never re-scans), then each GD
+    iteration ships (w, b, mu, sigma) by value (O(features) bytes) and
+    one raw-task round over the cached feature blocks returns per-chunk
+    gradient partials
+    (6 floats + 2 scalars each); the driver merges IN CHUNK-INDEX ORDER
+    (deterministic for a fixed partitioning) and steps.
+    Standardization moments are INT64-exact (partition-independent);
+    the float gradient sums match the driver-local trainer to ~1 ulp
+    per merge, so the QUANTIZED artifact agrees (asserted in tests) —
+    and the deployed model is pinned anyway (training is offline).
+
+    At 100 TB: the feature table is ~56 bytes/doc (vs KBs of text), the
+    per-iteration network cost is 64 bytes per chunk, and driver state
+    is O(features).  Batch-GD wants few, large steps — for epochs over
+    corpus-scale data swap in mini-batch rounds over the same chunk
+    machinery."""
+    import ray
+
+    from ..engine.blocks import iter_block_refs
+
+    def to_features(t: pa.Table) -> pa.Table:
+        F = feature_matrix(t["text"])
+        cols = {f: pa.array(F[:, i]) for i, f in enumerate(FEATURE_NAMES)}
+        cols["y"] = pa.array(c4_teacher_labels(F))
+        return pa.table(cols)
+
+    feats = ds.map_batches(to_features,
+                           batch_format="pyarrow").materialize()
+    refs = list(iter_block_refs(feats))
+    chunks = [refs[i:i + 8] for i in range(0, len(refs), 8)]
+    global _GRAD_REMOTE, _MOM_REMOTE
+    if _MOM_REMOTE is None:
+        _MOM_REMOTE = ray.remote(_feat_moment_partial)
+    if _GRAD_REMOTE is None:
+        _GRAD_REMOTE = ray.remote(_grad_partial)
+
+    moments = ray.get([_MOM_REMOTE.remote(*ch) for ch in chunks])
+    n_tot = sum(m[0] for m in moments)
+    if not n_tot:
+        raise ValueError("train_quality_classifier_distributed: empty input")
+    s = np.sum([m[1] for m in moments], axis=0)
+    ss = np.sum([m[2] for m in moments], axis=0)
+    mu = s / n_tot
+    var = ss / n_tot - mu * mu
+    sigma = np.sqrt(np.maximum(var, 0.0))
+    sigma[sigma == 0] = 1.0
+
+    d = len(FEATURE_NAMES)
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(iters):
+        parts = ray.get([_GRAD_REMOTE.remote((w, b, mu, sigma), *ch)
+                         for ch in chunks])  # chunk-index order
+        G = np.sum([p[0] for p in parts], axis=0)
+        sg = sum(p[1] for p in parts)
+        w -= lr * G / n_tot
+        b -= lr * sg / n_tot
+    return {"w": w, "b": b, "mu": mu, "sigma": sigma}
+
+
+def q_model_train_report(sf_dir: str, iters: int = 400) -> pa.Table:
+    """Train the quality classifier DISTRIBUTED on this corpus and
+    report the quantized artifact plus its teacher-agreement counts —
+    rows-only (iterative optimization is not SQL-expressible; parity
+    with the driver-local trainer is pinned by pytest)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    art = quantize_model(
+        train_quality_classifier_distributed(ds, iters=iters))
+    t = _gather(_read(sf_dir, "documents", ["doc_id", "text"]))
+    F = feature_matrix(t["text"])
+    y = c4_teacher_labels(F)
+    logit = F @ np.asarray(art["weights"], np.int64) + art["bias"]
+    agree = int(((logit > 0) == (y > 0.5)).sum())
+    rows = ([("bias", art["bias"])]
+            + [(f"w_{n}", v) for n, v in zip(FEATURE_NAMES,
+                                             art["weights"])]
+            + [("n_rows", len(y)), ("n_teacher_agree", agree)])
+    return pa.table({
+        "param": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.int64())})
+
+
+# --------------------------------------------------------------------------
 # Model-in-the-loop curation (classifier gate composed into the chain)
 # --------------------------------------------------------------------------
 
