@@ -735,6 +735,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantized parity with the driver-local trainer and the pinned
         # deployed artifact
         "model_train_report": inference.q_model_train_report,
+        # exact distributed covariance (int64 second-moment partials,
+        # partition-identical) → deterministic PCA projection →
+        # actor-pool embed: the train-then-infer representation chain
+        # (eigensolve not SQL-expressible; properties pinned by pytest)
+        "pca_embed_documents": inference.q_pca_embed_documents,
         "minhash_candidates_documents": textops.q_minhash_candidates_documents,
         "winnow_fingerprints": textops.q_winnow_fingerprints,
         "approx_distinct_users": ops.q_approx_distinct_users,

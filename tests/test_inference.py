@@ -160,3 +160,38 @@ def test_model_train_report_query(ray_session):
     for n, w in zip(inference.FEATURE_NAMES,
                     inference.QUALITY_MODEL["weights"]):
         assert vals[f"w_{n}"] == w
+
+
+def test_pca_projection_exact_covariance_properties(ray_session):
+    """train_pca_projection: partition-IDENTICAL (int64 moment
+    partials), orthonormal, variance-ordered, and matching numpy's full
+    eigendecomposition of the same covariance."""
+    from yaschva_ray.pipelines.textops import _gather, _read
+
+    Q1 = inference.train_pca_projection(
+        _read(SF_DIR, "documents", ["doc_id", "text"]))
+    Q2 = inference.train_pca_projection(
+        _read(SF_DIR, "documents", ["doc_id", "text"]).repartition(7))
+    assert np.array_equal(Q1, Q2)
+    assert Q1.shape == (26, inference.EMBED_DIM)
+    assert np.allclose(Q1.T @ Q1, np.eye(inference.EMBED_DIM),
+                       atol=1e-10)
+    t = _gather(_read(SF_DIR, "documents", ["doc_id", "text"]))
+    X = inference.letter_counts(t["text"]).astype(float)
+    Xc = X - X.mean(axis=0)
+    var = np.sort(((Xc @ Q1) ** 2).mean(axis=0))[::-1]
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1))
+    w = np.sort(np.linalg.eigh(Xc.T @ Xc / len(X))[0])[::-1]
+    assert np.allclose(var, w[:inference.EMBED_DIM], rtol=1e-4)
+
+
+def test_pca_embed_documents_query(ray_session):
+    out = inference.q_pca_embed_documents(SF_DIR)
+    assert out.num_rows == 500
+    assert out.column_names == ["doc_id"] + [
+        f"e{j}" for j in range(inference.EMBED_DIM)]
+    # first component carries the dominant variance (doc length axis)
+    import statistics
+    e0 = out["e0"].to_pylist()
+    e1 = out["e1"].to_pylist()
+    assert statistics.pvariance(e0) > statistics.pvariance(e1)

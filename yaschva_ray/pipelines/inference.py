@@ -537,6 +537,127 @@ def q_model_train_report(sf_dir: str, iters: int = 400) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# Exact distributed covariance + PCA embedding (trained projection)
+# --------------------------------------------------------------------------
+
+_COV_REMOTE = None
+
+
+def _cov_partial(*blocks: pa.Table):
+    """Per-chunk INT64-EXACT second-moment partials over the 26
+    letter-count features: (n, Σx, ΣxᵀX) — integer sums are associative,
+    so the covariance (and therefore the PCA projection) is
+    bit-identical under any partitioning.  Overflow envelope: per-row
+    xᵢxⱼ ≤ (10⁶)² = 10¹²; the 2⁶² guard below trips at ~4.6·10⁶ such
+    maximal rows per CELL — far beyond the test corpora; at true 100 TB
+    scale shard the moment pass and merge per-shard float128-widened
+    sums (documented, loud)."""
+    from ..engine.sketches import limit_worker_threads
+
+    limit_worker_threads()
+    d = len(EMBED_LETTERS)
+    n = 0
+    s = np.zeros(d, np.int64)
+    m2 = np.zeros((d, d), np.int64)
+    for b in blocks:
+        if not b.num_rows:
+            continue
+        X = letter_counts(b["text"])
+        n += len(X)
+        s += X.sum(axis=0)
+        m2 += X.T @ X  # int64-exact matmul
+    return n, s, m2
+
+
+def train_pca_projection(ds, dim: int = EMBED_DIM,
+                         iters: int = 120) -> np.ndarray:
+    """TRAIN an embedding projection on the corpus — the learned
+    counterpart of the fixed random projection: exact distributed
+    covariance (one streaming pass of int64 (n, Σx, XᵀX) partials —
+    the matrix generalization of corr_moments' pair statistics;
+    driver state O(d²)) followed by a deterministic driver-side
+    eigensolve (orthogonal power iteration from a fixed start, ``iters``
+    steps, NO RNG) of the top ``dim`` principal directions.  Signs are
+    canonicalized (largest-|component| entry positive) so the projection
+    is reproducible bit-for-bit on a given corpus; the int64 partials
+    make the covariance itself partition-independent."""
+    import ray
+
+    from ..engine.blocks import iter_block_refs
+
+    ds = ds.materialize()
+    refs = list(iter_block_refs(ds))
+    chunks = [refs[i:i + 8] for i in range(0, len(refs), 8)]
+    global _COV_REMOTE
+    if _COV_REMOTE is None:
+        _COV_REMOTE = ray.remote(_cov_partial)
+    parts = ray.get([_COV_REMOTE.remote(*ch) for ch in chunks])
+    n = sum(p[0] for p in parts)
+    if not n:
+        raise ValueError("train_pca_projection: empty input")
+    s = np.sum([p[1] for p in parts], axis=0)
+    m2 = np.sum([p[2] for p in parts], axis=0)
+    if np.abs(m2).max() > (1 << 62):
+        raise OverflowError(
+            "train_pca_projection: second-moment sums near int64 range "
+            "— shard the moment pass (docstring)")
+    mu = s / n
+    cov = m2 / n - np.outer(mu, mu)  # exact ints → one float division
+    d = cov.shape[0]
+    # deterministic orthogonal (subspace) power iteration: identity-
+    # prefix start (no RNG), QR re-orthogonalization each step
+    Q = np.eye(d, dim)
+    for _ in range(iters):
+        Q, _r = np.linalg.qr(cov @ Q)
+    # order by Rayleigh quotient desc, canonicalize signs
+    lam = np.einsum("ij,ij->j", Q, cov @ Q)
+    order = np.argsort(-lam)
+    Q = Q[:, order]
+    for j in range(Q.shape[1]):
+        k = int(np.argmax(np.abs(Q[:, j])))
+        if Q[k, j] < 0:
+            Q[:, j] = -Q[:, j]
+    return Q
+
+
+class PCAEmbedderStage:
+    """Actor-pool inference with the TRAINED projection (float64
+    matmul): projection fetched once per actor via ``ray.put``."""
+
+    def __init__(self, proj_ref):
+        from ..engine.sketches import limit_worker_threads
+
+        limit_worker_threads()
+        import ray
+
+        self.Q = ray.get(proj_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = letter_counts(batch["text"]).astype(np.float64) @ self.Q
+        cols = {"doc_id": batch["doc_id"].cast(pa.int64())}
+        for j in range(E.shape[1]):
+            cols[f"e{j}"] = pa.array(E[:, j])
+        return pa.table(cols)
+
+
+def q_pca_embed_documents(sf_dir: str) -> pa.Table:
+    """Train the PCA projection on this corpus (exact distributed
+    covariance) and embed every document with it — the full
+    train-then-infer representation chain.  Rows-only (eigensolve is
+    not SQL-expressible); determinism/variance-ordering/partition-
+    independence pinned by pytest."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    Q = train_pca_projection(ds)
+    ref = ray.put(Q)
+    out = _gather(ds.map_batches(
+        PCAEmbedderStage, fn_constructor_kwargs={"proj_ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4)))
+    return out.sort_by([("doc_id", "ascending")])
+
+
+# --------------------------------------------------------------------------
 # Model-in-the-loop curation (classifier gate composed into the chain)
 # --------------------------------------------------------------------------
 
