@@ -943,3 +943,31 @@ def test_sessionize_cli_plain_and_skew_agree(tmp_path):
     assert a.equals(b)
     n1 = json.loads(r1.stdout.strip().splitlines()[-1])["n_sessions"]
     assert n1 == a.num_rows and n1 > 50
+
+
+def test_train_then_score_product_loop(tmp_path):
+    """`train` on testdata reproduces the pinned artifact; the written
+    JSON feeds `score --model` and scores identically to the default."""
+    import pyarrow.parquet as pq
+
+    from yaschva_ray.pipelines.inference import QUALITY_MODEL
+
+    model = tmp_path / "model.json"
+    r = run_cli("train", "--input",
+                "/root/testdata/sf0.001/documents.parquet",
+                "--out", str(model), "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr
+    art = json.loads(model.read_text())
+    assert art["weights"] == QUALITY_MODEL["weights"]
+    assert art["bias"] == QUALITY_MODEL["bias"]
+    out1 = tmp_path / "s1.parquet"
+    out2 = tmp_path / "s2.parquet"
+    r1 = run_cli("score", "--input",
+                 "/root/testdata/sf0.001/documents.parquet",
+                 "--out", str(out1), "--num-cpus", "2")
+    r2 = run_cli("score", "--input",
+                 "/root/testdata/sf0.001/documents.parquet",
+                 "--out", str(out2), "--model", str(model),
+                 "--num-cpus", "2")
+    assert r1.returncode == 0 and r2.returncode == 0
+    assert pq.read_table(str(out1)).equals(pq.read_table(str(out2)))

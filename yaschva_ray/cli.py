@@ -1019,9 +1019,56 @@ def _cmd_sessionize(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_train(args: argparse.Namespace) -> int:
+    """Distributed quality-classifier training
+    (pipelines.inference.train_quality_classifier_distributed): one
+    feature-extraction pass + raw-task gradient rounds; writes the
+    QUANTIZED JSON artifact `score --model` consumes — the train →
+    score → curate product loop."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from .pipelines.inference import (
+            quantize_model, train_quality_classifier_distributed)
+        from .sources import read_docs
+
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"error: no input files match {args.input!r}",
+                  file=sys.stderr)
+            return 2
+        ds = read_docs(files, columns=["doc_id", "text"])
+        art = quantize_model(train_quality_classifier_distributed(
+            ds, lr=args.lr, iters=args.iters))
+        with open(args.out, "w") as f:
+            json.dump(art, f)
+        print(json.dumps({"out": args.out, "iters": args.iters,
+                          "weights": art["weights"],
+                          "bias": art["bias"]}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="yaschva_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    tr = sub.add_parser("train", help="train the quality classifier "
+                        "distributed; write the JSON artifact for "
+                        "`score --model`")
+    tr.add_argument("--input", required=True, help="parquet/jsonl/csv glob")
+    tr.add_argument("--out", required=True, help="output JSON artifact")
+    tr.add_argument("--lr", type=float, default=0.5)
+    tr.add_argument("--iters", type=int, default=400)
+    tr.add_argument("--num-cpus", type=int, default=8)
 
     se = sub.add_parser("sessionize", help="gap-based session windows "
                         "over a (key, timestamp) table")
@@ -1275,6 +1322,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_score(args)
     if args.cmd == "sessionize":
         return _cmd_sessionize(args)
+    if args.cmd == "train":
+        return _cmd_train(args)
     if args.cmd == "vocab":
         return _cmd_vocab(args)
     if args.cmd == "compact":
