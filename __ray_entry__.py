@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model-in-the-loop curation: the learned classifier gate
         # composed into the score → dedup-canonical → split chain
         "curate_with_model": inference.q_curate_with_model,
+        # the classifier over the NORTH-RULE interleaved table: every
+        # text span scored, rejections emitted as quality violations
+        "f0_span_quality": inference.q_f0_span_quality,
         # the standalone embedding-model stage (e0..e7 exact int64
         # columns — the corpus-wide forward pass the top-k chain reuses)
         "embed_documents": inference.q_embed_documents,
@@ -1135,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_similarity_topk": inference.embed_similarity_oracle_sql(),
         "embed_documents": inference.embed_documents_oracle_sql(),
         "curate_with_model": inference.curate_with_model_oracle_sql(),
+        "f0_span_quality": inference.f0_span_quality_oracle_sql(),
         # $unique set-constraint check with planted duplicates (element
         # 2 := element 1 on the vec_id<8 copies; 1-based list indexing)
         "unique_check_embeddings": """

@@ -315,7 +315,7 @@ def bench_queries(sf_dir: str) -> dict:
     # round-5 additions: learned-model inference (quantized LR quality
     # classifier forward pass; embed -> broadcast-query top-k chain)
     inference_names = ["model_quality_scores", "embed_similarity_topk",
-                       "curate_with_model"]
+                       "curate_with_model", "f0_span_quality"]
     out = {}
     from yaschva_ray.pipelines import bpe as bpe_mod
     from yaschva_ray.pipelines import inference as inf_mod

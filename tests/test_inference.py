@@ -195,3 +195,17 @@ def test_pca_embed_documents_query(ray_session):
     e0 = out["e0"].to_pylist()
     e1 = out["e1"].to_pylist()
     assert statistics.pvariance(e0) > statistics.pvariance(e1)
+
+
+def test_f0_span_quality_matches_oracle(ray_session):
+    """Classifier scoring over the north-rule interleaved table:
+    per-span rejections hash-match the unnest + weights-inlined
+    mirror; NULL-text spans score as empty."""
+    import duckdb
+
+    out = inference.q_f0_span_quality(SF_DIR)
+    c = duckdb.connect()
+    ora = c.execute(inference.f0_span_quality_oracle_sql()).arrow()
+    assert out.equals(ora.cast(out.schema))
+    assert out.num_rows > 100
+    assert all(v <= 0 for v in out["logit_fp"].to_pylist())

@@ -743,6 +743,115 @@ def curate_with_model_oracle_sql(train_pct: int = 95,
     """
 
 
+# --------------------------------------------------------------------------
+# Model scoring over the north-rule interleaved table
+# --------------------------------------------------------------------------
+
+def q_f0_span_quality(sf_dir: str) -> pa.Table:
+    """Learned-model quality scoring over the NORTH-RULE interleaved
+    table (doc_id, spans: list<struct<kind, text, media_ref, offset>>):
+    every TEXT span of the seeded F0 corpus scores through the pinned
+    classifier — a vectorized span explode feeding the actor-pool
+    forward pass — and spans the model REJECTS (logit ≤ 0) emit as
+    quality violations, the model-in-the-loop counterpart of the F0
+    schema/contiguity checks.  NULL-text spans (the bad_media_ref
+    planted class keeps kind='text' with text NULL) score as empty on
+    both sides.  The seeded input is WRITTEN to the shared oracle path
+    (identical generator args to the sibling f0 queries) and the DuckDB
+    mirror unnests + inlines the same integer weights.  Output:
+    (doc_id, span_idx, logit_fp) of rejected spans."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .datagen import make_docs_batch
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    table = make_docs_batch(np.arange(n), seed=42)
+    os.makedirs("/tmp/yaschva_oracle", exist_ok=True)
+    pq.write_table(table, "/tmp/yaschva_oracle/f0_docs.parquet")
+    k = 8
+    ds = ray.data.from_arrow([table.slice(i * len(table) // k,
+                                          (i + 1) * len(table) // k
+                                          - i * len(table) // k)
+                              for i in range(k)])
+    ref = ray.put(QUALITY_MODEL)
+
+    class SpanScorer:
+        def __init__(self):
+            from ..engine.sketches import limit_worker_threads
+
+            limit_worker_threads()
+            model = ray.get(ref)
+            self.W = np.asarray(model["weights"], np.int64)
+            self.b = int(model["bias"])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            spans = t["spans"]
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            lengths = pc.list_value_length(spans).fill_null(0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = spans.flatten()
+            kinds = pc.struct_field(flat, "kind")
+            texts = pc.struct_field(flat, "text")
+            parents = np.repeat(np.arange(len(t)), lengths)
+            starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+            within = (np.arange(int(lengths.sum()))
+                      - np.repeat(starts, lengths))
+            doc_ids = t["doc_id"]
+            if isinstance(doc_ids, pa.ChunkedArray):
+                doc_ids = doc_ids.combine_chunks()
+            is_text = np.asarray(pc.equal(kinds, "text")
+                                 .to_numpy(zero_copy_only=False))
+            sel = np.nonzero(is_text)[0]
+            txt = texts.take(pa.array(sel))
+            F = feature_matrix(txt)
+            logit = F @ self.W + self.b
+            rej = logit <= 0
+            keep_rows = sel[rej]
+            return pa.table({
+                "doc_id": doc_ids.take(pa.array(parents[keep_rows])),
+                "span_idx": pa.array(within[keep_rows]),
+                "logit_fp": pa.array(logit[rej])})
+
+    out = _gather(ds.map_batches(
+        SpanScorer, batch_format="pyarrow", concurrency=(1, 4)))
+    # logit_fp breaks ties: doc_id is NOT unique (the dup_doc_id
+    # planted class), so (doc_id, span_idx) alone is not a total order
+    return out.sort_by([("doc_id", "ascending"),
+                        ("span_idx", "ascending"),
+                        ("logit_fp", "ascending")])
+
+
+def f0_span_quality_oracle_sql() -> str:
+    terms = " + ".join(
+        f"({w} * {expr})" for w, (_, expr)
+        in zip(QUALITY_MODEL["weights"], _QUALITY_FEATURES_SQL))
+    return f"""
+        WITH f0 AS (
+            SELECT doc_id, spans
+            FROM read_parquet('/tmp/yaschva_oracle/f0_docs.parquet')
+        ), sp AS (
+            SELECT doc_id, unnest(spans) AS s,
+                   CAST(generate_subscripts(spans, 1) - 1 AS BIGINT)
+                       AS span_idx
+            FROM f0
+        ), t AS (
+            SELECT doc_id, span_idx, s.text AS text
+            FROM sp WHERE s.kind = 'text'
+        )
+        SELECT doc_id, span_idx,
+               CAST({QUALITY_MODEL['bias']} + {terms} AS BIGINT)
+                   AS logit_fp
+        FROM t
+        WHERE ({QUALITY_MODEL['bias']} + {terms}) <= 0
+        ORDER BY doc_id, span_idx, logit_fp
+    """
+
+
 if __name__ == "__main__":  # pragma: no cover — artifact regeneration
     import json
     import sys
