@@ -209,3 +209,31 @@ def test_f0_span_quality_matches_oracle(ray_session):
     assert out.equals(ora.cast(out.schema))
     assert out.num_rows > 100
     assert all(v <= 0 for v in out["logit_fp"].to_pylist())
+
+
+def test_distributed_trainer_checkpoint_resume_bit_identical(
+        ray_session, tmp_path):
+    """Kill-at-iteration-200 then resume reaches BIT-IDENTICAL weights
+    to an uninterrupted 400-iteration run (deterministic GD + exact
+    recomputed standardization; atomic checkpoint writes)."""
+    import json as _json
+
+    from yaschva_ray.pipelines.textops import _read
+
+    ck = str(tmp_path / "train_ck.json")
+    # "crashed" run: stops at 200 iterations, checkpointing every 50
+    inference.train_quality_classifier_distributed(
+        _read(SF_DIR, "documents", ["doc_id", "text"]),
+        iters=200, checkpoint_path=ck, checkpoint_every=50)
+    assert _json.load(open(ck))["iter"] == 200
+    # resume to 400
+    resumed = inference.train_quality_classifier_distributed(
+        _read(SF_DIR, "documents", ["doc_id", "text"]),
+        iters=400, checkpoint_path=ck, checkpoint_every=50)
+    whole = inference.train_quality_classifier_distributed(
+        _read(SF_DIR, "documents", ["doc_id", "text"]), iters=400)
+    assert np.array_equal(resumed["w"], whole["w"])
+    assert resumed["b"] == whole["b"]
+    # and the artifact still matches the pinned one
+    q = inference.quantize_model(resumed)
+    assert q["weights"] == inference.QUALITY_MODEL["weights"]

@@ -450,7 +450,9 @@ def _grad_partial(params, *blocks: pa.Table):
 
 
 def train_quality_classifier_distributed(ds, lr: float = 0.5,
-                                         iters: int = 400) -> dict:
+                                         iters: int = 400,
+                                         checkpoint_path: str | None = None,
+                                         checkpoint_every: int = 50) -> dict:
     """Distributed full-batch logistic regression — the iterative
     model-TRAINING loop (k-means' optimization sibling): ONE feature
     extraction pass materializes a compact (features, label) table (7
@@ -469,7 +471,17 @@ def train_quality_classifier_distributed(ds, lr: float = 0.5,
     per-iteration network cost is 64 bytes per chunk, and driver state
     is O(features).  Batch-GD wants few, large steps — for epochs over
     corpus-scale data swap in mini-batch rounds over the same chunk
-    machinery."""
+    machinery.
+
+    ``checkpoint_path``: every ``checkpoint_every`` iterations the full
+    optimizer state (iter, w, b, mu, sigma) writes atomically (tmp +
+    rename — the house manifest contract); a restart with the same path
+    resumes from the last checkpoint and, because the loop is
+    deterministic, finishes with BIT-IDENTICAL weights to an
+    uninterrupted run (kill-resume tested)."""
+    import json as _json
+    import os as _os
+
     import ray
 
     from ..engine.blocks import iter_block_refs
@@ -504,13 +516,34 @@ def train_quality_classifier_distributed(ds, lr: float = 0.5,
     d = len(FEATURE_NAMES)
     w = np.zeros(d)
     b = 0.0
-    for _ in range(iters):
+    start = 0
+    if checkpoint_path is not None and _os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            ck = _json.load(f)
+        # the standardization is recomputed (int64-exact, so identical)
+        # — only the optimizer state resumes
+        start = int(ck["iter"])
+        w = np.asarray(ck["w"], np.float64)
+        b = float(ck["b"])
+
+    def _save(i: int) -> None:
+        tmp = f"{checkpoint_path}.tmp-{_os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump({"iter": i, "w": w.tolist(), "b": b}, f)
+        _os.replace(tmp, checkpoint_path)
+
+    for i in range(start, iters):
         parts = ray.get([_GRAD_REMOTE.remote((w, b, mu, sigma), *ch)
                          for ch in chunks])  # chunk-index order
         G = np.sum([p[0] for p in parts], axis=0)
         sg = sum(p[1] for p in parts)
         w -= lr * G / n_tot
         b -= lr * sg / n_tot
+        if checkpoint_path is not None \
+                and (i + 1) % checkpoint_every == 0:
+            _save(i + 1)
+    if checkpoint_path is not None:
+        _save(iters)
     return {"w": w, "b": b, "mu": mu, "sigma": sigma}
 
 
