@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # skewed as-of: 1/3 of all rows collapsed onto ONE key, forcing
         # the time-band + boundary-carry skew path (engine/joins.py)
         "events_asof_hotkey": ops.q_events_asof_hotkey,
+        # FORWARD as-of (earliest right at-or-after): the symmetric
+        # direction through the same operator, vs DuckDB's flipped ASOF
+        "events_asof_forward": ops.q_events_asof_forward,
         # model-in-the-loop curation: the learned classifier gate
         # composed into the score → dedup-canonical → split chain
         "curate_with_model": inference.q_curate_with_model,
@@ -3315,6 +3318,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, o.o_orderdate AS asof_date
             FROM events e ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
+        """,
+        "events_asof_forward": """
+            SELECT e.event_id, o.o_orderdate AS next_date
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
             ORDER BY e.event_id
         """,
         # the skewed variant: user_id % 3 == 0 collapses to key -1 on

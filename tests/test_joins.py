@@ -209,14 +209,14 @@ def test_asof_bucket_schemaless_first_right_part():
     })
     # schema-less first part + real rows later: restoration must still see
     # the right schema (date32 back from datetime64, int32 back from float)
-    out = _asof_bucket(1, "k", "k2", "t", "t2", 0, None, False,
+    out = _asof_bucket(1, "k", "k2", "t", "t2", 0, None, False, "backward",
                        left, pa.table({}), right)
     assert out.schema.field("t2").type == pa.date32()
     assert out.schema.field("rv").type == pa.int32()
     assert out["rv"].to_pylist() == [7, 7]
     # schema-less first part + a typed ZERO-ROW part: left rows join typed
     # nulls with the real right schema, not a column-less table
-    out2 = _asof_bucket(1, "k", "k2", "t", "t2", 0, None, False,
+    out2 = _asof_bucket(1, "k", "k2", "t", "t2", 0, None, False, "backward",
                         left, pa.table({}), right.slice(0, 0))
     assert out2.num_rows == 2
     assert out2.schema.field("t2").type == pa.date32()
@@ -228,7 +228,7 @@ def test_asof_bucket_schemaless_first_right_part():
                                          pa.date32()),
                           "lid": pa.array([9], pa.int64())})
     with pytest.raises(ValueError, match="disjoint"):
-        _asof_bucket(1, "k", "k2", "t", "t2", 0, None, False,
+        _asof_bucket(1, "k", "k2", "t", "t2", 0, None, False, "backward",
                      left, pa.table({}), bad_right)
 
 
@@ -1382,3 +1382,70 @@ def test_hash_join_full_outer_left_hot_no_right_rows(ray_session):
     hot = plain.filter(pc.fill_null(pc.equal(plain["k"], 9), False))
     assert hot.num_rows == n
     assert all(v is None for v in hot["rv"].to_pylist())
+
+
+def test_asof_join_forward_vs_bruteforce(ray_session):
+    """direction='forward': earliest right row at or after each left
+    timestamp, per key — brute-force checked."""
+    import ray.data
+
+    rng = np.random.RandomState(31)
+    n_l, n_r = 400, 300
+    lkeys = rng.randint(0, 30, n_l)
+    lts = rng.randint(0, 10_000, n_l)
+    rkeys = rng.randint(0, 40, n_r)
+    rts = rng.randint(0, 10_000, n_r)
+    left = pa.table({"lid": pa.array(np.arange(n_l), pa.int64()),
+                     "k": pa.array(lkeys, pa.int64()),
+                     "t": pa.array(lts, pa.int64())})
+    right = pa.table({"k2": pa.array(rkeys, pa.int64()),
+                      "t2": pa.array(rts, pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_key="k", right_key="k2", left_ts="t",
+                    right_ts="t2", num_buckets=4, direction="forward")
+    got = {r["lid"]: r["t2"] for r in out.to_pylist()}
+    for i in range(n_l):
+        cand = rts[(rkeys == lkeys[i]) & (rts >= lts[i])]
+        want = int(cand.min()) if len(cand) else None
+        assert got.get(i) == want, (i, got.get(i), want)
+
+
+def test_asof_forward_skew_split_equals_plain(ray_session):
+    """Forward direction under skew banding: the symmetric
+    (earliest-of-higher-bands) carry restores exactness — banded equals
+    plain on tie-free data."""
+    import ray.data
+
+    rng = np.random.RandomState(37)
+    n_hot_l, n_hot_r, n_cold = 3000, 2500, 500
+    lts = rng.permutation(60_000)[:n_hot_l + n_cold]
+    rts = rng.permutation(60_000)[:n_hot_r + n_cold] + 120_000
+    # half the rights EARLY, half far LATE so forward carries matter
+    half = (n_hot_r + n_cold) // 2
+    rts = np.concatenate([rts[:half] - 120_000 - 70_000,
+                          rts[half:]])
+    lkeys = np.concatenate([np.full(n_hot_l, 42),
+                            rng.randint(0, 25, n_cold)])
+    rkeys = np.concatenate([np.full(n_hot_r, 42),
+                            rng.randint(0, 25, n_cold)])
+    left = pa.table({"lid": pa.array(np.arange(len(lkeys)), pa.int64()),
+                     "k": pa.array(lkeys, pa.int64()),
+                     "t": pa.array(lts, pa.int64())})
+    right = pa.table({"k2": pa.array(rkeys, pa.int64()),
+                      "t2": pa.array(rts[:len(rkeys)], pa.int64()),
+                      "v": pa.array(np.arange(len(rkeys)), pa.int64())})
+
+    def run(**kw):
+        return asof_join(
+            ray.data.from_arrow(left).repartition(8),
+            ray.data.from_arrow(right).repartition(8),
+            left_key="k", right_key="k2", left_ts="t", right_ts="t2",
+            num_buckets=4, direction="forward", **kw) \
+            .sort_by([("lid", "ascending")])
+
+    plain = run()
+    banded = run(skew_split=True, max_key_rows=400, max_bands=8)
+    assert banded.equals(plain)
+    hot = plain.filter(pa.compute.equal(plain["k"], 42))
+    assert pa.compute.sum(pa.compute.cast(
+        pa.compute.is_valid(hot["t2"]), pa.int64())).as_py() > 0

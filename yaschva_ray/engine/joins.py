@@ -161,7 +161,7 @@ def _map_block(block: pa.Table, key: str, num_buckets: int):
 
 def _asof_bucket(n_left: int, left_key: str, right_key: str,
                  left_ts: str, right_ts: str, bucket_id: int,
-                 out_dir: str | None, use_band: bool,
+                 out_dir: str | None, use_band: bool, direction: str,
                  *parts: pa.Table) -> pa.Table:
     import pandas as pd  # noqa: F401
 
@@ -249,7 +249,7 @@ def _asof_bucket(n_left: int, left_key: str, right_key: str,
             merged = pd.merge_asof(left, right, left_on=left_ts,
                                    right_on=right_ts,
                                    left_by=lby, right_by=rby,
-                                   direction="backward")
+                                   direction=direction)
             merged_t = pa.Table.from_pandas(merged, preserve_index=False)
             # restore right-side columns' ORIGINAL arrow types: merge_asof
             # leaves unmatched rows NaN/NaT (widening ints to double,
@@ -303,9 +303,13 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_ts: str, right_ts: str, num_buckets: int | None = None,
               out_dir: str | None = None, skew_split: bool = False,
               max_key_rows: int = _SKEW_MAX_KEY_ROWS,
-              max_bands: int = 64) -> pa.Table:
-    """Backward as-of join (latest right row at or before each left row's
-    timestamp, per key).  ``num_buckets=None`` derives B from the inputs'
+              max_bands: int = 64,
+              direction: str = "backward") -> pa.Table:
+    """As-of join, per key: ``direction="backward"`` (default) takes the
+    LATEST right row at or before each left row's timestamp;
+    ``direction="forward"`` the EARLIEST right row at or after it (the
+    symmetric variant — DuckDB's ASOF with the inequality flipped).
+    ``num_buckets=None`` derives B from the inputs'
     estimated bytes (per-bucket target ``_TARGET_BUCKET_BYTES``).  With
     ``out_dir`` each bucket writes its own parquet part and a small manifest
     table (bucket, n_rows, path) is returned — the at-scale path; otherwise
@@ -355,13 +359,16 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
             .remote(ref, key, num_buckets),
             num_buckets)
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward|forward,"
+                         f" got {direction!r}")
     if skew_split:
         # returns plain-mapped entries over the SAME snapshotted refs
         # (carry_slices None) when no key crosses the hot threshold —
         # never re-executes the upstream datasets
         lmap, rmap, carry_slices = _asof_skew_plan(
             left_ds, right_ds, left_key, right_key, left_ts, right_ts,
-            num_buckets, max_key_rows, max_bands)
+            num_buckets, max_key_rows, max_bands, direction)
     else:
         carry_slices = None
         lmap = _mapped(left_ds, left_key)
@@ -369,7 +376,7 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     use_band = carry_slices is not None
     joined = [
         _REDUCE_REMOTE.remote(len(lmap), left_key, right_key, left_ts,
-                              right_ts, b, out_dir, use_band,
+                              right_ts, b, out_dir, use_band, direction,
                               *[m[b] for m in lmap],
                               *[m[b] for m in rmap],
                               *([] if carry_slices is None
@@ -1045,7 +1052,8 @@ def _asof_sample_combine(per_key_cap: int, *parts: pa.Table) -> pa.Table:
 
 def _asof_skew_map_block(block: pa.Table, key: str, ts: str,
                          num_buckets: int, hot_ref, emit_bounds: bool,
-                         nulls_past_end: bool = False):
+                         nulls_past_end: bool = False,
+                         bound_min: bool = False):
     """Map half of the banded time exchange (shared by the as-of join
     and session windows): every row gains its hot key's time band
     (non-hot rows: band 0) and routes on the (key, band) composite via
@@ -1104,23 +1112,28 @@ def _asof_skew_map_block(block: pa.Table, key: str, ts: str,
     if emit_bounds:
         sel = np.nonzero((idx >= 0) & validts)[0]
         if len(sel):
-            # last-of-(key, band) group under a (key, band, ts) lexsort
-            # = the block-local latest right row per band
+            # groups are ts-ascending under the (key, band, ts) lexsort:
+            # last-of-group = block-local LATEST right row per band
+            # (backward carry); first-of-group = EARLIEST (forward)
             o = np.lexsort((tv[sel], band[sel], idx[sel]))
             s = sel[o]
-            # last-of-(key, band) group == the block-local max ts
-            # (groups are ts-ascending under the lexsort)
-            last = np.ones(len(s), bool)
-            last[:-1] = (idx[s][1:] != idx[s][:-1]) | \
-                        (band[s][1:] != band[s][:-1])
-            out.append(st.take(pa.array(s[np.nonzero(last)[0]])))
+            chg = (idx[s][1:] != idx[s][:-1]) | \
+                  (band[s][1:] != band[s][:-1])
+            keep = np.ones(len(s), bool)
+            if bound_min:
+                keep[1:] = chg
+            else:
+                keep[:-1] = chg
+            out.append(st.take(pa.array(s[np.nonzero(keep)[0]])))
         else:
             out.append(pa.table({}))
     return out if n_out > 1 else out[0]
 
 
-def _asof_bound_combine(key: str, ts: str, *parts: pa.Table) -> pa.Table:
-    """Reduce boundary candidates to the global latest right row per
+def _asof_bound_combine(key: str, ts: str, keep_min: bool,
+                        *parts: pa.Table) -> pa.Table:
+    """Reduce boundary candidates to the global latest (``keep_min``
+    False, backward) or earliest (True, forward) right row per
     (key, band) — tables here are O(hot keys × bands), tiny."""
     from .sketches import limit_worker_threads
 
@@ -1133,19 +1146,28 @@ def _asof_bound_combine(key: str, ts: str, *parts: pa.Table) -> pa.Table:
                   (ts, "ascending")])
     kk = t[key].to_pylist()
     bb = t[_BAND_COL].to_pylist()
-    keep = [i for i in range(t.num_rows)
-            if i + 1 == t.num_rows or kk[i + 1] != kk[i]
-            or bb[i + 1] != bb[i]]
+    if keep_min:
+        keep = [i for i in range(t.num_rows)
+                if i == 0 or kk[i - 1] != kk[i] or bb[i - 1] != bb[i]]
+    else:
+        keep = [i for i in range(t.num_rows)
+                if i + 1 == t.num_rows or kk[i + 1] != kk[i]
+                or bb[i + 1] != bb[i]]
     return t.take(pa.array(keep, pa.int64()))
 
 
 def _asof_skew_plan(left_ds, right_ds, left_key: str, right_key: str,
                     left_ts: str, right_ts: str, num_buckets: int,
-                    max_key_rows: int, max_bands: int):
+                    max_key_rows: int, max_bands: int,
+                    direction: str = "backward"):
     """Pre-passes + banded map launch for ``asof_join(skew_split=True)``.
     Returns ``(lmap, rmap, carry_slices)``; ``carry_slices`` is None when
     no key crosses the hot threshold (the maps are then the PLAIN
-    exchange over the same snapshotted refs — upstream never re-runs)."""
+    exchange over the same snapshotted refs — upstream never re-runs).
+    ``direction="forward"`` mirrors the carry machinery: bounds track
+    each band's EARLIEST right row and band b's carry is the earliest
+    over bands > b (every higher-band right ts provably follows band
+    b's left timestamps, the symmetric cutpoint argument)."""
     import ray
 
     from .blocks import iter_block_refs
@@ -1244,10 +1266,13 @@ def _asof_skew_plan(left_ds, right_ds, left_key: str, right_key: str,
         return _ASOF_SKEW_MAP_REMOTE.options(num_returns=num_buckets) \
             .remote(ref, left_key, left_ts, num_buckets, hot_ref, False)
 
+    fwd = direction == "forward"
+
     def launch_r(ref):
         outs = _ASOF_SKEW_MAP_REMOTE.options(
             num_returns=num_buckets + 1).remote(
-            ref, right_key, right_ts, num_buckets, hot_ref, True)
+            ref, right_key, right_ts, num_buckets, hot_ref, True,
+            False, fwd)
         bound_refs.append(outs[-1])
         return outs[0] if num_buckets == 1 else list(outs[:-1])
 
@@ -1257,7 +1282,7 @@ def _asof_skew_plan(left_ds, right_ds, left_key: str, right_key: str,
     refs = list(bound_refs)
     while len(refs) > 1:
         refs = [_ASOF_BOUND_COMBINE_REMOTE.remote(
-            right_key, right_ts, *refs[i:i + 64])
+            right_key, right_ts, fwd, *refs[i:i + 64])
             for i in range(0, len(refs), 64)]
     bt = ray.get(refs[0]) if refs else pa.table({})
 
@@ -1272,18 +1297,33 @@ def _asof_skew_plan(left_ds, right_ds, left_key: str, right_key: str,
         for i in range(bt.num_rows):
             by_key.setdefault(bk[i], []).append(i)
         for k, rows in by_key.items():
-            rows.sort(key=lambda i: bb[i])
-            best = None  # running latest right row over bands < b
-            ri = 0
-            for b in range(1, n_bands.get(k, 0)):
-                while ri < len(rows) and bb[rows[ri]] < b:
-                    i = rows[ri]
-                    if best is None or btv[i] >= btv[best]:
-                        best = i
-                    ri += 1
-                if best is not None:
-                    carry_rows.append(best)
-                    carry_bands.append(b)
+            nb_k = n_bands.get(k, 0)
+            if direction == "backward":
+                rows.sort(key=lambda i: bb[i])
+                best = None  # running latest right row over bands < b
+                ri = 0
+                for b in range(1, nb_k):
+                    while ri < len(rows) and bb[rows[ri]] < b:
+                        i = rows[ri]
+                        if best is None or btv[i] >= btv[best]:
+                            best = i
+                        ri += 1
+                    if best is not None:
+                        carry_rows.append(best)
+                        carry_bands.append(b)
+            else:
+                rows.sort(key=lambda i: -bb[i])
+                best = None  # running earliest right row over bands > b
+                ri = 0
+                for b in range(nb_k - 2, -1, -1):
+                    while ri < len(rows) and bb[rows[ri]] > b:
+                        i = rows[ri]
+                        if best is None or btv[i] <= btv[best]:
+                            best = i
+                        ri += 1
+                    if best is not None:
+                        carry_rows.append(best)
+                        carry_bands.append(b)
     if carry_rows:
         ct = bt.take(pa.array(carry_rows, pa.int64()))
         ct = ct.set_column(ct.schema.get_field_index(_BAND_COL),

@@ -1452,6 +1452,27 @@ def q_events_asof_orders(sf_dir: str) -> pa.Table:
     return out.combine_chunks().sort_by([("event_id", "ascending")])
 
 
+def q_events_asof_forward(sf_dir: str) -> pa.Table:
+    """FORWARD as-of join: for each event, the date of the user's
+    EARLIEST order at or after the event time — ``direction="forward"``
+    through the same banded-capable engine operator (the backward
+    variant's symmetric twin; DuckDB mirrors it by flipping the ASOF
+    inequality).  Output keeps only tie-independent columns."""
+    from ..engine.joins import asof_join
+
+    joined = asof_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", direction="forward")
+    if not joined.num_rows or "event_id" not in joined.column_names:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "next_date": pa.array([], pa.date32())})
+    out = pa.table({"event_id": joined["event_id"],
+                    "next_date": joined["o_orderdate"]})
+    return out.combine_chunks().sort_by([("event_id", "ascending")])
+
+
 def q_events_asof_hotkey(sf_dir: str) -> pa.Table:
     """SKEWED as-of join exercising ``asof_join(skew_split=True)`` end
     to end: every user_id divisible by 3 collapses to ONE key (-1) on
